@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric", "value", "unit", "queries", "sf"}.
+
+Each query executes end-to-end into a noop sink (full materialization,
+nothing collected to the driver)."""
+
+from __future__ import annotations
+
+import json
+import os
+import pathlib
+import re
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
+
+from streamforge_spark import registry
+from streamforge_spark.session import get_spark
+
+# Headline set: the flagship CDC chain pieces + heavy analytics +
+# LLM-pipeline ops. Keep this list stable across rounds for comparable
+# BENCH_r{N}.json numbers.
+HEADLINE = [
+    "cdc_op_normalize",
+    "dedup_first_seen",
+    "merger_suppress",
+    "session_stats",
+    "materialize_changelog",
+    "static_join_enrich",
+    "dynamic_join_inner",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q18_large_orders",
+    "dedup_ngram_jaccard",
+    "text_stats",
+    "ann_cosine_topk",
+    "embedding_near_dup",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([\d.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    spark = get_spark("streamforge-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    registry.load_all()
+
+    # warm the JVM + parquet footers with one cheap query
+    registry.QUERIES["q6_forecast_revenue"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = registry.QUERIES[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

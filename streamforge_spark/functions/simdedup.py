@@ -1,0 +1,136 @@
+"""Similarity-based near-duplicate detection: MinHash+LSH and SimHash.
+
+The scale path for document dedup (BASELINE.json north star): exact
+shingle-join Jaccard (queries.text.dedup_ngram_jaccard) is the
+baseline; MinHash/LSH cuts the candidate space to colliding buckets so
+the pair computation is banded, not quadratic.
+
+All hashing is xxhash64 with per-permutation salts — deterministic
+across runs and partitions, JVM-side, no Python in the loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from streamforge_spark.functions.text import word_ngrams
+
+NUM_PERM = 32       # minhash permutations
+LSH_BANDS = 8       # bands of NUM_PERM / LSH_BANDS rows each
+SIMHASH_BITS = 64
+
+
+def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", ngram: int = 3,
+                       num_perm: int = NUM_PERM) -> DataFrame:
+    """(id, sig: array<long>[num_perm]) — min over shingle hashes per
+    salted permutation. One explode + one groupBy (single shuffle on
+    the doc id)."""
+    grams = docs.select(
+        F.col(id_col), F.explode(word_ngrams(F.col(text_col), ngram)).alias("g"))
+    mins = [F.min(F.xxhash64(F.lit(p), F.col("g"))).alias(f"h{p}")
+            for p in range(num_perm)]
+    sig = grams.groupBy(id_col).agg(*mins)
+    return sig.select(
+        F.col(id_col), F.array(*[F.col(f"h{p}") for p in range(num_perm)]).alias("sig"))
+
+
+def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
+                        bands: int = LSH_BANDS,
+                        num_perm: int = NUM_PERM) -> DataFrame:
+    """Band the signature, hash each band, self-join on (band, hash):
+    candidate pairs collide in >=1 band. Returns distinct (d1, d2)."""
+    rows = num_perm // bands
+    banded = sigs.select(
+        F.col(id_col),
+        F.posexplode(F.array(*[
+            F.xxhash64(*[F.col("sig")[b * rows + r] for r in range(rows)])
+            for b in range(bands)
+        ])).alias("band", "band_hash"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.band_hash") == F.col("b.band_hash"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("d1"), F.col(f"b.{id_col}").alias("d2"))
+        .distinct()
+    )
+
+
+def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", ngram: int = 3,
+                      threshold: float = 0.2) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: signatures -> banded
+    candidates -> exact Jaccard verification on candidates only.
+
+    Output (d1, d2, jaccard >= threshold). vs the exact baseline this
+    trades recall (pairs colliding in no band are missed) for pruning
+    the quadratic pair space — the standard LSH contract.
+    """
+    sigs = minhash_signatures(docs, id_col, text_col, ngram)
+    cands = lsh_candidate_pairs(sigs, id_col)
+    gram_sets = docs.select(
+        F.col(id_col), word_ngrams(F.col(text_col), ngram).alias("gs"))
+    g1 = gram_sets.select(F.col(id_col).alias("d1"), F.col("gs").alias("gs1"))
+    g2 = gram_sets.select(F.col(id_col).alias("d2"), F.col("gs").alias("gs2"))
+    verified = (
+        cands.join(g1, "d1").join(g2, "d2")
+        .select(
+            "d1", "d2",
+            (F.size(F.array_intersect("gs1", "gs2")).cast("double")
+             / F.size(F.array_union("gs1", "gs2")).cast("double")).alias("jaccard"))
+    )
+    return verified.filter(F.col("jaccard") >= threshold)
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id",
+            text_col: str = "text") -> DataFrame:
+    """64-bit SimHash over whitespace tokens weighted by term count.
+
+    Token-level explode, then 64 signed-sum aggregates (one per bit) in
+    a single groupBy pass; the fingerprint is assembled with bitwise
+    ORs — no per-bit row blowup.
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+    counted = (toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("cnt"))
+               .withColumn("h", F.xxhash64("tok")))
+    bit_sums = counted.groupBy(id_col).agg(*[
+        F.sum(F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1,
+                     F.col("cnt")).otherwise(-F.col("cnt"))).alias(f"b{i}")
+        for i in range(SIMHASH_BITS)
+    ])
+    fp = None
+    for i in range(SIMHASH_BITS):
+        term = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long") * (1 << i) if i < 63
+                      else F.lit(-(1 << 63)).cast("long")).otherwise(F.lit(0).cast("long"))
+        fp = term if fp is None else fp.bitwiseOR(term)
+    return bit_sums.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_near_dup(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text",
+                     max_hamming: int = 8) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, blocked on 16-bit
+    bands (a pair within Hamming<=3 of a 4-band split must collide in
+    >=1 band; wider distances trade recall as usual)."""
+    fp = simhash(docs, id_col, text_col)
+    banded = fp.select(
+        F.col(id_col), F.col("simhash"),
+        F.posexplode(F.array(*[
+            F.shiftrightunsigned(F.col("simhash"), b * 16).bitwiseAND(F.lit(0xFFFF))
+            for b in range(4)
+        ])).alias("band", "band_val"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.band_val") == F.col("b.band_val"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("d1"), F.col(f"b.{id_col}").alias("d2"),
+                F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+                .alias("hamming"))
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)

@@ -1,0 +1,97 @@
+"""Text-analysis column functions over document tables.
+
+Whitespace tokenization, quality heuristics, language-ID by stopword
+profile, content fingerprinting. Everything is a Column expression —
+at 100 TB these run inside whole-stage codegen on the scan, with only
+the columns actually referenced read from parquet.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+STOPWORDS = ("the", "a", "of", "and", "to")
+
+#: marker tokens per language for the n-gram/stopword language-ID
+#: heuristic; priority order breaks ties deterministically.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "is"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "es": ("el", "los", "las", "es", "y"),
+    "fr": ("le", "les", "est", "et", "dans"),
+}
+PUNCT_CLASS = "[.,!?;:]"
+
+
+def tokens(text: Column) -> Column:
+    return F.split(text, " ")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text)).cast("long")
+
+
+def distinct_token_count(text: Column) -> Column:
+    return F.size(F.array_distinct(tokens(text))).cast("long")
+
+
+def punct_count(text: Column) -> Column:
+    return (F.length(text) - F.length(F.regexp_replace(text, PUNCT_CLASS, ""))).cast("long")
+
+
+def stopword_count(text: Column, stopwords=STOPWORDS) -> Column:
+    return F.size(F.filter(tokens(text), lambda t: t.isin(*stopwords))).cast("long")
+
+
+def marker_count(text: Column, markers) -> Column:
+    return F.size(F.filter(tokens(text), lambda t: t.isin(*markers))).cast("long")
+
+
+def lang_id(text: Column) -> Column:
+    """Stopword-profile language ID: argmax of per-language marker
+    counts, ties broken by the LANG_MARKERS priority order; all-zero ->
+    'unknown'. (An n-gram-frequency heuristic in the same shape —
+    counts per profile -> argmax — swaps in without plan changes.)"""
+    langs = list(LANG_MARKERS)
+    counts = {lang: marker_count(text, m) for lang, m in LANG_MARKERS.items()}
+    all_zero = F.lit(True)
+    for lang in langs:
+        all_zero = all_zero & (counts[lang] == 0)
+    expr = F.when(all_zero, F.lit("unknown"))
+    # first-match-wins argmax: lang i wins when >= every later lang
+    for i, lang in enumerate(langs[:-1]):
+        cond = F.lit(True)
+        for later in langs[i + 1:]:
+            cond = cond & (counts[lang] >= counts[later])
+        expr = expr.when(cond, F.lit(lang))
+    return expr.otherwise(F.lit(langs[-1]))
+
+
+def quality_score(text: Column, n_chars: Column) -> Column:
+    """Composite document quality in [0,1]:
+    0.4*min(1, chars/500) + 0.3*(1 - punct_ratio) + 0.3*min(1, tokens/100).
+    Deterministic IEEE expression (same op order as the SQL oracle)."""
+    tc = token_count(text).cast("double")
+    chars = n_chars.cast("double")
+    punct_ratio = punct_count(text).cast("double") / chars
+    return (
+        F.lit(0.4) * F.least(F.lit(1.0), chars / 500.0)
+        + F.lit(0.3) * (F.lit(1.0) - punct_ratio)
+        + F.lit(0.3) * F.least(F.lit(1.0), tc / 100.0)
+    )
+
+
+def fingerprint(text: Column) -> Column:
+    """Content fingerprint: md5 of the lowercased text. (For a rolling
+    or locality-sensitive fingerprint see functions.simdedup.)"""
+    return F.md5(F.lower(text))
+
+
+def word_ngrams(text: Column, n: int = 3) -> Column:
+    """Distinct word n-grams (shingles) of a document."""
+    t = tokens(text)
+    return F.array_distinct(F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", *[F.element_at(t, i + k) for k in range(n)]),
+    ))

@@ -1,0 +1,44 @@
+"""Batch table loading over the driver-provided parquet fixtures.
+
+At 100 TB these reads become partitioned parquet/Delta scans; the
+DataFrame-level code is identical — Catalyst pushes filters and prunes
+columns into the scan automatically (verify with
+``df.explain('formatted')`` → ``PushedFilters`` / ``ReadSchema``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # events.ts is TIMESTAMP(NANOS) in parquet; with nanosAsLong it
+    # arrives as a long — truncate to micros (matching DuckDB's ns->us
+    # truncation) and restore the timestamp type.
+    for f in df.schema.fields:
+        if name == "events" and f.name == "ts" and f.dataType.typeName() == "long":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view for spark.sql()."""
+    for t in TABLES:
+        load(spark, sf_dir, t).createOrReplaceTempView(t)

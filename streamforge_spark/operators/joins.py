@@ -1,0 +1,95 @@
+"""Join operators.
+
+Reference:
+- ``pattern/enrich/StaticJoiner.java:51-170`` — broadcast enrichment
+  join: reference data held as latest-value-per-key broadcast state;
+  main-stream lookup; miss => pass-through unchanged (left-outer).
+- ``pattern/enrich/DynamicJoiner.java:102-326`` — time-bounded
+  stream-stream N:M equi-join with INNER/LEFT/RIGHT/FULL_OUTER
+  emission at TTL expiry.
+
+Spark-first: StaticJoiner is ``F.broadcast`` over a latest-per-key
+reduction of the dimension (auto-broadcast below the threshold, hint
+for certainty); DynamicJoiner is an equi-join with a time-range
+predicate — in streaming, watermarks bound the state exactly like the
+reference's TTL (SURVEY §7.5#1-2 documents the processing-time →
+event-time semantic shift).
+
+Scale notes: the broadcast side must stay small (dimension tables) —
+that's the contract of the pattern itself. The time-bounded join is an
+equi-join on the key with a range residual, so it hash-partitions on
+the key (no cross product); skewed keys → AQE skew handling.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+JOIN_TYPES = {"inner", "left", "right", "full_outer"}
+_SPARK_HOW = {"inner": "inner", "left": "left", "right": "right", "full_outer": "full_outer"}
+
+
+def latest_per_key(ref: DataFrame, key_cols: Sequence[str],
+                   order_cols: Sequence[str]) -> DataFrame:
+    """Latest-value-per-key reduction of a changelog-shaped reference
+    table (StaticJoiner.java:167-169: updates replace)."""
+    w = Window.partitionBy(*key_cols).orderBy(*[F.col(c).desc() for c in order_cols])
+    return (
+        ref.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def static_joiner(main: DataFrame, ref: DataFrame, on, *,
+                  ref_key_cols: Sequence[str] | None = None,
+                  ref_order_cols: Sequence[str] | None = None,
+                  broadcast_ref: bool = True) -> DataFrame:
+    """Broadcast enrichment join; miss => row passes through with null
+    enrichment columns (left-outer, StaticJoiner.java:134-152).
+
+    If ``ref_key_cols``/``ref_order_cols`` are given the reference side
+    is first reduced to latest-per-key (slowly-changing ref idiom). In
+    streaming this is a stream-static join: Spark re-reads the static
+    side each micro-batch, which IS the broadcast-state refresh.
+    """
+    if ref_key_cols and ref_order_cols:
+        ref = latest_per_key(ref, ref_key_cols, ref_order_cols)
+    if broadcast_ref:
+        ref = F.broadcast(ref)
+    return main.join(ref, on=on, how="left")
+
+
+def dynamic_joiner(left: DataFrame, right: DataFrame, *,
+                   left_key: str, right_key: str,
+                   left_time: str, right_time: str,
+                   ttl_seconds: int,
+                   join_type: str = "inner",
+                   left_alias: str = "l", right_alias: str = "r",
+                   extra_condition: Column | None = None) -> DataFrame:
+    """Time-bounded N:M equi-join: rows match when keys are equal AND
+    |left_time - right_time| <= ttl (DynamicJoiner.java:238-292; the
+    10-minute TTL of OrderPaymentJoinJob.java:51-53 becomes the range
+    predicate).
+
+    join_type in {inner, left, right, full_outer}; outer rows are the
+    unmatched-at-expiry emissions (DynamicJoiner.java:294-326) — in
+    batch they're just the outer join result; in streaming Spark emits
+    them when the watermark passes. Both sides are aliased internally
+    (self-join safe); select output columns through the aliases.
+    """
+    if join_type not in JOIN_TYPES:
+        raise ValueError(f"join_type must be one of {JOIN_TYPES}")
+    la, ra = left_alias, right_alias
+    ttl = F.expr(f"INTERVAL {ttl_seconds} SECONDS")
+    cond = (
+        (F.col(f"{la}.{left_key}") == F.col(f"{ra}.{right_key}"))
+        & (F.col(f"{ra}.{right_time}") >= F.col(f"{la}.{left_time}") - ttl)
+        & (F.col(f"{ra}.{right_time}") <= F.col(f"{la}.{left_time}") + ttl)
+    )
+    if extra_condition is not None:
+        cond = cond & extra_condition
+    return left.alias(la).join(right.alias(ra), on=cond, how=_SPARK_HOW[join_type])

@@ -1,0 +1,145 @@
+"""Schema & constraint enforcement with dead-lettering.
+
+Reference:
+- ``pattern/schema/SchemaEnforcer.java:66-104`` + ``SchemaVersion.java:
+  19-69`` — validate a JSON payload against an allowlist of schema
+  versions (newest first); first fully-valid version passes the record;
+  all-fail → DLQ(SCHEMA_VIOLATION) with per-version violations.
+- ``pattern/quality/ConstraintEnforcer.java:29-91`` + rules
+  (NotNullRule/RangeRule/FormatRule) — any violated rule → DLQ
+  (CONSTRAINT_VIOLATION).
+
+Spark-first: every version/rule compiles to a boolean Column; validity
+is computed once per row in one pass and the pass/DLQ split happens at
+the end (no 9-extra-passes, SURVEY §7.5#7). Typed checks on the
+schema-less JSON payload use get_json_object + casts (§7.5#6).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from streamforge_spark.pipeline import dlq_event
+
+EMAIL_RE = r"^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}$"
+DATE_RE = r"^\d{4}-\d{2}-\d{2}$"
+NUMBER_RE = r"^-?\d+(\.\d+)?([eE][+-]?\d+)?$"
+
+
+def _json_field(payload_col: str, fld: str) -> Column:
+    return F.get_json_object(F.col(payload_col), f"$.{fld}")
+
+
+@dataclass
+class SchemaVersion:
+    """Declarative payload schema (SchemaVersion.java:19-46).
+
+    required: {field: type} with type in {string, number, boolean,
+    map, list, any} (FieldType enum, SchemaVersion.java:52-58);
+    optional: extra allowed fields; strict rejects unknown fields.
+    """
+    name: str
+    required: dict[str, str] = field(default_factory=dict)
+    optional: tuple[str, ...] = ()
+    strict: bool = False
+
+    def valid(self, payload_col: str) -> Column:
+        checks: list[Column] = [F.col(payload_col).isNotNull()]
+        for fld, ftype in self.required.items():
+            v = _json_field(payload_col, fld)
+            c = v.isNotNull()
+            if ftype == "number":
+                c = c & v.rlike(NUMBER_RE)
+            elif ftype == "boolean":
+                c = c & v.isin("true", "false")
+            elif ftype == "map":
+                c = c & v.startswith("{")
+            elif ftype == "list":
+                c = c & v.startswith("[")
+            # string / any: presence is enough (runtime-type check is
+            # coarse in the reference too)
+            checks.append(c)
+        if self.strict:
+            allowed = set(self.required) | set(self.optional)
+            keys = F.map_keys(F.from_json(F.col(payload_col), "map<string,string>"))
+            checks.append(F.size(F.array_except(keys, F.array(*[F.lit(a) for a in allowed]))) == 0)
+        out = checks[0]
+        for c in checks[1:]:
+            out = out & c
+        return out
+
+
+def schema_enforcer(df: DataFrame, payload_col: str,
+                    versions: list[SchemaVersion],
+                    source: str = "schema-enforcer") -> tuple[DataFrame, DataFrame]:
+    """Pass rows valid under ANY version (newest first — version order
+    only affects which version 'claims' the record, not pass/fail);
+    rest → DLQ(SCHEMA_VIOLATION)."""
+    any_ok = F.lit(False)
+    version_tags = []
+    for v in versions:
+        ok = v.valid(payload_col)
+        version_tags.append(F.when(ok & ~any_ok, F.lit(v.name)))
+        any_ok = any_ok | ok
+    tagged = df.withColumn("_schema_ok", any_ok)
+    passed = tagged.filter(F.col("_schema_ok")).drop("_schema_ok")
+    failed = tagged.filter(~F.col("_schema_ok")).drop("_schema_ok")
+    dlq = dlq_event(
+        failed, "SCHEMA_VIOLATION",
+        F.lit(f"no schema version matched (tried {[v.name for v in versions]})"),
+        source,
+    )
+    return passed, dlq
+
+
+# --- constraint rules: (name, boolean Column) pairs -------------------
+
+def not_null_rule(col: Column | str, name: str | None = None) -> tuple[str, Column]:
+    c = F.col(col) if isinstance(col, str) else col
+    return (name or "not_null", c.isNotNull())
+
+
+def range_rule(col: Column | str, lo: float, hi: float,
+               name: str | None = None) -> tuple[str, Column]:
+    """Missing field passes; present non-numeric fails; numeric must be
+    in [lo, hi] (RangeRule.java:7-35)."""
+    c = F.col(col) if isinstance(col, str) else col
+    num = c.cast("double")
+    return (name or "range", c.isNull() | (num.isNotNull() & num.between(lo, hi)))
+
+
+def format_rule(col: Column | str, regex: str,
+                name: str | None = None) -> tuple[str, Column]:
+    c = F.col(col) if isinstance(col, str) else col
+    return (name or "format", c.isNull() | c.cast("string").rlike(regex))
+
+
+def email_rule(col: Column | str) -> tuple[str, Column]:
+    return format_rule(col, EMAIL_RE, "email")
+
+
+def date_rule(col: Column | str) -> tuple[str, Column]:
+    return format_rule(col, DATE_RE, "date")
+
+
+def constraint_enforcer(df: DataFrame, rules: list[tuple[str, Column]],
+                        source: str = "constraint-enforcer") -> tuple[DataFrame, DataFrame]:
+    """All rules must hold; violations → DLQ(CONSTRAINT_VIOLATION) with
+    the violated rule names concatenated (ConstraintEnforcer.java:
+    53-91)."""
+    all_ok = F.lit(True)
+    for _, cond in rules:
+        all_ok = all_ok & cond
+    violations = F.concat_ws(
+        "; ", *[F.when(~cond, F.lit(name)) for name, cond in rules])
+    tagged = df.withColumn("_ok", all_ok).withColumn("_violations", violations)
+    passed = tagged.filter(F.col("_ok")).drop("_ok", "_violations")
+    failed = tagged.filter(~F.col("_ok"))
+    dlq = dlq_event(
+        failed.drop("_ok"), "CONSTRAINT_VIOLATION",
+        F.col("_violations"), source,
+    ).drop("_violations")
+    return passed, dlq

@@ -1,0 +1,73 @@
+"""Event-time session analysis.
+
+Reference: ``pattern/session/SessionAnalyzer.java:63-185`` — keyed
+event-time session windows (gap, default 30 min), bounded
+out-of-orderness watermark, custom list-fold aggregator, emitting
+``SessionResult{key, sessionStart, sessionEnd, eventCount, duration,
+result}`` (SessionResult.java:7-13).
+
+Spark-first: ``F.session_window`` (built-in since 3.2) + ``agg``. The
+custom Aggregator<T,R> slot maps to agg expressions; ordered fold
+semantics come from sorting collected (ts, payload) structs — still
+JVM-side column algebra, no Python in the loop.
+
+Scale notes: one hash exchange on the session key; state (streaming)
+bounded by the watermark. Session assignment itself is gap-merge,
+computed inside the aggregation — no self-join.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def session_analyzer(df: DataFrame, key_col: str, time_col: str,
+                     gap: str = "30 minutes",
+                     agg_exprs: Sequence[Column] = (),
+                     watermark: str | None = None) -> DataFrame:
+    """Sessionize per key with the given inactivity gap.
+
+    Emits the SessionResult shape: key, session_start, session_end,
+    event_count, duration_sec (+ any custom ``agg_exprs``).
+    session_end = last event time (not last+gap), matching the
+    reference's SessionResult which reports real event extents.
+    """
+    if watermark and df.isStreaming:
+        df = df.withWatermark(time_col, watermark)
+    return (
+        df.groupBy(F.col(key_col), F.session_window(F.col(time_col), gap))
+        .agg(
+            F.min(time_col).alias("session_start"),
+            F.max(time_col).alias("session_end"),
+            F.count(F.lit(1)).alias("event_count"),
+            (F.unix_micros(F.max(time_col)) - F.unix_micros(F.min(time_col)))
+            .alias("duration_us"),
+            *agg_exprs,
+        )
+        .drop("session_window")
+    )
+
+
+def ordered_fold(time_col: str, tiebreak_col: str, value_col: str,
+                 sep: str = ",") -> Column:
+    """Aggregator slot: time-ordered concatenation of a column within
+    the group (UserSessionAnalysisJob.java:64-70 comma-joins ops).
+
+    collect_list order is nondeterministic under parallel aggregation,
+    so sort (time, tiebreak, value) structs before joining — the
+    deterministic analog of the reference's ordered list fold.
+    """
+    return F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(
+                F.col(time_col).alias("t"),
+                F.col(tiebreak_col).alias("i"),
+                F.col(value_col).alias("v"),
+            ))),
+            lambda s: s.v,
+        ),
+        sep,
+    )

@@ -1,0 +1,264 @@
+"""CDC decode / envelope / stateless-enforcement queries (SURVEY §2.3,
+§2.4, §2.9, §2.10, §2.11)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from streamforge_spark.envelope import cdc_payload, envelope_from_events, normalize_op
+from streamforge_spark.operators.filters import filter_interceptor
+from streamforge_spark.operators.observability import flow_silence_report, health_report
+from streamforge_spark.operators.processors import stamp_processor
+from streamforge_spark.operators.quality import (
+    SchemaVersion, constraint_enforcer, format_rule, not_null_rule,
+    range_rule, schema_enforcer,
+)
+from streamforge_spark.queries.common import ENVELOPE_CTE, prep
+from streamforge_spark.registry import query
+
+_ENV_COLS = ["event_id", "operation", "source", "payload_json", "event_time",
+             "processed_time", "trace_id", "primary_key"]
+
+
+@query(
+    "cdc_op_normalize",
+    oracle=f"WITH {ENVELOPE_CTE} SELECT {', '.join(_ENV_COLS)} FROM envelope",
+)
+def cdc_op_normalize(spark, sf_dir):
+    """CDC op normalization + envelope projection
+    (MongoToKafkaParser.java:80-86)."""
+    (events,) = prep(spark, sf_dir, "events")
+    return envelope_from_events(events).select(*_ENV_COLS)
+
+
+@query(
+    "filter_unknown",
+    oracle=f"WITH {ENVELOPE_CTE} SELECT event_id, operation, primary_key "
+           "FROM envelope WHERE operation <> 'unknown'",
+)
+def filter_unknown(spark, sf_dir):
+    """FilterInterceptor dropping unknown ops (MongoToKafkaJob.java:66)."""
+    (events,) = prep(spark, sf_dir, "events")
+    env = envelope_from_events(events)
+    return filter_interceptor(env, F.col("operation") != "unknown",
+                              observe_name="filter_unknown").select(
+        "event_id", "operation", "primary_key")
+
+
+@query(
+    "cdc_payload_precedence",
+    oracle=f"""
+WITH {ENVELOPE_CTE},
+cdc AS (
+  SELECT event_id, operation,
+         CASE WHEN operation = 'insert' THEN payload_json END AS after,
+         CASE WHEN operation IN ('insert', 'update') AND event_id % 3 <> 0
+              THEN payload_json END AS full_document,
+         CASE WHEN operation = 'update' THEN payload_json END AS updated_fields,
+         '{{"_id": "' || primary_key || '"}}' AS document_key
+  FROM envelope
+)
+SELECT event_id, operation,
+       CASE WHEN operation = 'delete' THEN document_key
+            ELSE COALESCE(after, full_document, updated_fields, document_key)
+       END AS payload
+FROM cdc
+""",
+)
+def cdc_payload_precedence(spark, sf_dir):
+    """Payload precedence after -> fullDocument -> updatedFields ->
+    documentKey; delete carries only the documentKey
+    (MongoToKafkaParser.java:88-136).
+
+    The fixture has no raw Mongo change documents, so the candidate
+    columns are derived deterministically from the envelope (nulls
+    injected on a fixed modulus) — the precedence algebra under test is
+    the real operator.
+    """
+    (events,) = prep(spark, sf_dir, "events")
+    env = envelope_from_events(events)
+    cdc = env.select(
+        "event_id", "operation",
+        F.when(F.col("operation") == "insert", F.col("payload_json")).alias("after"),
+        F.when(F.col("operation").isin("insert", "update") & (F.col("event_id") % 3 != 0),
+               F.col("payload_json")).alias("full_document"),
+        F.when(F.col("operation") == "update", F.col("payload_json")).alias("updated_fields"),
+        F.concat(F.lit('{"_id": "'), F.col("primary_key"), F.lit('"}')).alias("document_key"),
+    )
+    return cdc.select(
+        "event_id", "operation",
+        cdc_payload(F.col("operation"), F.col("after"), F.col("full_document"),
+                    F.col("updated_fields"), F.col("document_key")).alias("payload"),
+    )
+
+
+@query(
+    "processor_stamp",
+    oracle=f"WITH {ENVELOPE_CTE} SELECT event_id, "
+           "COALESCE(trace_id, 'trace-' || md5(CAST(event_id AS VARCHAR))) AS trace_id "
+           "FROM envelope",
+)
+def processor_stamp(spark, sf_dir):
+    """Trace-id backfill (MongoToKafkaProcessor.java:71-81), made
+    deterministic by deriving the id from the event id instead of a
+    random UUID."""
+    (events,) = prep(spark, sf_dir, "events")
+    env = envelope_from_events(events)
+    return stamp_processor(env, deterministic_from=F.col("event_id")).select(
+        "event_id", "trace_id")
+
+
+_V1 = SchemaVersion("v1", required={"k": "number"})
+_V2 = SchemaVersion("v2", required={"k": "number", "extra": "string"})
+
+
+@query(
+    "schema_enforcer_pass",
+    oracle=f"""
+WITH {ENVELOPE_CTE}
+SELECT event_id, operation, primary_key FROM envelope
+WHERE payload_json IS NOT NULL
+  AND (
+    (json_extract_string(payload_json, '$.k') IS NOT NULL
+     AND regexp_matches(json_extract_string(payload_json, '$.k'), '^-?\\d+(\\.\\d+)?([eE][+-]?\\d+)?$'))
+    OR
+    (json_extract_string(payload_json, '$.k') IS NOT NULL
+     AND regexp_matches(json_extract_string(payload_json, '$.k'), '^-?\\d+(\\.\\d+)?([eE][+-]?\\d+)?$')
+     AND json_extract_string(payload_json, '$.extra') IS NOT NULL)
+  )
+""",
+)
+def schema_enforcer_pass(spark, sf_dir):
+    """SchemaEnforcer pass branch: record valid under ANY version
+    (newest accepted first, SchemaEnforcer.java:71-79)."""
+    (events,) = prep(spark, sf_dir, "events")
+    env = envelope_from_events(events)
+    passed, _ = schema_enforcer(env, "payload_json", [_V2, _V1])
+    return passed.select("event_id", "operation", "primary_key")
+
+
+@query(
+    "constraint_enforcer_pass",
+    oracle=f"""
+WITH {ENVELOPE_CTE}
+SELECT event_id, operation, value FROM envelope
+WHERE value IS NOT NULL AND value BETWEEN 0 AND 450
+  AND (trace_id IS NULL OR regexp_matches(trace_id, '^trace-\\d+$'))
+""",
+)
+def constraint_enforcer_pass(spark, sf_dir):
+    """ConstraintEnforcer pass branch (NotNull + Range + Format rules,
+    pattern/quality/rules/*)."""
+    (events,) = prep(spark, sf_dir, "events")
+    env = envelope_from_events(events)
+    rules = [
+        not_null_rule("value", "value_not_null"),
+        range_rule("value", 0, 450, "value_range"),
+        format_rule("trace_id", r"^trace-\d+$", "trace_format"),
+    ]
+    passed, _ = constraint_enforcer(env, rules)
+    return passed.select("event_id", "operation", "value")
+
+
+@query(
+    "constraint_enforcer_dlq",
+    oracle=f"""
+WITH {ENVELOPE_CTE}
+SELECT event_id, 'CONSTRAINT_VIOLATION' AS error_type,
+       concat_ws('; ',
+         CASE WHEN value IS NULL THEN 'value_not_null' END,
+         CASE WHEN NOT (value IS NULL OR value BETWEEN 0 AND 450) THEN 'value_range' END,
+         CASE WHEN NOT (trace_id IS NULL OR regexp_matches(trace_id, '^trace-\\d+$')) THEN 'trace_format' END
+       ) AS violations
+FROM envelope
+WHERE NOT (value IS NOT NULL AND value BETWEEN 0 AND 450
+           AND (trace_id IS NULL OR regexp_matches(trace_id, '^trace-\\d+$')))
+""",
+)
+def constraint_enforcer_dlq(spark, sf_dir):
+    """ConstraintEnforcer DLQ branch: violated rule names, dead-letter
+    shape (ConstraintEnforcer.java:53-91) projected to deterministic
+    columns."""
+    (events,) = prep(spark, sf_dir, "events")
+    env = envelope_from_events(events)
+    ok = (F.col("value").isNotNull() & F.col("value").between(0, 450)
+          & (F.col("trace_id").isNull() | F.col("trace_id").rlike(r"^trace-\d+$")))
+    violations = F.concat_ws(
+        "; ",
+        F.when(F.col("value").isNull(), F.lit("value_not_null")),
+        F.when(~(F.col("value").isNull() | F.col("value").between(0, 450)), F.lit("value_range")),
+        F.when(~(F.col("trace_id").isNull() | F.col("trace_id").rlike(r"^trace-\d+$")),
+               F.lit("trace_format")),
+    )
+    return (env.filter(~ok)
+            .select("event_id", F.lit("CONSTRAINT_VIOLATION").alias("error_type"),
+                    violations.alias("violations")))
+
+
+@query(
+    "health_report",
+    oracle=f"""
+WITH {ENVELOPE_CTE}
+SELECT CAST(COUNT(*) AS BIGINT) AS events_total,
+       CAST(COUNT(CASE WHEN payload_json IS NULL THEN 1 END) AS BIGINT) AS null_payloads,
+       CAST(COUNT(CASE WHEN primary_key IS NULL THEN 1 END) AS BIGINT) AS null_keys,
+       CAST(COUNT(CASE WHEN trace_id IS NULL THEN 1 END) AS BIGINT) AS null_traces
+FROM envelope
+""",
+)
+def health_report_q(spark, sf_dir):
+    """OnlineObserver counters (OnlineObserver.java:21-58;
+    MongoToKafkaJob.java:83-86 checks) as a queryable one-row report."""
+    (events,) = prep(spark, sf_dir, "events")
+    env = envelope_from_events(events)
+    return health_report(env, [
+        ("null_payloads", F.col("payload_json").isNull()),
+        ("null_keys", F.col("primary_key").isNull()),
+        ("null_traces", F.col("trace_id").isNull()),
+    ])
+
+
+@query(
+    "latency_report",
+    oracle="""
+WITH m AS (SELECT MAX(ts) AS now_ts FROM events)
+SELECT event_id,
+       CAST(epoch_us(m.now_ts) - epoch_us(ts) AS DOUBLE) / 1000.0 AS latency_ms,
+       (CAST(epoch_us(m.now_ts) - epoch_us(ts) AS DOUBLE) / 1000.0) > 30000.0 AS alert
+FROM events, m
+""",
+)
+def latency_report(spark, sf_dir):
+    """LatencyDetector (LatencyDetector.java:26-79): per-record e2e
+    latency vs a reference 'now' + threshold alert. Deterministic batch
+    form uses max(ts) as 'now'."""
+    from streamforge_spark.operators.observability import latency_detector
+    (events,) = prep(spark, sf_dir, "events")
+    now = events.agg(F.max("ts").alias("now_ts"))
+    df = events.crossJoin(F.broadcast(now))
+    df = latency_detector(df, "ts", threshold_seconds=30, now=F.col("now_ts"))
+    return df.select("event_id", "latency_ms",
+                     (F.col("latency_ms") > 30000.0).alias("alert"))
+
+
+@query(
+    "flow_silence_report",
+    oracle="""
+WITH g AS (
+  SELECT event_type,
+         epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY event_type ORDER BY ts, event_id)) AS gap_us
+  FROM events
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS event_count,
+       CAST(MAX(gap_us) AS DOUBLE) / 1000000.0 AS max_gap_sec,
+       COALESCE(MAX(gap_us), 0) > 14400000000 AS disrupted
+FROM g GROUP BY event_type
+""",
+)
+def flow_silence_q(spark, sf_dir):
+    """FlowDisruptionDetector batch analog (FlowDisruptionDetector.java:
+    61-89): per-key max inter-event gap vs a 4h timeout. The true
+    streaming alarm is streamforge_spark.streaming.flow_disruption."""
+    (events,) = prep(spark, sf_dir, "events")
+    return flow_silence_report(events, "event_type", "ts",
+                               timeout_seconds=14400, order_tiebreak="event_id")

@@ -1,0 +1,119 @@
+"""Join queries (SURVEY §2.7)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from streamforge_spark.operators.joins import dynamic_joiner, static_joiner
+from streamforge_spark.queries.common import prep
+from streamforge_spark.registry import query
+
+
+@query(
+    "static_join_enrich",
+    oracle="""
+SELECT e.event_id, e.user_id, e.value, c.c_name, c.c_mktsegment, c.c_nationkey
+FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+""",
+)
+def static_join_enrich(spark, sf_dir):
+    """StaticJoiner: broadcast enrichment, miss => pass-through with
+    null enrichment (StaticJoiner.java:134-152). The customer dim is
+    broadcast — at 100 TB the fact side never shuffles."""
+    events, customer = prep(spark, sf_dir, "events", "customer")
+    enriched = static_joiner(
+        events, customer.select("c_custkey", "c_name", "c_mktsegment", "c_nationkey"),
+        on=events["user_id"] == F.col("c_custkey"),
+    )
+    return enriched.select("event_id", "user_id", "value",
+                           "c_name", "c_mktsegment", "c_nationkey")
+
+
+_DYN_ORACLE = """
+SELECT l.event_id AS purchase_id, {sel}
+FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+{how} JOIN (SELECT * FROM events WHERE event_type = 'click') r
+  ON l.user_id = r.user_id
+ AND r.ts >= l.ts - INTERVAL 10 MINUTE
+ AND r.ts <= l.ts + INTERVAL 10 MINUTE
+"""
+
+
+@query(
+    "dynamic_join_inner",
+    oracle=_DYN_ORACLE.format(
+        sel="r.event_id AS click_id, l.user_id AS user_id, l.ts AS purchase_ts, r.ts AS click_ts",
+        how="INNER"),
+)
+def dynamic_join_inner(spark, sf_dir):
+    """DynamicJoiner INNER: time-bounded N:M equi-join, 10-minute TTL
+    (DynamicJoiner.java:238-292; OrderPaymentJoinJob.java:51-53)."""
+    (events,) = prep(spark, sf_dir, "events")
+    left = events.filter(F.col("event_type") == "purchase").alias("l")
+    right = events.filter(F.col("event_type") == "click").alias("r")
+    j = dynamic_joiner(left, right, left_key="user_id", right_key="user_id",
+                       left_time="ts", right_time="ts", ttl_seconds=600,
+                       join_type="inner")
+    return j.select(
+        F.col("l.event_id").alias("purchase_id"),
+        F.col("r.event_id").alias("click_id"),
+        F.col("l.user_id").alias("user_id"),
+        F.col("l.ts").alias("purchase_ts"),
+        F.col("r.ts").alias("click_ts"),
+    )
+
+
+@query(
+    "dynamic_join_left",
+    oracle=_DYN_ORACLE.format(
+        sel="r.event_id AS click_id, l.user_id AS user_id, l.ts AS purchase_ts, r.ts AS click_ts",
+        how="LEFT"),
+)
+def dynamic_join_left(spark, sf_dir):
+    """DynamicJoiner LEFT: unmatched left rows emitted with null right
+    (the TTL-expiry emission of DynamicJoiner.java:294-326 — in batch,
+    simply the outer rows)."""
+    (events,) = prep(spark, sf_dir, "events")
+    left = events.filter(F.col("event_type") == "purchase").alias("l")
+    right = events.filter(F.col("event_type") == "click").alias("r")
+    j = dynamic_joiner(left, right, left_key="user_id", right_key="user_id",
+                       left_time="ts", right_time="ts", ttl_seconds=600,
+                       join_type="left")
+    return j.select(
+        F.col("l.event_id").alias("purchase_id"),
+        F.col("r.event_id").alias("click_id"),
+        F.col("l.user_id").alias("user_id"),
+        F.col("l.ts").alias("purchase_ts"),
+        F.col("r.ts").alias("click_ts"),
+    )
+
+
+@query(
+    "dynamic_join_full",
+    oracle="""
+SELECT l.event_id AS purchase_id, r.event_id AS click_id,
+       COALESCE(l.user_id, r.user_id) AS user_id,
+       l.ts AS purchase_ts, r.ts AS click_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+FULL OUTER JOIN (SELECT * FROM events WHERE event_type = 'click') r
+  ON l.user_id = r.user_id
+ AND r.ts >= l.ts - INTERVAL 10 MINUTE
+ AND r.ts <= l.ts + INTERVAL 10 MINUTE
+""",
+)
+def dynamic_join_full(spark, sf_dir):
+    """DynamicJoiner FULL_OUTER with the rightEmitFunction projection
+    folded into a coalesce (DynamicJoiner.java:169-173, 294-326)."""
+    (events,) = prep(spark, sf_dir, "events")
+    left = events.filter(F.col("event_type") == "purchase").alias("l")
+    right = events.filter(F.col("event_type") == "click").alias("r")
+    j = dynamic_joiner(left, right, left_key="user_id", right_key="user_id",
+                       left_time="ts", right_time="ts", ttl_seconds=600,
+                       join_type="full_outer")
+    return j.select(
+        F.col("l.event_id").alias("purchase_id"),
+        F.col("r.event_id").alias("click_id"),
+        F.coalesce(F.col("l.user_id"), F.col("r.user_id")).alias("user_id"),
+        F.col("l.ts").alias("purchase_ts"),
+        F.col("r.ts").alias("click_ts"),
+    )

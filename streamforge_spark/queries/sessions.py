@@ -1,0 +1,131 @@
+"""Session-window / materialization / window queries (SURVEY §2.8)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from streamforge_spark.envelope import envelope_from_events
+from streamforge_spark.operators.materialize import materializer_changelog, materializer_latest
+from streamforge_spark.operators.sessions import ordered_fold, session_analyzer
+from streamforge_spark.queries.common import ENVELOPE_CTE, prep, scaled_sum, sql_scaled_sum
+from streamforge_spark.registry import query
+
+# Gaps-and-islands oracle for Spark's session_window semantics: a new
+# session starts when the gap since the previous event STRICTLY
+# exceeds the gap duration (session_window merges at exactly-gap
+# spacing — pinned by test_session_window_exact_gap_boundary).
+_SESSION_ORACLE = f"""
+WITH s AS (
+  SELECT user_id, ts, event_id, event_type, value,
+         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                   > 1800000000 THEN 1 ELSE 0 END AS new_sess
+  FROM events
+), g AS (
+  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM s
+)
+SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS event_count,
+       epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us,
+       string_agg(event_type, ',' ORDER BY ts, event_id) AS ops,
+       {sql_scaled_sum('value')} AS total_value
+FROM g GROUP BY user_id, sess_id
+"""
+
+
+@query("session_stats", oracle=_SESSION_ORACLE)
+def session_stats(spark, sf_dir):
+    """SessionAnalyzer: 30-minute-gap event-time sessions per user with
+    the job's list-fold aggregator (comma-joined ops + count,
+    SessionAnalyzer.java:63-185, UserSessionAnalysisJob.java:61-74)."""
+    (events,) = prep(spark, sf_dir, "events")
+    return session_analyzer(
+        events, key_col="user_id", time_col="ts", gap="30 minutes",
+        agg_exprs=[
+            ordered_fold("ts", "event_id", "event_type").alias("ops"),
+            scaled_sum(F.col("value")).alias("total_value"),
+        ],
+    )
+
+
+@query(
+    "materialize_latest",
+    oracle=f"""
+WITH {ENVELOPE_CTE}
+SELECT primary_key, event_time, payload_json FROM (
+  SELECT *, row_number() OVER (PARTITION BY primary_key
+                               ORDER BY event_time DESC, event_id DESC) AS rn
+  FROM envelope
+) WHERE rn = 1 AND operation <> 'delete'
+""",
+)
+def materialize_latest(spark, sf_dir):
+    """Materializer's view: latest live value per key; a delete as the
+    latest state removes the key (Materializer.java:147-156)."""
+    (events,) = prep(spark, sf_dir, "events")
+    env = envelope_from_events(events)
+    latest = materializer_latest(env, ["primary_key"], ["event_time", "event_id"],
+                                 delete_predicate=F.col("operation") == "delete")
+    return latest.select("primary_key", "event_time", "payload_json")
+
+
+@query(
+    "materialize_changelog",
+    oracle=f"""
+WITH {ENVELOPE_CTE},
+w AS (
+  SELECT *,
+         lag(payload_json) OVER (PARTITION BY primary_key ORDER BY event_time, event_id) AS prev_val,
+         lag(operation = 'delete') OVER (PARTITION BY primary_key ORDER BY event_time, event_id) AS prev_del
+  FROM envelope
+), c AS (
+  SELECT operation, primary_key, event_time, payload_json,
+         CASE WHEN prev_val IS NULL OR COALESCE(prev_del, FALSE) THEN NULL
+              ELSE prev_val END AS before
+  FROM w
+)
+SELECT CASE WHEN operation = 'delete' THEN 'DELETE'
+            WHEN before IS NULL THEN 'INSERT'
+            ELSE 'UPDATE' END AS change_type,
+       primary_key AS key, before,
+       CASE WHEN operation = 'delete' THEN NULL ELSE payload_json END AS after,
+       event_time AS ts
+FROM c
+WHERE NOT (operation = 'delete' AND before IS NULL)
+""",
+)
+def materialize_changelog(spark, sf_dir):
+    """Materializer changelog: INSERT(null->v) / UPDATE(before->after) /
+    DELETE(before->null), delete clears state so the next value is a
+    fresh INSERT (Materializer.java:131-164; ChangelogEvent.java:6-14)."""
+    (events,) = prep(spark, sf_dir, "events")
+    env = envelope_from_events(events)
+    log = materializer_changelog(
+        env, ["primary_key"], ["event_time", "event_id"],
+        value_col="payload_json", time_col="event_time",
+        delete_predicate=F.col("operation") == "delete",
+    )
+    return log.select("change_type", "key", "before", "after", "ts")
+
+
+@query(
+    "tumbling_window_stats",
+    oracle=f"""
+SELECT date_trunc('hour', ts) AS window_start,
+       CAST(COUNT(*) AS BIGINT) AS event_count,
+       {sql_scaled_sum('value')} AS total_value
+FROM events GROUP BY 1
+""",
+)
+def tumbling_window_stats(spark, sf_dir):
+    """Tumbling event-time windows — capability surplus over the
+    reference (it has session windows only, SURVEY §2.8); built-in
+    ``window()`` with epoch-aligned 1h buckets."""
+    (events,) = prep(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("event_count"),
+             scaled_sum(F.col("value")).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_count", "total_value")
+    )

@@ -1,0 +1,185 @@
+"""Text-analysis + document-dedup queries over the documents table
+(LLM-training-data-pipeline surface, BASELINE.json north star)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from streamforge_spark.functions.text import (
+    LANG_MARKERS, STOPWORDS, distinct_token_count, fingerprint, lang_id,
+    punct_count, quality_score, stopword_count, token_count, word_ngrams,
+)
+from streamforge_spark.queries.common import prep
+from streamforge_spark.registry import query
+
+
+def _sql_markers(markers):
+    return ", ".join(f"'{m}'" for m in markers)
+
+
+@query(
+    "text_stats",
+    oracle=f"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens,
+       CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+       CAST(len(list_filter(string_split(text, ' '),
+                 x -> x IN ({_sql_markers(STOPWORDS)}))) AS BIGINT) AS n_stopwords
+FROM documents
+""",
+)
+def text_stats(spark, sf_dir):
+    """Token counting + structural text statistics; pure column algebra
+    on the scan (no shuffle, no UDF)."""
+    (docs,) = prep(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        token_count(t).alias("n_tokens"),
+        distinct_token_count(t).alias("n_distinct_tokens"),
+        punct_count(t).alias("n_punct"),
+        stopword_count(t).alias("n_stopwords"),
+    )
+
+
+@query(
+    "doc_fingerprint",
+    oracle="SELECT doc_id, md5(lower(text)) AS fp FROM documents",
+)
+def doc_fingerprint(spark, sf_dir):
+    """Document content fingerprinting (md5 of normalized text)."""
+    (docs,) = prep(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+@query(
+    "quality_score",
+    oracle="""
+SELECT doc_id,
+       0.4 * least(1.0, CAST(n_chars AS DOUBLE) / 500.0)
+       + 0.3 * (1.0 - CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+                      / CAST(n_chars AS DOUBLE))
+       + 0.3 * least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0) AS score
+FROM documents
+""",
+)
+def quality_score_q(spark, sf_dir):
+    """Document quality scoring: length / punctuation / token-count
+    heuristics composed into a [0,1] score."""
+    (docs,) = prep(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", quality_score(F.col("text"), F.col("n_chars")).alias("score"))
+
+
+def _lang_case_sql():
+    langs = list(LANG_MARKERS)
+    cnt = {
+        lang: f"len(list_filter(string_split(text, ' '), x -> x IN ({_sql_markers(m)})))"
+        for lang, m in LANG_MARKERS.items()
+    }
+    all_zero = " AND ".join(f"{cnt[lang]} = 0" for lang in langs)
+    whens = []
+    for i, lang in enumerate(langs[:-1]):
+        cond = " AND ".join(f"{cnt[lang]} >= {cnt[later]}" for later in langs[i + 1:])
+        whens.append(f"WHEN {cond} THEN '{lang}'")
+    return (f"CASE WHEN {all_zero} THEN 'unknown' "
+            + " ".join(whens) + f" ELSE '{langs[-1]}' END")
+
+
+@query(
+    "lang_id",
+    oracle=f"SELECT doc_id, {_lang_case_sql()} AS lang_pred FROM documents",
+)
+def lang_id_q(spark, sf_dir):
+    """Language ID by stopword-profile argmax (n-gram heuristic
+    shape); deterministic tie-break by profile priority."""
+    (docs,) = prep(spark, sf_dir, "documents")
+    return docs.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+SELECT doc_id, fp FROM (
+  SELECT doc_id, md5(text) AS fp,
+         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM documents
+) WHERE rn = 1
+""",
+)
+def dedup_exact(spark, sf_dir):
+    """Exact deduplication: hash-group by content digest, keep the
+    lowest doc_id per group. At scale this is one shuffle on the
+    digest; survivors stream out without collecting groups."""
+    (docs,) = prep(spark, sf_dir, "documents")
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    return (
+        docs.select("doc_id", F.md5(F.col("text")).alias("fp"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+NGRAM_JACCARD_THRESHOLD = 0.2
+
+_NGRAM_ORACLE = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+glist AS (SELECT doc_id,
+                 list_distinct(list_transform(
+                   generate_series(1, greatest(len(t) - 2, 1)),
+                   i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS gs
+          FROM toks),
+grams AS (SELECT doc_id, unnest(gs) AS g FROM glist),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM grams GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(count(*) AS BIGINT) AS i
+          FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT d1, d2, CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = d1
+JOIN sizes sb ON sb.doc_id = d2
+WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= {NGRAM_JACCARD_THRESHOLD}
+"""
+
+
+@query("dedup_ngram_jaccard", oracle=_NGRAM_ORACLE)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Near-duplicate pairs by word-3-gram (shingle) Jaccard.
+
+    Distributed formulation: explode distinct shingles, self-join on
+    the shingle (inverted-index blocking — candidate pairs only where
+    at least one shingle is shared), aggregate intersection counts,
+    compute |A∩B| / (|A|+|B|-|A∩B|). At 100 TB the shingle join is the
+    scale knob: frequent-shingle skew is bounded because shingles are
+    deduped per doc; pair counts stay sparse. MinHash+LSH variant
+    (dedup_minhash_lsh) cuts the candidate space further.
+    """
+    (docs,) = prep(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id", F.explode(word_ngrams(F.col("text"), 3)).alias("g"))
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = grams.alias("a")
+    b = grams.alias("b")
+    inter = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = (
+        inter
+        # sizes is one row per doc — too big to broadcast at 100 TB;
+        # let AQE choose (it broadcasts automatically at small SF)
+        .join(sa, F.col("d1") == F.col("sa.doc_id"))
+        .join(sb, F.col("d2") == F.col("sb.doc_id"))
+        .select(
+            "d1", "d2",
+            (F.col("i").cast("double")
+             / (F.col("sa.n") + F.col("sb.n") - F.col("i")).cast("double")).alias("jaccard"),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= NGRAM_JACCARD_THRESHOLD)

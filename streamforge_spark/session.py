@@ -1,0 +1,67 @@
+"""SparkSession construction and tuning.
+
+Defaults are chosen for *scale*: AQE on (runtime re-planning, skew-join
+splitting, partition coalescing), UTC session time zone (deterministic
+timestamp semantics against external oracles), Arrow for any
+Python<->JVM data movement. On a real cluster the same conf applies;
+only master/memory change.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Conf that is runtime-settable on an existing session (driver may hand
+# us its own SparkSession — see __spark_entry__.py contract).
+RUNTIME_CONF: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # 100 TB hygiene: cap per-task input so scans parallelize evenly.
+    "spark.sql.files.maxPartitionBytes": "134217728",
+    # the events fixture stores TIMESTAMP(NANOS) which Spark refuses by
+    # default; read as long and truncate to micros in io.load (DuckDB
+    # truncates ns->us the same way).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(app_name: str = "streamforge-spark",
+              shuffle_partitions: int | None = None) -> SparkSession:
+    """Build a local session shaped like the target cluster.
+
+    ``local[$SPARK_GRAFT_CPUS]`` here; on a cluster only ``master`` and
+    executor sizing change — the engine itself is partition-count
+    agnostic (AQE coalesces).
+    """
+    cpus = default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or max(2 * cpus, 32)))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "12g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.host", "127.0.0.1")
+    )
+    for k, v in RUNTIME_CONF.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    return tune(spark)
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable conf to an externally provided session."""
+    for k, v in RUNTIME_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # static conf on a running session — ignore
+            pass
+    return spark

@@ -1,0 +1,114 @@
+"""Streaming sinks: idempotent upsert, compacted/tombstone output, DLQ.
+
+Reference (SURVEY §2.2):
+- MongoSinkBuilder.java:104-191 — idempotent upsert (ReplaceOne/
+  DeleteOne by primary key), batched unordered bulk writes, per-record
+  DLQ on failures;
+- KafkaSinkBuilder.java:53-151 — at-least-once default, compacted mode
+  keyed by primaryKey with NULL-value tombstones on DELETE;
+- DLQPublisher.java — out-of-band dead-letter channel.
+
+Spark mapping: ``foreachBatch`` is the idempotence boundary — the
+micro-batch id makes replays detectable, and the upsert keyed by
+primary key makes them harmless ("effectively once",
+docs/recovery/fault-tolerance.md §4). The batch/flush cadence knobs
+(500 docs / 1s) collapse into the trigger interval.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def kafka_compacted_output(df: DataFrame, key_col: str = "primary_key",
+                           op_col: str = "operation",
+                           delete_value: str = "delete") -> DataFrame:
+    """Project to Kafka (key, value) with compaction semantics:
+    key = primary key, value = full record JSON, DELETE -> null value
+    tombstone (KafkaSinkBuilder.java:146-151). Feed the result to
+    ``.writeStream.format('kafka')`` (at-least-once; pair with the
+    upsert sink or downstream dedup for effectively-once)."""
+    payload_cols = [c for c in df.columns if c != key_col]
+    return df.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.when(F.col(op_col) == delete_value, F.lit(None).cast("string"))
+        .otherwise(F.to_json(F.struct(*payload_cols))).alias("value"),
+    )
+
+
+def upsert_batch(target_path: str, key_cols: list[str],
+                 order_cols: list[str],
+                 op_col: str | None = None, delete_value: str = "delete"):
+    """Build a foreachBatch function performing an idempotent
+    latest-per-key upsert into a parquet target.
+
+    Mirrors MongoSinkBuilder's ReplaceOne(upsert)/DeleteOne models:
+    merge the existing snapshot with the micro-batch, keep the newest
+    row per key, drop keys whose newest row is a delete. Parquet
+    rewrite here stands in for a transactional MERGE target (Delta/
+    Iceberg/Mongo) — the batch function is the part the reference
+    implements; the storage swap is config.
+    """
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
+        spark = batch_df.sparkSession
+        try:
+            existing = spark.read.parquet(target_path)
+        except Exception:
+            existing = None
+        merged = batch_df if existing is None else existing.unionByName(batch_df)
+        w = Window.partitionBy(*key_cols).orderBy(*[F.col(c).desc() for c in order_cols])
+        latest = (merged.withColumn("_rn", F.row_number().over(w))
+                  .filter(F.col("_rn") == 1).drop("_rn"))
+        if op_col is not None:
+            latest = latest.filter(F.col(op_col) != delete_value)
+        # write-then-swap would be atomic on a real table format; for
+        # parquet we localCheckpoint to cut the lineage on the target
+        # we're about to overwrite.
+        latest = latest.localCheckpoint()
+        latest.write.mode("overwrite").parquet(target_path)
+
+    return apply
+
+
+def foreach_batch_upsert(df: DataFrame, target_path: str, key_cols: list[str],
+                         order_cols: list[str], checkpoint: str,
+                         op_col: str | None = None,
+                         trigger_seconds: int | None = None):
+    """Wire a streaming DataFrame into the idempotent upsert sink."""
+    writer = (df.writeStream.outputMode("update")
+              .foreachBatch(upsert_batch(target_path, key_cols, order_cols, op_col))
+              .option("checkpointLocation", checkpoint))
+    if trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer
+
+
+def parquet_sink(df: DataFrame, path: str, checkpoint: str,
+                 partition_by: list[str] | None = None):
+    """Append-mode parquet sink (the DLQ channel, event archives)."""
+    writer = (df.writeStream.format("parquet")
+              .option("path", path)
+              .option("checkpointLocation", checkpoint)
+              .outputMode("append"))
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    return writer
+
+
+def split_sinks(batch_df: DataFrame,
+                routes: dict[str, Callable[[DataFrame], None]],
+                route_col: str = "route") -> None:
+    """Multi-sink fan-out inside one foreachBatch: compute the routed
+    batch once, persist, write each split (ParallelSplitter's
+    zero-copy side outputs, SURVEY §4 'zero-copy fan-out')."""
+    batch_df.persist()
+    try:
+        for name, write in routes.items():
+            write(batch_df.filter(F.col(route_col) == name).drop(route_col))
+    finally:
+        batch_df.unpersist()

@@ -1,0 +1,232 @@
+"""Operator semantics on tiny crafted frames — mirrors the reference's
+operator-harness unit tests (SURVEY §5: DeduplicatorTest,
+MaterializerTest, DynamicJoinerTest, SessionAnalyzerTest, ...)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from streamforge_spark.operators.dedup import deduplicator, stateful_merger
+from streamforge_spark.operators.joins import dynamic_joiner, latest_per_key, static_joiner
+from streamforge_spark.operators.materialize import materializer_changelog, materializer_latest
+from streamforge_spark.operators.quality import (
+    SchemaVersion, constraint_enforcer, date_rule, email_rule,
+    not_null_rule, range_rule, schema_enforcer,
+)
+from streamforge_spark.operators.routing import parallel_splitter
+from streamforge_spark.operators.sessions import ordered_fold, session_analyzer
+from streamforge_spark.envelope import parse_stream_envelop
+from streamforge_spark.functions.text import lang_id
+
+
+def ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+def test_deduplicator_first_seen_wins(spark):
+    # DeduplicatorTest.java:22-38 — duplicates dropped, firsts pass
+    df = spark.createDataFrame(
+        [(1, "k1", ts("2024-01-01 10:00:00"), "a"),
+         (2, "k1", ts("2024-01-01 10:00:00"), "b"),   # dup of (k1, t0)
+         (3, "k1", ts("2024-01-01 10:05:00"), "c"),   # same key, new time
+         (4, "k2", ts("2024-01-01 10:00:00"), "d")],
+        "event_id long, key string, t timestamp, v string")
+    out = deduplicator(df, ["key", "t"], ["event_id"]).orderBy("event_id").collect()
+    assert [r.event_id for r in out] == [1, 3, 4]
+    assert out[0].v == "a"  # first wins, not last
+
+
+def test_stateful_merger_suppresses_noop_updates(spark):
+    # StatefulMergerTest semantics: consecutive identical payloads drop;
+    # a revert to an OLD value re-emits (last-hash compare, not a set)
+    df = spark.createDataFrame(
+        [(1, "k", 1, '{"a": 1}'),
+         (2, "k", 2, '{"a": 1}'),    # no-op -> suppressed
+         (3, "k", 3, '{"a": 2}'),    # changed -> emit
+         (4, "k", 4, '{"a": 1}')],   # revert -> emit (differs from prev)
+        "event_id long, key string, seq long, payload string")
+    out = stateful_merger(df, ["key"], "payload", ["seq"])
+    assert [r.event_id for r in out.orderBy("event_id").collect()] == [1, 3, 4]
+
+
+def test_stateful_merger_excluded_fields(spark):
+    # MongoToKafkaJob.java:70-79 — updatedAt/modifiedAt don't count as change
+    df = spark.createDataFrame(
+        [(1, "k", 1, '{"a": "1", "updatedAt": "t1"}'),
+         (2, "k", 2, '{"a": "1", "updatedAt": "t2"}'),   # only excluded field changed
+         (3, "k", 3, '{"a": "2", "updatedAt": "t3"}')],
+        "event_id long, key string, seq long, payload string")
+    out = stateful_merger(df, ["key"], "payload", ["seq"],
+                          excluded_fields=("updatedAt", "modifiedAt"))
+    assert [r.event_id for r in out.orderBy("event_id").collect()] == [1, 3]
+
+
+def test_materializer_lifecycle(spark):
+    # MaterializerTest.java:21-190 — INSERT/UPDATE/DELETE/re-INSERT
+    df = spark.createDataFrame(
+        [(1, "k", ts("2024-01-01 10:00:00"), "v1", "insert"),
+         (2, "k", ts("2024-01-01 10:01:00"), "v2", "update"),
+         (3, "k", ts("2024-01-01 10:02:00"), None, "delete"),
+         (4, "k", ts("2024-01-01 10:03:00"), "v3", "insert"),
+         (5, "x", ts("2024-01-01 10:00:00"), None, "delete")],  # delete w/o state -> no-op
+        "event_id long, key string, t timestamp, v string, op string")
+    log = materializer_changelog(df, ["key"], ["t", "event_id"], "v", "t",
+                                 delete_predicate=F.col("op") == "delete")
+    rows = log.orderBy("ts").collect()
+    assert [(r.change_type, r.before, r.after) for r in rows if r.key == "k"] == [
+        ("INSERT", None, "v1"),
+        ("UPDATE", "v1", "v2"),
+        ("DELETE", "v2", None),
+        ("INSERT", None, "v3"),
+    ]
+    assert not [r for r in rows if r.key == "x"]  # empty-state delete dropped
+    latest = materializer_latest(df, ["key"], ["t", "event_id"],
+                                 delete_predicate=F.col("op") == "delete").collect()
+    assert [(r.key, r.v) for r in latest] == [("k", "v3")]
+
+
+def test_dynamic_joiner_nm_and_outer(spark):
+    # DynamicJoinerTest — N:M cross product within key+TTL; outer emits
+    left = spark.createDataFrame(
+        [(1, "k", ts("2024-01-01 10:00:00")),
+         (2, "k", ts("2024-01-01 10:01:00")),
+         (3, "z", ts("2024-01-01 10:00:00"))],      # unmatched left
+        "lid long, key string, t timestamp")
+    right = spark.createDataFrame(
+        [(10, "k", ts("2024-01-01 10:02:00")),
+         (11, "k", ts("2024-01-01 10:03:00")),
+         (12, "k", ts("2024-01-01 11:00:00")),      # outside TTL
+         (13, "w", ts("2024-01-01 10:00:00"))],     # unmatched right
+        "rid long, key string, t timestamp")
+    inner = dynamic_joiner(left.alias("l"), right.alias("r"),
+                           left_key="key", right_key="key",
+                           left_time="t", right_time="t",
+                           ttl_seconds=600, join_type="inner")
+    pairs = sorted((r["lid"], r["rid"]) for r in inner.collect())
+    assert pairs == [(1, 10), (1, 11), (2, 10), (2, 11)]  # 2x2 N:M
+
+    full = dynamic_joiner(left.alias("l"), right.alias("r"),
+                          left_key="key", right_key="key",
+                          left_time="t", right_time="t",
+                          ttl_seconds=600, join_type="full_outer")
+    rows = full.select(F.col("lid"), F.col("rid")).collect()
+    assert (3, None) in [(r.lid, r.rid) for r in rows]
+    assert (None, 13) in [(r.lid, r.rid) for r in rows]
+    assert (None, 12) in [(r.lid, r.rid) for r in rows]
+
+
+def test_static_joiner_latest_per_key_and_passthrough(spark):
+    # StaticJoiner.java:134-170 — latest ref value wins; miss passes through
+    main = spark.createDataFrame([(1, "a"), (2, "b"), (3, "zz")],
+                                 "id long, key string")
+    ref = spark.createDataFrame(
+        [("a", 1, "old"), ("a", 2, "new"), ("b", 1, "only")],
+        "rkey string, version long, label string")
+    out = static_joiner(main, ref, on=main["key"] == F.col("rkey"),
+                        ref_key_cols=["rkey"], ref_order_cols=["version"])
+    got = {r.id: r.label for r in out.collect()}
+    assert got == {1: "new", 2: "only", 3: None}
+
+
+def test_parallel_splitter_first_match_wins(spark):
+    df = spark.createDataFrame([(1, 5), (2, 50), (3, 500), (4, -1)],
+                               "id long, v long")
+    routes = [("small", F.col("v") < 10), ("medium", F.col("v") < 100)]
+    splits = parallel_splitter(df, routes)
+    assert sorted(r.id for r in splits["small"].collect()) == [1, 4]
+    assert sorted(r.id for r in splits["medium"].collect()) == [2]  # 1,4 taken by small
+    assert sorted(r.id for r in splits["main"].collect()) == [3]
+
+    copy = parallel_splitter(df, routes, copy_to_main=True)
+    assert sorted(r.id for r in copy["main"].collect()) == [1, 2, 3, 4]
+    assert sorted(r.id for r in copy["medium"].collect()) == [1, 2, 4]  # all matching
+
+
+def test_session_analyzer_gap_semantics(spark):
+    # SessionAnalyzerTest — gap splits sessions; single-event session
+    df = spark.createDataFrame(
+        [("u", ts("2024-01-01 10:00:00"), 1),
+         ("u", ts("2024-01-01 10:10:00"), 2),
+         ("u", ts("2024-01-01 11:00:00"), 3),   # 50 min gap -> new session
+         ("w", ts("2024-01-01 10:00:00"), 4)],
+        "key string, t timestamp, event_id long")
+    out = session_analyzer(df, "key", "t", gap="30 minutes",
+                           agg_exprs=[ordered_fold("t", "event_id", "event_id").alias("ids")])
+    rows = sorted(((r.key, r.event_count, r.ids) for r in out.collect()))
+    assert rows == [("u", 2, "1,2"), ("u", 1, "3"), ("w", 1, "4")] or \
+           rows == [("u", 1, "3"), ("u", 2, "1,2"), ("w", 1, "4")]
+
+
+def test_session_window_exact_gap_boundary(spark):
+    # pins Spark's merge rule at exactly-gap spacing: merges (inclusive
+    # window end) — the oracle's new-session condition must be strict >
+    df = spark.createDataFrame(
+        [("u", ts("2024-01-01 10:00:00")), ("u", ts("2024-01-01 10:30:00")),
+         ("u", ts("2024-01-01 11:00:00.000001"))],   # 1us past gap -> split
+        "key string, t timestamp")
+    out = session_analyzer(df, "key", "t", gap="30 minutes").collect()
+    assert sorted(r.event_count for r in out) == [1, 2]
+
+
+def test_schema_enforcer_versions(spark):
+    # SchemaEnforcer.java:66-104 — pass if ANY version matches
+    df = spark.createDataFrame(
+        [(1, '{"k": "12"}'),        # v1 ok (number)
+         (2, '{"k": "abc"}'),       # k not numeric -> fail
+         (3, '{"other": "1"}'),     # missing k -> fail
+         (4, None)],                # null payload -> fail
+        "id long, payload string")
+    v1 = SchemaVersion("v1", required={"k": "number"})
+    passed, dlq = schema_enforcer(df, "payload", [v1])
+    assert [r.id for r in passed.orderBy("id").collect()] == [1]
+    assert dlq.count() == 3
+    assert {r.error_type for r in dlq.collect()} == {"SCHEMA_VIOLATION"}
+
+
+def test_constraint_rules(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0, "a@b.com", "2024-01-01"),
+         (2, None, "a@b.com", "2024-01-01"),        # null amount
+         (3, 1e9, "a@b.com", "2024-01-01"),         # out of range
+         (4, 10.0, "not-an-email", "2024-01-01"),   # bad email
+         (5, 10.0, "a@b.com", "01/01/2024")],       # bad date
+        "id long, amount double, email string, dt string")
+    rules = [not_null_rule("amount"), range_rule("amount", 0, 1e6),
+             email_rule("email"), date_rule("dt")]
+    passed, dlq = constraint_enforcer(df, rules)
+    assert [r.id for r in passed.collect()] == [1]
+    msgs = {r.error_message for r in dlq.collect()}
+    assert any("range" in m for m in msgs) and any("email" in m for m in msgs)
+
+
+def test_parse_stream_envelop_dlq_split(spark):
+    # StreamEnvelopParser.java:39-86 — non-JSON to DLQ, defaults stamped
+    df = spark.createDataFrame(
+        [('{"operation": "insert", "primary_key": "p1", "source": "s"}',),
+         ("not json at all",),
+         ('{"operation": "update", "primary_key": "p2", '
+          '"event_time": "2024-01-01T10:00:00Z"}',)],
+        "value string")
+    ok, dlq = parse_stream_envelop(df)
+    rows = ok.orderBy("primary_key").collect()
+    assert [r.operation for r in rows] == ["insert", "update"]
+    assert all(r.event_time is not None for r in rows)       # defaulted
+    assert all(r.processed_time is not None for r in rows)   # stamped
+    bad = dlq.collect()
+    assert len(bad) == 1 and bad[0].error_type == "PARSE_ERROR"
+    assert bad[0].raw_event == "not json at all"
+
+
+def test_lang_id_ties_and_unknown(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog"),       # en
+         (2, "der hund ist das tier"),     # de
+         (3, "xyz qqq zzz"),               # unknown
+         (4, "the der")],                  # tie -> priority order (en)
+        "id long, text string")
+    got = {r.id: r.lang for r in
+           df.select("id", lang_id(F.col("text")).alias("lang")).collect()}
+    assert got == {1: "en", 2: "de", 3: "unknown", 4: "en"}

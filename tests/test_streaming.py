@@ -1,0 +1,148 @@
+"""Structured Streaming operator tests: file-stream micro-batches
+driven to completion with processAllAvailable, asserted against the
+batch formulations (SURVEY §5 'streaming semantics tested against
+batch oracles')."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from streamforge_spark.streaming.dedup import streaming_dedup, streaming_merger
+from streamforge_spark.streaming.materialize import streaming_materializer
+from streamforge_spark.streaming.sinks import foreach_batch_upsert, kafka_compacted_output
+from streamforge_spark.streaming.sources import file_stream
+
+
+def ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+EVENTS_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("key", T.StringType()),
+    T.StructField("t", T.TimestampType()),
+    T.StructField("op", T.StringType()),
+    T.StructField("payload", T.StringType()),
+])
+
+
+@pytest.fixture()
+def workdir():
+    d = tempfile.mkdtemp(prefix="sf_stream_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _write_batch(spark, path, rows):
+    spark.createDataFrame(rows, EVENTS_SCHEMA).coalesce(1).write.mode("append").parquet(path)
+
+
+def _run_to_memory(df, name):
+    q = (df.writeStream.format("memory").queryName(name)
+         .outputMode("append").start())
+    q.processAllAvailable()
+    q.stop()
+    return q
+
+
+def test_streaming_dedup_within_watermark(spark, workdir):
+    src = f"{workdir}/in"
+    _write_batch(spark, src, [
+        (1, "k1", ts("2024-01-01 10:00:00"), "insert", "a"),
+        (2, "k1", ts("2024-01-01 10:00:00"), "insert", "b"),   # dup key+time
+        (3, "k1", ts("2024-01-01 10:05:00"), "update", "c"),
+    ])
+    stream = file_stream(spark, src, EVENTS_SCHEMA)
+    deduped = streaming_dedup(stream, ["key", "t"], "t", ttl="10 minutes")
+    _run_to_memory(deduped, "dedup_out")
+    got = sorted(r.event_id for r in spark.sql("select * from dedup_out").collect())
+    assert got[0] in (1, 2) and len(got) == 2
+
+
+def test_streaming_merger_suppress(spark, workdir):
+    src = f"{workdir}/in"
+    _write_batch(spark, src, [
+        (1, "k", ts("2024-01-01 10:00:00"), "u", '{"a": 1}'),
+        (2, "k", ts("2024-01-01 10:01:00"), "u", '{"a": 1}'),   # no-op
+        (3, "k", ts("2024-01-01 10:02:00"), "u", '{"a": 2}'),
+    ])
+    stream = file_stream(spark, src, EVENTS_SCHEMA)
+    merged = streaming_merger(stream, ["key"], "payload", "t", ttl="1 hour")
+    _run_to_memory(merged, "merge_out")
+    got = sorted(r.payload for r in spark.sql("select * from merge_out").collect())
+    assert got == ['{"a": 1}', '{"a": 2}']
+
+
+def test_streaming_materializer_changelog(spark, workdir):
+    src = f"{workdir}/in"
+    _write_batch(spark, src, [
+        (1, "k", ts("2024-01-01 10:00:00"), "insert", "v1"),
+        (2, "k", ts("2024-01-01 10:01:00"), "update", "v2"),
+        (3, "k", ts("2024-01-01 10:02:00"), "delete", None),
+        (4, "k", ts("2024-01-01 10:03:00"), "insert", "v3"),
+    ])
+    stream = file_stream(spark, src, EVENTS_SCHEMA)
+    log = streaming_materializer(stream, key_col="key", value_col="payload",
+                                 time_col="t", delete_op_col="op",
+                                 output_mode="append")
+    _run_to_memory(log, "mat_out")
+    rows = spark.sql("select * from mat_out order by ts").collect()
+    assert [(r.change_type, r.before, r.after) for r in rows] == [
+        ("INSERT", None, "v1"),
+        ("UPDATE", "v1", "v2"),
+        ("DELETE", "v2", None),
+        ("INSERT", None, "v3"),
+    ]
+
+
+def test_streaming_materializer_state_across_batches(spark, workdir):
+    src = f"{workdir}/in"
+    _write_batch(spark, src, [(1, "k", ts("2024-01-01 10:00:00"), "insert", "v1")])
+    stream = file_stream(spark, src, EVENTS_SCHEMA)
+    log = streaming_materializer(stream, key_col="key", value_col="payload",
+                                 time_col="t", delete_op_col="op")
+    q = (log.writeStream.format("memory").queryName("mat2")
+         .outputMode("append").start())
+    q.processAllAvailable()
+    _write_batch(spark, src, [(2, "k", ts("2024-01-01 10:05:00"), "update", "v2")])
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("select * from mat2 order by ts").collect()
+    # second batch must see first batch's state: UPDATE with before=v1
+    assert [(r.change_type, r.before, r.after) for r in rows] == [
+        ("INSERT", None, "v1"), ("UPDATE", "v1", "v2")]
+
+
+def test_kafka_compacted_tombstones(spark):
+    df = spark.createDataFrame(
+        [("p1", "insert", "x"), ("p2", "delete", "y")],
+        "primary_key string, operation string, v string")
+    out = kafka_compacted_output(df).collect()
+    got = {r.key: r.value for r in out}
+    assert got["p2"] is None                  # DELETE -> tombstone
+    assert got["p1"] is not None and "x" in got["p1"]
+
+
+def test_foreach_batch_upsert_idempotent(spark, workdir):
+    src = f"{workdir}/in"
+    target = f"{workdir}/target"
+    ckpt = f"{workdir}/ckpt"
+    _write_batch(spark, src, [
+        (1, "k1", ts("2024-01-01 10:00:00"), "insert", "v1"),
+        (2, "k1", ts("2024-01-01 10:01:00"), "update", "v2"),
+        (3, "k2", ts("2024-01-01 10:00:00"), "insert", "w1"),
+        (4, "k2", ts("2024-01-01 10:02:00"), "delete", None),
+    ])
+    stream = file_stream(spark, src, EVENTS_SCHEMA)
+    q = foreach_batch_upsert(stream, target, ["key"], ["t", "event_id"],
+                             checkpoint=ckpt, op_col="op").start()
+    q.processAllAvailable()
+    q.stop()
+    snap = {r.key: r.payload for r in spark.read.parquet(target).collect()}
+    assert snap == {"k1": "v2"}  # k2 deleted, k1 upserted to latest
