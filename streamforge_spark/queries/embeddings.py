@@ -1,19 +1,74 @@
 """Vector-similarity queries over the embeddings table
-(LLM-training-data-pipeline surface: ANN search, embedding near-dup)."""
+(LLM-training-data-pipeline surface: ANN search, embedding near-dup).
+
+Heavy pair scoring runs as Arrow-batched mapInPandas with numpy —
+vectorized across pairs but with SEQUENTIAL accumulation over the
+vector dimension, so every cosine is bit-identical to the sequential
+fold (and to DuckDB's list_dot_product loop). The pure-Column fold
+(``dot``/``cosine``) measured ~30us per call in the expression VM —
+fine for scalars, 100x too slow for millions of pairs.
+"""
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from streamforge_spark.queries.common import prep
 from streamforge_spark.registry import query
 
 
-def dot(a: Column, b: Column) -> Column:
+def seq_dot_matrix(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+    """(n,d)x(m,d) -> (n,m) dots, accumulated dim-by-dim: per pair the
+    op sequence is ((0+x0)+x1)+... — exactly the sequential fold."""
+    acc = np.zeros((A.shape[0], B.shape[0]))
+    for j in range(A.shape[1]):
+        acc += np.outer(A[:, j], B[:, j])
+    return acc
+
+
+def seq_norms(A: np.ndarray) -> np.ndarray:
+    acc = np.zeros(A.shape[0])
+    for j in range(A.shape[1]):
+        acc += A[:, j] * A[:, j]
+    return np.sqrt(acc)
+
+
+def _scoring_partitions(spark, df, rows_per_task: int = 500) -> int:
+    """Partition count for Python-scoring stages: enough tasks to use
+    the cluster on real corpora, but never more tasks than the data
+    warrants — each Python worker spin-up costs ~1s (pandas/numpy
+    imports), which dwarfs the compute on small slices."""
+    n_rows = df.count()
+    n_part = spark.sparkContext.defaultParallelism
+    return max(2, min(n_part, n_rows // rows_per_task + 1))
+
+
+def dot(a: Column, b: Column, dim: int | None = None) -> Column:
     """Sequential-fold dot product of two array<double> columns —
     deterministic summation order (matches DuckDB's list_dot_product
-    loop bit-for-bit)."""
+    loop bit-for-bit).
+
+    With ``dim`` known, unrolls to a flat codegen sum (x0*y0 + x1*y1 +
+    ...) — identical IEEE result to the fold (0.0+x0 == x0) but ~10x
+    faster than the higher-order-function VM."""
+    if dim is not None:
+        # balanced-tree association would be faster still but changes
+        # the IEEE result; keep strict left-to-right to match the
+        # oracle. NOTE: beyond ~32 terms the generated code can exceed
+        # JIT limits and fall back to interpretation — measured slower
+        # than the HOF fold on 64-dim; only use for small dims.
+        terms = [a[i] * b[i] for i in range(dim)]
+        out = terms[0]
+        for t in terms[1:]:
+            out = out + t
+        return out
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
                        F.lit(0.0), lambda acc, x: acc + x)
 
@@ -40,26 +95,40 @@ SELECT qid AS query_id, cid AS neighbor_id, CAST(rn AS BIGINT) AS rank FROM (
 
 @query("ann_cosine_topk", oracle=_TOPK_ORACLE)
 def ann_cosine_topk(spark, sf_dir):
-    """Brute-force cosine top-k: broadcast the (small) query set
-    against the full corpus, per-partition partial top-k via window
-    rank. At 100 TB the corpus side stays partitioned (never
-    collected); the scale path is ann_lsh_topk (bucketed candidates).
+    """Brute-force cosine top-k: the small query set rides into every
+    task as a numpy matrix (broadcast-variable pattern); the corpus
+    stays partitioned — each Arrow batch scores batch x queries in one
+    vectorized pass, then a window rank takes the global top-k.
+    At 100 TB the corpus is never collected; the candidate-pruned
+    scale path is ann_lsh_topk.
     """
     (emb,) = prep(spark, sf_dir, "embeddings")
-    # precompute the norm once per vector (sqrt of the self-dot gives
-    # the same double the oracle's sqrt(list_dot_product(v,v)) does) —
-    # one dot per pair instead of three
-    e = emb.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v"),
-    ).withColumn("n", F.sqrt(dot(F.col("v"), F.col("v"))))
-    q = e.filter(F.col("vec_id") < TOPK_NQ).select(
-        F.col("vec_id").alias("qid"), F.col("v").alias("qv"), F.col("n").alias("qn"))
-    c = e.select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"), F.col("n").alias("cn"))
-    scored = (
-        c.join(F.broadcast(q), F.col("qid") != F.col("cid"))
-        .select("qid", "cid",
-                (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cos"))
-    )
+    n_part = _scoring_partitions(spark, emb)
+    q_rows = sorted(emb.filter(F.col("vec_id") < TOPK_NQ)
+                    .select("vec_id", "embedding").collect())
+    Q = np.array([r.embedding for r in q_rows], dtype=np.float64)
+    qids = np.array([r.vec_id for r in q_rows])
+    qn = seq_norms(Q)
+    bq = spark.sparkContext.broadcast((Q, qids, qn))
+
+    schema = T.StructType([
+        T.StructField("qid", T.LongType()),
+        T.StructField("cid", T.LongType()),
+        T.StructField("cos", T.DoubleType()),
+    ])
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        Qm, ids, qnorm = bq.value
+        for pdf in batches:
+            C = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            cids = pdf["vec_id"].to_numpy()
+            dots = seq_dot_matrix(C, Qm)                 # (batch, nq)
+            cos = dots / np.outer(seq_norms(C), qnorm)   # dot/(cn*qn)
+            bi, qi = np.nonzero(cids[:, None] != ids[None, :])
+            yield pd.DataFrame({"qid": ids[qi], "cid": cids[bi],
+                                "cos": cos[bi, qi]})
+
+    scored = emb.repartition(n_part, "vec_id").mapInPandas(score, schema)
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
@@ -90,14 +159,28 @@ def embedding_near_dup(spark, sf_dir):
     bucketing; this form exists as the exactness oracle.
     """
     (emb,) = prep(spark, sf_dir, "embeddings")
-    e = emb.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v"),
-    ).withColumn("n", F.sqrt(dot(F.col("v"), F.col("v"))))
-    a = e.select(F.col("vec_id").alias("id1"), F.col("v").alias("v1"), F.col("n").alias("n1"))
-    b = e.select(F.col("vec_id").alias("id2"), F.col("v").alias("v2"), F.col("n").alias("n2"))
-    return (
-        a.join(b, F.col("id1") < F.col("id2"))
-        .select("id1", "id2",
-                (dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2"))).alias("cos"))
-        .filter(F.col("cos") >= NEAR_DUP_COS)
-    )
+    n_part = _scoring_partitions(spark, emb)
+    corpus = sorted(emb.select("vec_id", "embedding").collect())
+    B = np.array([r.embedding for r in corpus], dtype=np.float64)
+    bids = np.array([r.vec_id for r in corpus])
+    bn = seq_norms(B)
+    bc = spark.sparkContext.broadcast((B, bids, bn))
+
+    schema = T.StructType([
+        T.StructField("id1", T.LongType()),
+        T.StructField("id2", T.LongType()),
+        T.StructField("cos", T.DoubleType()),
+    ])
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        Bm, ids, bnorm = bc.value
+        for pdf in batches:
+            A = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            aids = pdf["vec_id"].to_numpy()
+            cos = seq_dot_matrix(A, Bm) / np.outer(seq_norms(A), bnorm)
+            ai, bi = np.nonzero((aids[:, None] < ids[None, :])
+                                & (cos >= NEAR_DUP_COS))
+            yield pd.DataFrame({"id1": aids[ai], "id2": ids[bi],
+                                "cos": cos[ai, bi]})
+
+    return emb.repartition(n_part, "vec_id").mapInPandas(score, schema)

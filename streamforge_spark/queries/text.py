@@ -158,28 +158,29 @@ def dedup_ngram_jaccard(spark, sf_dir):
     (dedup_minhash_lsh) cuts the candidate space further.
     """
     (docs,) = prep(spark, sf_dir, "documents")
-    grams = docs.select(
-        "doc_id", F.explode(word_ngrams(F.col("text"), 3)).alias("g"))
-    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # repartition: shingle generation parallelizes across the cluster
+    # regardless of input file layout (a single small file otherwise
+    # pins the explode to one task)
+    n_part = spark.sparkContext.defaultParallelism
+    grams = (
+        docs.repartition(n_part, "doc_id")
+        .select("doc_id", word_ngrams(F.col("text"), 3).alias("gs"))
+        # carry each doc's set size alongside its shingles so no
+        # second pass / size join is ever needed
+        .select("doc_id", F.size("gs").cast("long").alias("n"),
+                F.explode("gs").alias("g"))
+    )
     a = grams.alias("a")
     b = grams.alias("b")
-    inter = (
+    jac = (
         a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
-        .agg(F.count(F.lit(1)).alias("i"))
-    )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    jac = (
-        inter
-        # sizes is one row per doc — too big to broadcast at 100 TB;
-        # let AQE choose (it broadcasts automatically at small SF)
-        .join(sa, F.col("d1") == F.col("sa.doc_id"))
-        .join(sb, F.col("d2") == F.col("sb.doc_id"))
+        .agg(F.count(F.lit(1)).alias("i"),
+             F.min(F.col("a.n")).alias("na"), F.min(F.col("b.n")).alias("nb"))
         .select(
             "d1", "d2",
             (F.col("i").cast("double")
-             / (F.col("sa.n") + F.col("sb.n") - F.col("i")).cast("double")).alias("jaccard"),
+             / (F.col("na") + F.col("nb") - F.col("i")).cast("double")).alias("jaccard"),
         )
     )
     return jac.filter(F.col("jaccard") >= NGRAM_JACCARD_THRESHOLD)

@@ -27,6 +27,9 @@ RUNTIME_CONF: dict[str, str] = {
     # default; read as long and truncate to micros in io.load (DuckDB
     # truncates ns->us the same way).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Python workers pay ~1s of pandas/numpy imports on spawn; reuse
+    # them across tasks (mapInPandas/applyInPandas stages).
+    "spark.python.worker.reuse": "true",
 }
 
 

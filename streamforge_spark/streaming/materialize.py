@@ -36,13 +36,19 @@ def streaming_materializer(df: DataFrame, key_col: str, value_col: str,
                            time_col: str,
                            delete_op_col: str | None = None,
                            delete_op_value: str = "delete",
-                           ttl_ms: int = 24 * 3600 * 1000,
+                           ttl_ms: int | None = None,
                            merge_fn: Callable[[str, str], str] | None = None,
                            output_mode: str = "append") -> DataFrame:
     """Latest-value-per-key with changelog output.
 
     delete predicate = (delete_op_col == delete_op_value); merge_fn
     (old, new) -> merged defaults to replace (Materializer.java:57).
+
+    ttl_ms (the reference's 24h state TTL) is opt-in: with a
+    ProcessingTimeTimeout the engine schedules continuous state-cleanup
+    micro-batches even when no data arrives (so processAllAvailable
+    never idles); leave None unless unbounded key cardinality requires
+    eviction.
     """
 
     def fn(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
@@ -78,9 +84,12 @@ def streaming_materializer(df: DataFrame, key_col: str, value_col: str,
                 state.remove()
         else:
             state.update((latest,))
-            state.setTimeoutDuration(ttl_ms)
+            if ttl_ms is not None:
+                state.setTimeoutDuration(ttl_ms)
         yield pd.DataFrame(out, columns=[f.name for f in CHANGELOG_SCHEMA])
 
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout if ttl_ms is not None
+               else GroupStateTimeout.NoTimeout)
     return (
         df.groupBy(key_col)
         .applyInPandasWithState(
@@ -88,6 +97,6 @@ def streaming_materializer(df: DataFrame, key_col: str, value_col: str,
             outputStructType=CHANGELOG_SCHEMA,
             stateStructType=_STATE_SCHEMA,
             outputMode=output_mode,
-            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+            timeoutConf=timeout,
         )
     )
