@@ -16,18 +16,24 @@ from pyspark.sql import functions as F
 
 
 def streaming_dedup(df: DataFrame, key_cols: Sequence[str],
-                    event_time_col: str, ttl: str = "10 minutes") -> DataFrame:
-    """First-seen-wins dedup within the watermark horizon."""
-    return (
-        df.withWatermark(event_time_col, ttl)
-        .dropDuplicatesWithinWatermark(list(key_cols))
-    )
+                    event_time_col: str, ttl: str = "10 minutes",
+                    assign_watermark: bool = True) -> DataFrame:
+    """First-seen-wins dedup within the watermark horizon.
+
+    assign_watermark=False when the stream already carries a watermark
+    (Spark forbids redefining one across chained stateful operators —
+    assign once at ingest, like the reference assigns per-source
+    watermarks at fan-in)."""
+    if assign_watermark:
+        df = df.withWatermark(event_time_col, ttl)
+    return df.dropDuplicatesWithinWatermark(list(key_cols))
 
 
 def streaming_merger(df: DataFrame, key_cols: Sequence[str],
                      payload_col: str, event_time_col: str,
                      ttl: str = "24 hours",
-                     excluded_fields: Sequence[str] = ()) -> DataFrame:
+                     excluded_fields: Sequence[str] = (),
+                     assign_watermark: bool = True) -> DataFrame:
     """Suppress updates whose content fingerprint repeats for the key
     within the TTL window. Approximates last-hash-per-key compare with
     (key, fingerprint) dedup — identical output whenever a payload
@@ -48,9 +54,7 @@ def streaming_merger(df: DataFrame, key_cols: Sequence[str],
         fingerprint = F.xxhash64(F.concat_ws("\x02", entries))
     else:
         fingerprint = F.xxhash64(payload)
-    return (
-        df.withColumn("_fp", fingerprint)
-        .withWatermark(event_time_col, ttl)
-        .dropDuplicatesWithinWatermark([*key_cols, "_fp"])
-        .drop("_fp")
-    )
+    df = df.withColumn("_fp", fingerprint)
+    if assign_watermark:
+        df = df.withWatermark(event_time_col, ttl)
+    return df.dropDuplicatesWithinWatermark([*key_cols, "_fp"]).drop("_fp")
