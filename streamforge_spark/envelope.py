@@ -99,7 +99,8 @@ def envelope_from_events(events: DataFrame) -> DataFrame:
     )
 
 
-def parse_stream_envelop(raw: DataFrame, value_col: str = "value") -> tuple[DataFrame, DataFrame]:
+def parse_stream_envelop(raw: DataFrame, value_col: str = "value",
+                         passthrough_cols: tuple[str, ...] = ()) -> tuple[DataFrame, DataFrame]:
     """``String -> StreamEnvelop`` with DLQ split.
 
     Mirrors ``core/parser/StreamEnvelopParser.java:39-72``: non-JSON /
@@ -116,6 +117,7 @@ def parse_stream_envelop(raw: DataFrame, value_col: str = "value") -> tuple[Data
     parsed = raw.withColumn("_valid", is_valid).withColumn(
         "_env", F.from_json(F.col(value_col), ENVELOPE_SCHEMA))
     ok = parsed.filter(F.col("_valid")).select(
+        *[F.col(c) for c in passthrough_cols],
         F.col("_env.operation").alias("operation"),
         F.col("_env.source").alias("source"),
         F.col("_env.payload_json").alias("payload_json"),

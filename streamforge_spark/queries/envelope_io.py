@@ -1,0 +1,44 @@
+"""Envelope serialization round-trip — the Kafka-shaped wire path.
+
+The reference's primary data path is JSON envelopes over Kafka
+(StreamEnvelopParser on the way in, KafkaSinkBuilder's to-JSON on the
+way out). This query drives serialize -> parse end-to-end through the
+correctness gate: envelopes rendered with to_json, mixed with poison
+rows, parsed back with parse_stream_envelop (poison lands on the DLQ
+side and must NOT appear in the output)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from streamforge_spark.envelope import envelope_from_events, parse_stream_envelop
+from streamforge_spark.queries.common import ENVELOPE_CTE, prep
+from streamforge_spark.registry import query
+
+
+@query(
+    "envelope_roundtrip",
+    oracle=f"""
+WITH {ENVELOPE_CTE}
+SELECT event_id, operation, source, payload_json, event_time, trace_id, primary_key
+FROM envelope
+""",
+)
+def envelope_roundtrip(spark, sf_dir):
+    (events,) = prep(spark, sf_dir, "events")
+    env = envelope_from_events(events)
+    wire = env.select(
+        "event_id",
+        F.to_json(F.struct(
+            "operation", "source", "payload_json", "event_time",
+            "trace_id", "primary_key",
+        ), {"timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"}).alias("value"),
+    )
+    poison = spark.createDataFrame(
+        [(-1, "not json"), (-2, '{"operation": "truncated'), (-3, "[1,2,3]")],
+        "event_id long, value string")
+    ok, dlq = parse_stream_envelop(wire.unionByName(poison),
+                                   passthrough_cols=("event_id",))
+    assert dlq is not None
+    return ok.select("event_id", "operation", "source", "payload_json",
+                     "event_time", "trace_id", "primary_key")

@@ -1,0 +1,80 @@
+"""Physical-plan guardrails: the optimizations the engine relies on at
+100 TB (predicate pushdown, column pruning, broadcast joins, top-k
+without a full sort, single-exchange windows) must stay in the plan —
+a correctness-preserving code change that silently loses one of these
+is a performance regression this file catches."""
+
+from __future__ import annotations
+
+import pytest
+
+from streamforge_spark import registry
+
+registry.load_all()
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    df = registry.QUERIES[name](spark, SF)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+
+def test_q1_pushdown_and_pruning(spark):
+    plan = plan_of(spark, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: the scan must not read l_orderkey/l_partkey/...
+    scan_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" not in scan_schema
+    assert "l_extendedprice" in scan_schema
+
+
+def test_q3_broadcasts_and_topk(spark):
+    plan = plan_of(spark, "q3_shipping_priority")
+    assert "BroadcastHashJoin" in plan           # dims broadcast
+    assert "TakeOrderedAndProject" in plan       # top-k, no full sort
+    assert "SortMergeJoin" not in plan           # lineitem never SMJs
+    assert "PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)" in plan
+
+
+def test_q5_single_shuffle_join_chain(spark):
+    plan = plan_of(spark, "q5_region_revenue")
+    assert plan.count("SortMergeJoin") <= 1      # only orders join lineitem may shuffle
+    assert "BroadcastHashJoin" in plan
+
+
+def test_dedup_single_exchange(spark):
+    plan = plan_of(spark, "dedup_first_seen")
+    # one hash exchange for the window; no extra shuffles
+    assert plan.count("Arguments: hashpartitioning") == 1
+
+
+def test_static_join_is_broadcast(spark):
+    plan = plan_of(spark, "static_join_enrich")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_filter_pushdown_reaches_events_scan(spark):
+    plan = plan_of(spark, "dynamic_join_inner")
+    assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,purchase)" in plan
+
+
+def test_salted_aggregate_matches_direct(spark):
+    from pyspark.sql import functions as F
+    from streamforge_spark.io import load
+    from streamforge_spark.operators.skew import salted_aggregate
+    events = load(spark, SF, "events")
+    direct = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("v"),
+        F.min("user_id").alias("mn"), F.max("user_id").alias("mx"))
+    salted = salted_aggregate(
+        events.withColumn("vc", F.round(F.col("value") * 100).cast("long")),
+        ["event_type"],
+        {"n": ("event_type", "count"), "v": ("vc", "sum"),
+         "mn": ("user_id", "min"), "mx": ("user_id", "max")},
+        salt_buckets=8)
+    d = {tuple(r) for r in direct.collect()}
+    s = {tuple(r) for r in salted.collect()}
+    assert d == s
