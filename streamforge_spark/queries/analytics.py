@@ -1,0 +1,357 @@
+"""Deep relational surface: subquery shapes + skew-hardened aggregation.
+
+Capability surplus over the reference (SURVEY §2.7/§2.8 'absent' rows):
+the reference has no semi/anti joins, no subqueries, no distinct or
+conditional aggregation. These queries exercise EXISTS / NOT IN /
+scalar-subquery / ratio-of-sums / count-distinct shapes the Spark
+engine gets from Catalyst, each with an exact DuckDB oracle (float
+parity via integer-scaled sums, see queries.common).
+
+At 100 TB: every query here keeps the fact table (lineitem / orders /
+events) on one side of at most one shuffle; dimensions and subquery
+results are broadcast. `salted_event_agg` demonstrates the two-phase
+hot-key aggregation from operators/skew.py giving results identical to
+a direct groupBy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from streamforge_spark.operators.skew import salted_aggregate
+from streamforge_spark.queries.common import prep, scaled_sum, sql_scaled_sum
+from streamforge_spark.queries.tpch import _SQL_DISC_PRICE, _disc_price_sum
+from streamforge_spark.registry import query
+
+
+@query(
+    "q4_order_priority",
+    oracle="""
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01' AND o.o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority
+""",
+)
+def q4_order_priority(spark, sf_dir):
+    """TPC-H Q4-style: EXISTS -> left-semi join (no row duplication,
+    no distinct needed); the date filter prunes orders before the
+    shuffle."""
+    orders, lineitem = prep(spark, sf_dir, "orders", "lineitem")
+    return (
+        orders.filter((F.col("o_orderdate") >= "1996-01-01")
+                      & (F.col("o_orderdate") < "1996-04-01"))
+        .join(lineitem,
+              (F.col("o_orderkey") == F.col("l_orderkey"))
+              & (F.col("l_shipdate") > F.col("o_orderdate")),
+              "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@query(
+    "q7_volume_shipping",
+    oracle=f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(YEAR(l.l_shipdate) AS BIGINT) AS l_year,
+       {_SQL_DISC_PRICE} AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY supp_nation, cust_nation, l_year
+""",
+)
+def q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7-style nation-pair trade flow: 6-way join where every
+    dimension (customer, supplier, nation x2) broadcasts; only
+    lineitem⨝orders shuffles."""
+    lineitem, orders, customer, supplier, nation = prep(
+        spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation")
+    n1 = nation.select(F.col("n_nationkey").alias("n1_key"),
+                       F.col("n_name").alias("supp_nation"))
+    n2 = nation.select(F.col("n_nationkey").alias("n2_key"),
+                       F.col("n_name").alias("cust_nation"))
+    pair = ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")) | \
+           ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        lineitem
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation",
+                 F.year("l_shipdate").cast("long").alias("l_year"))
+        .agg(_disc_price_sum().alias("revenue"))
+    )
+
+
+@query(
+    "q10_returned_items",
+    oracle=f"""
+SELECT c.c_custkey AS c_custkey, c.c_name AS c_name, {_SQL_DISC_PRICE} AS revenue,
+       c.c_acctbal AS c_acctbal, n.n_name AS n_name
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01' AND o.o_orderdate < TIMESTAMP '1996-04-01'
+  AND l.l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+)
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10-style returned-item report: returnflag + date filters
+    push to the scans, customer/nation broadcast, top-20 via
+    TakeOrderedAndProject."""
+    customer, orders, lineitem, nation = prep(
+        spark, sf_dir, "customer", "orders", "lineitem", "nation")
+    return (
+        lineitem.filter(F.col("l_returnflag") == "R")
+        .join(orders.filter((F.col("o_orderdate") >= "1996-01-01")
+                            & (F.col("o_orderdate") < "1996-04-01")),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(_disc_price_sum().alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "q12_priority_class",
+    oracle="""
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+         AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+         AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l_returnflag
+""",
+)
+def q12_priority_class(spark, sf_dir):
+    """TPC-H Q12-style conditional aggregation (adapted: the fixture
+    has no l_shipmode, classify by o_orderpriority instead)."""
+    lineitem, orders = prep(spark, sf_dir, "lineitem", "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        lineitem.filter((F.col("l_shipdate") >= "1996-01-01")
+                        & (F.col("l_shipdate") < "1997-01-01"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+             F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"))
+    )
+
+
+@query(
+    "q14_promo_revenue",
+    oracle="""
+SELECT CAST(COALESCE(SUM(CASE WHEN p_type = 'PROMO'
+                THEN CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                     * CAST(ROUND((1 - l_discount) * 100) AS BIGINT) END), 0) AS DOUBLE)
+       * 100.0
+       / CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                  * CAST(ROUND((1 - l_discount) * 100) AS BIGINT)) AS DOUBLE)
+       AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-09-01' AND l_shipdate < TIMESTAMP '1996-10-01'
+""",
+)
+def q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14-style promo-revenue ratio: ratio of two exact integer
+    sums, divided once at the end (bit-identical on both sides).
+    part broadcasts; one month of lineitem survives the pushed
+    filter."""
+    lineitem, part = prep(spark, sf_dir, "lineitem", "part")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    h = F.round((1 - F.col("l_discount")) * 100).cast("long")
+    promo = F.coalesce(F.sum(F.when(F.col("p_type") == "PROMO", cents * h)), F.lit(0))
+    return (
+        lineitem.filter((F.col("l_shipdate") >= "1996-09-01")
+                        & (F.col("l_shipdate") < "1996-10-01"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg((promo.cast("double") * 100.0 / F.sum(cents * h).cast("double"))
+             .alias("promo_revenue_pct"))
+    )
+
+
+@query(
+    "q15_top_supplier",
+    oracle=f"""
+WITH r AS (
+  SELECT l_suppkey AS supplier_no, {_SQL_DISC_PRICE} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s.s_suppkey AS s_suppkey, s.s_name AS s_name, r.total_revenue AS total_revenue
+FROM supplier s JOIN r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM r)
+""",
+)
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15-style top supplier: revenue CTE reused for both the
+    ranking and the max scalar (self-join against a broadcast 1-row
+    aggregate, not a global window sort)."""
+    lineitem, supplier = prep(spark, sf_dir, "lineitem", "supplier")
+    r = (
+        lineitem.filter((F.col("l_shipdate") >= "1996-01-01")
+                        & (F.col("l_shipdate") < "1996-04-01"))
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(_disc_price_sum().alias("total_revenue"))
+    )
+    top = r.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        r.join(F.broadcast(top), F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(supplier), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
+    "q16_supplier_cnt",
+    oracle="""
+SELECT p_brand, p_type, p_size, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_type <> 'PROMO' AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+""",
+)
+def q16_supplier_cnt(spark, sf_dir):
+    """TPC-H Q16-style (adapted: lineitem stands in for partsupp):
+    NOT IN -> broadcast anti join against the small excluded-supplier
+    set; distinct count shuffles once on the group keys."""
+    lineitem, part, supplier = prep(spark, sf_dir, "lineitem", "part", "supplier")
+    bad = supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        lineitem
+        .join(F.broadcast(part.filter((F.col("p_type") != "PROMO")
+                                      & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q17_small_qty_revenue",
+    oracle="""
+WITH t AS (
+  SELECT l_partkey AS t_partkey,
+         SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS qty_cents,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM lineitem GROUP BY l_partkey)
+SELECT CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 / 7.0
+       AS avg_yearly
+FROM lineitem
+JOIN t ON l_partkey = t_partkey
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#1'
+  AND CAST(ROUND(l_quantity * 100) AS BIGINT) * 5 * cnt < qty_cents
+""",
+)
+def q17_small_qty_revenue(spark, sf_dir):
+    """TPC-H Q17-style small-quantity revenue: the correlated scalar
+    subquery (0.2 * avg per part) becomes a per-part aggregate joined
+    back; the threshold compare is kept in integer space
+    (qty*5*cnt < sum) so it is exact on both sides."""
+    lineitem, part = prep(spark, sf_dir, "lineitem", "part")
+    per_part = (
+        lineitem.groupBy(F.col("l_partkey").alias("t_partkey"))
+        .agg(F.sum(F.round(F.col("l_quantity") * 100).cast("long")).alias("qty_cents"),
+             F.count(F.lit(1)).alias("cnt"))
+    )
+    small = (F.round(F.col("l_quantity") * 100).cast("long") * 5 * F.col("cnt")
+             < F.col("qty_cents"))
+    return (
+        lineitem
+        .join(F.broadcast(part.filter(F.col("p_brand") == "Brand#1")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .join(per_part, F.col("l_partkey") == F.col("t_partkey"))
+        .filter(small)
+        .agg((F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+              .cast("double") / 100.0 / 7.0).alias("avg_yearly"))
+    )
+
+
+@query(
+    "q22_idle_customers",
+    oracle=f"""
+WITH avg_bal AS (
+  SELECT CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0
+         / CAST(COUNT(*) AS DOUBLE) AS threshold
+  FROM customer WHERE c_acctbal > 0.0)
+SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS numcust,
+       {sql_scaled_sum('c_acctbal')} AS totacctbal
+FROM customer, avg_bal
+WHERE c_acctbal > threshold
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_nationkey
+""",
+)
+def q22_idle_customers(spark, sf_dir):
+    """TPC-H Q22-style: scalar subquery (exact avg threshold,
+    broadcast as a 1-row cross join) + NOT EXISTS -> left-anti join
+    against orders."""
+    customer, orders = prep(spark, sf_dir, "customer", "orders")
+    threshold = (
+        customer.filter(F.col("c_acctbal") > 0.0)
+        .agg((F.sum(F.round(F.col("c_acctbal") * 100).cast("long")).cast("double")
+              / 100.0 / F.count(F.lit(1)).cast("double")).alias("threshold"))
+    )
+    return (
+        customer.crossJoin(F.broadcast(threshold))
+        .filter(F.col("c_acctbal") > F.col("threshold"))
+        .join(orders.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("numcust"),
+             scaled_sum(F.col("c_acctbal")).alias("totacctbal"))
+    )
+
+
+@query(
+    "salted_event_agg",
+    oracle=f"""
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS event_count,
+       {sql_scaled_sum('value')} AS total_value,
+       MIN(value) AS min_value, MAX(value) AS max_value
+FROM events GROUP BY event_type
+""",
+)
+def salted_event_agg(spark, sf_dir):
+    """Two-phase salted aggregation over a hot-key column (events has
+    only a handful of event_type values — exactly the shape where one
+    key's partition dwarfs the rest at 100 TB). Result is identical
+    to a direct groupBy; the oracle proves it."""
+    (events,) = prep(spark, sf_dir, "events")
+    cents = events.withColumn(
+        "value_c", F.round(F.col("value") * 100).cast("long"))
+    out = salted_aggregate(
+        cents, ["event_type"],
+        {"event_count": ("value_c", "count"),
+         "sum_cents": ("value_c", "sum"),
+         "min_value": ("value", "min"),
+         "max_value": ("value", "max")},
+        salt_buckets=16, salt_from=["event_id"])
+    return out.select(
+        "event_type", "event_count",
+        (F.col("sum_cents").cast("double") / 100.0).alias("total_value"),
+        "min_value", "max_value")
