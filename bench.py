@@ -35,6 +35,10 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_region_revenue",
     "q18_large_orders",
+    "q7_volume_shipping",
+    "q16_supplier_cnt",
+    "q22_idle_customers",
+    "salted_event_agg",
     "dedup_ngram_jaccard",
     "text_stats",
     "ann_cosine_topk",
