@@ -93,3 +93,58 @@ def dynamic_joiner(left: DataFrame, right: DataFrame, *,
     if extra_condition is not None:
         cond = cond & extra_condition
     return left.alias(la).join(right.alias(ra), on=cond, how=_SPARK_HOW[join_type])
+
+
+def asof_join(left: DataFrame, right: DataFrame, *,
+              key: str, left_ts: str, right_ts: str,
+              right_cols: Sequence[str],
+              right_tiebreak: str | None = None,
+              prefix: str = "asof_") -> DataFrame:
+    """Backward as-of join (capability surplus — absent in the
+    reference, SURVEY §2.7 'absent' row): each left row is enriched
+    with the single most recent right row whose ``right_ts <=
+    left_ts`` for the same key; no match => nulls (left-outer).
+
+    Scale-first implementation: instead of a range join (which Spark
+    plans as an equi-join + per-key sort or, worse, a broadcast
+    nested loop), both sides are tagged and UNIONed, then a single
+    running ``last(ignorenulls)`` window per key carries the latest
+    right payload forward onto each left row — ONE hash shuffle on
+    the key, O(n log n) per partition, no intermediate N:M blow-up.
+    At 100 TB this is the difference between a sort within each key
+    partition and a cross-product retry.
+
+    Ties: a right row at exactly left_ts matches (>= semantics, same
+    as DuckDB ASOF). Equal right timestamps within a key are broken
+    by ``right_tiebreak`` (ascending; the last one wins) — pass a
+    unique column for determinism.
+    """
+    r_payload = F.struct(*[F.col(c) for c in right_cols])
+    r_type = right.select(r_payload.alias("_r")).schema["_r"].dataType
+    l_payload = F.struct(*[F.col(c) for c in left.columns])
+    l_type = left.select(l_payload.alias("_l")).schema["_l"].dataType
+
+    lp = left.select(
+        F.col(key).alias("_k"), F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_is_left"), l_payload.alias("_l"),
+        F.lit(None).cast(r_type).alias("_r"),
+        F.lit(None).cast("string").alias("_tb"))
+    rp = right.select(
+        F.col(key).alias("_k"), F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_is_left"), F.lit(None).cast(l_type).alias("_l"),
+        r_payload.alias("_r"),
+        (F.col(right_tiebreak).cast("string") if right_tiebreak
+         else F.lit(None).cast("string")).alias("_tb"))
+
+    w = (Window.partitionBy("_k")
+         .orderBy(F.col("_ts").asc(), F.col("_is_left").asc(),
+                  F.col("_tb").asc_nulls_first())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    matched = (
+        lp.unionByName(rp)
+        .withColumn("_m", F.last("_r", ignorenulls=True).over(w))
+        .filter(F.col("_is_left") == 1)
+    )
+    out_cols = [F.col(f"_l.{c}").alias(c) for c in left.columns]
+    out_cols += [F.col(f"_m.{c}").alias(f"{prefix}{c}") for c in right_cols]
+    return matched.select(*out_cols)

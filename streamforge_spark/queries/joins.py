@@ -4,7 +4,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from streamforge_spark.operators.joins import dynamic_joiner, static_joiner
+from streamforge_spark.operators.joins import asof_join, dynamic_joiner, static_joiner
 from streamforge_spark.queries.common import prep
 from streamforge_spark.registry import query
 
@@ -116,4 +116,48 @@ def dynamic_join_full(spark, sf_dir):
         F.coalesce(F.col("l.user_id"), F.col("r.user_id")).alias("user_id"),
         F.col("l.ts").alias("purchase_ts"),
         F.col("r.ts").alias("click_ts"),
+    )
+
+
+@query(
+    "asof_join_latest_event",
+    oracle="""
+WITH purchases AS (
+  SELECT user_id, ts, MAX(event_id) AS purchase_id,
+         MAX(CAST(ROUND(value * 100) AS BIGINT)) AS purchase_cents
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+),
+clicks AS (SELECT * FROM events WHERE event_type = 'click')
+SELECT c.user_id AS user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_clicks,
+       CAST(COUNT(p.purchase_id) AS BIGINT) AS n_after_purchase,
+       CAST(SUM(COALESCE(p.purchase_cents, 0)) AS BIGINT) AS cents_sum
+FROM clicks c
+ASOF LEFT JOIN purchases p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+GROUP BY c.user_id
+""",
+)
+def asof_join_latest_event(spark, sf_dir):
+    """As-of join (capability surplus): each click is enriched with the
+    user's most recent prior-or-simultaneous purchase, then rolled up
+    per user. The right side is pre-aggregated to one row per
+    (user, ts) so the as-of pick is deterministic; the oracle uses
+    DuckDB's native ASOF LEFT JOIN as an independent implementation."""
+    (events,) = prep(spark, sf_dir, "events")
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("purchase_id"),
+             F.max(F.round(F.col("value") * 100).cast("long")).alias("purchase_cents"))
+    )
+    clicks = events.filter(F.col("event_type") == "click")
+    enriched = asof_join(
+        clicks, purchases, key="user_id", left_ts="ts", right_ts="ts",
+        right_cols=["purchase_id", "purchase_cents"], prefix="")
+    return (
+        enriched.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_clicks"),
+             F.count("purchase_id").alias("n_after_purchase"),
+             F.sum(F.coalesce(F.col("purchase_cents"), F.lit(0))).alias("cents_sum"))
     )

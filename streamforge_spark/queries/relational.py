@@ -1,0 +1,312 @@
+"""Deep relational surplus, part 2 — the remaining classic TPC-H query
+shapes expressible on this schema (no partsupp table, no
+commit/receipt dates; constants adapted to the synthetic data).
+
+These widen the capability surplus of SURVEY §2.8's "absent" row:
+correlated MIN subqueries (q2), ratio-of-sums market share with a
+two-level aggregate (q8), LIKE-filtered profit rollup (q9), scalar
+subquery in HAVING (q11), left-outer distribution histogram (q13),
+OR-of-ANDs multi-predicate join (q19), and a grouped-HAVING semi-join
+(q20). All monetary aggregates use exact integer-scaled sums
+(queries.common) so value hashes match DuckDB bit-for-bit; MIN/MAX of
+raw doubles are exact without scaling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from streamforge_spark.queries.common import prep, scaled_sum, sql_scaled_sum
+from streamforge_spark.registry import query
+
+_SQL_VOLUME = ("CAST(ROUND(l_extendedprice * 100) AS BIGINT) * "
+               "CAST(ROUND((1 - l_discount) * 100) AS BIGINT)")
+
+
+def _volume():
+    """Per-row discounted price in 1e-4 dollar units (exact BIGINT)."""
+    return (F.round(F.col("l_extendedprice") * 100).cast("long")
+            * F.round((1 - F.col("l_discount")) * 100).cast("long"))
+
+
+@query(
+    "q2_min_price_part",
+    oracle="""
+SELECT p.p_partkey AS p_partkey, p.p_name AS p_name, s.s_name AS s_name,
+       n.n_name AS n_name, l.l_extendedprice AS min_price
+FROM part p, lineitem l, supplier s, nation n, region r
+WHERE l.l_partkey = p.p_partkey AND l.l_suppkey = s.s_suppkey
+  AND s.s_nationkey = n.n_nationkey AND n.n_regionkey = r.r_regionkey
+  AND r.r_name = 'EUROPE' AND p.p_size = 15
+  AND l.l_extendedprice = (
+    SELECT MIN(l2.l_extendedprice)
+    FROM lineitem l2, supplier s2, nation n2, region r2
+    WHERE l2.l_partkey = p.p_partkey AND l2.l_suppkey = s2.s_suppkey
+      AND s2.s_nationkey = n2.n_nationkey AND n2.n_regionkey = r2.r_regionkey
+      AND r2.r_name = 'EUROPE')
+""",
+)
+def q2_min_price_part(spark, sf_dir):
+    """TPC-H Q2-style correlated MIN subquery: cheapest European offer
+    per size-15 part. Spark plan: the correlated subquery is decorrelated
+    by hand into a window MIN over one shared Europe-side join (computed
+    once, not twice as the SQL literally says); dims broadcast, one
+    shuffle on l_partkey for the window. MIN of a raw double is exact —
+    no scaling needed."""
+    part, lineitem, supplier, nation, region = prep(
+        spark, sf_dir, "part", "lineitem", "supplier", "nation", "region")
+    euro = (
+        lineitem
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region.filter(F.col("r_name") == "EUROPE")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    w = Window.partitionBy("l_partkey")
+    return (
+        euro.withColumn("_min_price", F.min("l_extendedprice").over(w))
+        .filter(F.col("l_extendedprice") == F.col("_min_price"))
+        .join(F.broadcast(part.filter(F.col("p_size") == 15)),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .select("p_partkey", "p_name", "s_name", "n_name",
+                F.col("l_extendedprice").alias("min_price"))
+    )
+
+
+@query(
+    "q8_market_share",
+    oracle=f"""
+SELECT o_year,
+       CAST(SUM(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END) AS DOUBLE)
+         / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+FROM (
+  SELECT EXTRACT(year FROM o.o_orderdate) AS o_year,
+         {_SQL_VOLUME} AS volume,
+         n2.n_name AS nation
+  FROM part p, lineitem l, orders o, customer c, supplier s,
+       nation n1, nation n2, region r
+  WHERE p.p_partkey = l.l_partkey AND l.l_orderkey = o.o_orderkey
+    AND o.o_custkey = c.c_custkey AND c.c_nationkey = n1.n_nationkey
+    AND n1.n_regionkey = r.r_regionkey AND r.r_name = 'AMERICA'
+    AND l.l_suppkey = s.s_suppkey AND s.s_nationkey = n2.n_nationkey
+    AND p.p_type = 'ECONOMY'
+    AND o.o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+) GROUP BY o_year
+""",
+)
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8-style national market share: ratio-of-exact-sums per
+    year; the nation table joins twice (customer side filters the
+    market, supplier side tags the share) — both broadcast."""
+    part, lineitem, orders, customer, supplier, nation, region = prep(
+        spark, sf_dir, "part", "lineitem", "orders", "customer",
+        "supplier", "nation", "region")
+    n1 = nation.alias("n1")
+    n2 = nation.select(F.col("n_nationkey").alias("n2_nationkey"),
+                       F.col("n_name").alias("nation"))
+    return (
+        lineitem
+        .join(F.broadcast(part.filter(F.col("p_type") == "ECONOMY")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders.filter(F.col("o_orderdate").between("1996-01-01", "1997-12-31")),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1.n_nationkey"))
+        .join(F.broadcast(region.filter(F.col("r_name") == "AMERICA")),
+              F.col("n1.n_regionkey") == F.col("r_regionkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_nationkey"))
+        .select(F.year("o_orderdate").alias("o_year"), _volume().alias("volume"),
+                F.col("nation"))
+        .groupBy("o_year")
+        .agg((F.sum(F.when(F.col("nation") == "NATION_3", F.col("volume"))
+                    .otherwise(F.lit(0))).cast("double")
+              / F.sum("volume").cast("double")).alias("mkt_share"))
+    )
+
+
+@query(
+    "q9_nation_profit",
+    oracle=f"""
+SELECT n.n_name AS nation, EXTRACT(year FROM o.o_orderdate) AS o_year,
+       CAST(SUM({_SQL_VOLUME}) AS DOUBLE) / 10000.0 AS profit
+FROM part p, lineitem l, orders o, supplier s, nation n
+WHERE p.p_partkey = l.l_partkey AND l.l_orderkey = o.o_orderkey
+  AND l.l_suppkey = s.s_suppkey AND s.s_nationkey = n.n_nationkey
+  AND p.p_name LIKE '%red%'
+GROUP BY nation, o_year
+""",
+)
+def q9_nation_profit(spark, sf_dir):
+    """TPC-H Q9-style profit rollup by supplier nation and order year
+    for '%red%' parts (no partsupp in this schema, so profit = revenue).
+    The LIKE filter prunes the part broadcast before the fact join."""
+    part, lineitem, orders, supplier, nation = prep(
+        spark, sf_dir, "part", "lineitem", "orders", "supplier", "nation")
+    return (
+        lineitem
+        .join(F.broadcast(part.filter(F.col("p_name").like("%red%"))),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"),
+                 F.year("o_orderdate").alias("o_year"))
+        .agg((F.sum(_volume()).cast("double") / 10000.0).alias("profit"))
+    )
+
+
+@query(
+    "q11_part_value_concentration",
+    oracle=f"""
+SELECT l.l_partkey AS l_partkey,
+       {sql_scaled_sum('l.l_extendedprice')} AS part_value
+FROM lineitem l, supplier s, nation n, region r
+WHERE l.l_suppkey = s.s_suppkey AND s.s_nationkey = n.n_nationkey
+  AND n.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
+GROUP BY l.l_partkey
+HAVING SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) >
+  (SELECT SUM(CAST(ROUND(l2.l_extendedprice * 100) AS BIGINT)) * 0.001
+   FROM lineitem l2, supplier s2, nation n2, region r2
+   WHERE l2.l_suppkey = s2.s_suppkey AND s2.s_nationkey = n2.n_nationkey
+     AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'ASIA')
+""",
+)
+def q11_part_value_concentration(spark, sf_dir):
+    """TPC-H Q11-style value concentration: parts whose Asian-supplied
+    value exceeds 0.1% of the total (scalar subquery in HAVING). Spark:
+    the Asia join is computed once; the global total is a 1-row
+    aggregate cross-joined (broadcast) into the HAVING filter — the
+    fact side is scanned twice but the plan reuses the shuffle
+    exchange. Exact BIGINT cents on both sides of the comparison."""
+    lineitem, supplier, nation, region = prep(
+        spark, sf_dir, "lineitem", "supplier", "nation", "region")
+    asia = (
+        lineitem
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("l_partkey",
+                F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"))
+    )
+    per_part = asia.groupBy("l_partkey").agg(F.sum("cents").alias("cents_sum"))
+    total = asia.agg((F.sum("cents") * 0.001).alias("threshold"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("cents_sum") > F.col("threshold"))
+        .select("l_partkey",
+                (F.col("cents_sum").cast("double") / 100.0).alias("part_value"))
+    )
+
+
+@query(
+    "q13_order_distribution",
+    oracle="""
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c
+  LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+)
+GROUP BY c_count
+""",
+)
+def q13_order_distribution(spark, sf_dir):
+    """TPC-H Q13-style customer order-count histogram: left outer join
+    with a residual predicate on the right side (kept out of the WHERE
+    so customers with zero qualifying orders count as c_count=0), then
+    a two-level aggregation."""
+    customer, orders = prep(spark, sf_dir, "customer", "orders")
+    return (
+        customer.join(
+            orders.filter(F.col("o_orderpriority") != "1-URGENT"),
+            F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+@query(
+    "q19_bracket_revenue",
+    oracle=f"""
+SELECT CAST(SUM({_SQL_VOLUME}) AS DOUBLE) / 10000.0 AS revenue
+FROM lineitem l, part p
+WHERE p.p_partkey = l.l_partkey
+  AND ((p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 15
+        AND l.l_quantity BETWEEN 1 AND 11)
+    OR (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 1 AND 25
+        AND l.l_quantity BETWEEN 10 AND 20)
+    OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 35
+        AND l.l_quantity BETWEEN 20 AND 30))
+""",
+)
+def q19_bracket_revenue(spark, sf_dir):
+    """TPC-H Q19-style OR-of-ANDs bracket join: three disjunctive
+    brand/size/quantity brackets. The part side is pre-filtered to the
+    union of brackets (broadcast); the residual disjunction evaluates
+    post-join — Catalyst pushes the brand IN-list and size <= 35 to
+    both scans via constraint propagation."""
+    lineitem, part = prep(spark, sf_dir, "lineitem", "part")
+    brackets = (
+        ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#13") & F.col("p_size").between(1, 25)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 35)
+           & F.col("l_quantity").between(20, 30))
+    )
+    part_side = part.filter(
+        F.col("p_brand").isin("Brand#2", "Brand#13", "Brand#23")
+        & F.col("p_size").between(1, 35))
+    return (
+        lineitem.join(F.broadcast(part_side),
+                      F.col("p_partkey") == F.col("l_partkey"))
+        .filter(brackets)
+        .agg((F.sum(_volume()).cast("double") / 10000.0).alias("revenue"))
+    )
+
+
+@query(
+    "q20_heavy_suppliers",
+    oracle=f"""
+SELECT s.s_name AS s_name, n.n_name AS n_name
+FROM supplier s, nation n
+WHERE s.s_nationkey = n.n_nationkey
+  AND s.s_suppkey IN (
+    SELECT l.l_suppkey
+    FROM lineitem l, part p
+    WHERE p.p_partkey = l.l_partkey AND p.p_name LIKE 'small%'
+      AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY l.l_suppkey
+    HAVING SUM(CAST(ROUND(l.l_quantity * 100) AS BIGINT)) > 10000
+  )
+""",
+)
+def q20_heavy_suppliers(spark, sf_dir):
+    """TPC-H Q20-style: suppliers that shipped >100 units of 'small%'
+    parts in 1997 — grouped-HAVING subquery consumed as a left-semi
+    join (no row duplication, the semi side stays an aggregate)."""
+    supplier, nation, lineitem, part = prep(
+        spark, sf_dir, "supplier", "nation", "lineitem", "part")
+    heavy = (
+        lineitem.filter((F.col("l_shipdate") >= "1997-01-01")
+                        & (F.col("l_shipdate") < "1998-01-01"))
+        .join(F.broadcast(part.filter(F.col("p_name").like("small%"))),
+              F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.round(F.col("l_quantity") * 100).cast("long")).alias("q"))
+        .filter(F.col("q") > 10000)
+        .select(F.col("l_suppkey").alias("s_suppkey"))
+    )
+    return (
+        supplier.join(heavy, "s_suppkey", "left_semi")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", "n_name")
+    )

@@ -230,3 +230,24 @@ def test_lang_id_ties_and_unknown(spark):
     got = {r.id: r.lang for r in
            df.select("id", lang_id(F.col("text")).alias("lang")).collect()}
     assert got == {1: "en", 2: "de", 3: "unknown", 4: "en"}
+
+
+def test_asof_join_backward_with_ties(spark):
+    # asof semantics: latest right with r.ts <= l.ts per key; equal-ts
+    # right row matches; right-side ties broken by tiebreak (last wins)
+    from streamforge_spark.operators.joins import asof_join
+    left = spark.createDataFrame(
+        [(1, "k1", ts("2024-01-01 10:00:00")),
+         (2, "k1", ts("2024-01-01 10:10:00")),
+         (3, "k1", ts("2024-01-01 09:00:00")),    # before any right row
+         (4, "k2", ts("2024-01-01 10:00:00"))],   # key with no right rows
+        "id long, key string, t timestamp")
+    right = spark.createDataFrame(
+        [(100, "k1", ts("2024-01-01 09:30:00"), "a"),
+         (101, "k1", ts("2024-01-01 10:00:00"), "b"),   # ties with left id=1
+         (102, "k1", ts("2024-01-01 10:00:00"), "c")],  # same ts, higher id wins
+        "rid long, key string, t timestamp, v string")
+    out = asof_join(left, right, key="key", left_ts="t", right_ts="t",
+                    right_cols=["rid", "v"], right_tiebreak="rid")
+    got = {r.id: (r.asof_rid, r.asof_v) for r in out.collect()}
+    assert got == {1: (102, "c"), 2: (102, "c"), 3: (None, None), 4: (None, None)}
