@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from streamforge_spark.functions.simdedup import minhash_lsh_pairs, simhash, simhash_near_dup
-from streamforge_spark.functions.similarity import ann_lsh_topk
+from streamforge_spark.functions.similarity import ann_ivf_topk, ann_lsh_topk
 from streamforge_spark.multimodal import (
     decode_media, extract_features, media_from_documents, sample_frames,
 )
@@ -46,6 +46,15 @@ def ann_lsh_topk_q(spark, sf_dir):
     ann_cosine_topk; rows-only check — recall < 1 by construction)."""
     (emb,) = prep(spark, sf_dir, "embeddings")
     return ann_lsh_topk(emb, query_ids=range(10), k=10)
+
+
+@query("ann_ivf_topk")
+def ann_ivf_topk_q(spark, sf_dir):
+    """IVF coarse-quantizer ANN top-k: bounded-sample spherical k-means
+    cells + nprobe probing (the trained-index counterpart of
+    ann_lsh_topk; rows-only check — recall < 1 by construction)."""
+    (emb,) = prep(spark, sf_dir, "embeddings")
+    return ann_ivf_topk(emb, query_ids=range(10), k=10)
 
 
 @query(

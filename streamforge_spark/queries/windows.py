@@ -67,3 +67,77 @@ def running_user_total(spark, sf_dir):
         F.sum(F.round(F.col("value") * 100).cast("long")).over(w).alias("running_cents"),
         F.row_number().over(wo).cast("long").alias("seq"),
     )
+
+
+@query(
+    "event_value_percentiles",
+    oracle="""
+WITH ranked AS (
+  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events)
+SELECT event_type,
+       MAX(CASE WHEN rn = CAST(CEIL(0.50 * n) AS BIGINT) THEN cents END) AS p50_cents,
+       MAX(CASE WHEN rn = CAST(CEIL(0.90 * n) AS BIGINT) THEN cents END) AS p90_cents,
+       MAX(CASE WHEN rn = CAST(CEIL(0.99 * n) AS BIGINT) THEN cents END) AS p99_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM ranked GROUP BY event_type
+""",
+)
+def event_value_percentiles(spark, sf_dir):
+    """Exact distributed percentiles as order statistics: rank each
+    value within its group (deterministic (value, event_id) order),
+    pick the rows at rank ceil(q*n). One hash shuffle on the group key;
+    no driver-side sort, no sketch approximation — identical window
+    arithmetic on both sides keeps the oracle bit-exact. At 100 TB a
+    skewed group is the bottleneck; the approximate alternative is
+    percentile_approx (t-digest, mergeable map-side)."""
+    (events,) = prep(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = events.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"))
+
+    def at(q):
+        return F.max(F.when(
+            F.col("rn") == F.ceil(F.lit(q) * F.col("n")), F.col("cents")))
+
+    return (ranked.groupBy("event_type")
+            .agg(at(0.50).alias("p50_cents"), at(0.90).alias("p90_cents"),
+                 at(0.99).alias("p99_cents"),
+                 F.count(F.lit(1)).alias("n_events")))
+
+
+@query(
+    "grouping_sets_revenue",
+    oracle="""
+SELECT event_type,
+       CAST(EXTRACT(dow FROM ts) AS BIGINT) AS dow,
+       CAST(GROUPING(event_type) AS BIGINT) AS g_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+FROM events
+GROUP BY GROUPING SETS ((event_type), (CAST(EXTRACT(dow FROM ts) AS BIGINT)), ())
+""",
+)
+def grouping_sets_revenue(spark, sf_dir):
+    """Explicit GROUPING SETS (per-type, per-day-of-week, grand total)
+    through the SQL surface — one Expand + one aggregate, not three
+    scans; GROUPING() flags disambiguate real NULL group keys. DuckDB's
+    EXTRACT(dow) is 0=Sunday; Spark's dayofweek is 1=Sunday, hence the
+    -1 on the Spark side."""
+    (events,) = prep(spark, sf_dir, "events")
+    events.createOrReplaceTempView("events_gs")
+    return spark.sql("""
+        SELECT event_type,
+               CAST(dayofweek(ts) - 1 AS BIGINT) AS dow,
+               CAST(grouping(event_type) AS BIGINT) AS g_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+        FROM events_gs
+        GROUP BY GROUPING SETS ((event_type), (CAST(dayofweek(ts) - 1 AS BIGINT)), ())
+    """)

@@ -251,3 +251,27 @@ def test_asof_join_backward_with_ties(spark):
                     right_cols=["rid", "v"], right_tiebreak="rid")
     got = {r.id: (r.asof_rid, r.asof_v) for r in out.collect()}
     assert got == {1: (102, "c"), 2: (102, "c"), 3: (None, None), 4: (None, None)}
+
+
+def test_ann_ivf_topk_clustered(spark):
+    # 3 well-separated clusters; every top-3 neighbor of a cluster's
+    # query must come from the same cluster (cells must isolate them)
+    from streamforge_spark.functions.similarity import ann_ivf_topk
+    rows = []
+    for c in range(3):
+        for i in range(20):
+            v = [0.0] * 8
+            v[c] = 1.0
+            for j in range(8):   # deterministic small perturbation
+                v[j] += 0.03 * ((((i + 1) * (j + 2) * (c + 3)) % 7) - 3) / 3.0
+            rows.append((i * 3 + c, [float(x) for x in v], c))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = ann_ivf_topk(emb, query_ids=[0, 1, 2], k=3, n_centroids=4, nprobe=2)
+    got = out.collect()
+    assert len(got) == 9
+    by_q = {}
+    for r in got:
+        assert r.neighbor_id != r.query_id
+        assert r.neighbor_id % 3 == r.query_id % 3
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    assert all(sorted(v) == [1, 2, 3] for v in by_q.values())
