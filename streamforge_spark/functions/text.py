@@ -105,3 +105,20 @@ def word_ngrams(text: Column, n: int = 3) -> Column:
         z = F.zip_with(z, F.slice(t, k + 1, m),
                        lambda a, b: F.concat_ws(" ", a, b))
     return F.array_distinct(z)
+
+
+#: GPT-2-style pre-tokenizer shape: contraction suffixes, letter runs,
+#: single digits, punctuation runs. Alternation is leftmost-first in
+#: both Java regex (Spark) and RE2 (DuckDB), so counts agree.
+BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def bpe_tokens(text: Column) -> Column:
+    """BPE-ish word pieces via regex pre-tokenization (the stage before
+    merge-table lookup in a real BPE encoder — the piece count is the
+    token-budget estimator used for pipeline sizing)."""
+    return F.regexp_extract_all(text, F.lit(BPE_PATTERN), F.lit(0))
+
+
+def bpe_token_count(text: Column) -> Column:
+    return F.size(bpe_tokens(text)).cast("long")

@@ -7,8 +7,9 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from streamforge_spark.functions.text import (
-    LANG_MARKERS, STOPWORDS, distinct_token_count, fingerprint, lang_id,
-    punct_count, quality_score, stopword_count, token_count, word_ngrams,
+    BPE_PATTERN, LANG_MARKERS, STOPWORDS, bpe_token_count, bpe_tokens,
+    distinct_token_count, fingerprint, lang_id, punct_count, quality_score,
+    stopword_count, token_count, word_ngrams,
 )
 from streamforge_spark.queries.common import prep
 from streamforge_spark.registry import query
@@ -184,3 +185,30 @@ def dedup_ngram_jaccard(spark, sf_dir):
         )
     )
     return jac.filter(F.col("jaccard") >= NGRAM_JACCARD_THRESHOLD)
+
+
+_SQL_BPE = BPE_PATTERN.replace("'", "''")   # SQL-literal-escaped regex
+
+
+@query(
+    "bpe_token_stats",
+    oracle=f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_SQL_BPE}')) AS BIGINT) AS n_bpe,
+       CAST(len(list_distinct(regexp_extract_all(text, '{_SQL_BPE}'))) AS BIGINT)
+         AS n_bpe_distinct
+FROM documents
+""",
+)
+def bpe_token_stats(spark, sf_dir):
+    """BPE-ish regex pre-tokenization counts (token-budget estimation
+    for training-data sizing). Pure column algebra on the scan — the
+    regex runs inside codegen; DuckDB's RE2 and Spark's Java regex
+    agree because the pattern uses only leftmost-first alternation."""
+    (docs,) = prep(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        bpe_token_count(t).alias("n_bpe"),
+        F.size(F.array_distinct(bpe_tokens(t))).cast("long").alias("n_bpe_distinct"),
+    )

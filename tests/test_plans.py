@@ -78,3 +78,42 @@ def test_salted_aggregate_matches_direct(spark):
     d = {tuple(r) for r in direct.collect()}
     s = {tuple(r) for r in salted.collect()}
     assert d == s
+
+
+def test_asof_join_is_not_a_join(spark):
+    # the union+running-last rewrite must never plan a join operator —
+    # a range/as-of expressed as a real join degrades to BNLJ/cartesian
+    plan = plan_of(spark, "asof_join_latest_event")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # purchases pre-agg + asof window + final rollup: three exchanges max
+    assert plan.count("Arguments: hashpartitioning") <= 3
+
+
+def test_q9_like_pushdown_and_broadcasts(spark):
+    plan = plan_of(spark, "q9_nation_profit")
+    assert "StringContains" in plan            # %red% reaches the part scan
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("SortMergeJoin") <= 1    # only lineitem x orders may shuffle
+
+
+def test_percentiles_single_exchange(spark):
+    # window partition key == final group key: the aggregate must reuse
+    # the window's hash exchange, not add its own
+    plan = plan_of(spark, "event_value_percentiles")
+    assert plan.count("Arguments: hashpartitioning") == 1
+
+
+def test_grouping_sets_one_expand_one_exchange(spark):
+    plan = plan_of(spark, "grouping_sets_revenue")
+    assert "Expand" in plan                    # one multi-set pass, not 3 scans
+    assert plan.count("Arguments: hashpartitioning") == 1
+
+
+def test_pivot_two_phase_agg(spark):
+    # Spark's pinned-value pivot plans exactly the two-phase aggregate
+    # (user_id,event_type) -> (user_id); anything more means an extra
+    # distinct-values job or shuffle crept in
+    plan = plan_of(spark, "pivot_event_types")
+    assert plan.count("Arguments: hashpartitioning") == 2
