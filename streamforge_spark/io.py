@@ -42,3 +42,19 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture table as a temp view for spark.sql()."""
     for t in TABLES:
         load(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def write_bucketed(df: DataFrame, table: str, key: str, buckets: int,
+                   path: str) -> None:
+    """Persist a table bucketed + sorted on its join key, so every
+    subsequent equi-join or aggregation on that key is co-located —
+    zero exchange, zero sort at read time.
+
+    This is the 100 TB answer to a repeatedly-joined fact table (e.g.
+    lineitem x orders on the orderkey): pay one shuffle at write time,
+    then every downstream join plans SortMergeJoin with NO Exchange on
+    either side (see tests/test_plans.py::test_bucketed_join_no_shuffle).
+    Bucket count is a layout contract: choose ~(table_size /
+    target_partition_size) at the largest consumer's scale."""
+    (df.write.bucketBy(buckets, key).sortBy(key)
+     .option("path", path).mode("overwrite").saveAsTable(table))

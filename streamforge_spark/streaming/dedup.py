@@ -9,10 +9,14 @@ reference's processing-time TTL (SURVEY §7.5#1).
 
 from __future__ import annotations
 
-from collections.abc import Sequence
+from collections.abc import Iterator, Sequence
 
-from pyspark.sql import DataFrame
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
 def streaming_dedup(df: DataFrame, key_cols: Sequence[str],
@@ -41,7 +45,19 @@ def streaming_merger(df: DataFrame, key_cols: Sequence[str],
     last-value semantics would use transformWithStateInPandas/
     applyInPandasWithState (see streaming.materialize for the
     pattern)."""
-    payload = F.col(payload_col)
+    df = df.withColumn(
+        "_fp", content_fingerprint(F.col(payload_col), excluded_fields))
+    if assign_watermark:
+        df = df.withWatermark(event_time_col, ttl)
+    return df.dropDuplicatesWithinWatermark([*key_cols, "_fp"]).drop("_fp")
+
+
+def content_fingerprint(payload: Column,
+                        excluded_fields: Sequence[str] = ()) -> Column:
+    """64-bit content hash of a JSON payload minus excluded fields,
+    order-normalized — the O(1)-per-event change detector
+    (StatefulMerger.java:110-120's sorted-TreeMap hash as a codegen
+    column expression)."""
     if excluded_fields:
         stripped = F.map_filter(
             F.from_json(payload, "map<string,string>"),
@@ -51,10 +67,60 @@ def streaming_merger(df: DataFrame, key_cols: Sequence[str],
             F.map_entries(stripped),
             lambda e: F.concat_ws("\x01", e.key, e.value),
         ))
-        fingerprint = F.xxhash64(F.concat_ws("\x02", entries))
-    else:
-        fingerprint = F.xxhash64(payload)
-    df = df.withColumn("_fp", fingerprint)
-    if assign_watermark:
-        df = df.withWatermark(event_time_col, ttl)
-    return df.dropDuplicatesWithinWatermark([*key_cols, "_fp"]).drop("_fp")
+        return F.xxhash64(F.concat_ws("\x02", entries))
+    return F.xxhash64(payload)
+
+
+_MERGER_STATE = T.StructType([T.StructField("last_fp", T.LongType())])
+
+
+def streaming_merger_exact(df: DataFrame, key_col: str, payload_col: str,
+                           time_col: str,
+                           excluded_fields: Sequence[str] = (),
+                           ttl_ms: int | None = None) -> DataFrame:
+    """Exact last-hash-per-key suppression (StatefulMerger.java:94-120
+    semantics): an update passes iff its content hash differs from the
+    key's CURRENT hash — so a payload that reverts to an earlier value
+    re-emits, which the (key, fingerprint) watermark-dedup
+    approximation in ``streaming_merger`` would wrongly suppress.
+
+    Keyed GroupState holds one int64 per key (the same O(1) state bound
+    as the reference's ValueState<Long>); ttl_ms maps its 24h
+    StateTtlConfig onto a ProcessingTimeTimeout. Output = the passing
+    rows as (key, payload, ts)."""
+    out_schema = T.StructType([
+        T.StructField("key", T.StringType()),
+        T.StructField("payload", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+
+    def fn(key: tuple, pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame(columns=[f.name for f in out_schema])
+            return
+        (last,) = state.get if state.exists else (None,)
+        out: list[dict] = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(by=[time_col])
+            for row in pdf.itertuples(index=False):
+                fp = getattr(row, "cfp0")
+                if last is None or fp != last:
+                    out.append(dict(key=key[0],
+                                    payload=getattr(row, payload_col),
+                                    ts=getattr(row, time_col)))
+                    last = fp
+        if last is not None:
+            state.update((int(last),))
+            if ttl_ms is not None:
+                state.setTimeoutDuration(ttl_ms)
+        yield pd.DataFrame(out, columns=[f.name for f in out_schema])
+
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout if ttl_ms is not None
+               else GroupStateTimeout.NoTimeout)
+    prepared = df.withColumn(
+        "cfp0", content_fingerprint(F.col(payload_col), excluded_fields))
+    return prepared.groupBy(key_col).applyInPandasWithState(
+        fn, outputStructType=out_schema, stateStructType=_MERGER_STATE,
+        outputMode="append", timeoutConf=timeout)

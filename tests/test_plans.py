@@ -117,3 +117,32 @@ def test_pivot_two_phase_agg(spark):
     # distinct-values job or shuffle crept in
     plan = plan_of(spark, "pivot_event_types")
     assert plan.count("Arguments: hashpartitioning") == 2
+
+
+def test_bucketed_join_no_shuffle(spark, tmp_path):
+    # co-located join: bucket both sides on the join key at write time;
+    # the join must then plan with NO exchange on either side
+    from pyspark.sql import functions as F
+    from streamforge_spark.io import load, write_bucketed
+    orders = load(spark, SF, "orders").select("o_orderkey", "o_totalprice")
+    lineitem = load(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    write_bucketed(orders, "b_orders", "o_orderkey", 8, str(tmp_path / "o"))
+    write_bucketed(lineitem, "b_lineitem", "l_orderkey", 8, str(tmp_path / "l"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("b_orders").join(
+            spark.table("b_lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"))
+        plan = j._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan            # bucketing carries the partitioning
+        n = j.count()
+        direct = orders.join(lineitem,
+                             F.col("o_orderkey") == F.col("l_orderkey")).count()
+        assert n == direct
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")

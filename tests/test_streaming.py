@@ -146,3 +146,78 @@ def test_foreach_batch_upsert_idempotent(spark, workdir):
     q.stop()
     snap = {r.key: r.payload for r in spark.read.parquet(target).collect()}
     assert snap == {"k1": "v2"}  # k2 deleted, k1 upserted to latest
+
+
+def test_streaming_merger_exact_reemits_reverts(spark, workdir):
+    # reference semantics (StatefulMerger compares to the CURRENT hash):
+    # A -> B -> A must emit all three; (key,fp) watermark-dedup would
+    # suppress the revert
+    from streamforge_spark.streaming.dedup import streaming_merger_exact
+    src = f"{workdir}/in"
+    _write_batch(spark, src, [
+        (1, "k", ts("2024-01-01 10:00:00"), "u", '{"a": 1}'),
+        (2, "k", ts("2024-01-01 10:01:00"), "u", '{"a": 1}'),   # no-op
+        (3, "k", ts("2024-01-01 10:02:00"), "u", '{"a": 2}'),
+        (4, "k", ts("2024-01-01 10:03:00"), "u", '{"a": 1}'),   # revert
+    ])
+    stream = file_stream(spark, src, EVENTS_SCHEMA)
+    merged = streaming_merger_exact(stream, "key", "payload", "t")
+    _run_to_memory(merged, "merge_exact_out")
+    rows = spark.sql("select * from merge_exact_out order by ts").collect()
+    assert [r.payload for r in rows] == ['{"a": 1}', '{"a": 2}', '{"a": 1}']
+
+
+def test_streaming_merger_exact_state_across_batches(spark, workdir):
+    from streamforge_spark.streaming.dedup import streaming_merger_exact
+    src = f"{workdir}/in"
+    _write_batch(spark, src, [(1, "k", ts("2024-01-01 10:00:00"), "u", '{"a": 1}')])
+    stream = file_stream(spark, src, EVENTS_SCHEMA)
+    merged = streaming_merger_exact(
+        stream, "key", "payload", "t",
+        excluded_fields=["updatedAt"])
+    q = (merged.writeStream.format("memory").queryName("merge_exact2")
+         .outputMode("append").start())
+    q.processAllAvailable()
+    # same content, different excluded field -> suppressed across batches
+    _write_batch(spark, src, [(2, "k", ts("2024-01-01 10:05:00"), "u",
+                               '{"a": 1, "updatedAt": "x"}')])
+    q.processAllAvailable()
+    _write_batch(spark, src, [(3, "k", ts("2024-01-01 10:06:00"), "u",
+                               '{"a": 2, "updatedAt": "y"}')])
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("select * from merge_exact2 order by ts").collect()
+    assert [r.payload for r in rows] == ['{"a": 1}', '{"a": 2, "updatedAt": "y"}']
+
+
+def test_streaming_fanin_windowed_agg_matches_batch(spark, workdir):
+    # two watermarked file streams unioned with per-source tags, then a
+    # tumbling-window count: the streaming result (after all data is
+    # processed) must equal the batch formulation on the union
+    from streamforge_spark.operators.routing import watermark_aligned_fan_in
+    a_dir, b_dir = f"{workdir}/a", f"{workdir}/b"
+    rows_a = [(1, "k1", ts("2024-01-01 10:00:10"), "u", "x"),
+              (2, "k2", ts("2024-01-01 10:00:50"), "u", "x"),
+              (3, "k1", ts("2024-01-01 10:01:10"), "u", "x")]
+    rows_b = [(4, "k1", ts("2024-01-01 10:00:20"), "u", "x"),
+              (5, "k3", ts("2024-01-01 10:01:40"), "u", "x")]
+    _write_batch(spark, a_dir, rows_a)
+    _write_batch(spark, b_dir, rows_b)
+    merged = watermark_aligned_fan_in(
+        [("a", file_stream(spark, a_dir, EVENTS_SCHEMA)),
+         ("b", file_stream(spark, b_dir, EVENTS_SCHEMA))],
+        event_time_col="t", max_drift="5 seconds")
+    agg = (merged.groupBy(F.window("t", "1 minute").alias("w"), "ingest_source")
+           .agg(F.count(F.lit(1)).alias("n")))
+    q = (agg.writeStream.format("memory").queryName("fanin_out")
+         .outputMode("complete").start())
+    q.processAllAvailable()
+    q.stop()
+    got = {(r.w.start.isoformat(), r.ingest_source): r.n
+           for r in spark.sql("select * from fanin_out").collect()}
+    assert got == {
+        ("2024-01-01T10:00:00", "a"): 2,
+        ("2024-01-01T10:01:00", "a"): 1,
+        ("2024-01-01T10:00:00", "b"): 1,
+        ("2024-01-01T10:01:00", "b"): 1,
+    }
