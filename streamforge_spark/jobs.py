@@ -1,0 +1,254 @@
+"""The seven production pipelines of the reference, as named Spark
+streaming jobs (SPI registrations in META-INF/services/...StreamJob:1-7).
+
+Each job is a function ``(spark, cfg: ScopedConfig) -> list[StreamingQuery]``
+composing the engine's operators end-to-end: envelope sources in,
+pattern chain, sinks out (every parse/validate stage dual-outputs to a
+DLQ sink — the DLQPublisher channel as a first-class second output).
+Sources are newline-JSON envelope files streamed as micro-batches and
+sinks are parquet directories, so every job runs hermetically; the
+Kafka/Mongo/ES connectors swap in via ``streaming/sources.py`` /
+``streaming/sinks.py`` without touching the pattern chain — the same
+separation the reference gets from SourceBuilder/SinkBuilder injection
+(PipelineBuilder.java:47-78).
+
+Config keys (ScopedConfig): SOURCE_PATH, SOURCE_PATH_SECONDARY,
+REFERENCE_PATH, REFERENCE_PATH_2, OUTPUT_PATH, CHECKPOINT_DIR.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from streamforge_spark.config import ScopedConfig
+from streamforge_spark.envelope import parse_stream_envelop
+from streamforge_spark.operators.dedup import deduplicator  # noqa: F401 (batch analog)
+from streamforge_spark.operators.filters import filter_interceptor
+from streamforge_spark.operators.joins import dynamic_joiner, static_joiner
+from streamforge_spark.operators.processors import stamp_processor
+from streamforge_spark.operators.quality import (
+    SchemaVersion, constraint_enforcer, not_null_rule, schema_enforcer,
+)
+from streamforge_spark.operators.routing import routed, watermark_aligned_fan_in
+from streamforge_spark.operators.sessions import ordered_fold, session_analyzer
+from streamforge_spark.streaming.dedup import streaming_dedup, streaming_merger
+from streamforge_spark.streaming.materialize import streaming_materializer
+from streamforge_spark.streaming.sinks import (
+    foreach_batch_upsert, kafka_compacted_output, parquet_sink, split_sinks,
+)
+from streamforge_spark.streaming.sources import file_stream
+
+JOB_REGISTRY: dict[str, Callable] = {}
+
+_RAW_SCHEMA = T.StructType([T.StructField("value", T.StringType())])
+
+
+def stream_job(name: str):
+    def deco(fn):
+        JOB_REGISTRY[name] = fn
+        fn.job_name = name
+        return fn
+    return deco
+
+
+def _envelopes(spark: SparkSession, cfg: ScopedConfig,
+               key: str = "SOURCE_PATH") -> tuple[DataFrame, DataFrame]:
+    # the wire format: newline-delimited JSON envelope strings (the
+    # Kafka value payload shape), read as raw text so poison lines
+    # reach the parser's DLQ split instead of failing the source
+    raw = file_stream(spark, cfg.require(key), _RAW_SCHEMA, fmt="text")
+    return parse_stream_envelop(raw)
+
+
+def _sink(df: DataFrame, cfg: ScopedConfig, sub: str):
+    out, ckpt = cfg.require("OUTPUT_PATH"), cfg.require("CHECKPOINT_DIR")
+    return parquet_sink(df, f"{out}/{sub}", f"{ckpt}/{sub}").start()
+
+
+def _with_meta(df: DataFrame, key: str, value) -> DataFrame:
+    """metadata[key] = value (null-safe on an absent metadata map)."""
+    meta = F.coalesce(F.col("metadata"),
+                      F.create_map().cast("map<string,string>"))
+    return df.withColumn(
+        "metadata",
+        F.when(value.isNotNull(), F.map_concat(meta, F.create_map(F.lit(key), value)))
+        .otherwise(meta))
+
+
+@stream_job("MongoToKafka")
+def mongo_to_kafka(spark: SparkSession, cfg: ScopedConfig):
+    """CDC egress chain (job/cdc/MongoToKafkaJob.java:51-91): parse ->
+    drop unknown ops -> dedup(primary_key, event_time) 10m -> exact
+    hash-suppress merger (excl. updatedAt/modifiedAt) -> schema v1
+    (_id required) -> trace/processed stamps -> compacted (key, value)
+    output with DELETE tombstones. Flow-disruption/latency monitors
+    attach via streaming/flow_disruption.py + observe()."""
+    env, parse_dlq = _envelopes(spark, cfg)
+    env = filter_interceptor(env, F.col("operation") != "unknown")
+    env = streaming_dedup(env, ["primary_key", "event_time"], "event_time",
+                          ttl="10 minutes")
+    # watermark-scoped merger here: the chain already holds dedup state,
+    # and Spark restricts applyInPandasWithState after another stateful
+    # operator — streaming_merger_exact runs the exact semantics as a
+    # standalone stage (see tests/test_streaming.py)
+    env = streaming_merger(env, ["primary_key"], "payload_json", "event_time",
+                           ttl="24 hours",
+                           excluded_fields=("updatedAt", "modifiedAt"),
+                           assign_watermark=False)
+    ok, schema_dlq = schema_enforcer(
+        env, "payload_json",
+        [SchemaVersion("v1", required={"_id": "any"})],
+        source="MongoToKafka")
+    ok = stamp_processor(ok, deterministic_from=F.col("primary_key"))
+    out = kafka_compacted_output(ok.drop("metadata"), key_col="primary_key")
+    return [_sink(out, cfg, "out"),
+            _sink(parse_dlq, cfg, "dlq_parse"),
+            _sink(schema_dlq, cfg, "dlq_schema")]
+
+
+@stream_job("KafkaToMongo")
+def kafka_to_mongo(spark: SparkSession, cfg: ScopedConfig):
+    """CDC ingress chain (job/cdc/KafkaToMongoJob.java:38-92): parse ->
+    enrich from up to two reference snapshots (latest-per-key broadcast,
+    stream-static re-read per micro-batch) -> NotNull(_id) constraint ->
+    stamps -> idempotent latest-per-key upsert with DELETE handling."""
+    env, parse_dlq = _envelopes(spark, cfg)
+    for i, key in enumerate(("REFERENCE_PATH", "REFERENCE_PATH_2"), start=1):
+        if cfg.exists(key):
+            ref = spark.read.parquet(cfg.require(key)).select(
+                F.col("primary_key"),
+                F.col("payload_json").alias(f"_ref{i}"),
+                F.col("event_time").alias(f"_ref{i}_t"))
+            env = static_joiner(env, ref, on="primary_key",
+                                ref_key_cols=["primary_key"],
+                                ref_order_cols=[f"_ref{i}_t"])
+            env = _with_meta(env, f"enrichedRef{i}", F.col(f"_ref{i}"))
+            env = env.drop(f"_ref{i}", f"_ref{i}_t")
+    ok, dlq = constraint_enforcer(
+        env, [not_null_rule(F.get_json_object(F.col("payload_json"), "$._id"),
+                            name="_id")],
+        source="KafkaToMongo")
+    ok = stamp_processor(ok, deterministic_from=F.col("primary_key"))
+    out, ckpt = cfg.require("OUTPUT_PATH"), cfg.require("CHECKPOINT_DIR")
+    upsert = foreach_batch_upsert(
+        ok, f"{out}/table", ["primary_key"], ["event_time"],
+        f"{ckpt}/upsert", op_col="operation").start()
+    return [upsert, _sink(parse_dlq, cfg, "dlq_parse"),
+            _sink(dlq, cfg, "dlq_constraint")]
+
+
+@stream_job("EventRouter")
+def event_router(spark: SparkSession, cfg: ScopedConfig):
+    """Predicate routing to per-destination sinks (job/route/
+    EventRouterJob.java:56-82): orders/payments -> ES-shaped sinks,
+    everything else -> the main Mongo-shaped sink. One foreachBatch
+    computes the route tag once and writes all three splits
+    (zero-copy fan-out)."""
+    env, parse_dlq = _envelopes(spark, cfg)
+    tagged = routed(env, [("orders", F.col("source") == "orders"),
+                          ("payments", F.col("source") == "payments")])
+    out, ckpt = cfg.require("OUTPUT_PATH"), cfg.require("CHECKPOINT_DIR")
+
+    def write_to(sub: str):
+        return lambda df: df.write.mode("append").parquet(f"{out}/{sub}")
+
+    router = (tagged.writeStream.outputMode("append")
+              .foreachBatch(lambda b, _id: split_sinks(b, {
+                  "orders": write_to("es_orders"),
+                  "payments": write_to("es_payments"),
+                  "main": write_to("mongo_main")}))
+              .option("checkpointLocation", f"{ckpt}/router").start())
+    return [router, _sink(parse_dlq, cfg, "dlq_parse")]
+
+
+@stream_job("MergedIngest")
+def merged_ingest(spark: SparkSession, cfg: ScopedConfig):
+    """Watermark-aligned fan-in of two envelope streams (job/ingest/
+    MergedIngestJob.java:32-70): 5s max drift per source, source name
+    recorded in metadata.ingestSource, union without reordering."""
+    ok1, dlq1 = _envelopes(spark, cfg, "SOURCE_PATH")
+    ok2, dlq2 = _envelopes(spark, cfg, "SOURCE_PATH_SECONDARY")
+    merged = watermark_aligned_fan_in(
+        [("orders", ok1), ("payments", ok2)],
+        event_time_col="event_time", max_drift="5 seconds")
+    merged = _with_meta(merged, "ingestSource", F.col("ingest_source"))
+    merged = merged.drop("ingest_source")
+    return [_sink(merged, cfg, "merged"),
+            _sink(dlq1.unionByName(dlq2), cfg, "dlq_parse")]
+
+
+@stream_job("OrderPaymentJoin")
+def order_payment_join(spark: SparkSession, cfg: ScopedConfig):
+    """Time-bounded stream-stream LEFT join on the primary key within
+    +/-10 minutes (job/join/OrderPaymentJoinJob.java:51-77): unmatched
+    orders emit with null payment columns once the watermark passes —
+    Spark's watermark close replaces the reference's TTL timer."""
+    orders, dlq1 = _envelopes(spark, cfg, "SOURCE_PATH")
+    payments, dlq2 = _envelopes(spark, cfg, "SOURCE_PATH_SECONDARY")
+    joined = dynamic_joiner(
+        orders.withWatermark("event_time", "10 minutes"),
+        payments.withWatermark("event_time", "10 minutes"),
+        left_key="primary_key", right_key="primary_key",
+        left_time="event_time", right_time="event_time",
+        ttl_seconds=600, join_type="left")
+    out = joined.select(
+        F.col("l.primary_key").alias("primary_key"),
+        F.col("l.payload_json").alias("order_payload"),
+        F.col("l.event_time").alias("order_time"),
+        F.col("r.payload_json").alias("payment_payload"),
+        F.col("r.event_time").alias("payment_time"))
+    return [_sink(out, cfg, "joined"),
+            _sink(dlq1.unionByName(dlq2), cfg, "dlq_parse")]
+
+
+@stream_job("UserStateMaterialize")
+def user_state_materialize(spark: SparkSession, cfg: ScopedConfig):
+    """Latest-per-key materialized view with changelog (job/materialize/
+    UserStateMaterializeJob.java:45-91): INSERT/UPDATE/DELETE events
+    re-wrapped as CHANGELOG_* envelopes."""
+    env, parse_dlq = _envelopes(spark, cfg)
+    log = streaming_materializer(
+        env, key_col="primary_key", value_col="payload_json",
+        time_col="event_time", delete_op_col="operation",
+        delete_op_value="delete")
+    wrapped = log.select(
+        F.concat(F.lit("CHANGELOG_"), F.col("change_type")).alias("operation"),
+        F.lit("materializer").alias("source"),
+        F.to_json(F.struct(
+            F.col("key").alias("_id"),
+            F.col("change_type").alias("changeType"),
+            F.col("before"), F.col("after"))).alias("payload_json"),
+        F.col("ts").alias("event_time"),
+        F.col("key").alias("primary_key"))
+    return [_sink(wrapped, cfg, "changelog"),
+            _sink(parse_dlq, cfg, "dlq_parse")]
+
+
+@stream_job("UserSessionAnalysis")
+def user_session_analysis(spark: SparkSession, cfg: ScopedConfig):
+    """Event-time sessionization, 30 min gap (job/session/
+    UserSessionAnalysisJob.java:48-96): per-user sessions fold into
+    (comma-joined ops, count) and emit as SESSION_CLOSED envelopes when
+    the watermark closes the window."""
+    env, parse_dlq = _envelopes(spark, cfg)
+    sessions = session_analyzer(
+        env, key_col="primary_key", time_col="event_time",
+        gap="30 minutes", watermark="5 seconds",
+        agg_exprs=[ordered_fold("event_time", "trace_id", "operation").alias("ops")])
+    wrapped = sessions.select(
+        F.lit("SESSION_CLOSED").alias("operation"),
+        F.lit("session-analyzer").alias("source"),
+        F.to_json(F.struct(
+            F.col("primary_key").alias("_id"),
+            F.col("session_start").cast("string").alias("sessionStart"),
+            F.col("session_end").cast("string").alias("sessionEnd"),
+            F.col("event_count").alias("eventCount"),
+            F.col("ops"))).alias("payload_json"),
+        F.col("session_end").alias("event_time"),
+        F.col("primary_key"))
+    return [_sink(wrapped, cfg, "sessions"),
+            _sink(parse_dlq, cfg, "dlq_parse")]

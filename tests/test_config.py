@@ -1,0 +1,53 @@
+"""ScopedConfig layering (ScopedConfig.java:80-107 priority order)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from streamforge_spark.config import ScopedConfig
+
+
+@pytest.fixture()
+def files(tmp_path):
+    cfgf = tmp_path / "streamforge.json"
+    cfgf.write_text(json.dumps({
+        "common": {"TOPIC": "common-topic", "ONLY_COMMON": "c"},
+        "JobA": {"TOPIC": "joba-topic", "ONLY_JOB": "j"},
+    }))
+    envf = tmp_path / ".env"
+    envf.write_text("TOPIC=dotenv-topic\n# comment\nDOTENV_ONLY='quoted'\n")
+    return str(cfgf), str(envf)
+
+
+def test_priority_order(files):
+    cfgf, envf = files
+    cfg = ScopedConfig(config_file=cfgf, env_file=envf,
+                       environ={"TOPIC": "env-topic"},
+                       overrides={"TOPIC": "override-topic"})
+    cfg.activate_job("JobA")
+    assert cfg.get("TOPIC") == "override-topic"            # overrides win
+    cfg2 = ScopedConfig(config_file=cfgf, env_file=envf,
+                        environ={"TOPIC": "env-topic"})
+    assert cfg2.get("TOPIC") == "env-topic"                # then environ
+    cfg3 = ScopedConfig(config_file=cfgf, env_file=envf, environ={})
+    assert cfg3.get("TOPIC") == "dotenv-topic"             # then .env
+    cfg4 = ScopedConfig(config_file=cfgf, env_file=None, environ={})
+    cfg4.activate_job("JobA")
+    assert cfg4.get("TOPIC") == "joba-topic"               # then json[job]
+    assert cfg4.get("ONLY_COMMON") == "c"                  # then json[common]
+    cfg4.activate_job("JobB")
+    assert cfg4.get("TOPIC") == "common-topic"             # other job -> common
+
+
+def test_exists_require_and_dotenv_quotes(files):
+    cfgf, envf = files
+    cfg = ScopedConfig(config_file=cfgf, env_file=envf, environ={})
+    assert cfg.get("DOTENV_ONLY") == "quoted"
+    assert cfg.exists("DOTENV_ONLY") and not cfg.exists("NOPE")
+    with pytest.raises(KeyError, match="NOPE"):
+        cfg.require("NOPE")
+    cfg.activate_job("JobA")
+    assert cfg.get("ONLY_JOB") == "j"
+    assert cfg.get("MISSING", "dflt") == "dflt"

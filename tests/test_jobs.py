@@ -1,0 +1,193 @@
+"""End-to-end runs of the seven named jobs (the reference's SPI job
+surface) on hermetic file-stream sources, driven to drain and asserted
+on sink contents — the Spark analog of the reference's
+Testcontainers-backed integration suite (SURVEY §5 layer 2)."""
+
+from __future__ import annotations
+
+import json
+import pathlib
+
+import pytest
+
+from streamforge_spark.config import ScopedConfig
+from streamforge_spark.launcher import run_job
+
+
+def env_line(op="insert", source="orders", pk="u1", t="2024-01-01 10:00:00",
+             payload=None, trace=None) -> str:
+    return json.dumps({
+        "operation": op, "source": source, "primary_key": pk,
+        "event_time": t,
+        "payload_json": json.dumps(payload if payload is not None else {"_id": pk}),
+        "trace_id": trace,
+    })
+
+
+def write_lines(path: str | pathlib.Path, lines, name="batch0.txt") -> None:
+    p = pathlib.Path(path)
+    p.mkdir(parents=True, exist_ok=True)
+    (p / name).write_text("\n".join(lines) + "\n")
+
+
+def job_cfg(tmp_path, **extra) -> ScopedConfig:
+    cfg = ScopedConfig(config_file=None, env_file=None, overrides={
+        "SOURCE_PATH": str(tmp_path / "in"),
+        "OUTPUT_PATH": str(tmp_path / "out"),
+        "CHECKPOINT_DIR": str(tmp_path / "ckpt"),
+        **{k: str(v) for k, v in extra.items()},
+    })
+    return cfg
+
+
+def read(spark, tmp_path, sub):
+    return spark.read.parquet(str(tmp_path / "out" / sub))
+
+
+def test_mongo_to_kafka_job(spark, tmp_path):
+    write_lines(tmp_path / "in", [
+        env_line(op="insert", pk="a", t="2024-01-01 10:00:00"),
+        env_line(op="insert", pk="a", t="2024-01-01 10:00:00"),   # dup (pk, t)
+        env_line(op="unknown", pk="b"),                           # filtered
+        env_line(op="update", pk="a", t="2024-01-01 10:01:00"),   # same content -> suppressed
+        env_line(op="update", pk="a", t="2024-01-01 10:02:00",
+                 payload={"_id": "a", "v": 2}),                   # changed -> passes
+        env_line(op="insert", pk="c", t="2024-01-01 10:00:00",
+                 payload={"nope": 1}),                            # schema DLQ (no _id)
+        "not json at all",                                        # parse DLQ
+    ])
+    run_job("MongoToKafka", job_cfg(tmp_path), spark=spark, drain=True)
+    out = read(spark, tmp_path, "out").collect()
+    assert sorted(r.key for r in out) == ["a", "a"]
+    assert all(r.value is not None for r in out)
+    assert read(spark, tmp_path, "dlq_parse").count() == 1
+    schema_dlq = read(spark, tmp_path, "dlq_schema").collect()
+    assert [r.error_type for r in schema_dlq] == ["SCHEMA_VIOLATION"]
+
+
+def test_kafka_to_mongo_job(spark, tmp_path):
+    # reference snapshot: two versions of key 'a' -> latest must win
+    ref = spark.createDataFrame(
+        [("a", '{"plan": "old"}', "2024-01-01 09:00:00"),
+         ("a", '{"plan": "gold"}', "2024-01-01 09:30:00")],
+        "primary_key string, payload_json string, event_time string",
+    ).selectExpr("primary_key", "payload_json",
+                 "CAST(event_time AS TIMESTAMP) AS event_time")
+    ref.write.parquet(str(tmp_path / "ref"))
+    write_lines(tmp_path / "in", [
+        env_line(op="insert", pk="a", t="2024-01-01 10:00:00"),
+        env_line(op="insert", pk="b", t="2024-01-01 10:00:00"),
+        env_line(op="insert", pk="x", t="2024-01-01 10:00:00",
+                 payload={"no_id": True}),                        # constraint DLQ
+        env_line(op="update", pk="b", t="2024-01-01 10:05:00",
+                 payload={"_id": "b", "v": 2}),
+        env_line(op="delete", pk="a", t="2024-01-01 10:06:00"),   # removes a
+    ])
+    run_job("KafkaToMongo", job_cfg(tmp_path, REFERENCE_PATH=tmp_path / "ref"),
+            spark=spark, drain=True)
+    table = {r.primary_key: r for r in read(spark, tmp_path, "table").collect()}
+    assert set(table) == {"b"}                                    # a deleted, x rejected
+    assert json.loads(table["b"].payload_json)["v"] == 2
+    dlq = read(spark, tmp_path, "dlq_constraint").collect()
+    assert [r.error_message for r in dlq] == ["_id"]
+
+
+def test_kafka_to_mongo_enrichment_metadata(spark, tmp_path):
+    ref = spark.createDataFrame(
+        [("a", '{"plan": "gold"}', "2024-01-01 09:30:00")],
+        "primary_key string, payload_json string, event_time string",
+    ).selectExpr("primary_key", "payload_json",
+                 "CAST(event_time AS TIMESTAMP) AS event_time")
+    ref.write.parquet(str(tmp_path / "ref"))
+    write_lines(tmp_path / "in", [
+        env_line(op="insert", pk="a", t="2024-01-01 10:00:00"),
+        env_line(op="insert", pk="miss", t="2024-01-01 10:00:00"),  # no ref row
+    ])
+    run_job("KafkaToMongo", job_cfg(tmp_path, REFERENCE_PATH=tmp_path / "ref"),
+            spark=spark, drain=True)
+    rows = {r.primary_key: r.metadata for r in read(spark, tmp_path, "table").collect()}
+    assert rows["a"]["enrichedRef1"] == '{"plan": "gold"}'
+    assert "enrichedRef1" not in (rows["miss"] or {})             # miss passes through
+
+
+def test_event_router_job(spark, tmp_path):
+    write_lines(tmp_path / "in", [
+        env_line(source="orders", pk="o1"),
+        env_line(source="payments", pk="p1"),
+        env_line(source="clicks", pk="c1"),
+        env_line(source="orders", pk="o2"),
+    ])
+    run_job("EventRouter", job_cfg(tmp_path), spark=spark, drain=True)
+    assert sorted(r.primary_key for r in read(spark, tmp_path, "es_orders").collect()) == ["o1", "o2"]
+    assert [r.primary_key for r in read(spark, tmp_path, "es_payments").collect()] == ["p1"]
+    assert [r.primary_key for r in read(spark, tmp_path, "mongo_main").collect()] == ["c1"]
+
+
+def test_merged_ingest_job(spark, tmp_path):
+    write_lines(tmp_path / "in", [env_line(source="orders", pk="o1")])
+    write_lines(tmp_path / "in2", [env_line(source="payments", pk="p1")])
+    run_job("MergedIngest",
+            job_cfg(tmp_path, SOURCE_PATH_SECONDARY=tmp_path / "in2"),
+            spark=spark, drain=True)
+    rows = {r.primary_key: r.metadata["ingestSource"]
+            for r in read(spark, tmp_path, "merged").collect()}
+    assert rows == {"o1": "orders", "p1": "payments"}
+
+
+def test_order_payment_join_job(spark, tmp_path):
+    write_lines(tmp_path / "in", [
+        env_line(source="orders", pk="k1", t="2024-01-01 10:00:00"),
+        env_line(source="orders", pk="k2", t="2024-01-01 10:01:00"),  # never paid
+        # far-future order advances the watermark so k2's unmatched
+        # emission fires (the TTL-expiry analog)
+        env_line(source="orders", pk="zz", t="2024-01-01 12:00:00"),
+    ])
+    write_lines(tmp_path / "in2", [
+        env_line(source="payments", pk="k1", t="2024-01-01 10:05:00"),
+        env_line(source="payments", pk="zz", t="2024-01-01 12:00:00"),
+    ])
+    run_job("OrderPaymentJoin",
+            job_cfg(tmp_path, SOURCE_PATH_SECONDARY=tmp_path / "in2"),
+            spark=spark, drain=True)
+    rows = {r.primary_key: r for r in read(spark, tmp_path, "joined").collect()}
+    assert rows["k1"].payment_payload is not None
+    assert "k2" in rows and rows["k2"].payment_payload is None    # left-outer emission
+
+
+def test_user_state_materialize_job(spark, tmp_path):
+    write_lines(tmp_path / "in", [
+        env_line(op="insert", pk="a", t="2024-01-01 10:00:00",
+                 payload={"_id": "a", "v": 1}),
+        env_line(op="update", pk="a", t="2024-01-01 10:01:00",
+                 payload={"_id": "a", "v": 2}),
+        env_line(op="delete", pk="a", t="2024-01-01 10:02:00"),
+    ])
+    run_job("UserStateMaterialize", job_cfg(tmp_path), spark=spark, drain=True)
+    log = sorted(read(spark, tmp_path, "changelog").collect(),
+                 key=lambda r: r.event_time)
+    kinds = [r.operation for r in log]
+    assert kinds == ["CHANGELOG_INSERT", "CHANGELOG_UPDATE", "CHANGELOG_DELETE"]
+    upd = json.loads(log[1].payload_json)
+    assert json.loads(upd["before"])["v"] == 1 and json.loads(upd["after"])["v"] == 2
+
+
+def test_user_session_analysis_job(spark, tmp_path):
+    write_lines(tmp_path / "in", [
+        env_line(op="insert", pk="u1", t="2024-01-01 10:00:00"),
+        env_line(op="update", pk="u1", t="2024-01-01 10:10:00"),
+        env_line(op="update", pk="u1", t="2024-01-01 11:30:00"),  # new session
+        # watermark pusher: closes u1's second session
+        env_line(op="insert", pk="u9", t="2024-01-01 15:00:00"),
+    ])
+    run_job("UserSessionAnalysis", job_cfg(tmp_path), spark=spark, drain=True)
+    rows = [json.loads(r.payload_json)
+            for r in read(spark, tmp_path, "sessions").collect()
+            if r.primary_key == "u1"]
+    rows.sort(key=lambda p: p["sessionStart"])
+    assert [p["eventCount"] for p in rows] == [2, 1]
+    assert rows[0]["ops"] == "insert,update"
+
+
+def test_launcher_rejects_unknown_job(spark, tmp_path):
+    with pytest.raises(SystemExit, match="unknown job"):
+        run_job("NoSuchJob", job_cfg(tmp_path), spark=spark, drain=True)
