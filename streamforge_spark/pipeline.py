@@ -66,3 +66,24 @@ class Pipeline:
         for d in self._dlq[1:]:
             out = out.unionByName(d)
         return out
+
+
+def replay_dlq(dlq: DataFrame,
+               versions=None, source: str = "dlq-replay") -> tuple[DataFrame, DataFrame]:
+    """Dead-letter replay (docs/recovery/dlq-replay-guide.md workflow):
+    re-run dead-lettered ``raw_event`` strings through the envelope
+    parser — and, when the failure was a schema violation that a NEWER
+    schema version now permits, through an updated ``versions`` list —
+    returning ``(recovered_envelopes, still_dead)``.
+
+    Works uniformly because every DLQ publishing point emits the same
+    DlqEvent shape with the full serialized record in ``raw_event``."""
+    from streamforge_spark.envelope import parse_stream_envelop
+    ok, bad = parse_stream_envelop(
+        dlq.select(F.col("raw_event").alias("value")))
+    if versions:
+        from streamforge_spark.operators.quality import schema_enforcer
+        ok, schema_bad = schema_enforcer(ok, "payload_json", versions,
+                                         source=source)
+        bad = bad.unionByName(schema_bad)
+    return ok, bad
