@@ -145,6 +145,10 @@ def asof_join(left: DataFrame, right: DataFrame, *,
         .withColumn("_m", F.last("_r", ignorenulls=True).over(w))
         .filter(F.col("_is_left") == 1)
     )
-    out_cols = [F.col(f"_l.{c}").alias(c) for c in left.columns]
+    # emit the key from the window's own partitioning attribute (_k),
+    # not the struct field: downstream groupBy/join on the key then
+    # reuses this exchange instead of adding one
+    out_cols = [F.col("_k").alias(c) if c == key else F.col(f"_l.{c}").alias(c)
+                for c in left.columns]
     out_cols += [F.col(f"_m.{c}").alias(f"{prefix}{c}") for c in right_cols]
     return matched.select(*out_cols)

@@ -42,3 +42,30 @@ def envelope_roundtrip(spark, sf_dir):
     assert dlq is not None
     return ok.select("event_id", "operation", "source", "payload_json",
                      "event_time", "trace_id", "primary_key")
+
+
+@query(
+    "variant_payload_agg",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_sum,
+       MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_min,
+       MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_max
+FROM events GROUP BY event_type
+""",
+)
+def variant_payload_agg(spark, sf_dir):
+    """Schema-on-read payload access through Spark's VARIANT type
+    (SURVEY §1.1's alternative payload encoding): parse_json once into
+    a binary variant, then typed variant_get extraction — the
+    open-schema path that avoids re-parsing JSON per field at 100 TB.
+    Aggregates stay exact (BIGINT)."""
+    (events,) = prep(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json(F.col("props")), "$.k", "bigint")
+    return (events.select("event_type", k.alias("k"))
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("k").alias("k_sum"),
+                 F.min("k").alias("k_min"),
+                 F.max("k").alias("k_max")))
