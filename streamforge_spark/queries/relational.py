@@ -310,3 +310,74 @@ def q20_heavy_suppliers(spark, sf_dir):
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("s_name", "n_name")
     )
+
+
+@query(
+    "q21_waiting_supplier",
+    oracle="""
+SELECT s.s_name AS s_name, n.n_name AS n_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM supplier s, lineitem l1, orders o, nation n
+WHERE s.s_suppkey = l1.l_suppkey
+  AND o.o_orderkey = l1.l_orderkey
+  AND o.o_orderstatus = 'F'
+  AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  AND s.s_nationkey = n.n_nationkey
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY s.s_name, n.n_name
+""",
+)
+def q21_waiting_supplier(spark, sf_dir):
+    """TPC-H Q21-style "suppliers who kept orders waiting": late
+    lineitems (shipped >60 days after the order date, adapted — this
+    schema has no commit/receipt dates) on finalized multi-supplier
+    orders where this supplier was the ONLY late one.
+
+    Spark plan: the EXISTS + NOT EXISTS pair is decorrelated into ONE
+    scan of lineitem — pre-aggregate late-lineitem counts per
+    (order, supplier) with map-side combine, then a window over
+    l_orderkey (already-shrunk rows, one row per order-supplier pair)
+    computes suppliers-per-order and late-suppliers-per-order. At
+    100 TB the literal plan is three lineitem scans + two self-join
+    shuffles; this is one scan, one partial-aggregated shuffle, and a
+    window on data already reduced ~4× (avg lineitems per
+    order-supplier). Orders prunes to status 'F' before the join;
+    supplier/nation broadcast."""
+    supplier, lineitem, orders, nation = prep(
+        spark, sf_dir, "supplier", "lineitem", "orders", "nation")
+    # plain (non-broadcast) join on l_orderkey: at 100 TB orders is not
+    # broadcastable, and the resulting hashpartitioning(l_orderkey)
+    # exchange is reused by the (l_orderkey, l_suppkey) groupBy AND the
+    # per-order window below — one lineitem shuffle total (AQE still
+    # converts to broadcast at small SF).
+    li = lineitem.join(
+        orders.filter(F.col("o_orderstatus") == "F")
+              .select("o_orderkey", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"))
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    per_pair = (
+        li.groupBy("l_orderkey", "l_suppkey")
+        .agg(F.sum(F.when(late, 1).otherwise(0)).alias("late_cnt"))
+    )
+    w = Window.partitionBy("l_orderkey")
+    waiting = (
+        per_pair
+        .withColumn("n_supp", F.count(F.lit(1)).over(w))
+        .withColumn("n_late",
+                    F.sum((F.col("late_cnt") > 0).cast("int")).over(w))
+        .filter((F.col("late_cnt") > 0)
+                & (F.col("n_supp") > 1) & (F.col("n_late") == 1))
+    )
+    return (
+        waiting.join(F.broadcast(supplier),
+                     F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("s_name", "n_name")
+        .agg(F.sum("late_cnt").cast("long").alias("numwait"))
+    )
