@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from streamforge_spark.queries.common import prep
+from streamforge_spark.queries.common import prep, scaled_sum, sql_scaled_sum
 from streamforge_spark.registry import query
 
 _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
@@ -141,3 +141,52 @@ def grouping_sets_revenue(spark, sf_dir):
         FROM events_gs
         GROUP BY GROUPING SETS ((event_type), (CAST(dayofweek(ts) - 1 AS BIGINT)), ())
     """)
+
+
+@query(
+    "sliding_window_stats",
+    oracle=f"""
+WITH assigned AS (
+  SELECT date_trunc('hour', ts) AS s, value FROM events
+  UNION ALL
+  SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR AS s, value FROM events
+)
+SELECT s AS window_start,
+       CAST(COUNT(*) AS BIGINT) AS event_count,
+       {sql_scaled_sum('value')} AS total_value
+FROM assigned GROUP BY s
+""",
+)
+def sliding_window_stats(spark, sf_dir):
+    """Sliding event-time windows (2h width, 1h slide) — capability
+    surplus over the reference's session-only windowing (SURVEY §2.8).
+    Built-in ``window()`` expands each row into width/slide = 2
+    epoch-aligned windows BEFORE the shuffle, so the map-side partial
+    aggregate still combines — at 100 TB the shuffle carries one
+    partial row per (window, partition), not 2× the fact table. The
+    oracle replays the same assignment as a two-branch UNION ALL."""
+    (events,) = prep(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("event_count"),
+             scaled_sum(F.col("value")).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"),
+                "event_count", "total_value")
+    )
+
+
+@query("approx_distinct_users")
+def approx_distinct_users(spark, sf_dir):
+    """HyperLogLog++ approximate COUNT(DISTINCT user_id) per event
+    type (rsd 0.5%) next to the exact count-distinct. At 100 TB the
+    exact distinct is a full shuffle of (type, user) pairs; the HLL
+    sketch is fixed-size per group, merges map-side, and never
+    shuffles raw keys — the standard trade for cardinality dashboards.
+    Approximate by construction → rows-only check; the error bound vs
+    exact is asserted in tests/test_operators.py."""
+    (events,) = prep(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.005).alias("approx_users"),
+             F.count(F.lit(1)).alias("n_events"))
+    )

@@ -275,3 +275,21 @@ def test_ann_ivf_topk_clustered(spark):
         assert r.neighbor_id % 3 == r.query_id % 3
         by_q.setdefault(r.query_id, []).append(r.rank)
     assert all(sorted(v) == [1, 2, 3] for v in by_q.values())
+
+
+def test_approx_distinct_users_error_bound(spark):
+    # HLL++ at rsd=0.5% must land within 5% of the exact distinct on
+    # every event_type group at sf0.001 (rows-only query — this test
+    # is its accuracy gate)
+    from streamforge_spark.queries.windows import approx_distinct_users
+    from streamforge_spark.queries.common import prep
+    sf_small = "/root/testdata/sf0.001"
+    approx = {r.event_type: r.approx_users
+              for r in approx_distinct_users(spark, sf_small).collect()}
+    (events,) = prep(spark, sf_small, "events")
+    exact = {r.event_type: r.n for r in
+             events.groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("n")).collect()}
+    assert set(approx) == set(exact)
+    for t, n in exact.items():
+        assert abs(approx[t] - n) <= max(1, 0.05 * n), (t, approx[t], n)
