@@ -212,3 +212,66 @@ def bpe_token_stats(spark, sf_dir):
         bpe_token_count(t).alias("n_bpe"),
         F.size(F.array_distinct(bpe_tokens(t))).cast("long").alias("n_bpe_distinct"),
     )
+
+
+_SQL_SCORE = """0.4 * least(1.0, CAST(n_chars AS DOUBLE) / 500.0)
+       + 0.3 * (1.0 - CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+                      / CAST(n_chars AS DOUBLE))
+       + 0.3 * least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0)"""
+
+
+@query(
+    "corpus_curation",
+    oracle=f"""
+WITH survivors AS (
+  SELECT doc_id, text, source, n_chars FROM (
+    SELECT d.*, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM documents d
+  ) WHERE rn = 1
+),
+scored AS (
+  SELECT doc_id, source,
+         {{lang_case}} AS lang_pred,
+         {_SQL_SCORE} AS score,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM survivors
+)
+SELECT lang_pred, source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(CAST(ROUND(score * 1000000) AS BIGINT)) AS BIGINT) AS score_sum_micros
+FROM scored
+WHERE lang_pred <> 'unknown' AND score >= 0.5
+GROUP BY lang_pred, source
+""".replace("{lang_case}", _lang_case_sql()),
+)
+def corpus_curation(spark, sf_dir):
+    """End-to-end training-corpus curation pipeline in one plan:
+    exact-dedup (md5 hash-group, lowest doc_id survives) -> language ID
+    gate (drop 'unknown') -> quality-score gate (>= 0.5) -> per
+    (lang, source) corpus stats (docs, tokens, integer-scaled score
+    sum for bit-exact parity).
+
+    Scale shape: ONE shuffle on the content digest for dedup; lang/
+    quality/token columns are pure column algebra evaluated AFTER the
+    row_number filter (so losers are never scored); final rollup is a
+    map-side-combined aggregate on a low-cardinality key."""
+    (docs,) = prep(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5(F.col("text"))).orderBy("doc_id")
+    survivors = (docs.withColumn("rn", F.row_number().over(w))
+                 .filter(F.col("rn") == 1))
+    t = F.col("text")
+    scored = survivors.select(
+        "source",
+        lang_id(t).alias("lang_pred"),
+        quality_score(t, F.col("n_chars")).alias("score"),
+        token_count(t).alias("n_tokens"))
+    return (
+        scored.filter((F.col("lang_pred") != "unknown")
+                      & (F.col("score") >= 0.5))
+        .groupBy("lang_pred", "source")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_tokens").alias("total_tokens"),
+             F.sum(F.round(F.col("score") * 1000000).cast("long"))
+              .alias("score_sum_micros"))
+    )
