@@ -37,9 +37,12 @@ HEADLINE = [
     "q18_large_orders",
     "q7_volume_shipping",
     "q16_supplier_cnt",
+    "q21_waiting_supplier",
     "q22_idle_customers",
     "salted_event_agg",
+    "sliding_window_stats",
     "dedup_ngram_jaccard",
+    "corpus_curation",
     "text_stats",
     "ann_cosine_topk",
     "embedding_near_dup",

@@ -339,15 +339,13 @@ def q21_waiting_supplier(spark, sf_dir):
     orders where this supplier was the ONLY late one.
 
     Spark plan: the EXISTS + NOT EXISTS pair is decorrelated into ONE
-    scan of lineitem — pre-aggregate late-lineitem counts per
-    (order, supplier) with map-side combine, then a window over
-    l_orderkey (already-shrunk rows, one row per order-supplier pair)
-    computes suppliers-per-order and late-suppliers-per-order. At
-    100 TB the literal plan is three lineitem scans + two self-join
-    shuffles; this is one scan, one partial-aggregated shuffle, and a
-    window on data already reduced ~4× (avg lineitems per
-    order-supplier). Orders prunes to status 'F' before the join;
-    supplier/nation broadcast."""
+    scan of lineitem and ONE l_orderkey exchange — two whole-partition
+    windows (distinct suppliers per order, distinct LATE suppliers per
+    order) share that exchange, and when orders is too big to
+    broadcast the equi-join on l_orderkey shares it too. The literal
+    plan is three lineitem scans + two self-join shuffles. Orders
+    prunes to status 'F' before the join; supplier/nation broadcast;
+    guardrail: tests/test_plans.py::test_q21_single_lineitem_scan."""
     supplier, lineitem, orders, nation = prep(
         spark, sf_dir, "supplier", "lineitem", "orders", "nation")
     # plain (non-broadcast) join on l_orderkey: at 100 TB orders is not
@@ -360,17 +358,17 @@ def q21_waiting_supplier(spark, sf_dir):
               .select("o_orderkey", "o_orderdate"),
         F.col("l_orderkey") == F.col("o_orderkey"))
     late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
-    per_pair = (
-        li.groupBy("l_orderkey", "l_suppkey")
-        .agg(F.sum(F.when(late, 1).otherwise(0)).alias("late_cnt"))
-    )
+    flagged = li.select("l_orderkey", "l_suppkey", late.alias("is_late"))
+    # both per-order facts come from whole-partition windows over
+    # l_orderkey — distinct-supplier sets per order are tiny (a handful
+    # of suppliers), so collect_set stays O(order size) per row
     w = Window.partitionBy("l_orderkey")
     waiting = (
-        per_pair
-        .withColumn("n_supp", F.count(F.lit(1)).over(w))
-        .withColumn("n_late",
-                    F.sum((F.col("late_cnt") > 0).cast("int")).over(w))
-        .filter((F.col("late_cnt") > 0)
+        flagged
+        .withColumn("n_supp", F.size(F.collect_set("l_suppkey").over(w)))
+        .withColumn("n_late", F.size(F.collect_set(
+            F.when(F.col("is_late"), F.col("l_suppkey"))).over(w)))
+        .filter(F.col("is_late")
                 & (F.col("n_supp") > 1) & (F.col("n_late") == 1))
     )
     return (
@@ -379,5 +377,5 @@ def q21_waiting_supplier(spark, sf_dir):
         .join(F.broadcast(nation),
               F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("s_name", "n_name")
-        .agg(F.sum("late_cnt").cast("long").alias("numwait"))
+        .agg(F.count(F.lit(1)).alias("numwait"))
     )

@@ -147,3 +147,20 @@ def test_bucketed_join_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_q21_single_lineitem_scan(spark):
+    # the EXISTS/NOT-EXISTS decorrelation must keep exactly one
+    # lineitem scan; groupBy + per-order window reuse the join's
+    # l_orderkey exchange rather than adding their own
+    plan = plan_of(spark, "q21_waiting_supplier")
+    assert plan.count("file:/root/testdata/sf0.001/lineitem.parquet") == 1
+    assert plan.count("Arguments: hashpartitioning") <= 2  # l_orderkey + final rollup
+
+
+def test_corpus_curation_single_digest_exchange(spark):
+    # dedup -> gates -> rollup in one plan: one md5 exchange for the
+    # window, one low-cardinality rollup exchange, nothing else
+    plan = plan_of(spark, "corpus_curation")
+    assert plan.count("file:/root/testdata/sf0.001/documents.parquet") == 1
+    assert plan.count("Arguments: hashpartitioning") <= 2
