@@ -58,3 +58,20 @@ def write_bucketed(df: DataFrame, table: str, key: str, buckets: int,
     target_partition_size) at the largest consumer's scale."""
     (df.write.bucketBy(buckets, key).sortBy(key)
      .option("path", path).mode("overwrite").saveAsTable(table))
+
+
+def write_partitioned(df: DataFrame, path: str, *,
+                      partition_cols: list[str],
+                      max_records_per_file: int = 1_000_000) -> None:
+    """Persist a table hive-partitioned on low-cardinality columns
+    (typically a derived date column), so any query filtering on them
+    plans PartitionFilters — whole directories are skipped before a
+    single row is read.
+
+    This is the 100 TB answer to time-scoped scans (the dominant query
+    shape on event/CDC data): a day-partitioned 100 TB table serves a
+    one-week query by listing 7 directories. maxRecordsPerFile bounds
+    file sizes so a skewed partition still splits across tasks."""
+    (df.write.partitionBy(*partition_cols)
+     .option("maxRecordsPerFile", max_records_per_file)
+     .mode("overwrite").parquet(path))

@@ -152,3 +152,35 @@ def asof_join(left: DataFrame, right: DataFrame, *,
                 for c in left.columns]
     out_cols += [F.col(f"_m.{c}").alias(f"{prefix}{c}") for c in right_cols]
     return matched.select(*out_cols)
+
+
+def interval_join(left: DataFrame, right: DataFrame, *,
+                  ts_col: str, start_col: str, end_col: str,
+                  bucket_seconds: int) -> DataFrame:
+    """Range join (point-in-interval, no equi key) as a bucketized
+    equi-join — the missing Spark primitive (SURVEY §2.7 'absent' row).
+
+    A literal ``l.ts BETWEEN r.start AND r.end`` join has no equi
+    condition, so Spark plans BroadcastNestedLoopJoin (O(n*m) — fatal
+    at 100 TB). Instead: explode each interval into the epoch buckets
+    it covers (``sequence``), bucket each point, equi-join on the
+    bucket id, then apply the exact ``start <= ts < end`` residual.
+    One hash exchange on the bucket id; cost scales with
+    points x avg-overlapping-intervals, not points x intervals.
+    ``bucket_seconds`` ~ median interval length keeps the per-interval
+    explode factor ~2 rows.
+
+    Output: matched pairs only (inner); bounds are [start, end)."""
+    bs = int(bucket_seconds)
+    r = right.withColumn(
+        "_b", F.explode(F.sequence(
+            F.floor(F.unix_timestamp(F.col(start_col)) / bs).cast("long"),
+            F.floor(F.unix_timestamp(F.col(end_col)) / bs).cast("long"))))
+    l = left.withColumn(
+        "_b", F.floor(F.unix_timestamp(F.col(ts_col)) / bs).cast("long"))
+    return (
+        l.join(r, "_b")
+        .filter((F.col(ts_col) >= F.col(start_col))
+                & (F.col(ts_col) < F.col(end_col)))
+        .drop("_b")
+    )

@@ -161,3 +161,41 @@ def asof_join_latest_event(spark, sf_dir):
              F.count("purchase_id").alias("n_after_purchase"),
              F.sum(F.coalesce(F.col("purchase_cents"), F.lit(0))).alias("cents_sum"))
     )
+
+
+@query(
+    "incident_window_impact",
+    oracle="""
+WITH incidents AS (
+  SELECT event_id AS incident_id, ts AS w_start,
+         ts + INTERVAL 10 MINUTE AS w_end
+  FROM events WHERE event_type = 'error'
+)
+SELECT i.incident_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+FROM incidents i JOIN events e
+  ON e.ts >= i.w_start AND e.ts < i.w_end
+GROUP BY i.incident_id
+""",
+)
+def incident_window_impact(spark, sf_dir):
+    """Pure range join (no equi key): traffic inside the 10-minute
+    blast window after every error event. Literal SQL plans a
+    BroadcastNestedLoopJoin; ``interval_join`` rewrites it as a
+    bucketized equi-join (600s buckets ~ window length → each interval
+    explodes into ~2 bucket rows), one hash exchange on the bucket id.
+    Guardrail: tests/test_plans.py::test_interval_join_no_bnlj."""
+    from streamforge_spark.operators.joins import interval_join
+    (events,) = prep(spark, sf_dir, "events")
+    incidents = (events.filter(F.col("event_type") == "error")
+                 .select(F.col("event_id").alias("incident_id"),
+                         F.col("ts").alias("w_start"),
+                         (F.col("ts") + F.expr("INTERVAL 10 MINUTES"))
+                         .alias("w_end")))
+    pairs = interval_join(events.select("user_id", "ts"), incidents,
+                          ts_col="ts", start_col="w_start",
+                          end_col="w_end", bucket_seconds=600)
+    return (pairs.groupBy("incident_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.countDistinct("user_id").alias("n_users")))

@@ -293,3 +293,26 @@ def test_approx_distinct_users_error_bound(spark):
     assert set(approx) == set(exact)
     for t, n in exact.items():
         assert abs(approx[t] - n) <= max(1, 0.05 * n), (t, approx[t], n)
+
+
+def test_interval_join_boundary_semantics(spark):
+    # bounds are [start, end); intervals spanning bucket boundaries
+    # must still match every covered point exactly once
+    from datetime import datetime
+    from streamforge_spark.operators.joins import interval_join
+    t = lambda s: datetime.fromisoformat(s)
+    pts = spark.createDataFrame(
+        [(1, t("2024-01-01 10:00:00")),   # == start: in
+         (2, t("2024-01-01 10:09:59")),   # inside
+         (3, t("2024-01-01 10:10:00")),   # == end: out
+         (4, t("2024-01-01 09:59:59")),   # before: out
+         (5, t("2024-01-01 10:07:30"))],  # inside, other bucket
+        "id long, ts timestamp")
+    iv = spark.createDataFrame(
+        [(100, t("2024-01-01 10:00:00"), t("2024-01-01 10:10:00")),
+         (200, t("2024-01-01 10:05:00"), t("2024-01-01 10:08:00"))],
+        "iid long, s timestamp, e timestamp")
+    out = interval_join(pts, iv, ts_col="ts", start_col="s", end_col="e",
+                        bucket_seconds=300)  # bucket < interval length
+    got = sorted((r.id, r.iid) for r in out.collect())
+    assert got == [(1, 100), (2, 100), (5, 100), (5, 200)]

@@ -164,3 +164,32 @@ def test_corpus_curation_single_digest_exchange(spark):
     plan = plan_of(spark, "corpus_curation")
     assert plan.count("file:/root/testdata/sf0.001/documents.parquet") == 1
     assert plan.count("Arguments: hashpartitioning") <= 2
+
+
+def test_partitioned_write_prunes_at_read(spark, tmp_path):
+    # hive-partitioned layout: a filter on the partition column must
+    # become a PartitionFilter (directory pruning), not a row filter
+    from pyspark.sql import functions as F
+    from streamforge_spark.io import load, write_partitioned
+    events = load(spark, SF, "events").withColumn(
+        "event_date", F.to_date("ts"))
+    path = str(tmp_path / "events_by_date")
+    write_partitioned(events, path, partition_cols=["event_date"])
+    back = spark.read.parquet(path).filter(
+        F.col("event_date") == "2024-01-02")
+    plan = back._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert "PartitionFilters: [isnotnull(event_date" in plan
+    n_dates = events.select("event_date").distinct().count()
+    assert n_dates > 1
+    got = back.count()
+    want = events.filter(F.col("event_date") == "2024-01-02").count()
+    assert got == want and got > 0
+
+
+def test_interval_join_no_bnlj(spark):
+    # the bucketized range join must never fall back to a nested-loop
+    # or cartesian plan — that's the entire point of the rewrite
+    plan = plan_of(spark, "incident_window_impact")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

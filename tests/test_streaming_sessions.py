@@ -104,3 +104,32 @@ def test_streaming_split_sinks_zero_copy_fanout(spark, workdir):
     # exclusive routing: everything else lands on main, nothing is lost
     assert sorted(r.event_id for r in main) == [1, 2, 5]
     assert len(purchases) + len(signups) + len(main) == len(ROWS)
+
+
+def test_streaming_sliding_window_matches_batch(spark, workdir):
+    # sliding windows (1h width, 30m slide) close as the watermark
+    # passes; streaming append output must equal the batch assignment
+    src = f"{workdir}/in_slide"
+    _write(spark, src, ROWS)
+    stream = file_stream(spark, src, SCHEMA)
+    agg = (stream.withWatermark("t", "10 seconds")
+           .groupBy(F.window("t", "1 hour", "30 minutes").alias("w"))
+           .agg(F.count(F.lit(1)).alias("n"))
+           .select(F.col("w.start").alias("ws"), "n"))
+    q = (agg.writeStream.format("memory").queryName("slide_out")
+         .outputMode("append").start())
+    q.processAllAvailable()
+    _write(spark, src, [(99, "zz", ts("2024-01-02 00:00:00"), "noop")])
+    q.processAllAvailable()
+    q.stop()
+
+    got = {(r.ws, r.n) for r in spark.sql(
+        "select * from slide_out where ws < timestamp'2024-01-01 23:00:00'").collect()}
+    batch = spark.createDataFrame(ROWS, SCHEMA)
+    want = {(r.ws, r.n) for r in
+            (batch.groupBy(F.window("t", "1 hour", "30 minutes").alias("w"))
+             .agg(F.count(F.lit(1)).alias("n"))
+             .select(F.col("w.start").alias("ws"), "n")).collect()}
+    assert got == want
+    # every event lands in exactly width/slide = 2 windows
+    assert sum(n for _, n in want) == 2 * len(ROWS)
