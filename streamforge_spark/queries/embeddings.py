@@ -98,7 +98,9 @@ def ann_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-k: the small query set rides into every
     task as a numpy matrix (broadcast-variable pattern); the corpus
     stays partitioned — each Arrow batch scores batch x queries in one
-    vectorized pass, then a window rank takes the global top-k.
+    vectorized pass, each PARTITION prunes to its local top-k under
+    the final (cos desc, cid) order (provably lossless), and only
+    n_part*k rows per query reach the global window rank.
     At 100 TB the corpus is never collected; the candidate-pruned
     scale path is ann_lsh_topk.
     """
@@ -119,14 +121,31 @@ def ann_cosine_topk(spark, sf_dir):
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         Qm, ids, qnorm = bq.value
+        cos_parts, cid_parts = [], []
         for pdf in batches:
             C = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
             cids = pdf["vec_id"].to_numpy()
             dots = seq_dot_matrix(C, Qm)                 # (batch, nq)
             cos = dots / np.outer(seq_norms(C), qnorm)   # dot/(cn*qn)
-            bi, qi = np.nonzero(cids[:, None] != ids[None, :])
-            yield pd.DataFrame({"qid": ids[qi], "cid": cids[bi],
-                                "cos": cos[bi, qi]})
+            cos[cids[:, None] == ids[None, :]] = -np.inf  # mask self
+            cos_parts.append(cos)
+            cid_parts.append(cids)
+        if not cos_parts:
+            return
+        # per-PARTITION top-k pruning under the final (cos desc, cid
+        # asc) order: any row dropped here has k better rows in this
+        # partition, so it can't reach the global top-k — the shuffle
+        # then carries n_part*k rows per query, not the whole corpus
+        cos_all = np.concatenate(cos_parts)              # (p_rows, nq)
+        cid_all = np.concatenate(cid_parts)
+        out = {"qid": [], "cid": [], "cos": []}
+        for j, qid in enumerate(ids):
+            order = np.lexsort((cid_all, -cos_all[:, j]))[:TOPK_K]
+            keep = order[np.isfinite(cos_all[order, j])]
+            out["qid"].append(np.full(len(keep), qid))
+            out["cid"].append(cid_all[keep])
+            out["cos"].append(cos_all[keep, j])
+        yield pd.DataFrame({k: np.concatenate(v) for k, v in out.items()})
 
     scored = emb.repartition(n_part, "vec_id").mapInPandas(score, schema)
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid"))
