@@ -150,13 +150,17 @@ WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= {NGRAM_JACCARD_THRE
 def dedup_ngram_jaccard(spark, sf_dir):
     """Near-duplicate pairs by word-3-gram (shingle) Jaccard.
 
-    Distributed formulation: explode distinct shingles, self-join on
-    the shingle (inverted-index blocking — candidate pairs only where
-    at least one shingle is shared), aggregate intersection counts,
-    compute |A∩B| / (|A|+|B|-|A∩B|). At 100 TB the shingle join is the
-    scale knob: frequent-shingle skew is bounded because shingles are
-    deduped per doc; pair counts stay sparse. MinHash+LSH variant
-    (dedup_minhash_lsh) cuts the candidate space further.
+    Distributed formulation (inverted-index blocking, ONE shingle
+    pass): explode distinct shingles, group the posting list per
+    shingle, emit candidate i<j pairs with array higher-order
+    functions, aggregate intersection counts, compute
+    |A∩B| / (|A|+|B|-|A∩B|). The naive self-join on the shingle
+    computes the (expensive) shingle explode twice and shuffles it
+    twice; the posting-list form scans and shingles the corpus once.
+    Per-shingle pair blowup is quadratic in posting-list length either
+    way — shingles are deduped per doc, so only genuinely common
+    phrases are hot. MinHash+LSH (dedup_minhash_lsh) is the variant
+    that also cuts the candidate space.
     """
     (docs,) = prep(spark, sf_dir, "documents")
     # repartition: shingle generation parallelizes across the cluster
@@ -171,13 +175,20 @@ def dedup_ngram_jaccard(spark, sf_dir):
         .select("doc_id", F.size("gs").cast("long").alias("n"),
                 F.explode("gs").alias("g"))
     )
-    a = grams.alias("a")
-    b = grams.alias("b")
+    postings = (
+        grams.groupBy("g")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "n"))).alias("ds"))
+        .filter(F.size("ds") >= 2)
+    )
+    pairs = postings.select(F.explode(F.expr(
+        "flatten(transform(ds, (x, i) -> "
+        "transform(slice(ds, i + 2, size(ds) - i - 1), "
+        "y -> struct(x.doc_id AS d1, x.n AS na, y.doc_id AS d2, y.n AS nb))))"
+    )).alias("p")).select("p.*")
     jac = (
-        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        pairs.groupBy("d1", "d2")
         .agg(F.count(F.lit(1)).alias("i"),
-             F.min(F.col("a.n")).alias("na"), F.min(F.col("b.n")).alias("nb"))
+             F.min("na").alias("na"), F.min("nb").alias("nb"))
         .select(
             "d1", "d2",
             (F.col("i").cast("double")

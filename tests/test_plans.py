@@ -193,3 +193,10 @@ def test_interval_join_no_bnlj(spark):
     plan = plan_of(spark, "incident_window_impact")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ngram_jaccard_single_corpus_scan(spark):
+    # the posting-list formulation must shingle the corpus ONCE — a
+    # self-join regression doubles the dominant (string explode) cost
+    plan = plan_of(spark, "dedup_ngram_jaccard")
+    assert plan.count("file:/root/testdata/sf0.001/documents.parquet") == 1
