@@ -75,3 +75,29 @@ def write_partitioned(df: DataFrame, path: str, *,
     (df.write.partitionBy(*partition_cols)
      .option("maxRecordsPerFile", max_records_per_file)
      .mode("overwrite").parquet(path))
+
+
+def compact_files(spark: SparkSession, path: str, *,
+                  target_file_bytes: int = 128 * 1024 * 1024) -> int:
+    """Compact a parquet directory written by many small micro-batches
+    into ~target-sized files; returns the resulting file count.
+
+    Streaming foreachBatch sinks produce one file per partition per
+    trigger — at a 10s trigger that's ~8.6k files/day/partition, and
+    at 100 TB the scan's file-listing + footer reads dominate. This
+    rewrites the directory via coalesce (no shuffle — existing
+    partitions are merged, not repartitioned) into
+    ceil(bytes/target) files. Run it on cold partitions (e.g. closed
+    date= directories of a write_partitioned layout), never on the
+    directory a live stream is appending to."""
+    import math
+    fs_path = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = fs_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    size = fs.getContentSummary(fs_path).getLength()
+    n_files = max(1, math.ceil(size / target_file_bytes))
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + "__compact_tmp"
+    df.coalesce(n_files).write.mode("overwrite").parquet(tmp)
+    fs.delete(fs_path, True)
+    fs.rename(spark._jvm.org.apache.hadoop.fs.Path(tmp), fs_path)
+    return n_files

@@ -73,3 +73,28 @@ def materializer_changelog(df: DataFrame, key_cols: Sequence[str],
     )
     # a DELETE with nothing live to delete is a no-op (state was empty)
     return out.filter(~((F.col("change_type") == "DELETE") & F.col("before").isNull()))
+
+
+def materializer_history(df: DataFrame, key_cols: Sequence[str],
+                         order_cols: Sequence[str],
+                         time_col: str,
+                         delete_predicate: Column | None = None) -> DataFrame:
+    """SCD-2 history materialization — the Materializer's state
+    timeline as a queryable table: every non-delete row becomes a
+    version with ``valid_from``/``valid_to``/``is_current``; a delete
+    emits no version but still closes its predecessor (its timestamp
+    becomes the predecessor's ``valid_to``).
+
+    Same single hash exchange as the changelog (the ``lead`` window
+    shares the changelog's partitioning), so deriving history + latest
+    + changelog from one source costs one shuffle total."""
+    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    is_del = delete_predicate if delete_predicate is not None else F.lit(False)
+    versioned = df.withColumn("valid_to", F.lead(time_col).over(w)) \
+                  .withColumn("_is_del", is_del.cast("boolean"))
+    return (
+        versioned.filter(~F.col("_is_del"))
+        .withColumn("valid_from", F.col(time_col))
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .drop("_is_del")
+    )

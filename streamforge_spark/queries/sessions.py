@@ -129,3 +129,35 @@ def tumbling_window_stats(spark, sf_dir):
              scaled_sum(F.col("value")).alias("total_value"))
         .select(F.col("w.start").alias("window_start"), "event_count", "total_value")
     )
+
+
+@query(
+    "materialize_history",
+    oracle=f"""
+WITH {ENVELOPE_CTE},
+v AS (
+  SELECT primary_key, payload_json, event_time,
+         operation = 'delete' AS is_del,
+         lead(event_time) OVER (PARTITION BY primary_key
+                                ORDER BY event_time, event_id) AS valid_to
+  FROM envelope
+)
+SELECT primary_key, payload_json, event_time AS valid_from, valid_to,
+       valid_to IS NULL AS is_current
+FROM v WHERE NOT is_del
+""",
+)
+def materialize_history(spark, sf_dir):
+    """SCD-2 history view of the Materializer's keyed state (SURVEY
+    §2.8 surplus): every live version with its validity interval;
+    deletes close their predecessor's interval without emitting a
+    version. One hash exchange on the key, shared with the changelog
+    window."""
+    from streamforge_spark.operators.materialize import materializer_history
+    (events,) = prep(spark, sf_dir, "events")
+    env = envelope_from_events(events)
+    hist = materializer_history(
+        env, ["primary_key"], ["event_time", "event_id"], "event_time",
+        delete_predicate=F.col("operation") == "delete")
+    return hist.select("primary_key", "payload_json", "valid_from",
+                       "valid_to", "is_current")

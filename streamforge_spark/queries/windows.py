@@ -190,3 +190,22 @@ def approx_distinct_users(spark, sf_dir):
         .agg(F.approx_count_distinct("user_id", rsd=0.005).alias("approx_users"),
              F.count(F.lit(1)).alias("n_events"))
     )
+
+
+@query("approx_event_percentiles")
+def approx_event_percentiles(spark, sf_dir):
+    """t-digest approximate percentiles (percentile_approx) per event
+    type — the sketch path for when a group outgrows a partition and
+    the exact order-statistics plan (event_value_percentiles) would
+    sort-spill: sketches are fixed-size and merge map-side, so the
+    shuffle carries one digest per group per task. Approximate by
+    construction → rows-only check; error vs the exact rank statistics
+    is gated in tests/test_operators.py."""
+    (events,) = prep(spark, sf_dir, "events")
+    p = F.percentile_approx(
+        F.round(F.col("value") * 100).cast("long"), [0.5, 0.9, 0.99], 10000)
+    return (events.groupBy("event_type")
+            .agg(p.getItem(0).alias("p50_cents"),
+                 p.getItem(1).alias("p90_cents"),
+                 p.getItem(2).alias("p99_cents"),
+                 F.count(F.lit(1)).alias("n_events")))

@@ -316,3 +316,38 @@ def test_interval_join_boundary_semantics(spark):
                         bucket_seconds=300)  # bucket < interval length
     got = sorted((r.id, r.iid) for r in out.collect())
     assert got == [(1, 100), (2, 100), (5, 100), (5, 200)]
+
+
+def test_materializer_history_scd2(spark):
+    # deletes emit no version but close the predecessor's interval;
+    # the last live version per key is current
+    from streamforge_spark.operators.materialize import materializer_history
+    df = spark.createDataFrame(
+        [(1, "k", ts("2024-01-01 10:00:00"), "v1", "insert"),
+         (2, "k", ts("2024-01-01 10:01:00"), "v2", "update"),
+         (3, "k", ts("2024-01-01 10:02:00"), None, "delete"),
+         (4, "k", ts("2024-01-01 10:03:00"), "v3", "insert")],
+        "event_id long, key string, t timestamp, v string, op string")
+    hist = materializer_history(df, ["key"], ["t", "event_id"], "t",
+                                delete_predicate=F.col("op") == "delete")
+    rows = {r.v: (r.valid_from, r.valid_to, r.is_current)
+            for r in hist.collect()}
+    assert rows["v1"] == (ts("2024-01-01 10:00:00"), ts("2024-01-01 10:01:00"), False)
+    assert rows["v2"] == (ts("2024-01-01 10:01:00"), ts("2024-01-01 10:02:00"), False)
+    assert rows["v3"] == (ts("2024-01-01 10:03:00"), None, True)
+
+
+def test_approx_percentiles_close_to_exact(spark):
+    # the sketch must land within 2% of the exact order statistic on
+    # every group/quantile (rows-only query — this is its gate)
+    from streamforge_spark.queries.windows import (
+        approx_event_percentiles, event_value_percentiles)
+    sf = "/root/testdata/sf0.001"
+    ap = {r.event_type: (r.p50_cents, r.p90_cents, r.p99_cents)
+          for r in approx_event_percentiles(spark, sf).collect()}
+    ex = {r.event_type: (r.p50_cents, r.p90_cents, r.p99_cents)
+          for r in event_value_percentiles(spark, sf).collect()}
+    assert set(ap) == set(ex)
+    for t in ex:
+        for a, e in zip(ap[t], ex[t]):
+            assert abs(a - e) <= max(2, 0.02 * e), (t, ap[t], ex[t])
