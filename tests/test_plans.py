@@ -200,3 +200,19 @@ def test_ngram_jaccard_single_corpus_scan(spark):
     # self-join regression doubles the dominant (string explode) cost
     plan = plan_of(spark, "dedup_ngram_jaccard")
     assert plan.count("file:/root/testdata/sf0.001/documents.parquet") == 1
+
+
+def test_salted_join_matches_direct(spark):
+    from pyspark.sql import functions as F
+    from streamforge_spark.io import load
+    from streamforge_spark.operators.skew import salted_join
+    events = load(spark, SF, "events").select("event_id", "user_id", "value")
+    cust = load(spark, SF, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_name", "c_mktsegment")
+    for how in ("inner", "left"):
+        direct = {tuple(r) for r in
+                  events.join(cust, "user_id", how).collect()}
+        salted = {tuple(r) for r in
+                  salted_join(events, cust, "user_id",
+                              salt_buckets=8, how=how).collect()}
+        assert salted == direct
