@@ -171,7 +171,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
         docs.repartition(n_part, "doc_id")
         .select("doc_id", word_ngrams(F.col("text"), 3).alias("gs"))
         # carry each doc's set size alongside its shingles so no
-        # second pass / size join is ever needed
+        # second text parse / size join is ever needed
         .select("doc_id", F.size("gs").cast("long").alias("n"),
                 F.explode("gs").alias("g"))
     )
