@@ -355,3 +355,72 @@ def salted_event_agg(spark, sf_dir):
         "event_type", "event_count",
         (F.col("sum_cents").cast("double") / 100.0).alias("total_value"),
         "min_value", "max_value")
+
+
+@query(
+    "funnel_conversion",
+    oracle="""
+WITH s AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY user_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(COUNT(t_signup) AS BIGINT) AS n_signup,
+       CAST(COUNT(CASE WHEN t_purchase > t_signup THEN 1 END) AS BIGINT)
+         AS n_converted
+FROM s
+""",
+)
+def funnel_conversion(spark, sf_dir):
+    """Ordered funnel (signup -> later purchase) via conditional MIN
+    per step — the sequence constraint becomes a timestamp comparison,
+    ONE hash exchange on user_id with map-side partial MINs, no
+    self-join, no ordered collect_list."""
+    (events,) = prep(spark, sf_dir, "events")
+    step = lambda t: F.min(F.when(F.col("event_type") == t, F.col("ts")))
+    s = events.groupBy("user_id").agg(step("signup").alias("t_signup"),
+                                      step("purchase").alias("t_purchase"))
+    return s.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_signup").alias("n_signup"),
+        F.count(F.when(F.col("t_purchase") > F.col("t_signup"), 1))
+         .alias("n_converted"))
+
+
+@query(
+    "retention_cohorts",
+    oracle="""
+WITH firstw AS (
+  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT e.user_id, f.cohort,
+         CAST(datediff('week', f.cohort, date_trunc('week', e.ts)) AS BIGINT) AS week_n
+  FROM events e JOIN firstw f ON e.user_id = f.user_id
+)
+SELECT cohort, week_n, CAST(COUNT(*) AS BIGINT) AS active_users
+FROM activity GROUP BY cohort, week_n
+""",
+)
+def retention_cohorts(spark, sf_dir):
+    """Cohort retention: users grouped by first-seen week, counted
+    distinctly in each subsequent activity week. Two exchanges on
+    user_id (first-seen agg + cohort join — the second reuses the
+    first's partitioning) and one on the small (cohort, week) rollup.
+    DuckDB's date_trunc('week') is ISO Monday-start; Spark's
+    date_trunc('WEEK') matches."""
+    (events,) = prep(spark, sf_dir, "events")
+    firstw = (events.groupBy("user_id")
+              .agg(F.date_trunc("WEEK", F.min("ts")).alias("cohort")))
+    activity = (
+        events.join(firstw, "user_id")
+        .select("user_id", "cohort",
+                (F.datediff(F.date_trunc("WEEK", F.col("ts")), F.col("cohort"))
+                 / 7).cast("long").alias("week_n"))
+        .distinct()
+    )
+    return (activity.groupBy("cohort", "week_n")
+            .agg(F.count(F.lit(1)).alias("active_users")))
