@@ -1,0 +1,47 @@
+"""Iterative graph operators on DataFrames.
+
+Connected components powers duplicate clustering: near-dup PAIRS
+(MinHash/SimHash/Jaccard output) become GROUPS by taking the
+transitive closure, and each group keeps one canonical document.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(edges: DataFrame, src: str = "d1", dst: str = "d2",
+                         max_iter: int = 20) -> DataFrame:
+    """Min-label propagation over undirected edges → (node, component),
+    component = min node id of the connected component.
+
+    Each iteration: every node takes the min of its own label and its
+    neighbors' labels — one shuffle join + one aggregate per round,
+    converging in O(component diameter) rounds (near-dup clusters are
+    shallow; max_iter bounds adversarial chains). The per-round
+    ``localCheckpoint`` truncates lineage — without it, iteration K
+    replays all K-1 predecessors and the DAG grows quadratically (on a
+    cluster, use a checkpoint dir for fault tolerance instead). The
+    only driver-side data is the converged? flag (one count per
+    round), never the labels."""
+    sym = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+           .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+           .distinct())
+    labels = (sym.select(F.col("a").alias("n")).distinct()
+              .withColumn("c", F.col("n")).localCheckpoint(eager=True))
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym["b"] == labels["n"])
+            .groupBy(F.col("a").alias("n")).agg(F.min("c").alias("c")))
+        new_labels = (
+            labels.union(neighbor_min)
+            .groupBy("n").agg(F.min("c").alias("c"))
+            .localCheckpoint(eager=True))
+        changed = (new_labels.alias("x")
+                   .join(labels.alias("y"), "n")
+                   .filter(F.col("x.c") != F.col("y.c")).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("n").alias("node"), F.col("c").alias("component"))

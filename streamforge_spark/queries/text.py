@@ -286,3 +286,35 @@ def corpus_curation(spark, sf_dir):
              F.sum(F.round(F.col("score") * 1000000).cast("long"))
               .alias("score_sum_micros"))
     )
+
+
+@query(
+    "dedup_clusters",
+    oracle=f"""
+WITH RECURSIVE pairs AS ({_NGRAM_ORACLE}),
+edges AS (
+  SELECT d1 AS a, d2 AS b FROM pairs
+  UNION
+  SELECT d2 AS a, d1 AS b FROM pairs
+),
+reach(node, label) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, r.label FROM reach r JOIN edges e ON e.b = r.node
+)
+SELECT node AS doc_id, MIN(label) AS component
+FROM reach GROUP BY node
+""",
+)
+def dedup_clusters(spark, sf_dir):
+    """Near-duplicate CLUSTERS: transitive closure of the n-gram
+    Jaccard pair graph via iterative min-label propagation
+    (operators/graph.py::connected_components) — pairs become groups,
+    each labeled by its minimum doc_id (the canonical survivor). The
+    oracle computes the same closure with a recursive CTE. Iterative /
+    driver-looped, so this is the one query shape Catalyst can't plan
+    in a single DAG; lineage is truncated per round."""
+    from streamforge_spark.operators.graph import connected_components
+    pairs = dedup_ngram_jaccard(spark, sf_dir)
+    return (connected_components(pairs, "d1", "d2")
+            .select(F.col("node").alias("doc_id"), "component"))

@@ -351,3 +351,19 @@ def test_approx_percentiles_close_to_exact(spark):
     for t in ex:
         for a, e in zip(ap[t], ex[t]):
             assert abs(a - e) <= max(2, 0.02 * e), (t, ap[t], ex[t])
+
+
+def test_connected_components_chain_and_islands(spark):
+    # a 4-node chain (worst-case diameter), a triangle, and an
+    # isolated pair must each collapse to their min node id
+    from streamforge_spark.operators.graph import connected_components
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),        # chain
+         (10, 11), (11, 12), (12, 10),  # triangle
+         (20, 21)],                     # pair
+        "d1 long, d2 long")
+    got = {r.node: r.component
+           for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1,
+                   10: 10, 11: 10, 12: 10,
+                   20: 20, 21: 20}
