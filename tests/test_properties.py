@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 BASE = datetime(2024, 1, 1, 10, 0, 0)
 
-SLOW = settings(max_examples=12, deadline=None,
+SLOW = settings(max_examples=12, deadline=None, derandomize=True,
                 suppress_health_check=[HealthCheck.too_slow,
                                        HealthCheck.function_scoped_fixture])
 
