@@ -42,6 +42,8 @@ HEADLINE = [
     "salted_event_agg",
     "sliding_window_stats",
     "dedup_ngram_jaccard",
+    "dedup_clusters",
+    "incident_window_impact",
     "corpus_curation",
     "text_stats",
     "ann_cosine_topk",

@@ -25,23 +25,29 @@ def connected_components(edges: DataFrame, src: str = "d1", dst: str = "d2",
     cluster, use a checkpoint dir for fault tolerance instead). The
     only driver-side data is the converged? flag (one count per
     round), never the labels."""
+    # materialize the edge list ONCE — it is re-joined every round, and
+    # without this the (possibly expensive) upstream pipeline that
+    # produced the edges re-executes per iteration
     sym = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
            .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-           .distinct())
+           .distinct().localCheckpoint(eager=True))
     labels = (sym.select(F.col("a").alias("n")).distinct()
               .withColumn("c", F.col("n")).localCheckpoint(eager=True))
+    # labels only ever decrease (min-propagation), so the label-sum is
+    # strictly decreasing until fixpoint: an unchanged sum IS
+    # convergence — one scalar aggregate per round instead of a
+    # join+count against the previous labels
+    prev_sum = labels.agg(F.sum("c")).collect()[0][0]
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym["b"] == labels["n"])
             .groupBy(F.col("a").alias("n")).agg(F.min("c").alias("c")))
-        new_labels = (
+        labels = (
             labels.union(neighbor_min)
             .groupBy("n").agg(F.min("c").alias("c"))
             .localCheckpoint(eager=True))
-        changed = (new_labels.alias("x")
-                   .join(labels.alias("y"), "n")
-                   .filter(F.col("x.c") != F.col("y.c")).count())
-        labels = new_labels
-        if changed == 0:
+        new_sum = labels.agg(F.sum("c")).collect()[0][0]
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels.select(F.col("n").alias("node"), F.col("c").alias("component"))
