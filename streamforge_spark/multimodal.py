@@ -130,3 +130,42 @@ def sample_frames(df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
             yield pd.DataFrame(out, columns=["media_id", "frame_idx", "frame"])
 
     return df.mapInPandas(sample, schema)
+
+
+RESIZED_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("media_type", T.StringType()),
+    T.StructField("payload", T.BinaryType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+])
+
+
+def resize_media(df: DataFrame, width: int, height: int,
+                 fake: bool = False) -> DataFrame:
+    """Resize stage over mapInPandas (1 row -> 1 smaller row). The
+    real implementation slots PIL/ffmpeg scaling into the same
+    signature; the deterministic stand-in (fake=True) truncates the
+    payload proportionally to the pixel-count ratio so downstream
+    size-dependent logic sees realistic shrinkage. Output keeps the
+    binary columnar layout — resize early, and every later stage
+    shuffles the small bytes, not the originals."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "media codecs unavailable in this environment; "
+                    "pass fake=True for the deterministic stand-in")
+            n = pdf["payload"].map(len)
+            ratio = min(1.0, (width * height) / (1024.0 * 768.0))
+            keep = (n * ratio).astype("int64").clip(lower=1)
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "media_type": pdf["media_type"],
+                "payload": [bytes(b)[:k] for b, k in zip(pdf["payload"], keep)],
+                "width": pd.Series([width] * len(pdf), dtype="int32"),
+                "height": pd.Series([height] * len(pdf), dtype="int32"),
+            })
+
+    return df.mapInPandas(resize, RESIZED_SCHEMA)

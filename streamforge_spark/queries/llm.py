@@ -103,3 +103,27 @@ def multimodal_frame_sample(spark, sf_dir):
     (docs,) = prep(spark, sf_dir, "documents")
     media = media_from_documents(docs)
     return sample_frames(media, every_n_bytes=64).select("media_id", "frame_idx")
+
+
+@query(
+    "multimodal_resize",
+    oracle="""
+SELECT doc_id AS media_id,
+       CAST(GREATEST(CAST(FLOOR(octet_length(encode(text)) * ((224.0 * 224.0) / (1024.0 * 768.0))) AS BIGINT), 1) AS BIGINT) AS n_bytes,
+       CAST(224 AS INTEGER) AS width,
+       CAST(224 AS INTEGER) AS height
+FROM documents
+""",
+)
+def multimodal_resize(spark, sf_dir):
+    """Resize stage (downscale to 224x224 model input) over
+    mapInPandas; the oracle checks the proportional payload shrinkage
+    the deterministic stand-in applies. Resize-early ordering: every
+    stage after this shuffles ~6% of the original bytes."""
+    from streamforge_spark.multimodal import resize_media
+    (docs,) = prep(spark, sf_dir, "documents")
+    media = media_from_documents(docs)
+    out = resize_media(media, 224, 224, fake=True)
+    return out.select("media_id",
+                      F.length("payload").cast("long").alias("n_bytes"),
+                      "width", "height")
