@@ -209,3 +209,36 @@ def approx_event_percentiles(spark, sf_dir):
                  p.getItem(1).alias("p90_cents"),
                  p.getItem(2).alias("p99_cents"),
                  F.count(F.lit(1)).alias("n_events")))
+
+
+@query(
+    "cascading_rollup",
+    oracle="""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+  FROM events GROUP BY 1
+)
+SELECT date_trunc('day', h) AS day,
+       CAST(SUM(n) AS BIGINT) AS n_events,
+       CAST(SUM(cents) AS BIGINT) AS cents,
+       CAST(COUNT(*) AS BIGINT) AS n_hours
+FROM hourly GROUP BY 1
+""",
+)
+def cascading_rollup(spark, sf_dir):
+    """Hypertable-style continuous-aggregate cascade: the day rollup
+    is computed FROM the hour rollup, not from raw events — at 100 TB
+    the coarser resolutions aggregate a few thousand partial rows
+    instead of rescanning the fact table (persist the hourly level and
+    the daily refresh is O(hours), the continuous-aggregate pattern).
+    Counts/sums stay integer-exact through both levels."""
+    (events,) = prep(spark, sf_dir, "events")
+    hourly = (events.groupBy(F.date_trunc("hour", "ts").alias("h"))
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")))
+    return (hourly.groupBy(F.date_trunc("day", "h").alias("day"))
+            .agg(F.sum("n").alias("n_events"),
+                 F.sum("cents").alias("cents"),
+                 F.count(F.lit(1)).alias("n_hours")))
