@@ -242,3 +242,33 @@ def cascading_rollup(spark, sf_dir):
             .agg(F.sum("n").alias("n_events"),
                  F.sum("cents").alias("cents"),
                  F.count(F.lit(1)).alias("n_hours")))
+
+
+@query(
+    "topk_per_group",
+    oracle="""
+SELECT event_type, event_id, cents, CAST(rn AS BIGINT) AS rank FROM (
+  SELECT event_type, event_id,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, event_id) AS rn
+  FROM events
+) WHERE rn <= 3
+""",
+)
+def topk_per_group(spark, sf_dir):
+    """Top-k PER GROUP (vs the global TakeOrderedAndProject top-k):
+    rank-within-partition + filter — one hash exchange on the group
+    key, and Spark's WindowGroupLimit pushes the k-limit into the
+    sort, so each partition keeps a k-row heap instead of fully
+    sorting (the per-group analog of TakeOrderedAndProject)."""
+    (events,) = prep(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").desc(), F.col("event_id"))
+    return (events.select(
+                "event_type", "event_id",
+                F.round(F.col("value") * 100).cast("long").alias("cents"),
+                F.row_number().over(w).alias("rn"))
+            .filter(F.col("rn") <= 3)
+            .select("event_type", "event_id", "cents",
+                    F.col("rn").cast("long").alias("rank")))
