@@ -125,3 +125,45 @@ def test_stream_static_broadcast_enrichment(spark, workdir):
     q.stop()
     got = {r.fid: r.label for r in results}
     assert got[3] == "A-v2" and got[4] == "M-name"
+
+
+def test_streaming_range_join_via_buckets(spark, workdir):
+    # a pure range join (no natural equi key) is not plannable
+    # stream-stream — the interval_join bucket id IS the equi key that
+    # makes it legal: points and intervals watermark, equi-join on the
+    # epoch bucket, exact [start, end) residual as the time constraint
+    psrc, isrc = f"{workdir}/points", f"{workdir}/intervals"
+    pts_schema = T.StructType([
+        T.StructField("id", T.LongType()), T.StructField("ts", T.TimestampType())])
+    iv_schema = T.StructType([
+        T.StructField("iid", T.LongType()),
+        T.StructField("s", T.TimestampType()), T.StructField("e", T.TimestampType())])
+    spark.createDataFrame([
+        (1, ts("2024-01-01 10:00:30")),
+        (2, ts("2024-01-01 10:07:00")),
+        (3, ts("2024-01-01 10:20:00")),      # matches nothing
+    ], pts_schema).coalesce(1).write.mode("append").parquet(psrc)
+    spark.createDataFrame([
+        (100, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:10:00")),
+        (200, ts("2024-01-01 10:05:00"), ts("2024-01-01 10:08:00")),
+    ], iv_schema).coalesce(1).write.mode("append").parquet(isrc)
+
+    bs = 300
+    pts = (file_stream(spark, psrc, pts_schema)
+           .withWatermark("ts", "10 seconds")
+           .withColumn("_b", F.floor(F.unix_timestamp("ts") / bs).cast("long")))
+    ivs = (file_stream(spark, isrc, iv_schema)
+           .withWatermark("e", "10 seconds")
+           .withColumn("_b", F.explode(F.sequence(
+               F.floor(F.unix_timestamp("s") / bs).cast("long"),
+               F.floor(F.unix_timestamp("e") / bs).cast("long")))))
+    joined = pts.join(
+        ivs,
+        (pts["_b"] == ivs["_b"]) & (pts["ts"] >= ivs["s"]) & (pts["ts"] < ivs["e"]),
+        "inner").select("id", "iid")
+    q = (joined.writeStream.format("memory").queryName("range_out")
+         .outputMode("append").start())
+    q.processAllAvailable()
+    q.stop()
+    got = {(r.id, r.iid) for r in spark.sql("select * from range_out").collect()}
+    assert got == {(1, 100), (2, 100), (2, 200)}
