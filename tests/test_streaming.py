@@ -238,3 +238,35 @@ def test_compact_files_preserves_rows(spark, tmp_path):
     assert len(glob.glob(f"{path}/*.parquet")) == 1
     after = sorted(r.id for r in spark.read.parquet(path).collect())
     assert after == before == list(range(60))
+
+
+def _bucket_files(target: str) -> dict[str, list[str]]:
+    """Map _kb=N partition dir -> sorted data file names."""
+    import glob
+    import os
+    out = {}
+    for d in glob.glob(f"{target}/_kb=*"):
+        out[os.path.basename(d)] = sorted(
+            f for f in os.listdir(d) if not f.startswith((".", "_")))
+    return out
+
+
+def test_upsert_batch_rewrites_only_touched_buckets(spark, workdir):
+    from streamforge_spark.streaming.sinks import upsert_batch
+    target = f"{workdir}/target"
+    apply = upsert_batch(target, ["key"], ["t"], num_buckets=8)
+    rows = [(f"k{i}", ts("2024-01-01 10:00:00"), f"v{i}") for i in range(40)]
+    apply(spark.createDataFrame(rows, "key string, t timestamp, payload string"), 0)
+    before = _bucket_files(target)
+    assert len(before) > 1  # keys must span several buckets for the test to mean anything
+
+    apply(spark.createDataFrame([("k0", ts("2024-01-01 11:00:00"), "v0b")],
+                                "key string, t timestamp, payload string"), 1)
+    after = _bucket_files(target)
+    # spark writes fresh uuid-named files on rewrite, so an untouched
+    # bucket keeps the exact same file set
+    changed = [b for b in before if after.get(b) != before[b]]
+    assert len(changed) == 1  # only k0's bucket was rewritten
+    assert set(after) == set(before)
+    snap = {r.key: r.payload for r in spark.read.parquet(target).collect()}
+    assert snap["k0"] == "v0b" and snap["k1"] == "v1" and len(snap) == 40
