@@ -25,6 +25,29 @@ ENVELOPE_SCHEMA = T.StructType([
     T.StructField("metadata", T.MapType(T.StringType(), T.StringType())),
 ])
 
+#: Wire-side parse schema: the reference serializes the envelope via
+#: Jackson with camelCase names (StreamEnvelop.java:23-30 toJson —
+#: payloadJson/eventTime/processedTime/traceId/primaryKey), while this
+#: repo's own sinks emit snake_case. Parsing accepts BOTH in one
+#: from_json pass (the name pairs differ by more than case, so the
+#: struct is legal under case-insensitive resolution) and the reader
+#: coalesces per field — a reference-produced topic no longer slips
+#: through as all-null columns.
+_WIRE_SCHEMA = T.StructType(
+    list(ENVELOPE_SCHEMA.fields[:2]) + [
+        T.StructField("payload_json", T.StringType()),
+        T.StructField("payloadJson", T.StringType()),
+        T.StructField("event_time", T.TimestampType()),
+        T.StructField("eventTime", T.TimestampType()),
+        T.StructField("processed_time", T.TimestampType()),
+        T.StructField("processedTime", T.TimestampType()),
+        T.StructField("trace_id", T.StringType()),
+        T.StructField("traceId", T.StringType()),
+        T.StructField("primary_key", T.StringType()),
+        T.StructField("primaryKey", T.StringType()),
+        T.StructField("metadata", T.MapType(T.StringType(), T.StringType())),
+    ])
+
 #: CDC op normalization map — MongoToKafkaParser.java:80-86.
 #: {c, insert} -> insert; {u, update, replace} -> update;
 #: {d, delete} -> delete; anything else -> unknown.
@@ -115,16 +138,21 @@ def parse_stream_envelop(raw: DataFrame, value_col: str = "value",
     is_valid = (F.trim(F.col(value_col)).startswith("{")
                 & F.try_parse_json(F.col(value_col)).isNotNull())
     parsed = raw.withColumn("_valid", is_valid).withColumn(
-        "_env", F.from_json(F.col(value_col), ENVELOPE_SCHEMA))
+        "_env", F.from_json(F.col(value_col), _WIRE_SCHEMA))
+
+    def wire(snake: str, camel: str) -> Column:
+        return F.coalesce(F.col(f"_env.{snake}"), F.col(f"_env.{camel}"))
+
     ok = parsed.filter(F.col("_valid")).select(
         *[F.col(c) for c in passthrough_cols],
         F.col("_env.operation").alias("operation"),
         F.col("_env.source").alias("source"),
-        F.col("_env.payload_json").alias("payload_json"),
-        F.coalesce(F.col("_env.event_time"), F.current_timestamp()).alias("event_time"),
+        wire("payload_json", "payloadJson").alias("payload_json"),
+        F.coalesce(F.col("_env.event_time"), F.col("_env.eventTime"),
+                   F.current_timestamp()).alias("event_time"),
         F.current_timestamp().alias("processed_time"),
-        F.col("_env.trace_id").alias("trace_id"),
-        F.col("_env.primary_key").alias("primary_key"),
+        wire("trace_id", "traceId").alias("trace_id"),
+        wire("primary_key", "primaryKey").alias("primary_key"),
         F.col("_env.metadata").alias("metadata"),
     )
     dlq = parsed.filter(~F.col("_valid")).select(

@@ -98,6 +98,18 @@ def compact_files(spark: SparkSession, path: str, *,
     df = spark.read.parquet(path)
     tmp = path.rstrip("/") + "__compact_tmp"
     df.coalesce(n_files).write.mode("overwrite").parquet(tmp)
-    fs.delete(fs_path, True)
-    fs.rename(spark._jvm.org.apache.hadoop.fs.Path(tmp), fs_path)
+    # swap via rename-aside so no crash point loses data: the original
+    # survives (as __compact_old) until the compacted copy is in place.
+    # Crash between the renames => data still on disk in __compact_old
+    # and/or __compact_tmp; recovery = rename either back into place.
+    jpath = spark._jvm.org.apache.hadoop.fs.Path
+    tmp_path = jpath(tmp)
+    old_path = jpath(path.rstrip("/") + "__compact_old")
+    fs.delete(old_path, True)  # leftover from a previous crashed run
+    if not fs.rename(fs_path, old_path):
+        raise IOError(f"compact_files: could not move {path} aside")
+    if not fs.rename(tmp_path, fs_path):
+        fs.rename(old_path, fs_path)  # restore the original
+        raise IOError(f"compact_files: could not move compacted data into {path}")
+    fs.delete(old_path, True)
     return n_files

@@ -75,9 +75,10 @@ class SchemaVersion:
 def schema_enforcer(df: DataFrame, payload_col: str,
                     versions: list[SchemaVersion],
                     source: str = "schema-enforcer") -> tuple[DataFrame, DataFrame]:
-    """Pass rows valid under ANY version (newest first — version order
-    only affects which version 'claims' the record, not pass/fail);
-    rest → DLQ(SCHEMA_VIOLATION)."""
+    """Pass rows valid under ANY version; rest → DLQ(SCHEMA_VIOLATION).
+    Passed rows carry ``_schema_version`` = the first (newest-first)
+    version that validated them, mirroring SchemaEnforcer.java:71-79's
+    claim order."""
     any_ok = F.lit(False)
     version_tags = []
     for v in versions:
@@ -85,7 +86,8 @@ def schema_enforcer(df: DataFrame, payload_col: str,
         version_tags.append(F.when(ok & ~any_ok, F.lit(v.name)))
         any_ok = any_ok | ok
     tagged = df.withColumn("_schema_ok", any_ok)
-    passed = tagged.filter(F.col("_schema_ok")).drop("_schema_ok")
+    passed = (tagged.filter(F.col("_schema_ok")).drop("_schema_ok")
+              .withColumn("_schema_version", F.coalesce(*version_tags)))
     failed = tagged.filter(~F.col("_schema_ok")).drop("_schema_ok")
     dlq = dlq_event(
         failed, "SCHEMA_VIOLATION",
@@ -129,12 +131,15 @@ def constraint_enforcer(df: DataFrame, rules: list[tuple[str, Column]],
                         source: str = "constraint-enforcer") -> tuple[DataFrame, DataFrame]:
     """All rules must hold; violations → DLQ(CONSTRAINT_VIOLATION) with
     the violated rule names concatenated (ConstraintEnforcer.java:
-    53-91)."""
+    53-91). A rule Column evaluating to SQL NULL counts as VIOLATED —
+    the reference dead-letters every non-passing record, and without
+    the coalesce a NULL row would vanish from both branches."""
+    safe = [(name, F.coalesce(cond, F.lit(False))) for name, cond in rules]
     all_ok = F.lit(True)
-    for _, cond in rules:
+    for _, cond in safe:
         all_ok = all_ok & cond
     violations = F.concat_ws(
-        "; ", *[F.when(~cond, F.lit(name)) for name, cond in rules])
+        "; ", *[F.when(~cond, F.lit(name)) for name, cond in safe])
     tagged = df.withColumn("_ok", all_ok).withColumn("_violations", violations)
     passed = tagged.filter(F.col("_ok")).drop("_ok", "_violations")
     failed = tagged.filter(~F.col("_ok"))

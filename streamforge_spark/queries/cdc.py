@@ -115,26 +115,31 @@ _V2 = SchemaVersion("v2", required={"k": "number", "extra": "string"})
 @query(
     "schema_enforcer_pass",
     oracle=f"""
-WITH {ENVELOPE_CTE}
-SELECT event_id, operation, primary_key FROM envelope
-WHERE payload_json IS NOT NULL
-  AND (
-    (json_extract_string(payload_json, '$.k') IS NOT NULL
-     AND regexp_matches(json_extract_string(payload_json, '$.k'), '^-?\\d+(\\.\\d+)?([eE][+-]?\\d+)?$'))
-    OR
-    (json_extract_string(payload_json, '$.k') IS NOT NULL
-     AND regexp_matches(json_extract_string(payload_json, '$.k'), '^-?\\d+(\\.\\d+)?([eE][+-]?\\d+)?$')
-     AND json_extract_string(payload_json, '$.extra') IS NOT NULL)
-  )
+WITH {ENVELOPE_CTE},
+checked AS (
+  SELECT event_id, operation, primary_key,
+         (payload_json IS NOT NULL
+          AND json_extract_string(payload_json, '$.k') IS NOT NULL
+          AND regexp_matches(json_extract_string(payload_json, '$.k'), '^-?\\d+(\\.\\d+)?([eE][+-]?\\d+)?$')) AS v1_ok,
+         (payload_json IS NOT NULL
+          AND json_extract_string(payload_json, '$.k') IS NOT NULL
+          AND regexp_matches(json_extract_string(payload_json, '$.k'), '^-?\\d+(\\.\\d+)?([eE][+-]?\\d+)?$')
+          AND json_extract_string(payload_json, '$.extra') IS NOT NULL) AS v2_ok
+  FROM envelope
+)
+SELECT event_id, operation, primary_key,
+       CASE WHEN v2_ok THEN 'v2' WHEN v1_ok THEN 'v1' END AS _schema_version
+FROM checked WHERE v1_ok OR v2_ok
 """,
 )
 def schema_enforcer_pass(spark, sf_dir):
-    """SchemaEnforcer pass branch: record valid under ANY version
-    (newest accepted first, SchemaEnforcer.java:71-79)."""
+    """SchemaEnforcer pass branch: record valid under ANY version,
+    tagged with the first (newest-first) version that claimed it
+    (SchemaEnforcer.java:71-79)."""
     (events,) = prep(spark, sf_dir, "events")
     env = envelope_from_events(events)
     passed, _ = schema_enforcer(env, "payload_json", [_V2, _V1])
-    return passed.select("event_id", "operation", "primary_key")
+    return passed.select("event_id", "operation", "primary_key", "_schema_version")
 
 
 @query(

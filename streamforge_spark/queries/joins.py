@@ -89,6 +89,30 @@ def dynamic_join_left(spark, sf_dir):
 
 
 @query(
+    "dynamic_join_right",
+    oracle=_DYN_ORACLE.format(
+        sel="r.event_id AS click_id, r.user_id AS user_id, l.ts AS purchase_ts, r.ts AS click_ts",
+        how="RIGHT"),
+)
+def dynamic_join_right(spark, sf_dir):
+    """DynamicJoiner RIGHT: unmatched right rows emitted through the
+    rightEmitFunction with null left (DynamicJoiner.java:294-326)."""
+    (events,) = prep(spark, sf_dir, "events")
+    left = events.filter(F.col("event_type") == "purchase").alias("l")
+    right = events.filter(F.col("event_type") == "click").alias("r")
+    j = dynamic_joiner(left, right, left_key="user_id", right_key="user_id",
+                       left_time="ts", right_time="ts", ttl_seconds=600,
+                       join_type="right")
+    return j.select(
+        F.col("l.event_id").alias("purchase_id"),
+        F.col("r.event_id").alias("click_id"),
+        F.col("r.user_id").alias("user_id"),
+        F.col("l.ts").alias("purchase_ts"),
+        F.col("r.ts").alias("click_ts"),
+    )
+
+
+@query(
     "dynamic_join_full",
     oracle="""
 SELECT l.event_id AS purchase_id, r.event_id AS click_id,

@@ -202,6 +202,21 @@ def test_constraint_rules(spark):
     assert any("range" in m for m in msgs) and any("email" in m for m in msgs)
 
 
+def test_constraint_null_rule_dead_letters(spark):
+    # a caller-supplied rule Column that evaluates to SQL NULL (easy
+    # with comparisons on nullable fields) must count as VIOLATED —
+    # the reference dead-letters every non-passing record; a NULL
+    # verdict must not make the row vanish from both branches
+    df = spark.createDataFrame([(1, 10.0), (2, None), (3, -1.0)],
+                               "id long, amount double")
+    passed, dlq = constraint_enforcer(df, [("positive", F.col("amount") > 0)])
+    assert [r.id for r in passed.collect()] == [1]
+    bad = {r.raw_event for r in dlq.select(F.get_json_object(
+        "raw_event", "$.id").alias("raw_event")).collect()}
+    assert bad == {"2", "3"}  # row 2 (NULL verdict) is dead-lettered too
+    assert passed.count() + dlq.count() == df.count()
+
+
 def test_parse_stream_envelop_dlq_split(spark):
     # StreamEnvelopParser.java:39-86 — non-JSON to DLQ, defaults stamped
     df = spark.createDataFrame(
@@ -218,6 +233,31 @@ def test_parse_stream_envelop_dlq_split(spark):
     bad = dlq.collect()
     assert len(bad) == 1 and bad[0].error_type == "PARSE_ERROR"
     assert bad[0].raw_event == "not json at all"
+
+
+def test_parse_stream_envelop_camelcase_wire(spark):
+    # the reference serializes via Jackson as camelCase
+    # (StreamEnvelop.java:23-30); a reference-produced record must
+    # parse into the same columns as our snake_case output — not slip
+    # through with null payload/trace/primary_key
+    ref_shaped = ('{"operation": "update", "source": "orders", '
+                  '"payloadJson": "{\\"a\\": 1}", '
+                  '"eventTime": "2024-01-01T10:00:00Z", '
+                  '"traceId": "trace-7", "primaryKey": "o1", '
+                  '"metadata": {"k": "v"}}')
+    own_shaped = ('{"operation": "update", "source": "orders", '
+                  '"payload_json": "{\\"a\\": 1}", '
+                  '"event_time": "2024-01-01T10:00:00Z", '
+                  '"trace_id": "trace-7", "primary_key": "o1", '
+                  '"metadata": {"k": "v"}}')
+    ok, dlq = parse_stream_envelop(
+        spark.createDataFrame([(ref_shaped,), (own_shaped,)], "value string"))
+    rows = ok.drop("processed_time").collect()
+    assert dlq.count() == 0 and len(rows) == 2
+    assert rows[0] == rows[1]  # wire naming is invisible downstream
+    r = rows[0]
+    assert (r.payload_json, r.trace_id, r.primary_key) == ('{"a": 1}', "trace-7", "o1")
+    assert r.event_time is not None and r.metadata == {"k": "v"}
 
 
 def test_lang_id_ties_and_unknown(spark):
