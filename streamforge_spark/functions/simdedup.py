@@ -5,19 +5,42 @@ shingle-join Jaccard (queries.text.dedup_ngram_jaccard) is the
 baseline; MinHash/LSH cuts the candidate space to colliding buckets so
 the pair computation is banded, not quadratic.
 
-All hashing is xxhash64 with per-permutation salts — deterministic
-across runs and partitions, JVM-side, no Python in the loop.
+Content hashing is md5-derived (:func:`oracle_hash60`) with
+per-permutation salts — deterministic across runs and partitions,
+JVM-side, no Python in the loop, and bit-reproducible in the DuckDB
+oracle so minhash/simhash outputs are exact-match checkable (xxhash64
+would be ~2x faster but has no DuckDB analog; the hash is a few % of
+these pipelines' cost). Join-only keys (band hashes) stay xxhash64.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 from streamforge_spark.functions.text import word_ngrams
 
 NUM_PERM = 32       # minhash permutations
 LSH_BANDS = 8       # bands of NUM_PERM / LSH_BANDS rows each
-SIMHASH_BITS = 64
+SIMHASH_BITS = 60   # 15 hex chars of md5 -> SQL-reproducible fingerprint
+
+
+def oracle_hash60(col: Column, salt: str | None = None) -> Column:
+    """60-bit content hash from the first 15 hex chars of md5.
+
+    Bit-identical to the DuckDB expression
+    ``CAST(('0x' || substr(md5([salt || ':' ||] x), 1, 15)) AS BIGINT)``
+    (see :func:`hash60_sql`), which is what lets the similarity-dedup
+    queries carry exact-match oracles instead of rows-only checks."""
+    if salt is not None:
+        col = F.concat(F.lit(f"{salt}:"), col)
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def hash60_sql(expr: str, salt_expr: str | None = None) -> str:
+    """The DuckDB-side twin of :func:`oracle_hash60` (same bits)."""
+    if salt_expr is not None:
+        expr = f"{salt_expr} || ':' || {expr}"
+    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
 
 
 def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
@@ -29,7 +52,7 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
     n_part = docs.sparkSession.sparkContext.defaultParallelism
     grams = docs.repartition(n_part, id_col).select(
         F.col(id_col), F.explode(word_ngrams(F.col(text_col), ngram)).alias("g"))
-    mins = [F.min(F.xxhash64(F.lit(p), F.col("g"))).alias(f"h{p}")
+    mins = [F.min(oracle_hash60(F.col("g"), salt=str(p))).alias(f"h{p}")
             for p in range(num_perm)]
     sig = grams.groupBy(id_col).agg(*mins)
     return sig.select(
@@ -76,7 +99,7 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
                  .select(F.col(id_col), word_ngrams(F.col(text_col), ngram).alias("gs"))
                  .localCheckpoint())
     grams = gram_sets.select(F.col(id_col), F.explode("gs").alias("g"))
-    mins = [F.min(F.xxhash64(F.lit(p), F.col("g"))).alias(f"h{p}")
+    mins = [F.min(oracle_hash60(F.col("g"), salt=str(p))).alias(f"h{p}")
             for p in range(NUM_PERM)]
     sigs = grams.groupBy(id_col).agg(*mins).select(
         F.col(id_col), F.array(*[F.col(f"h{p}") for p in range(NUM_PERM)]).alias("sig"))
@@ -110,19 +133,19 @@ def simhash(docs: DataFrame, id_col: str = "doc_id",
     toks = docs.repartition(n_part, id_col).select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok"))
     counted = (toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("cnt"))
-               .withColumn("h", F.xxhash64("tok")))
+               .withColumn("h", oracle_hash60(F.col("tok"))))
 
     def fp(pdf: pd.DataFrame) -> pd.DataFrame:
+        # h < 2^60 (oracle_hash60), so the fingerprint stays a positive
+        # long — no sign wraparound on either engine
         h = pdf["h"].to_numpy().astype(np.int64).view(np.uint64)
         c = pdf["cnt"].to_numpy().astype(np.int64)
-        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
+        bits = ((h[:, None] >> np.arange(SIMHASH_BITS, dtype=np.uint64)) & 1).astype(np.int64)
         sums = ((2 * bits - 1) * c[:, None]).sum(axis=0)
         val = 0
         for i in range(SIMHASH_BITS):
             if sums[i] > 0:
                 val |= 1 << i
-        if val >= 1 << 63:
-            val -= 1 << 64
         return pd.DataFrame({id_col: [pdf[id_col].iloc[0]], "simhash": [val]})
 
     return counted.groupBy(id_col).applyInPandas(fp, f"{id_col} long, simhash long")
@@ -131,14 +154,15 @@ def simhash(docs: DataFrame, id_col: str = "doc_id",
 def simhash_near_dup(docs: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text",
                      max_hamming: int = 8) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance, blocked on 16-bit
-    bands (a pair within Hamming<=3 of a 4-band split must collide in
-    >=1 band; wider distances trade recall as usual)."""
+    """Near-dup pairs by SimHash Hamming distance, blocked on 15-bit
+    bands (4 bands over the 60-bit fingerprint: a pair within
+    Hamming<=3 must collide in >=1 band; wider distances trade recall
+    as usual)."""
     fp = simhash(docs, id_col, text_col)
     banded = fp.select(
         F.col(id_col), F.col("simhash"),
         F.posexplode(F.array(*[
-            F.shiftrightunsigned(F.col("simhash"), b * 16).bitwiseAND(F.lit(0xFFFF))
+            F.shiftrightunsigned(F.col("simhash"), b * 15).bitwiseAND(F.lit(0x7FFF))
             for b in range(4)
         ])).alias("band", "band_val"),
     )

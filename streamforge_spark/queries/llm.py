@@ -1,60 +1,187 @@
 """LLM-training-data-pipeline queries: MinHash/SimHash dedup, LSH ANN,
-multimodal columns. Entries without an oracle are genuinely
-non-SQL-expressible (LSH recall differs from the exact baseline by
-construction) and get the driver's rows-only check."""
+multimodal columns.
+
+Round 2: these carry EXACT-match DuckDB oracles. Every pipeline here
+is deterministic — the only obstacle was the hash function, so content
+hashing moved to the md5-derived :func:`~streamforge_spark.functions.
+simdedup.oracle_hash60` (reproducible in SQL) and the LSH hyperplanes
+(fixed-seed driver literals) are inlined into the generated oracle.
+Only ``ann_ivf_topk`` stays rows-only: its k-means training loop is
+genuinely not SQL-expressible.
+"""
 
 from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from streamforge_spark.functions.simdedup import minhash_lsh_pairs, simhash, simhash_near_dup
-from streamforge_spark.functions.similarity import ann_ivf_topk, ann_lsh_topk
+from streamforge_spark.functions.simdedup import (
+    LSH_BANDS, NUM_PERM, SIMHASH_BITS, hash60_sql, minhash_lsh_pairs,
+    simhash, simhash_near_dup,
+)
+from streamforge_spark.functions.similarity import (
+    LSH_PLANES, LSH_TABLES, _hyperplanes, ann_ivf_topk, ann_lsh_topk,
+)
 from streamforge_spark.multimodal import (
-    decode_media, extract_features, media_from_documents, sample_frames,
+    FEATURE_DIM, decode_media, extract_features, media_from_documents,
+    sample_frames,
 )
 from streamforge_spark.queries.common import prep
 from streamforge_spark.registry import query
 
+MINHASH_THRESHOLD = 0.2
 
-@query("dedup_minhash_lsh")
+# shared shingle CTEs (identical to dedup_ngram_jaccard's proven
+# oracle): word-3-gram sets per doc
+_SHINGLE_CTES = """
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+glist AS (SELECT doc_id, list_distinct(list_transform(
+            generate_series(1, greatest(len(t) - 2, 1)),
+            i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS gs FROM toks),
+grams AS (SELECT doc_id, unnest(gs) AS g FROM glist)
+"""
+
+_MINHASH_ORACLE = f"""
+WITH {_SHINGLE_CTES},
+mh AS (SELECT doc_id, p, MIN({hash60_sql('g', 'CAST(p AS VARCHAR)')}) AS sig
+       FROM grams CROSS JOIN range({NUM_PERM}) t(p) GROUP BY doc_id, p),
+bands AS (SELECT doc_id, CAST(p // {NUM_PERM // LSH_BANDS} AS INTEGER) AS band,
+                 list(sig ORDER BY p) AS bkey
+          FROM mh GROUP BY 1, 2),
+cands AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM grams GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(count(*) AS BIGINT) AS i
+          FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT c.d1, c.d2,
+       CAST(i.i AS DOUBLE) / CAST(sa.n + sb.n - i.i AS DOUBLE) AS jaccard
+FROM cands c
+JOIN inter i ON i.d1 = c.d1 AND i.d2 = c.d2
+JOIN sizes sa ON sa.doc_id = c.d1
+JOIN sizes sb ON sb.doc_id = c.d2
+WHERE CAST(i.i AS DOUBLE) / CAST(sa.n + sb.n - i.i AS DOUBLE) >= {MINHASH_THRESHOLD}
+"""
+
+
+@query("dedup_minhash_lsh", oracle=_MINHASH_ORACLE)
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash(32 perms) + LSH(8 bands) near-dup pairs, verified with
     exact Jaccard on the surviving candidates. The scale path of
-    dedup_ngram_jaccard: pair space pruned to band collisions."""
+    dedup_ngram_jaccard: pair space pruned to band collisions. The
+    oracle replays the full pipeline (signatures, banding, candidate
+    join, verification) in DuckDB — exact match, not containment."""
     (docs,) = prep(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(docs, threshold=0.2)
+    return minhash_lsh_pairs(docs, threshold=MINHASH_THRESHOLD)
 
 
-@query("simhash_fingerprint")
+# simhash fingerprint CTEs: term-count weighted bit sums over the
+# 60-bit token hash (mirrors functions.simdedup.simhash exactly)
+_SIMHASH_CTES = f"""
+stoks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+counted AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS cnt,
+                   {hash60_sql('tok')} AS h
+            FROM stoks GROUP BY doc_id, tok),
+bits AS (SELECT doc_id, b,
+                SUM(CASE WHEN (h >> b) & 1 = 1 THEN cnt ELSE -cnt END) AS s
+         FROM counted CROSS JOIN range({SIMHASH_BITS}) t(b) GROUP BY doc_id, b),
+fp AS (SELECT doc_id,
+              CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << CAST(b AS INTEGER))
+                       ELSE 0 END) AS BIGINT) AS simhash
+       FROM bits GROUP BY doc_id)
+"""
+
+
+@query("simhash_fingerprint", oracle=f"WITH {_SIMHASH_CTES} SELECT doc_id, simhash FROM fp")
 def simhash_fingerprint(spark, sf_dir):
-    """64-bit SimHash document fingerprints (term-count weighted)."""
+    """60-bit SimHash document fingerprints (term-count weighted);
+    oracle recomputes the weighted bit-sums in SQL — exact match."""
     (docs,) = prep(spark, sf_dir, "documents")
     return simhash(docs)
 
 
-@query("simhash_near_dup")
+_SIMHASH_PAIRS_ORACLE = f"""
+WITH {_SIMHASH_CTES},
+banded AS (SELECT doc_id, simhash, CAST(b AS INTEGER) AS band,
+                  (simhash >> CAST(15 * b AS INTEGER)) & 32767 AS bv
+           FROM fp CROSS JOIN range(4) t(b)),
+pairs AS (SELECT DISTINCT a.doc_id AS d1, b2.doc_id AS d2,
+                 CAST(bit_count(xor(a.simhash, b2.simhash)) AS INTEGER) AS hamming
+          FROM banded a JOIN banded b2
+            ON a.band = b2.band AND a.bv = b2.bv AND a.doc_id < b2.doc_id)
+SELECT d1, d2, hamming FROM pairs WHERE hamming <= 8
+"""
+
+
+@query("simhash_near_dup", oracle=_SIMHASH_PAIRS_ORACLE)
 def simhash_near_dup_q(spark, sf_dir):
     """SimHash near-dup pairs within Hamming distance 8, banded on
-    16-bit blocks."""
+    15-bit blocks; oracle replays banding + Hamming filter."""
     (docs,) = prep(spark, sf_dir, "documents")
     return simhash_near_dup(docs, max_hamming=8)
 
 
-@query("ann_lsh_topk")
+ANN_DIM = 64     # embeddings fixture dimensionality (TESTDATA.md)
+ANN_NQ = 10
+ANN_K = 10
+
+
+def _ann_lsh_oracle() -> str:
+    """Generate the exact DuckDB replay of ann_lsh_topk: the fixed-seed
+    hyperplanes are driver-side float literals in the Spark plan, so
+    they inline into SQL verbatim (same doubles after round-trip repr);
+    list_dot_product matches the sequential fold bit-for-bit (proven by
+    ann_cosine_topk)."""
+    hp = _hyperplanes(ANN_DIM, LSH_PLANES, LSH_TABLES)
+    tables = []
+    for t in range(LSH_TABLES):
+        terms = []
+        for p in range(LSH_PLANES):
+            arr = "[" + ", ".join(repr(float(x)) for x in hp[t, p]) + "]"
+            terms.append(
+                f"(CASE WHEN list_dot_product(v, {arr}) >= 0 THEN {1 << p} ELSE 0 END)")
+        tables.append(
+            f"SELECT vec_id, {t} AS tbl, CAST({' + '.join(terms)} AS BIGINT) AS sig FROM e")
+    union = "\nUNION ALL\n".join(tables)
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+signed AS ({union}),
+q AS (SELECT vec_id AS qid, tbl, sig FROM signed WHERE vec_id < {ANN_NQ}),
+cands AS (SELECT DISTINCT q.qid, s.vec_id AS cid
+          FROM signed s JOIN q ON s.tbl = q.tbl AND s.sig = q.sig
+          WHERE s.vec_id <> q.qid),
+scored AS (SELECT c.qid, c.cid,
+                  list_dot_product(eq.v, ec.v)
+                    / (sqrt(list_dot_product(eq.v, eq.v))
+                       * sqrt(list_dot_product(ec.v, ec.v))) AS cos
+           FROM cands c
+           JOIN e eq ON eq.vec_id = c.qid
+           JOIN e ec ON ec.vec_id = c.cid)
+SELECT qid AS query_id, cid AS neighbor_id, CAST(rn AS BIGINT) AS rank, cos
+FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+      FROM scored)
+WHERE rn <= {ANN_K}
+"""
+
+
+@query("ann_lsh_topk", oracle=_ann_lsh_oracle())
 def ann_lsh_topk_q(spark, sf_dir):
     """Random-hyperplane LSH ANN top-k (approximate counterpart of
-    ann_cosine_topk; rows-only check — recall < 1 by construction)."""
+    ann_cosine_topk). The oracle replays bucketing + scoring with the
+    same hyperplane constants — exact match on the emitted rows."""
     (emb,) = prep(spark, sf_dir, "embeddings")
-    return ann_lsh_topk(emb, query_ids=range(10), k=10)
+    return ann_lsh_topk(emb, query_ids=range(ANN_NQ), k=ANN_K)
 
 
 @query("ann_ivf_topk")
 def ann_ivf_topk_q(spark, sf_dir):
     """IVF coarse-quantizer ANN top-k: bounded-sample spherical k-means
     cells + nprobe probing (the trained-index counterpart of
-    ann_lsh_topk; rows-only check — recall < 1 by construction)."""
+    ann_lsh_topk; rows-only check — the iterative k-means training has
+    no SQL formulation; recall/behavior covered by
+    tests/test_operators.py clustered-recall test)."""
     (emb,) = prep(spark, sf_dir, "embeddings")
-    return ann_ivf_topk(emb, query_ids=range(10), k=10)
+    return ann_ivf_topk(emb, query_ids=range(ANN_NQ), k=ANN_K)
 
 
 @query(
@@ -80,13 +207,25 @@ def multimodal_decode(spark, sf_dir):
     return decode_media(media, fake=True)
 
 
-@query("multimodal_features")
+@query(
+    "multimodal_features",
+    oracle=f"""
+SELECT doc_id AS media_id, CAST(i AS INTEGER) AS dim_idx,
+       CAST(('0x' || substr(sha256(text), 2 * i + 1, 2)) AS INTEGER) / 255.0 AS feature
+FROM documents CROSS JOIN range({FEATURE_DIM}) t(i)
+""",
+)
 def multimodal_features(spark, sf_dir):
     """Feature extraction (embedding-model slot) over mapInPandas:
-    binary -> fixed-dim double vector; deterministic stand-in model."""
+    binary -> fixed-dim double vector; deterministic sha256 stand-in
+    model. Registered in exploded (media_id, dim_idx, feature) form so
+    every vector component is oracle-checked (the array shape itself is
+    unit-tested)."""
     (docs,) = prep(spark, sf_dir, "documents")
     media = media_from_documents(docs)
-    return extract_features(media)
+    feats = extract_features(media)
+    return feats.select("media_id",
+                        F.posexplode("features").alias("dim_idx", "feature"))
 
 
 @query(
