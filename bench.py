@@ -71,14 +71,44 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    out = {
         "metric": "headline_queries_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-    }))
+    }
+    prev = _latest_bench_artifact(sf)
+    if prev is not None:
+        src, prev_data = prev
+        prev_q = prev_data.get("queries", {})
+        out["vs_prev"] = {
+            "source": src,
+            "total_prev": prev_data.get("value"),
+            "total_delta": round(total - prev_data.get("value", 0.0), 3),
+            "per_query_delta": {
+                n: round(timings[n] - prev_q[n], 3)
+                for n in timings if n in prev_q
+            },
+        }
+    print(json.dumps(out))
     spark.stop()
+
+
+def _latest_bench_artifact(sf: float | None):
+    """Newest BENCH_r{N}.json at the same scale factor, so each round's
+    artifact carries per-query regressions visibly."""
+    here = pathlib.Path(__file__).resolve().parent
+    best = None
+    for p in sorted(here.glob("BENCH_r*.json")):
+        try:
+            data = json.loads(p.read_text())
+        except (OSError, json.JSONDecodeError):
+            continue
+        data = data.get("parsed", data)  # driver wraps the bench line
+        if data.get("sf") == sf and "queries" in data:
+            best = (p.name, data)
+    return best
 
 
 if __name__ == "__main__":
