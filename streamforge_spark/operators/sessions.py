@@ -24,19 +24,43 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+_DURATION_SECONDS = {
+    "second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+    "hour": 3600, "hours": 3600, "day": 86400, "days": 86400,
+}
+
+
+def _duration_seconds(d: str) -> int:
+    value, unit = d.strip().split()
+    return int(value) * _DURATION_SECONDS[unit.lower()]
+
+
 def session_analyzer(df: DataFrame, key_col: str, time_col: str,
                      gap: str = "30 minutes",
                      agg_exprs: Sequence[Column] = (),
-                     watermark: str | None = None) -> DataFrame:
+                     watermark: str | None = None,
+                     allowed_lateness: str | None = None) -> DataFrame:
     """Sessionize per key with the given inactivity gap.
 
     Emits the SessionResult shape: key, session_start, session_end,
     event_count, duration_sec (+ any custom ``agg_exprs``).
     session_end = last event time (not last+gap), matching the
     reference's SessionResult which reports real event extents.
+
+    ``allowed_lateness`` is the reference's second lateness knob
+    (SessionAnalyzer.java:76-78): events later than the out-of-
+    orderness ``watermark`` but within ``watermark + allowed_lateness``
+    must still merge into their session. Spark has ONE state-retention
+    knob (the watermark), so the two compose additively — identical
+    accept/drop behavior and state horizon; the difference is
+    emission, where Flink re-fires a closed window on a late merge
+    while Spark surfaces the merged session in update mode (documented
+    semantic shift, SURVEY §7.5).
     """
-    if watermark and df.isStreaming:
-        df = df.withWatermark(time_col, watermark)
+    if df.isStreaming and (watermark or allowed_lateness):
+        total = (_duration_seconds(watermark or "0 seconds")
+                 + _duration_seconds(allowed_lateness or "0 seconds"))
+        df = df.withWatermark(time_col, f"{total} seconds")
     return (
         df.groupBy(F.col(key_col), F.session_window(F.col(time_col), gap))
         .agg(

@@ -321,3 +321,34 @@ def test_kafka_eo_writer_builds_without_broker(spark, workdir):
                                     checkpoint=f"{workdir}/ckpt",
                                     ledger_path=f"{workdir}/ledger")
     assert writer is not None  # DataStreamWriter built; .start() needs a broker
+
+
+def test_session_allowed_lateness_extends_watermark(spark, workdir):
+    # SessionAnalyzer.java:76-78 — allowedLateness is a second knob on
+    # top of the out-of-orderness watermark; in Spark the two compose
+    # additively into the single state-retention knob
+    from streamforge_spark.operators.sessions import session_analyzer
+    src = f"{workdir}/in"
+    _write_batch(spark, src, [(1, "k", ts("2024-01-01 10:00:00"), "insert", "v")])
+    stream = file_stream(spark, src, EVENTS_SCHEMA)
+    out = session_analyzer(stream, "key", "t", gap="5 minutes",
+                           watermark="10 minutes", allowed_lateness="5 minutes")
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert "EventTimeWatermark" in plan and "15 minutes" in plan  # 10m + 5m
+    # and the watermark knob alone keeps its old meaning
+    out2 = session_analyzer(stream, "key", "t", gap="5 minutes",
+                            watermark="10 minutes")
+    plan2 = out2._jdf.queryExecution().analyzed().toString()
+    assert "EventTimeWatermark" in plan2 and "10 minutes" in plan2
+
+
+def test_kafka_stream_wiring(spark):
+    # no broker/connector jar in this env: the reader options must be
+    # wired correctly up to source resolution either way
+    from streamforge_spark.streaming.sources import kafka_stream
+    try:
+        df = kafka_stream(spark, "broker:9092", "topic", exactly_once=True)
+    except Exception as ex:  # connector package absent: the one allowed error
+        assert "Failed to find data source: kafka" in str(ex)
+    else:  # connector present: the raw kafka frame shape
+        assert {"key", "value", "topic", "partition", "offset"} <= set(df.columns)
