@@ -1,0 +1,188 @@
+"""Training-corpus curation queries (LLM-pipeline surface, round 2):
+stratified sampling, benchmark decontamination, per-doc salient terms,
+token-budget shard packing.
+
+Everything here is exact-oracle-checked: sampling/packing decisions
+derive from :func:`~streamforge_spark.functions.simdedup.oracle_hash60`
+(md5-based, DuckDB-reproducible) and the only floats are single IEEE
+divisions, identical on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from streamforge_spark.functions.simdedup import hash60_sql, oracle_hash60
+from streamforge_spark.queries.common import prep
+from streamforge_spark.registry import query
+
+# -- stratified sampling ------------------------------------------------
+
+#: per-language keep rates (percent) — the "rebalance the training mix"
+#: op: downsample the dominant language, keep the rest.
+SAMPLE_RATES = {"en": 40, "de": 80, "fr": 80}
+SAMPLE_DEFAULT_RATE = 100
+SAMPLE_SALT = "strat"
+
+_RATE_SQL = ("CASE lang " +
+             " ".join(f"WHEN '{k}' THEN {v}" for k, v in SAMPLE_RATES.items()) +
+             f" ELSE {SAMPLE_DEFAULT_RATE} END")
+
+_STRATIFIED_ORACLE = f"""
+SELECT doc_id, lang
+FROM documents
+WHERE {hash60_sql("CAST(doc_id AS VARCHAR)", f"'{SAMPLE_SALT}'")} % 100 < {_RATE_SQL}
+"""
+
+
+@query("stratified_sample", oracle=_STRATIFIED_ORACLE)
+def stratified_sample(spark, sf_dir):
+    """Deterministic hash-based stratified sampling: keep a per-stratum
+    percentage of documents, decided by a salted content hash of the id
+    — reproducible across runs/engines (unlike ``df.sample``), a pure
+    narrow filter on the scan (no shuffle, no state, survives any
+    scale), and stable under corpus growth (a doc's keep/drop never
+    changes when other docs arrive — the property training-mix reruns
+    need)."""
+    (docs,) = prep(spark, sf_dir, "documents")
+    rate = F.lit(SAMPLE_DEFAULT_RATE)
+    for k, v in reversed(SAMPLE_RATES.items()):
+        rate = F.when(F.col("lang") == k, F.lit(v)).otherwise(rate)
+    keep = (oracle_hash60(F.col("doc_id").cast("string"), salt=SAMPLE_SALT) % 100) < rate
+    return docs.filter(keep).select("doc_id", "lang")
+
+
+# -- benchmark decontamination ------------------------------------------
+
+CONTAM_NGRAM = 4          # shingle length (real deployments use 8-13;
+                          # 4 gives the synthetic fixture real signal)
+CONTAM_BENCH_MAX_ID = 20  # stand-in benchmark set: doc_id < 20
+
+_CONTAM_GRAMS = """
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+grams AS (SELECT doc_id, unnest(list_distinct(list_transform(
+            generate_series(1, greatest(len(t) - 3, 1)),
+            i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3])))) AS g
+          FROM toks)
+"""
+
+_CONTAM_ORACLE = f"""
+WITH {_CONTAM_GRAMS},
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id < {CONTAM_BENCH_MAX_ID})
+SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_shared_grams
+FROM grams c JOIN bench b ON c.g = b.g
+WHERE c.doc_id >= {CONTAM_BENCH_MAX_ID}
+GROUP BY c.doc_id
+"""
+
+
+@query("contamination_check", oracle=_CONTAM_ORACLE)
+def contamination_check(spark, sf_dir):
+    """Benchmark decontamination: corpus documents sharing any word-n-
+    gram with the benchmark set, with the shared-shingle count.
+
+    100 TB shape: benchmark suites are tiny (MBs of eval text), so the
+    benchmark shingle set BROADCASTS — the corpus side is one scan +
+    explode + broadcast-hash-join + partial-agg rollup on doc_id. No
+    corpus shuffle except the final per-doc count combine."""
+    from streamforge_spark.functions.text import word_ngrams
+    (docs,) = prep(spark, sf_dir, "documents")
+    grams = docs.select("doc_id",
+                        F.explode(word_ngrams(F.col("text"), CONTAM_NGRAM)).alias("g"))
+    bench = (grams.filter(F.col("doc_id") < CONTAM_BENCH_MAX_ID)
+             .select("g").distinct())
+    corpus = grams.filter(F.col("doc_id") >= CONTAM_BENCH_MAX_ID)
+    return (corpus.join(F.broadcast(bench), "g")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_shared_grams")))
+
+
+# -- per-document salient terms -----------------------------------------
+
+TOP_TERMS_K = 3
+
+_TOP_TERMS_ORACLE = f"""
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       FROM toks GROUP BY doc_id, term),
+df AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+       FROM toks GROUP BY term),
+scored AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                  CAST(tf.tf AS DOUBLE) / CAST(df.df AS DOUBLE) AS score
+           FROM tf JOIN df USING (term))
+SELECT doc_id, term, tf, df, score, CAST(rn AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, term) AS rn
+      FROM scored)
+WHERE rn <= {TOP_TERMS_K}
+"""
+
+
+@query("top_terms_per_doc", oracle=_TOP_TERMS_ORACLE)
+def top_terms_per_doc(spark, sf_dir):
+    """Per-document salient terms: tf x rarity (score = tf/df — a
+    log-free tf-idf variant whose single IEEE division is bit-identical
+    across engines; ln() differs in the last ulp between libm and the
+    JVM, which would poison exact-match ranking).
+
+    Plan: one token explode feeds both the per-doc tf agg and the
+    doc-frequency agg; the tf side joins the (term, df) table on term.
+    At 100 TB the vocabulary table is MBs-to-GBs — a plain shuffle join
+    on term; per-doc top-k prunes through the rank window."""
+    (docs,) = prep(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = (tf.join(df, "term")
+              .withColumn("score", F.col("tf").cast("double") / F.col("df").cast("double")))
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term"))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= TOP_TERMS_K)
+            .select("doc_id", "term", "tf", "df", "score", "rank"))
+
+
+# -- token-budget shard packing -----------------------------------------
+
+PACK_BUDGET = 2048   # tokens per training shard
+PACK_GROUPS = 16     # independent packing streams
+PACK_SALT = "pack"
+
+_PACK_ORACLE = f"""
+WITH sized AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST({hash60_sql("CAST(doc_id AS VARCHAR)", f"'{PACK_SALT}'")} % {PACK_GROUPS} AS INTEGER) AS pack_group
+  FROM documents)
+SELECT doc_id, pack_group, n_tokens,
+       CAST((SUM(n_tokens) OVER (PARTITION BY pack_group ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens)
+            // {PACK_BUDGET} AS BIGINT) AS shard_id
+FROM sized
+"""
+
+
+@query("token_budget_pack", oracle=_PACK_ORACLE)
+def token_budget_pack(spark, sf_dir):
+    """Sequence packing for LLM training: assign documents to training
+    shards of ~PACK_BUDGET tokens by running prefix-sum (a doc lands in
+    the shard its prefix starts in).
+
+    Packing is inherently sequential, so it runs as PACK_GROUPS
+    independent hash-partitioned streams — each group's window sorts
+    and sums in parallel; no global order, no single-partition window
+    (the classic scale bug in naive cumsum). At 100 TB raise
+    PACK_GROUPS to ~cluster parallelism; shard sizes stay ~budget
+    within each group."""
+    (docs,) = prep(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        (oracle_hash60(F.col("doc_id").cast("string"), salt=PACK_SALT)
+         % PACK_GROUPS).cast("int").alias("pack_group"))
+    w = (Window.partitionBy("pack_group").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    prefix = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return sized.select(
+        "doc_id", "pack_group", "n_tokens",
+        F.floor(prefix / PACK_BUDGET).cast("long").alias("shard_id"))

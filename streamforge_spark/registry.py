@@ -30,5 +30,5 @@ def load_all() -> None:
     """Import every query module (idempotent)."""
     from streamforge_spark.queries import (  # noqa: F401
         cdc, streamops, joins, sessions, tpch, text, embeddings, llm,
-        surplus, envelope_io, analytics, relational, windows,
+        surplus, envelope_io, analytics, relational, windows, curation,
     )
