@@ -118,13 +118,14 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
 
 def simhash(docs: DataFrame, id_col: str = "doc_id",
             text_col: str = "text") -> DataFrame:
-    """64-bit SimHash over whitespace tokens weighted by term count.
+    """60-bit SimHash over whitespace tokens weighted by term count.
 
-    Token hashing stays JVM-side (xxhash64 — deterministic across
-    runs/partitions); the 64 weighted bit-sums run vectorized in numpy
-    via applyInPandas (the pure-aggregate form needs 64 conditional
-    sum expressions over every token row — measured ~25s at sf0.1 vs
-    ~2s for this shape). Integer-only math: fully deterministic.
+    Token hashing stays JVM-side (oracle_hash60 — deterministic across
+    runs/partitions AND replayable in the DuckDB oracle); the weighted
+    bit-sums run vectorized in numpy via applyInPandas (the pure-
+    aggregate form needs 60 conditional sum expressions over every
+    token row — measured ~25s at sf0.1 vs ~2s for this shape).
+    Integer-only math: fully deterministic.
     """
     import numpy as np
     import pandas as pd

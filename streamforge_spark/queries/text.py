@@ -174,6 +174,12 @@ def dedup_ngram_jaccard(spark, sf_dir):
         # second text parse / size join is ever needed
         .select("doc_id", F.size("gs").cast("long").alias("n"),
                 F.explode("gs").alias("g"))
+        # shuffle 8-byte shingle hashes, not 20-40-byte strings: the
+        # posting-list exchange is this query's dominant cost and the
+        # hash is join-key-only (never in the output). Distinct-shingle
+        # collisions (~n_grams²/2^65) can merge two posting lists —
+        # immaterial for a near-dup metric and absent at oracle scale.
+        .withColumn("g", F.xxhash64("g"))
     )
     postings = (
         grams.groupBy("g")

@@ -79,6 +79,8 @@ def upsert_batch(target_path: str, key_cols: list[str],
         # bucket ids only — bounded by num_buckets, never row data
         touched = [r[0] for r in
                    batch_df.select(UPSERT_BUCKET_COL).distinct().collect()]
+        if not touched:
+            return  # empty micro-batch: nothing to merge, touch nothing
         try:
             existing = (spark.read.parquet(target_path)
                         .filter(F.col(UPSERT_BUCKET_COL).isin(touched)))

@@ -216,3 +216,33 @@ def test_salted_join_matches_direct(spark):
                   salted_join(events, cust, "user_id",
                               salt_buckets=8, how=how).collect()}
         assert salted == direct
+
+
+def test_contamination_benchmark_broadcasts(spark):
+    # the benchmark shingle set must broadcast — the corpus side never
+    # shuffles for the join, only the per-doc rollup combines
+    plan = plan_of(spark, "contamination_check")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_token_pack_no_global_window(spark):
+    # packing must run as parallel per-group prefix sums, never a
+    # single-partition global-order window
+    plan = plan_of(spark, "token_budget_pack")
+    assert "SinglePartition" not in plan
+    assert plan.count("Arguments: hashpartitioning") == 1  # the group window
+
+
+def test_embedding_near_dup_no_bnlj_no_collect(spark):
+    # block-pair form: broadcast only the constant pair list; the tile
+    # scoring is a grouped applyInPandas after one hash exchange
+    plan = plan_of(spark, "embedding_near_dup")
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "FlatMapGroupsInPandas" in plan
+
+
+def test_stratified_sample_is_narrow(spark):
+    # a pure filter on the scan: no exchange at all
+    plan = plan_of(spark, "stratified_sample")
+    assert "Exchange" not in plan
