@@ -142,6 +142,63 @@ def top_terms_per_doc(spark, sf_dir):
             .select("doc_id", "term", "tf", "df", "score", "rank"))
 
 
+# -- PII scrubbing ------------------------------------------------------
+
+#: unanchored match patterns, identical semantics in Java regex and
+#: DuckDB's RE2: no capture groups, no lookaround, POSIX classes only.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_NUMBER_RE = r"[0-9]{7,}"
+
+_PII_WIRE_SQL = """
+SELECT doc_id,
+       CASE WHEN doc_id % 5 = 0
+            THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                 || '@example.com or call 55512340' || CAST(doc_id AS VARCHAR)
+            ELSE text END AS text
+FROM documents
+"""
+
+_PII_ORACLE = f"""
+WITH wire AS ({_PII_WIRE_SQL})
+SELECT doc_id,
+       regexp_replace(regexp_replace(text, '{PII_EMAIL_RE}', '[EMAIL]', 'g'),
+                      '{PII_NUMBER_RE}', '[NUM]', 'g') AS text_scrubbed,
+       CAST(len(regexp_extract_all(text, '{PII_EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{PII_NUMBER_RE}')) AS BIGINT) AS n_numbers
+FROM wire
+"""
+
+
+@query("pii_scrub", oracle=_PII_ORACLE)
+def pii_scrub(spark, sf_dir):
+    """PII redaction: replace emails and long digit runs with typed
+    placeholder tokens and count what was redacted — a pure
+    regexp_replace projection on the scan (no shuffle; at 100 TB this
+    is scan-bound, exactly as it should be).
+
+    The synthetic fixture carries no PII, so the query first stamps a
+    deterministic contact-info suffix on every 5th doc (both engines,
+    same expression) to give the redaction real work; patterns are
+    restricted to the Java-regex/RE2 common subset so the oracle
+    matches byte-for-byte."""
+    (docs,) = prep(spark, sf_dir, "documents")
+    wire = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.col("text"), F.lit(" contact user"),
+                        F.col("doc_id").cast("string"),
+                        F.lit("@example.com or call 55512340"),
+                        F.col("doc_id").cast("string")))
+        .otherwise(F.col("text")).alias("text"))
+    return wire.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace("text", PII_EMAIL_RE, "[EMAIL]"),
+            PII_NUMBER_RE, "[NUM]").alias("text_scrubbed"),
+        F.size(F.regexp_extract_all("text", F.lit(PII_EMAIL_RE), 0)).cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(PII_NUMBER_RE), 0)).cast("long").alias("n_numbers"))
+
+
 # -- token-budget shard packing -----------------------------------------
 
 PACK_BUDGET = 2048   # tokens per training shard
