@@ -31,8 +31,11 @@ def connected_components(edges: DataFrame, src: str = "d1", dst: str = "d2",
     sym = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
            .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
            .distinct().localCheckpoint(eager=True))
+    # LAZY checkpoints: the convergence aggregate right below is the
+    # action that materializes (and truncates) each round's labels —
+    # one pass per round instead of eager-checkpoint + aggregate
     labels = (sym.select(F.col("a").alias("n")).distinct()
-              .withColumn("c", F.col("n")).localCheckpoint(eager=True))
+              .withColumn("c", F.col("n")).localCheckpoint(eager=False))
     # labels only ever decrease (min-propagation), so the label-sum is
     # strictly decreasing until fixpoint: an unchanged sum IS
     # convergence — one scalar aggregate per round instead of a
@@ -45,7 +48,7 @@ def connected_components(edges: DataFrame, src: str = "d1", dst: str = "d2",
         labels = (
             labels.union(neighbor_min)
             .groupBy("n").agg(F.min("c").alias("c"))
-            .localCheckpoint(eager=True))
+            .localCheckpoint(eager=False))
         new_sum = labels.agg(F.sum("c")).collect()[0][0]
         if new_sum == prev_sum:
             break

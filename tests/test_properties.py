@@ -83,3 +83,32 @@ def test_deduplicator_equals_pandas_first(spark, rows):
             seen.add((k, t))
             want.add((k, t, i))
     assert out == want
+
+
+def test_token_pack_shard_budget_invariant(spark):
+    # every shard's token sum stays under budget + its largest doc
+    # (greedy prefix packing can overshoot by at most one document),
+    # and shard ids are dense from 0 within each group
+    from streamforge_spark.queries.curation import PACK_BUDGET, token_budget_pack
+    out = token_budget_pack(spark, "/root/testdata/sf0.001").toPandas()
+    for (_, shard), grp in out.groupby(["pack_group", "shard_id"]):
+        assert grp["n_tokens"].sum() < PACK_BUDGET + grp["n_tokens"].max() + 1
+    for _, grp in out.groupby("pack_group"):
+        shards = sorted(grp["shard_id"].unique())
+        assert shards == list(range(len(shards)))
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    from streamforge_spark.queries.curation import (
+        SAMPLE_RATES, stratified_sample)
+    sf = "/root/testdata/sf0.001"
+    a = stratified_sample(spark, sf).toPandas()
+    b = stratified_sample(spark, sf).toPandas()
+    assert sorted(a["doc_id"]) == sorted(b["doc_id"])  # rerun-stable
+    from streamforge_spark.queries.common import prep
+    docs = prep(spark, sf, "documents")[0].toPandas()
+    for lang, rate in SAMPLE_RATES.items():
+        n_all = (docs["lang"] == lang).sum()
+        n_kept = (a["lang"] == lang).sum()
+        if n_all >= 30:  # enough mass for a loose binomial bound
+            assert abs(n_kept / n_all - rate / 100) < 0.25
