@@ -192,6 +192,24 @@ def foreach_batch_upsert(df: DataFrame, target_path: str, key_cols: list[str],
     return writer
 
 
+def foreach_batch_es_upsert(df: DataFrame, target_path: str, checkpoint: str,
+                            id_col: str = "trace_id",
+                            time_cols: list[str] | None = None,
+                            trigger_seconds: int | None = None):
+    """ElasticsearchSinkBuilder analog (ElasticsearchSinkBuilder.java:
+    doc id = traceId): document-id-keyed idempotent upsert — the exact
+    semantics ES gives via `_id`-addressed index requests, expressed
+    through the same partition-scoped upsert sink. Replays overwrite
+    the same document ids, so at-least-once delivery is effectively
+    once. With a live cluster, swap the storage half for
+    ``format('es').option('es.mapping.id', id_col)`` per batch; the
+    batch function (latest-per-id reduction) is unchanged."""
+    return foreach_batch_upsert(
+        df, target_path, key_cols=[id_col],
+        order_cols=time_cols or ["processed_time"],
+        checkpoint=checkpoint, trigger_seconds=trigger_seconds)
+
+
 def parquet_sink(df: DataFrame, path: str, checkpoint: str,
                  partition_by: list[str] | None = None):
     """Append-mode parquet sink (the DLQ channel, event archives)."""

@@ -352,3 +352,22 @@ def test_kafka_stream_wiring(spark):
         assert "Failed to find data source: kafka" in str(ex)
     else:  # connector present: the raw kafka frame shape
         assert {"key", "value", "topic", "partition", "offset"} <= set(df.columns)
+
+
+def test_foreach_batch_es_upsert_doc_id_keyed(spark, workdir):
+    # ElasticsearchSinkBuilder.java: doc id = traceId; replaying the
+    # same trace ids must leave one (latest) document per id
+    from streamforge_spark.streaming.sinks import foreach_batch_es_upsert
+    src = f"{workdir}/in"
+    _write_batch(spark, src, [
+        (1, "t1", ts("2024-01-01 10:00:00"), "insert", "v1"),
+        (2, "t1", ts("2024-01-01 10:05:00"), "update", "v2"),
+        (3, "t2", ts("2024-01-01 10:01:00"), "insert", "w1"),
+    ])
+    stream = file_stream(spark, src, EVENTS_SCHEMA).withColumnRenamed("key", "trace_id")
+    q = foreach_batch_es_upsert(stream, f"{workdir}/es", checkpoint=f"{workdir}/ckpt",
+                                time_cols=["t", "event_id"]).start()
+    q.processAllAvailable()
+    q.stop()
+    docs = {r.trace_id: r.payload for r in spark.read.parquet(f"{workdir}/es").collect()}
+    assert docs == {"t1": "v2", "t2": "w1"}
