@@ -371,3 +371,36 @@ def test_foreach_batch_es_upsert_doc_id_keyed(spark, workdir):
     q.stop()
     docs = {r.trace_id: r.payload for r in spark.read.parquet(f"{workdir}/es").collect()}
     assert docs == {"t1": "v2", "t2": "w1"}
+
+
+def test_streaming_contamination_matches_batch(spark, workdir):
+    # stream-static broadcast decontamination: streamed docs checked
+    # against a static benchmark shingle set, equal to the batch check
+    from streamforge_spark.streaming.curation import (
+        benchmark_grams, streaming_contamination)
+    DOCS = T.StructType([T.StructField("doc_id", T.LongType()),
+                         T.StructField("text", T.StringType())])
+    bench_rows = [(0, "the quick brown fox jumps over the dog")]
+    corpus_b1 = [(10, "a clean document with no overlap at all"),
+                 (11, "quick brown fox jumps straight home now")]   # shares 4-grams? no (shifted)
+    corpus_b2 = [(12, "the quick brown fox jumps over a fence")]    # shares 2
+    bench = benchmark_grams(spark.createDataFrame(bench_rows, DOCS))
+    src = f"{workdir}/docs"
+    spark.createDataFrame(corpus_b1, DOCS).coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(DOCS).parquet(src)
+    out = streaming_contamination(stream, bench)
+    q = (out.writeStream.format("memory").queryName("contam_out")
+         .outputMode("update").start())
+    q.processAllAvailable()
+    spark.createDataFrame(corpus_b2, DOCS).coalesce(1).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    got = {r.doc_id: r.n_shared_grams
+           for r in spark.sql("select * from contam_out").collect()}
+    # batch reference on the same data
+    all_docs = spark.createDataFrame(corpus_b1 + corpus_b2, DOCS)
+    from streamforge_spark.functions.text import word_ngrams as wng
+    batch = (all_docs.select("doc_id", F.explode(wng(F.col("text"), 4)).alias("g"))
+             .join(bench, "g").groupBy("doc_id").count())
+    want = {r.doc_id: r["count"] for r in batch.collect()}
+    assert got == want and 12 in got
