@@ -107,7 +107,7 @@ def upsert_batch(target_path: str, key_cols: list[str],
 
 
 def effectively_once(produce: Callable[[DataFrame, int], None],
-                     ledger_path: str):
+                     ledger_path: str, retain: int = 1000):
     """Wrap a foreachBatch produce function with batchId-keyed
     idempotence — the Spark analog of the reference's EXACTLY_ONCE
     delivery mode (KafkaSinkBuilder.java:61-77: transactional id +
@@ -127,6 +127,12 @@ def effectively_once(produce: Callable[[DataFrame, int], None],
     idempotent per (batch content, batch_id), which the batch-id
     header/key gives the consumer; this matches Flink's "transaction
     may be re-committed" recovery semantics.
+
+    The ledger self-compacts: checkpoint recovery only ever replays
+    batches near the last commit, so markers older than
+    ``batch_id - retain`` are pruned as new batches commit — steady-
+    state ledger size is ``retain`` empty files regardless of stream
+    lifetime.
     """
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
@@ -141,6 +147,13 @@ def effectively_once(produce: Callable[[DataFrame, int], None],
             return  # replayed batch: already produced, skip
         produce(batch_df, batch_id)
         fs.createNewFile(marker)
+        if batch_id > retain:
+            for st in fs.listStatus(dir_path):
+                name = st.getPath().getName()
+                if (name.startswith("batch-")
+                        and name[6:].isdigit()
+                        and int(name[6:]) < batch_id - retain):
+                    fs.delete(st.getPath(), False)
 
     return apply
 

@@ -404,3 +404,17 @@ def test_streaming_contamination_matches_batch(spark, workdir):
              .join(bench, "g").groupBy("doc_id").count())
     want = {r.doc_id: r["count"] for r in batch.collect()}
     assert got == want and 12 in got
+
+
+def test_effectively_once_ledger_self_compacts(spark, workdir):
+    import os
+    from streamforge_spark.streaming.sinks import effectively_once
+    ledger = f"{workdir}/ledger"
+    apply = effectively_once(lambda df, bid: None, ledger, retain=3)
+    b = spark.createDataFrame([("k",)], "key string")
+    for bid in range(8):
+        apply(b, bid)
+    markers = sorted(f for f in os.listdir(ledger) if f.startswith("batch-"))
+    # batches 0..3 pruned once ids passed retain; recent window kept
+    assert markers == ["batch-4", "batch-5", "batch-6", "batch-7"]
+    apply(b, 7)  # replay inside the window is still skipped (no error)
