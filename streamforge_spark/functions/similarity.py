@@ -81,6 +81,44 @@ def ann_lsh_topk(emb: DataFrame, query_ids, k: int = 10,
                     F.col("rank").cast("long").alias("rank"), "cos"))
 
 
+SEM_PLANES = 5        # 2^5 buckets over the fixture; ~sqrt-ish cells
+SEM_THRESHOLD = 0.30  # fixture-scale "semantic duplicate" cosine
+
+
+def semantic_dup_marks(emb: DataFrame, *, id_col: str = "vec_id",
+                       vec_col: str = "embedding",
+                       planes: int = SEM_PLANES,
+                       threshold: float = SEM_THRESHOLD) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): bucket the
+    corpus by a random-hyperplane signature, score exact cosine only
+    WITHIN buckets, and mark every vector that has a lower-id bucket
+    neighbor above ``threshold`` as a duplicate of its lowest such
+    neighbor (the canonical representative).
+
+    Returns (vec_id, dup_of, cos) — one row per duplicate.
+
+    100 TB shape: the signature is a codegen projection on the scan;
+    pair scoring is confined to buckets (tune ``planes`` so cells stay
+    ~corpus/2^planes); the only shuffles are the bucket equi-join and
+    the per-victim min-neighbor window. Nothing touches the driver —
+    the hyperplanes are fixed-seed literals, not trained state."""
+    dim = len(emb.select(vec_col).first()[0])
+    hp = _hyperplanes(dim, planes, 1)
+    e = emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+    signed = e.withColumn("sig", lsh_signature(F.col("v"), hp[0]))
+    a, b = signed.alias("a"), signed.alias("b")
+    pairs = (a.join(b, (F.col("a.sig") == F.col("b.sig"))
+                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+             .select(F.col(f"a.{id_col}").alias("d1"),
+                     F.col(f"b.{id_col}").alias("d2"),
+                     cosine(F.col("a.v"), F.col("b.v")).alias("cos"))
+             .filter(F.col("cos") >= threshold))
+    w = Window.partitionBy("d2").orderBy("d1")
+    return (pairs.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("d2").alias(id_col), F.col("d1").alias("dup_of"), "cos"))
+
+
 IVF_CENTROIDS = 16
 IVF_NPROBE = 4
 IVF_SAMPLE = 512

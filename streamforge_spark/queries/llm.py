@@ -19,7 +19,8 @@ from streamforge_spark.functions.simdedup import (
     simhash, simhash_near_dup,
 )
 from streamforge_spark.functions.similarity import (
-    LSH_PLANES, LSH_TABLES, _hyperplanes, ann_ivf_topk, ann_lsh_topk,
+    LSH_PLANES, LSH_TABLES, SEM_PLANES, SEM_THRESHOLD, _hyperplanes,
+    ann_ivf_topk, ann_lsh_topk, semantic_dup_marks,
 )
 from streamforge_spark.multimodal import (
     FEATURE_DIM, decode_media, extract_features, media_from_documents,
@@ -171,6 +172,43 @@ def ann_lsh_topk_q(spark, sf_dir):
     same hyperplane constants — exact match on the emitted rows."""
     (emb,) = prep(spark, sf_dir, "embeddings")
     return ann_lsh_topk(emb, query_ids=range(ANN_NQ), k=ANN_K)
+
+
+def _semantic_dedup_oracle() -> str:
+    """DuckDB replay of semantic_dup_marks: the single fixed-seed
+    hyperplane table inlines as double literals (repr round-trip —
+    same trick as :func:`_ann_lsh_oracle`); cosine via
+    list_dot_product matches the Column fold bit-for-bit."""
+    hp = _hyperplanes(ANN_DIM, SEM_PLANES, 1)
+    terms = []
+    for p in range(SEM_PLANES):
+        arr = "[" + ", ".join(repr(float(x)) for x in hp[0, p]) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(v, {arr}) >= 0 THEN {1 << p} ELSE 0 END)")
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+signed AS (SELECT vec_id, v, CAST({' + '.join(terms)} AS BIGINT) AS sig FROM e),
+pairs AS (SELECT a.vec_id AS d1, b.vec_id AS d2,
+                 list_dot_product(a.v, b.v)
+                   / (sqrt(list_dot_product(a.v, a.v))
+                      * sqrt(list_dot_product(b.v, b.v))) AS cos
+          FROM signed a JOIN signed b
+            ON a.sig = b.sig AND a.vec_id < b.vec_id),
+hits AS (SELECT d2 AS vec_id, d1 AS dup_of, cos,
+                row_number() OVER (PARTITION BY d2 ORDER BY d1) AS rn
+         FROM pairs WHERE cos >= {SEM_THRESHOLD})
+SELECT vec_id, dup_of, cos FROM hits WHERE rn = 1
+"""
+
+
+@query("semantic_dedup", oracle=_semantic_dedup_oracle())
+def semantic_dedup(spark, sf_dir):
+    """SemDeDup-style embedding-space dedup: hyperplane-bucketed exact
+    cosine, each duplicate marked with its lowest-id representative.
+    Oracle replays bucketing + scoring + canonical choice — exact
+    match."""
+    (emb,) = prep(spark, sf_dir, "embeddings")
+    return semantic_dup_marks(emb)
 
 
 @query("ann_ivf_topk")

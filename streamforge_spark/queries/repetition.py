@@ -1,0 +1,168 @@
+"""Repetition analysis & corpus-wide segment dedup (LLM-pipeline
+surface): Gopher-style per-document repetition metrics and C4-style
+removal of globally duplicated text segments.
+
+Both are exact-oracle-checked. Segments are fixed-width word windows
+(the fixture is single-line text, so "line" = W-token segment); all
+ratios are single IEEE divisions of exact integers — identical bits on
+both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from streamforge_spark.functions.simdedup import hash60_sql, oracle_hash60
+from streamforge_spark.queries.common import prep
+from streamforge_spark.registry import query
+
+SEG_W = 3  # words per segment ("line" stand-in; real corpora split on \n)
+
+# DuckDB twins of the segment/2-gram builders (proven correlated-lambda
+# shape, cf. curation._CONTAM_GRAMS). concat_ws skips the NULLs that
+# out-of-range t[i] produces on BOTH engines, so the trailing partial
+# segment matches bit-for-bit.
+_SEG_EXPR = ("list_transform(generate_series(1, CAST(ceil(len(t) / {w}.0) AS BIGINT)), "
+             "i -> concat_ws(' ', {parts}))").format(
+    w=SEG_W, parts=", ".join(f"t[(i-1)*{SEG_W}+{k}]" for k in range(1, SEG_W + 1)))
+
+_GRAM2_EXPR = ("list_transform(generate_series(1, greatest(len(t) - 1, 1)), "
+               "i -> concat_ws(' ', t[i], t[i+1]))")
+
+
+def _tokens_and_segments(docs):
+    """(doc_id, t: array<string>, segs: array<string>) — pure
+    projections on the scan, no shuffle."""
+    t = F.col("t")
+    seg = F.transform(
+        F.sequence(F.lit(1), F.ceil(F.size(t) / F.lit(float(SEG_W))).cast("int")),
+        lambda i: F.concat_ws(
+            " ", *[F.try_element_at(t, (i - F.lit(1)) * SEG_W + k)
+                   for k in range(1, SEG_W + 1)]))
+    return (docs.select("doc_id", F.split("text", " ").alias("t"))
+            .select("doc_id", "t", seg.alias("segs")))
+
+
+_REPETITION_ORACLE = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+base AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n_tokens,
+                {_SEG_EXPR} AS segs
+         FROM toks),
+segstats AS (SELECT doc_id, n_tokens, CAST(len(segs) AS BIGINT) AS n_segs,
+                    CAST(len(segs) - len(list_distinct(segs)) AS BIGINT) AS n_dup_segs
+             FROM base),
+grams AS (SELECT doc_id, unnest({_GRAM2_EXPR}) AS g2 FROM toks),
+counts AS (SELECT doc_id, g2, CAST(count(*) AS BIGINT) AS cnt
+           FROM grams GROUP BY doc_id, g2),
+top AS (SELECT doc_id, g2 AS top_2gram, cnt AS top2_count
+        FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                           ORDER BY cnt DESC, g2) AS rn
+              FROM counts)
+        WHERE rn = 1)
+SELECT s.doc_id, s.n_tokens, s.n_segs, s.n_dup_segs,
+       CAST(s.n_dup_segs AS DOUBLE) / CAST(s.n_segs AS DOUBLE) AS dup_seg_frac,
+       t.top_2gram, t.top2_count,
+       CAST(t.top2_count AS DOUBLE)
+         / CAST(greatest(s.n_tokens - 1, 1) AS DOUBLE) AS top2_frac
+FROM segstats s JOIN top t USING (doc_id)
+"""
+
+
+@query("doc_repetition_stats", oracle=_REPETITION_ORACLE)
+def doc_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1): per
+    document, the duplicate-segment fraction (duplicate-line fraction
+    stand-in) and the most frequent word 2-gram with its share of all
+    2-grams — the signals that gate boilerplate/spam out of training
+    corpora.
+
+    Plan: segment stats are a pure projection on the scan (array
+    algebra, zero shuffle). The top-2-gram branch explodes 2-grams and
+    aggregates per (doc_id, gram) — map-side combined, one shuffle on
+    doc_id — then a per-doc rank window prunes to the winner (count
+    desc, gram asc tie-break). The join back to segment stats co-shuffles
+    on doc_id. At 100 TB: everything is per-document; no global state,
+    no skew beyond document size itself."""
+    (docs,) = prep(spark, sf_dir, "documents")
+    base = _tokens_and_segments(docs)
+    segstats = base.select(
+        "doc_id",
+        F.size("t").cast("long").alias("n_tokens"),
+        F.size("segs").cast("long").alias("n_segs"),
+        (F.size("segs") - F.size(F.array_distinct("segs"))).cast("long").alias("n_dup_segs"))
+    g2 = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size("t") - 1, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.try_element_at(F.col("t"), i),
+                              F.try_element_at(F.col("t"), i + 1)))
+    counts = (base.select("doc_id", F.explode(g2).alias("g2"))
+              .groupBy("doc_id", "g2").agg(F.count(F.lit(1)).alias("cnt")))
+    w = Window.partitionBy("doc_id").orderBy(F.col("cnt").desc(), F.col("g2"))
+    top = (counts.withColumn("rn", F.row_number().over(w))
+           .filter(F.col("rn") == 1)
+           .select("doc_id", F.col("g2").alias("top_2gram"),
+                   F.col("cnt").alias("top2_count")))
+    return (segstats.join(top, "doc_id")
+            .select("doc_id", "n_tokens", "n_segs", "n_dup_segs",
+                    (F.col("n_dup_segs").cast("double")
+                     / F.col("n_segs").cast("double")).alias("dup_seg_frac"),
+                    "top_2gram", "top2_count",
+                    (F.col("top2_count").cast("double")
+                     / F.greatest(F.col("n_tokens") - 1, F.lit(1)).cast("double")
+                     ).alias("top2_frac")))
+
+
+_SEGMENT_DEDUP_ORACLE = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+base AS (SELECT doc_id, {_SEG_EXPR} AS segs FROM toks),
+segs AS (SELECT doc_id, CAST(i AS INTEGER) AS seg_idx, segs[i] AS seg
+         FROM base, unnest(generate_series(1, len(segs))) u(i)),
+hashed AS (SELECT *, {hash60_sql('seg')} AS h FROM segs),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY h
+                                        ORDER BY doc_id, seg_idx) AS rn
+           FROM hashed)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_segs,
+       CAST(count(CASE WHEN rn = 1 THEN 1 END) AS BIGINT) AS n_kept,
+       coalesce(string_agg(CASE WHEN rn = 1 THEN seg END, ' ' ORDER BY seg_idx),
+                '') AS text_dedup
+FROM ranked GROUP BY doc_id
+"""
+
+
+@query("segment_dedup", oracle=_SEGMENT_DEDUP_ORACLE)
+def segment_dedup(spark, sf_dir):
+    """C4-style corpus-wide duplicate-segment removal (Raffel et al.
+    2020 §2.2 keep-one-occurrence): every distinct segment survives only
+    at its globally first occurrence (min (doc_id, position)); each
+    document is rebuilt from its kept segments in order, with
+    kept/total counts.
+
+    Plan: segments carry a 60-bit content hash; the global
+    first-occurrence is min(struct(doc_id, seg_idx)) grouped by hash —
+    a map-side-combined aggregation, so a boilerplate segment with 10^9
+    occurrences combines per-partition instead of flooding one reducer
+    (the skew-safe alternative to a rank window over the hash). The
+    winners table (one row per DISTINCT segment) joins back on the
+    hash, and document rebuild is one groupBy(doc_id) with an ordered
+    in-memory fold (collect_list of (idx, seg) -> array_sort ->
+    concat_ws) — per-document state only. Two shuffles total (hash,
+    doc_id), both on bounded keys."""
+    (docs,) = prep(spark, sf_dir, "documents")
+    base = _tokens_and_segments(docs)
+    segs = base.select(
+        "doc_id", F.posexplode("segs").alias("pos", "seg")).select(
+        "doc_id", (F.col("pos") + 1).cast("int").alias("seg_idx"), "seg",
+        oracle_hash60(F.col("seg")).alias("h"))
+    firsts = segs.groupBy("h").agg(
+        F.min(F.struct("doc_id", "seg_idx")).alias("first_occ"))
+    keep = ((F.col("doc_id") == F.col("first_occ.doc_id"))
+            & (F.col("seg_idx") == F.col("first_occ.seg_idx")))
+    marked = segs.join(firsts, "h").withColumn("keep", keep)
+    kept_struct = F.when(F.col("keep"), F.struct("seg_idx", "seg"))
+    return (marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_segs"),
+        F.count(F.when(F.col("keep"), F.lit(1))).alias("n_kept"),
+        F.concat_ws(" ", F.transform(
+            F.array_sort(F.collect_list(kept_struct)),
+            lambda x: x["seg"])).alias("text_dedup")))

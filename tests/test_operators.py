@@ -407,3 +407,57 @@ def test_connected_components_chain_and_islands(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1,
                    10: 10, 11: 10, 12: 10,
                    20: 20, 21: 20}
+
+
+def _write_docs(spark, tmp_path, rows):
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(rows, "doc_id long, text string, lang string, "
+                          "source string, n_chars long") \
+         .coalesce(1).write.parquet(f"{path}/documents.parquet")
+    return path
+
+
+def test_segment_dedup_keeps_global_first_occurrence(spark, tmp_path):
+    # doc 2 repeats doc 1's first segment; doc 3 repeats its own
+    from streamforge_spark.queries.repetition import segment_dedup
+    sf = _write_docs(spark, tmp_path, [
+        (1, "a b c d e f", "en", "s", 11),
+        (2, "a b c x y z", "en", "s", 11),
+        (3, "p q r p q r", "en", "s", 11),
+    ])
+    got = {r.doc_id: (r.n_segs, r.n_kept, r.text_dedup)
+           for r in segment_dedup(spark, sf).collect()}
+    assert got == {1: (2, 2, "a b c d e f"),
+                   2: (2, 1, "x y z"),
+                   3: (2, 1, "p q r")}
+
+
+def test_doc_repetition_stats_flags_repeats(spark, tmp_path):
+    from streamforge_spark.queries.repetition import doc_repetition_stats
+    sf = _write_docs(spark, tmp_path, [
+        (1, "x y x y x y", "en", "s", 11),   # alternating: top 2-gram "x y" x3
+        (2, "a a a a a a", "en", "s", 11),   # fully repeated: dup segment
+    ])
+    got = {r.doc_id: r for r in doc_repetition_stats(spark, sf).collect()}
+    r1, r2 = got[1], got[2]
+    assert (r1.n_segs, r1.n_dup_segs) == (2, 0)          # "x y x" != "y x y"
+    assert (r1.top_2gram, r1.top2_count) == ("x y", 3)
+    assert r1.top2_frac == 3 / 5
+    assert (r2.n_segs, r2.n_dup_segs) == (2, 1)          # "a a a" twice
+    assert r2.dup_seg_frac == 0.5
+    assert (r2.top_2gram, r2.top2_count, r2.top2_frac) == ("a a", 5, 1.0)
+
+
+def test_semantic_dup_marks_lowest_id_representative(spark):
+    # colinear vectors are duplicates (cos 1) regardless of bucket
+    # layout; orthogonal / opposite vectors never clear the threshold
+    from streamforge_spark.functions.similarity import semantic_dup_marks
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0], 0),
+         (1, [2.0, 0.0, 0.0, 0.0], 0),     # same direction as 0
+         (2, [0.0, 1.0, 0.0, 0.0], 1),     # orthogonal
+         (3, [-1.0, 0.0, 0.0, 0.0], 2)],   # opposite
+        "vec_id long, embedding array<float>, label int")
+    rows = semantic_dup_marks(emb).collect()
+    assert [(r.vec_id, r.dup_of) for r in rows] == [(1, 0)]
+    assert rows[0].cos == pytest.approx(1.0)
