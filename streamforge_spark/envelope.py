@@ -33,14 +33,18 @@ ENVELOPE_SCHEMA = T.StructType([
 #: struct is legal under case-insensitive resolution) and the reader
 #: coalesces per field — a reference-produced topic no longer slips
 #: through as all-null columns.
+#: Timestamps parse as STRINGS then cast: from_json's pattern-based
+#: TimestampType parsing is fixed-precision (default truncates to
+#: millis), while the cast accepts ISO-8601 with any fractional-digit
+#: count and offset — what Jackson actually emits for Instant.
 _WIRE_SCHEMA = T.StructType(
     list(ENVELOPE_SCHEMA.fields[:2]) + [
         T.StructField("payload_json", T.StringType()),
         T.StructField("payloadJson", T.StringType()),
-        T.StructField("event_time", T.TimestampType()),
-        T.StructField("eventTime", T.TimestampType()),
-        T.StructField("processed_time", T.TimestampType()),
-        T.StructField("processedTime", T.TimestampType()),
+        T.StructField("event_time", T.StringType()),
+        T.StructField("eventTime", T.StringType()),
+        T.StructField("processed_time", T.StringType()),
+        T.StructField("processedTime", T.StringType()),
         T.StructField("trace_id", T.StringType()),
         T.StructField("traceId", T.StringType()),
         T.StructField("primary_key", T.StringType()),
@@ -148,7 +152,7 @@ def parse_stream_envelop(raw: DataFrame, value_col: str = "value",
         F.col("_env.operation").alias("operation"),
         F.col("_env.source").alias("source"),
         wire("payload_json", "payloadJson").alias("payload_json"),
-        F.coalesce(F.col("_env.event_time"), F.col("_env.eventTime"),
+        F.coalesce(wire("event_time", "eventTime").cast("timestamp"),
                    F.current_timestamp()).alias("event_time"),
         F.current_timestamp().alias("processed_time"),
         wire("trace_id", "traceId").alias("trace_id"),

@@ -25,12 +25,17 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    # events.ts is TIMESTAMP(NANOS) in parquet; with nanosAsLong it
-    # arrives as a long — truncate to micros (matching DuckDB's ns->us
-    # truncation) and restore the timestamp type.
+    # events.ts normalization across fixture generations: TIMESTAMP(NANOS)
+    # arrives as a long under nanosAsLong — truncate to micros (matching
+    # DuckDB's ns->us truncation); TIMESTAMP_NTZ (micros, no zone) casts
+    # to the session-zone type — identical instants under the UTC session
+    # zone, and type-strict functions (unix_micros, watermarks) accept it.
     for f in df.schema.fields:
-        if name == "events" and f.name == "ts" and f.dataType.typeName() == "long":
-            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        if name == "events" and f.name == "ts":
+            if f.dataType.typeName() == "long":
+                df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+            elif f.dataType.typeName() == "timestamp_ntz":
+                df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -32,7 +32,10 @@ def envelope_roundtrip(spark, sf_dir):
         F.to_json(F.struct(
             "operation", "source", "payload_json", "event_time",
             "trace_id", "primary_key",
-        ), {"timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"}).alias("value"),
+        ), {"timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX",
+            # events.ts is TIMESTAMP_NTZ — to_json picks the NTZ format
+            # option for it, and the default truncates micros to millis.
+            "timestampNTZFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"}).alias("value"),
     )
     poison = spark.createDataFrame(
         [(-1, "not json"), (-2, '{"operation": "truncated'), (-3, "[1,2,3]")],
