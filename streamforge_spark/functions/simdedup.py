@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 from streamforge_spark.functions.text import word_ngrams
+from streamforge_spark.io import spread_for_compute
 
 NUM_PERM = 32       # minhash permutations
 LSH_BANDS = 8       # bands of NUM_PERM / LSH_BANDS rows each
@@ -49,8 +50,7 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
     """(id, sig: array<long>[num_perm]) — min over shingle hashes per
     salted permutation. One explode + one groupBy (single shuffle on
     the doc id)."""
-    n_part = docs.sparkSession.sparkContext.defaultParallelism
-    grams = docs.repartition(n_part, id_col).select(
+    grams = spread_for_compute(docs, id_col).select(
         F.col(id_col), F.explode(word_ngrams(F.col(text_col), ngram)).alias("g"))
     mins = [F.min(oracle_hash60(F.col("g"), salt=str(p))).alias(f"h{p}")
             for p in range(num_perm)]
@@ -92,10 +92,9 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
     trades recall (pairs colliding in no band are missed) for pruning
     the quadratic pair space — the standard LSH contract.
     """
-    n_part = docs.sparkSession.sparkContext.defaultParallelism
     # materialize the shingle arrays once — signatures, and both sides
     # of the verification join, reuse them without recomputing
-    gram_sets = (docs.repartition(n_part, id_col)
+    gram_sets = (spread_for_compute(docs, id_col)
                  .select(F.col(id_col), word_ngrams(F.col(text_col), ngram).alias("gs"))
                  .localCheckpoint())
     grams = gram_sets.select(F.col(id_col), F.explode("gs").alias("g"))
@@ -130,8 +129,7 @@ def simhash(docs: DataFrame, id_col: str = "doc_id",
     import numpy as np
     import pandas as pd
 
-    n_part = docs.sparkSession.sparkContext.defaultParallelism
-    toks = docs.repartition(n_part, id_col).select(
+    toks = spread_for_compute(docs, id_col).select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok"))
     counted = (toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("cnt"))
                .withColumn("h", oracle_hash60(F.col("tok"))))

@@ -39,6 +39,22 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread_for_compute(df: DataFrame, key: str) -> DataFrame:
+    """Ensure a compute-heavy downstream stage (shingle explode, Python
+    scoring) gets at least cluster-parallelism partitions.
+
+    A small input file otherwise pins the work to one task; but when
+    the scan is already well-partitioned (always true at 100 TB under
+    maxPartitionBytes) a repartition here would shuffle the full raw
+    data for zero benefit — so it's a no-op unless the plan is actually
+    under-partitioned. Partition count comes from the compiled plan
+    (no job runs)."""
+    parts = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= parts:
+        return df
+    return df.repartition(parts, key)
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load(spark, sf_dir, t) for t in TABLES}
 

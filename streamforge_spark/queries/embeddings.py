@@ -40,15 +40,6 @@ def seq_norms(A: np.ndarray) -> np.ndarray:
     return np.sqrt(acc)
 
 
-def _scoring_partitions(spark) -> int:
-    """Partition count for Python-scoring stages: the cluster's
-    parallelism, with no sizing action — a pre-count here would add a
-    full extra scan per query (judged a scale bug in round 1). Reused
-    Python workers (spark.python.worker.reuse) amortize interpreter
-    spin-up across tasks, and AQE folds away empty slices."""
-    return max(2, spark.sparkContext.defaultParallelism)
-
-
 def dot(a: Column, b: Column, dim: int | None = None) -> Column:
     """Sequential-fold dot product of two array<double> columns —
     deterministic summation order (matches DuckDB's list_dot_product
@@ -104,7 +95,6 @@ def ann_cosine_topk(spark, sf_dir):
     scale path is ann_lsh_topk.
     """
     (emb,) = prep(spark, sf_dir, "embeddings")
-    n_part = _scoring_partitions(spark)
     q_rows = sorted(emb.filter(F.col("vec_id") < TOPK_NQ)
                     .select("vec_id", "embedding").collect())
     Q = np.array([r.embedding for r in q_rows], dtype=np.float64)
@@ -146,7 +136,11 @@ def ann_cosine_topk(spark, sf_dir):
             out["cos"].append(cos_all[keep, j])
         yield pd.DataFrame({k: np.concatenate(v) for k, v in out.items()})
 
-    scored = emb.repartition(n_part, "vec_id").mapInPandas(score, schema)
+    # score directly on the scan partitions — repartitioning the corpus
+    # first would be a full extra shuffle of every vector for zero
+    # benefit (maxPartitionBytes already parallelizes the scan, and the
+    # per-partition top-k prune is partitioning-agnostic)
+    scored = emb.mapInPandas(score, schema)
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid"))
     return (
         scored.withColumn("rn", F.row_number().over(w))

@@ -11,6 +11,7 @@ from streamforge_spark.functions.text import (
     distinct_token_count, fingerprint, lang_id, punct_count, quality_score,
     stopword_count, token_count, word_ngrams,
 )
+from streamforge_spark.io import spread_for_compute
 from streamforge_spark.queries.common import prep
 from streamforge_spark.registry import query
 
@@ -163,12 +164,11 @@ def dedup_ngram_jaccard(spark, sf_dir):
     that also cuts the candidate space.
     """
     (docs,) = prep(spark, sf_dir, "documents")
-    # repartition: shingle generation parallelizes across the cluster
-    # regardless of input file layout (a single small file otherwise
-    # pins the explode to one task)
-    n_part = spark.sparkContext.defaultParallelism
+    # spread: shingle generation parallelizes across the cluster even
+    # when the input is a single small file (no-op when the scan is
+    # already well-partitioned — no shuffle at real scale)
     grams = (
-        docs.repartition(n_part, "doc_id")
+        spread_for_compute(docs, "doc_id")
         .select("doc_id", word_ngrams(F.col("text"), 3).alias("gs"))
         # carry each doc's set size alongside its shingles so no
         # second text parse / size join is ever needed
