@@ -243,3 +243,91 @@ def token_budget_pack(spark, sf_dir):
     return sized.select(
         "doc_id", "pack_group", "n_tokens",
         F.floor(prefix / PACK_BUDGET).cast("long").alias("shard_id"))
+
+
+# -- leakage-safe train/validation split ---------------------------------
+
+SPLIT_SALT = "split"
+SPLIT_VAL_PCT = 10
+
+_SPLIT_ORACLE = f"""
+SELECT doc_id, source,
+       CASE WHEN {hash60_sql("source", f"'{SPLIT_SALT}'")} % 100 < {SPLIT_VAL_PCT}
+            THEN 'val' ELSE 'train' END AS split
+FROM documents
+"""
+
+
+@query("leakage_safe_split", oracle=_SPLIT_ORACLE)
+def leakage_safe_split(spark, sf_dir):
+    """Group-aware train/validation split: the split decision hashes
+    the GROUP key (here ``source`` — in production the domain, the
+    near-dup cluster id, or any leakage unit), never the row id, so an
+    entire group lands on one side — near-duplicate documents from the
+    same origin can't straddle train and eval and leak supervision.
+
+    100 TB shape: a pure narrow projection on the scan — no shuffle, no
+    state, reproducible across engines and reruns (a group's side never
+    changes as the corpus grows). Compose with dedup_clusters to split
+    by near-dup cluster instead of source."""
+    (docs,) = prep(spark, sf_dir, "documents")
+    side = (oracle_hash60(F.col("source"), salt=SPLIT_SALT) % 100) < SPLIT_VAL_PCT
+    return docs.select(
+        "doc_id", "source",
+        F.when(side, F.lit("val")).otherwise(F.lit("train")).alias("split"))
+
+
+# -- hashed-n-gram linear quality classifier -----------------------------
+
+QCLF_SALT = "qw"
+QCLF_WSPAN = 1000  # weights are integers in [-WSPAN, WSPAN]
+
+_QCLF_GRAMS = """
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+grams AS (SELECT doc_id, unnest(list_distinct(list_transform(
+            generate_series(1, greatest(len(t) - 1, 1)),
+            i -> concat_ws(' ', t[i], t[i+1])))) AS g
+          FROM toks)
+"""
+
+_QCLF_ORACLE = f"""
+WITH {_QCLF_GRAMS},
+w AS (SELECT doc_id, {hash60_sql("g", f"'{QCLF_SALT}'")} % {2 * QCLF_WSPAN + 1}
+                     - {QCLF_WSPAN} AS w
+      FROM grams)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_features,
+       CAST(SUM(w) AS BIGINT) AS logit_sum,
+       CAST(SUM(w) AS DOUBLE) / ({QCLF_WSPAN}.0 * COUNT(*)) AS score
+FROM w GROUP BY doc_id
+"""
+
+
+@query("quality_classifier_score", oracle=_QCLF_ORACLE)
+def quality_classifier_score(spark, sf_dir):
+    """fastText-shaped document quality scoring: hash each distinct
+    word bigram into an integer weight (the hashing-trick embedding
+    table — here derived from the content hash itself as a
+    deterministic stand-in for trained weights), sum per document, and
+    normalize to a mean-weight score in [-1, 1]. The real-model swap
+    is one line: replace the hash-derived weight with a broadcast
+    lookup of trained weights, keyed by the same feature hash.
+
+    100 TB shape: tokenize + hash + weight are narrow codegen
+    projections on the scan; the only shuffle is the per-doc partial-
+    aggregated SUM/COUNT. Integer logits make the aggregation exact
+    (order-independent); the score is two IEEE ops replayed identically
+    in the oracle."""
+    from streamforge_spark.functions.text import word_ngrams
+    (docs,) = prep(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id", F.explode(word_ngrams(F.col("text"), 2)).alias("g"))
+    w = (oracle_hash60(F.col("g"), salt=QCLF_SALT) % (2 * QCLF_WSPAN + 1)
+         - QCLF_WSPAN)
+    return (grams.select("doc_id", w.alias("w"))
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_features"),
+                 F.sum("w").alias("logit_sum"),
+                 (F.sum("w").cast("double")
+                  / (F.lit(float(QCLF_WSPAN)) * F.count(F.lit(1))))
+                 .alias("score")))

@@ -150,6 +150,60 @@ def ann_cosine_topk(spark, sf_dir):
     )
 
 
+KMEANS_K = 8
+KMEANS_ROUNDS = 3
+
+
+def _kmeans_oracle(k: int, rounds: int, quant: int) -> str:
+    """Unroll the fixed-point Lloyd iterations into pure SQL: the same
+    quantization, integer distances, argmin tie-break, and
+    divide-then-round centroid update as functions/clustering.py —
+    every iteration is oracle-checked, not just the final shape."""
+    ctes = [
+        f"""e AS (
+  SELECT vec_id, list_transform(embedding::DOUBLE[], x -> CAST(ROUND(x * {quant}) AS BIGINT)) AS v
+  FROM embeddings)""",
+        """ed AS (SELECT vec_id, generate_subscripts(v, 1) AS j, unnest(v) AS x FROM e)""",
+        f"""init AS (
+  SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cl
+  FROM (SELECT vec_id FROM e ORDER BY vec_id LIMIT {k}))""",
+        """cd0 AS (SELECT i.cl, ed.j, ed.x FROM init i JOIN ed ON ed.vec_id = i.vec_id)""",
+    ]
+    for r in range(rounds):
+        ctes.append(f"""a{r} AS (
+  SELECT vec_id, cl FROM (
+    SELECT ed.vec_id AS vec_id, cd.cl AS cl,
+           SUM((ed.x - cd.x) * (ed.x - cd.x)) AS d2
+    FROM ed JOIN cd{r} cd ON ed.j = cd.j
+    GROUP BY 1, 2) t
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cl) = 1)""")
+        if r < rounds - 1:
+            ctes.append(f"""cd{r + 1} AS (
+  SELECT p.cl, p.j, COALESCE(s.x, p.x) AS x
+  FROM cd{r} p LEFT JOIN (
+    SELECT a.cl, ed.j,
+           CAST(ROUND(CAST(SUM(ed.x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS x
+    FROM a{r} a JOIN ed ON ed.vec_id = a.vec_id
+    GROUP BY 1, 2) s ON s.cl = p.cl AND s.j = p.j)""")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT vec_id, cl AS cluster FROM a{rounds - 1}")
+
+
+@query("embedding_kmeans",
+       oracle=_kmeans_oracle(KMEANS_K, KMEANS_ROUNDS, 10000))
+def embedding_kmeans(spark, sf_dir):
+    """Full-corpus distributed k-means (fixed-point Lloyd's) — semantic
+    clustering for curation: per-cluster sampling quotas, semantic
+    shard layout, IVF cell maps. Per round: one corpus scan with an
+    Arrow-batched integer matmul (no shuffle), one k-row aggregation,
+    k*dim integers to the driver. The integer arithmetic makes an
+    ITERATIVE algorithm bit-reproducible and oracle-checkable
+    end-to-end (see functions/clustering.py docstring)."""
+    from streamforge_spark.functions.clustering import kmeans_assignments
+    (emb,) = prep(spark, sf_dir, "embeddings")
+    return kmeans_assignments(emb, k=KMEANS_K, rounds=KMEANS_ROUNDS)
+
+
 NEAR_DUP_COS = 0.4
 
 _NEAR_DUP_ORACLE = f"""

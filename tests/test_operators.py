@@ -461,3 +461,51 @@ def test_semantic_dup_marks_lowest_id_representative(spark):
     rows = semantic_dup_marks(emb).collect()
     assert [(r.vec_id, r.dup_of) for r in rows] == [(1, 0)]
     assert rows[0].cos == pytest.approx(1.0)
+
+
+def test_kmeans_separates_clusters(spark):
+    # 3 well-separated blobs, k=3, ids interleaved so the deterministic
+    # lowest-id init seeds one centroid per blob: every blob must map to
+    # exactly one cluster id and no two blobs share one
+    from streamforge_spark.functions.clustering import kmeans_assignments
+    rows = []
+    for c in range(3):
+        for i in range(15):
+            v = [0.0] * 8
+            v[c] = 1.0
+            for j in range(8):
+                v[j] += 0.02 * ((((i + 1) * (j + 2) * (c + 3)) % 7) - 3) / 3.0
+            rows.append((i * 3 + c, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = kmeans_assignments(emb, k=3, rounds=3).collect()
+    assert len(out) == 45
+    blob_to_clusters = {}
+    for r in out:
+        blob_to_clusters.setdefault(r.vec_id % 3, set()).add(r.cluster)
+    assert all(len(s) == 1 for s in blob_to_clusters.values())
+    ids = [next(iter(s)) for s in blob_to_clusters.values()]
+    assert len(set(ids)) == 3
+
+
+def test_kmeans_empty_clusters_keep_centroids(spark):
+    # identical vectors: every point ties to all centroids and argmin
+    # breaks to cluster 0; clusters 1..3 are empty every round and must
+    # keep their init centroids without erroring
+    from streamforge_spark.functions.clustering import kmeans_assignments
+    rows = [(i, [0.25, -0.5, 0.125, 0.75]) for i in range(12)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = kmeans_assignments(emb, k=4, rounds=2).collect()
+    assert len(out) == 12
+    assert {r.cluster for r in out} == {0}
+
+
+def test_kmeans_deterministic_across_partitionings(spark):
+    from streamforge_spark.functions.clustering import kmeans_assignments
+    rows = [(i, [float(((i * 7 + j * 3) % 11) - 5) / 5.0 for j in range(6)])
+            for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    a = {(r.vec_id, r.cluster)
+         for r in kmeans_assignments(emb.repartition(1), k=4, rounds=2).collect()}
+    b = {(r.vec_id, r.cluster)
+         for r in kmeans_assignments(emb.repartition(13), k=4, rounds=2).collect()}
+    assert a == b

@@ -112,3 +112,29 @@ def test_stratified_sample_rates_and_determinism(spark):
         n_kept = (a["lang"] == lang).sum()
         if n_all >= 30:  # enough mass for a loose binomial bound
             assert abs(n_kept / n_all - rate / 100) < 0.25
+
+
+def test_leakage_safe_split_no_group_straddles(spark):
+    from streamforge_spark.queries.curation import leakage_safe_split
+    out = leakage_safe_split(spark, "/root/testdata/sf0.001").toPandas()
+    # the leakage guarantee: every source is entirely train or entirely val
+    sides_per_source = out.groupby("source")["split"].nunique()
+    assert (sides_per_source == 1).all()
+    assert set(out["split"].unique()) <= {"train", "val"}
+    # growth-stability: a doc's side depends only on its source, so the
+    # split of any subset matches the full corpus
+    sub = leakage_safe_split(spark, "/root/testdata/sf0.001")
+    full = dict(zip(out["doc_id"], out["split"]))
+    for r in sub.limit(50).collect():
+        assert full[r.doc_id] == r.split
+
+
+def test_quality_classifier_score_bounds_and_determinism(spark):
+    from streamforge_spark.queries.curation import quality_classifier_score
+    a = quality_classifier_score(spark, "/root/testdata/sf0.001").toPandas()
+    assert (a["score"].abs() <= 1.0).all()
+    assert (a["n_features"] > 0).all()
+    # integer logits: sum/span*n reproduces score exactly
+    import numpy as np
+    recomputed = a["logit_sum"].astype(float) / (1000.0 * a["n_features"])
+    assert np.array_equal(recomputed.values, a["score"].values)
