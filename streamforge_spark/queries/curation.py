@@ -331,3 +331,87 @@ def quality_classifier_score(spark, sf_dir):
                  (F.sum("w").cast("double")
                   / (F.lit(float(QCLF_WSPAN)) * F.count(F.lit(1))))
                  .alias("score")))
+
+
+# -- incremental ingest dedup -------------------------------------------
+
+INGEST_CUTOFF = 100  # docs below = the already-curated corpus snapshot
+
+_INGEST_ORACLE = f"""
+WITH existing AS (SELECT DISTINCT md5(text) AS fp FROM documents
+                  WHERE doc_id < {INGEST_CUTOFF}),
+batch AS (SELECT doc_id, md5(text) AS fp FROM documents
+          WHERE doc_id >= {INGEST_CUTOFF}),
+fresh AS (SELECT b.doc_id, b.fp,
+                 row_number() OVER (PARTITION BY b.fp ORDER BY b.doc_id) AS rn
+          FROM batch b ANTI JOIN existing e ON b.fp = e.fp)
+SELECT doc_id, fp FROM fresh WHERE rn = 1
+"""
+
+
+@query("incremental_ingest_dedup", oracle=_INGEST_ORACLE)
+def incremental_ingest_dedup(spark, sf_dir):
+    """Incremental corpus ingestion: dedup a NEW batch against the
+    already-curated corpus without re-deduplicating the corpus — the
+    day-N+1 op that makes continuous ingestion O(batch), not O(100 TB).
+    Two layers: (1) anti-join the batch's content digests against the
+    corpus digest INDEX (16-byte digests, not documents — at 100 TB of
+    text that index is ~0.1% of corpus bytes, stored bucketed by digest
+    so this join is one-sided shuffle of only the batch); (2) dedup
+    within the batch itself (first-id-wins), since the batch can repeat
+    internally too. Here the corpus snapshot is modeled as doc_id <
+    cutoff on the same table; swapping in a persisted digest table
+    changes only the scan."""
+    (docs,) = prep(spark, sf_dir, "documents")
+    fp = docs.select("doc_id", F.md5(F.col("text")).alias("fp"))
+    existing = fp.filter(F.col("doc_id") < INGEST_CUTOFF).select("fp").distinct()
+    batch = fp.filter(F.col("doc_id") >= INGEST_CUTOFF)
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    return (batch.join(existing, "fp", "left_anti")
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("doc_id", "fp"))
+
+
+# -- sequence-length bucketing ------------------------------------------
+
+_LENBUCKET_ORACLE = """
+WITH t AS (SELECT doc_id,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+           FROM documents),
+b AS (SELECT doc_id, n_tokens,
+             CAST(CASE WHEN n_tokens <= 1 THEN 0
+                  ELSE CAST(floor(log2(CAST(n_tokens AS DOUBLE))) AS BIGINT)
+                  END AS BIGINT) AS bucket
+      FROM t)
+SELECT bucket,
+       CAST(power(2, bucket) AS BIGINT) AS min_len,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(MAX(n_tokens) AS BIGINT) AS max_len
+FROM b GROUP BY bucket
+"""
+
+
+@query("length_bucket_stats", oracle=_LENBUCKET_ORACLE)
+def length_bucket_stats(spark, sf_dir):
+    """Sequence-length bucketing for training batch efficiency: assign
+    every document to its power-of-two token-length bucket (the
+    pad-waste-bounding batching scheme) and report per-bucket doc and
+    token totals — the histogram a packing/batching scheduler consumes.
+    One narrow projection + one tiny aggregation; the bucket id is
+    integer log2, exact on both engines (log2 of an exact small int,
+    floored — no boundary ambiguity since log2 is exact at powers of
+    two and monotone between them)."""
+    (docs,) = prep(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.col("text"), " ")).cast("long")
+    t = docs.select("doc_id", n_tokens.alias("n_tokens"))
+    bucket = (F.when(F.col("n_tokens") <= 1, F.lit(0))
+              .otherwise(F.floor(F.log2(F.col("n_tokens").cast("double"))))
+              .cast("long"))
+    return (t.withColumn("bucket", bucket)
+            .groupBy("bucket")
+            .agg(F.pow(F.lit(2.0), F.col("bucket")).cast("long").alias("min_len"),
+                 F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").alias("total_tokens"),
+                 F.max("n_tokens").alias("max_len")))
