@@ -1,0 +1,229 @@
+"""Time-series resampling & statistics queries.
+
+The reference's only time-series shapes are session windows and
+tumbling aggregates (SessionAnalyzer.java, SURVEY §2.8); a production
+analytics engine over event streams also needs calendar resampling
+(gap-filled regular grids, OHLC bars), distribution analysis
+(histograms, outlier detection), and sequence analysis (transition
+matrices). Each query here is exact-arithmetic (integer cents) so the
+DuckDB oracle matches bit-for-bit.
+
+Scale notes are per-query; the common theme is that every shape is one
+or two hash shuffles on ``user_id``/``event_type`` with map-side
+partial aggregation — no driver-side data movement, no per-row Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from streamforge_spark.queries.common import prep
+from streamforge_spark.registry import query
+
+def _cents():
+    return F.round(F.col("value") * 100).cast("long")
+
+
+@query(
+    "gap_fill_daily",
+    oracle="""
+WITH per_day AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents,
+         ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events),
+closes AS (SELECT user_id, day, cents FROM per_day WHERE rn = 1),
+spans AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM closes GROUP BY user_id),
+grid AS (SELECT user_id, CAST(UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+         FROM spans)
+SELECT g.user_id, CAST(g.day AS TIMESTAMP) AS day,
+       LAST_VALUE(c.cents IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_cents,
+       (c.cents IS NOT NULL) AS is_observed
+FROM grid g LEFT JOIN closes c ON g.user_id = c.user_id AND g.day = c.day
+""",
+)
+def gap_fill_daily(spark, sf_dir):
+    """Calendar gap-fill: resample each user's event stream onto a
+    daily grid over that user's own active span, forward-filling the
+    last observed close value into silent days.
+
+    Spark shape: (1) shuffle on (user_id, day) for the per-day close
+    (window rank, one pass); (2) per-user span aggregate is map-side
+    combinable; the grid is ``explode(sequence(d0, d1))`` — generated
+    at the executors, never the driver; (3) grid⨝closes is an
+    equi-join on (user_id, day) followed by the forward-fill window on
+    user_id. Grid size is bounded by sum of per-user spans, not
+    |users| × global span, so a 100 TB corpus with short-lived keys
+    does not explode. No Python, no collect.
+    """
+    (events,) = prep(spark, sf_dir, "events")
+    per_day = events.select(
+        "user_id", F.to_date("ts").alias("day"), _cents().alias("cents"),
+        F.row_number().over(
+            Window.partitionBy("user_id", F.to_date("ts"))
+            .orderBy(F.col("ts").desc(), F.col("event_id").desc())).alias("rn"))
+    closes = per_day.filter(F.col("rn") == 1).drop("rn")
+    spans = closes.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1"))
+    grid = spans.select(
+        "user_id",
+        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("day"))
+    joined = grid.join(closes, ["user_id", "day"], "left")
+    fill = Window.partitionBy("user_id").orderBy("day") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return joined.select(
+        "user_id", F.col("day").cast("timestamp").alias("day"),
+        F.last("cents", ignorenulls=True).over(fill).alias("filled_cents"),
+        F.col("cents").isNotNull().alias("is_observed"))
+
+
+@query(
+    "ohlc_daily",
+    oracle="""
+WITH ranked AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents,
+         ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                            ORDER BY ts, event_id) AS rn_a,
+         ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events)
+SELECT user_id, CAST(day AS TIMESTAMP) AS day,
+       MAX(CASE WHEN rn_a = 1 THEN cents END) AS open_cents,
+       MAX(cents) AS high_cents,
+       MIN(cents) AS low_cents,
+       MAX(CASE WHEN rn_d = 1 THEN cents END) AS close_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_trades,
+       SUM(cents) AS volume_cents
+FROM ranked GROUP BY user_id, day
+""",
+)
+def ohlc_daily(spark, sf_dir):
+    """OHLC resampling: per (user, day) open/high/low/close/volume
+    bars — the canonical downsample for any metering or market-style
+    event stream. One shuffle on (user_id, day); open/close are
+    deterministic order statistics via a (ts, event_id) tiebreak, and
+    high/low/volume are map-side-combinable aggregates. Exact BIGINT
+    cents throughout."""
+    (events,) = prep(spark, sf_dir, "events")
+    key = [F.col("user_id"), F.to_date("ts").alias("day")]
+    wa = Window.partitionBy("user_id", F.to_date("ts")).orderBy("ts", "event_id")
+    wd = Window.partitionBy("user_id", F.to_date("ts")) \
+        .orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    ranked = events.select(
+        *key, _cents().alias("cents"),
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"))
+    return (ranked.groupBy("user_id", "day")
+            .agg(F.max(F.when(F.col("rn_a") == 1, F.col("cents"))).alias("open_cents"),
+                 F.max("cents").alias("high_cents"),
+                 F.min("cents").alias("low_cents"),
+                 F.max(F.when(F.col("rn_d") == 1, F.col("cents"))).alias("close_cents"),
+                 F.count(F.lit(1)).alias("n_trades"),
+                 F.sum("cents").alias("volume_cents"))
+            .select("user_id", F.col("day").cast("timestamp").alias("day"),
+                    "open_cents", "high_cents", "low_cents", "close_cents",
+                    "n_trades", "volume_cents"))
+
+
+@query(
+    "zscore_outliers",
+    oracle="""
+WITH stats AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(ROUND(value * 100) AS BIGINT)) AS s,
+         SUM(CAST(ROUND(value * 100) AS BIGINT) * CAST(ROUND(value * 100) AS BIGINT)) AS sq
+  FROM events GROUP BY event_type),
+scored AS (
+  SELECT e.event_id, e.event_type,
+         CAST(ROUND(e.value * 100) AS BIGINT) AS cents,
+         (CAST(ROUND(e.value * 100) AS BIGINT) - CAST(s.s AS DOUBLE) / CAST(s.n AS DOUBLE))
+           / SQRT(CAST(s.sq AS DOUBLE) / CAST(s.n AS DOUBLE)
+                  - (CAST(s.s AS DOUBLE) / CAST(s.n AS DOUBLE))
+                    * (CAST(s.s AS DOUBLE) / CAST(s.n AS DOUBLE))) AS z
+  FROM events e JOIN stats s USING (event_type))
+SELECT event_id, event_type, cents,
+       CAST(ROUND(z * 1000) AS BIGINT) AS z_milli
+FROM scored WHERE ABS(z) > 2.5
+""",
+)
+def zscore_outliers(spark, sf_dir):
+    """Per-group z-score outlier detection: flag events >2.5σ from
+    their event_type mean. Two-pass shape chosen for scale: the
+    per-type moment aggregate (n, Σx, Σx²) is map-side combinable and
+    tiny (|types| rows), then broadcast back onto the scan — NO window
+    over event_type, which would shuffle the whole fact table into
+    |types| skewed partitions. Moments are exact BIGINTs; the mean/
+    variance/z arithmetic is the identical IEEE sequence in both
+    engines, so the oracle is bit-exact."""
+    (events,) = prep(spark, sf_dir, "events")
+    stats = (events.groupBy("event_type")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum(_cents()).alias("s"),
+                  F.sum(_cents() * _cents()).alias("sq")))
+    mean = F.col("s").cast("double") / F.col("n").cast("double")
+    var = F.col("sq").cast("double") / F.col("n").cast("double") - mean * mean
+    scored = (events.select("event_id", "event_type", _cents().alias("cents"))
+              .join(F.broadcast(stats), "event_type")
+              .withColumn("z", (F.col("cents") - mean) / F.sqrt(var)))
+    return (scored.filter(F.abs(F.col("z")) > 2.5)
+            .select("event_id", "event_type", "cents",
+                    F.round(F.col("z") * 1000).cast("long").alias("z_milli")))
+
+
+@query(
+    "value_histogram",
+    oracle="""
+SELECT event_type,
+       CAST(FLOOR(CAST(ROUND(value * 100) AS BIGINT) / 5000) AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(CAST(ROUND(value * 100) AS BIGINT)) AS min_cents,
+       MAX(CAST(ROUND(value * 100) AS BIGINT)) AS max_cents
+FROM events GROUP BY event_type, bucket
+""",
+)
+def value_histogram(spark, sf_dir):
+    """Equi-width value histogram ($50 buckets) per event type — the
+    distribution-profiling primitive behind quality dashboards and
+    skew diagnosis. Single map-side-combinable aggregate; bucket count
+    is bounded by value range, so the shuffle payload is constant-size
+    regardless of input rows."""
+    (events,) = prep(spark, sf_dir, "events")
+    bucket = F.floor(_cents() / F.lit(5000)).cast("long")
+    return (events.groupBy("event_type", bucket.alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min(_cents()).alias("min_cents"),
+                 F.max(_cents()).alias("max_cents")))
+
+
+@query(
+    "event_transitions",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events)
+SELECT prev_type, event_type AS next_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM seq WHERE prev_type IS NOT NULL
+GROUP BY prev_type, next_type
+""",
+)
+def event_transitions(spark, sf_dir):
+    """First-order transition matrix over each user's event sequence
+    (the Markov-chain building block for funnel and next-action
+    models). One shuffle on user_id for the lag window — the
+    per-user sequence never leaves its partition — then a tiny
+    |types|² aggregate."""
+    (events,) = prep(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "user_id", "event_type",
+        F.lag("event_type").over(w).alias("prev_type"))
+    return (seq.filter(F.col("prev_type").isNotNull())
+            .groupBy("prev_type", F.col("event_type").alias("next_type"))
+            .agg(F.count(F.lit(1)).alias("n")))
