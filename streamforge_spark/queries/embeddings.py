@@ -238,15 +238,24 @@ def embedding_near_dup(spark, sf_dir):
     nb = NEAR_DUP_BLOCKS
     e = emb.select("vec_id", "embedding").withColumn(
         "blk", F.pmod(F.col("vec_id"), F.lit(nb)).cast("int"))
-    # block-pair ids are constants (not data): NB(NB+1)/2 small rows
-    pairs = spark.createDataFrame(
-        [(i, j) for i in range(nb) for j in range(i, nb)], "bi int, bj int")
-    left = (e.join(F.broadcast(pairs), F.col("blk") == F.col("bi"))
-            .select("bi", "bj", "vec_id", "embedding", F.lit(0).alias("side")))
-    right = (e.join(F.broadcast(pairs),
-                    (F.col("blk") == F.col("bj")) & (F.col("bi") != F.col("bj")))
-             .select("bi", "bj", "vec_id", "embedding", F.lit(1).alias("side")))
-    tagged = left.unionByName(right)
+    # Each vector belongs to nb+1 tiles: (blk, j>=blk) as the left side
+    # and (i<blk, blk) as the right side. Generating that membership
+    # with a single explode keeps the corpus scan to ONE pass (the
+    # previous two-join + union shape scanned it twice) — at 100 TB the
+    # replication happens in the shuffle write, never at the source.
+    membership = F.concat(
+        F.transform(F.sequence(F.col("blk"), F.lit(nb - 1)),
+                    lambda j: F.struct(F.col("blk").alias("bi"), j.alias("bj"),
+                                       F.lit(0).alias("side"))),
+        # 0..blk-1 via slice(0..blk, 1, blk): empty (not [0,-1] — Spark
+        # sequences descend!) when blk == 0
+        F.transform(F.slice(F.sequence(F.lit(0), F.col("blk")), 1, F.col("blk")),
+                    lambda i: F.struct(i.alias("bi"), F.col("blk").alias("bj"),
+                                       F.lit(1).alias("side"))))
+    tagged = (e.select("vec_id", "embedding",
+                       F.explode(membership).alias("t"))
+              .select(F.col("t.bi").alias("bi"), F.col("t.bj").alias("bj"),
+                      "vec_id", "embedding", F.col("t.side").alias("side")))
 
     schema = T.StructType([
         T.StructField("id1", T.LongType()),
