@@ -51,34 +51,36 @@ def gap_fill_daily(spark, sf_dir):
     daily grid over that user's own active span, forward-filling the
     last observed close value into silent days.
 
-    Spark shape: (1) shuffle on (user_id, day) for the per-day close
-    (window rank, one pass); (2) per-user span aggregate is map-side
-    combinable; the grid is ``explode(sequence(d0, d1))`` — generated
-    at the executors, never the driver; (3) grid⨝closes is an
-    equi-join on (user_id, day) followed by the forward-fill window on
-    user_id. Grid size is bounded by sum of per-user spans, not
-    |users| × global span, so a 100 TB corpus with short-lived keys
-    does not explode. No Python, no collect.
+    Spark shape: each close row knows the NEXT close's day (``lead``),
+    so it can emit its own forward-filled grid segment directly —
+    ``explode(sequence(day, next_day - 1))``. ONE events scan, no
+    grid⨝closes join (a join formulation scans the closes twice), two
+    hash exchanges: (user_id, day) for the per-day close rank,
+    user_id for the lead. The grid rows are generated at the
+    executors, never the driver, and total grid size is the sum of
+    per-user active spans — a 100 TB corpus of short-lived keys does
+    not explode into |users| × global-span. No Python, no collect.
     """
     (events,) = prep(spark, sf_dir, "events")
-    per_day = events.select(
+    projected = events.select(
         "user_id", F.to_date("ts").alias("day"), _cents().alias("cents"),
-        F.row_number().over(
-            Window.partitionBy("user_id", F.to_date("ts"))
-            .orderBy(F.col("ts").desc(), F.col("event_id").desc())).alias("rn"))
-    closes = per_day.filter(F.col("rn") == 1).drop("rn")
-    spans = closes.groupBy("user_id").agg(
-        F.min("day").alias("d0"), F.max("day").alias("d1"))
-    grid = spans.select(
-        "user_id",
-        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("day"))
-    joined = grid.join(closes, ["user_id", "day"], "left")
-    fill = Window.partitionBy("user_id").orderBy("day") \
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    return joined.select(
+        "ts", "event_id")
+    per_day = projected.withColumn(
+        "rn", F.row_number().over(
+            Window.partitionBy("user_id", "day")
+            .orderBy(F.col("ts").desc(), F.col("event_id").desc())))
+    closes = per_day.filter(F.col("rn") == 1).select("user_id", "day", "cents")
+    nxt = closes.withColumn(
+        "next_day", F.lead("day").over(
+            Window.partitionBy("user_id").orderBy("day")))
+    seg_end = F.coalesce(F.date_sub("next_day", 1), F.col("day"))
+    grid = nxt.select(
+        "user_id", "cents", F.col("day").alias("obs_day"),
+        F.explode(F.sequence("day", seg_end, F.expr("interval 1 day"))).alias("day"))
+    return grid.select(
         "user_id", F.col("day").cast("timestamp").alias("day"),
-        F.last("cents", ignorenulls=True).over(fill).alias("filled_cents"),
-        F.col("cents").isNotNull().alias("is_observed"))
+        F.col("cents").alias("filled_cents"),
+        (F.col("day") == F.col("obs_day")).alias("is_observed"))
 
 
 @query(
@@ -110,12 +112,17 @@ def ohlc_daily(spark, sf_dir):
     high/low/volume are map-side-combinable aggregates. Exact BIGINT
     cents throughout."""
     (events,) = prep(spark, sf_dir, "events")
-    key = [F.col("user_id"), F.to_date("ts").alias("day")]
-    wa = Window.partitionBy("user_id", F.to_date("ts")).orderBy("ts", "event_id")
-    wd = Window.partitionBy("user_id", F.to_date("ts")) \
+    # project `day` to a plain column BEFORE the windows: partitioning
+    # on the to_date(ts) expression directly defeats exchange reuse
+    # between the windows and the final groupBy (2 shuffles -> 1)
+    projected = events.select(
+        "user_id", F.to_date("ts").alias("day"), _cents().alias("cents"),
+        "ts", "event_id")
+    wa = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    wd = Window.partitionBy("user_id", "day") \
         .orderBy(F.col("ts").desc(), F.col("event_id").desc())
-    ranked = events.select(
-        *key, _cents().alias("cents"),
+    ranked = projected.select(
+        "user_id", "day", "cents",
         F.row_number().over(wa).alias("rn_a"),
         F.row_number().over(wd).alias("rn_d"))
     return (ranked.groupBy("user_id", "day")

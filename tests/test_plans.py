@@ -246,3 +246,42 @@ def test_stratified_sample_is_narrow(spark):
     # a pure filter on the scan: no exchange at all
     plan = plan_of(spark, "stratified_sample")
     assert "Exchange" not in plan
+
+
+def test_gap_fill_no_join_single_scan(spark):
+    # lead-based segment emission: the grid must come from explode on
+    # the closes, never a grid-build + join (which scans events twice)
+    plan = plan_of(spark, "gap_fill_daily")
+    assert plan.count("file:/root/testdata/sf0.001/events.parquet") == 1
+    assert "Join" not in plan
+    assert plan.count("Arguments: hashpartitioning") == 2  # (user,day) rank + user lead
+
+
+def test_ohlc_single_exchange(spark):
+    # day projected before the windows so the (user_id, day) exchange
+    # is shared by both rank windows AND the final groupBy
+    plan = plan_of(spark, "ohlc_daily")
+    assert plan.count("Arguments: hashpartitioning") == 1
+
+
+def test_zscore_two_pass_broadcast_no_window(spark):
+    # moments aggregate + broadcast back: never a window over
+    # event_type (that shuffles the whole fact table into |types|
+    # skewed partitions)
+    plan = plan_of(spark, "zscore_outliers")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Arguments: hashpartitioning") == 1  # the tiny stats agg
+
+
+def test_value_histogram_single_exchange(spark):
+    plan = plan_of(spark, "value_histogram")
+    assert plan.count("Arguments: hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_event_transitions_two_exchanges(spark):
+    # user_id lag window + (prev,next) rollup; nothing else
+    plan = plan_of(spark, "event_transitions")
+    assert plan.count("Arguments: hashpartitioning") == 2
+    assert "Join" not in plan
