@@ -11,6 +11,54 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def pagerank(edges: DataFrame, *, src: str = "src", dst: str = "dst",
+             weight: str = "w", rounds: int = 3, damping: float = 0.85,
+             scale: int = 10**9) -> DataFrame:
+    """Weighted PageRank, fixed ``rounds`` power iterations, fixed-point
+    integer ranks (parts-per-``scale``) so the ITERATIVE computation is
+    bit-reproducible and oracle-checkable end-to-end (same strategy as
+    functions/clustering.py's k-means: ranks live as BIGINTs; each
+    round does one exactly-rounded double op sequence per edge).
+
+    Per round at 100 TB: edges ⨝ ranks on src (one shuffle on the edge
+    partitioning key), a map-side-combined BIGINT sum per dst, and a
+    left join back onto the node list — no driver-side data beyond the
+    node count scalar. Dangling nodes (no out-edges) drop their mass —
+    the standard simplification; feed a symmetrized edge list (as
+    supplier_pagerank does) if every node must keep rank.
+
+    Rank update (identical IEEE sequence in the SQL oracle):
+    ``contrib = ROUND((r * w) / wout)`` per edge, summed exactly as
+    BIGINT; ``r' = ROUND((1-d) * (scale/N) + d * in_sum)``.
+    """
+    e = (edges.select(F.col(src).alias("s"), F.col(dst).alias("d"),
+                      F.col(weight).cast("long").alias("w"))
+         .localCheckpoint(eager=True))
+    outw = e.groupBy("s").agg(F.sum("w").alias("wout"))
+    ew = e.join(outw, "s").localCheckpoint(eager=True)
+    nodes = (e.select(F.col("s").alias("node"))
+             .union(e.select(F.col("d").alias("node")))
+             .distinct().localCheckpoint(eager=True))
+    n = float(nodes.count())
+    base = F.lit(float(scale)) / F.lit(n)
+    ranks = nodes.withColumn(
+        "r", F.round(F.lit(float(scale)) / F.lit(n)).cast("long"))
+    for _ in range(rounds):
+        contrib = (ew.join(ranks, ew["s"] == ranks["node"])
+                   .select(F.col("d").alias("node"),
+                           F.round((F.col("r").cast("double") * F.col("w").cast("double"))
+                                   / F.col("wout").cast("double")).cast("long").alias("c")))
+        in_sum = contrib.groupBy("node").agg(F.sum("c").alias("c"))
+        ranks = (nodes.join(in_sum, "node", "left")
+                 .select("node",
+                         F.round(F.lit(1.0 - damping) * base
+                                 + F.lit(damping)
+                                 * F.coalesce(F.col("c"), F.lit(0)).cast("double"))
+                         .cast("long").alias("r"))
+                 .localCheckpoint(eager=False))
+    return ranks.select("node", F.col("r").alias("rank_ppb"))
+
+
 def connected_components(edges: DataFrame, src: str = "d1", dst: str = "d2",
                          max_iter: int = 20) -> DataFrame:
     """Min-label propagation over undirected edges → (node, component),

@@ -292,3 +292,31 @@ def embedding_near_dup(spark, sf_dir):
                              "cos": cos[ai, bi]})
 
     return tagged.groupBy("bi", "bj").applyInPandas(score_tile, schema)
+
+
+_QUANT_ORACLE = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+ed AS (SELECT vec_id, generate_subscripts(v, 1) AS j, unnest(v) AS x FROM e),
+st AS (SELECT j, MIN(x) AS mn, MAX(x) AS mx FROM ed GROUP BY j)
+SELECT ed.vec_id, CAST(ed.j AS BIGINT) AS j,
+       CAST(ROUND(CASE WHEN st.mx = st.mn THEN 0.0
+                       ELSE (ed.x - st.mn) / (st.mx - st.mn) * 254.0 - 127.0
+                  END) AS INT) AS qx
+FROM ed JOIN st USING (j)
+"""
+
+
+@query("embedding_quantize_int8", oracle=_QUANT_ORACLE)
+def embedding_quantize_int8(spark, sf_dir):
+    """int8 scalar quantization of the corpus embeddings
+    (functions/similarity.py::int8_quantize), flattened to
+    (vec_id, dim, code) so EVERY code is oracle-checked — the array
+    shape itself is pinned by the dimension count. The production
+    operator returns the packed array<int> column; this query is its
+    verification projection."""
+    from streamforge_spark.functions.similarity import int8_quantize
+    (emb,) = prep(spark, sf_dir, "embeddings")
+    q = int8_quantize(emb)
+    return q.select(
+        "vec_id", F.posexplode("qvec").alias("j0", "qx")
+    ).select("vec_id", (F.col("j0") + 1).cast("long").alias("j"), "qx")

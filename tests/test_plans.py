@@ -285,3 +285,15 @@ def test_event_transitions_two_exchanges(spark):
     plan = plan_of(spark, "event_transitions")
     assert plan.count("Arguments: hashpartitioning") == 2
     assert "Join" not in plan
+
+
+def test_quantize_one_row_cross_and_pruned_stats_scan(spark):
+    # the limits attach is a ONE-row broadcast cross (scalar-subquery
+    # pattern, q22 adjudication) — never a shuffle join; the stats
+    # pass must scan only the embedding column (column pruning)
+    plan = plan_of(spark, "embedding_quantize_int8")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # only the 64-row dim-stats aggregate may hash-shuffle
+    assert plan.count("Arguments: hashpartitioning") == 1
+    assert "ReadSchema: struct<embedding:array<float>>" in plan
