@@ -415,3 +415,48 @@ def length_bucket_stats(spark, sf_dir):
                  F.count(F.lit(1)).alias("n_docs"),
                  F.sum("n_tokens").alias("total_tokens"),
                  F.max("n_tokens").alias("max_len")))
+
+
+# -- corpus mixing (balance sources) ------------------------------------
+
+MIX_SALT = "mix-v1"
+MIX_DENOM = 1_000_000
+
+_MIX_ORACLE = f"""
+WITH cnt AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS c FROM documents GROUP BY source),
+mn AS (SELECT MIN(c) AS m FROM cnt),
+thr AS (SELECT source,
+               CAST(ROUND(CAST(mn.m AS DOUBLE) / CAST(cnt.c AS DOUBLE) * {MIX_DENOM})
+                 AS BIGINT) AS t
+        FROM cnt CROSS JOIN mn)
+SELECT d.doc_id, d.source
+FROM documents d JOIN thr USING (source)
+WHERE {hash60_sql("CAST(doc_id AS VARCHAR)", f"'{MIX_SALT}'")} % {MIX_DENOM} < thr.t
+"""
+
+
+@query("corpus_mix_sample", oracle=_MIX_ORACLE)
+def corpus_mix_sample(spark, sf_dir):
+    """Source-balanced corpus mixing: compute per-source keep-rates FROM
+    the data (downsample every source to the smallest source's expected
+    count) and apply them with the deterministic salted-hash coin.
+    The training-mix operation stratified_sample's fixed rates can't
+    express — rates follow the live source distribution.
+
+    Scale shape: the source histogram is a map-side-combined aggregate
+    (|sources| rows), the min collapses it to one row, and the
+    per-source thresholds broadcast back onto the scan — the corpus
+    itself only ever flows through a narrow filter. Reruns are stable
+    under corpus growth exactly like stratified_sample (a doc's coin
+    never changes when other docs arrive; only the thresholds move)."""
+    (docs,) = prep(spark, sf_dir, "documents")
+    cnt = docs.groupBy("source").agg(F.count(F.lit(1)).alias("c"))
+    mn = cnt.agg(F.min("c").alias("m"))
+    thr = (cnt.crossJoin(F.broadcast(mn))
+           .select("source",
+                   F.round(F.col("m").cast("double") / F.col("c").cast("double")
+                           * MIX_DENOM).cast("long").alias("t")))
+    coin = oracle_hash60(F.col("doc_id").cast("string"), salt=MIX_SALT) % MIX_DENOM
+    return (docs.join(F.broadcast(thr), "source")
+            .filter(coin < F.col("t"))
+            .select("doc_id", "source"))

@@ -234,3 +234,63 @@ def event_transitions(spark, sf_dir):
     return (seq.filter(F.col("prev_type").isNotNull())
             .groupBy("prev_type", F.col("event_type").alias("next_type"))
             .agg(F.count(F.lit(1)).alias("n")))
+
+
+@query(
+    "value_drift_report",
+    oracle="""
+WITH b AS (
+  SELECT event_type,
+         CAST(FLOOR(CAST(ROUND(value * 100) AS BIGINT) / 5000) AS BIGINT) AS bucket,
+         CAST(COUNT(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16' THEN 1 END) AS BIGINT) AS na,
+         CAST(COUNT(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16' THEN 1 END) AS BIGINT) AS nb
+  FROM events GROUP BY 1, 2),
+tot AS (SELECT event_type, SUM(na) AS ta, SUM(nb) AS tb FROM b GROUP BY event_type),
+sh AS (
+  SELECT b.event_type,
+         CASE WHEN t.ta = 0 THEN 0
+              ELSE CAST(ROUND(CAST(b.na AS DOUBLE) / CAST(t.ta AS DOUBLE) * 1000000) AS BIGINT)
+         END AS sa,
+         CASE WHEN t.tb = 0 THEN 0
+              ELSE CAST(ROUND(CAST(b.nb AS DOUBLE) / CAST(t.tb AS DOUBLE) * 1000000) AS BIGINT)
+         END AS sb,
+         t.ta AS ta, t.tb AS tb
+  FROM b JOIN tot t USING (event_type))
+SELECT event_type, MIN(ta) AS n_first_half, MIN(tb) AS n_second_half,
+       SUM(ABS(sa - sb)) AS tv2_ppm
+FROM sh GROUP BY event_type
+""",
+)
+def value_drift_report(spark, sf_dir):
+    """Distribution-drift report: per event type, the total-variation
+    distance (x2, in ppm) between the value histograms of the first
+    and second half of the observation window — the monitoring
+    primitive behind "did this feed's distribution shift?" alerts.
+    Deliberately transcendental-free (no KL/PSI logs — libm ln is not
+    bit-portable across engines); integer shares in ppm make the
+    statistic exact and oracle-checkable.
+
+    Scale shape: ONE pass over the fact table into a (type, bucket)
+    conditional-count aggregate (map-side combined, bucket count
+    bounded by the value range), then tiny broadcast rollups — the
+    two time windows never scan separately."""
+    (events,) = prep(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-16").cast("date")
+    b = (events.groupBy(
+            "event_type",
+            F.floor(_cents() / F.lit(5000)).cast("long").alias("bucket"))
+         .agg(F.count(F.when(F.to_date("ts") < cutoff, 1)).alias("na"),
+              F.count(F.when(F.to_date("ts") >= cutoff, 1)).alias("nb")))
+    tot = b.groupBy("event_type").agg(
+        F.sum("na").alias("ta"), F.sum("nb").alias("tb"))
+    share = lambda n, t: F.when(  # noqa: E731
+        F.col(t) == 0, F.lit(0).cast("long")
+    ).otherwise(F.round(F.col(n).cast("double") / F.col(t).cast("double")
+                        * 1000000).cast("long"))
+    sh = (b.join(F.broadcast(tot), "event_type")
+          .select("event_type", share("na", "ta").alias("sa"),
+                  share("nb", "tb").alias("sb"), "ta", "tb"))
+    return (sh.groupBy("event_type")
+            .agg(F.min("ta").alias("n_first_half"),
+                 F.min("tb").alias("n_second_half"),
+                 F.sum(F.abs(F.col("sa") - F.col("sb"))).alias("tv2_ppm")))

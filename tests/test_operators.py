@@ -509,3 +509,44 @@ def test_kmeans_deterministic_across_partitionings(spark):
     b = {(r.vec_id, r.cluster)
          for r in kmeans_assignments(emb.repartition(13), k=4, rounds=2).collect()}
     assert a == b
+
+
+def test_pagerank_star_and_determinism(spark):
+    # star graph: the hub must out-rank every leaf; rank mass is
+    # conserved up to rounding; repartitioning must not change a single
+    # fixed-point rank (the bit-reproducibility contract)
+    from streamforge_spark.operators.graph import pagerank
+    hub_edges = [(0, i, 1) for i in range(1, 6)] + [(i, 0, 1) for i in range(1, 6)]
+    edges = spark.createDataFrame(hub_edges, "src long, dst long, w long")
+    got = {r.node: r.rank_ppb for r in pagerank(edges).collect()}
+    assert set(got) == set(range(6))
+    assert all(got[0] > got[i] for i in range(1, 6))
+    leaf_ranks = {got[i] for i in range(1, 6)}
+    assert len(leaf_ranks) == 1            # symmetry: all leaves equal
+    again = {r.node: r.rank_ppb
+             for r in pagerank(edges.repartition(7)).collect()}
+    assert again == got
+
+
+def test_pagerank_weighted_edges_shift_rank(spark):
+    # 1 and 2 both point at 3 and 4, but with 9:1 weights — the
+    # heavier-weighted target must collect more rank
+    from streamforge_spark.operators.graph import pagerank
+    edges = spark.createDataFrame(
+        [(1, 3, 9), (1, 4, 1), (2, 3, 9), (2, 4, 1),
+         (3, 1, 1), (4, 2, 1)], "src long, dst long, w long")
+    got = {r.node: r.rank_ppb for r in pagerank(edges).collect()}
+    assert got[3] > got[4]
+
+
+def test_int8_quantize_endpoints_and_constant_dim(spark):
+    # per-dim min -> -127, max -> 127, midpoint -> 0; a constant
+    # dimension quantizes to 0 instead of dividing by zero
+    from streamforge_spark.functions.similarity import int8_quantize
+    emb = spark.createDataFrame(
+        [(1, [0.0, 5.0]), (2, [10.0, 5.0]), (3, [5.0, 5.0])],
+        "vec_id long, embedding array<float>")
+    got = {r.vec_id: r.qvec for r in int8_quantize(emb).collect()}
+    assert got[1] == [-127, 0]
+    assert got[2] == [127, 0]
+    assert got[3] == [0, 0]
