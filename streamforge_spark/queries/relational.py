@@ -379,3 +379,44 @@ def q21_waiting_supplier(spark, sf_dir):
         .groupBy("s_name", "n_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+# -- entity resolution --------------------------------------------------
+
+ER_MAX_DIST = 1
+
+
+@query(
+    "customer_entity_match",
+    oracle=f"""
+SELECT a.c_custkey AS id1, b.c_custkey AS id2,
+       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+FROM customer a JOIN customer b
+  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= {ER_MAX_DIST}
+""",
+)
+def customer_entity_match(spark, sf_dir):
+    """Entity resolution by blocking + edit distance: candidate pairs
+    only WITHIN a block (here the nation), scored with Levenshtein —
+    an exact integer algorithm, so the oracle is trivially bit-exact.
+
+    The blocked self-join is the canonical ER shape: comparisons are
+    quadratic per block, never corpus-wide. Nation is a demo block
+    (25 values → skewed at 100 TB); production blocking uses a finer
+    deterministic key (name prefix + sorted-token fingerprint, or the
+    MinHash bands from dedup_minhash_lsh) — the plan shape (shuffle on
+    block key, per-block pair explosion, scalar filter) is identical.
+    """
+    (cust,) = prep(spark, sf_dir, "customer")
+    a = cust.select(F.col("c_custkey").alias("id1"),
+                    F.col("c_name").alias("name1"),
+                    F.col("c_nationkey").alias("nk"))
+    b = cust.select(F.col("c_custkey").alias("id2"),
+                    F.col("c_name").alias("name2"),
+                    F.col("c_nationkey").alias("nk"))
+    return (a.join(b, "nk")
+            .filter(F.col("id1") < F.col("id2"))
+            .withColumn("dist", F.levenshtein("name1", "name2").cast("long"))
+            .filter(F.col("dist") <= ER_MAX_DIST)
+            .select("id1", "id2", "dist"))

@@ -294,3 +294,51 @@ def value_drift_report(spark, sf_dir):
             .agg(F.min("ta").alias("n_first_half"),
                  F.min("tb").alias("n_second_half"),
                  F.sum(F.abs(F.col("sa") - F.col("sb"))).alias("tv2_ppm")))
+
+
+@query(
+    "winsorized_values",
+    oracle="""
+WITH ranked AS (
+  SELECT event_id, event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events),
+lims AS (
+  SELECT event_type,
+         MAX(CASE WHEN rn = CAST(CEIL(0.01 * n) AS BIGINT) THEN cents END) AS lo,
+         MAX(CASE WHEN rn = CAST(CEIL(0.99 * n) AS BIGINT) THEN cents END) AS hi
+  FROM ranked GROUP BY event_type)
+SELECT r.event_id, r.event_type,
+       LEAST(GREATEST(r.cents, l.lo), l.hi) AS cents_winsor,
+       (r.cents < l.lo OR r.cents > l.hi) AS clipped
+FROM ranked r JOIN lims l USING (event_type)
+""",
+)
+def winsorized_values(spark, sf_dir):
+    """Robust normalization: winsorize each event's value to its
+    type's exact [p01, p99] band (clip, don't drop) — the outlier
+    treatment feature pipelines apply before scaling. Exact order-
+    statistic limits via the ranked-window trick (same machinery as
+    event_value_percentiles: deterministic (value, event_id) order,
+    rank ceil(q*n)); the |types|-row limits broadcast back onto the
+    ranked rows, so the fact table shuffles once (the window) and the
+    clip itself is codegen arithmetic."""
+    (events,) = prep(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = events.select(
+        "event_id", "event_type", _cents().alias("cents"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"))
+    lims = (ranked.groupBy("event_type")
+            .agg(F.max(F.when(F.col("rn") == F.ceil(0.01 * F.col("n")).cast("long"),
+                              F.col("cents"))).alias("lo"),
+                 F.max(F.when(F.col("rn") == F.ceil(0.99 * F.col("n")).cast("long"),
+                              F.col("cents"))).alias("hi")))
+    return (ranked.join(F.broadcast(lims), "event_type")
+            .select("event_id", "event_type",
+                    F.least(F.greatest(F.col("cents"), F.col("lo")),
+                            F.col("hi")).alias("cents_winsor"),
+                    ((F.col("cents") < F.col("lo"))
+                     | (F.col("cents") > F.col("hi"))).alias("clipped")))

@@ -297,3 +297,20 @@ def test_quantize_one_row_cross_and_pruned_stats_scan(spark):
     # only the 64-row dim-stats aggregate may hash-shuffle
     assert plan.count("Arguments: hashpartitioning") == 1
     assert "ReadSchema: struct<embedding:array<float>>" in plan
+
+
+def test_winsorize_single_fact_exchange(spark):
+    # the p01/p99 limits reuse the window's event_type exchange; the
+    # clip is a broadcast join back — the fact table shuffles once
+    plan = plan_of(spark, "winsorized_values")
+    assert plan.count("Arguments: hashpartitioning") == 1
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_entity_match_no_cartesian(spark):
+    # blocked self-join: always an equi-join on the block key, never a
+    # cartesian pair explosion
+    plan = plan_of(spark, "customer_entity_match")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
