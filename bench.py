@@ -48,6 +48,13 @@ HEADLINE = [
     "text_stats",
     "ann_cosine_topk",
     "embedding_near_dup",
+    # round-2 capability additions (new keys just appear in vs_prev as
+    # uncompared; the original 24 stay comparable across rounds)
+    "gap_fill_daily",
+    "supplier_pagerank",
+    "embedding_quantize_int8",
+    "value_drift_report",
+    "customer_entity_match",
 ]
 
 
