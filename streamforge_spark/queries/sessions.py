@@ -161,3 +161,65 @@ def materialize_history(spark, sf_dir):
         delete_predicate=F.col("operation") == "delete")
     return hist.select("primary_key", "payload_json", "valid_from",
                        "valid_to", "is_current")
+
+
+@query(
+    "scd2_temporal_join",
+    oracle=f"""
+WITH {ENVELOPE_CTE},
+v AS (
+  SELECT primary_key, payload_json, event_time AS valid_from,
+         operation = 'delete' AS is_del,
+         lead(event_time) OVER (PARTITION BY primary_key
+                                ORDER BY event_time, event_id) AS valid_to
+  FROM envelope
+)
+SELECT e.event_id, e.primary_key, e.event_time,
+       s.payload_json AS state_payload,
+       s.valid_from AS state_valid_from
+FROM envelope e
+LEFT JOIN (SELECT * FROM v WHERE NOT is_del) s
+  ON e.primary_key = s.primary_key
+ AND s.valid_from <= e.event_time
+ AND (s.valid_to IS NULL OR e.event_time < s.valid_to)
+""",
+)
+def scd2_temporal_join(spark, sf_dir):
+    """Temporal (AS OF) join against the SCD-2 state history: every
+    event enriched with the key's state version that was valid AT the
+    event's timestamp — the canonical consumption pattern for the
+    Materializer's history table (a delete closes the interval, so
+    events landing after a delete and before the next insert enrich
+    to NULL).
+
+    Scale shape: composes materializer_history with the asof_join
+    union+running-last rewrite — ONE hash shuffle on the key, no
+    range join (which Spark would plan as BNLJ without an equi key),
+    no N:M intermediate. The interval-validity check (ts < valid_to)
+    is a post-filter that NULLs expired matches, preserving left-outer
+    semantics."""
+    from streamforge_spark.operators.joins import asof_join
+    from streamforge_spark.operators.materialize import materializer_history
+    (events,) = prep(spark, sf_dir, "events")
+    env = envelope_from_events(events)
+    hist = materializer_history(
+        env, ["primary_key"], ["event_time", "event_id"], "event_time",
+        delete_predicate=F.col("operation") == "delete")
+    versions = hist.select("primary_key", "payload_json",
+                           F.col("valid_from").alias("vfrom"),
+                           F.col("valid_to").alias("vto"),
+                           # zero-padded so the asof tiebreak's STRING
+                           # order equals numeric event order under
+                           # duplicate (key, valid_from) timestamps
+                           F.lpad(F.col("event_id").cast("string"), 20, "0")
+                           .alias("vev"))
+    left = env.select("event_id", "primary_key", "event_time")
+    j = asof_join(left, versions, key="primary_key",
+                  left_ts="event_time", right_ts="vfrom",
+                  right_cols=["payload_json", "vfrom", "vto"],
+                  right_tiebreak="vev", prefix="s_")
+    live = F.col("s_vto").isNull() | (F.col("event_time") < F.col("s_vto"))
+    return j.select(
+        "event_id", "primary_key", "event_time",
+        F.when(live, F.col("s_payload_json")).alias("state_payload"),
+        F.when(live, F.col("s_vfrom")).alias("state_valid_from"))

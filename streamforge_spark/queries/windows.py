@@ -272,3 +272,35 @@ def topk_per_group(spark, sf_dir):
             .filter(F.col("rn") <= 3)
             .select("event_type", "event_id", "cents",
                     F.col("rn").cast("long").alias("rank")))
+
+
+@query(
+    "window_rank_suite",
+    oracle="""
+SELECT event_id, event_type,
+       CAST(NTILE(10) OVER w AS BIGINT) AS decile,
+       CAST(RANK() OVER w AS BIGINT) AS rnk,
+       CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
+       CAST(ROUND(PERCENT_RANK() OVER w * 1000000) AS BIGINT) AS pct_rank_ppm,
+       CAST(ROUND(CUME_DIST() OVER w * 1000000) AS BIGINT) AS cume_ppm
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+""",
+)
+def window_rank_suite(spark, sf_dir):
+    """The full ranking-window surface in one pass: NTILE deciles,
+    RANK/DENSE_RANK, PERCENT_RANK and CUME_DIST per event type under a
+    deterministic (value, event_id) order. All five functions share
+    ONE window spec — one hash exchange, one sort, five O(1)-state
+    computations per row. percent_rank/cume_dist are (rank-1)/(n-1)
+    and peers/n integer-derived divisions — identical IEEE ops in both
+    engines, reported in ppm."""
+    (events,) = prep(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return events.select(
+        "event_id", "event_type",
+        F.ntile(10).over(w).cast("long").alias("decile"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.round(F.percent_rank().over(w) * 1000000).cast("long").alias("pct_rank_ppm"),
+        F.round(F.cume_dist().over(w) * 1000000).cast("long").alias("cume_ppm"))
