@@ -25,6 +25,23 @@ def _cents():
     return F.round(F.col("value") * 100).cast("long")
 
 
+def ohlc_aggs():
+    """The OHLC aggregate spec over (cents, ts, event_id) — pure
+    algebraic aggregates (min_by/max_by with the unique (ts, event_id)
+    order key), so it is map-side combinable AND legal in a streaming
+    groupBy (no window functions). Shared by the batch query and
+    streaming/timeseries.py::streaming_ohlc."""
+    seq = F.struct("ts", "event_id")
+    return [
+        F.min_by("cents", seq).alias("open_cents"),
+        F.max("cents").alias("high_cents"),
+        F.min("cents").alias("low_cents"),
+        F.max_by("cents", seq).alias("close_cents"),
+        F.count(F.lit(1)).alias("n_trades"),
+        F.sum("cents").alias("volume_cents"),
+    ]
+
+
 @query(
     "gap_fill_daily",
     oracle="""
@@ -107,31 +124,18 @@ FROM ranked GROUP BY user_id, day
 def ohlc_daily(spark, sf_dir):
     """OHLC resampling: per (user, day) open/high/low/close/volume
     bars — the canonical downsample for any metering or market-style
-    event stream. One shuffle on (user_id, day); open/close are
-    deterministic order statistics via a (ts, event_id) tiebreak, and
-    high/low/volume are map-side-combinable aggregates. Exact BIGINT
-    cents throughout."""
+    event stream. A SINGLE map-side-combinable aggregation (no rank
+    window, no sort): open/close are min_by/max_by under the unique
+    (ts, event_id) key — deterministic, and the identical result to
+    the oracle's rank-1 formulation. Exact BIGINT cents throughout;
+    the same agg spec runs unchanged under a streaming watermark
+    (test_streaming_ohlc_matches_batch)."""
     (events,) = prep(spark, sf_dir, "events")
-    # project `day` to a plain column BEFORE the windows: partitioning
-    # on the to_date(ts) expression directly defeats exchange reuse
-    # between the windows and the final groupBy (2 shuffles -> 1)
     projected = events.select(
         "user_id", F.to_date("ts").alias("day"), _cents().alias("cents"),
         "ts", "event_id")
-    wa = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
-    wd = Window.partitionBy("user_id", "day") \
-        .orderBy(F.col("ts").desc(), F.col("event_id").desc())
-    ranked = projected.select(
-        "user_id", "day", "cents",
-        F.row_number().over(wa).alias("rn_a"),
-        F.row_number().over(wd).alias("rn_d"))
-    return (ranked.groupBy("user_id", "day")
-            .agg(F.max(F.when(F.col("rn_a") == 1, F.col("cents"))).alias("open_cents"),
-                 F.max("cents").alias("high_cents"),
-                 F.min("cents").alias("low_cents"),
-                 F.max(F.when(F.col("rn_d") == 1, F.col("cents"))).alias("close_cents"),
-                 F.count(F.lit(1)).alias("n_trades"),
-                 F.sum("cents").alias("volume_cents"))
+    return (projected.groupBy("user_id", "day")
+            .agg(*ohlc_aggs())
             .select("user_id", F.col("day").cast("timestamp").alias("day"),
                     "open_cents", "high_cents", "low_cents", "close_cents",
                     "n_trades", "volume_cents"))

@@ -449,3 +449,38 @@ def test_streaming_merger_tws_reemits_reverts(spark, workdir):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_streaming_ohlc_matches_batch(spark, workdir):
+    # the shared algebraic agg spec must produce identical bars when
+    # fed incrementally under a watermark as in one batch pass
+    from streamforge_spark.io import load
+    from streamforge_spark.queries.timeseries import ohlc_daily
+    from streamforge_spark.streaming.timeseries import streaming_ohlc
+    events = load(spark, "/root/testdata/sf0.001", "events") \
+        .select("event_id", "ts", "user_id", "value")
+    # two arrival batches, split mid-month to exercise bar updates
+    src = f"{workdir}/ev"
+    events.filter(F.dayofmonth("ts") <= 15).coalesce(1) \
+        .write.mode("append").parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    out = streaming_ohlc(stream)
+    q = (out.writeStream.format("memory").queryName("ohlc_out")
+         .outputMode("update").start())
+    q.processAllAvailable()
+    events.filter(F.dayofmonth("ts") > 15).coalesce(1) \
+        .write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    # update mode re-emits a bar on change: keep the LAST emission per key
+    got_df = spark.sql(
+        "select * from (select *, row_number() over "
+        "(partition by user_id, day order by n_trades desc) rn "
+        "from ohlc_out) where rn = 1").drop("rn")
+    got = {(r.user_id, r.day): (r.open_cents, r.high_cents, r.low_cents,
+                                r.close_cents, r.n_trades, r.volume_cents)
+           for r in got_df.collect()}
+    want = {(r.user_id, r.day): (r.open_cents, r.high_cents, r.low_cents,
+                                 r.close_cents, r.n_trades, r.volume_cents)
+            for r in ohlc_daily(spark, "/root/testdata/sf0.001").collect()}
+    assert got == want
