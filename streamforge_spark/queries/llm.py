@@ -12,6 +12,7 @@ genuinely not SQL-expressible.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from streamforge_spark.functions.simdedup import (
@@ -304,3 +305,65 @@ def multimodal_resize(spark, sf_dir):
     return out.select("media_id",
                       F.length("payload").cast("long").alias("n_bytes"),
                       "width", "height")
+
+
+# -- contrastive negative sampling --------------------------------------
+
+NEG_SALT = "neg-v1"
+NEG_BUCKETS = 16
+NEG_K = 2
+
+_NEG_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5('{NEG_SALT}:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hh
+  FROM documents),
+b AS (SELECT doc_id, hh % {NEG_BUCKETS} AS bkt,
+             ROW_NUMBER() OVER (PARTITION BY hh % {NEG_BUCKETS} ORDER BY hh, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY hh % {NEG_BUCKETS}) AS sz
+      FROM h)
+SELECT a.doc_id, n.doc_id AS neg_id, CAST(j.j AS BIGINT) AS j
+FROM b a
+CROSS JOIN (VALUES (1), (2)) AS j(j)
+JOIN b n ON n.bkt = a.bkt AND n.rn = (a.rn - 1 + j.j) % a.sz + 1
+WHERE n.doc_id <> a.doc_id
+"""
+
+
+@query("negative_pairs", oracle=_NEG_ORACLE)
+def negative_pairs(spark, sf_dir):
+    """Deterministic negative sampling for contrastive training: each
+    document is paired with its next K neighbors on a salted-hash ring
+    — effectively random partners (the hash destroys any corpus
+    order), yet exactly reproducible across runs, engines, and
+    partitionings, which is what makes training-data builds auditable.
+
+    Scale shape: the ring is bucketed (hash % NB) so the ordering
+    window is per-bucket — parallel, never a global sort (a single
+    global ring would plan a one-partition window). One shuffle to
+    rank each bucket, one (bkt, rn) equi-join for the partners.
+    Singleton buckets yield no pairs (self excluded); with NB sized so
+    buckets hold >> K docs this is vanishing. Swap `documents` for a
+    per-class partition key to get hard negatives within a class."""
+    from streamforge_spark.functions.simdedup import oracle_hash60
+    (docs,) = prep(spark, sf_dir, "documents")
+    h = docs.select(
+        "doc_id",
+        oracle_hash60(F.col("doc_id").cast("string"), salt=NEG_SALT).alias("hh"))
+    b = h.select(
+        "doc_id", (F.col("hh") % NEG_BUCKETS).alias("bkt"),
+        F.row_number().over(
+            Window.partitionBy(F.col("hh") % NEG_BUCKETS)
+            .orderBy("hh", "doc_id")).alias("rn"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy(F.col("hh") % NEG_BUCKETS)).alias("sz"))
+    a = b.select(
+        "doc_id", "bkt", "sz",
+        F.explode(F.array(*[F.lit(j) for j in range(1, NEG_K + 1)])).alias("j"),
+        F.col("rn").alias("rn_a"))
+    tgt = ((F.col("rn_a") - 1 + F.col("j")) % F.col("sz") + 1)
+    n = b.select(F.col("doc_id").alias("neg_id"), "bkt", F.col("rn").alias("rn"))
+    return (a.withColumn("rn", tgt.cast("int"))
+            .join(n, ["bkt", "rn"])
+            .filter(F.col("neg_id") != F.col("doc_id"))
+            .select("doc_id", "neg_id", F.col("j").cast("long").alias("j")))

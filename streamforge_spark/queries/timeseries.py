@@ -346,3 +346,53 @@ def winsorized_values(spark, sf_dir):
                             F.col("hi")).alias("cents_winsor"),
                     ((F.col("cents") < F.col("lo"))
                      | (F.col("cents") > F.col("hi"))).alias("clipped")))
+
+
+@query(
+    "twap_daily",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents,
+         epoch_us(ts) AS t_us,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                  ORDER BY ts, event_id) AS nxt_us,
+         epoch_us(CAST(CAST(ts AS DATE) AS TIMESTAMP) + INTERVAL 1 DAY) AS eod_us
+  FROM events),
+wt AS (SELECT user_id, day, cents, COALESCE(nxt_us, eod_us) - t_us AS dur_us FROM seq)
+SELECT user_id, CAST(day AS TIMESTAMP) AS day,
+       CAST(SUM(dur_us) AS BIGINT) AS active_us,
+       CAST(ROUND(CAST(SUM(cents * dur_us) AS DOUBLE)
+                  / CAST(SUM(dur_us) AS DOUBLE) * 1000) AS BIGINT) AS twap_millicents
+FROM wt GROUP BY user_id, day
+""",
+)
+def twap_daily(spark, sf_dir):
+    """Time-weighted average value per (user, day): each observation
+    holds until the next one (or the end of the day), weighted by its
+    holding duration in exact integer microseconds — the standard
+    TWAP/occupancy aggregate for metering and market data that a plain
+    AVG silently gets wrong under irregular sampling.
+
+    One (user_id, day) window for the lead (the final groupBy reuses
+    its exchange), BIGINT µs·cents products summed exactly, one IEEE
+    division at the end — bit-exact vs the oracle."""
+    (events,) = prep(spark, sf_dir, "events")
+    projected = events.select(
+        "user_id", F.to_date("ts").alias("day"), _cents().alias("cents"),
+        F.unix_micros("ts").alias("t_us"), "ts", "event_id")
+    w = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    seq = projected.select(
+        "user_id", "day", "cents", "t_us",
+        F.lead("t_us").over(w).alias("nxt_us"),
+        F.unix_micros(F.date_add("day", 1).cast("timestamp")).alias("eod_us"))
+    wt = seq.select(
+        "user_id", "day", "cents",
+        (F.coalesce("nxt_us", "eod_us") - F.col("t_us")).alias("dur_us"))
+    return (wt.groupBy("user_id", "day")
+            .agg(F.sum("dur_us").alias("active_us"),
+                 F.round(F.sum(F.col("cents") * F.col("dur_us")).cast("double")
+                         / F.sum("dur_us").cast("double") * 1000)
+                 .cast("long").alias("twap_millicents"))
+            .select("user_id", F.col("day").cast("timestamp").alias("day"),
+                    "active_us", "twap_millicents"))
