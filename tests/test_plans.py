@@ -314,3 +314,36 @@ def test_entity_match_no_cartesian(spark):
     plan = plan_of(spark, "customer_entity_match")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_twap_single_exchange_no_join(spark):
+    # lead window on (user, day) + groupBy on the same keys: one
+    # exchange, and the duration weighting never joins
+    plan = plan_of(spark, "twap_daily")
+    assert plan.count("Arguments: hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_rank_suite_one_window_pass(spark):
+    # five ranking functions share one window spec: one exchange,
+    # one sort
+    plan = plan_of(spark, "window_rank_suite")
+    assert plan.count("Arguments: hashpartitioning") == 1
+
+
+def test_scd2_temporal_join_plans_no_join(spark):
+    # the AS-OF temporal join is the union+running-last rewrite: a
+    # range join operator here would be the BNLJ regression this
+    # formulation exists to prevent
+    plan = plan_of(spark, "scd2_temporal_join")
+    assert "Join" not in plan
+    assert plan.count("Arguments: hashpartitioning") <= 2
+
+
+def test_negative_pairs_bucketed_ring(spark):
+    # per-bucket ring: equi-join on (bkt, rn), never a cartesian or a
+    # single-partition global window
+    plan = plan_of(spark, "negative_pairs")
+    assert "SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
