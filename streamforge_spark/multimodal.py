@@ -7,11 +7,13 @@ touching bytes). Decode / feature-extraction / resize / frame-sampling
 run as Arrow-batched ``mapInPandas`` stages: one Python worker per
 partition, batch-at-a-time, no driver involvement.
 
-The actual codec step is STUBBED (no image/audio libs in this
-container): ``decode_media`` raises NotImplementedError unless
-``fake=True``, which substitutes a deterministic metadata-only
+Codec status: PNG images decode/resize FOR REAL via the pure-stdlib
+codec in ``functions/png.py`` (zlib inflate + scanline unfilter —
+no PIL/ffmpeg in this container, none needed for PNG). Other formats
+remain honestly stubbed: ``decode_media`` raises NotImplementedError
+unless ``fake=True``, which substitutes a deterministic metadata-only
 "decode" so the Spark-side plumbing (schema, partitioning, UDF
-signature, batch shape) is real and tested end-to-end.
+signature, batch shape) is exercised for every media type.
 """
 
 from __future__ import annotations
@@ -63,26 +65,76 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
     )
 
 
+def media_png_from_documents(docs: DataFrame) -> DataFrame:
+    """Synthesize REAL PNG payloads from the documents fixture: per
+    doc, a (4 + id%13) x (3 + id%7) RGB image whose pixel bytes follow
+    the deterministic pattern (id*7 + i) % 256 — encoded through the
+    real codec, so downstream decode exercises inflate + unfilter on
+    genuine PNG bytes, and the pixel content stays SQL-computable for
+    the oracle."""
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ])
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from streamforge_spark.functions.png import encode_png
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for did in ids:
+                w, h = 4 + did % 13, 3 + did % 7
+                px = bytes((did * 7 + i) % 256 for i in range(w * h * 3))
+                payloads.append(encode_png(int(w), int(h), px))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    return (docs.select("doc_id").mapInPandas(build, schema)
+            .withColumn("media_type", F.lit("image"))
+            .withColumn("source", F.lit("synth"))
+            .withColumn("meta", F.create_map(F.lit("codec"), F.lit("png"))))
+
+
 def decode_media(df: DataFrame, fake: bool = False) -> DataFrame:
-    """Decode stage over mapInPandas. Real codecs (PIL/ffmpeg/...) are
-    not available here — fake=True applies the deterministic stand-in
-    (dimensions derived from payload length, md5 checksum)."""
+    """Decode stage over mapInPandas. PNG payloads decode for real
+    (functions/png.py): width/height from IHDR, checksum = md5 of the
+    DECODED pixels (so it proves the inflate+unfilter path, not just
+    byte passthrough). Non-PNG payloads: the deterministic stand-in
+    with fake=True, NotImplementedError otherwise — no silent junk."""
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
+
+        from streamforge_spark.functions.png import decode_png, is_png
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "media codecs unavailable in this environment; "
-                    "pass fake=True for the deterministic stand-in")
-            n = pdf["payload"].map(len)
+            out = {"media_id": [], "media_type": [], "n_bytes": [],
+                   "width": [], "height": [], "checksum": []}
+            for mid, mtype, payload in zip(
+                    pdf["media_id"], pdf["media_type"], pdf["payload"]):
+                b = bytes(payload)
+                if is_png(b):
+                    w, h, _, pixels = decode_png(b)
+                    ck = hashlib.md5(pixels).hexdigest()
+                elif fake:
+                    n = len(b)
+                    w, h = n % 1024, n % 768
+                    ck = hashlib.md5(b).hexdigest()
+                else:
+                    raise NotImplementedError(
+                        "non-PNG codecs unavailable in this environment; "
+                        "pass fake=True for the deterministic stand-in")
+                out["media_id"].append(mid)
+                out["media_type"].append(mtype)
+                out["n_bytes"].append(len(b))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["checksum"].append(ck)
             yield pd.DataFrame({
-                "media_id": pdf["media_id"],
-                "media_type": pdf["media_type"],
-                "n_bytes": n.astype("int64"),
-                "width": (n % 1024).astype("int32"),
-                "height": (n % 768).astype("int32"),
-                "checksum": pdf["payload"].map(lambda b: hashlib.md5(bytes(b)).hexdigest()),
+                "media_id": pd.Series(out["media_id"], dtype="int64"),
+                "media_type": out["media_type"],
+                "n_bytes": pd.Series(out["n_bytes"], dtype="int64"),
+                "width": pd.Series(out["width"], dtype="int32"),
+                "height": pd.Series(out["height"], dtype="int32"),
+                "checksum": out["checksum"],
             })
 
     return df.mapInPandas(decode, DECODED_SCHEMA)
@@ -143,27 +195,39 @@ RESIZED_SCHEMA = T.StructType([
 
 def resize_media(df: DataFrame, width: int, height: int,
                  fake: bool = False) -> DataFrame:
-    """Resize stage over mapInPandas (1 row -> 1 smaller row). The
-    real implementation slots PIL/ffmpeg scaling into the same
-    signature; the deterministic stand-in (fake=True) truncates the
-    payload proportionally to the pixel-count ratio so downstream
-    size-dependent logic sees realistic shrinkage. Output keeps the
+    """Resize stage over mapInPandas (1 row -> 1 smaller row). PNG
+    payloads run the REAL pipeline: decode -> nearest-neighbor
+    resample -> re-encode (functions/png.py — integer-exact kernel, no
+    float interpolation). Non-PNG: the deterministic stand-in
+    (fake=True) truncates the payload proportionally to the pixel-
+    count ratio; NotImplementedError otherwise. Output keeps the
     binary columnar layout — resize early, and every later stage
     shuffles the small bytes, not the originals."""
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from streamforge_spark.functions.png import (
+            decode_png, encode_png, is_png, resize_nearest)
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "media codecs unavailable in this environment; "
-                    "pass fake=True for the deterministic stand-in")
-            n = pdf["payload"].map(len)
+            payloads, n = [], pdf["payload"].map(len)
             ratio = min(1.0, (width * height) / (1024.0 * 768.0))
-            keep = (n * ratio).astype("int64").clip(lower=1)
+            for b, keep in zip(pdf["payload"],
+                               (n * ratio).astype("int64").clip(lower=1)):
+                b = bytes(b)
+                if is_png(b):
+                    w0, h0, ch, px = decode_png(b)
+                    payloads.append(encode_png(
+                        width, height,
+                        resize_nearest(w0, h0, ch, px, width, height), ch))
+                elif fake:
+                    payloads.append(b[:keep])
+                else:
+                    raise NotImplementedError(
+                        "non-PNG codecs unavailable in this environment; "
+                        "pass fake=True for the deterministic stand-in")
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "media_type": pdf["media_type"],
-                "payload": [bytes(b)[:k] for b, k in zip(pdf["payload"], keep)],
+                "payload": payloads,
                 "width": pd.Series([width] * len(pdf), dtype="int32"),
                 "height": pd.Series([height] * len(pdf), dtype="int32"),
             })

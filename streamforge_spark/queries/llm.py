@@ -367,3 +367,46 @@ def negative_pairs(spark, sf_dir):
             .join(n, ["bkt", "rn"])
             .filter(F.col("neg_id") != F.col("doc_id"))
             .select("doc_id", "neg_id", F.col("j").cast("long").alias("j")))
+
+
+_PNG_ORACLE = """
+SELECT doc_id AS media_id,
+       CAST(4 + doc_id % 13 AS INTEGER) AS width,
+       CAST(3 + doc_id % 7 AS INTEGER) AS height,
+       CAST(list_sum(list_transform(
+              generate_series(0, (4 + doc_id % 13) * (3 + doc_id % 7) * 3 - 1),
+              i -> (doc_id * 7 + i) % 256)) AS BIGINT) AS pixel_sum
+FROM documents
+"""
+
+
+@query("multimodal_png_roundtrip", oracle=_PNG_ORACLE)
+def multimodal_png_roundtrip(spark, sf_dir):
+    """REAL image decode end-to-end: synthesize genuine PNG bytes per
+    document (functions/png.py encoder), run them through the
+    decode_media stage (zlib inflate + scanline unfilter — the actual
+    codec, not the stand-in), and emit each image's dimensions plus
+    the SUM of its decoded pixel bytes. The oracle recomputes that sum
+    arithmetically from the deterministic pixel pattern — any
+    inflate/unfilter/stride bug changes the sum and fails the gate.
+    Unit tests (tests/test_png.py) additionally pin exact pixel
+    roundtrips and all five PNG filter types."""
+    from streamforge_spark.multimodal import decode_media, media_png_from_documents
+    (docs,) = prep(spark, sf_dir, "documents")
+    media = media_png_from_documents(docs)
+    decoded = decode_media(media).select("media_id", "width", "height")
+
+    sum_schema = "media_id long, pixel_sum long"
+
+    def pixel_sums(batches):
+        import pandas as pd
+
+        from streamforge_spark.functions.png import decode_png
+        for pdf in batches:
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"].astype("int64"),
+                "pixel_sum": [sum(decode_png(bytes(b))[3])
+                              for b in pdf["payload"]]})
+
+    sums = media.mapInPandas(pixel_sums, sum_schema)
+    return decoded.join(sums, "media_id")
