@@ -67,8 +67,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     registry.load_all()
 
-    # warm the JVM + parquet footers with one cheap query
+    # warm the JVM + parquet footers with one cheap query, and the
+    # reusable Python workers with one trivial Arrow stage — so the
+    # first pandas-UDF headline query isn't charged interpreter spin-up
     registry.QUERIES["q6_forecast_revenue"](spark, sf_dir).collect()
+    spark.range(64).repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32"))) \
+        .mapInPandas(lambda it: it, "id long").collect()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -31,13 +31,17 @@ def pagerank(edges: DataFrame, *, src: str = "src", dst: str = "dst",
     ``contrib = ROUND((r * w) / wout)`` per edge, summed exactly as
     BIGINT; ``r' = ROUND((1-d) * (scale/N) + d * in_sum)``.
     """
-    e = (edges.select(F.col(src).alias("s"), F.col(dst).alias("d"),
-                      F.col(weight).cast("long").alias("w"))
-         .localCheckpoint(eager=True))
-    outw = e.groupBy("s").agg(F.sum("w").alias("wout"))
-    ew = e.join(outw, "s").localCheckpoint(eager=True)
-    nodes = (e.select(F.col("s").alias("node"))
-             .union(e.select(F.col("d").alias("node")))
+    from pyspark.sql import Window
+    # out-weight via a window over the edge partition — no separate
+    # aggregate + join back, and ONE materialization of the edge list
+    # (upstream edge construction can be expensive; it must not replay
+    # per power round)
+    ew = (edges.select(F.col(src).alias("s"), F.col(dst).alias("d"),
+                       F.col(weight).cast("long").alias("w"))
+          .withColumn("wout", F.sum("w").over(Window.partitionBy("s")))
+          .localCheckpoint(eager=True))
+    nodes = (ew.select(F.col("s").alias("node"))
+             .union(ew.select(F.col("d").alias("node")))
              .distinct().localCheckpoint(eager=True))
     n = float(nodes.count())
     base = F.lit(float(scale)) / F.lit(n)
