@@ -320,3 +320,51 @@ def embedding_quantize_int8(spark, sf_dir):
     return q.select(
         "vec_id", F.posexplode("qvec").alias("j0", "qx")
     ).select("vec_id", (F.col("j0") + 1).cast("long").alias("j"), "qx")
+
+
+CBS_QUOTA = 32
+CBS_SALT = "cbs-v1"
+
+
+def _cluster_sample_oracle(k: int, rounds: int, quant: int, quota: int) -> str:
+    """Compose the unrolled k-means oracle with per-cluster quota
+    sampling: reuse its CTE chain and rank within each final cluster
+    by the deterministic salted hash."""
+    base = _kmeans_oracle(k, rounds, quant)
+    head, _ = base.rsplit("\nSELECT", 1)   # keep the CTE chain
+    return f"""{head},
+ranked AS (
+  SELECT vec_id, cl,
+         ROW_NUMBER() OVER (
+           PARTITION BY cl
+           ORDER BY CAST(('0x' || substr(md5('{CBS_SALT}:' || CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT),
+                    vec_id) AS rn
+  FROM a{rounds - 1})
+SELECT vec_id, cl AS cluster FROM ranked WHERE rn <= {quota}
+"""
+
+
+@query("cluster_balanced_sample",
+       oracle=_cluster_sample_oracle(KMEANS_K, KMEANS_ROUNDS, 10000, CBS_QUOTA))
+def cluster_balanced_sample(spark, sf_dir):
+    """Cluster-balanced corpus sampling: k-means the embeddings
+    (fixed-point, oracle-checked per iteration), then keep a fixed
+    per-cluster quota chosen by a deterministic salted-hash rank —
+    the semantic-diversity sampler (SemDeDup/DBSCAN-quota style) that
+    prevents a dominant mode from monopolizing the training mix.
+
+    Scale shape: the sampler adds ONE window over cluster id on top of
+    the k-means assignment scan (k bounded, so per-cluster rank state
+    is tiny); the hash coin makes reruns stable under corpus growth
+    within each cluster's hash order. Composition is the point: the
+    SAME assignments feed IVF cells, semantic shards, and this
+    sampler without recomputation."""
+    from streamforge_spark.functions.clustering import kmeans_assignments
+    from streamforge_spark.functions.simdedup import oracle_hash60
+    (emb,) = prep(spark, sf_dir, "embeddings")
+    assigned = kmeans_assignments(emb, k=KMEANS_K, rounds=KMEANS_ROUNDS)
+    w = Window.partitionBy("cluster").orderBy(
+        oracle_hash60(F.col("vec_id").cast("string"), salt=CBS_SALT), "vec_id")
+    return (assigned.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= CBS_QUOTA)
+            .select("vec_id", "cluster"))
