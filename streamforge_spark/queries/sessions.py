@@ -223,3 +223,76 @@ def scd2_temporal_join(spark, sf_dir):
         "event_id", "primary_key", "event_time",
         F.when(live, F.col("s_payload_json")).alias("state_payload"),
         F.when(live, F.col("s_vfrom")).alias("state_valid_from"))
+
+
+SNAP_T1 = "2024-01-11 00:00:00"
+SNAP_T2 = "2024-01-21 00:00:00"
+
+
+@query(
+    "state_snapshot_diff",
+    oracle=f"""
+WITH {ENVELOPE_CTE},
+s1 AS (
+  SELECT primary_key, payload_json FROM (
+    SELECT primary_key, payload_json, operation,
+           ROW_NUMBER() OVER (PARTITION BY primary_key
+                              ORDER BY event_time DESC, event_id DESC) AS rn
+    FROM envelope WHERE event_time < TIMESTAMP '{SNAP_T1}')
+  WHERE rn = 1 AND operation <> 'delete'),
+s2 AS (
+  SELECT primary_key, payload_json FROM (
+    SELECT primary_key, payload_json, operation,
+           ROW_NUMBER() OVER (PARTITION BY primary_key
+                              ORDER BY event_time DESC, event_id DESC) AS rn
+    FROM envelope WHERE event_time < TIMESTAMP '{SNAP_T2}')
+  WHERE rn = 1 AND operation <> 'delete')
+SELECT COALESCE(s1.primary_key, s2.primary_key) AS primary_key,
+       CASE WHEN s1.primary_key IS NULL THEN 'added'
+            WHEN s2.primary_key IS NULL THEN 'removed'
+            ELSE 'changed' END AS change_type,
+       s1.payload_json AS payload_before,
+       s2.payload_json AS payload_after
+FROM s1 FULL OUTER JOIN s2 ON s1.primary_key = s2.primary_key
+WHERE s1.primary_key IS NULL OR s2.primary_key IS NULL
+   OR s1.payload_json <> s2.payload_json
+""",
+)
+def state_snapshot_diff(spark, sf_dir):
+    """Snapshot diff: what changed in the materialized state between
+    two points in time (added / removed / changed keys with before and
+    after payloads) — the audit/backfill question every CDC consumer
+    eventually asks of the Materializer.
+
+    Scale shape: BOTH snapshots come from ONE scan and ONE hash
+    exchange — per key, two filtered ``max_by`` aggregates (max_by
+    skips rows whose when()-masked order key is null) reconstruct the
+    latest pre-T1 and pre-T2 versions; delete-latest keys collapse to
+    absent. No self-join of two as-of views, no second scan — the
+    oracle's FULL OUTER formulation is the semantic spec, not the
+    plan."""
+    (events,) = prep(spark, sf_dir, "events")
+    env = envelope_from_events(events)
+    ordk = F.struct("event_time", "event_id")
+    val = F.struct("payload_json", "operation")
+
+    def snap(cutoff):
+        cond = F.col("event_time") < F.lit(cutoff).cast("timestamp")
+        return F.max_by(F.when(cond, val), F.when(cond, ordk))
+
+    per_key = (env.groupBy("primary_key")
+               .agg(snap(SNAP_T1).alias("v1"), snap(SNAP_T2).alias("v2")))
+    p1 = F.when(F.col("v1.operation") != "delete", F.col("v1.payload_json"))
+    p2 = F.when(F.col("v2.operation") != "delete", F.col("v2.payload_json"))
+    d = per_key.select(
+        "primary_key", p1.alias("payload_before"), p2.alias("payload_after"))
+    return (d.filter(
+        F.col("payload_before").isNotNull() | F.col("payload_after").isNotNull())
+        .filter(F.col("payload_before").isNull()
+                | F.col("payload_after").isNull()
+                | (F.col("payload_before") != F.col("payload_after")))
+        .select("primary_key",
+                F.when(F.col("payload_before").isNull(), "added")
+                .when(F.col("payload_after").isNull(), "removed")
+                .otherwise("changed").alias("change_type"),
+                "payload_before", "payload_after"))

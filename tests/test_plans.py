@@ -347,3 +347,12 @@ def test_negative_pairs_bucketed_ring(spark):
     assert "SinglePartition" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_snapshot_diff_single_pass(spark):
+    # both as-of snapshots reconstruct from one scan + one exchange
+    # (filtered max_by pairs) — never two as-of views full-outer joined
+    plan = plan_of(spark, "state_snapshot_diff")
+    assert plan.count("Arguments: hashpartitioning") == 1
+    assert "Join" not in plan
+    assert plan.count("file:/root/testdata/sf0.001/events.parquet") == 1

@@ -119,3 +119,15 @@ def test_resize_media_real_png_stage(spark):
         gw, gh, gch, gpx = decode_png(out_png)
         assert (gw, gh, gch) == (6, 4, ch)
         assert gpx == resize_nearest(w0, h0, ch, px0, 6, 4)
+
+
+def test_roundtrip_property_sweep():
+    # derandomized sweep over sizes x channels x seeds: encode->decode
+    # must be pixel-exact everywhere (the hypothesis-style property,
+    # with a fixed grid for reproducibility)
+    for ch in (1, 3, 4):
+        for w, h in ((1, 1), (1, 17), (16, 2), (31, 3), (64, 64)):
+            for seed in (0, 7, 123):
+                px = _pattern(w, h, ch, seed)
+                gw, gh, gch, gpx = decode_png(encode_png(w, h, px, channels=ch))
+                assert (gw, gh, gch, gpx) == (w, h, ch, px)
