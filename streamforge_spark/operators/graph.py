@@ -45,8 +45,7 @@ def pagerank(edges: DataFrame, *, src: str = "src", dst: str = "dst",
              .distinct().localCheckpoint(eager=True))
     n = float(nodes.count())
     base = F.lit(float(scale)) / F.lit(n)
-    ranks = nodes.withColumn(
-        "r", F.round(F.lit(float(scale)) / F.lit(n)).cast("long"))
+    ranks = nodes.withColumn("r", F.round(base).cast("long"))
     for _ in range(rounds):
         contrib = (ew.join(ranks, ew["s"] == ranks["node"])
                    .select(F.col("d").alias("node"),

@@ -5,7 +5,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from streamforge_spark.envelope import cdc_payload, envelope_from_events, normalize_op
+from streamforge_spark.envelope import cdc_payload, envelope_from_events
 from streamforge_spark.operators.filters import filter_interceptor
 from streamforge_spark.operators.observability import flow_silence_report, health_report
 from streamforge_spark.operators.processors import stamp_processor

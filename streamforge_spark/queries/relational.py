@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from streamforge_spark.queries.common import prep, scaled_sum, sql_scaled_sum
+from streamforge_spark.queries.common import prep, sql_scaled_sum
 from streamforge_spark.registry import query
 
 _SQL_VOLUME = ("CAST(ROUND(l_extendedprice * 100) AS BIGINT) * "
