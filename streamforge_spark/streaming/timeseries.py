@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from streamforge_spark.queries.timeseries import ohlc_aggs
 
@@ -33,3 +34,61 @@ def streaming_ohlc(events: DataFrame, *, watermark: str = "1 day",
             .select("user_id", F.col("w.start").alias("day"),
                     "open_cents", "high_cents", "low_cents", "close_cents",
                     "n_trades", "volume_cents"))
+
+
+def streaming_topk(events: DataFrame, *, group_col: str = "event_type",
+                   k: int = 3) -> DataFrame:
+    """Streaming per-group top-k: keyed GroupState holds the current
+    k best (cents DESC, event_id ASC) rows per group; each micro-batch
+    merges its candidates into the state and re-emits the group's
+    refreshed top-k (update semantics — downstream keeps latest per
+    (group, rank)).
+
+    The 100 TB property: state per group is EXACTLY k tuples — input
+    volume only affects per-batch merge cost, and the map-side cut
+    (each batch contributes at most its own local top-k) bounds what
+    reaches the state update. The batch analog (topk_per_group) is the
+    correctness spec; test_streaming_topk_matches_batch pins
+    streaming == batch on the same data.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType([
+        T.StructField("event_type", T.StringType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("cents", T.LongType()),
+        T.StructField("rank", T.LongType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("ids", T.ArrayType(T.LongType())),
+        T.StructField("cents", T.ArrayType(T.LongType())),
+    ])
+
+    def fn(key: tuple, pdfs, state: GroupState):
+        import pandas as pd
+        if state.exists:
+            ids, cents = state.get
+            best = list(zip(list(cents), [-i for i in ids]))
+        else:
+            best = []
+        for pdf in pdfs:
+            for eid, c in zip(pdf["event_id"], pdf["cents"]):
+                best.append((int(c), -int(eid)))
+        # (cents DESC, event_id ASC) == sort by (-cents, event_id):
+        # encode as (cents, -event_id) and take the k LARGEST
+        best.sort(reverse=True)
+        best = best[:k]
+        state.update(([-neg for _, neg in best], [c for c, _ in best]))
+        yield pd.DataFrame({
+            "event_type": [key[0]] * len(best),
+            "event_id": [-neg for _, neg in best],
+            "cents": [c for c, _ in best],
+            "rank": list(range(1, len(best) + 1)),
+        })
+
+    cents = F.round(F.col("value") * 100).cast("long")
+    prepared = events.select(F.col(group_col).alias("event_type"),
+                             "event_id", cents.alias("cents"))
+    return prepared.groupBy("event_type").applyInPandasWithState(
+        fn, outputStructType=out_schema, stateStructType=state_schema,
+        outputMode="update", timeoutConf=GroupStateTimeout.NoTimeout)

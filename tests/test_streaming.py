@@ -484,3 +484,37 @@ def test_streaming_ohlc_matches_batch(spark, workdir):
                                  r.close_cents, r.n_trades, r.volume_cents)
             for r in ohlc_daily(spark, "/root/testdata/sf0.001").collect()}
     assert got == want
+
+
+def test_streaming_topk_matches_batch(spark, workdir):
+    # keyed-state top-k fed in two batches must equal the batch
+    # window-rank result on the same data
+    from streamforge_spark.io import load
+    from streamforge_spark.queries.windows import topk_per_group
+    from streamforge_spark.streaming.timeseries import streaming_topk
+    events = load(spark, "/root/testdata/sf0.001", "events") \
+        .select("event_id", "ts", "event_type", "value")
+    src = f"{workdir}/evk"
+    events.filter(F.col("event_id") % 2 == 0).coalesce(1) \
+        .write.mode("append").parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    out = streaming_topk(stream, k=3)
+    q = (out.writeStream.format("memory").queryName("topk_out")
+         .outputMode("update").start())
+    q.processAllAvailable()
+    events.filter(F.col("event_id") % 2 == 1).coalesce(1) \
+        .write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    want = {(r.event_type, r.event_id, r.cents, r.rank)
+            for r in topk_per_group(spark, "/root/testdata/sf0.001").collect()}
+    # the memory sink appends every update; the final top-k per (group,
+    # rank) is the best emission seen there, since each merge only ever
+    # improves a rank slot
+    final = {}
+    for r in spark.sql("select * from topk_out").collect():
+        cur = final.get((r.event_type, r.rank))
+        if cur is None or (r.cents, -r.event_id) > (cur[1], -cur[0]):
+            final[(r.event_type, r.rank)] = (r.event_id, r.cents)
+    got = {(g, eid, c, rk) for (g, rk), (eid, c) in final.items()}
+    assert got == want
