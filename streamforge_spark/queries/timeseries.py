@@ -396,3 +396,79 @@ def twap_daily(spark, sf_dir):
                  .cast("long").alias("twap_millicents"))
             .select("user_id", F.col("day").cast("timestamp").alias("day"),
                     "active_us", "twap_millicents"))
+
+
+@query(
+    "gap_fill_interpolate",
+    oracle="""
+WITH per_day AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents,
+         ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events),
+closes AS (SELECT user_id, day, cents FROM per_day WHERE rn = 1),
+seg AS (
+  SELECT user_id, day, cents,
+         lead(day) OVER (PARTITION BY user_id ORDER BY day) AS nday,
+         lead(cents) OVER (PARTITION BY user_id ORDER BY day) AS ncents
+  FROM closes),
+grid AS (
+  SELECT user_id, day AS obs_day, cents, nday, ncents,
+         CAST(UNNEST(generate_series(day,
+               COALESCE(nday - INTERVAL 1 DAY, CAST(day AS TIMESTAMP)),
+               INTERVAL 1 DAY)) AS DATE) AS day
+  FROM seg)
+SELECT user_id, CAST(day AS TIMESTAMP) AS day,
+       CASE WHEN nday IS NULL OR day = obs_day THEN cents
+            ELSE cents + CAST(ROUND(
+                   CAST(ncents - cents AS DOUBLE) * (day - obs_day)
+                   / (nday - obs_day)) AS BIGINT)
+       END AS interp_cents,
+       (day = obs_day) AS is_observed
+FROM grid
+""",
+)
+def gap_fill_interpolate(spark, sf_dir):
+    """Linear-interpolation gap-fill: silent days between two observed
+    closes take the straight-line value between them (exact integer
+    endpoints, one identically-ordered IEEE multiply/divide per grid
+    day) — the resampling mode for continuous quantities where
+    forward-fill (gap_fill_daily) would step. The trailing segment
+    after a user's last close holds flat.
+
+    Same single-scan lead-segment shape as gap_fill_daily: each close
+    knows the NEXT close (day and value), so interpolated grid rows
+    are emitted directly by explode — no grid⨝closes join, two hash
+    exchanges total."""
+    (events,) = prep(spark, sf_dir, "events")
+    projected = events.select(
+        "user_id", F.to_date("ts").alias("day"), _cents().alias("cents"),
+        "ts", "event_id")
+    per_day = projected.withColumn(
+        "rn", F.row_number().over(
+            Window.partitionBy("user_id", "day")
+            .orderBy(F.col("ts").desc(), F.col("event_id").desc())))
+    closes = per_day.filter(F.col("rn") == 1).select("user_id", "day", "cents")
+    wu = Window.partitionBy("user_id").orderBy("day")
+    seg = closes.select(
+        "user_id", F.col("day").alias("obs_day"), "cents",
+        F.lead("day").over(wu).alias("nday"),
+        F.lead("cents").over(wu).alias("ncents"))
+    grid = seg.select(
+        "user_id", "obs_day", "cents", "nday", "ncents",
+        F.explode(F.sequence(
+            "obs_day", F.coalesce(F.date_sub("nday", 1), F.col("obs_day")),
+            F.expr("interval 1 day"))).alias("day"))
+    interp = F.when(
+        F.col("nday").isNull() | (F.col("day") == F.col("obs_day")),
+        F.col("cents")
+    ).otherwise(
+        F.col("cents") + F.round(
+            (F.col("ncents") - F.col("cents")).cast("double")
+            * F.datediff("day", "obs_day")
+            / F.datediff("nday", "obs_day")).cast("long"))
+    return grid.select(
+        "user_id", F.col("day").cast("timestamp").alias("day"),
+        interp.alias("interp_cents"),
+        (F.col("day") == F.col("obs_day")).alias("is_observed"))

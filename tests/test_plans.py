@@ -356,3 +356,10 @@ def test_snapshot_diff_single_pass(spark):
     assert plan.count("Arguments: hashpartitioning") == 1
     assert "Join" not in plan
     assert plan.count("file:/root/testdata/sf0.001/events.parquet") == 1
+
+
+def test_gap_fill_interpolate_no_join_single_scan(spark):
+    plan = plan_of(spark, "gap_fill_interpolate")
+    assert plan.count("file:/root/testdata/sf0.001/events.parquet") == 1
+    assert "Join" not in plan
+    assert plan.count("Arguments: hashpartitioning") == 2
