@@ -460,3 +460,53 @@ def corpus_mix_sample(spark, sf_dir):
     return (docs.join(F.broadcast(thr), "source")
             .filter(coin < F.col("t"))
             .select("doc_id", "source"))
+
+
+# -- weighted systematic (PPS) sampling ---------------------------------
+
+PPS_K = 10   # samples per source stratum
+
+_PPS_ORACLE = f"""
+WITH w AS (
+  SELECT source, doc_id, n_chars,
+         SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(n_chars) OVER (PARTITION BY source) AS total
+  FROM documents)
+SELECT source, doc_id, n_chars,
+       (cum * {PPS_K}) // total AS pick_idx
+FROM w
+WHERE (cum * {PPS_K}) // total > ((cum - n_chars) * {PPS_K}) // total
+"""
+
+
+@query("weighted_pps_sample", oracle=_PPS_ORACLE)
+def weighted_pps_sample(spark, sf_dir):
+    """Weighted systematic sampling (probability-proportional-to-size):
+    within each source stratum, walk the cumulative-weight axis
+    (weight = n_chars) and take the document that crosses each of the
+    k equally-spaced weight thresholds — long documents are
+    proportionally more likely to be drawn, every stratum yields
+    exactly k rows, and the draw is a pure function of the data (no
+    RNG): the reproducible way to weight-sample a training mix.
+
+    Scale shape: one hash exchange on source + per-partition ordered
+    prefix sum — the same partial-prefix-sum pattern as
+    token_budget_pack, so a giant stratum range-partitions by doc_id
+    with per-chunk offsets. Threshold crossing is pure BIGINT
+    arithmetic (cum·k integer-divided by total) — no float rate, no
+    tolerance; both engines floor nonnegative integer division
+    identically.
+    """
+    (docs,) = prep(spark, sf_dir, "documents")
+    wc = (Window.partitionBy("source").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    wt = Window.partitionBy("source")
+    w = docs.select(
+        "source", "doc_id", "n_chars",
+        F.sum("n_chars").over(wc).alias("cum"),
+        F.sum("n_chars").over(wt).alias("total"))
+    pick = F.expr(f"(cum * {PPS_K}) div total")
+    prev = F.expr(f"((cum - n_chars) * {PPS_K}) div total")
+    return (w.filter(pick > prev)
+            .select("source", "doc_id", "n_chars", pick.alias("pick_idx")))

@@ -85,3 +85,81 @@ def supplier_pagerank(spark, sf_dir):
                         (F.col("c") * 2).alias("dst"), "w")
     edges = cust.unionByName(supp)
     return pagerank(edges, rounds=PR_ROUNDS, scale=PR_SCALE)
+
+
+_TRIANGLE_ORACLE = """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+      FROM op a JOIN op b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+        FROM (SELECT p1 AS node FROM e UNION ALL SELECT p2 FROM e)
+        GROUP BY node),
+orient AS (
+  SELECT CASE WHEN (da.d < db.d) OR (da.d = db.d AND p1 < p2) THEN p1 ELSE p2 END AS src,
+         CASE WHEN (da.d < db.d) OR (da.d = db.d AND p1 < p2) THEN p2 ELSE p1 END AS dst,
+         CASE WHEN (da.d < db.d) OR (da.d = db.d AND p1 < p2) THEN db.d ELSE da.d END AS dd
+  FROM e JOIN deg da ON da.node = p1 JOIN deg db ON db.node = p2),
+tri AS (
+  SELECT COUNT(*) AS t
+  FROM orient w1
+  JOIN orient w2 ON w1.src = w2.src
+       AND ((w1.dd < w2.dd) OR (w1.dd = w2.dd AND w1.dst < w2.dst))
+  JOIN orient w3 ON w3.src = w1.dst AND w3.dst = w2.dst)
+SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
+       CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+       CAST(tri.t AS BIGINT) AS n_triangles
+FROM tri
+"""
+
+
+@query("triangle_count", oracle=_TRIANGLE_ORACLE)
+def triangle_count(spark, sf_dir):
+    """Distributed triangle counting on the part co-purchase graph
+    (parts are adjacent when some order contains both) — the standard
+    cohesion/community primitive, and deliberately the *other* classic
+    graph workload next to fixed-point PageRank: bounded 2-step join
+    rather than iteration.
+
+    Scale shape: the node-iterator-with-degree-orientation algorithm.
+    Edges are derived without a self-join (per-order part sets are
+    tiny, so one groupBy(order) + in-set pair explode — same pair
+    machinery as the shingle posting lists); each undirected edge is
+    then oriented low→high (degree, id) rank, which caps every node's
+    out-degree near sqrt(|E|) and shrinks the wedge join from
+    sum(deg²) to sum(outdeg²) — the difference between a hub
+    exploding quadratically and staying bounded. Wedge generation and
+    the closing-edge probe are two hash equi-joins; at 100 TB the
+    degree table joins by shuffle (it's |V| rows — broadcast is an
+    AQE call, not an assumption).
+    """
+    (lineitem,) = prep(spark, sf_dir, "lineitem")
+    sets = (lineitem.groupBy("l_orderkey")
+            .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps")))
+    e = (sets.select(F.explode(F.expr(
+        "flatten(transform(ps, (x, i) -> "
+        "transform(slice(ps, i + 2, size(ps) - i - 1), "
+        "y -> struct(x AS p1, y AS p2))))")).alias("pr"))
+        .select("pr.*").distinct())
+    deg = (e.select(F.explode(F.array("p1", "p2")).alias("node"))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("d")))
+    ed = (e.join(deg.withColumnRenamed("node", "p1")
+                 .withColumnRenamed("d", "da"), "p1")
+          .join(deg.withColumnRenamed("node", "p2")
+                .withColumnRenamed("d", "db"), "p2"))
+    low_first = (F.col("da") < F.col("db")) | \
+                ((F.col("da") == F.col("db")) & (F.col("p1") < F.col("p2")))
+    orient = ed.select(
+        F.when(low_first, F.col("p1")).otherwise(F.col("p2")).alias("src"),
+        F.when(low_first, F.col("p2")).otherwise(F.col("p1")).alias("dst"),
+        F.when(low_first, F.col("db")).otherwise(F.col("da")).alias("dd"))
+    w1, w2, w3 = orient.alias("w1"), orient.alias("w2"), orient.alias("w3")
+    rank_lt = (F.col("w1.dd") < F.col("w2.dd")) | \
+              ((F.col("w1.dd") == F.col("w2.dd")) & (F.col("w1.dst") < F.col("w2.dst")))
+    tri = (w1.join(w2, (F.col("w1.src") == F.col("w2.src")) & rank_lt)
+           .join(w3, (F.col("w3.src") == F.col("w1.dst"))
+                 & (F.col("w3.dst") == F.col("w2.dst")))
+           .agg(F.count(F.lit(1)).alias("n_triangles")))
+    counts = (deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+              .crossJoin(e.agg(F.count(F.lit(1)).alias("n_edges"))))
+    return counts.crossJoin(tri).select("n_nodes", "n_edges", "n_triangles")

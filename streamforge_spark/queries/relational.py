@@ -441,3 +441,46 @@ def customer_entity_match(spark, sf_dir):
             .withColumn("dist", F.levenshtein("name1", "name2").cast("long"))
             .filter(F.col("dist") <= ER_MAX_DIST)
             .select("id1", "id2", "dist"))
+
+
+_PROFILE_COLS = ("o_orderkey", "o_custkey", "o_orderstatus",
+                 "o_totalprice", "o_orderdate", "o_orderpriority")
+
+_PROFILE_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS column_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct
+FROM orders""" for c in _PROFILE_COLS)
+
+
+@query("data_profile", oracle=_PROFILE_ORACLE)
+def data_profile(spark, sf_dir):
+    """Data-profiling report: per-column row/null/exact-distinct
+    counts over a table — the "what did I just ingest" primitive
+    behind schema drift alarms and join-key sanity checks.
+
+    Scale shape: ONE table scan for all columns (the oracle scans per
+    column; Spark computes every profile in a single aggregate).
+    Multiple exact COUNT(DISTINCT)s in one aggregate plan via
+    Catalyst's Expand — one shuffle carrying (column-tag, value)
+    pairs, i.e. O(ncols·rows) exchange but a single pass and no
+    driver involvement. At 100 TB swap exact distinct for HLL
+    (approx_count_distinct — approx_distinct_users shows the sketch
+    contract) column-by-column without changing the output schema.
+    The wide 1-row aggregate is reshaped to long form with a
+    zero-cost 6-element explode.
+    """
+    (orders,) = prep(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"nn_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"nd_{c}"))
+    wide = orders.agg(*aggs)
+    return (wide.select(F.explode(F.array(*[
+        F.struct(F.lit(c).alias("column_name"),
+                 F.col("n_rows"),
+                 F.col(f"nn_{c}").alias("n_nulls"),
+                 F.col(f"nd_{c}").alias("n_distinct"))
+        for c in _PROFILE_COLS])).alias("p"))
+        .select("p.*"))

@@ -324,3 +324,132 @@ def dedup_clusters(spark, sf_dir):
     pairs = dedup_ngram_jaccard(spark, sf_dir)
     return (connected_components(pairs, "d1", "d2")
             .select(F.col("node").alias("doc_id"), "component"))
+
+
+CONTAINMENT_THRESHOLD = 0.8
+
+_CONTAINMENT_ORACLE = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+glist AS (SELECT doc_id,
+                 list_distinct(list_transform(
+                   generate_series(1, greatest(len(t) - 2, 1)),
+                   i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS gs
+          FROM toks),
+grams AS (SELECT doc_id, unnest(gs) AS g FROM glist),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM grams GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(count(*) AS BIGINT) AS i
+          FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+directed AS (
+  SELECT d1 AS contained, d2 AS container, i,
+         CAST(i AS DOUBLE) / CAST(sa.n AS DOUBLE) AS containment
+  FROM inter JOIN sizes sa ON sa.doc_id = d1
+  UNION ALL
+  SELECT d2 AS contained, d1 AS container, i,
+         CAST(i AS DOUBLE) / CAST(sb.n AS DOUBLE) AS containment
+  FROM inter JOIN sizes sb ON sb.doc_id = d2)
+SELECT contained, container, i AS n_shared, containment
+FROM directed WHERE containment >= {CONTAINMENT_THRESHOLD}
+"""
+
+
+@query("containment_near_dup", oracle=_CONTAINMENT_ORACLE)
+def containment_near_dup(spark, sf_dir):
+    """Asymmetric shingle *containment* |A∩B| / |A| — catches the dup
+    class symmetric Jaccard misses: a short doc wholly embedded in a
+    longer one (quote-plus-commentary, truncated re-crawls, snippet
+    farms). The union denominator dilutes those pairs below any
+    Jaccard threshold; the containment denominator does not.
+
+    Scale shape: identical single-pass inverted-index blocking as
+    dedup_ngram_jaccard (shared candidate machinery — one shingle
+    explode, posting lists on 8-byte shingle hashes, i<j pair
+    aggregation), then each undirected pair fans into its two
+    directed containments with a 2-element explode. Same shuffle
+    profile as the Jaccard query; no extra corpus pass for the
+    directed form.
+    """
+    (docs,) = prep(spark, sf_dir, "documents")
+    grams = (
+        spread_for_compute(docs, "doc_id")
+        .select("doc_id", word_ngrams(F.col("text"), 3).alias("gs"))
+        .select("doc_id", F.size("gs").cast("long").alias("n"),
+                F.explode("gs").alias("g"))
+        .withColumn("g", F.xxhash64("g"))
+    )
+    postings = (
+        grams.groupBy("g")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "n"))).alias("ds"))
+        .filter(F.size("ds") >= 2)
+    )
+    pairs = postings.select(F.explode(F.expr(
+        "flatten(transform(ds, (x, i) -> "
+        "transform(slice(ds, i + 2, size(ds) - i - 1), "
+        "y -> struct(x.doc_id AS d1, x.n AS na, y.doc_id AS d2, y.n AS nb))))"
+    )).alias("p")).select("p.*")
+    agg = pairs.groupBy("d1", "d2").agg(
+        F.count(F.lit(1)).alias("i"),
+        F.min("na").alias("na"), F.min("nb").alias("nb"))
+    directed = agg.select(F.explode(F.array(
+        F.struct(F.col("d1").alias("contained"), F.col("d2").alias("container"),
+                 F.col("i").alias("n_shared"),
+                 (F.col("i").cast("double") / F.col("na").cast("double"))
+                 .alias("containment")),
+        F.struct(F.col("d2").alias("contained"), F.col("d1").alias("container"),
+                 F.col("i").alias("n_shared"),
+                 (F.col("i").cast("double") / F.col("nb").cast("double"))
+                 .alias("containment")),
+    )).alias("c")).select("c.*")
+    return directed.filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
+
+
+RETRIEVAL_TERMS = ("shuffle", "broadcast", "join", "window")
+RETRIEVAL_K = 20
+
+_RETRIEVAL_ORACLE = f"""
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+ndocs AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents),
+qtoks AS (SELECT doc_id, term FROM toks
+          WHERE term IN {tuple(RETRIEVAL_TERMS)!r}),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       FROM qtoks GROUP BY doc_id, term),
+df AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+       FROM tf GROUP BY term)
+SELECT tf.doc_id, SUM(tf.tf * (ndocs.nd - df.df)) AS score
+FROM tf JOIN df USING (term) CROSS JOIN ndocs
+GROUP BY tf.doc_id
+ORDER BY score DESC, tf.doc_id
+LIMIT {RETRIEVAL_K}
+"""
+
+
+@query("sparse_retrieval_topk", oracle=_RETRIEVAL_ORACLE)
+def sparse_retrieval_topk(spark, sf_dir):
+    """Sparse lexical retrieval: top-k documents for a term query,
+    scored by tf × rarity (rarity = N − df — the integer-exact,
+    log-free cousin of idf, so the oracle matches bit-for-bit; same
+    convention as top_terms_per_doc). The retrieval counterpart to
+    the dense ANN queries — the other half of a hybrid search stack.
+
+    Scale shape: the query-term filter lands BEFORE any shuffle (the
+    explode emits a token only if it's one of the handful of query
+    terms — Catalyst pushes the IN filter into the same stage as the
+    scan), so the aggregated tf table is |matching docs × terms|,
+    not |corpus tokens|. df and N are tiny aggregates broadcast back;
+    final top-k is TakeOrderedAndProject (per-partition heaps, no
+    global sort). One corpus scan, one real shuffle (tf groupBy).
+    """
+    (docs,) = prep(spark, sf_dir, "documents")
+    toks = (spread_for_compute(docs, "doc_id")
+            .select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+            .filter(F.col("term").isin(*RETRIEVAL_TERMS)))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(
+        F.count_distinct("doc_id").alias("df"))
+    nd = docs.agg(F.count(F.lit(1)).alias("nd"))
+    scored = (tf.join(F.broadcast(df), "term")
+              .crossJoin(F.broadcast(nd))
+              .groupBy("doc_id")
+              .agg(F.sum(F.col("tf") * (F.col("nd") - F.col("df")))
+                   .alias("score")))
+    return scored.orderBy(F.col("score").desc(), "doc_id").limit(RETRIEVAL_K)

@@ -472,3 +472,169 @@ def gap_fill_interpolate(spark, sf_dir):
         "user_id", F.col("day").cast("timestamp").alias("day"),
         interp.alias("interp_cents"),
         (F.col("day") == F.col("obs_day")).alias("is_observed"))
+
+
+@query(
+    "rolling_range_stats",
+    oracle="""
+SELECT event_id, user_id, ts,
+       SUM(cents) OVER w AS trail_cents,
+       CAST(COUNT(*) OVER w AS BIGINT) AS trail_n,
+       MAX(cents) OVER w AS trail_max
+FROM (SELECT event_id, user_id, ts, epoch_us(ts) AS us,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY us
+             RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+""",
+)
+def rolling_range_stats(spark, sf_dir):
+    """Trailing 7-day per-user window statistics — a RANGE frame over
+    event *time*, not row count, so sparse and bursty users both get
+    the same calendar semantics. Classic feature-engineering shape
+    (trailing spend, trailing activity) for model training tables.
+
+    Scale shape: ONE hash exchange on user_id + per-partition sort by
+    time; the range frame is evaluated with a sliding two-pointer over
+    the sorted run, O(n) amortized, state bounded by the widest 7-day
+    burst of a single user. All aggregates in the frame (sum/count/
+    max of integer cents) are order-insensitive, so parallel peers at
+    equal timestamps cannot change the result — bit-exact vs the
+    oracle. No join, no self-join against a date grid, no Python.
+    """
+    (events,) = prep(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id")
+         .orderBy(F.unix_micros("ts"))
+         .rangeBetween(-604_800_000_000, 0))
+    cents = _cents()
+    return events.select(
+        "event_id", "user_id", "ts",
+        F.sum(cents).over(w).alias("trail_cents"),
+        F.count(F.lit(1)).over(w).alias("trail_n"),
+        F.max(cents).over(w).alias("trail_max"))
+
+
+@query(
+    "interval_concurrency",
+    oracle="""
+WITH iv AS (
+  SELECT event_type, ts AS s,
+         ts + to_microseconds((CAST(ROUND(value) AS BIGINT) % 120 + 1) * 60000000) AS e
+  FROM events),
+bounds AS (
+  SELECT event_type, s AS t, CAST(1 AS BIGINT) AS delta FROM iv
+  UNION ALL
+  SELECT event_type, e AS t, CAST(-1 AS BIGINT) AS delta FROM iv),
+steps AS (
+  SELECT event_type, t, SUM(delta) AS net
+  FROM bounds GROUP BY event_type, t)
+SELECT event_type, t,
+       SUM(net) OVER (PARTITION BY event_type ORDER BY t
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS concurrent
+FROM steps
+""",
+)
+def interval_concurrency(spark, sf_dir):
+    """Sweep-line interval concurrency: how many sessions are active
+    at every instant, per event type. Each event opens an interval
+    [ts, ts + 1..120 min) (duration derived from the value column);
+    the answer is the step function of concurrent-open counts.
+
+    Scale shape: the classic distributed sweep line — NO interval
+    self-join (which is O(n·k) pairs and plans as a range join).
+    One scan emits (+1 at start, −1 at end) boundary deltas via a
+    2-element explode; deltas at identical timestamps collapse in a
+    map-side-combined aggregate (also making tie order irrelevant —
+    half-open intervals mean an end and a start at the same instant
+    cancel before the scan); then ONE running-sum window per
+    event_type. Two hash exchanges total. A hot event_type at 100 TB
+    range-partitions by time inside the type with per-chunk offsets
+    (the same partial-prefix-sum trick token_budget_pack uses).
+    """
+    (events,) = prep(spark, sf_dir, "events")
+    dur_us = (F.round("value").cast("long") % 120 + 1) * 60_000_000
+    iv = events.select(
+        "event_type", F.col("ts").alias("s"),
+        F.timestamp_micros(F.unix_micros("ts") + dur_us).alias("e"))
+    bounds = iv.select(
+        "event_type",
+        F.explode(F.array(
+            F.struct(F.col("s").alias("t"), F.lit(1).cast("long").alias("delta")),
+            F.struct(F.col("e").alias("t"), F.lit(-1).cast("long").alias("delta")),
+        )).alias("b")
+    ).select("event_type", "b.t", "b.delta")
+    steps = bounds.groupBy("event_type", "t").agg(F.sum("delta").alias("net"))
+    w = (Window.partitionBy("event_type").orderBy("t")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return steps.select(
+        "event_type", "t", F.sum("net").over(w).alias("concurrent"))
+
+
+MAD_K = 5
+
+_MAD_ORACLE = f"""
+WITH v AS (
+  SELECT event_id, event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events),
+r1 AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY cents, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM v),
+med AS (
+  SELECT event_type, MAX(CASE WHEN rn = CAST(CEIL(0.5 * n) AS BIGINT) THEN cents END) AS med_cents
+  FROM r1 GROUP BY event_type),
+dev AS (
+  SELECT v.event_id, v.event_type, v.cents, med.med_cents,
+         ABS(v.cents - med.med_cents) AS adev
+  FROM v JOIN med USING (event_type)),
+r2 AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY adev, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM dev),
+mad AS (
+  SELECT event_type, MAX(CASE WHEN rn = CAST(CEIL(0.5 * n) AS BIGINT) THEN adev END) AS mad_cents
+  FROM r2 GROUP BY event_type)
+SELECT d.event_id, d.event_type, d.cents, d.med_cents, mad.mad_cents
+FROM dev d JOIN mad USING (event_type)
+WHERE d.adev > {MAD_K} * mad.mad_cents
+"""
+
+
+@query("mad_outliers", oracle=_MAD_ORACLE)
+def mad_outliers(spark, sf_dir):
+    """Robust outlier detection via median absolute deviation:
+    |x − median| > {K}·MAD per event type. Unlike z-scores
+    (zscore_outliers), medians don't move when the outliers
+    themselves get bigger — the robust path for heavy-tailed value
+    distributions.
+
+    Scale shape: two exact order-statistic passes (the same
+    rank-at-ceil(n/2) machinery as event_value_percentiles) — each
+    is one hash exchange + per-type sort; the per-type medians are a
+    handful of rows, so both enrichment joins broadcast. Integer
+    cents end-to-end: ABS/compare on BIGINT, no float tolerance
+    anywhere. A skewed type at 100 TB swaps the exact rank pass for
+    percentile_approx (approx_event_percentiles) without changing
+    the contract.
+    """
+    (events,) = prep(spark, sf_dir, "events")
+    v = events.select("event_id", "event_type", _cents().alias("cents"))
+
+    def exact_median(df, col, out):
+        w = Window.partitionBy("event_type").orderBy(col, "event_id")
+        wn = Window.partitionBy("event_type")
+        ranked = df.withColumn("rn", F.row_number().over(w)) \
+                   .withColumn("n", F.count(F.lit(1)).over(wn))
+        return (ranked.groupBy("event_type")
+                .agg(F.max(F.when(F.col("rn") == F.ceil(0.5 * F.col("n")),
+                                  F.col(col))).alias(out)))
+
+    med = exact_median(v, "cents", "med_cents")
+    dev = (v.join(F.broadcast(med), "event_type")
+           .withColumn("adev", F.abs(F.col("cents") - F.col("med_cents"))))
+    mad = exact_median(dev.select("event_type", "adev", "event_id"),
+                       "adev", "mad_cents")
+    return (dev.join(F.broadcast(mad), "event_type")
+            .filter(F.col("adev") > MAD_K * F.col("mad_cents"))
+            .select("event_id", "event_type", "cents", "med_cents", "mad_cents"))

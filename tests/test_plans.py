@@ -363,3 +363,66 @@ def test_gap_fill_interpolate_no_join_single_scan(spark):
     assert plan.count("file:/root/testdata/sf0.001/events.parquet") == 1
     assert "Join" not in plan
     assert plan.count("Arguments: hashpartitioning") == 2
+
+
+def test_rolling_range_stats_single_exchange_no_join(spark):
+    # RANGE frame over event time: one user_id exchange + in-partition
+    # sort — never a self-join against a date grid
+    plan = plan_of(spark, "rolling_range_stats")
+    assert plan.count("Arguments: hashpartitioning") == 1
+    assert "Join" not in plan
+    assert plan.count("file:/root/testdata/sf0.001/events.parquet") == 1
+
+
+def test_interval_concurrency_sweep_line_no_self_join(spark):
+    # sweep line = explode + aggregate + running sum: two exchanges,
+    # one scan, and crucially NO interval self-join (range join/BNLJ)
+    plan = plan_of(spark, "interval_concurrency")
+    assert "Join" not in plan
+    assert plan.count("Arguments: hashpartitioning") == 2
+    assert plan.count("file:/root/testdata/sf0.001/events.parquet") == 1
+
+
+def test_mad_outliers_broadcast_medians(spark):
+    # the two per-type median tables are tiny: both enrichment joins
+    # must broadcast; the fact table never sort-merge-joins
+    plan = plan_of(spark, "mad_outliers")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_sparse_retrieval_pushed_filter_and_topk(spark):
+    # the query-term IN filter prunes before the tf aggregate, df/N
+    # broadcast back, and top-k is a heap (TakeOrderedAndProject),
+    # not a global sort
+    plan = plan_of(spark, "sparse_retrieval_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_weighted_pps_sample_single_exchange(spark):
+    # both windows (prefix sum + stratum total) share the source
+    # exchange; selection is pure column arithmetic afterwards
+    plan = plan_of(spark, "weighted_pps_sample")
+    assert plan.count("Arguments: hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_triangle_count_equi_joins_only(spark):
+    # wedge + closing-edge probes are hash equi-joins; the only
+    # nested-loop allowed is the final 1-row global-counts cross
+    plan = plan_of(spark, "triangle_count")
+    assert "CartesianProduct" not in plan
+    bnlj = plan.count("BroadcastNestedLoopJoin")
+    # 1-row n_nodes × n_edges × n_triangles combine = 2 cross ops;
+    # formatted plans mention each operator twice (tree + details)
+    assert bnlj <= 4
+
+
+def test_data_profile_single_scan(spark):
+    # every column's profile comes from ONE scan + one Expand-based
+    # aggregate — the oracle's per-column UNION rescans, Spark must not
+    plan = plan_of(spark, "data_profile")
+    assert plan.count("file:/root/testdata/sf0.001/orders.parquet") == 1
+    assert "Expand" in plan
