@@ -94,6 +94,36 @@ def media_png_from_documents(docs: DataFrame) -> DataFrame:
             .withColumn("meta", F.create_map(F.lit("codec"), F.lit("png"))))
 
 
+def media_wav_from_documents(docs: DataFrame) -> DataFrame:
+    """Synthesize REAL WAV payloads from the documents fixture: per
+    doc, 200 + id%100 mono 16-bit PCM samples following the
+    deterministic pattern ((id*31 + i*17) % 4001) - 2000 — packed
+    through the real RIFF/PCM codec (functions/wav.py), so downstream
+    decode exercises genuine container parsing + sample unpacking
+    while the sample values stay SQL-computable for the oracle."""
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ])
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from streamforge_spark.functions.wav import encode_wav
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for did in ids:
+                n = 200 + did % 100
+                samples = [int((did * 31 + i * 17) % 4001) - 2000
+                           for i in range(n)]
+                payloads.append(encode_wav(samples, 8000))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    return (docs.select("doc_id").mapInPandas(build, schema)
+            .withColumn("media_type", F.lit("audio"))
+            .withColumn("source", F.lit("synth"))
+            .withColumn("meta", F.create_map(F.lit("codec"), F.lit("wav"))))
+
+
 def decode_media(df: DataFrame, fake: bool = False) -> DataFrame:
     """Decode stage over mapInPandas. PNG payloads decode for real
     (functions/png.py): width/height from IHDR, checksum = md5 of the

@@ -410,3 +410,56 @@ def multimodal_png_roundtrip(spark, sf_dir):
 
     sums = media.mapInPandas(pixel_sums, sum_schema)
     return decoded.join(sums, "media_id")
+
+
+_WAV_ORACLE = """
+WITH n AS (SELECT doc_id, 200 + doc_id % 100 AS ns FROM documents)
+SELECT doc_id AS media_id,
+       CAST(ns AS BIGINT) AS n_samples,
+       CAST(8000 AS BIGINT) AS framerate,
+       CAST(list_sum(list_transform(generate_series(0, ns - 1),
+              i -> abs((doc_id * 31 + i * 17) % 4001 - 2000))) AS BIGINT) AS sum_abs,
+       CAST(list_max(list_transform(generate_series(0, ns - 1),
+              i -> abs((doc_id * 31 + i * 17) % 4001 - 2000))) AS BIGINT) AS peak
+FROM n
+"""
+
+
+@query("multimodal_wav_roundtrip", oracle=_WAV_ORACLE)
+def multimodal_wav_roundtrip(spark, sf_dir):
+    """REAL audio decode end-to-end: synthesize genuine RIFF/PCM WAV
+    bytes per document (functions/wav.py, stdlib wave module), run
+    them through the real container parser + 16-bit sample unpacker,
+    and emit per-clip sample count, rate, total absolute amplitude,
+    and peak. The oracle recomputes those from the deterministic
+    sample formula — any RIFF framing / endianness / width bug shifts
+    the sums and fails the gate. With PNG (multimodal_png_roundtrip)
+    this makes two of the three media types real-codec-backed; video
+    remains the declared stand-in.
+
+    Scale shape: same as every multimodal stage — Arrow-batched
+    mapInPandas over binary columns, media bytes never leave the
+    executors, per-batch memory bounded by the Arrow batch size.
+    """
+    from streamforge_spark.multimodal import media_wav_from_documents
+    (docs,) = prep(spark, sf_dir, "documents")
+    media = media_wav_from_documents(docs)
+
+    out_schema = ("media_id long, n_samples long, framerate long, "
+                  "sum_abs long, peak long")
+
+    def stats(batches):
+        import pandas as pd
+
+        from streamforge_spark.functions.wav import decode_wav
+        for pdf in batches:
+            rows = []
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                _, rate, n, samples = decode_wav(bytes(b))
+                rows.append((int(mid), n, rate,
+                             sum(abs(s) for s in samples),
+                             max(abs(s) for s in samples)))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "n_samples", "framerate", "sum_abs", "peak"])
+
+    return media.mapInPandas(stats, out_schema)
