@@ -99,11 +99,17 @@ def asof_join(left: DataFrame, right: DataFrame, *,
               key: str, left_ts: str, right_ts: str,
               right_cols: Sequence[str],
               right_tiebreak: str | None = None,
-              prefix: str = "asof_") -> DataFrame:
-    """Backward as-of join (capability surplus — absent in the
-    reference, SURVEY §2.7 'absent' row): each left row is enriched
-    with the single most recent right row whose ``right_ts <=
-    left_ts`` for the same key; no match => nulls (left-outer).
+              prefix: str = "asof_",
+              direction: str = "backward") -> DataFrame:
+    """As-of join (capability surplus — absent in the reference,
+    SURVEY §2.7 'absent' row): each left row is enriched with the
+    single nearest right row for the same key — the most recent with
+    ``right_ts <= left_ts`` (``direction="backward"``, the default)
+    or the earliest with ``right_ts >= left_ts``
+    (``direction="forward"`` — "what happened next": next maintenance
+    after a fault, next purchase after a click); no match => nulls
+    (left-outer). Forward is the same one-shuffle union+running-carry
+    plan over the reversed sort order, not a second algorithm.
 
     Scale-first implementation: instead of a range join (which Spark
     plans as an equi-join + per-key sort or, worse, a broadcast
@@ -114,11 +120,14 @@ def asof_join(left: DataFrame, right: DataFrame, *,
     At 100 TB this is the difference between a sort within each key
     partition and a cross-product retry.
 
-    Ties: a right row at exactly left_ts matches (>= semantics, same
-    as DuckDB ASOF). Equal right timestamps within a key are broken
-    by ``right_tiebreak`` (ascending; the last one wins) — pass a
-    unique column for determinism.
+    Ties: a right row at exactly left_ts matches in both directions
+    (>= / <= semantics, same as DuckDB ASOF). Equal right timestamps
+    within a key are broken by ``right_tiebreak`` (backward: the last
+    one ascending wins; forward: the first one ascending wins) — pass
+    a unique column for determinism.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     r_payload = F.struct(*[F.col(c) for c in right_cols])
     r_type = right.select(r_payload.alias("_r")).schema["_r"].dataType
     l_payload = F.struct(*[F.col(c) for c in left.columns])
@@ -136,9 +145,17 @@ def asof_join(left: DataFrame, right: DataFrame, *,
         (F.col(right_tiebreak).cast("string") if right_tiebreak
          else F.lit(None).cast("string")).alias("_tb"))
 
+    if direction == "backward":
+        order = [F.col("_ts").asc(), F.col("_is_left").asc(),
+                 F.col("_tb").asc_nulls_first()]
+    else:
+        # reversed time: the "last right seen so far" in this order is
+        # the earliest right_ts >= left_ts; _tb desc makes the
+        # ascending-first right win among equal timestamps
+        order = [F.col("_ts").desc(), F.col("_is_left").asc(),
+                 F.col("_tb").desc_nulls_first()]
     w = (Window.partitionBy("_k")
-         .orderBy(F.col("_ts").asc(), F.col("_is_left").asc(),
-                  F.col("_tb").asc_nulls_first())
+         .orderBy(*order)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     matched = (
         lp.unionByName(rp)

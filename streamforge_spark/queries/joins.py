@@ -223,3 +223,49 @@ def incident_window_impact(spark, sf_dir):
     return (pairs.groupBy("incident_id")
             .agg(F.count(F.lit(1)).alias("n_events"),
                  F.countDistinct("user_id").alias("n_users")))
+
+
+@query(
+    "asof_join_next_event",
+    oracle="""
+WITH purchases AS (
+  SELECT user_id, ts, MAX(event_id) AS purchase_id,
+         MAX(CAST(ROUND(value * 100) AS BIGINT)) AS purchase_cents
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+),
+clicks AS (SELECT * FROM events WHERE event_type = 'click')
+SELECT c.user_id AS user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_clicks,
+       CAST(COUNT(p.purchase_id) AS BIGINT) AS n_before_purchase,
+       CAST(SUM(COALESCE(p.purchase_cents, 0)) AS BIGINT) AS cents_sum
+FROM clicks c
+ASOF LEFT JOIN purchases p
+  ON c.user_id = p.user_id AND c.ts <= p.ts
+GROUP BY c.user_id
+""",
+)
+def asof_join_next_event(spark, sf_dir):
+    """Forward as-of join: each click enriched with the user's NEXT
+    purchase at-or-after it ("did the click convert, and to what") —
+    the attribution mirror of asof_join_latest_event. Same
+    one-shuffle union+running-carry plan over the reversed sort
+    (operators/joins.py::asof_join direction='forward'); the oracle
+    is DuckDB's native ASOF with the inequality flipped."""
+    (events,) = prep(spark, sf_dir, "events")
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("purchase_id"),
+             F.max(F.round(F.col("value") * 100).cast("long")).alias("purchase_cents"))
+    )
+    clicks = events.filter(F.col("event_type") == "click")
+    enriched = asof_join(
+        clicks, purchases, key="user_id", left_ts="ts", right_ts="ts",
+        right_cols=["purchase_id", "purchase_cents"], prefix="",
+        direction="forward")
+    return (
+        enriched.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_clicks"),
+             F.count("purchase_id").alias("n_before_purchase"),
+             F.sum(F.coalesce(F.col("purchase_cents"), F.lit(0))).alias("cents_sum"))
+    )

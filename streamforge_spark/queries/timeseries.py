@@ -638,3 +638,73 @@ def mad_outliers(spark, sf_dir):
     return (dev.join(F.broadcast(mad), "event_type")
             .filter(F.col("adev") > MAD_K * F.col("mad_cents"))
             .select("event_id", "event_type", "cents", "med_cents", "mad_cents"))
+
+
+_CUSUM_ORACLE = """
+WITH v AS (
+  SELECT event_id, event_type, ts, CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events),
+tot AS (
+  SELECT event_type, SUM(cents) AS sc, CAST(COUNT(*) AS BIGINT) AS n
+  FROM v GROUP BY event_type),
+p AS (
+  SELECT v.event_id, v.event_type, v.ts, tot.n,
+         SUM(v.cents * tot.n - tot.sc) OVER (
+           PARTITION BY v.event_type ORDER BY v.ts, v.event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS psum
+  FROM v JOIN tot USING (event_type)),
+s AS (
+  SELECT *, psum - MIN(psum) OVER (
+           PARTITION BY event_type ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum
+  FROM p),
+r AS (
+  SELECT event_type, ts AS cp_ts, event_id AS cp_event_id, cusum, n,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY cusum DESC, ts, event_id) AS rn
+  FROM s)
+SELECT event_type, cp_ts, cp_event_id, cusum AS cusum_scaled, n AS n_events
+FROM r WHERE rn = 1
+"""
+
+
+@query("cusum_changepoint", oracle=_CUSUM_ORACLE)
+def cusum_changepoint(spark, sf_dir):
+    """CUSUM changepoint estimation per event type: the classic
+    argmax-of-cumulative-deviation statistic — the instant where the
+    running sum of (x − mean) is furthest above its own running
+    minimum is the most likely level-shift point in the series.
+
+    The recursive textbook form S_i = max(0, S_{i-1} + d_i) looks
+    sequential; the prefix-sum identity S_i = P_i − min_{j≤i} P_j
+    turns it into two stock window functions over one sort — the
+    trick that makes CUSUM distributable at all. Exact integers
+    throughout: deviations are scaled by n (d = x·n − Σx) so the
+    mean never becomes a float; cusum_scaled is that running excess
+    in (cents · n) units.
+
+    Scale shape: one tiny per-type aggregate broadcast back, then
+    ONE hash exchange on event_type with a single in-partition sort
+    shared by all three windows (prefix sum, running min, final
+    rank). A year-long hot type at 100 TB range-partitions by time
+    with per-chunk carry-in offsets, same as every prefix-sum op
+    here (token_budget_pack, interval_concurrency).
+    """
+    (events,) = prep(spark, sf_dir, "events")
+    v = events.select("event_id", "event_type", "ts", _cents().alias("cents"))
+    tot = v.groupBy("event_type").agg(
+        F.sum("cents").alias("sc"), F.count(F.lit(1)).alias("n"))
+    wo = (Window.partitionBy("event_type").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    p = (v.join(F.broadcast(tot), "event_type")
+         .withColumn("psum", F.sum(F.col("cents") * F.col("n") - F.col("sc"))
+                     .over(wo)))
+    s = p.withColumn("cusum", F.col("psum") - F.min("psum").over(wo))
+    wr = Window.partitionBy("event_type").orderBy(
+        F.col("cusum").desc(), "ts", "event_id")
+    return (s.withColumn("rn", F.row_number().over(wr))
+            .filter(F.col("rn") == 1)
+            .select("event_type", F.col("ts").alias("cp_ts"),
+                    F.col("event_id").alias("cp_event_id"),
+                    F.col("cusum").alias("cusum_scaled"),
+                    F.col("n").alias("n_events")))

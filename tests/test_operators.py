@@ -293,6 +293,28 @@ def test_asof_join_backward_with_ties(spark):
     assert got == {1: (102, "c"), 2: (102, "c"), 3: (None, None), 4: (None, None)}
 
 
+def test_asof_join_forward_with_ties(spark):
+    # forward semantics: earliest right with r.ts >= l.ts per key;
+    # equal-ts right matches; right ties broken by tiebreak (first wins)
+    from streamforge_spark.operators.joins import asof_join
+    left = spark.createDataFrame(
+        [(1, "k1", ts("2024-01-01 10:00:00")),
+         (2, "k1", ts("2024-01-01 09:00:00")),
+         (3, "k1", ts("2024-01-01 11:00:00")),    # after any right row
+         (4, "k2", ts("2024-01-01 10:00:00"))],   # key with no right rows
+        "id long, key string, t timestamp")
+    right = spark.createDataFrame(
+        [(100, "k1", ts("2024-01-01 10:30:00"), "z"),
+         (101, "k1", ts("2024-01-01 10:00:00"), "b"),   # ties with left id=1
+         (102, "k1", ts("2024-01-01 10:00:00"), "c")],  # same ts, lower id wins
+        "rid long, key string, t timestamp, v string")
+    out = asof_join(left, right, key="key", left_ts="t", right_ts="t",
+                    right_cols=["rid", "v"], right_tiebreak="rid",
+                    direction="forward")
+    got = {r.id: (r.asof_rid, r.asof_v) for r in out.collect()}
+    assert got == {1: (101, "b"), 2: (101, "b"), 3: (None, None), 4: (None, None)}
+
+
 def test_ann_ivf_topk_clustered(spark):
     # 3 well-separated clusters; every top-3 neighbor of a cluster's
     # query must come from the same cluster (cells must isolate them)

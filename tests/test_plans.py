@@ -426,3 +426,21 @@ def test_data_profile_single_scan(spark):
     plan = plan_of(spark, "data_profile")
     assert plan.count("file:/root/testdata/sf0.001/orders.parquet") == 1
     assert "Expand" in plan
+
+
+def test_cusum_single_fact_exchange(spark):
+    # per-type totals broadcast back; all three windows (prefix sum,
+    # running min, argmax rank) share ONE event_type exchange
+    plan = plan_of(spark, "cusum_changepoint")
+    assert plan.count("Arguments: hashpartitioning") == 2  # agg + window
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_asof_forward_same_plan_shape_as_backward(spark):
+    # forward direction must stay the union+running-carry rewrite:
+    # one exchange, no range join, no BNLJ
+    plan = plan_of(spark, "asof_join_next_event")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
