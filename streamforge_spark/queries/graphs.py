@@ -163,3 +163,71 @@ def triangle_count(spark, sf_dir):
     counts = (deg.agg(F.count(F.lit(1)).alias("n_nodes"))
               .crossJoin(e.agg(F.count(F.lit(1)).alias("n_edges"))))
     return counts.crossJoin(tri).select("n_nodes", "n_edges", "n_triangles")
+
+
+BASKET_MIN_SUPPORT = 2
+
+_BASKET_ORACLE = f"""
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+nt AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n FROM op),
+item AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS ni FROM op GROUP BY l_partkey),
+pair AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2, CAST(COUNT(*) AS BIGINT) AS np
+         FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+                            AND a.l_partkey < b.l_partkey
+         GROUP BY 1, 2)
+SELECT p1, p2, np AS n_both,
+       CAST(np * nt.n AS DOUBLE) / CAST(ia.ni * ib.ni AS DOUBLE) AS lift
+FROM pair
+JOIN item ia ON ia.l_partkey = p1
+JOIN item ib ON ib.l_partkey = p2
+CROSS JOIN nt
+WHERE np >= {BASKET_MIN_SUPPORT}
+"""
+
+
+@query("market_basket_lift", oracle=_BASKET_ORACLE)
+def market_basket_lift(spark, sf_dir):
+    """Market-basket association mining: for every part pair bought
+    together in ≥{MIN_SUPPORT} orders, the lift statistic
+    P(a,b) / (P(a)·P(b)) — >1 means genuinely associated, not just
+    individually popular. The log-free cousin of PMI (same ratio,
+    no transform), so the only float is ONE identical IEEE division
+    of exact BIGINT products on both engines.
+
+    Scale shape: the same per-order pair explode as triangle_count
+    (order baskets are tiny, so pairs come from an in-set transform
+    after one groupBy(order) — never an op⨝op self-join shuffle of
+    the full fact table); pair support is a map-side-combinable
+    count. Item counts are |parts| rows broadcast back; the total
+    is a 1-row scalar cross. The min-support filter lands before
+    the enrichment joins, cutting the long tail of 1-support pairs
+    — at 100 TB that filter is what keeps the pair table bounded.
+    """
+    (lineitem,) = prep(spark, sf_dir, "lineitem")
+    op = lineitem.select("l_orderkey", "l_partkey").distinct()
+    # every statistic (pair supports, item counts, order total) derives
+    # from the SAME per-order basket aggregate, so its exchange subtree
+    # is identical across branches and Spark plans ReusedExchange —
+    # one lineitem scan + one order shuffle feed all three, instead of
+    # three scans (asserted in test_plans)
+    sets = (op.groupBy("l_orderkey")
+            .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps")))
+    pair = (sets.select(F.explode(F.expr(
+        "flatten(transform(ps, (x, i) -> "
+        "transform(slice(ps, i + 2, size(ps) - i - 1), "
+        "y -> struct(x AS p1, y AS p2))))")).alias("pr"))
+        .select("pr.*")
+        .groupBy("p1", "p2").agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= BASKET_MIN_SUPPORT))
+    item = (sets.select(F.explode("ps").alias("l_partkey"))
+            .groupBy("l_partkey").agg(F.count(F.lit(1)).alias("ni")))
+    nt = sets.agg(F.count(F.lit(1)).alias("n"))
+    return (pair
+            .join(F.broadcast(item.withColumnRenamed("l_partkey", "p1")
+                              .withColumnRenamed("ni", "na")), "p1")
+            .join(F.broadcast(item.withColumnRenamed("l_partkey", "p2")
+                              .withColumnRenamed("ni", "nb")), "p2")
+            .crossJoin(F.broadcast(nt))
+            .select("p1", "p2", "n_both",
+                    ((F.col("n_both") * F.col("n")).cast("double")
+                     / (F.col("na") * F.col("nb")).cast("double")).alias("lift")))

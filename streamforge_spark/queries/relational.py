@@ -484,3 +484,99 @@ def data_profile(spark, sf_dir):
                  F.col(f"nd_{c}").alias("n_distinct"))
         for c in _PROFILE_COLS])).alias("p"))
         .select("p.*"))
+
+
+SKEW_TOP_K = 20
+
+_SKEW_ORACLE = f"""
+WITH c AS (SELECT l_suppkey AS key, CAST(COUNT(*) AS BIGINT) AS n_rows
+           FROM lineitem GROUP BY l_suppkey),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM lineitem)
+SELECT key, n_rows, (n_rows * 1000000) // t.total AS share_ppm
+FROM c CROSS JOIN t
+ORDER BY n_rows DESC, key
+LIMIT {SKEW_TOP_K}
+"""
+
+
+@query("key_skew_report", oracle=_SKEW_ORACLE)
+def key_skew_report(spark, sf_dir):
+    """Join-key skew diagnostics: the top-{K} heaviest values of a
+    prospective join/partition key with exact row counts and
+    parts-per-million share — the report you run BEFORE a 100 TB
+    join to decide between plain hash, broadcast, AQE skew-join, or
+    explicit salting (operators/skew.py::salted_join consumes
+    exactly this signal). Integer ppm (BIGINT multiply + floor
+    divide), no float share.
+
+    Scale shape: one map-side-combinable count per key (the combine
+    means a hot key costs one partial per task, not a shuffled row
+    per input row — the report itself is immune to the skew it
+    measures), a 1-row total broadcast cross, and a
+    TakeOrderedAndProject heap for the top-k — no global sort.
+    """
+    (lineitem,) = prep(spark, sf_dir, "lineitem")
+    c = (lineitem.groupBy(F.col("l_suppkey").alias("key"))
+         .agg(F.count(F.lit(1)).alias("n_rows")))
+    t = lineitem.agg(F.count(F.lit(1)).alias("total"))
+    return (c.crossJoin(F.broadcast(t))
+            .select("key", "n_rows",
+                    F.expr("(n_rows * 1000000) div total").alias("share_ppm"))
+            .orderBy(F.col("n_rows").desc(), "key")
+            .limit(SKEW_TOP_K))
+
+
+INC_CUTOFF = "2024-01-21"
+
+_INC_ORACLE = f"""
+WITH base AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents,
+         MIN(ts) AS first_ts, MAX(ts) AS last_ts
+  FROM events WHERE ts < TIMESTAMP '{INC_CUTOFF}' GROUP BY user_id),
+delta AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents,
+         MIN(ts) AS first_ts, MAX(ts) AS last_ts
+  FROM events WHERE ts >= TIMESTAMP '{INC_CUTOFF}' GROUP BY user_id),
+u AS (SELECT * FROM base UNION ALL SELECT * FROM delta)
+SELECT user_id, CAST(SUM(n) AS BIGINT) AS n,
+       SUM(cents) AS cents, MIN(first_ts) AS first_ts, MAX(last_ts) AS last_ts
+FROM u GROUP BY user_id
+"""
+
+
+@query("incremental_agg_merge", oracle=_INC_ORACLE)
+def incremental_agg_merge(spark, sf_dir):
+    """Incremental materialized-aggregate maintenance: merge a
+    pre-aggregated BASE state (everything before the cutoff) with a
+    DELTA batch's partial aggregates — without ever rescanning the
+    base's raw rows. Every statistic is algebraically mergeable
+    (count/sum add, min/max combine), which is precisely the property
+    that makes an aggregate maintainable for O(delta) per refresh;
+    the oracle replays the same two-partials-then-combine plan, and
+    the repo's parity harness pins it equal to the direct full
+    aggregate (test_incremental_agg_merge_equals_full).
+
+    Scale shape: at 100 TB the base partial is a stored table read
+    back (|users| rows), so a refresh costs one delta scan + one
+    |users|-sized merge groupBy — the fact table is scanned once
+    EVER per row, not once per refresh. Here both partials derive
+    from the same scan with disjoint pushed-down time filters.
+    """
+    (events,) = prep(spark, sf_dir, "events")
+
+    def partial(df):
+        return df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+            F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts"))
+
+    cutoff = F.lit(INC_CUTOFF).cast("timestamp")
+    base = partial(events.filter(F.col("ts") < cutoff))
+    delta = partial(events.filter(F.col("ts") >= cutoff))
+    return (base.unionByName(delta)
+            .groupBy("user_id")
+            .agg(F.sum("n").alias("n"), F.sum("cents").alias("cents"),
+                 F.min("first_ts").alias("first_ts"),
+                 F.max("last_ts").alias("last_ts")))

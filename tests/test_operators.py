@@ -315,6 +315,20 @@ def test_asof_join_forward_with_ties(spark):
     assert got == {1: (101, "b"), 2: (101, "b"), 3: (None, None), 4: (None, None)}
 
 
+def test_incremental_agg_merge_equals_full(spark):
+    # the merged base+delta partials must equal the direct full
+    # aggregate — the algebraic-mergeability contract
+    from streamforge_spark.io import load
+    from streamforge_spark.registry import QUERIES
+    inc = QUERIES["incremental_agg_merge"](spark, "/root/testdata/sf0.001")
+    events = load(spark, "/root/testdata/sf0.001", "events")
+    full = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts"))
+    assert {tuple(r) for r in inc.collect()} == {tuple(r) for r in full.collect()}
+
+
 def test_ann_ivf_topk_clustered(spark):
     # 3 well-separated clusters; every top-3 neighbor of a cluster's
     # query must come from the same cluster (cells must isolate them)

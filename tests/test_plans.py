@@ -444,3 +444,30 @@ def test_asof_forward_same_plan_shape_as_backward(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_market_basket_broadcast_enrichment(spark):
+    # pair support from the in-basket explode (no op self-join
+    # shuffle); item counts broadcast; and because pair/item/total all
+    # derive from the same per-order aggregate, AQE must reuse that
+    # exchange at runtime instead of rescanning lineitem per branch
+    df = registry.QUERIES["market_basket_lift"](spark, SF)
+    df.collect()   # AQE exchange reuse appears in the FINAL plan
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "ReusedExchange" in plan
+
+
+def test_key_skew_report_topk_heap(spark):
+    plan = plan_of(spark, "key_skew_report")
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_incremental_merge_pushes_disjoint_time_filters(spark):
+    # both partials must push their time predicate into the scan
+    plan = plan_of(spark, "incremental_agg_merge")
+    assert "PushedFilters: [IsNotNull(ts), LessThan(ts" in plan
+    assert "PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts" in plan
