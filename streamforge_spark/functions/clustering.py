@@ -51,6 +51,50 @@ def quantize_vectors(emb: DataFrame, *, id_col: str = "vec_id",
                     lambda x: F.round(x * quant).cast("long")).alias("v"))
 
 
+def _make_assign(bc):
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        Cm = bc.value
+        c2 = (Cm * Cm).sum(axis=1)
+        for pdf in batches:
+            X = np.stack(pdf["v"].to_numpy()).astype(np.int64)
+            d2 = (X * X).sum(axis=1)[:, None] - 2 * (X @ Cm.T) + c2[None, :]
+            yield pd.DataFrame({
+                "_id": pdf["_id"], "v": pdf["v"],
+                # argmin returns the FIRST minimum: lowest cluster id
+                "cluster": d2.argmin(axis=1).astype(np.int64)})
+    return assign
+
+
+def kmeans_centroids(emb: DataFrame, *, k: int = 8, rounds: int = 3,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     quant: int = KMEANS_QUANT) -> np.ndarray:
+    """Train the fixed-point quantizer: init = the ``k`` lowest-id
+    vectors, then ``rounds - 1`` Lloyd update iterations. Returns the
+    integer centroid matrix the FINAL assignment pass uses — i.e.
+    ``kmeans_assignments(emb, k, rounds)`` assigns against exactly this
+    matrix. Exposed so index builds (IVF cells) can reuse the trained
+    centroids without re-deriving them from assignments."""
+    spark = emb.sparkSession
+    e = quantize_vectors(emb, id_col=id_col, vec_col=vec_col, quant=quant)
+    init_rows = e.orderBy("_id").limit(k).select("v").collect()
+    C = np.array([r.v for r in init_rows], dtype=np.int64)
+    dim = C.shape[1]
+    for _ in range(rounds - 1):
+        bc = spark.sparkContext.broadcast(C)
+        assigned = e.mapInPandas(_make_assign(bc),
+                                 "_id long, v array<long>, cluster long")
+        # centroid update: integer sums are exact in any order; the
+        # division + HALF_UP round replays identically in the oracle
+        upd = assigned.groupBy("cluster").agg(
+            *[F.round(F.sum(F.col("v")[j]) / F.count(F.lit(1)))
+              .cast("long").alias(f"c{j}") for j in range(dim)]).collect()
+        newC = C.copy()
+        for row in upd:
+            newC[row["cluster"]] = [row[f"c{j}"] for j in range(dim)]
+        C = newC
+    return C
+
+
 def kmeans_assignments(emb: DataFrame, *, k: int = 8, rounds: int = 3,
                        id_col: str = "vec_id", vec_col: str = "embedding",
                        quant: int = KMEANS_QUANT) -> DataFrame:
@@ -61,40 +105,12 @@ def kmeans_assignments(emb: DataFrame, *, k: int = 8, rounds: int = 3,
     their previous centroid. Returns (id_col, cluster: long).
     """
     spark = emb.sparkSession
+    C = kmeans_centroids(emb, k=k, rounds=rounds, id_col=id_col,
+                         vec_col=vec_col, quant=quant)
     e = quantize_vectors(emb, id_col=id_col, vec_col=vec_col, quant=quant)
-    init_rows = e.orderBy("_id").limit(k).select("v").collect()
-    C = np.array([r.v for r in init_rows], dtype=np.int64)
-    dim = C.shape[1]
-
-    def make_assign(bc):
-        def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            Cm = bc.value
-            c2 = (Cm * Cm).sum(axis=1)
-            for pdf in batches:
-                X = np.stack(pdf["v"].to_numpy()).astype(np.int64)
-                d2 = (X * X).sum(axis=1)[:, None] - 2 * (X @ Cm.T) + c2[None, :]
-                yield pd.DataFrame({
-                    "_id": pdf["_id"], "v": pdf["v"],
-                    # argmin returns the FIRST minimum: lowest cluster id
-                    "cluster": d2.argmin(axis=1).astype(np.int64)})
-        return assign
-
-    assigned = None
-    for r in range(rounds):
-        bc = spark.sparkContext.broadcast(C)
-        assigned = e.mapInPandas(make_assign(bc),
-                                 "_id long, v array<long>, cluster long")
-        if r == rounds - 1:
-            break
-        # centroid update: integer sums are exact in any order; the
-        # division + HALF_UP round replays identically in the oracle
-        upd = assigned.groupBy("cluster").agg(
-            *[F.round(F.sum(F.col("v")[j]) / F.count(F.lit(1)))
-              .cast("long").alias(f"c{j}") for j in range(dim)]).collect()
-        newC = C.copy()
-        for row in upd:
-            newC[row["cluster"]] = [row[f"c{j}"] for j in range(dim)]
-        C = newC
+    bc = spark.sparkContext.broadcast(C)
+    assigned = e.mapInPandas(_make_assign(bc),
+                             "_id long, v array<long>, cluster long")
     return assigned.select(F.col("_id").alias(id_col), "cluster")
 
 

@@ -214,6 +214,84 @@ def ann_ivf_topk(emb: DataFrame, query_ids, k: int = 10,
                     F.col("rank").cast("long").alias("rank"), "cos"))
 
 
+def ann_ivf_fixed_topk(emb: DataFrame, query_ids, k: int = 10, *,
+                       cells: int = 16, rounds: int = 2, nprobe: int = 4,
+                       id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF ANN top-k over a FIXED-POINT coarse quantizer — the fully
+    deterministic (and therefore oracle-checkable end-to-end) variant
+    of :func:`ann_ivf_topk`.
+
+    Index build: full-corpus fixed-point k-means
+    (clustering.py::kmeans_centroids — integer distances, exact argmin,
+    HALF_UP centroid rounding), so the cell map is bit-reproducible
+    across partitionings and engines. Cell assignment and query probing
+    both run on the quantized integers; the final re-rank is exact
+    cosine on the raw doubles (sequential fold, IEEE-identical to
+    DuckDB's list_dot_product).
+
+    100 TB shape: identical to ann_ivf_topk — corpus side is one narrow
+    scan + an integer matmul per Arrow batch, the candidate join
+    shuffles on the cell id (fan-out corpus/cells * nprobe per query),
+    training is rounds-1 extra scans with k-row aggregations. The
+    trade vs the float trainer: full-corpus training passes instead of
+    a bounded driver sample, bought back as exact reproducibility —
+    index builds for production corpora want exactly that audit story.
+    """
+    from streamforge_spark.functions.clustering import (
+        KMEANS_QUANT, kmeans_centroids)
+    spark = emb.sparkSession
+    C = kmeans_centroids(emb, k=cells, rounds=rounds,
+                         id_col=id_col, vec_col=vec_col)
+    bc = spark.sparkContext.broadcast(C)
+    raw = F.col(vec_col).cast("array<double>")
+    # quantize in Spark SQL (HALF_UP round), not numpy (half-to-even):
+    # must match clustering.quantize_vectors bit-for-bit
+    e = emb.select(
+        F.col(id_col).alias("_id"), raw.alias("v"),
+        F.transform(raw, lambda x: F.round(x * KMEANS_QUANT).cast("long"))
+        .alias("qv"))
+
+    def _d2(pdf: pd.DataFrame) -> np.ndarray:
+        Cm = bc.value
+        c2 = (Cm * Cm).sum(axis=1)
+        X = np.stack(pdf["qv"].to_numpy()).astype(np.int64)
+        return (X * X).sum(axis=1)[:, None] - 2 * (X @ Cm.T) + c2[None, :]
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[["_id", "v"]].copy()
+            # first minimum = lowest cell id (ORDER BY d2, cl in oracle)
+            out["cell"] = _d2(pdf).argmin(axis=1).astype(np.int64)
+            yield out
+
+    assigned = e.mapInPandas(assign, "_id long, v array<double>, cell long")
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            # stable sort: equal distances keep ascending cell order
+            near = np.argsort(_d2(pdf), axis=1, kind="stable")[:, :nprobe]
+            out = (pdf[["_id", "v"]].loc[pdf.index.repeat(nprobe)]
+                   .reset_index(drop=True)
+                   .rename(columns={"_id": "qid", "v": "qv"}))
+            out["cell"] = near.reshape(-1).astype(np.int64)
+            yield out
+
+    q = (e.filter(F.col("_id").isin(list(query_ids)))
+         .mapInPandas(probe, "qid long, qv array<double>, cell long"))
+    # each corpus vector lives in exactly one cell and probed cells are
+    # distinct per query, so candidates need no dedup (unlike LSH)
+    cands = assigned.join(q, "cell").filter(F.col("_id") != F.col("qid"))
+    scored = cands.select(
+        "qid", F.col("_id").alias("cid"),
+        cosine(F.col("qv"), F.col("v")).alias("cos"))
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(F.col("qid").alias("query_id"),
+                    F.col("cid").alias("neighbor_id"),
+                    F.col("rank").cast("long").alias("rank"), "cos"))
+
+
 def int8_quantize(emb: DataFrame, *, id_col: str = "vec_id",
                   vec_col: str = "embedding") -> DataFrame:
     """Per-dimension min/max scalar quantization of an embedding column

@@ -165,6 +165,76 @@ def triangle_count(spark, sf_dir):
     return counts.crossJoin(tri).select("n_nodes", "n_edges", "n_triangles")
 
 
+BFS_ROUNDS = 3
+BFS_SEED_NATION = 0
+
+
+def _bfs_oracle(rounds: int, seed_nation: int) -> str:
+    """Unrolled frontier BFS: each round is checked, and the frontier
+    formulation (new nodes only, not full relaxation) is the same one
+    the Spark plan runs."""
+    ctes = [
+        """pairs AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)""",
+        """edges AS (
+  SELECT c * 2 AS src, s * 2 + 1 AS dst FROM pairs
+  UNION ALL
+  SELECT s * 2 + 1 AS src, c * 2 AS dst FROM pairs)""",
+        f"""f0 AS (SELECT c_custkey * 2 AS node FROM customer
+  WHERE c_nationkey = {seed_nation})""",
+        "reach0 AS (SELECT node, 0 AS dist FROM f0)",
+    ]
+    for r in range(rounds):
+        ctes.append(f"""c{r} AS (
+  SELECT DISTINCT e.dst AS node FROM edges e JOIN f{r} f ON f.node = e.src)""")
+        ctes.append(f"""f{r + 1} AS (
+  SELECT c.node FROM c{r} c LEFT JOIN reach{r} x ON x.node = c.node
+  WHERE x.node IS NULL)""")
+        ctes.append(f"""reach{r + 1} AS (
+  SELECT node, dist FROM reach{r}
+  UNION ALL SELECT node, {r + 1} AS dist FROM f{r + 1})""")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT node, CAST(dist AS BIGINT) AS dist FROM reach{rounds}")
+
+
+@query("bfs_reachability", oracle=_bfs_oracle(BFS_ROUNDS, BFS_SEED_NATION))
+def bfs_reachability(spark, sf_dir):
+    """K-hop BFS over the customer–supplier graph: distance from the
+    seed set (nation-{seed} customers) within 3 hops — the reachability
+    / blast-radius primitive (supply-chain exposure, fraud-ring
+    expansion, account-linkage neighborhoods).
+
+    Scale shape: FRONTIER propagation, not full relaxation — each round
+    joins only the nodes first reached last round against the edge
+    list, then anti-joins the accumulated reach set, so per-round work
+    decays with frontier size instead of re-shuffling every settled
+    node (on small-diameter graphs round 2+ frontiers collapse fast).
+    Rounds are a fixed constant: the plan is `rounds` hash-join +
+    anti-join pairs, each oracle-checked, no driver-side iteration
+    state beyond the loop counter."""
+    lineitem, orders, customer = prep(spark, sf_dir,
+                                      "lineitem", "orders", "customer")
+    pairs = (lineitem.join(orders,
+                           lineitem["l_orderkey"] == orders["o_orderkey"])
+             .select(F.col("o_custkey").alias("c"),
+                     F.col("l_suppkey").alias("s")).distinct())
+    edges = (pairs.select((F.col("c") * 2).alias("src"),
+                          (F.col("s") * 2 + 1).alias("dst"))
+             .unionByName(pairs.select((F.col("s") * 2 + 1).alias("src"),
+                                       (F.col("c") * 2).alias("dst"))))
+    frontier = (customer.filter(F.col("c_nationkey") == BFS_SEED_NATION)
+                .select((F.col("c_custkey") * 2).alias("node")))
+    reach = frontier.withColumn("dist", F.lit(0))
+    for r in range(BFS_ROUNDS):
+        cand = (edges.join(frontier, edges["src"] == frontier["node"])
+                .select(F.col("dst").alias("node")).distinct())
+        frontier = cand.join(reach, "node", "left_anti")
+        reach = reach.unionByName(
+            frontier.withColumn("dist", F.lit(r + 1)))
+    return reach.select("node", F.col("dist").cast("long").alias("dist"))
+
+
 BASKET_MIN_SUPPORT = 2
 
 _BASKET_ORACLE = f"""

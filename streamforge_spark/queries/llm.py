@@ -6,8 +6,8 @@ is deterministic — the only obstacle was the hash function, so content
 hashing moved to the md5-derived :func:`~streamforge_spark.functions.
 simdedup.oracle_hash60` (reproducible in SQL) and the LSH hyperplanes
 (fixed-seed driver literals) are inlined into the generated oracle.
-Only ``ann_ivf_topk`` stays rows-only: its k-means training loop is
-genuinely not SQL-expressible.
+``ann_ivf_topk`` now rides the fixed-point k-means trainer, so even
+its training iterations unroll into the oracle SQL.
 """
 
 from __future__ import annotations
@@ -212,15 +212,67 @@ def semantic_dedup(spark, sf_dir):
     return semantic_dup_marks(emb)
 
 
-@query("ann_ivf_topk")
+IVF_CELLS = 16
+IVF_ROUNDS = 2
+IVF_NPROBE = 4
+
+
+def _ann_ivf_oracle(cells: int, rounds: int, quant: int, nprobe: int,
+                    nq: int, k: int) -> str:
+    """DuckDB replay of the ENTIRE fixed-point IVF pipeline: reuse the
+    unrolled-Lloyd CTE chain (same trainer as embedding_kmeans), then
+    probe each query's nprobe nearest cells by integer distance and
+    exact-cosine-rank the probed candidates. Every stage — training
+    iterations, cell map, probe set, final ranking — is checked."""
+    from streamforge_spark.queries.embeddings import _kmeans_oracle
+    base = _kmeans_oracle(cells, rounds, quant)
+    head, _ = base.rsplit("\nSELECT", 1)   # keep the CTE chain
+    r = rounds - 1
+    return f"""{head},
+raw AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+qd AS (SELECT vec_id AS qid, j, x FROM ed WHERE vec_id < {nq}),
+probe AS (
+  SELECT qid, cl FROM (
+    SELECT qd.qid AS qid, cd.cl AS cl,
+           SUM((qd.x - cd.x) * (qd.x - cd.x)) AS d2
+    FROM qd JOIN cd{r} cd ON qd.j = cd.j
+    GROUP BY 1, 2) t
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, cl) <= {nprobe}),
+cands AS (
+  SELECT p.qid, a.vec_id AS cid FROM probe p
+  JOIN a{r} a ON a.cl = p.cl
+  WHERE a.vec_id <> p.qid),
+scored AS (
+  SELECT c.qid, c.cid,
+         list_dot_product(rq.v, rc.v)
+           / (sqrt(list_dot_product(rq.v, rq.v))
+              * sqrt(list_dot_product(rc.v, rc.v))) AS cos
+  FROM cands c
+  JOIN raw rq ON rq.vec_id = c.qid
+  JOIN raw rc ON rc.vec_id = c.cid)
+SELECT qid AS query_id, cid AS neighbor_id, CAST(rn AS BIGINT) AS rank, cos
+FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+      FROM scored)
+WHERE rn <= {k}
+"""
+
+
+@query("ann_ivf_topk",
+       oracle=_ann_ivf_oracle(IVF_CELLS, IVF_ROUNDS, 10000, IVF_NPROBE,
+                              ANN_NQ, ANN_K))
 def ann_ivf_topk_q(spark, sf_dir):
-    """IVF coarse-quantizer ANN top-k: bounded-sample spherical k-means
-    cells + nprobe probing (the trained-index counterpart of
-    ann_lsh_topk; rows-only check — the iterative k-means training has
-    no SQL formulation; recall/behavior covered by
-    tests/test_operators.py clustered-recall test)."""
+    """IVF coarse-quantizer ANN top-k, fixed-point trainer
+    (similarity.py::ann_ivf_fixed_topk): full-corpus integer Lloyd
+    cells + nprobe probing + exact cosine re-rank. The oracle replays
+    training, cell assignment, probing, and ranking end-to-end in SQL
+    — the previously rows-only float-sample variant (ann_ivf_topk in
+    similarity.py) remains as library code with its clustered-recall
+    unit test."""
+    from streamforge_spark.functions.similarity import ann_ivf_fixed_topk
     (emb,) = prep(spark, sf_dir, "embeddings")
-    return ann_ivf_topk(emb, query_ids=range(ANN_NQ), k=ANN_K)
+    return ann_ivf_fixed_topk(emb, query_ids=range(ANN_NQ), k=ANN_K,
+                              cells=IVF_CELLS, rounds=IVF_ROUNDS,
+                              nprobe=IVF_NPROBE)
 
 
 @query(

@@ -708,3 +708,113 @@ def cusum_changepoint(spark, sf_dir):
                     F.col("event_id").alias("cp_event_id"),
                     F.col("cusum").alias("cusum_scaled"),
                     F.col("n").alias("n_events")))
+
+
+# -- per-user OLS trend (exact integer normal equations) ----------------
+
+TREND_EPOCH = "2024-01-01"
+
+_TREND_ORACLE = f"""
+WITH v AS (
+  SELECT user_id,
+         CAST(datediff('day', DATE '{TREND_EPOCH}', CAST(ts AS DATE)) AS BIGINT) AS x,
+         CAST(ROUND(value * 100) AS BIGINT) AS y
+  FROM events),
+m AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy, SUM(x * x) AS sxx
+  FROM v GROUP BY user_id)
+SELECT user_id, n,
+       n * sxy - sx * sy AS slope_num,
+       n * sxx - sx * sx AS den,
+       CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+         AS slope_cents_per_day,
+       CAST(sy * sxx - sx * sxy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+         AS intercept_cents
+FROM m WHERE n * sxx - sx * sx <> 0
+"""
+
+
+@query("user_value_trend", oracle=_TREND_ORACLE)
+def user_value_trend(spark, sf_dir):
+    """Per-user least-squares trend of event value over time — the
+    grouped-regression primitive (drift per account, burn rate per
+    tenant, engagement slope per cohort) computed from the normal
+    equations on EXACT integer moments: x = day index, y = cents, and
+    slope = (n·Σxy − Σx·Σy) / (n·Σxx − Σx²) where every sum and
+    product is int64 and only the final division is floating point
+    (one identical IEEE op on both engines).
+
+    Scale shape: ONE map-side-combinable groupBy carrying five integer
+    sums per user — a single exchange of |users| tiny rows, no window,
+    no sort, no second pass. That is the textbook "sufficient
+    statistics" formulation: at 100 TB the moments fold into partial
+    aggregates on the scan and the driver never sees data. Degenerate
+    single-day users (den = 0) are filtered. Int64 headroom: day
+    indexes are O(10³) and cents O(10⁶), so n·Σxy stays < 2⁶³ up to
+    ~10⁹ rows per user; widen the moment columns to DECIMAL(38,0) past
+    that."""
+    (events,) = prep(spark, sf_dir, "events")
+    v = events.select(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit(TREND_EPOCH)).cast("long").alias("x"),
+        _cents().alias("y"))
+    m = v.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"))
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    inum = F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")
+    return (m.filter(den != 0)
+            .select("user_id", "n",
+                    num.alias("slope_num"), den.alias("den"),
+                    (num.cast("double") / den.cast("double"))
+                    .alias("slope_cents_per_day"),
+                    (inum.cast("double") / den.cast("double"))
+                    .alias("intercept_cents")))
+
+
+# -- equi-depth histogram (exact quantile buckets) ----------------------
+
+EDH_BUCKETS = 8
+
+_EDH_ORACLE = f"""
+WITH t AS (
+  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents,
+         ntile({EDH_BUCKETS}) OVER (
+           PARTITION BY event_type ORDER BY value, event_id) AS bucket
+  FROM events)
+SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(cents) AS lo_cents, MAX(cents) AS hi_cents
+FROM t GROUP BY event_type, bucket
+"""
+
+
+@query("equidepth_histogram", oracle=_EDH_ORACLE)
+def equidepth_histogram(spark, sf_dir):
+    """Exact equi-depth (equal-frequency) histogram per event type:
+    ntile buckets over the value order with (value, event_id) total
+    order so tie placement is deterministic. The complement of
+    value_histogram's equi-WIDTH bars — equi-depth edges are what
+    optimizers, drift monitors, and feature-binning pipelines want,
+    because each bucket carries the same evidence mass.
+
+    Scale shape: one hash exchange on event_type with an in-partition
+    sort shared by the ntile window and the (event_type, bucket)
+    rollup that follows — the rollup's grouping is a prefix extension
+    of the window partitioning, so no second shuffle. A single
+    monster type at 100 TB swaps ntile for rank-over-range chunks
+    (the approx_event_percentiles t-digest is the sketch fallback);
+    the exact form is the auditable one."""
+    (events,) = prep(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    t = events.select(
+        "event_type", _cents().alias("cents"),
+        F.ntile(EDH_BUCKETS).over(w).alias("bucket"))
+    return (t.groupBy("event_type", F.col("bucket").cast("long").alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min("cents").alias("lo_cents"),
+                 F.max("cents").alias("hi_cents")))

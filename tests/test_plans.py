@@ -471,3 +471,26 @@ def test_incremental_merge_pushes_disjoint_time_filters(spark):
     plan = plan_of(spark, "incremental_agg_merge")
     assert "PushedFilters: [IsNotNull(ts), LessThan(ts" in plan
     assert "PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts" in plan
+
+
+def test_user_value_trend_single_exchange_moments(spark):
+    # sufficient-statistics formulation: ONE hash exchange (the user
+    # rollup) with map-side partial aggregation, no window, no sort
+    plan = plan_of(spark, "user_value_trend")
+    assert plan.count("Arguments: hashpartitioning") == 1
+    assert "Sort " not in plan
+    assert plan.count("HashAggregate") >= 2   # partial + final
+
+
+def test_equidepth_histogram_window_feeds_rollup(spark):
+    # the (event_type, bucket) rollup extends the window partitioning,
+    # so the ntile sort exchange is the only shuffle
+    plan = plan_of(spark, "equidepth_histogram")
+    assert plan.count("Arguments: hashpartitioning") == 1
+
+
+def test_bfs_no_cartesian_and_seed_pushdown(spark):
+    plan = plan_of(spark, "bfs_reachability")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "PushedFilters: [IsNotNull(c_nationkey), EqualTo(c_nationkey,0)" in plan
