@@ -45,14 +45,22 @@ def pagerank(edges: DataFrame, *, src: str = "src", dst: str = "dst",
              .distinct().localCheckpoint(eager=True))
     n = float(nodes.count())
     base = F.lit(float(scale)) / F.lit(n)
+    # the node count is already driver-known: when the rank vector is
+    # small (<= ~2M rows of (long, long) ≈ 32 MB) broadcast it into
+    # the contrib join so the EDGE list is never re-shuffled per power
+    # round — the per-iteration shuffle then carries only the in-sums.
+    # Past the threshold both sides shuffle (correct at any |V|); the
+    # edge list is the side that must never replicate.
+    small_ranks = n <= 2_000_000
+    hint = F.broadcast if small_ranks else (lambda df: df)
     ranks = nodes.withColumn("r", F.round(base).cast("long"))
     for _ in range(rounds):
-        contrib = (ew.join(ranks, ew["s"] == ranks["node"])
+        contrib = (ew.join(hint(ranks), ew["s"] == ranks["node"])
                    .select(F.col("d").alias("node"),
                            F.round((F.col("r").cast("double") * F.col("w").cast("double"))
                                    / F.col("wout").cast("double")).cast("long").alias("c")))
         in_sum = contrib.groupBy("node").agg(F.sum("c").alias("c"))
-        ranks = (nodes.join(in_sum, "node", "left")
+        ranks = (nodes.join(hint(in_sum), "node", "left")
                  .select("node",
                          F.round(F.lit(1.0 - damping) * base
                                  + F.lit(damping)

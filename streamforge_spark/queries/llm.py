@@ -515,3 +515,54 @@ def multimodal_wav_roundtrip(spark, sf_dir):
                 "media_id", "n_samples", "framerate", "sum_abs", "peak"])
 
     return media.mapInPandas(stats, out_schema)
+
+
+_SURVIVOR_ORACLE = f"""
+WITH RECURSIVE pairs AS ({_MINHASH_ORACLE}),
+edges AS (
+  SELECT d1 AS a, d2 AS b FROM pairs
+  UNION
+  SELECT d2 AS a, d1 AS b FROM pairs),
+reach(node, label) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, r.label FROM reach r JOIN edges e ON e.b = r.node),
+comp AS (SELECT node, MIN(label) AS component FROM reach GROUP BY node)
+SELECT d.doc_id,
+       COALESCE(c.component, d.doc_id) AS component,
+       COALESCE(c.component, d.doc_id) = d.doc_id AS kept
+FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+"""
+
+
+@query("fuzzy_dedup_survivors", oracle=_SURVIVOR_ORACLE)
+def fuzzy_dedup_survivors(spark, sf_dir):
+    """The END-TO-END fuzzy-dedup decision for every document in the
+    corpus: MinHash signatures -> LSH banding -> verified near-dup
+    pairs -> transitive closure -> one canonical survivor (minimum
+    doc_id) per duplicate group. Returns (doc_id, component, kept) for
+    ALL docs — the exact keep/drop verdict a training-data build
+    applies before tokenization, not just the pair list.
+
+    This is the composition the pieces exist for: dedup_minhash_lsh
+    prunes the pair space to band collisions, connected_components
+    turns pairs into groups without ever collecting them, and the
+    final left join stamps the verdict back onto the corpus scan.
+    The oracle replays signatures, banding, verification, a recursive-
+    CTE closure, and the verdict join — end-to-end exact.
+
+    Scale shape: pair generation is the LSH bucketed join (never
+    all-pairs); closure cost is one shuffle join per diameter round on
+    the PAIR graph only (duplicate clusters are tiny and shallow —
+    the corpus-sized part of the plan is just the final verdict join,
+    one broadcast-or-shuffle hash join on doc_id)."""
+    from streamforge_spark.operators.graph import connected_components
+    (docs,) = prep(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, threshold=MINHASH_THRESHOLD)
+    comp = connected_components(pairs, "d1", "d2")
+    out = (docs.select("doc_id")
+           .join(comp, docs["doc_id"] == comp["node"], "left"))
+    component = F.coalesce(F.col("component"), F.col("doc_id"))
+    return out.select(
+        "doc_id", component.alias("component"),
+        (component == F.col("doc_id")).alias("kept"))
