@@ -117,3 +117,61 @@ def kmeans_assignments(emb: DataFrame, *, k: int = 8, rounds: int = 3,
 def cluster_sizes(assignments: DataFrame) -> DataFrame:
     """(cluster, n) — one tiny aggregate over the assignment output."""
     return assignments.groupBy("cluster").agg(F.count(F.lit(1)).alias("n"))
+
+
+def gram_matrix(emb: DataFrame, *, id_col: str = "vec_id",
+                vec_col: str = "embedding",
+                quant: int = KMEANS_QUANT) -> DataFrame:
+    """Exact integer Gram matrix G = XᵀX over the quantized corpus —
+    the distributed building block for PCA / whitening / covariance
+    shrinkage: G is d×d (tiny), the corpus is huge, and because the
+    entries are INTEGER sums they are exact in any accumulation order
+    (no float reduction nondeterminism), so the iterative-looking
+    "second moment of 100 TB of vectors" is one oracle-checkable pass.
+
+    Returns (i, j, g) for the upper triangle i <= j (G is symmetric).
+
+    Scale shape: each Arrow batch contributes a d×d int64 partial via
+    one matmul; partials collapse in a single d²-row aggregation —
+    map-side combine does essentially all the work, the exchange
+    carries n_partitions × d² small rows, and nothing scales with the
+    corpus. Int64 headroom: |x| ≤ quant·‖x‖∞, so entries stay exact up
+    to ~2⁶³/(quant²·‖x‖∞²) rows — 10⁹ rows at these magnitudes; widen
+    to DECIMAL(38,0) partials beyond."""
+    from collections.abc import Iterator
+
+    e = quantize_vectors(emb, id_col=id_col, vec_col=vec_col, quant=quant)
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc = None
+        for pdf in batches:
+            X = np.stack(pdf["v"].to_numpy()).astype(np.int64)
+            g = X.T @ X
+            acc = g if acc is None else acc + g
+        if acc is None:
+            return
+        d = acc.shape[0]
+        iu, ju = np.triu_indices(d)
+        yield pd.DataFrame({"i": iu.astype(np.int64),
+                            "j": ju.astype(np.int64),
+                            "g": acc[iu, ju]})
+
+    parts = e.mapInPandas(partial, "i long, j long, g long")
+    return parts.groupBy("i", "j").agg(F.sum("g").alias("g"))
+
+
+def pca_components(gram_rows, dim: int, n_count: int, k: int = 8) -> np.ndarray:
+    """Driver-side PCA from the distributed Gram matrix: rebuild the
+    symmetric d×d covariance (mean-free variant: G/n), eigendecompose,
+    return the top-k components (k, d). d is small by construction —
+    this is the standard "sufficient statistics to the driver, heavy
+    data stays out" split; the projection back onto the corpus is one
+    broadcast matmul (same stage shape as kmeans assignment).
+    Eigenvectors are float (LAPACK) — downstream projections are for
+    modeling, not oracle comparison."""
+    G = np.zeros((dim, dim), dtype=np.float64)
+    for i, j, g in gram_rows:
+        G[i, j] = G[j, i] = float(g)
+    w, v = np.linalg.eigh(G / max(n_count, 1))
+    order = np.argsort(w)[::-1][:k]
+    return v[:, order].T

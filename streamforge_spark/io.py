@@ -98,6 +98,21 @@ def write_partitioned(df: DataFrame, path: str, *,
      .mode("overwrite").parquet(path))
 
 
+def load_evolving(spark: SparkSession, path: str) -> DataFrame:
+    """Read a parquet directory whose schema has WIDENED over time
+    (columns added by newer writers — the standard additive-evolution
+    policy for long-lived event/CDC archives): ``mergeSchema`` unions
+    the per-file schemas and older files surface the new columns as
+    NULL. Additive-only is the contract — renames/retypes need a
+    rewrite (compact_files is the natural place).
+
+    At 100 TB, schema merging reads every file FOOTER up front —
+    that's why it is opt-in here rather than session-default; tables
+    under a catalog (Delta/Iceberg/metastore) carry the merged schema
+    in metadata and skip the footer sweep entirely."""
+    return spark.read.option("mergeSchema", "true").parquet(path)
+
+
 def compact_files(spark: SparkSession, path: str, *,
                   target_file_bytes: int = 128 * 1024 * 1024) -> int:
     """Compact a parquet directory written by many small micro-batches

@@ -368,3 +368,29 @@ def cluster_balanced_sample(spark, sf_dir):
     return (assigned.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= CBS_QUOTA)
             .select("vec_id", "cluster"))
+
+
+_GRAM_ORACLE = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding::DOUBLE[],
+           x -> CAST(ROUND(x * 10000) AS BIGINT)) AS v
+  FROM embeddings),
+ed AS (SELECT vec_id, generate_subscripts(v, 1) AS j, unnest(v) AS x FROM e)
+SELECT CAST(a.j - 1 AS BIGINT) AS i, CAST(b.j - 1 AS BIGINT) AS j,
+       SUM(a.x * b.x) AS g
+FROM ed a JOIN ed b ON a.vec_id = b.vec_id AND a.j <= b.j
+GROUP BY 1, 2
+"""
+
+
+@query("embedding_gram_matrix", oracle=_GRAM_ORACLE)
+def embedding_gram_matrix(spark, sf_dir):
+    """Distributed second-moment (Gram) matrix of the embedding corpus
+    in exact fixed-point integers — the one-pass sufficient statistic
+    PCA / whitening / covariance estimation needs
+    (functions/clustering.py::gram_matrix; pca_components consumes it
+    driver-side). Every entry is an exact integer sum, so the oracle
+    match covers the full d×(d+1)/2 upper triangle bit-for-bit."""
+    from streamforge_spark.functions.clustering import gram_matrix
+    (emb,) = prep(spark, sf_dir, "embeddings")
+    return gram_matrix(emb)

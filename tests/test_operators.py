@@ -586,3 +586,34 @@ def test_int8_quantize_endpoints_and_constant_dim(spark):
     assert got[1] == [-127, 0]
     assert got[2] == [127, 0]
     assert got[3] == [0, 0]
+
+
+def test_pca_components_recover_dominant_direction(spark):
+    # corpus varying almost entirely along dim 0: the top component
+    # must align with e0; built from the DISTRIBUTED gram matrix
+    from streamforge_spark.functions.clustering import (
+        gram_matrix, pca_components)
+    import numpy as np
+    rows = [(i, [float(i - 50) * 2.0, 0.1 if i % 2 else -0.1, 0.0])
+            for i in range(101)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    g = gram_matrix(emb).collect()
+    comps = pca_components([(r.i, r.j, r.g) for r in g], dim=3,
+                           n_count=101, k=2)
+    assert comps.shape == (2, 3)
+    assert abs(comps[0][0]) > 0.99          # top component ~ e0
+    assert abs(comps[1][1]) > 0.99          # second ~ e1
+
+
+def test_load_evolving_merges_widened_schema(spark, tmp_path):
+    # additive schema evolution: old files lack the new column and
+    # must surface it as NULL under the merged read
+    from streamforge_spark.io import load_evolving
+    p = str(tmp_path / "evolve")
+    spark.createDataFrame([(1, "a")], "id long, v string") \
+        .write.mode("append").parquet(p)
+    spark.createDataFrame([(2, "b", 9.5)], "id long, v string, score double") \
+        .write.mode("append").parquet(p)
+    got = {r.id: (r.v, r.score) for r in load_evolving(spark, p).collect()}
+    assert got[1] == ("a", None)
+    assert got[2] == ("b", 9.5)
