@@ -149,3 +149,40 @@ def compact_files(spark: SparkSession, path: str, *,
         raise IOError(f"compact_files: could not move compacted data into {path}")
     fs.delete(old_path, True)
     return n_files
+
+
+ZORDER_BITS = 16
+
+
+def zorder_key(x, y, bits: int = ZORDER_BITS):
+    """Morton (Z-order) interleave of two non-negative ``bits``-wide
+    integer columns into one BIGINT sort key: bit b of x lands at
+    position 2b, bit b of y at 2b+1. Sorting by this key clusters rows
+    that are close in BOTH dimensions, so per-file min/max statistics
+    become tight in both — the standard multi-dimensional data-skipping
+    layout (Delta/Iceberg OPTIMIZE ZORDER) expressed as plain column
+    algebra. The unrolled OR chain stays inside whole-stage codegen.
+
+    Callers clamp/rank inputs into [0, 2^bits): interleaving wants
+    uniform-ish fixed-width coordinates (ranks or clipped buckets),
+    not raw unbounded values."""
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        z = z.bitwiseOR(F.shiftleft(x.cast("long").bitwiseAND(F.lit(1 << b)), b))
+        z = z.bitwiseOR(F.shiftleft(y.cast("long").bitwiseAND(F.lit(1 << b)), b + 1))
+    return z
+
+
+def write_zordered(df: DataFrame, path: str, zcol, *,
+                   num_files: int = 16) -> None:
+    """Lay a table out Z-ordered: range-partition on the Morton key
+    (contiguous key ranges per file = disjoint Z-curve segments), sort
+    within partitions, write one file each. Point/range predicates on
+    EITHER interleaved dimension then skip most files on parquet
+    min/max stats alone — the layout is the optimization; readers need
+    nothing special."""
+    (df.withColumn("_z", zcol)
+     .repartitionByRange(num_files, F.col("_z"))
+     .sortWithinPartitions("_z")
+     .drop("_z")
+     .write.mode("overwrite").parquet(path))

@@ -580,3 +580,37 @@ def incremental_agg_merge(spark, sf_dir):
             .agg(F.sum("n").alias("n"), F.sum("cents").alias("cents"),
                  F.min("first_ts").alias("first_ts"),
                  F.max("last_ts").alias("last_ts")))
+
+
+# -- Z-order layout key (multi-dimensional data skipping) ---------------
+
+def _zorder_oracle() -> str:
+    terms = []
+    for b in range(16):
+        terms.append(f"((user_id & {1 << b}) << {b})")
+        terms.append(f"((c & {1 << b}) << {b + 1})")
+    return f"""
+WITH t AS (
+  SELECT event_id, user_id,
+         LEAST(GREATEST(CAST(ROUND(value * 100) AS BIGINT), 0), 65535) AS c
+  FROM events)
+SELECT event_id, {' | '.join(terms)} AS zkey FROM t
+"""
+
+
+@query("zorder_layout_key", oracle=_zorder_oracle())
+def zorder_layout_key(spark, sf_dir):
+    """Morton (Z-order) interleave of (user_id, value-cents) per event —
+    the sort key that makes ONE physical layout serve range predicates
+    on BOTH dimensions via parquet min/max skipping
+    (io.py::zorder_key / write_zordered; clustering property asserted
+    in test_write_zordered_clusters_both_dims). Pure bit algebra on the
+    scan: no shuffle, no UDF, whole-stage codegen; the oracle replays
+    the 32-term interleave exactly."""
+    from streamforge_spark.io import zorder_key
+    (events,) = prep(spark, sf_dir, "events")
+    cents = F.least(
+        F.greatest(F.round(F.col("value") * 100).cast("long"), F.lit(0)),
+        F.lit(65535))
+    return events.select(
+        "event_id", zorder_key(F.col("user_id"), cents).alias("zkey"))

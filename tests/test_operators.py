@@ -617,3 +617,30 @@ def test_load_evolving_merges_widened_schema(spark, tmp_path):
     got = {r.id: (r.v, r.score) for r in load_evolving(spark, p).collect()}
     assert got[1] == ("a", None)
     assert got[2] == ("b", 9.5)
+
+
+def test_write_zordered_clusters_both_dims(spark, tmp_path):
+    # after Z-order layout, per-file spans must be narrow in BOTH
+    # dimensions (a single-dim sort leaves the other dimension's span
+    # at ~full range in every file)
+    import math
+    from streamforge_spark.io import write_zordered, zorder_key
+    from pyspark.sql import functions as F
+    n = 4096
+    rows = [(i, (i * 37) % 256, (i * 101) % 256) for i in range(n)]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    p = str(tmp_path / "zord")
+    write_zordered(df, p, zorder_key(F.col("x"), F.col("y"), bits=8),
+                   num_files=16)
+    got = spark.read.parquet(p)
+    spans = (got.withColumn("f", F.input_file_name())
+             .groupBy("f")
+             .agg((F.max("x") - F.min("x")).alias("sx"),
+                  (F.max("y") - F.min("y")).alias("sy"))
+             .agg(F.avg("sx").alias("ax"), F.avg("sy").alias("ay"))
+             .first())
+    # 16 z-range files over a 256x256 grid: each file covers ~1/16 of
+    # the curve => expected span ~64-128 per dim; a linear x-sort gives
+    # sy ~ 255. Assert both dims are clustered well below full range.
+    assert spans.ax < 160, spans
+    assert spans.ay < 160, spans
