@@ -818,3 +818,137 @@ def equidepth_histogram(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n"),
                  F.min("cents").alias("lo_cents"),
                  F.max("cents").alias("hi_cents")))
+
+
+# -- time-series similarity search (dot-product decomposition) ----------
+
+SERIES_QUERY_USER = 0
+SERIES_TOPK = 10
+
+_SERIES_ORACLE = f"""
+WITH d AS (
+  SELECT user_id, CAST(datediff('day', DATE '{TREND_EPOCH}', CAST(ts AS DATE)) AS BIGINT) AS day,
+         SUM(CAST(ROUND(value * 100) AS BIGINT)) AS s
+  FROM events GROUP BY 1, 2),
+q AS (SELECT day, s AS sq FROM d WHERE user_id = {SERIES_QUERY_USER}),
+b AS (SELECT SUM(sq * sq) AS bb FROM q),
+a AS (SELECT user_id, SUM(s * s) AS aa FROM d WHERE user_id <> {SERIES_QUERY_USER} GROUP BY user_id),
+c AS (SELECT d.user_id, SUM(d.s * q.sq) AS cc
+      FROM d JOIN q ON q.day = d.day
+      WHERE d.user_id <> {SERIES_QUERY_USER} GROUP BY d.user_id)
+SELECT user_id, dist, CAST(rn AS BIGINT) AS rank FROM (
+  SELECT a.user_id, a.aa + b.bb - 2 * COALESCE(c.cc, 0) AS dist,
+         row_number() OVER (ORDER BY a.aa + b.bb - 2 * COALESCE(c.cc, 0), a.user_id) AS rn
+  FROM a CROSS JOIN b LEFT JOIN c ON c.user_id = a.user_id)
+WHERE rn <= {SERIES_TOPK}
+"""
+
+
+@query("series_similarity_topk", oracle=_SERIES_ORACLE)
+def series_similarity_topk(spark, sf_dir):
+    """Whole-series similarity search: the k users whose daily-value
+    time series is closest (squared Euclidean distance, missing days
+    = 0) to a query user's series — the "find accounts behaving like
+    this one" primitive (EDBT'19/'20 distributed series-search
+    workloads).
+
+    The load-bearing rewrite is the dot-product decomposition
+    ‖u − q‖² = Σu² + Σq² − 2·Σu·q over COMMON days only: no dense
+    per-user day vector is ever materialized and absent days
+    contribute through the Σ² terms automatically — so the plan is
+    one daily rollup (map-side combined), a broadcast of the query
+    user's sparse series onto it, and two per-user sums. All moments
+    are exact int64 (cents²·days bounded), the distance is exact, and
+    the top-k is a TakeOrdered heap — no global sort.
+
+    At 100 TB: the daily rollup is the only corpus-sized exchange;
+    everything after operates on |users| rows. Swapping the query
+    series for a literal pattern (shapelet) or z-normalizing via the
+    trend moments (user_value_trend) reuses the same skeleton."""
+    (events,) = prep(spark, sf_dir, "events")
+    d = (events.select(
+            "user_id",
+            F.datediff(F.to_date("ts"), F.lit(TREND_EPOCH)).cast("long").alias("day"),
+            _cents().alias("c"))
+         .groupBy("user_id", "day").agg(F.sum("c").alias("s")))
+    q = d.filter(F.col("user_id") == SERIES_QUERY_USER) \
+         .select("day", F.col("s").alias("sq"))
+    rest = d.filter(F.col("user_id") != SERIES_QUERY_USER)
+    a = rest.groupBy("user_id").agg(F.sum(F.col("s") * F.col("s")).alias("aa"))
+    b = q.agg(F.sum(F.col("sq") * F.col("sq")).alias("bb"))
+    c = (rest.join(F.broadcast(q), "day")
+         .groupBy("user_id").agg(F.sum(F.col("s") * F.col("sq")).alias("cc")))
+    dist = (F.col("aa") + F.col("bb") - 2 * F.coalesce(F.col("cc"), F.lit(0)))
+    # a and c are both |users|-row aggregates: broadcast one so the
+    # verdict join is exchange-free (past broadcast size, a shuffle
+    # of |users| tiny rows is the correct fallback — never data-sized)
+    scored = (a.crossJoin(F.broadcast(b))
+              .join(F.broadcast(c), "user_id", "left")
+              .select("user_id", dist.alias("dist")))
+    w = Window.orderBy("dist", "user_id")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= SERIES_TOPK)
+            .select("user_id", "dist", F.col("rank").cast("long").alias("rank")))
+
+
+# -- co-movement pairs (temporal persistence via gap-and-island) --------
+
+COMOVE_MIN_RUN = 3
+
+_COMOVE_ORACLE = f"""
+WITH act AS (
+  SELECT DISTINCT user_id, CAST(date_diff('hour', TIMESTAMP '2024-01-01', date_trunc('hour', ts)) AS BIGINT) AS h
+  FROM events),
+sets AS (SELECT h, list_sort(list(user_id)) AS us FROM act GROUP BY h),
+pairs AS (
+  SELECT h, u1, u2 FROM (
+    SELECT h, unnest(us) AS u1, us FROM sets) t1, unnest(t1.us) AS t2(u2)
+  WHERE u1 < u2),
+runs AS (
+  SELECT u1, u2, h - row_number() OVER (PARTITION BY u1, u2 ORDER BY h) AS grp
+  FROM pairs),
+best AS (
+  SELECT u1, u2, MAX(run) AS max_run, CAST(SUM(run) AS BIGINT) AS n_hours FROM (
+    SELECT u1, u2, grp, CAST(COUNT(*) AS BIGINT) AS run
+    FROM runs GROUP BY u1, u2, grp) GROUP BY u1, u2)
+SELECT u1, u2, max_run, n_hours FROM best WHERE max_run >= {COMOVE_MIN_RUN}
+"""
+
+
+@query("comovement_pairs", oracle=_COMOVE_ORACLE)
+def comovement_pairs(spark, sf_dir):
+    """Co-movement detection: user pairs active in the SAME hour for at
+    least {MIN_RUN} consecutive hours — the streaming-trajectories
+    pattern (VLDB'19 co-movement) grounded on event data. Persistence
+    is the point: one shared hour is coincidence, an unbroken run is a
+    relationship (bot rings, session mirroring, paired devices).
+
+    Scale shape: per-hour user sets come from one distinct + groupBy
+    (hour cardinality is bounded); in-set pair explode — the same
+    basket machinery as market_basket_lift, never a fact-table
+    self-join; then the classic gap-and-island trick (hour − rank is
+    constant within a consecutive run) turns run-length detection
+    into one window + one aggregate on the PAIR table. Hot hours
+    bound the pair blowup quadratically — cap or sample hub hours
+    the way triangle_count orients hubs if user-per-hour counts are
+    unbounded."""
+    (events,) = prep(spark, sf_dir, "events")
+    act = (events.select(
+            "user_id",
+            (F.unix_timestamp(F.date_trunc("hour", F.col("ts")))
+             / 3600 - F.unix_timestamp(F.lit("2024-01-01").cast("timestamp")) / 3600)
+            .cast("long").alias("h"))
+           .distinct())
+    sets = act.groupBy("h").agg(F.sort_array(F.collect_set("user_id")).alias("us"))
+    pairs = (sets.select("h", F.explode(F.expr(
+        "flatten(transform(us, (x, i) -> "
+        "transform(slice(us, i + 2, size(us) - i - 1), "
+        "y -> struct(x AS u1, y AS u2))))")).alias("p"))
+        .select("h", "p.*"))
+    wrn = Window.partitionBy("u1", "u2").orderBy("h")
+    runs = pairs.withColumn("grp", F.col("h") - F.row_number().over(wrn))
+    per_run = (runs.groupBy("u1", "u2", "grp")
+               .agg(F.count(F.lit(1)).alias("run")))
+    best = (per_run.groupBy("u1", "u2")
+            .agg(F.max("run").alias("max_run"), F.sum("run").alias("n_hours")))
+    return best.filter(F.col("max_run") >= COMOVE_MIN_RUN)

@@ -494,3 +494,20 @@ def test_bfs_no_cartesian_and_seed_pushdown(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "PushedFilters: [IsNotNull(c_nationkey), EqualTo(c_nationkey,0)" in plan
+
+
+def test_series_similarity_broadcasts_query_series(spark):
+    # the query user's sparse series must broadcast onto the daily
+    # rollup; top-k via heap, not a global sort
+    plan = plan_of(spark, "series_similarity_topk")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_comovement_no_fact_self_join(spark):
+    # pairs come from the in-set explode after one per-hour aggregate,
+    # never an events-level self-join
+    plan = plan_of(spark, "comovement_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
