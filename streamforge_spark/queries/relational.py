@@ -614,3 +614,89 @@ def zorder_layout_key(spark, sf_dir):
         F.lit(65535))
     return events.select(
         "event_id", zorder_key(F.col("user_id"), cents).alias("zkey"))
+
+
+# -- A/B experiment analysis with CUPED variance reduction --------------
+
+AB_SALT = "ab-v1"
+AB_SPLIT_DAY = 15   # pre-period: day < 15; post-period: day >= 15
+
+
+def _ab_oracle() -> str:
+    from streamforge_spark.functions.simdedup import hash60_sql
+    h = hash60_sql("CAST(user_id AS VARCHAR)", f"'{AB_SALT}'")
+    return f"""
+WITH u AS (
+  SELECT user_id,
+         SUM(CASE WHEN datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) < {AB_SPLIT_DAY}
+                  THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END) AS x,
+         SUM(CASE WHEN datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) >= {AB_SPLIT_DAY}
+                  THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END) AS y
+  FROM events GROUP BY user_id),
+arms AS (SELECT user_id, x, y, {h} % 2 AS arm FROM u),
+g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      FROM arms),
+a AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_a, SUM(x) AS sx_a, SUM(y) AS sy_a
+      FROM arms GROUP BY arm)
+SELECT a.arm, a.n_a, a.sx_a, a.sy_a,
+       g.n * g.sxy - g.sx * g.sy AS theta_num,
+       g.n * g.sxx - g.sx * g.sx AS theta_den,
+       CAST(ROUND((CAST(a.sy_a AS DOUBLE) / CAST(a.n_a AS DOUBLE)
+         - (CAST(g.n * g.sxy - g.sx * g.sy AS DOUBLE)
+            / CAST(g.n * g.sxx - g.sx * g.sx AS DOUBLE))
+           * (CAST(a.sx_a AS DOUBLE) / CAST(a.n_a AS DOUBLE)
+              - CAST(g.sx AS DOUBLE) / CAST(g.n AS DOUBLE))) * 1000) AS BIGINT)
+         AS adj_mean_millicents
+FROM a CROSS JOIN g
+"""
+
+
+@query("ab_test_cuped", oracle=_ab_oracle())
+def ab_test_cuped(spark, sf_dir):
+    """A/B experiment readout with CUPED variance reduction (Deng et
+    al. 2013): users split into two arms by a salted hash (the
+    deterministic randomization unit — reruns and engines agree on
+    every assignment), pre-period spend X as the covariate, post-period
+    spend Y as the metric, adjusted arm mean
+    ŷ_a = mean(Y_a) − θ·(mean(X_a) − mean(X)) with θ = Cov(X,Y)/Var(X)
+    pooled. All moments (n, ΣX, ΣY, ΣXY, ΣX²) are exact int64, θ stays
+    a ratio of exact integers, and the adjustment is a short identical
+    IEEE sequence rounded to milli-cents — so an experimentation
+    readout, normally a float soup, carries an exact-match oracle.
+
+    Scale shape: ONE map-side-combined per-user rollup (conditional
+    sums split pre/post in the same pass), then a 2-row arm aggregate
+    and a 1-row pooled-moment aggregate broadcast-crossed back — after
+    the user rollup nothing scales with data. The assignment hash is
+    the same reproducible-coin machinery as the samplers
+    (stratified_sample, corpus_mix_sample)."""
+    from streamforge_spark.functions.simdedup import oracle_hash60
+    (events,) = prep(spark, sf_dir, "events")
+    day = F.datediff(F.to_date("ts"), F.lit("2024-01-01"))
+    cents = F.round(F.col("value") * 100).cast("long")
+    u = (events.select("user_id",
+                       F.when(day < AB_SPLIT_DAY, cents).otherwise(F.lit(0)).alias("xc"),
+                       F.when(day >= AB_SPLIT_DAY, cents).otherwise(F.lit(0)).alias("yc"))
+         .groupBy("user_id")
+         .agg(F.sum("xc").alias("x"), F.sum("yc").alias("y")))
+    arms = u.select(
+        "user_id", "x", "y",
+        (oracle_hash60(F.col("user_id").cast("string"), salt=AB_SALT) % 2).alias("arm"))
+    g = arms.agg(F.count(F.lit(1)).alias("n"), F.sum("x").alias("sx"),
+                 F.sum("y").alias("sy"),
+                 F.sum(F.col("x") * F.col("y")).alias("sxy"),
+                 F.sum(F.col("x") * F.col("x")).alias("sxx"))
+    a = arms.groupBy("arm").agg(F.count(F.lit(1)).alias("n_a"),
+                                F.sum("x").alias("sx_a"),
+                                F.sum("y").alias("sy_a"))
+    tn = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    td = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    adj = (F.col("sy_a").cast("double") / F.col("n_a").cast("double")
+           - (tn.cast("double") / td.cast("double"))
+           * (F.col("sx_a").cast("double") / F.col("n_a").cast("double")
+              - F.col("sx").cast("double") / F.col("n").cast("double")))
+    return (a.crossJoin(F.broadcast(g))
+            .select("arm", "n_a", "sx_a", "sy_a",
+                    tn.alias("theta_num"), td.alias("theta_den"),
+                    F.round(adj * 1000).cast("long").alias("adj_mean_millicents")))

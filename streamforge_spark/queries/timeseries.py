@@ -952,3 +952,55 @@ def comovement_pairs(spark, sf_dir):
     best = (per_run.groupBy("u1", "u2")
             .agg(F.max("run").alias("max_run"), F.sum("run").alias("n_hours")))
     return best.filter(F.col("max_run") >= COMOVE_MIN_RUN)
+
+
+# -- rolling distinct actives (windowed COUNT DISTINCT rewrite) ---------
+
+WAU_WINDOW = 7
+
+_WAU_ORACLE = f"""
+WITH act AS (
+  SELECT DISTINCT user_id,
+         CAST(datediff('day', DATE '{TREND_EPOCH}', CAST(ts AS DATE)) AS BIGINT) AS day
+  FROM events),
+days AS (SELECT DISTINCT day FROM act),
+contrib AS (
+  SELECT DISTINCT a.user_id, d.day
+  FROM act a JOIN days d ON d.day BETWEEN a.day AND a.day + {WAU_WINDOW - 1})
+SELECT day, CAST(COUNT(*) AS BIGINT) AS wau
+FROM contrib GROUP BY day
+"""
+
+
+@query("rolling_active_users", oracle=_WAU_ORACLE)
+def rolling_active_users(spark, sf_dir):
+    """Trailing {W}-day distinct active users per day (the WAU/MAU
+    family) — the windowed COUNT DISTINCT that window frames cannot
+    express (no DISTINCT inside a frame): REWRITTEN as a contribution
+    explode. Each (user, active-day) row contributes that user to the
+    {W} report days it can keep active; distinct-ing contributions
+    then counting per day gives the exact rolling-distinct series.
+
+    Scale shape: per-user-day activity is one distinct over the scan;
+    the explode multiplies that SMALL table (|users|·|active days|) by
+    the window length, never the raw events; the final count is a
+    map-side-combinable rollup. Only report days that exist in the
+    data appear (calendar gap-fill composes via gap_fill_daily). The
+    sketch alternative at extreme scale is a mergeable HLL per day
+    (approx_distinct_users' machinery) unioned across the window —
+    this exact form is the audit baseline."""
+    (events,) = prep(spark, sf_dir, "events")
+    act = (events.select(
+            "user_id",
+            F.datediff(F.to_date("ts"), F.lit(TREND_EPOCH)).cast("long").alias("day"))
+           .distinct())
+    days = act.select("day").distinct()
+    # window membership as an offset EXPLODE + broadcast equi-join on
+    # the observed-day list — never a range-predicate join (which
+    # Spark can only plan as a nested-loop against the broadcast side)
+    spread = act.select(
+        "user_id",
+        F.explode(F.sequence(
+            F.col("day"), F.col("day") + WAU_WINDOW - 1)).alias("day"))
+    contrib = spread.join(F.broadcast(days), "day").distinct()
+    return contrib.groupBy("day").agg(F.count(F.lit(1)).alias("wau"))

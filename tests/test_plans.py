@@ -511,3 +511,11 @@ def test_comovement_no_fact_self_join(spark):
     plan = plan_of(spark, "comovement_pairs")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_rolling_active_users_no_range_nested_loop(spark):
+    # windowed-distinct rewrite: offset explode + broadcast equi-join,
+    # never a range-predicate nested loop
+    plan = plan_of(spark, "rolling_active_users")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
