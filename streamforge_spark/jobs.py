@@ -252,3 +252,83 @@ def user_session_analysis(spark: SparkSession, cfg: ScopedConfig):
         F.col("primary_key"))
     return [_sink(wrapped, cfg, "sessions"),
             _sink(parse_dlq, cfg, "dlq_parse")]
+
+
+_DOC_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("source", T.StringType()),
+    T.StructField("event_time", T.TimestampType()),
+])
+
+CORPUS_QUALITY_MIN = 0.5
+CORPUS_DECON_NGRAM = 4
+
+
+@stream_job("CorpusIngest")
+def corpus_ingest(spark: SparkSession, cfg: ScopedConfig):
+    """The LLM-training-data production pipeline as a named streaming
+    job (the 8th job, beyond the reference's seven): newline-JSON
+    documents in -> parse (poison -> DLQ) -> exact dedup within the
+    watermark horizon (content digest, first-seen-wins) -> quality
+    gate (functions/text.py::quality_score, fails -> quarantine) ->
+    benchmark decontamination gate (shared word-n-grams with the
+    static bench set -> quarantine) -> stamped parquet corpus.
+
+    Decontamination here inlines the bench shingle set as a broadcast
+    literal (eval benchmarks are small by nature); an unbounded bench
+    list swaps in the stream-static join variant
+    (streaming/curation.py::streaming_contamination) without touching
+    the chain. Config: BENCH_PATH (optional newline-text file of bench
+    docs), SOURCE_PATH, OUTPUT_PATH, CHECKPOINT_DIR.
+
+    Every stage is stateless column algebra except the watermark-scoped
+    dedup — state is bounded by the TTL horizon, sinks are append-only
+    parquet, and replays are harmless (same digest dedups again)."""
+    from streamforge_spark.functions.text import quality_score, word_ngrams
+    from streamforge_spark.pipeline import dlq_event
+
+    raw = file_stream(spark, cfg.require("SOURCE_PATH"), _RAW_SCHEMA, fmt="text")
+    parsed = raw.withColumn("doc", F.from_json("value", _DOC_SCHEMA))
+    valid = (F.col("doc").isNotNull() & F.col("doc.doc_id").isNotNull()
+             & F.col("doc.text").isNotNull())
+    docs = (parsed.filter(valid).select("doc.*")
+            .withColumn("event_time",
+                        F.coalesce("event_time", F.current_timestamp())))
+    parse_dlq = dlq_event(parsed.filter(~valid), "PARSE_ERROR",
+                          "corpus document parse failure", "CorpusIngest",
+                          raw_event=F.col("value"))
+
+    docs = docs.withColumn("fp", F.md5("text"))
+    docs = streaming_dedup(docs, ["fp"], "event_time", ttl="10 minutes")
+
+    q = quality_score(F.col("text"), F.length("text"))
+    docs = docs.withColumn("quality", q)
+    low_q = docs.filter(F.col("quality") < CORPUS_QUALITY_MIN)
+    docs = docs.filter(F.col("quality") >= CORPUS_QUALITY_MIN)
+
+    bench_path = cfg.get("BENCH_PATH")
+    if bench_path:
+        bench = spark.read.text(bench_path)
+        bench_grams = sorted({g for r in bench.collect()
+                              for g in _py_ngrams(r.value, CORPUS_DECON_NGRAM)})
+        hit = F.arrays_overlap(
+            word_ngrams(F.col("text"), CORPUS_DECON_NGRAM),
+            F.lit(bench_grams).cast("array<string>"))
+    else:
+        hit = F.lit(False)
+    contaminated = docs.filter(hit)
+    clean = (docs.filter(~hit)
+             .withColumn("ingested_at", F.current_timestamp()))
+
+    return [_sink(clean, cfg, "corpus"),
+            _sink(low_q, cfg, "quarantine_quality"),
+            _sink(contaminated, cfg, "quarantine_contaminated"),
+            _sink(parse_dlq, cfg, "dlq_parse")]
+
+
+def _py_ngrams(text: str, n: int) -> list[str]:
+    toks = text.split(" ")
+    if len(toks) < n:
+        return [" ".join(toks)]
+    return [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]

@@ -700,3 +700,70 @@ def ab_test_cuped(spark, sf_dir):
             .select("arm", "n_a", "sx_a", "sy_a",
                     tn.alias("theta_num"), td.alias("theta_den"),
                     F.round(adj * 1000).cast("long").alias("adj_mean_millicents")))
+
+
+# -- Pareto concentration (Lorenz-curve deciles) ------------------------
+
+PARETO_BUCKETS = 10
+
+_PARETO_ORACLE = f"""
+WITH u AS (
+  SELECT user_id, SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+  FROM events GROUP BY user_id),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users, SUM(cents) AS total FROM u),
+ranked AS (
+  SELECT cents,
+         ntile({PARETO_BUCKETS}) OVER (ORDER BY cents DESC, user_id) AS decile
+  FROM u),
+per AS (
+  SELECT decile, CAST(COUNT(*) AS BIGINT) AS n, SUM(cents) AS c
+  FROM ranked GROUP BY decile),
+cum AS (
+  SELECT decile, n, c,
+         SUM(n) OVER (ORDER BY decile) AS cum_users,
+         SUM(c) OVER (ORDER BY decile) AS cum_cents
+  FROM per)
+SELECT CAST(decile AS BIGINT) AS decile, n AS n_users, c AS cents,
+       cum_users, cum_cents,
+       cum_cents * 1000000 // t.total AS cum_share_ppm
+FROM cum CROSS JOIN tot t
+"""
+
+
+@query("pareto_concentration", oracle=_PARETO_ORACLE)
+def pareto_concentration(spark, sf_dir):
+    """Lorenz-curve concentration report: users ranked by total value
+    into deciles, with cumulative user and value shares — the
+    "top 10% of accounts drive X% of revenue" readout, and the same
+    machinery that sizes heavy-hitter mitigations (key_skew_report's
+    business-facing sibling). Shares are exact integer parts-per-
+    million (floor division of exact sums), so the whole report
+    oracle-matches bit-for-bit.
+
+    Scale shape: one map-side-combined per-user rollup, then every
+    window (decile ntile, cumulative sums) runs over the |users|-row
+    aggregate — a single-partition window is FINE there because the
+    ranked table is aggregate-sized, not fact-sized; the fact table
+    contributes exactly one exchange. The 1-row total broadcast-
+    crosses back (scalar-subquery pattern)."""
+    (events,) = prep(spark, sf_dir, "events")
+    u = (events.groupBy("user_id")
+         .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")))
+    tot = u.agg(F.count(F.lit(1)).alias("n_users_t"), F.sum("cents").alias("total"))
+    ranked = u.select(
+        "cents",
+        F.ntile(PARETO_BUCKETS).over(
+            Window.orderBy(F.col("cents").desc(), "user_id")).alias("decile"))
+    per = (ranked.groupBy("decile")
+           .agg(F.count(F.lit(1)).alias("n_users"), F.sum("cents").alias("cents")))
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (per.withColumn("cum_users", F.sum("n_users").over(wc))
+           .withColumn("cum_cents", F.sum("cents").over(wc)))
+    return (cum.crossJoin(F.broadcast(tot))
+            .select(F.col("decile").cast("long").alias("decile"),
+                    "n_users", "cents", "cum_users", "cum_cents",
+                    # integer div, not `/`: long / long routes through
+                    # double, whose nearest-rounding can land one above
+                    # the exact floor that DuckDB's // computes
+                    F.expr("(cum_cents * 1000000) div total")
+                    .alias("cum_share_ppm")))

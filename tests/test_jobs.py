@@ -191,3 +191,33 @@ def test_user_session_analysis_job(spark, tmp_path):
 def test_launcher_rejects_unknown_job(spark, tmp_path):
     with pytest.raises(SystemExit, match="unknown job"):
         run_job("NoSuchJob", job_cfg(tmp_path), spark=spark, drain=True)
+
+
+def doc_line(doc_id, text, source="web", t="2024-01-01 10:00:00") -> str:
+    return json.dumps({"doc_id": doc_id, "text": text, "source": source,
+                       "event_time": t})
+
+
+def test_corpus_ingest_job(spark, tmp_path):
+    good = ("a decent length document about spark engines and data "
+            "processing pipelines with many useful words appearing here "
+            "and continuing long enough to clear the quality threshold "
+            "for ingestion into the training corpus today")
+    write_lines(tmp_path / "in", [
+        doc_line(1, good),
+        doc_line(2, good),                       # exact duplicate of 1
+        doc_line(3, "!!! ??? ..."),              # low quality
+        doc_line(4, good + " benchmark secret answer tokens xyz"),
+        "not json at all {",                     # poison -> DLQ
+    ])
+    write_lines(tmp_path / "bench", ["benchmark secret answer tokens xyz"],
+                name="bench.txt")
+    run_job("CorpusIngest",
+            job_cfg(tmp_path, BENCH_PATH=tmp_path / "bench"),
+            spark=spark, drain=True)
+    kept = sorted(r.doc_id for r in read(spark, tmp_path, "corpus").collect())
+    assert kept == [1]
+    assert [r.doc_id for r in read(spark, tmp_path, "quarantine_quality").collect()] == [3]
+    assert [r.doc_id for r in read(spark, tmp_path, "quarantine_contaminated").collect()] == [4]
+    dlq = read(spark, tmp_path, "dlq_parse").collect()
+    assert len(dlq) == 1 and dlq[0].error_type == "PARSE_ERROR"
