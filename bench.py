@@ -55,6 +55,13 @@ HEADLINE = [
     "embedding_quantize_int8",
     "value_drift_report",
     "customer_entity_match",
+    # round-2 later additions: series search + rolling distinct actives
+    # (single-DAG shapes; the iterative additions — fixed-point IVF,
+    # fuzzy-dedup closure — are cost-profiled by the existing
+    # dedup_clusters / supplier_pagerank entries and correctness-gated
+    # in CORRECTNESS_r{N}, so they stay out of the wall-clock set)
+    "series_similarity_topk",
+    "rolling_active_users",
 ]
 
 

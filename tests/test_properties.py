@@ -138,3 +138,22 @@ def test_quality_classifier_score_bounds_and_determinism(spark):
     import numpy as np
     recomputed = a["logit_sum"].astype(float) / (1000.0 * a["n_features"])
     assert np.array_equal(recomputed.values, a["score"].values)
+
+
+def test_fuzzy_dedup_idempotent(spark):
+    # the survivor set is a fixed point: LSH banding is per-document
+    # and corpus-independent, so any above-threshold pair among
+    # survivors would have collided in the original run too and been
+    # collapsed — re-running dedup on the kept docs finds NOTHING
+    from streamforge_spark.functions.simdedup import minhash_lsh_pairs
+    from streamforge_spark.queries.llm import (
+        MINHASH_THRESHOLD, fuzzy_dedup_survivors)
+    from streamforge_spark.queries.common import prep
+    import pyspark.sql.functions as F
+    sf = "/root/testdata/sf0.001"
+    verdict = fuzzy_dedup_survivors(spark, sf)
+    kept_ids = [r.doc_id for r in verdict.filter("kept").collect()]
+    (docs,) = prep(spark, sf, "documents")
+    kept_docs = docs.filter(F.col("doc_id").isin(kept_ids))
+    again = minhash_lsh_pairs(kept_docs, threshold=MINHASH_THRESHOLD)
+    assert again.count() == 0
