@@ -453,3 +453,57 @@ def sparse_retrieval_topk(spark, sf_dir):
               .agg(F.sum(F.col("tf") * (F.col("nd") - F.col("df")))
                    .alias("score")))
     return scored.orderBy(F.col("score").desc(), "doc_id").limit(RETRIEVAL_K)
+
+
+# -- document chunking (RAG / context-window preparation) ---------------
+
+CHUNK_SIZE = 40     # tokens per chunk
+CHUNK_STRIDE = 32   # tokens between chunk starts (size-stride overlap)
+
+_CHUNK_ORACLE = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+idx AS (
+  SELECT doc_id, t,
+         generate_series(1, greatest(len(t) - 1, 0) // {CHUNK_STRIDE} + 1) AS ks
+  FROM toks),
+chunks AS (
+  SELECT doc_id, CAST(k - 1 AS BIGINT) AS chunk_idx,
+         t[(k - 1) * {CHUNK_STRIDE} + 1 :
+           least((k - 1) * {CHUNK_STRIDE} + {CHUNK_SIZE}, len(t))] AS c
+  FROM idx, unnest(idx.ks) AS u(k))
+SELECT doc_id, chunk_idx,
+       CAST(len(c) AS BIGINT) AS n_tokens,
+       md5(array_to_string(c, ' ')) AS chunk_fp
+FROM chunks
+"""
+
+
+@query("doc_chunks", oracle=_CHUNK_ORACLE)
+def doc_chunks(spark, sf_dir):
+    """Sliding-window document chunking — the RAG-indexing / context-
+    window preparation step: every document becomes overlapping
+    {SIZE}-token chunks at {STRIDE}-token stride (tail chunk keeps the
+    remainder), each stamped with its token count and a content
+    fingerprint (the id chunk-level dedup and vector indexes key on;
+    segment_dedup and the embedding pipeline consume this shape).
+
+    Pure array algebra on the scan: tokenize once, compute the chunk
+    count arithmetically, explode chunk indexes, slice the shared
+    token array per index — O(tokens·overlap_factor) per row, no
+    shuffle, no Python, whole-stage codegen. At 100 TB chunking is a
+    map-only stage that composes with any downstream exchange; the
+    fingerprint means chunk text itself needs never be carried when
+    only identity matters."""
+    (docs,) = prep(spark, sf_dir, "documents")
+    t = F.split(F.col("text"), " ")
+    nt = F.size(t)
+    n_chunks = F.floor((F.greatest(nt - 1, F.lit(0))) / CHUNK_STRIDE) + 1
+    tagged = docs.select(
+        "doc_id", t.alias("t"),
+        F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("int"))).alias("chunk_idx"))
+    start = F.col("chunk_idx") * CHUNK_STRIDE + 1
+    c = F.slice(F.col("t"), start, F.lit(CHUNK_SIZE))
+    return tagged.select(
+        "doc_id", F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.size(c).cast("long").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", c)).alias("chunk_fp"))

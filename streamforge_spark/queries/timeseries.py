@@ -1004,3 +1004,60 @@ def rolling_active_users(spark, sf_dir):
             F.col("day"), F.col("day") + WAU_WINDOW - 1)).alias("day"))
     contrib = spread.join(F.broadcast(days), "day").distinct()
     return contrib.groupBy("day").agg(F.count(F.lit(1)).alias("wau"))
+
+
+# -- seasonal baseline anomalies (weekday-hour profile) -----------------
+
+SEASONAL_DEV_PCT = 50   # flag cells deviating >50% from their seasonal mean
+
+_SEASONAL_ORACLE = f"""
+WITH cells AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,  -- Spark: 1=Sun..7
+         CAST(hour(ts) AS BIGINT) AS hr,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2, 3, 4),
+base AS (
+  SELECT event_type, dow, hr, SUM(c) AS s, CAST(COUNT(*) AS BIGINT) AS nw
+  FROM cells GROUP BY 1, 2, 3)
+SELECT c.event_type, CAST(c.day AS TIMESTAMP) AS day, c.dow, c.hr, c.c,
+       b.s, b.nw
+FROM cells c JOIN base b
+  ON b.event_type = c.event_type AND b.dow = c.dow AND b.hr = c.hr
+WHERE b.nw >= 2
+  AND ABS(c.c * b.nw - b.s) * 100 > {SEASONAL_DEV_PCT} * b.s
+"""
+
+
+@query("seasonal_anomaly_cells", oracle=_SEASONAL_ORACLE)
+def seasonal_anomaly_cells(spark, sf_dir):
+    """Seasonal-baseline anomaly detection: per (event_type, weekday,
+    hour) the historical mean count is the expectation; any concrete
+    (day, hour) cell deviating more than {PCT}% from its own seasonal
+    slot is flagged — the weekday/hour-profile monitor that catches
+    "Tuesday 9am looks nothing like Tuesdays at 9" while a global
+    z-score (zscore_outliers) would average the seasonality away.
+
+    Exactness trick: the deviation test |c − S/nw| > p·(S/nw) cross-
+    multiplies to |c·nw − S|·100 > p·S — pure int64, no division, no
+    float, so the flagging boundary is bit-portable. Slots seen only
+    once (nw < 2) have no basis and are excluded.
+
+    Scale shape: one (type, day, dow, hr) count rollup (map-side
+    combined), one |types|·168-row baseline aggregate broadcast back
+    onto the cell table — the same two-pass moments-then-broadcast
+    pattern as zscore_outliers, never a window over the fact table."""
+    (events,) = prep(spark, sf_dir, "events")
+    cells = (events.select(
+            "event_type", F.to_date("ts").alias("day"),
+            F.dayofweek("ts").cast("long").alias("dow"),
+            F.hour("ts").cast("long").alias("hr"))
+        .groupBy("event_type", "day", "dow", "hr")
+        .agg(F.count(F.lit(1)).alias("c")))
+    base = (cells.groupBy("event_type", "dow", "hr")
+            .agg(F.sum("c").alias("s"), F.count(F.lit(1)).alias("nw")))
+    dev = F.abs(F.col("c") * F.col("nw") - F.col("s")) * 100
+    return (cells.join(F.broadcast(base), ["event_type", "dow", "hr"])
+            .filter((F.col("nw") >= 2) & (dev > SEASONAL_DEV_PCT * F.col("s")))
+            .select("event_type", F.col("day").cast("timestamp").alias("day"),
+                    "dow", "hr", "c", "s", "nw"))
