@@ -138,8 +138,6 @@ def gram_matrix(emb: DataFrame, *, id_col: str = "vec_id",
     corpus. Int64 headroom: |x| ≤ quant·‖x‖∞, so entries stay exact up
     to ~2⁶³/(quant²·‖x‖∞²) rows — 10⁹ rows at these magnitudes; widen
     to DECIMAL(38,0) partials beyond."""
-    from collections.abc import Iterator
-
     e = quantize_vectors(emb, id_col=id_col, vec_col=vec_col, quant=quant)
 
     def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -74,7 +74,12 @@ def quality_score(text: Column, n_chars: Column) -> Column:
     Deterministic IEEE expression (same op order as the SQL oracle)."""
     tc = token_count(text).cast("double")
     chars = n_chars.cast("double")
-    punct_ratio = punct_count(text).cast("double") / chars
+    # total on empty docs: 0/0 raises under Spark 4 ANSI mode — an
+    # empty document scores its punct term as clean (ratio 0) and
+    # bottoms out through the length terms instead of crashing the job
+    punct_ratio = F.when(chars > 0,
+                         punct_count(text).cast("double") / chars
+                         ).otherwise(F.lit(0.0))
     return (
         F.lit(0.4) * F.least(F.lit(1.0), chars / 500.0)
         + F.lit(0.3) * (F.lit(1.0) - punct_ratio)

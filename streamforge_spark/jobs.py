@@ -309,9 +309,14 @@ def corpus_ingest(spark: SparkSession, cfg: ScopedConfig):
 
     bench_path = cfg.get("BENCH_PATH")
     if bench_path:
+        # derive bench shingles with the SAME column function the gate
+        # applies to the stream — one tokenizer, no drift risk between
+        # a hand-rolled python copy and word_ngrams
         bench = spark.read.text(bench_path)
-        bench_grams = sorted({g for r in bench.collect()
-                              for g in _py_ngrams(r.value, CORPUS_DECON_NGRAM)})
+        bench_grams = sorted({
+            g for r in bench.select(
+                word_ngrams(F.col("value"), CORPUS_DECON_NGRAM).alias("gs"))
+            .collect() for g in r.gs})
         hit = F.arrays_overlap(
             word_ngrams(F.col("text"), CORPUS_DECON_NGRAM),
             F.lit(bench_grams).cast("array<string>"))
@@ -325,10 +330,3 @@ def corpus_ingest(spark: SparkSession, cfg: ScopedConfig):
             _sink(low_q, cfg, "quarantine_quality"),
             _sink(contaminated, cfg, "quarantine_contaminated"),
             _sink(parse_dlq, cfg, "dlq_parse")]
-
-
-def _py_ngrams(text: str, n: int) -> list[str]:
-    toks = text.split(" ")
-    if len(toks) < n:
-        return [" ".join(toks)]
-    return [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]

@@ -21,7 +21,7 @@ from streamforge_spark.functions.simdedup import (
 )
 from streamforge_spark.functions.similarity import (
     LSH_PLANES, LSH_TABLES, SEM_PLANES, SEM_THRESHOLD, _hyperplanes,
-    ann_ivf_topk, ann_lsh_topk, semantic_dup_marks,
+    ann_lsh_topk, semantic_dup_marks,
 )
 from streamforge_spark.multimodal import (
     FEATURE_DIM, decode_media, extract_features, media_from_documents,

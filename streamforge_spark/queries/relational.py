@@ -591,7 +591,7 @@ def _zorder_oracle() -> str:
         terms.append(f"((c & {1 << b}) << {b + 1})")
     return f"""
 WITH t AS (
-  SELECT event_id, user_id,
+  SELECT event_id, LEAST(user_id, 65535) AS user_id,
          LEAST(GREATEST(CAST(ROUND(value * 100) AS BIGINT), 0), 65535) AS c
   FROM events)
 SELECT event_id, {' | '.join(terms)} AS zkey FROM t
@@ -609,11 +609,16 @@ def zorder_layout_key(spark, sf_dir):
     the 32-term interleave exactly."""
     from streamforge_spark.io import zorder_key
     (events,) = prep(spark, sf_dir, "events")
+    # BOTH coordinates clamped into the 16-bit domain zorder_key
+    # documents — an unclamped id would be bit-masked silently,
+    # aliasing distant keys into the same curve position (at real
+    # id ranges, rank or bucket the dimension instead of clamping)
+    uid = F.least(F.col("user_id"), F.lit(65535))
     cents = F.least(
         F.greatest(F.round(F.col("value") * 100).cast("long"), F.lit(0)),
         F.lit(65535))
     return events.select(
-        "event_id", zorder_key(F.col("user_id"), cents).alias("zkey"))
+        "event_id", zorder_key(uid, cents).alias("zkey"))
 
 
 # -- A/B experiment analysis with CUPED variance reduction --------------
@@ -642,11 +647,13 @@ a AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_a, SUM(x) AS sx_a, SUM(y) AS sy_
 SELECT a.arm, a.n_a, a.sx_a, a.sy_a,
        g.n * g.sxy - g.sx * g.sy AS theta_num,
        g.n * g.sxx - g.sx * g.sx AS theta_den,
-       CAST(ROUND((CAST(a.sy_a AS DOUBLE) / CAST(a.n_a AS DOUBLE)
+       CAST(ROUND((CASE WHEN g.n * g.sxx - g.sx * g.sx = 0
+         THEN CAST(a.sy_a AS DOUBLE) / CAST(a.n_a AS DOUBLE)
+         ELSE CAST(a.sy_a AS DOUBLE) / CAST(a.n_a AS DOUBLE)
          - (CAST(g.n * g.sxy - g.sx * g.sy AS DOUBLE)
             / CAST(g.n * g.sxx - g.sx * g.sx AS DOUBLE))
            * (CAST(a.sx_a AS DOUBLE) / CAST(a.n_a AS DOUBLE)
-              - CAST(g.sx AS DOUBLE) / CAST(g.n AS DOUBLE))) * 1000) AS BIGINT)
+              - CAST(g.sx AS DOUBLE) / CAST(g.n AS DOUBLE)) END) * 1000) AS BIGINT)
          AS adj_mean_millicents
 FROM a CROSS JOIN g
 """
@@ -692,10 +699,15 @@ def ab_test_cuped(spark, sf_dir):
                                 F.sum("y").alias("sy_a"))
     tn = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
     td = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    adj = (F.col("sy_a").cast("double") / F.col("n_a").cast("double")
-           - (tn.cast("double") / td.cast("double"))
-           * (F.col("sx_a").cast("double") / F.col("n_a").cast("double")
-              - F.col("sx").cast("double") / F.col("n").cast("double")))
+    # zero-variance covariate (e.g. no pre-period history yet):
+    # degrade to the unadjusted arm mean instead of an ANSI-mode
+    # DIVIDE_BY_ZERO killing the readout
+    raw_mean = F.col("sy_a").cast("double") / F.col("n_a").cast("double")
+    adj = F.when(td == 0, raw_mean).otherwise(
+        raw_mean
+        - (tn.cast("double") / td.cast("double"))
+        * (F.col("sx_a").cast("double") / F.col("n_a").cast("double")
+           - F.col("sx").cast("double") / F.col("n").cast("double")))
     return (a.crossJoin(F.broadcast(g))
             .select("arm", "n_a", "sx_a", "sy_a",
                     tn.alias("theta_num"), td.alias("theta_den"),

@@ -61,8 +61,9 @@ def doc_fingerprint(spark, sf_dir):
     oracle="""
 SELECT doc_id,
        0.4 * least(1.0, CAST(n_chars AS DOUBLE) / 500.0)
-       + 0.3 * (1.0 - CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
-                      / CAST(n_chars AS DOUBLE))
+       + 0.3 * (1.0 - CASE WHEN n_chars > 0
+                  THEN CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+                       / CAST(n_chars AS DOUBLE) ELSE 0.0 END)
        + 0.3 * least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0) AS score
 FROM documents
 """,

@@ -221,3 +221,14 @@ def test_corpus_ingest_job(spark, tmp_path):
     assert [r.doc_id for r in read(spark, tmp_path, "quarantine_contaminated").collect()] == [4]
     dlq = read(spark, tmp_path, "dlq_parse").collect()
     assert len(dlq) == 1 and dlq[0].error_type == "PARSE_ERROR"
+
+
+def test_corpus_ingest_empty_text_quarantined_not_crashing(spark, tmp_path):
+    # empty (but valid-JSON) text must flow to the quality quarantine —
+    # under ANSI mode a naive punct/chars ratio would DIVIDE_BY_ZERO
+    # and kill the whole micro-batch
+    write_lines(tmp_path / "in", [doc_line(7, "")])
+    run_job("CorpusIngest", job_cfg(tmp_path), spark=spark, drain=True)
+    assert read(spark, tmp_path, "corpus").count() == 0
+    assert [r.doc_id for r in
+            read(spark, tmp_path, "quarantine_quality").collect()] == [7]

@@ -623,7 +623,6 @@ def test_write_zordered_clusters_both_dims(spark, tmp_path):
     # after Z-order layout, per-file spans must be narrow in BOTH
     # dimensions (a single-dim sort leaves the other dimension's span
     # at ~full range in every file)
-    import math
     from streamforge_spark.io import write_zordered, zorder_key
     from pyspark.sql import functions as F
     n = 4096
@@ -644,3 +643,24 @@ def test_write_zordered_clusters_both_dims(spark, tmp_path):
     # sy ~ 255. Assert both dims are clustered well below full range.
     assert spans.ax < 160, spans
     assert spans.ay < 160, spans
+
+
+def test_ab_cuped_zero_variance_covariate_degrades(spark):
+    # all activity in the post-period (no pre-period history): theta's
+    # denominator is 0 and the readout must fall back to the raw arm
+    # mean instead of raising DIVIDE_BY_ZERO under ANSI mode
+    import pandas as pd
+    from streamforge_spark import registry
+    registry.load_all()
+    rows = [(i, i, "2024-01-20 10:00:00", "click", 10.0, "{}")
+            for i in range(8)]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=[
+            "event_id", "user_id", "ts", "event_type", "value", "props"]))
+    df = df.withColumn("ts", df.ts.cast("timestamp"))
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+        out = registry.QUERIES["ab_test_cuped"](spark, d).collect()
+    assert all(r.theta_den == 0 for r in out)
+    assert all(r.adj_mean_millicents == 1000 * 1000 for r in out)  # raw mean 1000c
