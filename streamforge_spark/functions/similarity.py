@@ -26,7 +26,12 @@ def _dot(a: Column, b: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+    # total on zero vectors: under Spark 4 ANSI mode a 0-norm operand
+    # would raise DIVIDE_BY_ZERO and kill the whole query; score it
+    # 0.0 (orthogonal-equivalent: never above a threshold, ranked
+    # last). Non-zero operands take the identical IEEE path as before.
+    denom = F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b))
+    return F.when(denom != 0.0, _dot(a, b) / denom).otherwise(F.lit(0.0))
 
 
 def _hyperplanes(dim: int, planes: int, tables: int, seed: int = 42) -> np.ndarray:

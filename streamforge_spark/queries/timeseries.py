@@ -149,7 +149,9 @@ WITH stats AS (
          CAST(COUNT(*) AS BIGINT) AS n,
          SUM(CAST(ROUND(value * 100) AS BIGINT)) AS s,
          SUM(CAST(ROUND(value * 100) AS BIGINT) * CAST(ROUND(value * 100) AS BIGINT)) AS sq
-  FROM events GROUP BY event_type),
+  FROM events GROUP BY event_type
+  HAVING COUNT(*) * SUM(CAST(ROUND(value * 100) AS BIGINT) * CAST(ROUND(value * 100) AS BIGINT))
+         > SUM(CAST(ROUND(value * 100) AS BIGINT)) * SUM(CAST(ROUND(value * 100) AS BIGINT))),
 scored AS (
   SELECT e.event_id, e.event_type,
          CAST(ROUND(e.value * 100) AS BIGINT) AS cents,
@@ -176,7 +178,11 @@ def zscore_outliers(spark, sf_dir):
     stats = (events.groupBy("event_type")
              .agg(F.count(F.lit(1)).alias("n"),
                   F.sum(_cents()).alias("s"),
-                  F.sum(_cents() * _cents()).alias("sq")))
+                  F.sum(_cents() * _cents()).alias("sq"))
+             # zero-variance groups have no outliers by definition and
+             # would divide by sqrt(0) (ANSI mode: crash) — exclude via
+             # the EXACT integer test n·Σx² > (Σx)², bit-portable
+             .filter(F.col("n") * F.col("sq") > F.col("s") * F.col("s")))
     mean = F.col("s").cast("double") / F.col("n").cast("double")
     var = F.col("sq").cast("double") / F.col("n").cast("double") - mean * mean
     scored = (events.select("event_id", "event_type", _cents().alias("cents"))

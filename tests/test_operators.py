@@ -664,3 +664,30 @@ def test_ab_cuped_zero_variance_covariate_degrades(spark):
         out = registry.QUERIES["ab_test_cuped"](spark, d).collect()
     assert all(r.theta_den == 0 for r in out)
     assert all(r.adj_mean_millicents == 1000 * 1000 for r in out)  # raw mean 1000c
+
+
+def test_zscore_constant_group_excluded_not_crashing(spark, tmp_path):
+    # a zero-variance event_type would divide by sqrt(0) — it must be
+    # excluded (no outliers in a constant group), not raise under ANSI
+    import pandas as pd
+    from streamforge_spark import registry
+    registry.load_all()
+    rows = ([(i, 1, "2024-01-05 10:00:00", "flat", 5.0, "{}") for i in range(6)]
+            + [(10 + i, 1, "2024-01-05 10:00:00", "vary", float(i * i), "{}")
+               for i in range(6)])
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=[
+        "event_id", "user_id", "ts", "event_type", "value", "props"]))
+    df = df.withColumn("ts", df.ts.cast("timestamp"))
+    d = str(tmp_path)
+    df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    out = registry.QUERIES["zscore_outliers"](spark, d).collect()
+    assert all(r.event_type == "vary" for r in out)
+
+
+def test_cosine_zero_vector_scores_zero_not_crashing(spark):
+    from streamforge_spark.functions.similarity import cosine
+    df = spark.createDataFrame(
+        [([0.0, 0.0], [1.0, 2.0]), ([1.0, 0.0], [1.0, 0.0])],
+        "a array<double>, b array<double>")
+    got = [r.c for r in df.select(cosine(F.col("a"), F.col("b")).alias("c")).collect()]
+    assert got == [0.0, 1.0]
