@@ -124,6 +124,40 @@ def media_wav_from_documents(docs: DataFrame) -> DataFrame:
             .withColumn("meta", F.create_map(F.lit("codec"), F.lit("wav"))))
 
 
+def media_gif_from_documents(docs: DataFrame) -> DataFrame:
+    """Synthesize REAL multi-frame video payloads (animated GIF89a)
+    from the documents fixture: per doc, 2 + id%3 frames of a
+    (6 + id%8) x (4 + id%5) grayscale-palette image whose frame f /
+    pixel i byte is (id*13 + f*101 + i*7) % 256 — encoded through the
+    real codec (functions/gif.py), so downstream decode exercises
+    genuine container parsing + LZW decompression on every frame while
+    the pixel content stays SQL-computable for the oracle. With PNG
+    (image) and WAV (audio) this makes ALL THREE media types
+    real-codec-backed."""
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ])
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from streamforge_spark.functions.gif import encode_gif
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for did in ids:
+                w, h, nf = 6 + did % 8, 4 + did % 5, 2 + did % 3
+                frames = [bytes((did * 13 + f * 101 + i * 7) % 256
+                                for i in range(w * h))
+                          for f in range(nf)]
+                payloads.append(encode_gif(int(w), int(h), frames))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    return (docs.select("doc_id").mapInPandas(build, schema)
+            .withColumn("media_type", F.lit("video"))
+            .withColumn("source", F.lit("synth"))
+            .withColumn("meta", F.create_map(F.lit("codec"), F.lit("gif"))))
+
+
 def decode_media(df: DataFrame, fake: bool = False) -> DataFrame:
     """Decode stage over mapInPandas. PNG payloads decode for real
     (functions/png.py): width/height from IHDR, checksum = md5 of the

@@ -566,3 +566,63 @@ def fuzzy_dedup_survivors(spark, sf_dir):
     return out.select(
         "doc_id", component.alias("component"),
         (component == F.col("doc_id")).alias("kept"))
+
+
+_GIF_ORACLE = """
+WITH dims AS (
+  SELECT doc_id,
+         6 + doc_id % 8 AS w, 4 + doc_id % 5 AS h, 2 + doc_id % 3 AS nf
+  FROM documents),
+frames AS (SELECT doc_id, w, h, nf, unnest(generate_series(0, nf - 1)) AS f
+           FROM dims)
+SELECT doc_id AS media_id,
+       CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       CAST(nf AS BIGINT) AS n_frames,
+       CAST(f AS BIGINT) AS frame_idx,
+       CAST(list_sum(list_transform(generate_series(0, w * h - 1),
+              i -> (doc_id * 13 + f * 101 + i * 7) % 256)) AS BIGINT)
+         AS frame_pixel_sum
+FROM frames
+"""
+
+
+@query("multimodal_gif_roundtrip", oracle=_GIF_ORACLE)
+def multimodal_gif_roundtrip(spark, sf_dir):
+    """REAL video decode end-to-end: synthesize genuine animated-GIF
+    bytes per document (functions/gif.py encoder), decode every frame
+    through the actual codec (container block parsing + full LZW
+    decompression — tests/test_gif.py also proves the decoder on
+    independently compressed streams), and emit per-FRAME pixel sums.
+    The oracle recomputes each frame's sum arithmetically from the
+    deterministic pattern — any LZW, sub-block framing, or frame-
+    boundary bug shifts a sum and fails the gate. Completes the
+    multimodal story: image (PNG), audio (WAV), and video (GIF) are
+    all real-codec-backed; frame sampling downstream operates on true
+    decoded frames.
+
+    Scale shape: identical to every multimodal stage — Arrow-batched
+    mapInPandas over binary columns; the 1 media row -> n_frames rows
+    expansion happens executor-side and the media bytes never leave
+    the executors."""
+    from streamforge_spark.multimodal import media_gif_from_documents
+    (docs,) = prep(spark, sf_dir, "documents")
+    media = media_gif_from_documents(docs)
+
+    out_schema = ("media_id long, width int, height int, n_frames long, "
+                  "frame_idx long, frame_pixel_sum long")
+
+    def frame_stats(batches):
+        import pandas as pd
+
+        from streamforge_spark.functions.gif import decode_gif
+        for pdf in batches:
+            rows = []
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                w, h, frames = decode_gif(bytes(b))
+                for f, fr in enumerate(frames):
+                    rows.append((int(mid), w, h, len(frames), f, sum(fr)))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "width", "height", "n_frames",
+                "frame_idx", "frame_pixel_sum"])
+
+    return media.mapInPandas(frame_stats, out_schema)
