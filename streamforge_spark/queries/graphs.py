@@ -219,19 +219,29 @@ def bfs_reachability(spark, sf_dir):
                            lineitem["l_orderkey"] == orders["o_orderkey"])
              .select(F.col("o_custkey").alias("c"),
                      F.col("l_suppkey").alias("s")).distinct())
+    # materialize the edge list ONCE — the unrolled loop re-joins it
+    # every round, and without this each round's plan replays the
+    # (expensive) lineitem⨝orders extraction: audited at 24 lineitem
+    # scans for 3 rounds before the checkpoint, 1 after
     edges = (pairs.select((F.col("c") * 2).alias("src"),
                           (F.col("s") * 2 + 1).alias("dst"))
              .unionByName(pairs.select((F.col("s") * 2 + 1).alias("src"),
-                                       (F.col("c") * 2).alias("dst"))))
+                                       (F.col("c") * 2).alias("dst")))
+             .localCheckpoint(eager=True))
     frontier = (customer.filter(F.col("c_nationkey") == BFS_SEED_NATION)
                 .select((F.col("c_custkey") * 2).alias("node")))
     reach = frontier.withColumn("dist", F.lit(0))
     for r in range(BFS_ROUNDS):
         cand = (edges.join(frontier, edges["src"] == frontier["node"])
                 .select(F.col("dst").alias("node")).distinct())
-        frontier = cand.join(reach, "node", "left_anti")
-        reach = reach.unionByName(
+        # truncate per-round lineage: frontier/reach feed the next
+        # round twice (join + anti-join), doubling the DAG per round
+        # if left lazy (same discipline as connected_components)
+        frontier = (cand.join(reach, "node", "left_anti")
+                    .localCheckpoint(eager=False))
+        reach = (reach.unionByName(
             frontier.withColumn("dist", F.lit(r + 1)))
+            .localCheckpoint(eager=False))
     return reach.select("node", F.col("dist").cast("long").alias("dist"))
 
 

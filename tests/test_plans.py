@@ -489,11 +489,14 @@ def test_equidepth_histogram_window_feeds_rollup(spark):
     assert plan.count("Arguments: hashpartitioning") == 1
 
 
-def test_bfs_no_cartesian_and_seed_pushdown(spark):
+def test_bfs_no_cartesian_and_edges_checkpointed(spark):
     plan = plan_of(spark, "bfs_reachability")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
-    assert "PushedFilters: [IsNotNull(c_nationkey), EqualTo(c_nationkey,0)" in plan
+    # the edge list is materialized ONCE (eager localCheckpoint):
+    # the audited final plan must not replay the lineitem⨝orders
+    # extraction per BFS round (pre-fix: 24 lineitem scans)
+    assert "lineitem" not in plan
 
 
 def test_series_similarity_broadcasts_query_series(spark):
