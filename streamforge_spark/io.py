@@ -186,3 +186,21 @@ def write_zordered(df: DataFrame, path: str, zcol, *,
      .sortWithinPartitions("_z")
      .drop("_z")
      .write.mode("overwrite").parquet(path))
+
+
+def backfill_partitions(df: DataFrame, target_path: str,
+                        partition_col: str, values: list) -> None:
+    """Recompute and replace ONLY the named partitions of a
+    hive-partitioned target (the operational backfill: a late-data or
+    bug-fix rebuild of specific days) — dynamic partition overwrite
+    writes just the directories present in the corrected frame, so a
+    3-day repair on a 100 TB table touches 3 directories and the other
+    ~36,000 day-partitions are never read, rewritten, or locked.
+    Pairs with incremental_agg_merge (algebraic re-aggregation) for
+    derived tables; the same mechanism backs the upsert sink's bucket
+    rewrite (streaming/sinks.py)."""
+    out = df.filter(F.col(partition_col).isin(values))
+    (out.write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy(partition_col)
+     .parquet(target_path))

@@ -779,3 +779,60 @@ def pareto_concentration(spark, sf_dir):
                     # the exact floor that DuckDB's // computes
                     F.expr("(cum_cents * 1000000) div total")
                     .alias("cum_share_ppm")))
+
+
+# -- data-expectations report (aggregated contract checks) --------------
+
+_EXPECT_ORACLE = """
+WITH t AS (SELECT COUNT(*) AS n,
+    SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS ts_null,
+    SUM(CASE WHEN user_id IS NULL OR user_id < 0 THEN 1 ELSE 0 END) AS bad_user,
+    SUM(CASE WHEN event_type NOT IN ('click','view','purchase','error','signup') THEN 1 ELSE 0 END) AS bad_type,
+    SUM(CASE WHEN value IS NULL OR value < 0 THEN 1 ELSE 0 END) AS bad_value,
+    SUM(CASE WHEN props IS NULL OR json_valid(props) = false THEN 1 ELSE 0 END) AS bad_props
+  FROM events)
+SELECT rule, n_violations, n_rows, n_violations = 0 AS passed FROM (
+  SELECT 'ts_not_null' AS rule, CAST(ts_null AS BIGINT) AS n_violations, CAST(n AS BIGINT) AS n_rows FROM t
+  UNION ALL SELECT 'user_id_non_negative', CAST(bad_user AS BIGINT), CAST(n AS BIGINT) FROM t
+  UNION ALL SELECT 'event_type_in_domain', CAST(bad_type AS BIGINT), CAST(n AS BIGINT) FROM t
+  UNION ALL SELECT 'value_non_negative', CAST(bad_value AS BIGINT), CAST(n AS BIGINT) FROM t
+  UNION ALL SELECT 'props_valid_json', CAST(bad_props AS BIGINT), CAST(n AS BIGINT) FROM t)
+"""
+
+EVENT_TYPES = ("click", "view", "purchase", "error", "signup")
+
+
+@query("expectations_report", oracle=_EXPECT_ORACLE)
+def expectations_report(spark, sf_dir):
+    """Table-level data-contract report (the dbt-test / expectations
+    surface, the aggregate sibling of the row-level
+    constraint_enforcer): every expectation is a conditional count
+    folded into ONE map-side-combined pass over the scan — five rules
+    cost one aggregation, not five scans — then unpivoted to one row
+    per rule with its violation count and verdict.
+
+    At 100 TB this is the nightly contract gate: a single scan,
+    no shuffle beyond the 1-row aggregate, and adding a rule is one
+    more conditional-count column. Row-level quarantine (which rows
+    failed) is constraint_enforcer's job; this is the fleet-health
+    readout."""
+    (events,) = prep(spark, sf_dir, "events")
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+    t = events.agg(
+        F.count(F.lit(1)).alias("n"),
+        cnt(F.col("ts").isNull()).alias("ts_not_null"),
+        cnt(F.col("user_id").isNull() | (F.col("user_id") < 0)).alias("user_id_non_negative"),
+        cnt(~F.col("event_type").isin(*EVENT_TYPES)).alias("event_type_in_domain"),
+        cnt(F.col("value").isNull() | (F.col("value") < 0)).alias("value_non_negative"),
+        cnt(F.col("props").isNull() | F.get_json_object("props", "$").isNull())
+        .alias("props_valid_json"))
+    rules = ["ts_not_null", "user_id_non_negative", "event_type_in_domain",
+             "value_non_negative", "props_valid_json"]
+    stacked = t.select(F.col("n"), F.explode(F.array(*[
+        F.struct(F.lit(r).alias("rule"), F.col(r).alias("n_violations"))
+        for r in rules])).alias("x"))
+    return stacked.select(
+        F.col("x.rule").alias("rule"),
+        F.col("x.n_violations").alias("n_violations"),
+        F.col("n").alias("n_rows"),
+        (F.col("x.n_violations") == 0).alias("passed"))

@@ -691,3 +691,20 @@ def test_cosine_zero_vector_scores_zero_not_crashing(spark):
         "a array<double>, b array<double>")
     got = [r.c for r in df.select(cosine(F.col("a"), F.col("b")).alias("c")).collect()]
     assert got == [0.0, 1.0]
+
+
+def test_backfill_partitions_touches_only_named_days(spark, tmp_path):
+    from streamforge_spark.io import backfill_partitions
+    p = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "d1", 10), (2, "d2", 20), (3, "d3", 30)], "id long, day string, v long")
+    base.write.partitionBy("day").parquet(p)
+    import os
+    before = {d: sorted(os.listdir(f"{p}/day={d}")) for d in ("d1", "d2", "d3")}
+    fixed = spark.createDataFrame(
+        [(2, "d2", 99), (9, "d9", 1)], "id long, day string, v long")
+    backfill_partitions(fixed, p, "day", ["d2"])
+    got = {r.id: r.v for r in spark.read.parquet(p).collect()}
+    assert got == {1: 10, 2: 99, 3: 30}          # d2 replaced, d9 filtered out
+    after = {d: sorted(os.listdir(f"{p}/day={d}")) for d in ("d1", "d3")}
+    assert after == {d: before[d] for d in ("d1", "d3")}  # untouched files
