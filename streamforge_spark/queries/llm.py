@@ -626,3 +626,92 @@ def multimodal_gif_roundtrip(spark, sf_dir):
                 "frame_idx", "frame_pixel_sum"])
 
     return media.mapInPandas(frame_stats, out_schema)
+
+
+# -- BPE tokenizer training (iterative merge induction) -----------------
+
+BPE_MERGE_ROUNDS = 3
+
+
+def _bpe_oracle(rounds: int) -> str:
+    """Unrolled BPE training in SQL: word frequencies, char-split
+    symbol sequences, and per round the exact pair count + argmax +
+    literal re-merge the Spark loop performs — every merge decision is
+    oracle-checked, not just the final vocabulary."""
+    ctes = [
+        """w0 AS (
+  SELECT tok AS word, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY tok)""",
+        """s0 AS (
+  SELECT word, freq,
+         ' ' || array_to_string(regexp_split_to_array(word, ''), ' ') || ' ' AS sym
+  FROM w0)""",
+    ]
+    for r in range(rounds):
+        ctes.append(f"""p{r} AS (
+  SELECT t[i] || ' ' || t[i + 1] AS pair, SUM(freq) AS cnt
+  FROM (SELECT freq, regexp_split_to_array(trim(sym), ' ') AS t FROM s{r}),
+       unnest(generate_series(1, greatest(len(t) - 1, 0))) AS u(i)
+  GROUP BY 1)""")
+        ctes.append(f"""b{r} AS (
+  SELECT pair, cnt FROM p{r} ORDER BY cnt DESC, pair LIMIT 1)""")
+        if r < rounds - 1:
+            ctes.append(f"""s{r + 1} AS (
+  SELECT word, freq,
+         replace(sym, ' ' || (SELECT pair FROM b{r}) || ' ',
+                 ' ' || (SELECT replace(pair, ' ', '') FROM b{r}) || ' ') AS sym
+  FROM s{r})""")
+    finals = "\nUNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS round, pair, "
+        f"replace(pair, ' ', '') AS merged, cnt AS weighted_count FROM b{r}"
+        for r in range(rounds))
+    return "WITH " + ",\n".join(ctes) + "\n" + finals
+
+
+@query("bpe_train_merges", oracle=_bpe_oracle(BPE_MERGE_ROUNDS))
+def bpe_train_merges(spark, sf_dir):
+    """REAL BPE tokenizer training on the corpus (Sennrich et al.
+    2016): start from character-level symbol sequences over the word-
+    frequency table, and per round count adjacent symbol pairs
+    (frequency-weighted, every occurrence), pick the most frequent
+    pair (ties lexicographic), and merge it corpus-wide. Returns the
+    learned merge rules (round, pair, merged, weighted_count) — the
+    artifact a tokenizer ships.
+
+    Scale shape: the corpus collapses to the word-frequency table
+    after ONE scan (Zipf: |vocab| ≪ corpus), so each merge round is
+    a pair explode + map-side-combined count over |vocab| rows plus a
+    1-row argmax to the driver — the same bounded driver-coordination
+    contract as k-means (centroids) and pagerank (convergence
+    scalar). Merges apply via literal string replace (parameterized
+    Columns, no SQL injection), anchored with spaces so a pair can
+    never match inside a longer symbol. Every round's decision
+    replays exactly in the unrolled SQL oracle."""
+    from streamforge_spark.functions.text import tokens
+    (docs,) = prep(spark, sf_dir, "documents")
+    w = (docs.select(F.explode(tokens(F.col("text"))).alias("word"))
+         .groupBy("word").agg(F.count(F.lit(1)).alias("freq")))
+    s = w.select(
+        "word", "freq",
+        F.concat(F.lit(" "), F.array_join(F.split("word", ""), " "),
+                 F.lit(" ")).alias("sym"))
+    merges = []
+    for r in range(BPE_MERGE_ROUNDS):
+        t = F.split(F.trim(F.col("sym")), " ")
+        n = F.size(t)
+        pair_arr = F.zip_with(
+            F.slice(t, 1, F.greatest(n - 1, F.lit(0))),
+            F.slice(t, 2, F.greatest(n - 1, F.lit(0))),
+            lambda x, y: F.concat(x, F.lit(" "), y))
+        counts = (s.select("freq", F.explode(pair_arr).alias("pair"))
+                  .groupBy("pair").agg(F.sum("freq").alias("cnt")))
+        best = counts.orderBy(F.col("cnt").desc(), "pair").limit(1).collect()[0]
+        merges.append((r, best.pair, best.pair.replace(" ", ""), best.cnt))
+        if r < BPE_MERGE_ROUNDS - 1:
+            s = s.withColumn("sym", F.replace(
+                F.col("sym"),
+                F.lit(f" {best.pair} "),
+                F.lit(f" {best.pair.replace(' ', '')} ")))
+    return spark.createDataFrame(
+        merges, "round long, pair string, merged string, weighted_count long")

@@ -518,3 +518,33 @@ def test_streaming_topk_matches_batch(spark, workdir):
             final[(r.event_type, r.rank)] = (r.event_id, r.cents)
     got = {(g, eid, c, rk) for (g, rk), (eid, c) in final.items()}
     assert got == want
+
+
+def test_streaming_dedup_under_rocksdb_state_store(spark, workdir):
+    # the production state backend: RocksDB provider (incremental
+    # checkpoints, state spills off-heap — the 100 TB configuration)
+    # must run our watermark-scoped dedup identically to the default
+    # HDFS-backed store. JVM-side only — no protobuf gate.
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try:
+        src = f"{workdir}/in"
+        _write_batch(spark, src, [
+            (1, "k1", ts("2024-01-01 10:00:00"), "insert", "a"),
+            (2, "k1", ts("2024-01-01 10:00:00"), "insert", "b"),   # dup
+            (3, "k1", ts("2024-01-01 10:05:00"), "update", "c"),
+            (4, "k2", ts("2024-01-01 10:00:00"), "insert", "d"),
+        ])
+        stream = file_stream(spark, src, EVENTS_SCHEMA)
+        deduped = streaming_dedup(stream, ["key", "t"], "t", ttl="10 minutes")
+        _run_to_memory(deduped, "dedup_rocks_out")
+        got = sorted(r.event_id for r in
+                     spark.sql("select * from dedup_rocks_out").collect())
+        assert len(got) == 3 and got[0] in (1, 2) and got[1:] == [3, 4]
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
