@@ -394,3 +394,60 @@ def embedding_gram_matrix(spark, sf_dir):
     from streamforge_spark.functions.clustering import gram_matrix
     (emb,) = prep(spark, sf_dir, "embeddings")
     return gram_matrix(emb)
+
+
+def _quality_by_cluster_oracle(k: int, rounds: int, quant: int) -> str:
+    """Compose the unrolled-Lloyd CTE chain with the quality-score
+    expression over the documents table joined on id."""
+    base = _kmeans_oracle(k, rounds, quant)
+    head, _ = base.rsplit("\nSELECT", 1)
+    return f"""{head},
+q AS (
+  SELECT doc_id,
+         CAST(ROUND((0.4 * least(1.0, CAST(n_chars AS DOUBLE) / 500.0)
+           + 0.3 * (1.0 - CASE WHEN n_chars > 0
+               THEN CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+                    / CAST(n_chars AS DOUBLE) ELSE 0.0 END)
+           + 0.3 * least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0)) * 1000) AS BIGINT)
+           AS q_milli
+  FROM documents)
+SELECT a.cl AS cluster, CAST(COUNT(*) AS BIGINT) AS n,
+       SUM(q.q_milli) AS sum_quality_milli,
+       MIN(q.q_milli) AS min_quality_milli,
+       MAX(q.q_milli) AS max_quality_milli
+FROM a{rounds - 1} a JOIN q ON q.doc_id = a.vec_id
+GROUP BY a.cl
+"""
+
+
+@query("quality_by_semantic_cluster",
+       oracle=_quality_by_cluster_oracle(KMEANS_K, KMEANS_ROUNDS, 10000))
+def quality_by_semantic_cluster(spark, sf_dir):
+    """Cross-modal curation readout: text-quality statistics per
+    SEMANTIC cluster — join the document table onto the embedding
+    k-means cells (doc_id = vec_id) and roll quality up per cluster.
+    This is the triage view a curation pipeline acts on: a cluster
+    with low quality mass gets down-sampled (corpus_mix_sample), a
+    high-quality cluster keeps its quota (cluster_balanced_sample).
+    Quality rides as exact milli-units (the IEEE score sequence is
+    identical in both engines, proven by the quality_score query, so
+    its rounding is too); the cluster map replays through the unrolled
+    Lloyd oracle — the whole cross-table composition is exact.
+
+    Scale shape: the k-means assignment scan (no shuffle) + ONE hash
+    join docs⨝assignments on id + a k-row rollup. Nothing new moves:
+    both inputs are one pass each."""
+    from streamforge_spark.functions.clustering import kmeans_assignments
+    from streamforge_spark.functions.text import quality_score
+    docs, emb = prep(spark, sf_dir, "documents", "embeddings")
+    assigned = kmeans_assignments(emb, k=KMEANS_K, rounds=KMEANS_ROUNDS)
+    q = docs.select(
+        "doc_id",
+        F.round(quality_score(F.col("text"), F.col("n_chars")) * 1000)
+        .cast("long").alias("q_milli"))
+    return (q.join(assigned, q["doc_id"] == assigned["vec_id"])
+            .groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("q_milli").alias("sum_quality_milli"),
+                 F.min("q_milli").alias("min_quality_milli"),
+                 F.max("q_milli").alias("max_quality_milli")))
