@@ -232,3 +232,22 @@ def test_corpus_ingest_empty_text_quarantined_not_crashing(spark, tmp_path):
     assert read(spark, tmp_path, "corpus").count() == 0
     assert [r.doc_id for r in
             read(spark, tmp_path, "quarantine_quality").collect()] == [7]
+
+
+def test_corpus_ingest_checkpoint_recovery_no_duplicates(spark, tmp_path):
+    # restart-with-same-checkpoint must process ONLY new source files
+    # and never duplicate already-ingested corpus rows (file-sink
+    # manifest + source offsets in the checkpoint)
+    good = ("a decent length document about spark engines and data "
+            "processing pipelines with many useful words appearing here "
+            "and continuing long enough to clear the quality threshold "
+            "for ingestion into the training corpus today")
+    write_lines(tmp_path / "in", [doc_line(1, good)])
+    run_job("CorpusIngest", job_cfg(tmp_path), spark=spark, drain=True)
+    assert [r.doc_id for r in read(spark, tmp_path, "corpus").collect()] == [1]
+    # second run, same checkpoint: one new file, one new doc
+    write_lines(tmp_path / "in", [doc_line(2, good + " extra tail")],
+                name="batch1.txt")
+    run_job("CorpusIngest", job_cfg(tmp_path), spark=spark, drain=True)
+    kept = sorted(r.doc_id for r in read(spark, tmp_path, "corpus").collect())
+    assert kept == [1, 2]
