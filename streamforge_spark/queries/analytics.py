@@ -424,3 +424,70 @@ def retention_cohorts(spark, sf_dir):
     )
     return (activity.groupBy("cohort", "week_n")
             .agg(F.count(F.lit(1)).alias("active_users")))
+
+
+# -- funnel conversion latency percentiles ------------------------------
+
+_FUNNEL_TIME_ORACLE = """
+WITH clicks AS (
+  SELECT user_id, MIN(ts) AS t_click FROM events
+  WHERE event_type = 'click' GROUP BY user_id),
+conv AS (
+  SELECT c.user_id,
+         MIN(epoch_us(e.ts) - epoch_us(c.t_click)) AS delta_us
+  FROM clicks c JOIN events e
+    ON e.user_id = c.user_id AND e.event_type = 'purchase'
+   AND e.ts >= c.t_click
+  GROUP BY c.user_id),
+ranked AS (
+  SELECT delta_us,
+         row_number() OVER (ORDER BY delta_us, user_id) AS rn,
+         COUNT(*) OVER () AS n
+  FROM conv)
+SELECT MAX(CASE WHEN rn = CAST(CEIL(0.50 * n) AS BIGINT) THEN delta_us END) AS p50_us,
+       MAX(CASE WHEN rn = CAST(CEIL(0.90 * n) AS BIGINT) THEN delta_us END) AS p90_us,
+       MAX(CASE WHEN rn = CAST(CEIL(0.99 * n) AS BIGINT) THEN delta_us END) AS p99_us,
+       CAST(COUNT(*) AS BIGINT) AS n_converters
+FROM ranked
+"""
+
+
+@query("funnel_time_to_convert", oracle=_FUNNEL_TIME_ORACLE)
+def funnel_time_to_convert(spark, sf_dir):
+    """Conversion-latency distribution: for every user who purchased
+    at or after their first click, the click→purchase delay in exact
+    integer microseconds, summarized as exact order-statistic
+    percentiles — the "how long does the funnel take" readout that
+    pairs with funnel_conversion's "how many make it".
+
+    Scale shape: first-click is one map-side-combined rollup; the
+    conditional-min attribution joins it back onto the purchase rows
+    only (filter pushed to the scan) — never event⨝event; the
+    percentile rank runs over |converters| rows (aggregate-sized).
+    Exact µs deltas keep every value and both rank boundaries
+    bit-portable."""
+    (events,) = prep(spark, sf_dir, "events")
+    clicks = (events.filter(F.col("event_type") == "click")
+              .groupBy("user_id").agg(F.min("ts").alias("t_click")))
+    conv = (events.filter(F.col("event_type") == "purchase")
+            .join(clicks, "user_id")
+            .filter(F.col("ts") >= F.col("t_click"))
+            .groupBy("user_id")
+            .agg(F.min(F.unix_micros("ts") - F.unix_micros("t_click"))
+                 .alias("delta_us")))
+    from pyspark.sql import Window
+    w = Window.orderBy("delta_us", "user_id")
+    ranked = conv.select(
+        "delta_us",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"))
+
+    def at(q):
+        return F.max(F.when(
+            F.col("rn") == F.ceil(F.lit(q) * F.col("n")).cast("long"),
+            F.col("delta_us")))
+
+    return ranked.agg(
+        at(0.50).alias("p50_us"), at(0.90).alias("p90_us"),
+        at(0.99).alias("p99_us"),
+        F.count(F.lit(1)).alias("n_converters"))
