@@ -201,3 +201,42 @@ def interval_join(left: DataFrame, right: DataFrame, *,
                 & (F.col(ts_col) < F.col(end_col)))
         .drop("_b")
     )
+
+
+def interval_overlap_join(left: DataFrame, right: DataFrame, *,
+                          left_start: str, left_end: str,
+                          right_start: str, right_end: str,
+                          bucket_seconds: int) -> DataFrame:
+    """Interval × interval OVERLAP join as a bucketized equi-join —
+    the two-sided generalization of :func:`interval_join` (which joins
+    points to intervals). Overlap is closed-closed:
+    ``l_start <= r_end AND r_start <= l_end`` (touching endpoints
+    match; filter ``overlap > 0`` downstream for strict overlap).
+
+    Both sides explode into the epoch buckets they cover; pairs
+    sharing a bucket equi-join; the exact overlap predicate prunes
+    false bucket neighbors; and because a pair can share up to
+    ``overlap/bucket_seconds`` buckets, duplicates collapse with one
+    dropDuplicates over the output columns — callers must therefore
+    pass rows that are distinct as tuples (project stable keys first).
+
+    One hash exchange per side on the bucket id; cost scales with
+    Σ per-bucket |L_b|·|R_b| — pick ``bucket_seconds`` near the median
+    interval length so each interval explodes into ~2 cells and only
+    temporally-near pairs ever meet. The literal predicate form plans
+    BroadcastNestedLoopJoin (O(n·m)); this shape is what survives
+    100 TB."""
+    bs = int(bucket_seconds)
+
+    def cells(s, e):
+        return F.explode(F.sequence(
+            F.floor(F.unix_timestamp(F.col(s)) / bs).cast("long"),
+            F.floor(F.unix_timestamp(F.col(e)) / bs).cast("long")))
+
+    l = left.withColumn("_b", cells(left_start, left_end))
+    r = right.withColumn("_b", cells(right_start, right_end))
+    return (l.join(r, "_b")
+            .filter((F.col(left_start) <= F.col(right_end))
+                    & (F.col(right_start) <= F.col(left_end)))
+            .drop("_b")
+            .dropDuplicates())

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from streamforge_spark.operators.joins import asof_join, dynamic_joiner, static_joiner
@@ -269,3 +270,91 @@ def asof_join_next_event(spark, sf_dir):
              F.count("purchase_id").alias("n_before_purchase"),
              F.sum(F.coalesce(F.col("purchase_cents"), F.lit(0))).alias("cents_sum"))
     )
+
+
+# -- interval x interval overlap join -----------------------------------
+
+_OVERLAP_ORACLE = """
+WITH ev AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         THEN 1 ELSE 0 END AS brk
+  FROM events),
+grp AS (SELECT user_id, ts, SUM(brk) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM ev),
+sessions AS (
+  SELECT user_id, sid, MIN(ts) AS s_start, MAX(ts) AS s_end
+  FROM grp GROUP BY user_id, sid),
+err AS (
+  SELECT ts, event_id,
+         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (ORDER BY ts, event_id)) > 600000000
+              OR lag(ts) OVER (ORDER BY ts, event_id) IS NULL
+         THEN 1 ELSE 0 END AS brk
+  FROM events WHERE event_type = 'error'),
+egrp AS (SELECT ts, event_id, SUM(brk) OVER (
+           ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS iid
+         FROM err),
+incidents AS (
+  SELECT CAST(MIN(event_id) AS BIGINT) AS incident_id,
+         MIN(ts) AS i_start, MAX(ts) AS i_end
+  FROM egrp GROUP BY iid)
+SELECT s.user_id, CAST(s.sid AS BIGINT) AS sid, i.incident_id,
+       epoch_us(least(s.s_end, i.i_end)) - epoch_us(greatest(s.s_start, i.i_start))
+         AS overlap_us
+FROM sessions s JOIN incidents i
+  ON s.s_start <= i.i_end AND i.i_start <= s.s_end
+"""
+
+
+@query("session_incident_overlap", oracle=_OVERLAP_ORACLE)
+def session_incident_overlap(spark, sf_dir):
+    """Interval × interval overlap join: which user SESSIONS (30-min
+    gap islands) overlapped which error INCIDENTS (10-min gap islands
+    over error events) and for how long — the blast-radius question
+    where BOTH sides are time ranges, not points
+    (operators/joins.py::interval_overlap_join).
+
+    Scale shape: sessions and incidents are aggregate-sized interval
+    tables (one gap-and-island window each); the overlap join explodes
+    both into shared hour cells and equi-joins — never the
+    BroadcastNestedLoopJoin the literal overlap predicate plans. The
+    overlap duration is exact integer microseconds."""
+    from streamforge_spark.operators.joins import interval_overlap_join
+    (events,) = prep(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    brk = F.when(
+        F.lag("ts").over(wu).isNull()
+        | ((F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(wu)))
+           > 1800 * 1_000_000), 1).otherwise(0)
+    grp = events.select(
+        "user_id", "ts",
+        F.sum(brk).over(wu.rowsBetween(Window.unboundedPreceding, 0)).alias("sid"))
+    sessions = (grp.groupBy("user_id", "sid")
+                .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end")))
+    we = Window.orderBy("ts", "event_id")
+    ebrk = F.when(
+        F.lag("ts").over(we).isNull()
+        | ((F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(we)))
+           > 600 * 1_000_000), 1).otherwise(0)
+    egrp = (events.filter(F.col("event_type") == "error")
+            .select("ts", "event_id",
+                    F.sum(ebrk).over(we.rowsBetween(Window.unboundedPreceding, 0))
+                    .alias("iid")))
+    incidents = (egrp.groupBy("iid")
+                 .agg(F.min("event_id").alias("incident_id"),
+                      F.min("ts").alias("i_start"), F.max("ts").alias("i_end"))
+                 .drop("iid"))
+    pairs = interval_overlap_join(
+        sessions, incidents,
+        left_start="s_start", left_end="s_end",
+        right_start="i_start", right_end="i_end",
+        bucket_seconds=3600)
+    return pairs.select(
+        "user_id", F.col("sid").cast("long").alias("sid"), "incident_id",
+        (F.unix_micros(F.least("s_end", "i_end"))
+         - F.unix_micros(F.greatest("s_start", "i_start"))).alias("overlap_us"))

@@ -522,3 +522,11 @@ def test_rolling_active_users_no_range_nested_loop(spark):
     plan = plan_of(spark, "rolling_active_users")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_interval_overlap_join_no_bnlj(spark):
+    # interval x interval overlap via shared bucket cells — the literal
+    # overlap predicate would plan a nested loop
+    plan = plan_of(spark, "session_incident_overlap")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
