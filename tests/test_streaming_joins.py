@@ -167,3 +167,50 @@ def test_streaming_range_join_via_buckets(spark, workdir):
     q.stop()
     got = {(r.id, r.iid) for r in spark.sql("select * from range_out").collect()}
     assert got == {(1, 100), (2, 100), (2, 200)}
+
+
+def test_streaming_interval_overlap_via_buckets(spark, workdir):
+    # interval x interval overlap is equally legal stream-stream: both
+    # sides explode to epoch-bucket cells (the equi key), watermark on
+    # their end times, exact closed-closed overlap as the residual;
+    # duplicates from multi-cell pairs collapse downstream
+    lsrc, rsrc = f"{workdir}/lsess", f"{workdir}/rinc"
+    l_schema = T.StructType([
+        T.StructField("sid", T.LongType()),
+        T.StructField("s", T.TimestampType()), T.StructField("e", T.TimestampType())])
+    r_schema = T.StructType([
+        T.StructField("iid", T.LongType()),
+        T.StructField("s", T.TimestampType()), T.StructField("e", T.TimestampType())])
+    spark.createDataFrame([
+        (1, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:30:00")),
+        (2, ts("2024-01-01 11:00:00"), ts("2024-01-01 11:05:00")),  # no overlap
+    ], l_schema).coalesce(1).write.mode("append").parquet(lsrc)
+    spark.createDataFrame([
+        (100, ts("2024-01-01 10:20:00"), ts("2024-01-01 10:40:00")),
+        (200, ts("2024-01-01 10:30:00"), ts("2024-01-01 10:31:00")),  # touches s1
+    ], r_schema).coalesce(1).write.mode("append").parquet(rsrc)
+
+    bs = 600
+
+    def cells(df):
+        return df.withColumn("_b", F.explode(F.sequence(
+            F.floor(F.unix_timestamp("s") / bs).cast("long"),
+            F.floor(F.unix_timestamp("e") / bs).cast("long"))))
+
+    left = (cells(file_stream(spark, lsrc, l_schema)
+                  .withWatermark("e", "10 seconds"))
+            .withColumnRenamed("s", "ls").withColumnRenamed("e", "le"))
+    right = (cells(file_stream(spark, rsrc, r_schema)
+                   .withWatermark("e", "10 seconds"))
+             .withColumnRenamed("s", "rs").withColumnRenamed("e", "re"))
+    joined = left.join(
+        right,
+        (left["_b"] == right["_b"]) & (left["ls"] <= right["re"])
+        & (right["rs"] <= left["le"]),
+        "inner").select("sid", "iid")
+    q = (joined.writeStream.format("memory").queryName("overlap_out")
+         .outputMode("append").start())
+    q.processAllAvailable()
+    q.stop()
+    got = {(r.sid, r.iid) for r in spark.sql("select * from overlap_out").collect()}
+    assert got == {(1, 100), (1, 200)}
