@@ -510,3 +510,56 @@ def weighted_pps_sample(spark, sf_dir):
     prev = F.expr(f"((cum - n_chars) * {PPS_K}) div total")
     return (w.filter(pick > prev)
             .select("source", "doc_id", "n_chars", pick.alias("pick_idx")))
+
+
+# -- token-budget data mixing (per-source token caps) -------------------
+
+MIX_TOKEN_BUDGET = 800   # tokens per source (fixture sources hold ~1.3k)
+MIX_TB_SALT = "tokmix-v1"
+
+_TOKEN_MIX_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(('0x' || substr(md5('{MIX_TB_SALT}:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hh
+  FROM documents),
+c AS (
+  SELECT doc_id, source, n_tokens,
+         SUM(n_tokens) OVER (
+           PARTITION BY source ORDER BY hh, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+  FROM d)
+SELECT doc_id, source, n_tokens, cum_tokens
+FROM c WHERE cum_tokens <= {MIX_TOKEN_BUDGET}
+"""
+
+
+@query("token_budget_mix", oracle=_TOKEN_MIX_ORACLE)
+def token_budget_mix(spark, sf_dir):
+    """Token-budget data mixing: cap each source's contribution to
+    the training mix at a TOKEN budget, not a document count — the way
+    mixture specs are actually written ("100B tokens of web, 20B of
+    code"). Docs are admitted per source in deterministic salted-hash
+    order (an unbiased shuffle that is reproducible across runs and
+    engines — the same coin as the samplers) until the running token
+    total would exceed the budget.
+
+    Scale shape: one token-count projection on the scan, one hash
+    exchange on source for the prefix-sum window, a narrow filter —
+    document text never moves (counts do). Per-source ordering state
+    is the window sort; a monster source range-partitions by hash
+    prefix with per-chunk carry-ins like every prefix-sum op here.
+    Document order inside the budget is hash order, so growing the
+    corpus only appends candidates at the cut boundary rather than
+    reshuffling admitted docs."""
+    from streamforge_spark.functions.simdedup import oracle_hash60
+    from streamforge_spark.functions.text import token_count
+    (docs,) = prep(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", "source", token_count(F.col("text")).alias("n_tokens"),
+        oracle_hash60(F.col("doc_id").cast("string"), salt=MIX_TB_SALT).alias("hh"))
+    w = (Window.partitionBy("source").orderBy("hh", "doc_id")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    c = d.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return (c.filter(F.col("cum_tokens") <= MIX_TOKEN_BUDGET)
+            .select("doc_id", "source", "n_tokens", "cum_tokens"))
