@@ -7,13 +7,17 @@ touching bytes). Decode / feature-extraction / resize / frame-sampling
 run as Arrow-batched ``mapInPandas`` stages: one Python worker per
 partition, batch-at-a-time, no driver involvement.
 
-Codec status: PNG images decode/resize FOR REAL via the pure-stdlib
-codec in ``functions/png.py`` (zlib inflate + scanline unfilter —
-no PIL/ffmpeg in this container, none needed for PNG). Other formats
-remain honestly stubbed: ``decode_media`` raises NotImplementedError
-unless ``fake=True``, which substitutes a deterministic metadata-only
-"decode" so the Spark-side plumbing (schema, partitioning, UDF
-signature, batch shape) is exercised for every media type.
+Codec status: all three media types decode FOR REAL via pure-stdlib
+codecs — PNG images (``functions/png.py``: zlib inflate + all five
+scanline filters), WAV audio (``functions/wav.py``: RIFF/PCM), and
+animated-GIF video (``functions/gif.py``: container parsing + full
+LZW). ``decode_media`` sniffs the payload magic bytes and dispatches;
+unrecognized formats (e.g. JPEG — no stdlib codec exists) fall back to
+the deterministic stand-in with ``fake=True`` or raise — no silent
+junk. ``sample_frames`` is the format-agnostic byte-window sampler for
+opaque payloads; TRUE per-frame decode for video goes through
+``functions/gif.py`` (see queries/llm.py::multimodal_gif_roundtrip,
+which emits real decoded-frame statistics).
 """
 
 from __future__ import annotations
@@ -159,16 +163,26 @@ def media_gif_from_documents(docs: DataFrame) -> DataFrame:
 
 
 def decode_media(df: DataFrame, fake: bool = False) -> DataFrame:
-    """Decode stage over mapInPandas. PNG payloads decode for real
-    (functions/png.py): width/height from IHDR, checksum = md5 of the
-    DECODED pixels (so it proves the inflate+unfilter path, not just
-    byte passthrough). Non-PNG payloads: the deterministic stand-in
-    with fake=True, NotImplementedError otherwise — no silent junk."""
+    """Decode stage over mapInPandas, dispatching on payload magic
+    bytes to the REAL pure-stdlib codecs:
+
+    - PNG (``\\x89PNG``): width/height from IHDR, checksum = md5 of
+      the DECODED pixels (proves the inflate+unfilter path);
+    - WAV (``RIFF..WAVE``): width = sample count, height = frame rate,
+      checksum = md5 of the decoded PCM frames;
+    - GIF (``GIF8``): frame dimensions, checksum = md5 over every
+      decoded frame's pixels (proves the LZW path frame-by-frame).
+
+    Unrecognized formats (e.g. JPEG — no stdlib codec): the
+    deterministic stand-in with fake=True, NotImplementedError
+    otherwise — no silent junk."""
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
+        from streamforge_spark.functions.gif import decode_gif
         from streamforge_spark.functions.png import decode_png, is_png
+        from streamforge_spark.functions.wav import decode_wav
         for pdf in batches:
             out = {"media_id": [], "media_type": [], "n_bytes": [],
                    "width": [], "height": [], "checksum": []}
@@ -178,13 +192,25 @@ def decode_media(df: DataFrame, fake: bool = False) -> DataFrame:
                 if is_png(b):
                     w, h, _, pixels = decode_png(b)
                     ck = hashlib.md5(pixels).hexdigest()
+                elif b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+                    _, rate, n, samples = decode_wav(b)
+                    w, h = n, rate
+                    ck = hashlib.md5(
+                        b"".join(s.to_bytes(2, "little", signed=True)
+                                 for s in samples)).hexdigest()
+                elif b[:4] == b"GIF8":
+                    w, h, frames = decode_gif(b)
+                    m = hashlib.md5()
+                    for fr in frames:
+                        m.update(fr)
+                    ck = m.hexdigest()
                 elif fake:
                     n = len(b)
                     w, h = n % 1024, n % 768
                     ck = hashlib.md5(b).hexdigest()
                 else:
                     raise NotImplementedError(
-                        "non-PNG codecs unavailable in this environment; "
+                        "unrecognized media format (no stdlib codec); "
                         "pass fake=True for the deterministic stand-in")
                 out["media_id"].append(mid)
                 out["media_type"].append(mtype)

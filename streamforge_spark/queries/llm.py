@@ -657,9 +657,19 @@ def _bpe_oracle(rounds: int) -> str:
         ctes.append(f"""b{r} AS (
   SELECT pair, cnt FROM p{r} ORDER BY cnt DESC, pair LIMIT 1)""")
         if r < rounds - 1:
+            # replace applied TWICE: one non-overlapping pass consumes
+            # the shared boundary space of chained occurrences ('b a
+            # b a' merges only the first 'b a'); pass two catches the
+            # survivors, so the MERGE COUNT is always maximal. For
+            # x != y pairs this equals greedy left-to-right exactly;
+            # for odd runs of a self-pair the leftover singleton lands
+            # mid-run instead of at the end — see the query docstring
             ctes.append(f"""s{r + 1} AS (
   SELECT word, freq,
-         replace(sym, ' ' || (SELECT pair FROM b{r}) || ' ',
+         replace(replace(sym,
+                 ' ' || (SELECT pair FROM b{r}) || ' ',
+                 ' ' || (SELECT replace(pair, ' ', '') FROM b{r}) || ' '),
+                 ' ' || (SELECT pair FROM b{r}) || ' ',
                  ' ' || (SELECT replace(pair, ' ', '') FROM b{r}) || ' ') AS sym
   FROM s{r})""")
     finals = "\nUNION ALL ".join(
@@ -671,13 +681,24 @@ def _bpe_oracle(rounds: int) -> str:
 
 @query("bpe_train_merges", oracle=_bpe_oracle(BPE_MERGE_ROUNDS))
 def bpe_train_merges(spark, sf_dir):
-    """REAL BPE tokenizer training on the corpus (Sennrich et al.
-    2016): start from character-level symbol sequences over the word-
-    frequency table, and per round count adjacent symbol pairs
+    """BPE tokenizer training on the corpus (Sennrich et al. 2016
+    scheme): start from character-level symbol sequences over the
+    word-frequency table, and per round count adjacent symbol pairs
     (frequency-weighted, every occurrence), pick the most frequent
     pair (ties lexicographic), and merge it corpus-wide. Returns the
     learned merge rules (round, pair, merged, weighted_count) — the
     artifact a tokenizer ships.
+
+    Merge-application rule (deterministic, engine-identical, replayed
+    verbatim by the oracle): two non-overlapping left-to-right string-
+    replace passes — provably the maximal number of merges, and
+    byte-identical to greedy left-to-right merging for every pair of
+    DISTINCT symbols; for an odd-length run of a self-pair (aaaaa
+    merging 'a a') the unmerged singleton sits mid-run where greedy
+    leaves it at the end — same symbols, same counts, shifted
+    position. Documented rather than hidden: the reference greedy
+    scan is inherently sequential per word, and this rule is the
+    exact-arithmetic distributed equivalent.
 
     Scale shape: the corpus collapses to the word-frequency table
     after ONE scan (Zipf: |vocab| ≪ corpus), so each merge round is
@@ -709,9 +730,14 @@ def bpe_train_merges(spark, sf_dir):
         best = counts.orderBy(F.col("cnt").desc(), "pair").limit(1).collect()[0]
         merges.append((r, best.pair, best.pair.replace(" ", ""), best.cnt))
         if r < BPE_MERGE_ROUNDS - 1:
+            # two replace passes: pass one skips every second chained
+            # occurrence (shared boundary space consumed); pass two
+            # merges the survivors — maximal merge count, mirrored
+            # exactly in the oracle (see docstring for the self-pair
+            # leftover-placement caveat)
+            pat = F.lit(f" {best.pair} ")
+            rep = F.lit(f" {best.pair.replace(' ', '')} ")
             s = s.withColumn("sym", F.replace(
-                F.col("sym"),
-                F.lit(f" {best.pair} "),
-                F.lit(f" {best.pair.replace(' ', '')} ")))
+                F.replace(F.col("sym"), pat, rep), pat, rep))
     return spark.createDataFrame(
         merges, "round long, pair string, merged string, weighted_count long")

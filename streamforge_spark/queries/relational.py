@@ -789,14 +789,17 @@ WITH t AS (SELECT COUNT(*) AS n,
     SUM(CASE WHEN user_id IS NULL OR user_id < 0 THEN 1 ELSE 0 END) AS bad_user,
     SUM(CASE WHEN event_type NOT IN ('click','view','purchase','error','signup') THEN 1 ELSE 0 END) AS bad_type,
     SUM(CASE WHEN value IS NULL OR value < 0 THEN 1 ELSE 0 END) AS bad_value,
-    SUM(CASE WHEN props IS NULL OR json_valid(props) = false THEN 1 ELSE 0 END) AS bad_props
+    SUM(CASE WHEN props IS NULL THEN 1
+             WHEN json_valid(props) = false THEN 1
+             WHEN json_type(props::JSON) <> 'OBJECT' THEN 1
+             ELSE 0 END) AS bad_props
   FROM events)
 SELECT rule, n_violations, n_rows, n_violations = 0 AS passed FROM (
   SELECT 'ts_not_null' AS rule, CAST(ts_null AS BIGINT) AS n_violations, CAST(n AS BIGINT) AS n_rows FROM t
   UNION ALL SELECT 'user_id_non_negative', CAST(bad_user AS BIGINT), CAST(n AS BIGINT) FROM t
   UNION ALL SELECT 'event_type_in_domain', CAST(bad_type AS BIGINT), CAST(n AS BIGINT) FROM t
   UNION ALL SELECT 'value_non_negative', CAST(bad_value AS BIGINT), CAST(n AS BIGINT) FROM t
-  UNION ALL SELECT 'props_valid_json', CAST(bad_props AS BIGINT), CAST(n AS BIGINT) FROM t)
+  UNION ALL SELECT 'props_json_object', CAST(bad_props AS BIGINT), CAST(n AS BIGINT) FROM t)
 """
 
 EVENT_TYPES = ("click", "view", "purchase", "error", "signup")
@@ -824,10 +827,15 @@ def expectations_report(spark, sf_dir):
         cnt(F.col("user_id").isNull() | (F.col("user_id") < 0)).alias("user_id_non_negative"),
         cnt(~F.col("event_type").isin(*EVENT_TYPES)).alias("event_type_in_domain"),
         cnt(F.col("value").isNull() | (F.col("value") < 0)).alias("value_non_negative"),
-        cnt(F.col("props").isNull() | F.get_json_object("props", "$").isNull())
-        .alias("props_valid_json"))
+        # the rule is "props parses as a JSON OBJECT": from_json to a
+        # map is NULL for both malformed JSON and valid non-object
+        # payloads ('123', 'null') — the same predicate the oracle
+        # states as json_valid AND json_type = OBJECT
+        cnt(F.col("props").isNull()
+            | F.from_json("props", "map<string,string>").isNull())
+        .alias("props_json_object"))
     rules = ["ts_not_null", "user_id_non_negative", "event_type_in_domain",
-             "value_non_negative", "props_valid_json"]
+             "value_non_negative", "props_json_object"]
     stacked = t.select(F.col("n"), F.explode(F.array(*[
         F.struct(F.lit(r).alias("rule"), F.col(r).alias("n_violations"))
         for r in rules])).alias("x"))

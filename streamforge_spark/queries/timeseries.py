@@ -181,8 +181,14 @@ def zscore_outliers(spark, sf_dir):
                   F.sum(_cents() * _cents()).alias("sq"))
              # zero-variance groups have no outliers by definition and
              # would divide by sqrt(0) (ANSI mode: crash) — exclude via
-             # the EXACT integer test n·Σx² > (Σx)², bit-portable
-             .filter(F.col("n") * F.col("sq") > F.col("s") * F.col("s")))
+             # the EXACT test n·Σx² > (Σx)², computed in DECIMAL(38,0)
+             # (int64 products overflow past ~10⁷ rows·10⁵ cents under
+             # the very ANSI mode this guard protects; DuckDB's HAVING
+             # promotes to HUGEINT — both sides stay exact)
+             .filter(F.col("n").cast("decimal(19,0)")
+                     * F.col("sq").cast("decimal(19,0)")
+                     > F.col("s").cast("decimal(19,0)")
+                     * F.col("s").cast("decimal(19,0)")))
     mean = F.col("s").cast("double") / F.col("n").cast("double")
     var = F.col("sq").cast("double") / F.col("n").cast("double") - mean * mean
     scored = (events.select("event_id", "event_type", _cents().alias("cents"))

@@ -708,3 +708,25 @@ def test_backfill_partitions_touches_only_named_days(spark, tmp_path):
     assert got == {1: 10, 2: 99, 3: 30}          # d2 replaced, d9 filtered out
     after = {d: sorted(os.listdir(f"{p}/day={d}")) for d in ("d1", "d3")}
     assert after == {d: before[d] for d in ("d1", "d3")}  # untouched files
+
+
+def test_decode_media_dispatches_all_three_real_codecs(spark):
+    # magic-byte sniffing routes PNG / WAV / GIF payloads through
+    # their real codecs in one decode stage
+    from streamforge_spark.functions.gif import encode_gif
+    from streamforge_spark.functions.png import encode_png
+    from streamforge_spark.functions.wav import encode_wav
+    from streamforge_spark.multimodal import decode_media
+    png = encode_png(2, 2, bytes(range(12)))
+    wav = encode_wav([100, -200, 300], framerate=8000)
+    gif = encode_gif(3, 2, [bytes(6), bytes(range(6))])
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(png), "s", {}),
+         (2, "audio", bytearray(wav), "s", {}),
+         (3, "video", bytearray(gif), "s", {})],
+        "media_id long, media_type string, payload binary, "
+        "source string, meta map<string,string>")
+    got = {r.media_id: r for r in decode_media(df).collect()}
+    assert (got[1].width, got[1].height) == (2, 2)
+    assert (got[2].width, got[2].height) == (3, 8000)   # samples, rate
+    assert (got[3].width, got[3].height) == (3, 2)
