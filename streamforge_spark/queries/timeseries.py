@@ -1073,3 +1073,50 @@ def seasonal_anomaly_cells(spark, sf_dir):
             .filter((F.col("nw") >= 2) & (dev > SEASONAL_DEV_PCT * F.col("s")))
             .select("event_type", F.col("day").cast("timestamp").alias("day"),
                     "dow", "hr", "c", "s", "nw"))
+
+
+# -- EWMA smoothing (truncated, exact power-of-2 weights) ---------------
+
+EWMA_TAPS = 16   # alpha = 1/2, truncated at 16 terms (weight < 2^-15 dropped)
+
+_EWMA_ORACLE = f"""
+WITH v AS (
+  SELECT user_id, ts, event_id, CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events),
+l AS (
+  SELECT user_id, ts, event_id, cents,
+         {' + '.join(
+             f"COALESCE(lag(cents, {k}) OVER w, 0) * {1 << (EWMA_TAPS - 1 - k)}"
+             for k in range(EWMA_TAPS))} AS ewma_scaled
+  FROM v WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT user_id, ts, event_id, cents, ewma_scaled
+FROM l
+"""
+
+
+@query("ewma_values", oracle=_EWMA_ORACLE)
+def ewma_values(spark, sf_dir):
+    """Exponentially weighted moving average per user (α = 1/2) — the
+    classic smoothing/trend filter whose textbook form
+    y_i = α·y_{i-1} + (1−α)·x_i is a SEQUENTIAL recurrence no engine
+    can parallelize directly. Truncating at {TAPS} taps (dropped mass
+    < 2⁻¹⁵) turns it into a fixed finite-impulse filter whose
+    power-of-2 weights are exact integers: ewma_scaled =
+    Σ_k lag(x,k)·2^(15−k) in int64, bit-portable, and the true EWMA
+    to within one cent once 15+ observations exist (divide by 2¹⁵
+    downstream for the float reading).
+
+    Scale shape: ONE hash exchange on user_id with one in-partition
+    sort shared by all {TAPS} lag terms (a single window frame —
+    Catalyst evaluates the lags in one pass); no driver state, no
+    recurrence. The same finite-tap trick distributes any IIR filter
+    whose impulse response decays geometrically."""
+    (events,) = prep(spark, sf_dir, "events")
+    v = events.select("user_id", "ts", "event_id", _cents().alias("cents"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    terms = [F.coalesce(F.lag("cents", k).over(w), F.lit(0))
+             * (1 << (EWMA_TAPS - 1 - k)) for k in range(EWMA_TAPS)]
+    acc = terms[0]
+    for t in terms[1:]:
+        acc = acc + t
+    return v.withColumn("ewma_scaled", acc)
