@@ -508,3 +508,106 @@ def doc_chunks(spark, sf_dir):
         "doc_id", F.col("chunk_idx").cast("long").alias("chunk_idx"),
         F.size(c).cast("long").alias("n_tokens"),
         F.md5(F.concat_ws(" ", c)).alias("chunk_fp"))
+
+
+# -- hybrid retrieval (sparse + dense, reciprocal-rank fusion) ----------
+
+RRF_K0 = 60          # standard RRF damping constant
+RRF_DEPTH = 20       # per-system candidate depth
+RRF_OUT = 10
+RRF_QUERY_VEC = 0    # dense query: embedding of vec_id 0
+
+_HYBRID_ORACLE = f"""
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+ndocs AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents),
+qtoks AS (SELECT doc_id, term FROM toks
+          WHERE term IN {tuple(RETRIEVAL_TERMS)!r}),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       FROM qtoks GROUP BY doc_id, term),
+df AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+       FROM tf GROUP BY term),
+sparse AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+  FROM (SELECT tf.doc_id, SUM(tf.tf * (ndocs.nd - df.df)) AS score
+        FROM tf JOIN df USING (term) CROSS JOIN ndocs
+        GROUP BY tf.doc_id)
+  QUALIFY r <= {RRF_DEPTH}),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = {RRF_QUERY_VEC}),
+dense AS (
+  SELECT vec_id AS doc_id, row_number() OVER (ORDER BY cos DESC, vec_id) AS r
+  FROM (SELECT e.vec_id,
+               list_dot_product(e.v, q.qv)
+                 / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS cos
+        FROM e CROSS JOIN q WHERE e.vec_id <> {RRF_QUERY_VEC})
+  QUALIFY r <= {RRF_DEPTH})
+SELECT doc_id, rrf_ppm, sparse_rank, dense_rank FROM (
+  SELECT COALESCE(s.doc_id, d.doc_id) AS doc_id,
+         COALESCE(1000000 // ({RRF_K0} + s.r), 0)
+           + COALESCE(1000000 // ({RRF_K0} + d.r), 0) AS rrf_ppm,
+         s.r AS sparse_rank, d.r AS dense_rank,
+         row_number() OVER (ORDER BY
+           COALESCE(1000000 // ({RRF_K0} + s.r), 0)
+             + COALESCE(1000000 // ({RRF_K0} + d.r), 0) DESC,
+           COALESCE(s.doc_id, d.doc_id)) AS rn
+  FROM sparse s FULL OUTER JOIN dense d ON d.doc_id = s.doc_id)
+WHERE rn <= {RRF_OUT}
+"""
+
+
+@query("hybrid_retrieval_rrf", oracle=_HYBRID_ORACLE)
+def hybrid_retrieval_rrf(spark, sf_dir):
+    """Hybrid search: fuse the sparse lexical top-{D} (tf × rarity,
+    sparse_retrieval_topk's scorer) with the dense embedding top-{D}
+    (exact cosine to the query vector) by reciprocal-rank fusion —
+    score = Σ 1/(60 + rank) over the systems a document appears in,
+    here as exact integer parts-per-million (floor division) so the
+    fused ranking is bit-portable. RRF is the standard production
+    fusion: rank-based, so the two systems' incomparable score scales
+    never meet.
+
+    Scale shape: each leg is its own already-audited plan (sparse:
+    filter-before-shuffle + TakeOrdered heap; dense: the cosine scan —
+    swap in ann_lsh_topk/ann_ivf_fixed_topk for the candidate-pruned
+    leg at 100 TB, fusion is rank-only and doesn't care); fusion
+    itself is a {D}-row full-outer join + one {D}-row sort. The
+    full-outer is the point: a doc ranked by either system alone
+    still fuses."""
+    docs, emb = prep(spark, sf_dir, "documents", "embeddings")
+    toks = (spread_for_compute(docs, "doc_id")
+            .select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+            .filter(F.col("term").isin(*RETRIEVAL_TERMS)))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfr = tf.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    nd = docs.agg(F.count(F.lit(1)).alias("nd"))
+    sparse_scored = (tf.join(F.broadcast(dfr), "term")
+                     .crossJoin(F.broadcast(nd))
+                     .groupBy("doc_id")
+                     .agg(F.sum(F.col("tf") * (F.col("nd") - F.col("df")))
+                          .alias("score")))
+    ws = Window.orderBy(F.col("score").desc(), "doc_id")
+    sparse = (sparse_scored.withColumn("r", F.row_number().over(ws))
+              .filter(F.col("r") <= RRF_DEPTH)
+              .select("doc_id", F.col("r").alias("sr")))
+
+    from streamforge_spark.queries.embeddings import cosine
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    q = (e.filter(F.col("vec_id") == RRF_QUERY_VEC)
+         .select(F.col("v").alias("qv")))
+    wd = Window.orderBy(F.col("cos").desc(), "vec_id")
+    dense = (e.filter(F.col("vec_id") != RRF_QUERY_VEC)
+             .crossJoin(F.broadcast(q))
+             .select("vec_id", cosine(F.col("v"), F.col("qv")).alias("cos"))
+             .withColumn("r", F.row_number().over(wd))
+             .filter(F.col("r") <= RRF_DEPTH)
+             .select(F.col("vec_id").alias("doc_id"), F.col("r").alias("dr")))
+
+    fused = sparse.join(dense, "doc_id", "full_outer")
+    contrib = (F.coalesce(F.expr(f"1000000 div ({RRF_K0} + sr)"), F.lit(0))
+               + F.coalesce(F.expr(f"1000000 div ({RRF_K0} + dr)"), F.lit(0)))
+    wr = Window.orderBy(F.col("rrf_ppm").desc(), "doc_id")
+    return (fused.select("doc_id", contrib.alias("rrf_ppm"),
+                         F.col("sr").cast("long").alias("sparse_rank"),
+                         F.col("dr").cast("long").alias("dense_rank"))
+            .withColumn("rn", F.row_number().over(wr))
+            .filter(F.col("rn") <= RRF_OUT).drop("rn"))
