@@ -491,3 +491,92 @@ def funnel_time_to_convert(spark, sf_dir):
         at(0.50).alias("p50_us"), at(0.90).alias("p90_us"),
         at(0.99).alias("p99_us"),
         F.count(F.lit(1)).alias("n_converters"))
+
+
+# -- CEP sequence-pattern detection (A -> B within T, no C between) -----
+
+CEP_WINDOW_S = 3600   # error must follow the click within an hour
+
+_CEP_ORACLE = f"""
+WITH clicks AS (
+  SELECT user_id, event_id AS click_id, ts AS c_ts FROM events
+  WHERE event_type = 'click'),
+errors AS (
+  SELECT user_id, event_id AS error_id, ts AS e_ts FROM events
+  WHERE event_type = 'error'),
+purchases AS (
+  SELECT user_id, ts AS p_ts FROM events WHERE event_type = 'purchase'),
+matched AS (
+  SELECT user_id, click_id, c_ts, e_ts, error_id FROM (
+    SELECT c.user_id, c.click_id, c.c_ts, e.e_ts, e.error_id,
+           row_number() OVER (PARTITION BY c.click_id
+                              ORDER BY e.e_ts, e.error_id) AS rn
+    FROM clicks c JOIN errors e
+      ON e.user_id = c.user_id
+     AND e.e_ts > c.c_ts AND e.e_ts <= c.c_ts + INTERVAL {CEP_WINDOW_S} SECOND)
+  WHERE rn = 1),
+vetoed AS (
+  SELECT DISTINCT m.click_id
+  FROM matched m JOIN purchases p
+    ON p.user_id = m.user_id AND p.p_ts > m.c_ts AND p.p_ts < m.e_ts)
+SELECT m.user_id, m.click_id, m.error_id,
+       epoch_us(m.e_ts) - epoch_us(m.c_ts) AS gap_us
+FROM matched m LEFT JOIN vetoed v ON v.click_id = m.click_id
+WHERE v.click_id IS NULL
+"""
+
+
+@query("cep_click_error_pattern", oracle=_CEP_ORACLE)
+def cep_click_error_pattern(spark, sf_dir):
+    """Complex-event-processing pattern match: for every user, CLICK
+    followed by an ERROR within {T}s with NO PURCHASE between them —
+    the three-part CEP shape (sequence + time bound + negation) that
+    MATCH_RECOGNIZE / Flink CEP express and plain SQL aggregation
+    cannot: the negation must be scoped to the matched instance's own
+    [click, first-error) interval, not any global window.
+
+    Spark formulation: every leg is a bucketized interval equi-join
+    (operators/joins.py machinery — never a nested loop): clicks ⨝
+    errors on (user, time-bucket) with the exact (c_ts, c_ts+T]
+    residual, earliest error per click via min/min_by (deterministic
+    (ts, event_id) key), then the negation leg joins purchases into
+    each match's OWN interval and anti-joins the vetoed clicks out.
+    Gap is exact integer µs.
+
+    Scale shape: the three filtered legs prune at the scan
+    (event_type pushdown); joins key on (user_id, bucket) so temporal
+    locality bounds the fan-out; the veto set is matched-sized, not
+    corpus-sized. Streaming: the same bucket keys make the first join
+    legal stream-stream (test_streaming_range_join_via_buckets);
+    negation needs the watermark-closed variant (emit after c_ts+T
+    passes the watermark) — the standard CEP-on-streams deployment."""
+    (events,) = prep(spark, sf_dir, "events")
+    bs = CEP_WINDOW_S
+    clicks = (events.filter(F.col("event_type") == "click")
+              .select("user_id", F.col("event_id").alias("click_id"),
+                      F.col("ts").alias("c_ts"))
+              .withColumn("_b", F.explode(F.sequence(
+                  F.floor(F.unix_timestamp("c_ts") / bs).cast("long"),
+                  F.floor((F.unix_timestamp("c_ts") + bs) / bs).cast("long")))))
+    errors = (events.filter(F.col("event_type") == "error")
+              .select("user_id", F.col("event_id").alias("error_id"),
+                      F.col("ts").alias("e_ts"))
+              .withColumn("_b", F.floor(F.unix_timestamp("e_ts") / bs).cast("long")))
+    matched = (clicks.join(errors, ["user_id", "_b"])
+               .filter((F.col("e_ts") > F.col("c_ts"))
+                       & (F.col("e_ts") <= F.col("c_ts")
+                          + F.expr(f"INTERVAL {CEP_WINDOW_S} SECONDS")))
+               .groupBy("user_id", "click_id", "c_ts")
+               .agg(F.min("e_ts").alias("e_ts"),
+                    F.min_by("error_id", F.struct("e_ts", "error_id"))
+                    .alias("error_id")))
+    purchases = (events.filter(F.col("event_type") == "purchase")
+                 .select("user_id", F.col("ts").alias("p_ts")))
+    vetoed = (matched.join(purchases, "user_id")
+              .filter((F.col("p_ts") > F.col("c_ts"))
+                      & (F.col("p_ts") < F.col("e_ts")))
+              .select("click_id").distinct())
+    return (matched.join(vetoed, "click_id", "left_anti")
+            .select("user_id", "click_id", "error_id",
+                    (F.unix_micros("e_ts") - F.unix_micros("c_ts"))
+                    .alias("gap_us")))
