@@ -572,11 +572,16 @@ def cep_click_error_pattern(spark, sf_dir):
                     .alias("error_id")))
     purchases = (events.filter(F.col("event_type") == "purchase")
                  .select("user_id", F.col("ts").alias("p_ts")))
-    vetoed = (matched.join(purchases, "user_id")
-              .filter((F.col("p_ts") > F.col("c_ts"))
-                      & (F.col("p_ts") < F.col("e_ts")))
-              .select("click_id").distinct())
-    return (matched.join(vetoed, "click_id", "left_anti")
+    # negation as a single-pass flag: a vetoed-set + anti-join shape
+    # consumes `matched` (the expensive click⨝error leg) twice; the
+    # left join + max(flag) rollup reads it once
+    veto = F.max(F.when((F.col("p_ts") > F.col("c_ts"))
+                        & (F.col("p_ts") < F.col("e_ts")), 1)
+                 .otherwise(0))
+    flagged = (matched.join(purchases, "user_id", "left")
+               .groupBy("user_id", "click_id", "error_id", "c_ts", "e_ts")
+               .agg(veto.alias("veto")))
+    return (flagged.filter(F.col("veto") == 0)
             .select("user_id", "click_id", "error_id",
                     (F.unix_micros("e_ts") - F.unix_micros("c_ts"))
                     .alias("gap_us")))
