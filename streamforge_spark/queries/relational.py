@@ -844,3 +844,61 @@ def expectations_report(spark, sf_dir):
         F.col("x.n_violations").alias("n_violations"),
         F.col("n").alias("n_rows"),
         (F.col("x.n_violations") == 0).alias("passed"))
+
+
+# -- proportional allocation (largest-remainder apportionment) ----------
+
+ALLOC_BUDGET = 10000
+
+_ALLOC_ORACLE = f"""
+WITH w AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY event_type),
+tot AS (SELECT SUM(n) AS t, CAST(COUNT(*) AS BIGINT) AS g FROM w),
+q AS (
+  SELECT w.event_type, w.n,
+         (w.n * {ALLOC_BUDGET}) // tot.t AS base,
+         (w.n * {ALLOC_BUDGET}) % tot.t AS rem,
+         tot.t AS t
+  FROM w CROSS JOIN tot),
+r AS (
+  SELECT *, row_number() OVER (ORDER BY rem DESC, event_type) AS rk,
+         SUM(base) OVER () AS base_sum
+  FROM q)
+SELECT event_type, n, base,
+       CAST(base + CASE WHEN rk <= {ALLOC_BUDGET} - base_sum THEN 1 ELSE 0 END AS BIGINT)
+         AS allocation
+FROM r
+"""
+
+
+@query("proportional_allocation", oracle=_ALLOC_ORACLE)
+def proportional_allocation(spark, sf_dir):
+    """Largest-remainder (Hamilton) apportionment: split a fixed
+    integer budget across groups proportionally to their weights so
+    the allocations sum EXACTLY to the budget — the primitive behind
+    sampling quotas, shard counts, and capacity splits, where naive
+    rounding of shares drifts off-budget. base = floor(n·B / total);
+    the leftover units go to the largest remainders (ties by group
+    name). Pure integer arithmetic — floor-div, mod, rank — so the
+    allocation is bit-portable and provably sums to B.
+
+    Scale shape: the weight table is a map-side-combined rollup;
+    everything after runs on |groups| rows (the windows are
+    aggregate-sized). The same skeleton allocates per-cluster
+    sampling quotas (cluster_balanced_sample's fixed quota becomes
+    budget-exact) or per-source token budgets."""
+    (events,) = prep(spark, sf_dir, "events")
+    w = events.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    tot = w.agg(F.sum("n").alias("t"))
+    q = (w.crossJoin(F.broadcast(tot))
+         .select("event_type", "n",
+                 F.expr(f"(n * {ALLOC_BUDGET}) div t").alias("base"),
+                 F.expr(f"(n * {ALLOC_BUDGET}) % t").alias("rem")))
+    from pyspark.sql import Window
+    wr = Window.orderBy(F.col("rem").desc(), "event_type")
+    r = (q.withColumn("rk", F.row_number().over(wr))
+         .withColumn("base_sum", F.sum("base").over(
+             Window.partitionBy())))
+    extra = F.when(F.col("rk") <= ALLOC_BUDGET - F.col("base_sum"), 1).otherwise(0)
+    return r.select("event_type", "n", "base",
+                    (F.col("base") + extra).cast("long").alias("allocation"))
