@@ -585,3 +585,48 @@ def cep_click_error_pattern(spark, sf_dir):
             .select("user_id", "click_id", "error_id",
                     (F.unix_micros("e_ts") - F.unix_micros("c_ts"))
                     .alias("gap_us")))
+
+
+PATH_LEN = 5  # leading events per user forming the path signature
+
+
+_SESSION_PATHS_ORACLE = f"""
+WITH ranked AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events),
+paths AS (
+  SELECT user_id,
+         string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM ranked WHERE rn <= {PATH_LEN} GROUP BY user_id)
+SELECT path, CAST(count(*) AS BIGINT) AS n_users
+FROM paths GROUP BY path
+"""
+
+
+@query("session_paths", oracle=_SESSION_PATHS_ORACLE)
+def session_paths(spark, sf_dir):
+    """Clickstream path analysis: each user's first ``PATH_LEN`` events
+    (by time, event_id tie-break) form an ordered path signature;
+    output is the frequency of every distinct path — the top-paths /
+    sankey-diagram feed of product analytics.
+
+    Plan (100 TB): the per-user head is a rank window (one shuffle on
+    user_id) — Spark pushes the rn <= K filter into the sort as a
+    WindowGroupLimit per-partition heap, so each user contributes at
+    most K rows past its exchange. The fold to a path string is
+    per-user state only (collect_list of K structs -> array_sort), and
+    the path frequency rollup is map-side combinable on a
+    low-cardinality key (event-type^K paths)."""
+    from pyspark.sql import Window
+    (events,) = prep(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = (events.select("user_id", "event_type", "ts", "event_id")
+              .withColumn("rn", F.row_number().over(w))
+              .filter(F.col("rn") <= PATH_LEN))
+    paths = ranked.groupBy("user_id").agg(
+        F.concat_ws(">", F.transform(
+            F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+            lambda x: x["event_type"])).alias("path"))
+    return paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_users"))

@@ -451,3 +451,133 @@ def quality_by_semantic_cluster(spark, sf_dir):
                  F.sum("q_milli").alias("sum_quality_milli"),
                  F.min("q_milli").alias("min_quality_milli"),
                  F.max("q_milli").alias("max_quality_milli")))
+
+
+RP_DIM = 8       # Johnson-Lindenstrauss target dimensionality
+RP_SCALE = 1000  # fixed-point milli-units for the projected components
+
+
+def _rp_planes():
+    from streamforge_spark.functions.similarity import _hyperplanes
+    return _hyperplanes(64, RP_DIM, 1, seed=7)[0]
+
+
+def _rp_oracle() -> str:
+    rows = []
+    for j, plane in enumerate(_rp_planes()):
+        arr = "[" + ", ".join(repr(float(x)) for x in plane) + "]"
+        rows.append(f"({j}, CAST(ROUND(list_dot_product(v, {arr}) * {RP_SCALE}) AS BIGINT))")
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT vec_id, CAST(t.j AS INTEGER) AS j, t.y
+FROM e, LATERAL (VALUES {', '.join(rows)}) t(j, y)
+"""
+
+
+@query("embedding_random_projection", oracle=_rp_oracle())
+def embedding_random_projection(spark, sf_dir):
+    """Johnson-Lindenstrauss random projection 64-d -> ``RP_DIM``-d:
+    the cheap, training-free dimensionality reduction used before
+    coarse clustering / visualization / pre-filtering in curation
+    stacks. Components are fixed-point milli-units so the output is
+    integer-exact; the fixed-seed hyperplanes inline into the oracle
+    as float literals (same proven pattern as ann_lsh_topk).
+
+    Plan (100 TB): a pure codegen projection on the scan — RP_DIM
+    sequential-fold dot products per row, no shuffle, no Python, no
+    trained state to ship."""
+    from streamforge_spark.functions.similarity import _dot
+    (emb,) = prep(spark, sf_dir, "embeddings")
+    planes = _rp_planes()
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    comps = [
+        F.round(_dot(F.col("v"), F.array(*[F.lit(float(x)) for x in plane]))
+                * RP_SCALE).cast("long")
+        for plane in planes]
+    return (e.select("vec_id", F.posexplode(F.array(*comps)).alias("j", "y"))
+            .select("vec_id", F.col("j").cast("int").alias("j"), "y"))
+
+
+PQ_M = 4        # subspaces
+PQ_SUB = 16     # dims per subspace (4 x 16 = 64)
+PQ_K = 4        # codebook entries per subspace
+PQ_ROUNDS = 2   # Lloyd rounds per sub-quantizer
+
+
+def _pq_chain(m: int, k: int, rounds: int, quant: int) -> list[str]:
+    """CTE chain for one subspace's fixed-point Lloyd quantizer —
+    the _kmeans_oracle recurrence with prefixed names over the
+    1-based slice [m*PQ_SUB+1 : (m+1)*PQ_SUB] of the embedding."""
+    a, b = m * PQ_SUB + 1, (m + 1) * PQ_SUB
+    p = f"s{m}_"
+    ctes = [
+        f"""{p}e AS (
+  SELECT vec_id, list_transform((embedding::DOUBLE[])[{a}:{b}],
+                                x -> CAST(ROUND(x * {quant}) AS BIGINT)) AS v
+  FROM embeddings)""",
+        f"""{p}ed AS (SELECT vec_id, generate_subscripts(v, 1) AS j, unnest(v) AS x FROM {p}e)""",
+        f"""{p}init AS (
+  SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cl
+  FROM (SELECT vec_id FROM {p}e ORDER BY vec_id LIMIT {k}))""",
+        f"""{p}cd0 AS (SELECT i.cl, ed.j, ed.x FROM {p}init i JOIN {p}ed ed ON ed.vec_id = i.vec_id)""",
+    ]
+    for r in range(rounds):
+        ctes.append(f"""{p}a{r} AS (
+  SELECT vec_id, cl FROM (
+    SELECT ed.vec_id AS vec_id, cd.cl AS cl,
+           SUM((ed.x - cd.x) * (ed.x - cd.x)) AS d2
+    FROM {p}ed ed JOIN {p}cd{r} cd ON ed.j = cd.j
+    GROUP BY 1, 2) t
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cl) = 1)""")
+        if r < rounds - 1:
+            ctes.append(f"""{p}cd{r + 1} AS (
+  SELECT pr.cl, pr.j, COALESCE(s.x, pr.x) AS x
+  FROM {p}cd{r} pr LEFT JOIN (
+    SELECT a.cl, ed.j,
+           CAST(ROUND(CAST(SUM(ed.x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS x
+    FROM {p}a{r} a JOIN {p}ed ed ON ed.vec_id = a.vec_id
+    GROUP BY 1, 2) s ON s.cl = pr.cl AND s.j = pr.j)""")
+    return ctes
+
+
+def _pq_oracle(m_sub: int, k: int, rounds: int, quant: int) -> str:
+    ctes: list[str] = []
+    selects = []
+    for m in range(m_sub):
+        ctes.extend(_pq_chain(m, k, rounds, quant))
+        selects.append(
+            f"SELECT vec_id, {m} AS sub, cl AS code FROM s{m}_a{rounds - 1}")
+    return ("WITH " + ",\n".join(ctes) + "\n"
+            + "\nUNION ALL\n".join(selects))
+
+
+@query("pq_codes", oracle=_pq_oracle(PQ_M, PQ_K, PQ_ROUNDS, 10000))
+def pq_codes(spark, sf_dir):
+    """Product quantization (Jegou et al. 2011): the embedding splits
+    into ``PQ_M`` subspaces, each compressed to a ``PQ_K``-entry
+    codebook id by its own fixed-point Lloyd quantizer — the 64-dim
+    float vector becomes PQ_M small integers (the IVF-PQ memory story:
+    codes live in RAM at ~1/100 the footprint; distances come from
+    per-query lookup tables). Emits (vec_id, sub, code); every training
+    iteration of every sub-quantizer is replayed in the oracle.
+
+    Plan (100 TB): per subspace, training is the kmeans shape (scan +
+    k-row aggregate per round, never a corpus collect); encoding is one
+    broadcast-codebook Arrow matmul pass. Subspaces are independent —
+    the M chains share the scan and parallelize; the final result is a
+    union of narrow (id, int, int) outputs."""
+    from streamforge_spark.functions.clustering import kmeans_assignments
+    (emb,) = prep(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    outs = []
+    for m in range(PQ_M):
+        sub = e.select("vec_id", F.slice("v", m * PQ_SUB + 1, PQ_SUB).alias("sub"))
+        assigned = kmeans_assignments(sub, k=PQ_K, rounds=PQ_ROUNDS,
+                                      id_col="vec_id", vec_col="sub")
+        outs.append(assigned.select(
+            "vec_id", F.lit(m).cast("int").alias("sub"),
+            F.col("cluster").alias("code")))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -741,3 +741,59 @@ def bpe_train_merges(spark, sf_dir):
                 F.replace(F.col("sym"), pat, rep), pat, rep))
     return spark.createDataFrame(
         merges, "round long, pair string, merged string, weighted_count long")
+
+
+LM_PPM = 1_000_000  # fixed-point scale for conditional probabilities
+
+
+_BIGRAM_LM_ORACLE = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+bg AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+       FROM toks, unnest(generate_series(1, len(t) - 1)) u(i)),
+bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM bg GROUP BY w1, w2),
+pc AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM bc GROUP BY w1),
+scored AS (SELECT bg.doc_id, ({LM_PPM} * bc.c2) // pc.c1 AS p_ppm
+           FROM bg JOIN bc USING (w1, w2) JOIN pc USING (w1))
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(p_ppm) AS BIGINT) AS sum_p_ppm,
+       CAST(sum(p_ppm) AS DOUBLE) / count(*) AS avg_p_ppm
+FROM scored GROUP BY doc_id
+"""
+
+
+@query("bigram_lm_score", oracle=_BIGRAM_LM_ORACLE)
+def bigram_lm_score(spark, sf_dir):
+    """CCNet-style language-model quality scoring (Wenzek et al. 2020
+    §4.3): train a bigram model ON the corpus itself (count-based
+    conditional probabilities, in ppm fixed-point so the score is
+    integer-exact), then score each document by its mean bigram
+    probability — low scores flag incoherent/garbled text for the
+    quality gate.
+
+    Plan (100 TB): the model IS an aggregation — bigram counts are one
+    map-side-combined shuffle on the (w1, w2) key, prefix counts a
+    rollup of that (model table ~ vocabulary^2 effective size, orders
+    smaller than the corpus). Scoring re-joins occurrences to the
+    model on the bigram key; hot bigrams are fine because the model
+    side is ONE row per key (shuffle-hash join, no row explosion) and
+    a sub-GB model would broadcast. The per-doc rollup is the only
+    other exchange. `p_ppm` uses truncating integer division — exact
+    and order-independent on both engines."""
+    (docs,) = prep(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    toks = docs.select("doc_id", t.alias("t"))
+    bg = toks.select(
+        "doc_id",
+        F.explode(F.zip_with(F.slice(F.col("t"), 1, F.greatest(F.size("t") - 1, F.lit(0))),
+                             F.slice(F.col("t"), 2, F.greatest(F.size("t") - 1, F.lit(0))),
+                             lambda a, b: F.struct(a.alias("w1"), b.alias("w2")))).alias("g")
+    ).select("doc_id", "g.w1", "g.w2")
+    bc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    pc = bc.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    scored = (bg.join(bc, ["w1", "w2"]).join(pc, ["w1"])
+              .select("doc_id", F.expr(f"({LM_PPM} * c2) DIV c1").alias("p_ppm")))
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("p_ppm").alias("sum_p_ppm"),
+        (F.sum("p_ppm").cast("double") / F.count(F.lit(1))).alias("avg_p_ppm"))

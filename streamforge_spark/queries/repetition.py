@@ -166,3 +166,63 @@ def segment_dedup(spark, sf_dir):
         F.concat_ws(" ", F.transform(
             F.array_sort(F.collect_list(kept_struct)),
             lambda x: x["seg"])).alias("text_dedup")))
+
+
+BOILER_MIN_DOCS = 5  # segment present in >= this many DISTINCT docs => boilerplate
+
+
+_BOILERPLATE_ORACLE = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+base AS (SELECT doc_id, {_SEG_EXPR} AS segs FROM toks),
+segs AS (SELECT doc_id, CAST(i AS INTEGER) AS seg_idx, segs[i] AS seg,
+                {hash60_sql('segs[i]')} AS h
+         FROM base, unnest(generate_series(1, len(segs))) u(i)),
+dfreq AS (SELECT h, CAST(count(*) AS BIGINT) AS n_docs
+          FROM (SELECT DISTINCT h, doc_id FROM segs) GROUP BY h),
+marked AS (SELECT s.doc_id, s.seg_idx, s.seg,
+                  d.n_docs < {BOILER_MIN_DOCS} AS keep
+           FROM segs s JOIN dfreq d USING (h))
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_segs,
+       CAST(count(CASE WHEN NOT keep THEN 1 END) AS BIGINT) AS n_boiler,
+       coalesce(string_agg(CASE WHEN keep THEN seg END, ' ' ORDER BY seg_idx),
+                '') AS text_clean
+FROM marked GROUP BY doc_id
+"""
+
+
+@query("boilerplate_strip", oracle=_BOILERPLATE_ORACLE)
+def boilerplate_strip(spark, sf_dir):
+    """RefinedWeb/Dolma-style boilerplate removal (Penedo et al. 2023
+    §3.2 line-wise filtering): a segment that occurs in >=
+    ``BOILER_MIN_DOCS`` DISTINCT documents (nav bars, cookie banners,
+    license footers) is corpus-level boilerplate and is removed from
+    EVERY document — unlike ``segment_dedup``, which keeps the first
+    occurrence. Emits per-doc kept text + removal counts.
+
+    Plan (100 TB): document frequency per segment hash is
+    distinct-then-count — the (h, doc_id) distinct is one shuffle with
+    map-side combine (a 10^9-occurrence banner collapses to one row per
+    doc per partition before the exchange), and the per-hash count is a
+    map-side-combined rollup of that. The doc-frequency table (one row
+    per DISTINCT segment, heavily filterable) joins back on the hash,
+    and the rebuild is the same per-document ordered fold as
+    segment_dedup. No windows over the raw occurrence stream, so a
+    boilerplate hash never funnels through a single reducer."""
+    (docs,) = prep(spark, sf_dir, "documents")
+    base = _tokens_and_segments(docs)
+    segs = base.select(
+        "doc_id", F.posexplode("segs").alias("pos", "seg")).select(
+        "doc_id", (F.col("pos") + 1).cast("int").alias("seg_idx"), "seg",
+        oracle_hash60(F.col("seg")).alias("h"))
+    dfreq = (segs.select("h", "doc_id").distinct()
+             .groupBy("h").agg(F.count(F.lit(1)).alias("n_docs")))
+    marked = segs.join(dfreq, "h").withColumn(
+        "keep", F.col("n_docs") < BOILER_MIN_DOCS)
+    kept_struct = F.when(F.col("keep"), F.struct("seg_idx", "seg"))
+    return (marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_segs"),
+        F.count(F.when(~F.col("keep"), F.lit(1))).alias("n_boiler"),
+        F.concat_ws(" ", F.transform(
+            F.array_sort(F.collect_list(kept_struct)),
+            lambda x: x["seg"])).alias("text_clean")))
