@@ -630,3 +630,72 @@ def session_paths(spark, sf_dir):
             F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
             lambda x: x["event_type"])).alias("path"))
     return paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_users"))
+
+
+ATTR_WINDOW_S = 3600  # look-back window: clicks within 1h before a purchase
+
+
+_ATTRIBUTION_ORACLE = f"""
+WITH p AS (SELECT user_id, event_id AS purchase_id, ts AS p_ts,
+                  CAST(ROUND(value * 100) AS BIGINT) AS cents
+           FROM events WHERE event_type = 'purchase'),
+c AS (SELECT user_id, event_id AS click_id, ts AS c_ts
+      FROM events WHERE event_type = 'click'),
+touch AS (SELECT p.user_id, p.purchase_id, p.cents, c.click_id, c.c_ts
+          FROM p JOIN c ON c.user_id = p.user_id
+                 AND c.c_ts >= p.p_ts - INTERVAL {ATTR_WINDOW_S} SECONDS
+                 AND c.c_ts < p.p_ts),
+ranked AS (SELECT *,
+                  row_number() OVER (PARTITION BY purchase_id
+                                     ORDER BY c_ts, click_id) AS rn,
+                  count(*) OVER (PARTITION BY purchase_id) AS n
+           FROM touch)
+SELECT user_id, purchase_id, click_id,
+       cents // n + CASE WHEN rn <= cents % n THEN 1 ELSE 0 END AS credit_cents
+FROM ranked
+"""
+
+
+@query("attribution_linear", oracle=_ATTRIBUTION_ORACLE)
+def attribution_linear(spark, sf_dir):
+    """Linear multi-touch marketing attribution: every click in the
+    hour before a purchase shares the purchase value equally, with the
+    cent remainder apportioned largest-remainder-style to the earliest
+    touches — credits are integers that sum EXACTLY to the purchase
+    amount (no float drift across 10^9 purchases).
+
+    Plan (100 TB): the time-range join is bucketized — clicks key on
+    their hour cell, purchases replicate to the two cells their
+    look-back window overlaps, so the pair generation is an equi-join
+    on (user_id, cell), never a nested loop. Per-purchase rank/count
+    windows see only that purchase's touches (WindowGroupLimit-scale
+    state), and the integer DIV/% split replays exactly in SQL."""
+    from pyspark.sql import Window
+    (events,) = prep(spark, sf_dir, "events")
+    bs = ATTR_WINDOW_S
+    p = (events.filter(F.col("event_type") == "purchase")
+         .select("user_id", F.col("event_id").alias("purchase_id"),
+                 F.col("ts").alias("p_ts"),
+                 F.round(F.col("value") * 100).cast("long").alias("cents"))
+         .withColumn("_b", F.explode(F.sequence(
+             F.floor((F.unix_timestamp("p_ts") - bs) / bs).cast("long"),
+             F.floor(F.unix_timestamp("p_ts") / bs).cast("long")))))
+    c = (events.filter(F.col("event_type") == "click")
+         .select("user_id", F.col("event_id").alias("click_id"),
+                 F.col("ts").alias("c_ts"))
+         .withColumn("_b", F.floor(F.unix_timestamp("c_ts") / bs).cast("long")))
+    touch = (p.join(c, ["user_id", "_b"])
+             .filter((F.col("c_ts") >= F.col("p_ts")
+                      - F.expr(f"INTERVAL {ATTR_WINDOW_S} SECONDS"))
+                     & (F.col("c_ts") < F.col("p_ts")))
+             .select("user_id", "purchase_id", "cents", "click_id", "c_ts"))
+    wp = Window.partitionBy("purchase_id")
+    ranked = (touch
+              .withColumn("rn", F.row_number().over(
+                  wp.orderBy("c_ts", "click_id")))
+              .withColumn("n", F.count(F.lit(1)).over(wp)))
+    return ranked.select(
+        "user_id", "purchase_id", "click_id",
+        (F.expr("cents DIV n")
+         + F.when(F.col("rn") <= F.col("cents") % F.col("n"), 1).otherwise(0)
+         ).alias("credit_cents"))

@@ -563,3 +563,50 @@ def token_budget_mix(spark, sf_dir):
     c = d.withColumn("cum_tokens", F.sum("n_tokens").over(w))
     return (c.filter(F.col("cum_tokens") <= MIX_TOKEN_BUDGET)
             .select("doc_id", "source", "n_tokens", "cum_tokens"))
+
+
+_SOURCE_OVERLAP_ORACLE = """
+WITH toks AS (SELECT source, string_split(text, ' ') AS t FROM documents),
+grams AS (SELECT DISTINCT source, unnest(list_distinct(list_transform(
+            generate_series(1, greatest(len(t) - 3, 1)),
+            i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3])))) AS g
+          FROM toks)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(count(*) AS BIGINT) AS shared_grams
+FROM grams a JOIN grams b ON a.g = b.g AND a.source < b.source
+GROUP BY a.source, b.source
+"""
+
+
+@query("source_overlap_matrix", oracle=_SOURCE_OVERLAP_ORACLE)
+def source_overlap_matrix(spark, sf_dir):
+    """Cross-source content-overlap matrix: for every pair of corpus
+    sources, how many DISTINCT 4-gram shingles appear in both — the
+    diagnostic that decides which feeds to near-dedup against which
+    (and which mirror to drop) before mixing a training corpus. Same
+    shingle definition as contamination_check, applied source x source
+    instead of corpus x benchmark.
+
+    Plan (100 TB): per-doc distinct shingles are a scan-side
+    projection; the (gram, source) DISTINCT is one map-side-combined
+    shuffle (a shingle occurring 10^9 times in one source collapses to
+    one row per partition before the exchange). The self-equi-join
+    fans out per gram by the number of SOURCES containing it (bounded
+    by the source count, never occurrence counts), and the rollup is a
+    tiny |sources|^2 matrix."""
+    (docs,) = prep(spark, sf_dir, "documents")
+    t = F.col("t")
+    grams = (docs.select("source", F.split("text", " ").alias("t"))
+             .select("source", F.explode(F.array_distinct(F.transform(
+                 F.sequence(F.lit(1), F.greatest(F.size(t) - 3, F.lit(1))),
+                 lambda i: F.concat_ws(
+                     " ", F.try_element_at(t, i), F.try_element_at(t, i + 1),
+                     F.try_element_at(t, i + 2), F.try_element_at(t, i + 3)))))
+                 .alias("g"))
+             .distinct())
+    a, b = grams.alias("a"), grams.alias("b")
+    return (a.join(b, (F.col("a.g") == F.col("b.g"))
+                   & (F.col("a.source") < F.col("b.source")))
+            .groupBy(F.col("a.source").alias("source_a"),
+                     F.col("b.source").alias("source_b"))
+            .agg(F.count(F.lit(1)).alias("shared_grams")))

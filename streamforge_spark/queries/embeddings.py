@@ -581,3 +581,96 @@ def pq_codes(spark, sf_dir):
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+SQ8_NQ = 10      # query vectors (vec_id < SQ8_NQ)
+SQ8_C = 30       # coarse candidates per query fed to the exact rerank
+SQ8_K = 10       # final neighbors per query
+
+
+_SQ8_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+ed AS (SELECT vec_id, generate_subscripts(v, 1) AS j, unnest(v) AS x FROM e),
+st AS (SELECT j, MIN(x) AS mn, MAX(x) AS mx FROM ed GROUP BY j),
+q8 AS (SELECT ed.vec_id, ed.j,
+              CAST(ROUND(CASE WHEN st.mx = st.mn THEN 0.0
+                              ELSE (ed.x - st.mn) / (st.mx - st.mn) * 254.0 - 127.0
+                         END) AS BIGINT) AS qx
+       FROM ed JOIN st USING (j)),
+qq AS (SELECT * FROM q8 WHERE vec_id < {SQ8_NQ}),
+coarse AS (SELECT qq.vec_id AS qid, c.vec_id AS cid,
+                  SUM(qq.qx * c.qx) AS s
+           FROM q8 c JOIN qq ON qq.j = c.j AND c.vec_id <> qq.vec_id
+           GROUP BY 1, 2),
+cand AS (SELECT qid, cid FROM (
+           SELECT *, row_number() OVER (PARTITION BY qid
+                                        ORDER BY s DESC, cid) AS rn
+           FROM coarse) WHERE rn <= {SQ8_C}),
+scored AS (SELECT c.qid, c.cid,
+                  CASE WHEN sqrt(list_dot_product(eq.v, eq.v))
+                            * sqrt(list_dot_product(ec.v, ec.v)) <> 0.0
+                       THEN list_dot_product(eq.v, ec.v)
+                            / (sqrt(list_dot_product(eq.v, eq.v))
+                               * sqrt(list_dot_product(ec.v, ec.v)))
+                       ELSE 0.0 END AS cos
+           FROM cand c
+           JOIN e eq ON eq.vec_id = c.qid
+           JOIN e ec ON ec.vec_id = c.cid)
+SELECT qid AS query_id, cid AS neighbor_id, CAST(rn AS BIGINT) AS rank, cos
+FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                                   ORDER BY cos DESC, cid) AS rn
+      FROM scored)
+WHERE rn <= {SQ8_K}
+"""
+
+
+@query("ann_sq8_rerank", oracle=_SQ8_ORACLE)
+def ann_sq8_rerank(spark, sf_dir):
+    """SQ8 two-stage ANN (the production scalar-quantization pattern,
+    cf. FAISS SQ8 / Milvus IVF_SQ8): coarse scoring runs on int8 codes
+    — exact integer dot products at 1/4 the memory bandwidth of floats
+    — takes the top ``SQ8_C`` per query, and only those re-rank
+    against the full-precision vectors with exact cosine. Integer
+    coarse scores make the candidate set deterministic, so the WHOLE
+    two-stage pipeline is oracle-replayable (quantization included).
+
+    Plan (100 TB): the code table is the int8_quantize shape (two
+    scan passes, no vector shuffle); query codes are ``SQ8_NQ`` literal
+    arrays in the plan, so coarse scoring is pure codegen per corpus
+    row — no join, no Python. The per-query top-C is a rank window
+    over corpus*NQ narrow rows with WindowGroupLimit pruning; only
+    C*NQ candidate ids reach the full-precision rerank join."""
+    from streamforge_spark.functions.similarity import cosine, int8_quantize
+    (emb,) = prep(spark, sf_dir, "embeddings")
+    q8 = int8_quantize(emb)
+    qrows = sorted((r.vec_id, r.qvec) for r in
+                   q8.filter(F.col("vec_id") < SQ8_NQ).collect())
+    per_q = [
+        F.struct(
+            F.lit(qid).cast("long").alias("qid"),
+            F.aggregate(
+                F.zip_with(F.col("qvec"),
+                           F.array(*[F.lit(int(x)) for x in qvec]),
+                           lambda a, b: a.cast("long") * b.cast("long")),
+                F.lit(0).cast("long"), lambda acc, x: acc + x).alias("s"))
+        for qid, qvec in qrows]
+    coarse = (q8.select(F.col("vec_id").alias("cid"),
+                        F.explode(F.array(*per_q)).alias("g"))
+              .select("cid", "g.qid", "g.s")
+              .filter(F.col("cid") != F.col("qid")))
+    wc = Window.partitionBy("qid").orderBy(F.col("s").desc(), F.col("cid"))
+    cand = (coarse.withColumn("rn", F.row_number().over(wc))
+            .filter(F.col("rn") <= SQ8_C).select("qid", "cid"))
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    scored = (cand
+              .join(e.select(F.col("vec_id").alias("qid"),
+                             F.col("v").alias("qv")), "qid")
+              .join(e.select(F.col("vec_id").alias("cid"),
+                             F.col("v").alias("cv")), "cid")
+              .select("qid", "cid", cosine(F.col("qv"), F.col("cv")).alias("cos")))
+    wk = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid"))
+    return (scored.withColumn("rank", F.row_number().over(wk))
+            .filter(F.col("rank") <= SQ8_K)
+            .select(F.col("qid").alias("query_id"),
+                    F.col("cid").alias("neighbor_id"),
+                    F.col("rank").cast("long").alias("rank"), "cos"))

@@ -902,3 +902,72 @@ def proportional_allocation(spark, sf_dir):
     extra = F.when(F.col("rk") <= ALLOC_BUDGET - F.col("base_sum"), 1).otherwise(0)
     return r.select("event_type", "n", "base",
                     (F.col("base") + extra).cast("long").alias("allocation"))
+
+
+CMS_D = 4    # sketch rows (independent hash functions)
+CMS_W = 32   # counters per row
+
+
+def _cms_h_sql(d: int, key: str) -> str:
+    from streamforge_spark.functions.simdedup import hash60_sql
+    return f"({hash60_sql(key, salt_expr=chr(39) + f'cms{d}' + chr(39))} % {CMS_W})"
+
+
+def _cms_oracle() -> str:
+    hs = [_cms_h_sql(d, "CAST(user_id AS VARCHAR)") for d in range(CMS_D)]
+    cell_rows = ", ".join(f"({d}, {hs[d]})" for d in range(CMS_D))
+    return f"""
+WITH cells AS (
+  SELECT t.d, t.h, CAST(count(*) AS BIGINT) AS cnt
+  FROM events, LATERAL (VALUES {cell_rows}) t(d, h)
+  GROUP BY t.d, t.h),
+exact AS (SELECT user_id, CAST(count(*) AS BIGINT) AS exact_cnt
+          FROM events GROUP BY user_id),
+est AS (
+  SELECT e.user_id, MIN(c.cnt) AS cms_est
+  FROM exact e, LATERAL (VALUES {cell_rows}) t(d, h)
+  JOIN cells c ON c.d = t.d AND c.h = t.h
+  GROUP BY e.user_id)
+SELECT e.user_id, e.exact_cnt, s.cms_est,
+       s.cms_est - e.exact_cnt AS overcount
+FROM exact e JOIN est s USING (user_id)
+"""
+
+
+@query("cms_user_counts", oracle=_cms_oracle())
+def cms_user_counts(spark, sf_dir):
+    """Count-min sketch frequency estimation (Cormode & Muthukrishnan
+    2005): per-key event counts from a fixed ``CMS_D x CMS_W`` counter
+    grid instead of a per-key table. The sketch is an AGGREGATION —
+    cell counts merge associatively across partitions/streams/days —
+    and with fixed salted hash functions it is fully deterministic, so
+    estimates (and their guaranteed-nonnegative overcount vs exact)
+    are oracle-checked exactly.
+
+    Plan (100 TB): building the sketch is one map-side-combined
+    aggregation onto D*W = {D}x{W} cells — constant-size state no
+    matter the corpus (THE mergeable-sketch story: per-day sketches
+    union by cell-wise +). Estimation broadcasts the tiny cell table
+    back onto the key list. The exact side here exists only to verify
+    the error bound; production reads the sketch alone.""".format(
+        D=CMS_D, W=CMS_W)
+    from streamforge_spark.functions.simdedup import oracle_hash60
+    (events,) = prep(spark, sf_dir, "events")
+    key = F.col("user_id").cast("string")
+    cells_in = events.select(F.posexplode(F.array(*[
+        (oracle_hash60(key, salt=f"cms{d}") % CMS_W).alias("h")
+        for d in range(CMS_D)])).alias("d", "h"))
+    cells = cells_in.groupBy("d", "h").agg(F.count(F.lit(1)).alias("cnt"))
+    exact = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    probes = exact.select(
+        "user_id", "exact_cnt",
+        F.posexplode(F.array(*[
+            (oracle_hash60(F.col("user_id").cast("string"), salt=f"cms{d}")
+             % CMS_W).alias("h")
+            for d in range(CMS_D)])).alias("d", "h"))
+    est = (probes.join(F.broadcast(cells), ["d", "h"])
+           .groupBy("user_id", "exact_cnt")
+           .agg(F.min("cnt").alias("cms_est")))
+    return est.select(
+        "user_id", "exact_cnt", "cms_est",
+        (F.col("cms_est") - F.col("exact_cnt")).alias("overcount"))

@@ -1120,3 +1120,46 @@ def ewma_values(spark, sf_dir):
     for t in terms[1:]:
         acc = acc + t
     return v.withColumn("ewma_scaled", acc)
+
+
+_M4_ORACLE = """
+WITH pts AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket, ts, event_id, value
+  FROM events),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY user_id, bucket
+                            ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY user_id, bucket
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM pts)
+SELECT user_id, bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       min(value) AS vmin, max(value) AS vmax,
+       min(CASE WHEN rn_a = 1 THEN value END) AS vfirst,
+       min(CASE WHEN rn_d = 1 THEN value END) AS vlast
+FROM ranked GROUP BY user_id, bucket
+"""
+
+
+@query("m4_downsample", oracle=_M4_ORACLE)
+def m4_downsample(spark, sf_dir):
+    """M4 time-series downsampling (Jugel et al. 2014): per series and
+    per time bucket keep min/max/first/last — the four points that make
+    a line chart pixel-identical at that resolution. The standard
+    pre-aggregation for dashboards over raw 100 TB event streams.
+
+    Plan: ONE exchange on (user_id, bucket); first/last ride the same
+    aggregate as arg-min/arg-max over the lexicographic (ts, event_id)
+    struct (no rank window, no second shuffle), and every reducer holds
+    four scalars per open bucket — mergeable, so it also runs
+    incrementally per day."""
+    (events,) = prep(spark, sf_dir, "events")
+    pts = events.select(
+        "user_id", F.date_trunc("hour", "ts").alias("bucket"),
+        "ts", "event_id", "value")
+    return pts.groupBy("user_id", "bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("value").alias("vmin"), F.max("value").alias("vmax"),
+        F.min_by("value", F.struct("ts", "event_id")).alias("vfirst"),
+        F.max_by("value", F.struct("ts", "event_id")).alias("vlast"))

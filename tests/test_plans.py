@@ -530,3 +530,67 @@ def test_interval_overlap_join_no_bnlj(spark):
     plan = plan_of(spark, "session_incident_overlap")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize("name", [
+    "boilerplate_strip", "bigram_lm_score", "session_paths",
+    "embedding_random_projection",
+])
+def test_round2_additions_no_nested_loops(spark, name):
+    # every new shape is equi-join/aggregate algebra — a nested loop or
+    # cartesian appearing here means a join key was lost
+    plan = plan_of(spark, name)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_random_projection_is_scan_side_projection(spark):
+    # JL projection must stay a codegen projection on the scan: no
+    # exchange, no Python evaluation
+    plan = plan_of(spark, "embedding_random_projection")
+    assert "Arguments: hashpartitioning" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_session_paths_head_is_window_group_limit(spark):
+    # the rn <= K filter must push into the user window as a per-group
+    # heap, so each user ships at most K rows past the exchange
+    plan = plan_of(spark, "session_paths")
+    assert "WindowGroupLimit" in plan
+
+
+@pytest.mark.parametrize("name", [
+    "cms_user_counts", "m4_downsample",
+    "attribution_linear", "source_overlap_matrix",
+])
+def test_round2_batch2_no_nested_loops(spark, name):
+    plan = plan_of(spark, name)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sq8_only_nested_loop_is_quantizer_limits(spark):
+    # int8_quantize's one-row broadcast cross (the adjudicated q22
+    # scalar-subquery pattern) is the ONLY nested loop allowed here
+    # (formatted plans name each node twice: tree + detail section)
+    plan = plan_of(spark, "ann_sq8_rerank")
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_m4_single_exchange_no_window(spark):
+    # first/last are arg-min/arg-max inside the ONE bucket aggregate —
+    # a rank window appearing here doubles the shuffle
+    plan = plan_of(spark, "m4_downsample")
+    assert plan.count("Arguments: hashpartitioning") == 1
+    assert "WindowExec" not in plan
+
+
+def test_sq8_coarse_scoring_is_codegen(spark):
+    # query codes are plan literals: coarse scoring must not introduce
+    # Python evaluation or a join before the candidate window
+    plan = plan_of(spark, "ann_sq8_rerank")
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "WindowGroupLimit" in plan
