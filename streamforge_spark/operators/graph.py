@@ -113,3 +113,40 @@ def connected_components(edges: DataFrame, src: str = "d1", dst: str = "d2",
             break
         prev_sum = new_sum
     return labels.select(F.col("n").alias("node"), F.col("c").alias("component"))
+
+
+def label_propagation(edges: DataFrame, *, src: str = "src",
+                      dst: str = "dst", weight: str = "w",
+                      rounds: int = 3) -> DataFrame:
+    """Synchronous weighted label propagation (Raghavan et al. 2007)
+    community detection: every node starts as its own label; each round
+    it adopts the label carrying the MOST incident edge weight among
+    its neighbors (tie -> smallest label), all nodes updating against
+    the PREVIOUS round's labels. Integer weights make the argmax exact,
+    so the fixed-round computation unrolls into the SQL oracle.
+
+    Per round at 100 TB: edges ⨝ labels on src (the labels side is the
+    small one — broadcast under the same |V| threshold logic as
+    pagerank), a map-side-combined (dst, label) weight sum, and a rank-1
+    per dst. The edge list materializes once (localCheckpoint) and is
+    never re-derived per round. Returns (node, label).
+    """
+    from pyspark.sql import Window
+    ew = (edges.select(F.col(src).alias("s"), F.col(dst).alias("d"),
+                       F.col(weight).cast("long").alias("w"))
+          .localCheckpoint(eager=True))
+    nodes = ew.select(F.col("s").alias("node")).union(
+        ew.select(F.col("d").alias("node"))).distinct().localCheckpoint(eager=True)
+    labels = nodes.withColumn("lbl", F.col("node"))
+    rank_w = Window.partitionBy("node").orderBy(
+        F.col("wsum").desc(), F.col("lbl"))
+    for _ in range(rounds):
+        cand = (ew.join(F.broadcast(labels), ew["s"] == labels["node"])
+                .groupBy(F.col("d").alias("node"), F.col("lbl"))
+                .agg(F.sum("w").alias("wsum")))
+        best = (cand.withColumn("rn", F.row_number().over(rank_w))
+                .filter(F.col("rn") == 1).select("node", "lbl"))
+        labels = (nodes.join(best, "node", "left")
+                  .select("node", F.coalesce("lbl", "node").alias("lbl"))
+                  .localCheckpoint(eager=False))
+    return labels.select("node", F.col("lbl").alias("label"))

@@ -311,3 +311,58 @@ def market_basket_lift(spark, sf_dir):
             .select("p1", "p2", "n_both",
                     ((F.col("n_both") * F.col("n")).cast("double")
                      / (F.col("na") * F.col("nb")).cast("double")).alias("lift")))
+
+
+LPA_ROUNDS = 3
+
+
+def _lpa_oracle(rounds: int) -> str:
+    """Unroll synchronous weighted label propagation into SQL —
+    identical edge derivation to supplier_pagerank, every round
+    checked."""
+    ctes = [
+        """pairs AS (
+  SELECT o.o_custkey AS c, l.l_suppkey AS s, CAST(COUNT(*) AS BIGINT) AS w
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2)""",
+        """edges AS (
+  SELECT c * 2 AS src, s * 2 + 1 AS dst, w FROM pairs
+  UNION ALL
+  SELECT s * 2 + 1 AS src, c * 2 AS dst, w FROM pairs)""",
+        "nodes AS (SELECT DISTINCT src AS node FROM edges)",
+        "l0 AS (SELECT node, node AS lbl FROM nodes)",
+    ]
+    for i in range(rounds):
+        ctes.append(f"""c{i} AS (
+  SELECT e.dst AS node, r.lbl, SUM(e.w) AS wsum
+  FROM edges e JOIN l{i} r ON r.node = e.src
+  GROUP BY e.dst, r.lbl)""")
+        ctes.append(f"""l{i + 1} AS (
+  SELECT nd.node, COALESCE(b.lbl, nd.node) AS lbl
+  FROM nodes nd LEFT JOIN (
+    SELECT node, lbl FROM (
+      SELECT *, row_number() OVER (PARTITION BY node
+                                   ORDER BY wsum DESC, lbl) AS rn
+      FROM c{i}) WHERE rn = 1) b ON b.node = nd.node)""")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT node, lbl AS label FROM l{rounds}")
+
+
+@query("supplier_communities", oracle=_lpa_oracle(LPA_ROUNDS))
+def supplier_communities(spark, sf_dir):
+    """Community detection over the same derived customer–supplier
+    interaction graph as supplier_pagerank, via fixed-round synchronous
+    label propagation — the market-segmentation / fraud-ring primitive.
+    Every propagation round is replayed in the oracle."""
+    from streamforge_spark.operators.graph import label_propagation
+    lineitem, orders = prep(spark, sf_dir, "lineitem", "orders")
+    pairs = (lineitem.join(orders,
+                           lineitem["l_orderkey"] == orders["o_orderkey"])
+             .groupBy(F.col("o_custkey").alias("c"),
+                      F.col("l_suppkey").alias("s"))
+             .agg(F.count(F.lit(1)).alias("w")))
+    fwd = pairs.select((F.col("c") * 2).alias("src"),
+                       (F.col("s") * 2 + 1).alias("dst"), "w")
+    rev = pairs.select((F.col("s") * 2 + 1).alias("src"),
+                       (F.col("c") * 2).alias("dst"), "w")
+    return label_propagation(fwd.unionByName(rev), rounds=LPA_ROUNDS)

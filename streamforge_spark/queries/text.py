@@ -12,6 +12,7 @@ from streamforge_spark.functions.text import (
     stopword_count, token_count, word_ngrams,
 )
 from streamforge_spark.io import spread_for_compute
+from streamforge_spark.functions.simdedup import hash60_sql, oracle_hash60
 from streamforge_spark.queries.common import prep
 from streamforge_spark.registry import query
 
@@ -611,3 +612,92 @@ def hybrid_retrieval_rrf(spark, sf_dir):
                          F.col("dr").cast("long").alias("dense_rank"))
             .withColumn("rn", F.row_number().over(wr))
             .filter(F.col("rn") <= RRF_OUT).drop("rn"))
+
+
+FH_DIM = 32  # feature-hashing target dimensionality
+
+
+_FEATURE_HASH_ORACLE = f"""
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM documents)
+SELECT doc_id,
+       CAST({hash60_sql('w')} % {FH_DIM} AS INTEGER) AS j,
+       CAST(count(*) AS BIGINT) AS weight
+FROM toks GROUP BY 1, 2
+"""
+
+
+@query("feature_hash_vectors", oracle=_FEATURE_HASH_ORACLE)
+def feature_hash_vectors(spark, sf_dir):
+    """Feature hashing (Weinberger et al. 2009): model-free document
+    vectors — each token hashes to one of ``FH_DIM`` buckets, the
+    bucket weight is the token count. The trick that gives every doc a
+    fixed-width trainable/searchable vector with NO vocabulary table
+    and NO training pass, which is why it scales embarrassingly: the
+    "model" is a hash function.
+
+    Emits sparse (doc_id, j, weight) triples — zero buckets cost
+    nothing. Plan (100 TB): token explode + ONE map-side-combined
+    aggregation on (doc_id, j); no joins, no broadcast state, no
+    Python."""
+    (docs,) = prep(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    return (toks.groupBy(
+        "doc_id",
+        (oracle_hash60(F.col("w")) % FH_DIM).cast("int").alias("j"))
+        .agg(F.count(F.lit(1)).alias("weight")))
+
+
+_SOURCE_DRIFT_ORACLE = """
+WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS w
+              FROM documents),
+sc AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c FROM toks
+       GROUP BY source, w),
+tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM sc GROUP BY source),
+corpus AS (SELECT w, CAST(sum(c) AS BIGINT) AS cc FROM sc GROUP BY w),
+nall AS (SELECT CAST(sum(cc) AS BIGINT) AS nc FROM corpus),
+diff AS (
+  SELECT t.source,
+         abs(COALESCE(s.c, 0) * nall.nc - corpus.cc * t.n) AS d,
+         t.n, nall.nc
+  FROM corpus CROSS JOIN nall
+  CROSS JOIN tot t
+  LEFT JOIN sc s ON s.w = corpus.w AND s.source = t.source)
+SELECT source,
+       CAST(sum(d) AS DOUBLE) / (2.0 * CAST(max(n) AS DOUBLE)
+                                 * CAST(max(nc) AS DOUBLE)) AS tv_distance
+FROM diff GROUP BY source
+"""
+
+
+@query("source_token_drift", oracle=_SOURCE_DRIFT_ORACLE)
+def source_token_drift(spark, sf_dir):
+    """Per-source token-distribution drift: total-variation distance
+    between each source's unigram distribution and the corpus-wide
+    distribution — the corpus-mixing diagnostic that flags a feed whose
+    text has shifted (new boilerplate, language mix change, scraper
+    breakage). All comparisons are cross-multiplied BIGINTs (c_s*N -
+    c*N_s), so the sum is exact and order-independent; the single
+    closing division is the only float op.
+
+    Plan (100 TB): token counts per (source, w) are one map-side
+    combined shuffle; the corpus distribution is a rollup of that
+    (vocab-sized, NOT corpus-sized). The vocab x sources expansion is
+    |vocab| * |sources| rows of integer algebra — broadcast-joined
+    against the tiny totals — and the result is one row per source."""
+    (docs,) = prep(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(F.split("text", " ")).alias("w"))
+    sc = toks.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
+    tot = sc.groupBy("source").agg(F.sum("c").alias("n"))
+    corpus = sc.groupBy("w").agg(F.sum("c").alias("cc"))
+    nc = corpus.agg(F.sum("cc").alias("nc"))
+    expanded = (corpus.crossJoin(F.broadcast(nc))
+                .crossJoin(F.broadcast(tot))
+                .join(sc, ["w", "source"], "left")
+                .select("source", "n", "nc",
+                        F.abs(F.coalesce(F.col("c"), F.lit(0)) * F.col("nc")
+                              - F.col("cc") * F.col("n")).alias("d")))
+    return expanded.groupBy("source").agg(
+        (F.sum("d").cast("double")
+         / (F.lit(2.0) * F.max("n").cast("double") * F.max("nc").cast("double"))
+         ).alias("tv_distance"))

@@ -92,3 +92,79 @@ def streaming_topk(events: DataFrame, *, group_col: str = "event_type",
     return prepared.groupBy("event_type").applyInPandasWithState(
         fn, outputStructType=out_schema, stateStructType=state_schema,
         outputMode="update", timeoutConf=GroupStateTimeout.NoTimeout)
+
+
+EWMA_NUM, EWMA_DEN = 1, 8       # alpha = 1/8 in exact integer arithmetic
+EWMA_ANOMALY_MICRO = 40_000_000  # |x - ewma| above this (micro-units) flags
+
+
+def ewma_recursion(xs: list[int], ewma: int | None,
+                   num: int = EWMA_NUM, den: int = EWMA_DEN):
+    """The sequential spec shared by the streaming operator and the
+    batch test oracle: floor-division integer EWMA, anomaly when the
+    pre-update deviation exceeds the threshold (never on the first
+    observation). Returns (rows, final_ewma) with rows =
+    [(x, ewma_after, is_anomaly)]."""
+    rows = []
+    for x in xs:
+        if ewma is None:
+            rows.append((x, x, False))
+            ewma = x
+        else:
+            anomaly = abs(x - ewma) > EWMA_ANOMALY_MICRO
+            ewma = ewma + (x - ewma) * num // den
+            rows.append((x, ewma, anomaly))
+    return rows, ewma
+
+
+def streaming_ewma(events: DataFrame, *, key_col: str = "user_id") -> DataFrame:
+    """Exact recursive per-key EWMA smoothing + deviation alerting as
+    keyed streaming state — the IIR filter the batch `ewma_values`
+    query approximates with a finite tap window, here computed exactly
+    because streaming sees values in order. Integer micro-units and
+    floor division make every step deterministic.
+
+    State per key is ONE integer (the running EWMA) — input volume
+    never grows it. Within a micro-batch, rows process in (ts,
+    event_id) order; cross-batch order is the source's replay order,
+    which checkpointed file/Kafka sources preserve per key.
+
+    Emits one row per event (append semantics): the post-update ewma
+    and whether the PRE-update deviation crossed the anomaly
+    threshold (never alerts on a key's first observation).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("x_micro", T.LongType()),
+        T.StructField("ewma_micro", T.LongType()),
+        T.StructField("is_anomaly", T.BooleanType()),
+    ])
+    state_schema = T.StructType([T.StructField("ewma", T.LongType())])
+
+    def fn(key: tuple, pdfs, state: GroupState):
+        import pandas as pd
+        ewma = state.get[0] if state.exists else None
+        ids, xs = [], []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            ids.extend(int(e) for e in pdf["event_id"])
+            xs.extend(int(x) for x in pdf["x_micro"])
+        rows, ewma = ewma_recursion(xs, ewma)
+        state.update((int(ewma),))
+        yield pd.DataFrame({
+            "user_id": [key[0]] * len(rows),
+            "event_id": ids,
+            "x_micro": [r[0] for r in rows],
+            "ewma_micro": [r[1] for r in rows],
+            "is_anomaly": [r[2] for r in rows],
+        })
+
+    prepared = events.select(
+        F.col(key_col).alias("user_id"), "event_id", "ts",
+        (F.round(F.col("value") * 100).cast("long") * 10000).alias("x_micro"))
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        fn, outputStructType=out_schema, stateStructType=state_schema,
+        outputMode="append", timeoutConf=GroupStateTimeout.NoTimeout)

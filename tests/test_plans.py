@@ -594,3 +594,17 @@ def test_sq8_coarse_scoring_is_codegen(spark):
     assert "ArrowEvalPython" not in plan
     assert "BatchEvalPython" not in plan
     assert "WindowGroupLimit" in plan
+
+
+@pytest.mark.parametrize("name", [
+    "supplier_communities", "feature_hash_vectors", "source_token_drift",
+])
+def test_round2_batch3_no_nested_loops(spark, name):
+    # source_token_drift's vocab x sources expansion is broadcast
+    # crosses of one-row/source-count tables — those plan as
+    # BroadcastNestedLoopJoin by construction (constant small side),
+    # so only CartesianProduct is banned there
+    plan = plan_of(spark, name)
+    assert "CartesianProduct" not in plan
+    if name != "source_token_drift":
+        assert "BroadcastNestedLoopJoin" not in plan

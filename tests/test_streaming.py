@@ -548,3 +548,35 @@ def test_streaming_dedup_under_rocksdb_state_store(spark, workdir):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_streaming_ewma_matches_sequential_spec(spark, workdir):
+    # the keyed-state recursive EWMA fed in two time-ordered batches
+    # must equal the sequential per-key recursion over all events
+    from streamforge_spark.io import load
+    from streamforge_spark.streaming.timeseries import (
+        ewma_recursion, streaming_ewma)
+    events = load(spark, "/root/testdata/sf0.001", "events") \
+        .select("event_id", "ts", "user_id", "value")
+    src = f"{workdir}/ewma_in"
+    first = F.dayofmonth("ts") <= 15
+    events.filter(first).coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    out = streaming_ewma(stream)
+    q = (out.writeStream.format("memory").queryName("ewma_out")
+         .outputMode("append").start())
+    q.processAllAvailable()
+    events.filter(~first).coalesce(1).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    got = {(r.user_id, r.event_id): (r.x_micro, r.ewma_micro, r.is_anomaly)
+           for r in spark.sql("select * from ewma_out").collect()}
+    pdf = events.toPandas().sort_values(["ts", "event_id"])
+    want = {}
+    for uid, g in pdf.groupby("user_id"):
+        xs = [int(round(v * 100)) * 10000 for v in g["value"]]
+        rows, _ = ewma_recursion(xs, None)
+        for eid, row in zip(g["event_id"], rows):
+            want[(uid, int(eid))] = row
+    assert len(got) == len(want)
+    assert got == want
