@@ -62,6 +62,12 @@ HEADLINE = [
     # in CORRECTNESS_r{N}, so they stay out of the wall-clock set)
     "series_similarity_topk",
     "rolling_active_users",
+    # round-3 additions: corpus-trained LM scoring (model-as-aggregation
+    # join shape), two-stage SQ8 ANN (quantize+codegen coarse+rerank),
+    # corpus boilerplate removal (distinct-then-count + rebuild fold)
+    "bigram_lm_score",
+    "ann_sq8_rerank",
+    "boilerplate_strip",
 ]
 
 
