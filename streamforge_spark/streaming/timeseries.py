@@ -168,3 +168,70 @@ def streaming_ewma(events: DataFrame, *, key_col: str = "user_id") -> DataFrame:
     return prepared.groupBy("user_id").applyInPandasWithState(
         fn, outputStructType=out_schema, stateStructType=state_schema,
         outputMode="append", timeoutConf=GroupStateTimeout.NoTimeout)
+
+
+def streaming_debounce(events: DataFrame, *, key_col: str = "user_id",
+                       quiet_ms: int = 30 * 60 * 1000,
+                       watermark: str = "10 minutes") -> DataFrame:
+    """Trailing-edge debounce: per key, hold the LATEST event and emit
+    it only once no newer event arrives for ``quiet_ms`` of EVENT time
+    — the settle-then-act primitive (ship the final state of a burst of
+    edits; alert once a flapping signal stabilizes). The leading-edge
+    complement of flow_disruption_detector's silence alarm.
+
+    State per key is one held row + one timer. Each arrival replaces
+    the held row (latest by (ts, event_id)) and re-arms an event-time
+    timeout at held_ts + quiet_ms; the timeout fires when the WATERMARK
+    passes that point, so emission is deterministic in event time —
+    independent of micro-batch boundaries and replay speed (the same
+    late-data contract as windowed aggregation, and why this needs no
+    wall clock).
+
+    Emits (user_id, event_id, ts, value_cents) append rows.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("value_cents", T.LongType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts_micro", T.LongType()),
+        T.StructField("value_cents", T.LongType()),
+    ])
+
+    def fn(key: tuple, pdfs, state: GroupState):
+        import pandas as pd
+        cols = [f.name for f in out_schema]
+        if state.hasTimedOut:
+            eid, ts_micro, cents = state.get
+            state.remove()
+            yield pd.DataFrame([{
+                "user_id": key[0], "event_id": eid,
+                "ts": pd.Timestamp(ts_micro, unit="us"),
+                "value_cents": cents}], columns=cols)
+            return
+        held = state.get if state.exists else None
+        for pdf in pdfs:
+            for eid, ts, v in zip(pdf["event_id"], pdf["ts"], pdf["value_cents"]):
+                cand = (int(ts.value // 1000), int(eid), int(v))
+                cur = (held[1], held[0], held[2]) if held else None
+                if cur is None or cand[:2] > cur[:2]:
+                    held = (cand[1], cand[0], cand[2])
+        if held is not None:
+            state.update(held)
+            # fire once the watermark passes held_ts + quiet
+            state.setTimeoutTimestamp(held[1] // 1000 + quiet_ms)
+        yield pd.DataFrame([], columns=cols)
+
+    cents = F.round(F.col("value") * 100).cast("long")
+    prepared = (events
+                .withWatermark("ts", watermark)
+                .select(F.col(key_col).alias("user_id"), "event_id", "ts",
+                        cents.alias("value_cents")))
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        fn, outputStructType=out_schema, stateStructType=state_schema,
+        outputMode="append", timeoutConf=GroupStateTimeout.EventTimeTimeout)

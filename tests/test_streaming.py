@@ -580,3 +580,48 @@ def test_streaming_ewma_matches_sequential_spec(spark, workdir):
             want[(uid, int(eid))] = row
     assert len(got) == len(want)
     assert got == want
+
+
+def test_streaming_debounce_emits_latest_after_quiet_gap(spark, workdir):
+    # trailing-edge debounce: a burst of edits per key must produce ONE
+    # emission — the latest row — and only after the watermark passes
+    # the quiet period; a key still inside its quiet window stays held
+    import pandas as pd
+    from streamforge_spark.streaming.timeseries import streaming_debounce
+    schema = ("event_id LONG, ts TIMESTAMP, user_id LONG, value DOUBLE")
+    src = f"{workdir}/deb_in"
+
+    def write(rows):
+        spark.createDataFrame(
+            pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "value"]),
+            schema=schema).coalesce(1).write.mode("append").parquet(src)
+
+    write([(1, pd.Timestamp("2024-01-01 10:00:00"), 1, 1.0),
+           (2, pd.Timestamp("2024-01-01 10:00:05"), 1, 2.0),
+           (3, pd.Timestamp("2024-01-01 10:00:03"), 2, 3.0)])
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = streaming_debounce(stream, quiet_ms=60_000, watermark="10 seconds")
+    q = (out.writeStream.format("memory").queryName("deb_out")
+         .outputMode("append").start())
+    q.processAllAvailable()
+    assert spark.sql("select * from deb_out").count() == 0  # all still held
+    # advance the watermark past both quiet windows via an unrelated key
+    write([(4, pd.Timestamp("2024-01-01 10:05:00"), 3, 4.0)])
+    q.processAllAvailable()
+    got = {(r.user_id, r.event_id, r.value_cents)
+           for r in spark.sql("select * from deb_out").collect()}
+    assert got == {(1, 2, 200), (2, 3, 300)}  # latest of the burst only
+    # key 3 is still inside its own quiet window: a newer event for it
+    # replaces the held row instead of emitting the old one
+    write([(5, pd.Timestamp("2024-01-01 10:10:00"), 3, 5.0)])
+    q.processAllAvailable()
+    held3 = {r.event_id for r in spark.sql(
+        "select * from deb_out where user_id = 3").collect()}
+    assert held3 == set()
+    # and once the watermark clears 10:10 + quiet, the LATEST emits
+    write([(6, pd.Timestamp("2024-01-01 10:20:00"), 4, 6.0)])
+    q.processAllAvailable()
+    q.stop()
+    held3 = {(r.event_id, r.value_cents) for r in spark.sql(
+        "select * from deb_out where user_id = 3").collect()}
+    assert held3 == {(5, 500)}
