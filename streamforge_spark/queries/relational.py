@@ -971,3 +971,117 @@ def cms_user_counts(spark, sf_dir):
     return est.select(
         "user_id", "exact_cnt", "cms_est",
         (F.col("cms_est") - F.col("exact_cnt")).alias("overcount"))
+
+
+_RI_ORACLE = """
+SELECT 'orders.o_custkey->customer' AS fk,
+       CAST((SELECT count(*) FROM orders) AS BIGINT) AS n_rows,
+       CAST((SELECT count(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+         AS n_orphans
+UNION ALL
+SELECT 'lineitem.l_orderkey->orders',
+       CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+       CAST((SELECT count(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+UNION ALL
+SELECT 'lineitem.l_suppkey->supplier',
+       CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+       CAST((SELECT count(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                               WHERE s.s_suppkey = l.l_suppkey)) AS BIGINT)
+UNION ALL
+SELECT 'customer.c_nationkey->nation',
+       CAST((SELECT count(*) FROM customer) AS BIGINT),
+       CAST((SELECT count(*) FROM customer c
+             WHERE NOT EXISTS (SELECT 1 FROM nation n
+                               WHERE n.n_nationkey = c.c_nationkey)) AS BIGINT)
+"""
+
+
+@query("referential_integrity_report", oracle=_RI_ORACLE)
+def referential_integrity_report(spark, sf_dir):
+    """Foreign-key orphan audit across the schema's four load-bearing
+    relationships — the ingest-gate check that catches a partial load
+    or out-of-order CDC apply before queries silently drop rows in
+    joins.
+
+    Plan (100 TB): each check is ONE left-anti join where the
+    parent side ships only its key column (broadcast for dims;
+    shuffle-hash for orders, with the fact side never replicated) plus
+    a count — no windows, no full-row movement. The four checks are
+    independent jobs unioned into a 4-row report."""
+    orders, customer, lineitem, supplier, nation = prep(
+        spark, sf_dir, "orders", "customer", "lineitem", "supplier", "nation")
+
+    def check(name, child, key, parent, pkey):
+        orphans = child.select(key).join(
+            parent.select(pkey), child[key] == parent[pkey], "left_anti")
+        return (child.select(F.count(F.lit(1)).alias("n_rows"))
+                .crossJoin(orphans.select(
+                    F.count(F.lit(1)).alias("n_orphans")))
+                .select(F.lit(name).alias("fk"), "n_rows", "n_orphans"))
+
+    out = check("orders.o_custkey->customer",
+                orders, "o_custkey", customer, "c_custkey")
+    for args in [("lineitem.l_orderkey->orders",
+                  lineitem, "l_orderkey", orders, "o_orderkey"),
+                 ("lineitem.l_suppkey->supplier",
+                  lineitem, "l_suppkey", supplier, "s_suppkey"),
+                 ("customer.c_nationkey->nation",
+                  customer, "c_nationkey", nation, "n_nationkey")]:
+        out = out.unionByName(check(*args))
+    return out
+
+
+_DAILY_VOLUME_ORACLE = """
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1),
+w AS (
+  SELECT day, n,
+         CAST(sum(n) OVER (ORDER BY day
+                           ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+              AS BIGINT) AS trail_sum,
+         CAST(count(*) OVER (ORDER BY day
+                             ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+              AS BIGINT) AS trail_n
+  FROM daily)
+SELECT day, n, trail_sum, trail_n,
+       trail_n > 0 AND (n * trail_n * 2 < trail_sum
+                        OR n * trail_n > trail_sum * 2) AS is_anomaly
+FROM w
+"""
+
+
+@query("daily_volume_anomalies", oracle=_DAILY_VOLUME_ORACLE)
+def daily_volume_anomalies(spark, sf_dir):
+    """Pipeline-freshness monitoring: daily event volume vs its
+    trailing 7-day window — a day under half or over double the
+    trailing mean flags (feed died / replay doubled). The comparison
+    is cross-multiplied BIGINTs (n * trail_n vs trail_sum), so no
+    division and no float drift; the first days (empty trail) never
+    flag.
+
+    Plan (100 TB): the raw stream collapses to ONE ROW PER DAY in a
+    map-side-combined aggregate before any window — the trailing
+    window runs over the tiny day table (single partition of ~365
+    rows/year, explicitly acceptable: it is post-aggregation)."""
+    from pyspark.sql import Window
+    (events,) = prep(spark, sf_dir, "events")
+    daily = (events.groupBy(F.date_trunc("day", "ts").alias("day"))
+             .agg(F.count(F.lit(1)).alias("n")))
+    w = Window.orderBy("day").rowsBetween(-7, -1)
+    out = daily.select(
+        "day", "n",
+        F.sum("n").over(w).alias("trail_sum"),
+        F.count(F.lit(1)).over(w).alias("trail_n"))
+    return out.select(
+        "day", "n",
+        "trail_sum", "trail_n",
+        ((F.col("trail_n") > 0)
+         & ((F.col("n") * F.col("trail_n") * 2 < F.col("trail_sum"))
+            | (F.col("n") * F.col("trail_n") > F.col("trail_sum") * 2))
+         ).alias("is_anomaly"))
