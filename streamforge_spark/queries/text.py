@@ -701,3 +701,41 @@ def source_token_drift(spark, sf_dir):
         (F.sum("d").cast("double")
          / (F.lit(2.0) * F.max("n").cast("double") * F.max("nc").cast("double"))
          ).alias("tv_distance"))
+
+
+_SIMPSON_ORACLE = """
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM documents),
+cnt AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c FROM toks
+        GROUP BY doc_id, w)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_types,
+       (1000000 * (sum(c) * sum(c) - sum(c * c)))
+         // (sum(c) * sum(c)) AS diversity_ppm
+FROM cnt GROUP BY doc_id
+"""
+
+
+@query("doc_diversity_simpson", oracle=_SIMPSON_ORACLE)
+def doc_diversity_simpson(spark, sf_dir):
+    """Lexical diversity via the Gini–Simpson index, 1 - sum(p_i^2):
+    the probability two random tokens differ — near 0 flags degenerate
+    repeated-token documents (a Gopher-style quality gate that, unlike
+    entropy, is exact in integer arithmetic: ppm = (n^2 - sum c^2) *
+    1e6 // n^2, truncating division on both engines).
+
+    Plan (100 TB): token explode + ONE (doc_id, w) map-side-combined
+    count, then a per-doc rollup that reuses the same doc_id-prefixed
+    exchange. No joins, no floats."""
+    (docs,) = prep(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    cnt = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    agg = cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(F.col("c") * F.col("c")).alias("sum_c2"))
+    return agg.select(
+        "doc_id", "n_tokens", "n_types",
+        F.expr("(1000000 * (n_tokens * n_tokens - sum_c2)) "
+               "DIV (n_tokens * n_tokens)").alias("diversity_ppm"))

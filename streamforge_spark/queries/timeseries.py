@@ -1163,3 +1163,47 @@ def m4_downsample(spark, sf_dir):
         F.min("value").alias("vmin"), F.max("value").alias("vmax"),
         F.min_by("value", F.struct("ts", "event_id")).alias("vfirst"),
         F.max_by("value", F.struct("ts", "event_id")).alias("vlast"))
+
+
+_DISORDER_ORACLE = """
+WITH arr AS (
+  SELECT user_id, ts, event_id,
+         max(ts) OVER (PARTITION BY user_id ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS seen_max
+  FROM events)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(CASE WHEN ts < seen_max THEN 1 END) AS BIGINT) AS n_late,
+       CAST(coalesce(max(CASE WHEN ts < seen_max
+                              THEN date_diff('microsecond', ts, seen_max) END),
+                     0) AS BIGINT) AS max_lateness_micros
+FROM arr GROUP BY user_id
+"""
+
+
+@query("event_disorder_report", oracle=_DISORDER_ORACLE)
+def event_disorder_report(spark, sf_dir):
+    """Event-time disorder profile: per key, how many events arrive
+    with an event time EARLIER than something already seen (event_id
+    as the arrival proxy), and the worst lateness — the measurement
+    that SIZES the watermark delay: a watermark below
+    max_lateness drops data, one far above it holds state for nothing.
+
+    Plan (100 TB): one shuffle on user_id for the running-max window
+    (arrival order is a sort within the partition), then the rollup
+    reuses that exchange (same key). Lateness is exact integer
+    microseconds."""
+    from pyspark.sql import Window
+    (events,) = prep(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("event_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    arr = events.select(
+        "user_id", "ts", "event_id", F.max("ts").over(w).alias("seen_max"))
+    late = F.col("ts") < F.col("seen_max")
+    lateness = (F.unix_micros("seen_max") - F.unix_micros("ts"))
+    return arr.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(late, F.lit(1))).alias("n_late"),
+        F.coalesce(F.max(F.when(late, lateness)), F.lit(0))
+        .alias("max_lateness_micros"))
