@@ -157,3 +157,41 @@ def test_fuzzy_dedup_idempotent(spark):
     kept_docs = docs.filter(F.col("doc_id").isin(kept_ids))
     again = minhash_lsh_pairs(kept_docs, threshold=MINHASH_THRESHOLD)
     assert again.count() == 0
+
+
+def test_hll_estimate_error_bound_at_sf01(spark):
+    # past the sketch's exact coupon regime (sf0.1: 1500 users) the
+    # HLL estimate must stay within its published relative error
+    # (lgK=12 -> ~1.6% RSE; allow 3 sigma)
+    from pyspark.sql import functions as F
+    from streamforge_spark.io import load
+    ev = load(spark, "/root/testdata/sf0.1", "events")
+    r = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est"),
+        F.countDistinct("user_id").alias("exact")).collect()[0]
+    assert abs(r.est - r.exact) <= 0.05 * r.exact
+    assert r.est != r.exact  # confirms we are in the approximate regime
+
+
+def test_attribution_credits_sum_to_purchase_cents(spark):
+    # largest-remainder split invariant: per purchase, credits
+    # reconcile exactly to the purchase amount
+    from pyspark.sql import functions as F
+    from streamforge_spark.queries.analytics import attribution_linear
+    out = attribution_linear(spark, "/root/testdata/sf0.001")
+    sums = out.groupBy("purchase_id").agg(
+        F.sum("credit_cents").alias("total")).collect()
+    events = __import__("streamforge_spark.io", fromlist=["load"]).load(
+        spark, "/root/testdata/sf0.001", "events")
+    cents = {r.event_id: int(round(r.value * 100))
+             for r in events.filter(F.col("event_type") == "purchase").collect()}
+    assert len(sums) > 0
+    for r in sums:
+        assert r.total == cents[r.purchase_id]
+
+
+def test_cms_never_undercounts(spark):
+    from streamforge_spark.queries.relational import cms_user_counts
+    rows = cms_user_counts(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) > 0
+    assert all(r.overcount >= 0 for r in rows)
