@@ -323,3 +323,54 @@ def resize_media(df: DataFrame, width: int, height: int,
             })
 
     return df.mapInPandas(resize, RESIZED_SCHEMA)
+
+
+AHASH_GX, AHASH_GY = 10, 6  # sample grid: 60 bits, fits a positive BIGINT
+
+
+def image_ahash(df: DataFrame) -> DataFrame:
+    """Perceptual average-hash over DECODED pixels: nearest-neighbor
+    sample a fixed 10x6 grid of grayscale values (r+g+b), set bit i
+    when sample_i * 60 > total (integer cross-multiplication — no
+    division, no float) — a 60-bit fingerprint that survives resizing
+    and mild re-encoding, THE image near-dedup key for multimodal
+    corpora (group/band by hash the same way text uses MinHash).
+
+    Input: (media_id, payload) with real PNG bytes; decoding runs the
+    actual inflate+unfilter codec, so the hash certifies the whole
+    pixel path. Arrow-batched; one narrow output row per image."""
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("ahash", T.LongType()),
+    ])
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        from streamforge_spark.functions.png import decode_png
+        for pdf in batches:
+            out = {"media_id": [], "width": [], "height": [], "ahash": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, _, pixels = decode_png(bytes(payload))
+                px = np.frombuffer(pixels, dtype=np.uint8).astype(np.int64)
+                xs = (np.arange(AHASH_GX) * w) // AHASH_GX
+                ys = (np.arange(AHASH_GY) * h) // AHASH_GY
+                pos = (ys[:, None] * w + xs[None, :]).reshape(-1) * 3
+                gray = px[pos] + px[pos + 1] + px[pos + 2]
+                total = int(gray.sum())
+                bits = gray * (AHASH_GX * AHASH_GY) > total
+                ah = int(np.sum(bits.astype(np.int64)
+                                << np.arange(AHASH_GX * AHASH_GY)))
+                out["media_id"].append(mid)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["ahash"].append(ah)
+            yield pd.DataFrame({
+                "media_id": pd.Series(out["media_id"], dtype="int64"),
+                "width": pd.Series(out["width"], dtype="int32"),
+                "height": pd.Series(out["height"], dtype="int32"),
+                "ahash": pd.Series(out["ahash"], dtype="int64"),
+            })
+
+    return df.select("media_id", "payload").mapInPandas(hash_batch, schema)

@@ -797,3 +797,47 @@ def bigram_lm_score(spark, sf_dir):
         F.count(F.lit(1)).alias("n_bigrams"),
         F.sum("p_ppm").alias("sum_p_ppm"),
         (F.sum("p_ppm").cast("double") / F.count(F.lit(1))).alias("avg_p_ppm"))
+
+
+_AHASH_ORACLE = """
+WITH dims AS (
+  SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h
+  FROM documents),
+samples AS (
+  SELECT doc_id, w, h, i,
+         ((i % 10) * w) // 10 AS bx, ((i // 10) * h) // 6 AS by
+  FROM dims, unnest(generate_series(0, 59)) u(i)),
+grays AS (
+  SELECT doc_id, w, h, i,
+         (doc_id * 7 + (by * w + bx) * 3) % 256
+         + (doc_id * 7 + (by * w + bx) * 3 + 1) % 256
+         + (doc_id * 7 + (by * w + bx) * 3 + 2) % 256 AS gray
+  FROM samples),
+tot AS (SELECT doc_id, CAST(sum(gray) AS BIGINT) AS total FROM grays
+        GROUP BY doc_id)
+SELECT g.doc_id AS media_id,
+       CAST(max(g.w) AS INTEGER) AS width,
+       CAST(max(g.h) AS INTEGER) AS height,
+       CAST(sum(CASE WHEN g.gray * 60 > t.total
+                     THEN (1::BIGINT << g.i) ELSE 0 END) AS BIGINT) AS ahash
+FROM grays g JOIN tot t USING (doc_id)
+GROUP BY g.doc_id
+"""
+
+
+@query("image_ahash_fingerprint", oracle=_AHASH_ORACLE)
+def image_ahash_fingerprint(spark, sf_dir):
+    """Image perceptual hashing for multimodal near-dedup: real PNG
+    bytes synthesize per document, decode through the actual
+    inflate+unfilter codec, and hash by 10x6 grid average-thresholding
+    (multimodal.py::image_ahash). The oracle recomputes every hash
+    arithmetically from the deterministic pixel pattern — a codec,
+    sampling, or thresholding bug flips bits and fails the gate.
+    Downstream dedup is a groupBy(ahash) / hamming-band join, same
+    shape as SimHash text dedup.
+
+    Plan (100 TB): one Arrow-batched decode+hash pass, no shuffle;
+    binary payloads never leave their partition."""
+    from streamforge_spark.multimodal import image_ahash, media_png_from_documents
+    (docs,) = prep(spark, sf_dir, "documents")
+    return image_ahash(media_png_from_documents(docs))
