@@ -841,3 +841,36 @@ def image_ahash_fingerprint(spark, sf_dir):
     from streamforge_spark.multimodal import image_ahash, media_png_from_documents
     (docs,) = prep(spark, sf_dir, "documents")
     return image_ahash(media_png_from_documents(docs))
+
+
+_AHASH_DEDUP_ORACLE = f"""
+WITH h AS ({_AHASH_ORACLE.strip()})
+SELECT media_id, ahash,
+       min(media_id) OVER (PARTITION BY ahash) AS dup_of,
+       media_id = min(media_id) OVER (PARTITION BY ahash) AS is_canonical
+FROM h
+"""
+
+
+@query("image_perceptual_dedup", oracle=_AHASH_DEDUP_ORACLE)
+def image_perceptual_dedup(spark, sf_dir):
+    """Perceptual image dedup: images whose aHash collides are
+    the-same-picture-for-training purposes (the pattern fixture
+    produces real hash clusters); each collapses to its lowest-id
+    canonical representative — the image twin of dedup_exact, keyed on
+    pixels-as-perceived rather than bytes.
+
+    Plan (100 TB): the hash pass is the scan-side image_ahash map; the
+    canonical assignment is ONE shuffle on the 60-bit hash (window min
+    per hash group). Payload bytes never shuffle — only (id, hash)
+    pairs."""
+    from pyspark.sql import Window
+    from streamforge_spark.multimodal import image_ahash, media_png_from_documents
+    (docs,) = prep(spark, sf_dir, "documents")
+    hashes = image_ahash(media_png_from_documents(docs)).select(
+        "media_id", "ahash")
+    w = Window.partitionBy("ahash")
+    return (hashes
+            .withColumn("dup_of", F.min("media_id").over(w))
+            .withColumn("is_canonical",
+                        F.col("media_id") == F.col("dup_of")))

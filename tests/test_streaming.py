@@ -625,3 +625,34 @@ def test_streaming_debounce_emits_latest_after_quiet_gap(spark, workdir):
     held3 = {(r.event_id, r.value_cents) for r in spark.sql(
         "select * from deb_out where user_id = 3").collect()}
     assert held3 == {(5, 500)}
+
+
+def test_streaming_hll_daily_matches_batch(spark, workdir):
+    # sketch aggregation IS streaming-compatible state: per-day HLL
+    # sketches built incrementally over two micro-batches must estimate
+    # identically to the one-shot batch query (exact regime -> equality)
+    from streamforge_spark.io import load
+    from streamforge_spark.queries.sketches import hll_daily_distinct
+    events = load(spark, "/root/testdata/sf0.001", "events") \
+        .select("event_id", "ts", "user_id")
+    src = f"{workdir}/hll_in"
+    first = F.col("event_id") % 2 == 0
+    events.filter(first).coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    daily = (stream
+             .groupBy(F.date_format(F.date_trunc("day", "ts"),
+                                    "yyyy-MM-dd").alias("scope"))
+             .agg(F.hll_sketch_agg("user_id").alias("sk")))
+    out = daily.select("scope", F.hll_sketch_estimate("sk").alias("est_users"))
+    q = (out.writeStream.format("memory").queryName("hll_out")
+         .outputMode("complete").start())
+    q.processAllAvailable()
+    events.filter(~first).coalesce(1).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    got = {(r.scope, r.est_users)
+           for r in spark.sql("select * from hll_out").collect()}
+    want = {(r.scope, r.est_users)
+            for r in hll_daily_distinct(spark, "/root/testdata/sf0.001")
+            .filter(F.col("scope") != "total").collect()}
+    assert got == want
