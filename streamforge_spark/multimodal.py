@@ -374,3 +374,95 @@ def image_ahash(df: DataFrame) -> DataFrame:
             })
 
     return df.select("media_id", "payload").mapInPandas(hash_batch, schema)
+
+
+AUDIO_ENV_WINDOWS = 20  # loudness-envelope windows -> 20-bit fingerprint
+
+
+def audio_envelope_fingerprint(df: DataFrame) -> DataFrame:
+    """Audio perceptual fingerprint from DECODED PCM: split the clip
+    into ``AUDIO_ENV_WINDOWS`` equal sample windows, set bit w when
+    window w's absolute-amplitude energy exceeds the clip mean
+    (integer cross-multiplication, no division) — a loudness-envelope
+    signature robust to gain-less re-encoding, the audio analog of
+    image_ahash for multimodal near-dedup.
+
+    Input: (media_id, payload) with real RIFF/WAV bytes; decoding runs
+    the actual container+PCM codec. Arrow-batched, one narrow row per
+    clip."""
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("env_hash", T.LongType()),
+    ])
+
+    def fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        from streamforge_spark.functions.wav import decode_wav
+        W = AUDIO_ENV_WINDOWS
+        for pdf in batches:
+            out = {"media_id": [], "n_samples": [], "env_hash": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                _, _, n, samples = decode_wav(bytes(payload))
+                a = np.abs(np.asarray(samples, dtype=np.int64))
+                bounds = (np.arange(W) * n) // W
+                energy = np.add.reduceat(a, bounds)
+                total = int(a.sum())
+                bits = energy * W > total
+                out["media_id"].append(mid)
+                out["n_samples"].append(n)
+                out["env_hash"].append(
+                    int(np.sum(bits.astype(np.int64) << np.arange(W))))
+            yield pd.DataFrame({
+                "media_id": pd.Series(out["media_id"], dtype="int64"),
+                "n_samples": pd.Series(out["n_samples"], dtype="int64"),
+                "env_hash": pd.Series(out["env_hash"], dtype="int64"),
+            })
+
+    return df.select("media_id", "payload").mapInPandas(fp, schema)
+
+
+VID_GX, VID_GY = 4, 3  # per-frame sample grid -> 12 bits/frame
+
+
+def video_scene_signature(df: DataFrame) -> DataFrame:
+    """Video perceptual signature from DECODED frames: each frame
+    contributes a 12-bit spatial hash (4x3 grid samples thresholded
+    against the frame mean, integer cross-multiplication) packed at
+    bit offset 12*frame — a temporal-spatial fingerprint for video
+    near-dedup, completing the modality set (image_ahash, audio
+    envelope). Input: (media_id, payload) with real animated-GIF
+    bytes; decoding runs the full LZW codec per frame."""
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("vhash", T.LongType()),
+    ])
+
+    def sig(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        from streamforge_spark.functions.gif import decode_gif
+        for pdf in batches:
+            out = {"media_id": [], "n_frames": [], "vhash": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, frames = decode_gif(bytes(payload))
+                xs = (np.arange(VID_GX) * w) // VID_GX
+                ys = (np.arange(VID_GY) * h) // VID_GY
+                pos = (ys[:, None] * w + xs[None, :]).reshape(-1)
+                vhash = 0
+                for f, fr in enumerate(frames):
+                    px = np.frombuffer(fr, dtype=np.uint8).astype(np.int64)
+                    sample = px[pos]
+                    bits = sample * (w * h) > int(px.sum())
+                    vhash |= int(np.sum(bits.astype(np.int64)
+                                        << np.arange(VID_GX * VID_GY))) << (12 * f)
+                out["media_id"].append(mid)
+                out["n_frames"].append(len(frames))
+                out["vhash"].append(vhash)
+            yield pd.DataFrame({
+                "media_id": pd.Series(out["media_id"], dtype="int64"),
+                "n_frames": pd.Series(out["n_frames"], dtype="int64"),
+                "vhash": pd.Series(out["vhash"], dtype="int64"),
+            })
+
+    return df.select("media_id", "payload").mapInPandas(sig, schema)

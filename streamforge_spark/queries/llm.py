@@ -874,3 +874,87 @@ def image_perceptual_dedup(spark, sf_dir):
             .withColumn("dup_of", F.min("media_id").over(w))
             .withColumn("is_canonical",
                         F.col("media_id") == F.col("dup_of")))
+
+
+_AUDIO_ENV_ORACLE = """
+WITH n AS (SELECT doc_id, 200 + doc_id % 100 AS ns FROM documents),
+wins AS (SELECT doc_id, ns, w, (w * ns) // 20 AS lo,
+                CASE WHEN w = 19 THEN ns ELSE ((w + 1) * ns) // 20 END AS hi
+         FROM n, unnest(generate_series(0, 19)) u(w)),
+energy AS (
+  SELECT doc_id, ns, w,
+         CAST(list_sum(list_transform(generate_series(lo, hi - 1),
+                i -> abs((doc_id * 31 + i * 17) % 4001 - 2000))) AS BIGINT) AS e
+  FROM wins),
+tot AS (SELECT doc_id, CAST(sum(e) AS BIGINT) AS total FROM energy
+        GROUP BY doc_id)
+SELECT e.doc_id AS media_id,
+       CAST(max(e.ns) AS BIGINT) AS n_samples,
+       CAST(sum(CASE WHEN e.e * 20 > t.total
+                     THEN (1::BIGINT << e.w) ELSE 0 END) AS BIGINT) AS env_hash
+FROM energy e JOIN tot t USING (doc_id)
+GROUP BY e.doc_id
+"""
+
+
+@query("audio_envelope_fingerprint", oracle=_AUDIO_ENV_ORACLE)
+def audio_envelope_fingerprint_q(spark, sf_dir):
+    """Audio perceptual fingerprinting through the REAL WAV codec:
+    loudness-envelope bits per 1/20th of the clip
+    (multimodal.py::audio_envelope_fingerprint), the audio leg of
+    multimodal near-dedup (image_ahash_fingerprint is the image leg).
+    The oracle recomputes every window energy from the deterministic
+    PCM pattern — container parsing, sample unpacking, windowing, and
+    thresholding are all certified.
+
+    Plan (100 TB): single Arrow-batched decode+fingerprint pass, no
+    shuffle; PCM bytes never leave their partition."""
+    from streamforge_spark.multimodal import (
+        audio_envelope_fingerprint, media_wav_from_documents)
+    (docs,) = prep(spark, sf_dir, "documents")
+    return audio_envelope_fingerprint(media_wav_from_documents(docs))
+
+
+_VIDEO_SIG_ORACLE = """
+WITH dims AS (
+  SELECT doc_id, 6 + doc_id % 8 AS w, 4 + doc_id % 5 AS h,
+         2 + doc_id % 3 AS nf
+  FROM documents),
+cells AS (
+  SELECT doc_id, w, h, nf, f, b,
+         ((b % 4) * w) // 4 AS bx, ((b // 4) * h) // 3 AS by
+  FROM dims, unnest(generate_series(0, nf - 1)) uf(f),
+       unnest(generate_series(0, 11)) ub(b)),
+frame_tot AS (
+  SELECT doc_id, f,
+         CAST(list_sum(list_transform(generate_series(0, w * h - 1),
+                i -> (doc_id * 13 + f * 101 + i * 7) % 256)) AS BIGINT) AS tot
+  FROM dims, unnest(generate_series(0, nf - 1)) uf(f)),
+bits AS (
+  SELECT c.doc_id, c.nf, c.f, c.b,
+         CASE WHEN ((c.doc_id * 13 + c.f * 101 + (c.by * c.w + c.bx) * 7) % 256)
+                   * (c.w * c.h) > t.tot
+              THEN (1::BIGINT << (c.b + 12 * c.f)) ELSE 0 END AS bit
+  FROM cells c JOIN frame_tot t ON t.doc_id = c.doc_id AND t.f = c.f)
+SELECT doc_id AS media_id,
+       CAST(max(nf) AS BIGINT) AS n_frames,
+       CAST(sum(bit) AS BIGINT) AS vhash
+FROM bits GROUP BY doc_id
+"""
+
+
+@query("video_scene_signature", oracle=_VIDEO_SIG_ORACLE)
+def video_scene_signature_q(spark, sf_dir):
+    """Video near-dedup fingerprinting through the REAL animated-GIF
+    codec: 12 spatial bits per decoded frame packed by frame index
+    (multimodal.py::video_scene_signature) — with image_ahash and the
+    audio envelope this closes perceptual fingerprinting across all
+    three modalities. The oracle recomputes every bit from the
+    deterministic frame pattern, certifying LZW decode, frame
+    ordering, grid geometry, and thresholding.
+
+    Plan (100 TB): one Arrow-batched decode+hash pass, no shuffle."""
+    from streamforge_spark.multimodal import (
+        media_gif_from_documents, video_scene_signature)
+    (docs,) = prep(spark, sf_dir, "documents")
+    return video_scene_signature(media_gif_from_documents(docs))
