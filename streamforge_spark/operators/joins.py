@@ -100,7 +100,8 @@ def asof_join(left: DataFrame, right: DataFrame, *,
               right_cols: Sequence[str],
               right_tiebreak: str | None = None,
               prefix: str = "asof_",
-              direction: str = "backward") -> DataFrame:
+              direction: str = "backward",
+              tolerance_seconds: int | None = None) -> DataFrame:
     """As-of join (capability surplus — absent in the reference,
     SURVEY §2.7 'absent' row): each left row is enriched with the
     single nearest right row for the same key — the most recent with
@@ -120,6 +121,13 @@ def asof_join(left: DataFrame, right: DataFrame, *,
     At 100 TB this is the difference between a sort within each key
     partition and a cross-product retry.
 
+    ``tolerance_seconds`` bounds staleness (feature-store semantics:
+    "don't serve a feature older than X"): a carried match farther than
+    the tolerance from left_ts nulls out instead of enriching — the
+    row still emits (left-outer), it just refuses the stale payload.
+    Requires timestamp-typed ts columns; same one-shuffle plan (the
+    matched right's timestamp rides along in the carry struct).
+
     Ties: a right row at exactly left_ts matches in both directions
     (>= / <= semantics, same as DuckDB ASOF). Equal right timestamps
     within a key are broken by ``right_tiebreak`` (backward: the last
@@ -137,13 +145,15 @@ def asof_join(left: DataFrame, right: DataFrame, *,
         F.col(key).alias("_k"), F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_is_left"), l_payload.alias("_l"),
         F.lit(None).cast(r_type).alias("_r"),
-        F.lit(None).cast("string").alias("_tb"))
+        F.lit(None).cast("string").alias("_tb"),
+        F.lit(None).cast(left.schema[left_ts].dataType).alias("_rts"))
     rp = right.select(
         F.col(key).alias("_k"), F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_is_left"), F.lit(None).cast(l_type).alias("_l"),
         r_payload.alias("_r"),
         (F.col(right_tiebreak).cast("string") if right_tiebreak
-         else F.lit(None).cast("string")).alias("_tb"))
+         else F.lit(None).cast("string")).alias("_tb"),
+        F.col(right_ts).alias("_rts"))
 
     if direction == "backward":
         order = [F.col("_ts").asc(), F.col("_is_left").asc(),
@@ -160,8 +170,16 @@ def asof_join(left: DataFrame, right: DataFrame, *,
     matched = (
         lp.unionByName(rp)
         .withColumn("_m", F.last("_r", ignorenulls=True).over(w))
+        .withColumn("_mts", F.last("_rts", ignorenulls=True).over(w))
         .filter(F.col("_is_left") == 1)
     )
+    if tolerance_seconds is not None:
+        gap = (F.unix_micros("_ts") - F.unix_micros("_mts")
+               if direction == "backward"
+               else F.unix_micros("_mts") - F.unix_micros("_ts"))
+        fresh = gap <= F.lit(tolerance_seconds).cast("long") * 1_000_000
+        matched = matched.withColumn(
+            "_m", F.when(fresh, F.col("_m")))
     # emit the key from the window's own partitioning attribute (_k),
     # not the struct field: downstream groupBy/join on the key then
     # reuses this exchange instead of adding one

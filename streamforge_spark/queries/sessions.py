@@ -296,3 +296,62 @@ def state_snapshot_diff(spark, sf_dir):
                 .when(F.col("payload_after").isNull(), "removed")
                 .otherwise("changed").alias("change_type"),
                 "payload_before", "payload_after"))
+
+
+FEATURE_STALENESS_S = 3 * 86400  # serve features at most 3 days old
+
+
+_FEATURE_STORE_ORACLE = f"""
+WITH feats AS (
+  SELECT user_id, date_trunc('day', ts) + INTERVAL 1 DAY AS available_from,
+         CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT)
+           AS f_clicks,
+         CAST(sum(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS f_cents
+  FROM events GROUP BY 1, 2),
+pit AS (
+  SELECT e.event_id, e.user_id, e.ts, f.available_from, f.f_clicks, f.f_cents
+  FROM events e LEFT JOIN LATERAL (
+    SELECT * FROM feats f
+    WHERE f.user_id = e.user_id AND f.available_from <= e.ts
+    ORDER BY f.available_from DESC LIMIT 1) f ON true)
+SELECT event_id, user_id, ts,
+       CASE WHEN date_diff('microsecond', available_from, ts)
+                 <= {FEATURE_STALENESS_S}::BIGINT * 1000000
+            THEN f_clicks END AS f_clicks,
+       CASE WHEN date_diff('microsecond', available_from, ts)
+                 <= {FEATURE_STALENESS_S}::BIGINT * 1000000
+            THEN f_cents END AS f_cents
+FROM pit
+"""
+
+
+@query("feature_store_join", oracle=_FEATURE_STORE_ORACLE)
+def feature_store_join(spark, sf_dir):
+    """Point-in-time-correct feature join (the feature-store training
+    primitive): every event is enriched with the latest per-user daily
+    feature snapshot that was AVAILABLE at event time — snapshots
+    computed from day d become available at day d+1, so no label ever
+    sees same-day (leaky) aggregates — and a snapshot staler than
+    3 days is refused (nulls) rather than served.
+
+    Plan (100 TB): the snapshot build is one map-side-combined daily
+    aggregate; the point-in-time join is the as-of union+running-carry
+    (ONE shuffle on user_id, no range join, no N:M), with the
+    staleness check riding the carried snapshot timestamp — zero extra
+    exchanges vs plain as-of."""
+    from streamforge_spark.operators.joins import asof_join
+    (events,) = prep(spark, sf_dir, "events")
+    feats = (events.groupBy(
+        "user_id",
+        (F.date_trunc("day", "ts")
+         + F.expr("INTERVAL 1 DAY")).alias("available_from"))
+        .agg(F.count(F.when(F.col("event_type") == "click", 1))
+             .alias("f_clicks"),
+             F.sum(F.round(F.col("value") * 100).cast("long"))
+             .alias("f_cents")))
+    labels = events.select("event_id", "user_id", "ts")
+    out = asof_join(
+        labels, feats, key="user_id", left_ts="ts",
+        right_ts="available_from", right_cols=["f_clicks", "f_cents"],
+        prefix="", tolerance_seconds=FEATURE_STALENESS_S)
+    return out.select("event_id", "user_id", "ts", "f_clicks", "f_cents")

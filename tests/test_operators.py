@@ -730,3 +730,22 @@ def test_decode_media_dispatches_all_three_real_codecs(spark):
     assert (got[1].width, got[1].height) == (2, 2)
     assert (got[2].width, got[2].height) == (3, 8000)   # samples, rate
     assert (got[3].width, got[3].height) == (3, 2)
+
+
+def test_asof_join_tolerance_nulls_stale_matches(spark):
+    # staleness bound: a match farther than tolerance_seconds nulls
+    # out; fresh matches are identical to the unbounded as-of
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from streamforge_spark.operators.joins import asof_join
+    left = spark.createDataFrame(pd.DataFrame({
+        "k": [1, 1], "lts": pd.to_datetime(
+            ["2024-01-01 10:00:00", "2024-01-05 10:00:00"])}))
+    right = spark.createDataFrame(pd.DataFrame({
+        "k": [1], "rts": pd.to_datetime(["2024-01-01 09:00:00"]),
+        "v": [42]}))
+    out = asof_join(left, right, key="k", left_ts="lts", right_ts="rts",
+                    right_cols=["v"], tolerance_seconds=86400)
+    got = {r.lts.day: r.asof_v for r in out.collect()}
+    assert got[1] == 42        # 1h old: fresh
+    assert got[5] is None      # 4 days old: refused
