@@ -1085,3 +1085,65 @@ def daily_volume_anomalies(spark, sf_dir):
          & ((F.col("n") * F.col("trail_n") * 2 < F.col("trail_sum"))
             | (F.col("n") * F.col("trail_n") > F.col("trail_sum") * 2))
          ).alias("is_anomaly"))
+
+
+_RANK_TEST_ORACLE = """
+WITH a AS (SELECT user_id, CAST(ROUND(value * 100) AS BIGINT) AS cents
+           FROM events WHERE event_type = 'click'),
+b AS (SELECT user_id, CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'),
+ca AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_a FROM a GROUP BY 1),
+cb AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_b FROM b GROUP BY 1),
+pairs AS (
+  SELECT a.user_id,
+         CAST(sum(CASE WHEN a.cents > b.cents THEN 2
+                       WHEN a.cents = b.cents THEN 1 ELSE 0 END) AS BIGINT)
+           AS u2
+  FROM a JOIN b USING (user_id) GROUP BY a.user_id)
+SELECT COALESCE(ca.user_id, cb.user_id) AS user_id,
+       COALESCE(ca.n_a, 0) AS n_a,
+       COALESCE(cb.n_b, 0) AS n_b,
+       COALESCE(p.u2, 0) AS u2
+FROM ca FULL OUTER JOIN cb ON ca.user_id = cb.user_id
+LEFT JOIN pairs p ON p.user_id = COALESCE(ca.user_id, cb.user_id)
+"""
+
+
+@query("paired_rank_test", oracle=_RANK_TEST_ORACLE)
+def paired_rank_test(spark, sf_dir):
+    """Per-user Mann-Whitney U (rank-sum) comparing click-event values
+    against purchase-event values — the nonparametric are-these-
+    distributions-different statistic, in doubled-U integer form
+    (2*wins + ties) so it is exact.
+
+    This is the repo's COGROUP operator: the two filtered streams
+    co-partition on user_id and meet in ONE Arrow-batched
+    applyInPandas per group, where a sort + binary search computes all
+    pairwise comparisons in O((n+m) log m) per user — while the SQL
+    oracle literally materializes the O(n*m) pair join. At 100 TB the
+    cogroup is two co-located shuffles and linearithmic group work;
+    the naive pair join it replaces is quadratic in the hottest user.
+    """
+    (events,) = prep(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    a = (events.filter(F.col("event_type") == "click")
+         .select("user_id", cents.alias("cents")))
+    b = (events.filter(F.col("event_type") == "purchase")
+         .select("user_id", cents.alias("cents")))
+
+    def fn(key, pa, pb):
+        import numpy as np
+        import pandas as pd
+        av = pa["cents"].to_numpy(dtype="int64")
+        bv = np.sort(pb["cents"].to_numpy(dtype="int64"))
+        if len(av) and len(bv):
+            wins = np.searchsorted(bv, av, side="left").sum()
+            le = np.searchsorted(bv, av, side="right").sum()
+            u2 = int(2 * wins + (le - wins))
+        else:
+            u2 = 0
+        return pd.DataFrame([{
+            "user_id": key[0], "n_a": len(av), "n_b": len(bv), "u2": u2}])
+
+    return (a.groupBy("user_id").cogroup(b.groupBy("user_id"))
+            .applyInPandas(fn, "user_id long, n_a long, n_b long, u2 long"))
