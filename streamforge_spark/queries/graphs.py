@@ -366,3 +366,54 @@ def supplier_communities(spark, sf_dir):
     rev = pairs.select((F.col("s") * 2 + 1).alias("src"),
                        (F.col("c") * 2).alias("dst"), "w")
     return label_propagation(fwd.unionByName(rev), rounds=LPA_ROUNDS)
+
+
+KCORE_K = 8
+KCORE_ROUNDS = 3
+
+
+def _kcore_oracle(k: int, rounds: int) -> str:
+    """Unroll the peel: every round's degree filter and edge pruning
+    replays in SQL."""
+    ctes = [
+        """pairs AS (
+  SELECT o.o_custkey AS c, l.l_suppkey AS s
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2)""",
+        """e0 AS (
+  SELECT c * 2 AS src, s * 2 + 1 AS dst FROM pairs
+  UNION ALL
+  SELECT s * 2 + 1 AS src, c * 2 AS dst FROM pairs)""",
+    ]
+    for r in range(rounds):
+        ctes.append(f"""k{r} AS (
+  SELECT src AS node FROM e{r} GROUP BY src HAVING count(*) >= {k})""")
+        ctes.append(f"""e{r + 1} AS (
+  SELECT e.src, e.dst FROM e{r} e
+  JOIN k{r} a ON a.node = e.src
+  JOIN k{r} b ON b.node = e.dst)""")
+    return ("WITH " + ",\n".join(ctes)
+            + f"""
+SELECT src AS node, CAST(count(*) AS BIGINT) AS degree
+FROM e{rounds} GROUP BY src""")
+
+
+@query("supplier_kcore", oracle=_kcore_oracle(KCORE_K, KCORE_ROUNDS))
+def supplier_kcore(spark, sf_dir):
+    """Dense-backbone extraction on the derived customer–supplier
+    graph: {k}-core peeling, {r} rounds, every round oracle-replayed —
+    the third graph primitive beside connected components
+    (dedup_clusters) and PageRank/LPA (centrality/communities).""".format(
+        k=KCORE_K, r=KCORE_ROUNDS)
+    from streamforge_spark.operators.graph import kcore_peel
+    lineitem, orders = prep(spark, sf_dir, "lineitem", "orders")
+    pairs = (lineitem.join(orders,
+                           lineitem["l_orderkey"] == orders["o_orderkey"])
+             .groupBy(F.col("o_custkey").alias("c"),
+                      F.col("l_suppkey").alias("s"))
+             .agg(F.lit(1).alias("_one")))
+    fwd = pairs.select((F.col("c") * 2).alias("src"),
+                       (F.col("s") * 2 + 1).alias("dst"))
+    rev = pairs.select((F.col("s") * 2 + 1).alias("src"),
+                       (F.col("c") * 2).alias("dst"))
+    return kcore_peel(fwd.unionByName(rev), k=KCORE_K, rounds=KCORE_ROUNDS)
