@@ -699,3 +699,101 @@ def attribution_linear(spark, sf_dir):
         (F.expr("cents DIV n")
          + F.when(F.col("rn") <= F.col("cents") % F.col("n"), 1).otherwise(0)
          ).alias("credit_cents"))
+
+
+_SHARE_ORACLE = """
+WITH rev AS (
+  SELECT r.r_name AS region, n.n_name AS nation,
+         CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY 1, 2)
+SELECT region, nation, cents,
+       (1000000 * cents) // CAST(SUM(cents) OVER (PARTITION BY region) AS BIGINT)
+         AS share_of_region_ppm,
+       (1000000 * cents) // CAST(SUM(cents) OVER () AS BIGINT)
+         AS share_of_total_ppm
+FROM rev
+"""
+
+
+@query("revenue_share_hierarchy", oracle=_SHARE_ORACLE)
+def revenue_share_hierarchy(spark, sf_dir):
+    """Percent-of-parent OLAP rollup: nation revenue with its exact
+    integer-ppm share of the region and of the grand total — the
+    drill-down tree every BI layer renders. Shares are truncating
+    integer division over exact cent sums, so hierarchy levels
+    reconcile without float drift.
+
+    Plan (100 TB): ONE fact aggregation (map-side combined onto
+    |nation| rows; dims broadcast); both share windows run over the
+    ~25-row aggregate — the single-partition global window is
+    post-aggregation and explicitly fine."""
+    from pyspark.sql import Window
+    lineitem, supplier, nation, region = prep(
+        spark, sf_dir, "lineitem", "supplier", "nation", "region")
+    rev = (lineitem
+           .join(F.broadcast(supplier),
+                 F.col("l_suppkey") == F.col("s_suppkey"))
+           .join(F.broadcast(nation),
+                 F.col("s_nationkey") == F.col("n_nationkey"))
+           .join(F.broadcast(region),
+                 F.col("n_regionkey") == F.col("r_regionkey"))
+           .groupBy(F.col("r_name").alias("region"),
+                    F.col("n_name").alias("nation"))
+           .agg(F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+                .alias("cents")))
+    wr = Window.partitionBy("region")
+    wt = Window.partitionBy()
+    return rev.select(
+        "region", "nation", "cents",
+        F.expr("1000000 * cents").alias("_nr"),
+        F.sum("cents").over(wr).alias("_rs"),
+        F.sum("cents").over(wt).alias("_ts"),
+    ).select(
+        "region", "nation", "cents",
+        F.expr("_nr DIV _rs").alias("share_of_region_ppm"),
+        F.expr("_nr DIV _ts").alias("share_of_total_ppm"))
+
+
+_TOP_MOVERS_ORACLE = """
+WITH wk AS (
+  SELECT event_type, date_trunc('week', ts) AS week,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+lagged AS (
+  SELECT event_type, week, n,
+         lag(n) OVER (PARTITION BY event_type ORDER BY week) AS prev_n
+  FROM wk)
+SELECT event_type, week, n, prev_n,
+       CASE WHEN prev_n IS NULL OR prev_n = 0 THEN NULL
+            ELSE (1000000 * (n - prev_n)) // prev_n END AS wow_change_ppm
+FROM lagged
+"""
+
+
+@query("weekly_top_movers", oracle=_TOP_MOVERS_ORACLE)
+def weekly_top_movers(spark, sf_dir):
+    """Week-over-week volume movement per event type in exact integer
+    ppm — the trend panel of pipeline monitoring (pair to
+    daily_volume_anomalies' absolute gate). NULL (not a crash, not a
+    fake 0) when there is no previous week or it was empty — the
+    ANSI-safe total formulation.
+
+    Plan: raw events collapse map-side to |types|x|weeks| rows; the
+    lag window runs over that tiny rollup."""
+    from pyspark.sql import Window
+    (events,) = prep(spark, sf_dir, "events")
+    wk = (events.groupBy("event_type",
+                         F.date_trunc("week", "ts").alias("week"))
+          .agg(F.count(F.lit(1)).alias("n")))
+    w = Window.partitionBy("event_type").orderBy("week")
+    lagged = wk.withColumn("prev_n", F.lag("n").over(w))
+    return lagged.select(
+        "event_type", "week", "n", "prev_n",
+        F.when(F.col("prev_n").isNotNull() & (F.col("prev_n") != 0),
+               F.expr("(1000000 * (n - prev_n)) DIV prev_n"))
+        .alias("wow_change_ppm"))
