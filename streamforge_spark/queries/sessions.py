@@ -355,3 +355,60 @@ def feature_store_join(spark, sf_dir):
         right_ts="available_from", right_cols=["f_clicks", "f_cents"],
         prefix="", tolerance_seconds=FEATURE_STALENESS_S)
     return out.select("event_id", "user_id", "ts", "f_clicks", "f_cents")
+
+
+BT_VALID_AT = "2024-01-15 00:00:00"   # V: state as of this event time
+BT_KNOWN_AT = "2024-01-20 00:00:00"   # K: using only data that had ARRIVED by this time
+
+
+_BITEMPORAL_ORACLE = f"""
+WITH env AS (
+  SELECT user_id AS pk, event_id, ts AS valid_ts,
+         ts + INTERVAL ((event_id % 7)) MINUTE AS txn_ts,
+         event_type, value
+  FROM events),
+known AS (SELECT * FROM env WHERE txn_ts <= TIMESTAMP '{BT_KNOWN_AT}'),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY pk
+                               ORDER BY valid_ts DESC, event_id DESC) AS rn
+  FROM known WHERE valid_ts <= TIMESTAMP '{BT_VALID_AT}')
+SELECT pk AS user_id, event_id, valid_ts, txn_ts, event_type,
+       CAST(ROUND(value * 100) AS BIGINT) AS value_cents
+FROM ranked WHERE rn = 1
+"""
+
+
+@query("bitemporal_snapshot", oracle=_BITEMPORAL_ORACLE)
+def bitemporal_snapshot(spark, sf_dir):
+    """Bitemporal as-of query: "what did we BELIEVE on K about the
+    state at V" — the audit/backtest primitive that mono-temporal
+    SCD-2 (materializer_history / scd2_temporal_join) cannot answer,
+    because it needs BOTH the valid time (event_time) and the
+    transaction time (arrival). Arrival here is the deterministic
+    event_id-seeded delay (ts + id%7 minutes), standing in for the
+    envelope's processed_time.
+
+    Two filters + one latest-per-key rank: reproducing any historical
+    report is a partition-pruned scan (both predicates push down) and
+    ONE shuffle on the key — no state tables, no log replay.
+
+    Plan guard: rn = 1 under WindowGroupLimit ships one row per key
+    past the exchange."""
+    from pyspark.sql import Window
+    (events,) = prep(spark, sf_dir, "events")
+    env = events.select(
+        F.col("user_id").alias("pk"), "event_id",
+        F.col("ts").alias("valid_ts"),
+        (F.col("ts") + F.make_interval(
+            mins=(F.col("event_id") % 7).cast("int"))).alias("txn_ts"),
+        "event_type", F.round(F.col("value") * 100).cast("long")
+        .alias("value_cents"))
+    known = env.filter(
+        (F.col("txn_ts") <= F.lit(BT_KNOWN_AT).cast("timestamp"))
+        & (F.col("valid_ts") <= F.lit(BT_VALID_AT).cast("timestamp")))
+    w = Window.partitionBy("pk").orderBy(
+        F.col("valid_ts").desc(), F.col("event_id").desc())
+    return (known.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("pk").alias("user_id"), "event_id", "valid_ts",
+                    "txn_ts", "event_type", "value_cents"))
