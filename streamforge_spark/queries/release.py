@@ -1,0 +1,169 @@
+"""The capstone composition: one oracle-checked query that takes the
+raw documents table to a releasable training-data build — the decision
+a data engine actually ships, not the individual stages.
+
+Pipeline (first failing gate wins, fixed precedence):
+  benchmark hold-out -> MinHash/LSH fuzzy dedup (transitive closure,
+  lowest-id survivor) -> language gate -> quality gate -> repetition
+  gate -> benchmark decontamination -> token-budget shard assignment
+  (per-source hash-ordered prefix sums).
+
+Every stage reuses the SAME machinery its standalone query verifies
+(minhash_lsh_pairs, connected_components, lang_id, quality_score,
+segment stats, contamination grams, budget packing), and the oracle
+replays all of it — signatures, banding, closure, gates, and the
+shard prefix sums — in one SQL statement.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from streamforge_spark.functions.simdedup import hash60_sql, oracle_hash60
+from streamforge_spark.functions.text import lang_id, quality_score, token_count
+from streamforge_spark.queries.common import prep
+from streamforge_spark.registry import query
+
+RELEASE_BENCH_MAX_ID = 20     # doc_id < 20 is the benchmark hold-out
+RELEASE_MIN_SCORE = 0.5
+# Repetition gate: drop when n_dup_segs * RELEASE_REP_MULT > n_segs
+# (i.e. dup-segment fraction > 1/RELEASE_REP_MULT = 4%). Production
+# pipelines use ~30%; the synthetic fixture tops out at ~5.6% dup
+# fraction, so the demo threshold sits where the gate has real work.
+RELEASE_REP_MULT = 25
+RELEASE_SHARD_TOKENS = 500    # token budget per output shard
+
+
+def _release_oracle() -> str:
+    from streamforge_spark.queries.llm import _MINHASH_ORACLE
+    from streamforge_spark.queries.repetition import _SEG_EXPR
+    from streamforge_spark.queries.text import _SQL_SCORE, _lang_case_sql
+    return f"""
+WITH RECURSIVE pairs AS ({_MINHASH_ORACLE}),
+edges AS (
+  SELECT d1 AS a, d2 AS b FROM pairs
+  UNION
+  SELECT d2 AS a, d1 AS b FROM pairs),
+reach(node, label) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, r.label FROM reach r JOIN edges e ON e.b = r.node),
+comp AS (SELECT node, MIN(label) AS component FROM reach GROUP BY node),
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+segs AS (SELECT doc_id, {_SEG_EXPR} AS sg FROM toks),
+rep AS (SELECT doc_id,
+               CAST(len(sg) AS BIGINT) AS n_segs,
+               CAST(len(sg) - len(list_distinct(sg)) AS BIGINT) AS n_dup
+        FROM segs),
+grams AS (SELECT doc_id, unnest(list_distinct(list_transform(
+            generate_series(1, greatest(len(t) - 3, 1)),
+            i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3])))) AS g
+          FROM toks),
+bench AS (SELECT DISTINCT g FROM grams
+          WHERE doc_id < {RELEASE_BENCH_MAX_ID}),
+contam AS (SELECT DISTINCT c.doc_id FROM grams c JOIN bench b ON c.g = b.g
+           WHERE c.doc_id >= {RELEASE_BENCH_MAX_ID}),
+verdicts AS (
+  SELECT d.doc_id, d.source,
+         CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+         CASE
+           WHEN d.doc_id < {RELEASE_BENCH_MAX_ID} THEN 'benchmark'
+           WHEN COALESCE(c.component, d.doc_id) <> d.doc_id THEN 'near_dup'
+           WHEN ({_lang_case_sql()}) = 'unknown' THEN 'lang'
+           WHEN ({_SQL_SCORE}) < {RELEASE_MIN_SCORE} THEN 'quality'
+           WHEN r.n_dup * {RELEASE_REP_MULT} > r.n_segs
+             THEN 'repetition'
+           WHEN ct.doc_id IS NOT NULL THEN 'contaminated'
+           ELSE 'kept'
+         END AS verdict
+  FROM documents d
+  LEFT JOIN comp c ON c.node = d.doc_id
+  JOIN rep r ON r.doc_id = d.doc_id
+  LEFT JOIN contam ct ON ct.doc_id = d.doc_id),
+kept AS (
+  SELECT doc_id, source, n_tokens,
+         {hash60_sql("CAST(doc_id AS VARCHAR)", "'release'")} AS adm
+  FROM verdicts WHERE verdict = 'kept'),
+packed AS (
+  SELECT doc_id, source,
+         (CAST(sum(n_tokens) OVER (PARTITION BY source
+                                   ORDER BY adm, doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+          - n_tokens) // {RELEASE_SHARD_TOKENS} AS shard_num
+  FROM kept)
+SELECT v.doc_id, v.source, v.n_tokens, v.verdict,
+       CASE WHEN v.verdict = 'kept'
+            THEN v.source || '-' || CAST(p.shard_num AS VARCHAR) END AS shard
+FROM verdicts v LEFT JOIN packed p ON p.doc_id = v.doc_id
+"""
+
+
+@query("training_data_release", oracle=_release_oracle())
+def training_data_release(spark, sf_dir):
+    """See module docstring — the raw corpus to a releasable build in
+    ONE plan: per document the final verdict (first failing gate) and,
+    for kept docs, the token-budget shard assignment.
+
+    Scale shape, stage by stage: LSH pair generation is the bucketed
+    band join (never all-pairs); closure runs on the pair graph only;
+    gates are scan-side column algebra; decontamination joins distinct
+    corpus shingles against the (small, broadcast) benchmark shingle
+    set; shard packing is a per-source prefix-sum window — parallel
+    across sources, never a global single-partition sort. The corpus-
+    sized joins (verdict stamp, shard stamp) are doc_id equi-joins."""
+    from streamforge_spark.operators.graph import connected_components
+    from streamforge_spark.queries.llm import MINHASH_THRESHOLD, minhash_lsh_pairs
+    from streamforge_spark.queries.repetition import _tokens_and_segments
+    (docs,) = prep(spark, sf_dir, "documents")
+
+    comp = connected_components(
+        minhash_lsh_pairs(docs, threshold=MINHASH_THRESHOLD), "d1", "d2")
+    rep = _tokens_and_segments(docs).select(
+        "doc_id", F.size("segs").alias("n_segs"),
+        (F.size("segs") - F.size(F.array_distinct("segs"))).alias("n_dup"))
+    t = F.col("t")
+    grams = (docs.select("doc_id", F.split("text", " ").alias("t"))
+             .select("doc_id", F.explode(F.array_distinct(F.transform(
+                 F.sequence(F.lit(1), F.greatest(F.size(t) - 3, F.lit(1))),
+                 lambda i: F.concat_ws(
+                     " ", F.try_element_at(t, i), F.try_element_at(t, i + 1),
+                     F.try_element_at(t, i + 2), F.try_element_at(t, i + 3)))))
+                 .alias("g")))
+    bench = (grams.filter(F.col("doc_id") < RELEASE_BENCH_MAX_ID)
+             .select("g").distinct())
+    contam = (grams.filter(F.col("doc_id") >= RELEASE_BENCH_MAX_ID)
+              .join(F.broadcast(bench), "g").select("doc_id").distinct()
+              .withColumn("_contam", F.lit(True)))
+
+    tx = F.col("text")
+    verdicts = (docs
+                .join(comp, docs["doc_id"] == comp["node"], "left")
+                .join(rep, "doc_id")
+                .join(contam, "doc_id", "left")
+                .select(
+                    "doc_id", "source",
+                    token_count(tx).alias("n_tokens"),
+                    F.when(F.col("doc_id") < RELEASE_BENCH_MAX_ID,
+                           "benchmark")
+                    .when(F.coalesce(F.col("component"), F.col("doc_id"))
+                          != F.col("doc_id"), "near_dup")
+                    .when(lang_id(tx) == "unknown", "lang")
+                    .when(quality_score(tx, F.col("n_chars"))
+                          < RELEASE_MIN_SCORE, "quality")
+                    .when(F.col("n_dup") * RELEASE_REP_MULT
+                          > F.col("n_segs"), "repetition")
+                    .when(F.col("_contam"), "contaminated")
+                    .otherwise("kept").alias("verdict")))
+    kept = (verdicts.filter(F.col("verdict") == "kept")
+            .withColumn("adm", oracle_hash60(
+                F.col("doc_id").cast("string"), salt="release")))
+    packed = kept.select(
+        "doc_id",
+        F.concat(F.col("source"), F.lit("-"),
+                 F.expr(f"(sum(n_tokens) OVER (PARTITION BY source "
+                        f"ORDER BY adm, doc_id ROWS BETWEEN UNBOUNDED "
+                        f"PRECEDING AND CURRENT ROW) - n_tokens) "
+                        f"DIV {RELEASE_SHARD_TOKENS}").cast("string"))
+        .alias("shard"))
+    return (verdicts.join(packed, "doc_id", "left")
+            .select("doc_id", "source", "n_tokens", "verdict", "shard"))
