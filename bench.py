@@ -68,6 +68,8 @@ HEADLINE = [
     "bigram_lm_score",
     "ann_sq8_rerank",
     "boilerplate_strip",
+    # the capstone composition: the whole curation stack in one plan
+    "training_data_release",
 ]
 
 
