@@ -958,3 +958,93 @@ def video_scene_signature_q(spark, sf_dir):
         media_gif_from_documents, video_scene_signature)
     (docs,) = prep(spark, sf_dir, "documents")
     return video_scene_signature(media_gif_from_documents(docs))
+
+
+INGEST_SPLIT_ID = 400  # doc_id >= this is the "newly arriving" batch
+
+
+_INCR_FUZZY_ORACLE = f"""
+WITH {_SHINGLE_CTES},
+mh AS (SELECT doc_id, p, MIN({hash60_sql('g', 'CAST(p AS VARCHAR)')}) AS sig
+       FROM grams CROSS JOIN range({NUM_PERM}) t(p) GROUP BY doc_id, p),
+bands AS (SELECT doc_id, CAST(p // {NUM_PERM // LSH_BANDS} AS INTEGER) AS band,
+                 list(sig ORDER BY p) AS bkey
+          FROM mh GROUP BY 1, 2),
+cands AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+          FROM bands a
+          JOIN (SELECT * FROM bands WHERE doc_id >= {INGEST_SPLIT_ID}) b
+            ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM grams GROUP BY doc_id),
+inter AS (SELECT c.d1, c.d2, CAST(count(*) AS BIGINT) AS i
+          FROM cands c
+          JOIN grams a ON a.doc_id = c.d1
+          JOIN grams b ON b.doc_id = c.d2 AND b.g = a.g
+          GROUP BY 1, 2),
+matched AS (
+  SELECT c.d2 AS doc_id, MIN(c.d1) AS dup_of
+  FROM cands c
+  JOIN inter i ON i.d1 = c.d1 AND i.d2 = c.d2
+  JOIN sizes sa ON sa.doc_id = c.d1
+  JOIN sizes sb ON sb.doc_id = c.d2
+  WHERE CAST(i.i AS DOUBLE) / CAST(sa.n + sb.n - i.i AS DOUBLE)
+          >= {MINHASH_THRESHOLD}
+  GROUP BY c.d2)
+SELECT d.doc_id, m.dup_of, m.dup_of IS NULL AS kept
+FROM documents d LEFT JOIN matched m ON m.doc_id = d.doc_id
+WHERE d.doc_id >= {INGEST_SPLIT_ID}
+"""
+
+
+@query("incremental_fuzzy_dedup", oracle=_INCR_FUZZY_ORACLE)
+def incremental_fuzzy_dedup(spark, sf_dir):
+    """Incremental NEAR-dup admission: the newly arriving batch
+    (doc_id >= {split}) checks against the existing corpus's LSH
+    signature index AND against itself, and each new doc is admitted
+    only if no smaller-id doc near-matches it — the production shape
+    for continuously-ingesting corpora, complementing
+    incremental_ingest_dedup (exact digests) with fuzzy matching.
+
+    The scale property: the band join filters its RIGHT side to the
+    batch BEFORE joining, so candidate generation costs
+    O(batch x collisions), never O(corpus^2); exact-Jaccard
+    verification runs only on surviving candidates. In production the
+    corpus side's signatures are READ from the persisted signature/band
+    index (built once, appended per batch) — recomputed here only
+    because the fixture has no cross-run state.""".format(
+        split=INGEST_SPLIT_ID)
+    from streamforge_spark.functions.simdedup import (
+        NUM_PERM, oracle_hash60, word_ngrams)
+    from streamforge_spark.io import spread_for_compute
+    (docs,) = prep(spark, sf_dir, "documents")
+    gram_sets = (spread_for_compute(docs, "doc_id")
+                 .select("doc_id", word_ngrams(F.col("text"), 3).alias("gs"))
+                 .localCheckpoint())
+    grams = gram_sets.select("doc_id", F.explode("gs").alias("g"))
+    mins = [F.min(oracle_hash60(F.col("g"), salt=str(p))).alias(f"h{p}")
+            for p in range(NUM_PERM)]
+    sigs = grams.groupBy("doc_id").agg(*mins).select(
+        "doc_id",
+        F.array(*[F.col(f"h{p}") for p in range(NUM_PERM)]).alias("sig"))
+    rows = NUM_PERM // LSH_BANDS
+    banded = sigs.select(
+        "doc_id",
+        F.posexplode(F.array(*[
+            F.xxhash64(*[F.col("sig")[b * rows + r] for r in range(rows)])
+            for b in range(LSH_BANDS)])).alias("band", "band_hash"))
+    new_side = banded.filter(F.col("doc_id") >= INGEST_SPLIT_ID)
+    a, b = banded.alias("a"), new_side.alias("b")
+    cands = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.band_hash") == F.col("b.band_hash"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .select(F.col("a.doc_id").alias("d1"),
+                     F.col("b.doc_id").alias("d2")).distinct())
+    g1 = gram_sets.select(F.col("doc_id").alias("d1"), F.col("gs").alias("gs1"))
+    g2 = gram_sets.select(F.col("doc_id").alias("d2"), F.col("gs").alias("gs2"))
+    matched = (cands.join(g1, "d1").join(g2, "d2")
+               .filter((F.size(F.array_intersect("gs1", "gs2")).cast("double")
+                        / F.size(F.array_union("gs1", "gs2")).cast("double"))
+                       >= MINHASH_THRESHOLD)
+               .groupBy("d2").agg(F.min("d1").alias("dup_of")))
+    return (docs.filter(F.col("doc_id") >= INGEST_SPLIT_ID).select("doc_id")
+            .join(matched, F.col("doc_id") == matched["d2"], "left")
+            .select("doc_id", "dup_of", F.col("dup_of").isNull().alias("kept")))
