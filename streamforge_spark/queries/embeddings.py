@@ -674,3 +674,83 @@ def ann_sq8_rerank(spark, sf_dir):
             .select(F.col("qid").alias("query_id"),
                     F.col("cid").alias("neighbor_id"),
                     F.col("rank").cast("long").alias("rank"), "cos"))
+
+
+KCENTER_K = 8
+KCENTER_QUANT = 10000
+
+
+def _kcenter_oracle(k: int, quant: int) -> str:
+    """Unroll greedy k-center: every round's min-distance argmax
+    replays in SQL (farthest-point tie -> lowest vec_id)."""
+    ctes = [
+        f"""e AS (
+  SELECT vec_id, list_transform(embedding::DOUBLE[],
+                                x -> CAST(ROUND(x * {quant}) AS BIGINT)) AS v
+  FROM embeddings)""",
+        """ed AS MATERIALIZED (SELECT vec_id, generate_subscripts(v, 1) AS j,
+                 unnest(v) AS x FROM e)""",
+        """c0 AS MATERIALIZED (SELECT 0 AS rnd, vec_id FROM e ORDER BY vec_id LIMIT 1)""",
+        """s0 AS MATERIALIZED (SELECT vec_id FROM c0)""",
+    ]
+    for r in range(1, k):
+        ctes.append(f"""pd{r} AS MATERIALIZED (
+  SELECT pe.vec_id, s.vec_id AS cid,
+         SUM((pe.x - ce.x) * (pe.x - ce.x)) AS d2
+  FROM s{r - 1} s
+  JOIN ed ce ON ce.vec_id = s.vec_id
+  JOIN ed pe ON pe.j = ce.j
+  GROUP BY pe.vec_id, s.vec_id)""")
+        ctes.append(f"""d{r} AS MATERIALIZED (
+  SELECT vec_id, MIN(d2) AS mind FROM pd{r}
+  WHERE vec_id NOT IN (SELECT vec_id FROM s{r - 1})
+  GROUP BY vec_id)""")
+        ctes.append(f"""c{r} AS MATERIALIZED (
+  SELECT {r} AS rnd, vec_id FROM d{r}
+  ORDER BY mind DESC, vec_id LIMIT 1)""")
+        ctes.append(f"""s{r} AS MATERIALIZED (
+  SELECT vec_id FROM s{r - 1} UNION ALL SELECT vec_id FROM c{r})""")
+    sel = " UNION ALL ".join(f"SELECT rnd, vec_id FROM c{r}" for r in range(k))
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT CAST(rnd AS BIGINT) AS rnd, vec_id FROM ({sel})")
+
+
+@query("kcenter_coreset", oracle=_kcenter_oracle(KCENTER_K, KCENTER_QUANT))
+def kcenter_coreset(spark, sf_dir):
+    """Greedy k-center coreset selection (Gonzalez 1985; the
+    farthest-point diversity sampler behind coverage-maximizing data
+    selection): start from the lowest-id vector, then repeatedly pick
+    the point FARTHEST from everything chosen so far — 8 rounds, each
+    a single corpus scan. Fixed-point integer distances make every
+    argmax exact (ties -> lowest id), so the whole greedy trajectory
+    is oracle-replayed round by round.
+
+    Plan (100 TB): per round, min-distance-to-chosen is pure codegen
+    (the <= 8 chosen centers are plan literals — no join), and the
+    argmax is a 1-row TakeOrdered; only k ids ever reach the driver.
+    The classic 2-approximation coverage guarantee comes for free."""
+    (emb,) = prep(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding").cast("array<double>"),
+                    lambda x: F.round(x * KCENTER_QUANT).cast("long"))
+        .alias("v"))
+    first = e.orderBy("vec_id").limit(1).select("vec_id", "v").collect()[0]
+    chosen = [(0, first.vec_id, list(first.v))]
+    for r in range(1, KCENTER_K):
+        dists = [
+            F.aggregate(
+                F.zip_with(F.col("v"),
+                           F.array(*[F.lit(int(c)) for c in cv]),
+                           lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"), lambda acc, x: acc + x)
+            for _, _, cv in chosen]
+        cand = (e.filter(~F.col("vec_id").isin([cid for _, cid, _ in chosen]))
+                .select("vec_id", "v",
+                        (F.least(*dists) if len(dists) > 1 else dists[0])
+                        .alias("mind"))
+                .orderBy(F.col("mind").desc(), F.col("vec_id"))
+                .limit(1).collect()[0])
+        chosen.append((r, cand.vec_id, list(cand.v)))
+    rows = [(r, int(cid)) for r, cid, _ in chosen]
+    return spark.createDataFrame(rows, "rnd long, vec_id long")
