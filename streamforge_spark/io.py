@@ -204,3 +204,45 @@ def backfill_partitions(df: DataFrame, target_path: str,
      .option("partitionOverwriteMode", "dynamic")
      .partitionBy(partition_col)
      .parquet(target_path))
+
+
+def plan_compaction(spark: SparkSession, path: str, *,
+                    target_file_bytes: int = 128 * 1024 * 1024,
+                    small_file_bytes: int | None = None) -> list[dict]:
+    """Compaction PLANNER: inspect a parquet directory's file sizes
+    (Hadoop FS listing — metadata only, no data read) and bin-pack the
+    small files into merge groups of ~``target_file_bytes`` via
+    first-fit-decreasing. Returns one dict per group:
+    ``{"files": [...], "bytes": N}`` — the schedule an operator (or
+    compact_files per group) executes, letting operations see and
+    bound the rewrite cost BEFORE touching 100 TB of data.
+
+    Files >= ``small_file_bytes`` (default: target/2) are already
+    healthy and excluded. Deterministic: sizes descending, name
+    ascending."""
+    if small_file_bytes is None:
+        small_file_bytes = target_file_bytes // 2
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    fs_path = jvm.org.apache.hadoop.fs.Path(path)
+    fs = fs_path.getFileSystem(conf)
+    files = []
+    for st in fs.listStatus(fs_path):
+        name = st.getPath().getName()
+        if st.isFile() and name.endswith(".parquet"):
+            size = st.getLen()
+            if size < small_file_bytes:
+                files.append((int(size), name))
+    files.sort(key=lambda t: (-t[0], t[1]))
+    groups: list[dict] = []
+    for size, name in files:
+        placed = False
+        for g in groups:
+            if g["bytes"] + size <= target_file_bytes:
+                g["files"].append(name)
+                g["bytes"] += size
+                placed = True
+                break
+        if not placed:
+            groups.append({"files": [name], "bytes": size})
+    return groups

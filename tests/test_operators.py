@@ -749,3 +749,20 @@ def test_asof_join_tolerance_nulls_stale_matches(spark):
     got = {r.lts.day: r.asof_v for r in out.collect()}
     assert got[1] == 42        # 1h old: fresh
     assert got[5] is None      # 4 days old: refused
+
+
+def test_plan_compaction_bins_small_files(spark, tmp_path):
+    # the planner must see only small files, pack them under the
+    # target, and be deterministic
+    from streamforge_spark.io import load, plan_compaction
+    p = str(tmp_path / "frag")
+    ev = load(spark, "/root/testdata/sf0.001", "events")
+    ev.repartition(10).write.mode("overwrite").parquet(p)
+    groups = plan_compaction(spark, p, target_file_bytes=40_000)
+    assert groups and all(g["bytes"] <= 40_000 for g in groups)
+    n_files = sum(len(g["files"]) for g in groups)
+    assert n_files == 10  # every fragment planned exactly once
+    assert groups == plan_compaction(spark, p, target_file_bytes=40_000)
+    # a healthy file (>= target/2) is left alone
+    few = plan_compaction(spark, p, target_file_bytes=2 * ev.count())
+    assert sum(len(g["files"]) for g in few) <= 10
