@@ -31,3 +31,35 @@ def stamp_processor(df: DataFrame, trace_col: str = "trace_id",
         df.withColumn(trace_col, F.coalesce(F.col(trace_col), new_trace))
         .withColumn(processed_col, processed)
     )
+
+
+def chunk_udtf():
+    """Python UDTF (Spark 4's 1-to-N row extension slot — the surface
+    SURVEY §2.12 notes the reference lacks entirely): explode a
+    document into fixed-width word chunks with positions, as a
+    TABLE function usable from SQL via LATERAL join.
+
+    Prefer the pure-column doc_chunks query (queries/text.py) on the
+    hot path — this exists to cover the UDTF plugin point with a real,
+    tested implementation, for the cases column algebra can't express
+    (per-row imperative chunking policies).
+
+    Usage::
+
+        spark.udtf.register("doc_chunks_udtf", chunk_udtf())
+        spark.sql("SELECT d.doc_id, c.* FROM documents d, "
+                  "LATERAL doc_chunks_udtf(d.text, 5) c")
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx int, chunk string, n_words int")
+    class ChunkDoc:
+        def eval(self, text: str, width: int):
+            if text is None:
+                return
+            words = text.split(" ")
+            for i in range(0, len(words), width):
+                part = words[i:i + width]
+                yield (i // width, " ".join(part), len(part))
+
+    return ChunkDoc

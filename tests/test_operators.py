@@ -766,3 +766,23 @@ def test_plan_compaction_bins_small_files(spark, tmp_path):
     # a healthy file (>= target/2) is left alone
     few = plan_compaction(spark, p, target_file_bytes=2 * ev.count())
     assert sum(len(g["files"]) for g in few) <= 10
+
+
+def test_chunk_udtf_lateral_matches_python(spark):
+    from streamforge_spark.io import load
+    from streamforge_spark.operators.processors import chunk_udtf
+    spark.udtf.register("doc_chunks_udtf", chunk_udtf())
+    load(spark, "/root/testdata/sf0.001", "documents") \
+        .limit(20).createOrReplaceTempView("_docs20")
+    got = {(r.doc_id, r.chunk_idx): (r.chunk, r.n_words)
+           for r in spark.sql(
+               "SELECT d.doc_id, c.* FROM _docs20 d, "
+               "LATERAL doc_chunks_udtf(d.text, 5) c").collect()}
+    rows = spark.table("_docs20").collect()
+    want = {}
+    for r in rows:
+        words = r.text.split(" ")
+        for i in range(0, len(words), 5):
+            want[(r.doc_id, i // 5)] = (" ".join(words[i:i + 5]),
+                                        len(words[i:i + 5]))
+    assert got == want and len(got) > 20
