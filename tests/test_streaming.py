@@ -656,3 +656,40 @@ def test_streaming_hll_daily_matches_batch(spark, workdir):
             for r in hll_daily_distinct(spark, "/root/testdata/sf0.001")
             .filter(F.col("scope") != "total").collect()}
     assert got == want
+
+
+def test_streaming_cep_matches_batch(spark, workdir):
+    # the watermark-driven CEP state machine fed in two time-ordered
+    # halves (+ a sentinel to push the final watermark) must emit
+    # exactly the batch pattern matches
+    import pandas as pd
+    from streamforge_spark.io import load
+    from streamforge_spark.queries.analytics import cep_click_error_pattern
+    from streamforge_spark.streaming.cep import streaming_cep_click_error
+    events = load(spark, "/root/testdata/sf0.001", "events") \
+        .select("event_id", "ts", "user_id", "event_type")
+    src = f"{workdir}/cep_in"
+    first = F.dayofmonth("ts") <= 15
+    events.filter(first).coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    out = streaming_cep_click_error(stream)
+    q = (out.writeStream.format("memory").queryName("cep_out")
+         .outputMode("append").start())
+    q.processAllAvailable()
+    events.filter(~first).coalesce(1).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    # sentinel: a 'view' event a year out advances the watermark past
+    # every undecided click's deadline
+    spark.createDataFrame(
+        pd.DataFrame([{"event_id": 10**9,
+                       "ts": pd.Timestamp("2025-06-01"),
+                       "user_id": 9999, "event_type": "view"}]),
+        schema=events.schema).coalesce(1).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    got = {(r.user_id, r.click_id, r.error_id, r.gap_us)
+           for r in spark.sql("select * from cep_out").collect()}
+    want = {(r.user_id, r.click_id, r.error_id, r.gap_us)
+            for r in cep_click_error_pattern(
+                spark, "/root/testdata/sf0.001").collect()}
+    assert got == want and len(want) > 0
