@@ -797,3 +797,64 @@ def weekly_top_movers(spark, sf_dir):
         F.when(F.col("prev_n").isNotNull() & (F.col("prev_n") != 0),
                F.expr("(1000000 * (n - prev_n)) DIV prev_n"))
         .alias("wow_change_ppm"))
+
+
+_FULFILLMENT_ORACLE = """
+WITH per_order AS (
+  SELECT o.o_orderkey, o.o_orderpriority,
+         date_diff('day', o.o_orderdate, max(l.l_shipdate)) AS days_to_ship
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2, o.o_orderdate)
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(min(days_to_ship) AS BIGINT) AS min_days,
+       CAST(max(days_to_ship) AS BIGINT) AS max_days,
+       CAST(sum(days_to_ship) AS BIGINT) AS sum_days
+FROM per_order GROUP BY o_orderpriority
+"""
+
+
+@query("order_fulfillment_latency", oracle=_FULFILLMENT_ORACLE)
+def order_fulfillment_latency(spark, sf_dir):
+    """Operational SLA metric: days from order placement to the LAST
+    line shipment, rolled up per priority class — exact integer day
+    arithmetic (sum instead of a float mean, divided by n_orders at
+    display time).
+
+    Plan (100 TB): the per-order max-shipdate aggregation shuffles on
+    l_orderkey (map-side combined); orders join on the same key can
+    reuse that exchange; the priority rollup is a 5-row aggregate."""
+    orders, lineitem = prep(spark, sf_dir, "orders", "lineitem")
+    per_order = (lineitem.groupBy("l_orderkey")
+                 .agg(F.max("l_shipdate").alias("last_ship"))
+                 .join(orders,
+                       F.col("l_orderkey") == F.col("o_orderkey"))
+                 .select("o_orderpriority",
+                         F.datediff("last_ship", "o_orderdate")
+                         .alias("days_to_ship")))
+    return per_order.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("days_to_ship").cast("long").alias("min_days"),
+        F.max("days_to_ship").cast("long").alias("max_days"),
+        F.sum("days_to_ship").alias("sum_days"))
+
+
+_BASKET_ORACLE = """
+WITH sizes AS (
+  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_lines
+  FROM lineitem GROUP BY l_orderkey)
+SELECT n_lines, CAST(count(*) AS BIGINT) AS n_orders
+FROM sizes GROUP BY n_lines
+"""
+
+
+@query("basket_size_distribution", oracle=_BASKET_ORACLE)
+def basket_size_distribution(spark, sf_dir):
+    """Order-size histogram (lines per order) — the fact-table shape
+    check behind join cardinality estimates and skew planning. Two
+    map-side-combined aggregations; the second runs over the
+    |orders|-row rollup, the second key has ~7 values."""
+    (lineitem,) = prep(spark, sf_dir, "lineitem")
+    sizes = lineitem.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_lines"))
+    return sizes.groupBy("n_lines").agg(F.count(F.lit(1)).alias("n_orders"))

@@ -693,3 +693,45 @@ def test_streaming_cep_matches_batch(spark, workdir):
             for r in cep_click_error_pattern(
                 spark, "/root/testdata/sf0.001").collect()}
     assert got == want and len(want) > 0
+
+
+def test_streaming_cep_under_rocksdb_state_store(spark, workdir):
+    # the CEP buffer state must behave identically on the production
+    # RocksDB state-store backend
+    import pandas as pd
+    from streamforge_spark.io import load
+    from streamforge_spark.queries.analytics import cep_click_error_pattern
+    from streamforge_spark.streaming.cep import streaming_cep_click_error
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try:
+        events = load(spark, "/root/testdata/sf0.001", "events") \
+            .select("event_id", "ts", "user_id", "event_type")
+        src = f"{workdir}/cepr_in"
+        events.coalesce(1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(events.schema).parquet(src)
+        q = (streaming_cep_click_error(stream)
+             .writeStream.format("memory").queryName("cepr_out")
+             .outputMode("append").start())
+        q.processAllAvailable()
+        spark.createDataFrame(
+            pd.DataFrame([{"event_id": 10**9,
+                           "ts": pd.Timestamp("2025-06-01"),
+                           "user_id": 9999, "event_type": "view"}]),
+            schema=events.schema).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        q.stop()
+        got = {(r.user_id, r.click_id, r.error_id, r.gap_us)
+               for r in spark.sql("select * from cepr_out").collect()}
+        want = {(r.user_id, r.click_id, r.error_id, r.gap_us)
+                for r in cep_click_error_pattern(
+                    spark, "/root/testdata/sf0.001").collect()}
+        assert got == want
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev)
