@@ -858,3 +858,44 @@ def basket_size_distribution(spark, sf_dir):
     sizes = lineitem.groupBy("l_orderkey").agg(
         F.count(F.lit(1)).alias("n_lines"))
     return sizes.groupBy("n_lines").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+LATE_SHIP_DAYS = 90  # shipped more than this many days after order = late
+
+
+_RELIABILITY_ORACLE = f"""
+WITH lines AS (
+  SELECT l.l_suppkey,
+         CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate)
+                   > {LATE_SHIP_DAYS} THEN 1 ELSE 0 END AS is_late
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+SELECT s.s_name,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(is_late) AS BIGINT) AS n_late,
+       (1000000 * CAST(sum(is_late) AS BIGINT)) // count(*) AS late_ppm
+FROM lines JOIN supplier s ON s.s_suppkey = lines.l_suppkey
+GROUP BY s.s_name
+"""
+
+
+@query("supplier_reliability", oracle=_RELIABILITY_ORACLE)
+def supplier_reliability(spark, sf_dir):
+    """Supplier scorecard: late-shipment rate (> {d} days after order)
+    in exact integer ppm — the vendor-SLA rollup. One fact shuffle
+    (lineitem x orders on the order key), broadcast supplier names,
+    map-side-combined per-supplier counts.""".format(d=LATE_SHIP_DAYS)
+    lineitem, orders, supplier = prep(
+        spark, sf_dir, "lineitem", "orders", "supplier")
+    lines = (lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+             .select("l_suppkey",
+                     F.when(F.datediff("l_shipdate", "o_orderdate")
+                            > LATE_SHIP_DAYS, 1).otherwise(0)
+                     .alias("is_late")))
+    return (lines.join(F.broadcast(supplier),
+                       F.col("l_suppkey") == F.col("s_suppkey"))
+            .groupBy("s_name")
+            .agg(F.count(F.lit(1)).alias("n_lines"),
+                 F.sum("is_late").alias("n_late"))
+            .select("s_name", "n_lines", "n_late",
+                    F.expr("(1000000 * n_late) DIV n_lines")
+                    .alias("late_ppm")))
