@@ -90,6 +90,12 @@ def streaming_cep_click_error(events: DataFrame, *,
                 [e for _, _, e in survivors]))
             if undecided_deadlines:
                 state.setTimeoutTimestamp(min(undecided_deadlines) // 1000)
+            else:
+                # no pending decision — schedule a cleanup wake so a
+                # silent user's residual buffer evicts once the
+                # watermark passes its horizon (no state leak)
+                state.setTimeoutTimestamp(
+                    (max(t for t, _, _ in survivors) + win_us) // 1000 + 1)
         else:
             state.remove()
         yield pd.DataFrame(
