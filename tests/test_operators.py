@@ -786,3 +786,21 @@ def test_chunk_udtf_lateral_matches_python(spark):
             want[(r.doc_id, i // 5)] = (" ".join(words[i:i + 5]),
                                         len(words[i:i + 5]))
     assert got == want and len(got) > 20
+
+
+def test_export_release_writes_shard_partitions_and_ledger(spark, tmp_path):
+    from streamforge_spark.queries.release import export_release
+    out = str(tmp_path / "rel")
+    summary = export_release(spark, "/root/testdata/sf0.001", out)
+    assert summary["kept"] > 0 and summary["docs"] == 500
+    corpus = spark.read.parquet(f"{out}/corpus")
+    assert corpus.count() == summary["kept"]
+    # hive layout: shard is a partition directory, prunable at read
+    import os
+    shard_dirs = [d for d in os.listdir(f"{out}/corpus")
+                  if d.startswith("shard=")]
+    assert len(shard_dirs) == summary["shards"] > 1
+    ledger = spark.read.parquet(f"{out}/_ledger")
+    assert ledger.count() == 500
+    assert set(r.verdict for r in ledger.select("verdict").distinct()
+               .collect()) >= {"kept", "benchmark"}
