@@ -899,3 +899,51 @@ def supplier_reliability(spark, sf_dir):
             .select("s_name", "n_lines", "n_late",
                     F.expr("(1000000 * n_late) DIV n_lines")
                     .alias("late_ppm")))
+
+
+_ABANDON_ORACLE = """
+WITH ud AS (
+  SELECT user_id, date_trunc('day', ts) AS day,
+         CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT)
+           AS n_clicks,
+         CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT)
+           AS n_purchases
+  FROM events GROUP BY 1, 2)
+SELECT day,
+       CAST(count(CASE WHEN n_clicks > 0 THEN 1 END) AS BIGINT)
+         AS engaged_users,
+       CAST(count(CASE WHEN n_clicks > 0 AND n_purchases = 0 THEN 1 END)
+            AS BIGINT) AS abandoned_users,
+       CASE WHEN count(CASE WHEN n_clicks > 0 THEN 1 END) > 0
+            THEN (1000000 * count(CASE WHEN n_clicks > 0
+                                       AND n_purchases = 0 THEN 1 END))
+                 // count(CASE WHEN n_clicks > 0 THEN 1 END) END
+         AS abandon_ppm
+FROM ud GROUP BY day
+"""
+
+
+@query("cart_abandonment_daily", oracle=_ABANDON_ORACLE)
+def cart_abandonment_daily(spark, sf_dir):
+    """Daily cart abandonment: users who clicked but never purchased
+    that day, as an exact integer-ppm rate (ANSI-safe NULL on days
+    with no engaged users). Two map-side-combined aggregations —
+    (user, day) then day — with conditional counts instead of joins
+    or distinct self-intersections."""
+    (events,) = prep(spark, sf_dir, "events")
+    ud = (events.groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
+          .agg(F.count(F.when(F.col("event_type") == "click", 1))
+               .alias("n_clicks"),
+               F.count(F.when(F.col("event_type") == "purchase", 1))
+               .alias("n_purchases")))
+    day = (ud.groupBy("day")
+           .agg(F.count(F.when(F.col("n_clicks") > 0, 1))
+                .alias("engaged_users"),
+                F.count(F.when((F.col("n_clicks") > 0)
+                               & (F.col("n_purchases") == 0), 1))
+                .alias("abandoned_users")))
+    return day.select(
+        "day", "engaged_users", "abandoned_users",
+        F.when(F.col("engaged_users") > 0,
+               F.expr("(1000000 * abandoned_users) DIV engaged_users"))
+        .alias("abandon_ppm"))

@@ -739,3 +739,44 @@ def doc_diversity_simpson(spark, sf_dir):
         "doc_id", "n_tokens", "n_types",
         F.expr("(1000000 * (n_tokens * n_tokens - sum_c2)) "
                "DIV (n_tokens * n_tokens)").alias("diversity_ppm"))
+
+
+
+_FERTILITY_ORACLE = f"""
+WITH per_doc AS (
+  SELECT {_lang_case_sql()} AS lang_pred,
+         CAST(len(regexp_extract_all(text, '{_SQL_BPE}')) AS BIGINT) AS n_bpe,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+  FROM documents)
+SELECT lang_pred,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_bpe) AS BIGINT) AS total_bpe,
+       CAST(sum(n_words) AS BIGINT) AS total_words,
+       (1000000 * sum(n_bpe)) // sum(n_words) AS fertility_ppm
+FROM per_doc GROUP BY lang_pred
+"""
+
+
+@query("tokenizer_fertility_by_lang", oracle=_FERTILITY_ORACLE)
+def tokenizer_fertility_by_lang(spark, sf_dir):
+    """Tokenizer fertility (BPE tokens per whitespace word) per
+    detected language — the metric that decides whether a tokenizer
+    taxes some languages with longer sequences (fertility >> 1e6 ppm
+    means more compute per word for that language). Exact integer
+    ppm over corpus-summed counts.
+
+    Plan: language ID, BPE counting, and word counting are one
+    scan-side projection; the rollup is a |langs|-row aggregate."""
+    (docs,) = prep(spark, sf_dir, "documents")
+    t = F.col("text")
+    per_doc = docs.select(
+        lang_id(t).alias("lang_pred"),
+        bpe_token_count(t).alias("n_bpe"),
+        token_count(t).alias("n_words"))
+    return (per_doc.groupBy("lang_pred")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_bpe").alias("total_bpe"),
+                 F.sum("n_words").alias("total_words"))
+            .select("lang_pred", "n_docs", "total_bpe", "total_words",
+                    F.expr("(1000000 * total_bpe) DIV total_words")
+                    .alias("fertility_ppm")))
