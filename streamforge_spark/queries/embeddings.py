@@ -754,3 +754,75 @@ def kcenter_coreset(spark, sf_dir):
         chosen.append((r, cand.vec_id, list(cand.v)))
     rows = [(r, int(cid)) for r, cid, _ in chosen]
     return spark.createDataFrame(rows, "rnd long, vec_id long")
+
+
+KNN_NQ = 50   # vec_id < KNN_NQ are "unlabeled" prediction targets
+KNN_K = 10
+
+
+_KNN_ORACLE = f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < {KNN_NQ}),
+c AS (SELECT vec_id AS cid, label, v AS cv FROM e WHERE vec_id >= {KNN_NQ}),
+scored AS (
+  SELECT q.qid, c.cid, c.label,
+         CASE WHEN sqrt(list_dot_product(q.qv, q.qv))
+                   * sqrt(list_dot_product(c.cv, c.cv)) <> 0.0
+              THEN list_dot_product(q.qv, c.cv)
+                   / (sqrt(list_dot_product(q.qv, q.qv))
+                      * sqrt(list_dot_product(c.cv, c.cv)))
+              ELSE 0.0 END AS cos
+  FROM q CROSS JOIN c),
+topk AS (SELECT qid, cid, label FROM (
+           SELECT *, row_number() OVER (PARTITION BY qid
+                                        ORDER BY cos DESC, cid) AS rn
+           FROM scored) WHERE rn <= {KNN_K}),
+votes AS (SELECT qid, label, CAST(count(*) AS BIGINT) AS n_votes
+          FROM topk GROUP BY qid, label)
+SELECT qid AS vec_id, label AS predicted_label, n_votes
+FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                                   ORDER BY n_votes DESC, label) AS rn
+      FROM votes) WHERE rn = 1
+"""
+
+
+@query("knn_label_predict", oracle=_KNN_ORACLE)
+def knn_label_predict(spark, sf_dir):
+    """Semantic auto-labeling by k-nearest-neighbor majority vote:
+    the "unlabeled" targets (vec_id < {nq}) take the modal label of
+    their {k} nearest labeled neighbors (cosine; ties -> lowest
+    neighbor id, then lexicographic label) — the label-transfer /
+    weak-supervision primitive for curation taxonomies.
+
+    Plan (100 TB): this brute-force form reuses the ann_cosine_topk
+    scoring shape (targets broadcast as plan constants, corpus stays
+    partitioned, per-partition top-k prune); the production path swaps
+    the scorer for ann_lsh/ivf/sq8 candidates and keeps the same vote.
+    The vote itself is a tiny (nq x labels) aggregate.""".format(
+        nq=KNN_NQ, k=KNN_K)
+    from streamforge_spark.functions.similarity import cosine
+    (emb,) = prep(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", "label",
+                   F.col("embedding").cast("array<double>").alias("v"))
+    qrows = sorted((r.vec_id, list(r.v)) for r in
+                   e.filter(F.col("vec_id") < KNN_NQ).collect())
+    per_q = [
+        F.struct(F.lit(qid).cast("long").alias("qid"),
+                 cosine(F.col("v"),
+                        F.array(*[F.lit(float(x)) for x in qv])).alias("cos"))
+        for qid, qv in qrows]
+    scored = (e.filter(F.col("vec_id") >= KNN_NQ)
+              .select(F.col("vec_id").alias("cid"), "label",
+                      F.explode(F.array(*per_q)).alias("g"))
+              .select("cid", "label", "g.qid", "g.cos"))
+    wk = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid"))
+    topk = (scored.withColumn("rn", F.row_number().over(wk))
+            .filter(F.col("rn") <= KNN_K))
+    votes = topk.groupBy("qid", "label").agg(
+        F.count(F.lit(1)).alias("n_votes"))
+    wv = Window.partitionBy("qid").orderBy(
+        F.col("n_votes").desc(), F.col("label"))
+    return (votes.withColumn("rn", F.row_number().over(wv))
+            .filter(F.col("rn") == 1)
+            .select(F.col("qid").alias("vec_id"),
+                    F.col("label").alias("predicted_label"), "n_votes"))
