@@ -193,3 +193,25 @@ def export_release(spark, sf_dir: str, out_dir: str) -> dict:
     n_all = verdicts.count()
     return {"docs": n_all, "kept": n_kept,
             "shards": kept.select("shard").distinct().count()}
+
+
+_SUMMARY_ORACLE = f"""
+WITH ledger AS ({_release_oracle().strip()})
+SELECT source, verdict,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+FROM ledger GROUP BY source, verdict
+"""
+
+
+@query("release_summary", oracle=_SUMMARY_ORACLE)
+def release_summary(spark, sf_dir):
+    """The release dashboard: per (source, verdict) document and token
+    counts — what each gate costs each feed, and how many training
+    tokens survive. A tiny rollup over the capstone ledger (the
+    release plan's cost dominates; this adds one |sources x verdicts|
+    aggregation)."""
+    return (training_data_release(spark, sf_dir)
+            .groupBy("source", "verdict")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").alias("n_tokens")))
