@@ -947,3 +947,34 @@ def cart_abandonment_daily(spark, sf_dir):
         F.when(F.col("engaged_users") > 0,
                F.expr("(1000000 * abandoned_users) DIV engaged_users"))
         .alias("abandon_ppm"))
+
+
+_MONTHLY_ORACLE = """
+WITH m AS (
+  SELECT date_trunc('month', o.o_orderdate) AS month,
+         CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1)
+SELECT month, cents,
+       cents - lag(cents) OVER (ORDER BY month) AS mom_delta_cents
+FROM m
+"""
+
+
+@query("monthly_revenue_trend", oracle=_MONTHLY_ORACLE)
+def monthly_revenue_trend(spark, sf_dir):
+    """Month-over-month revenue trend in exact cents (NULL delta on
+    the first month — ANSI-safe). One fact shuffle on the order key,
+    a map-side-combined monthly rollup, and a lag window over the
+    ~24-row month table."""
+    from pyspark.sql import Window
+    lineitem, orders = prep(spark, sf_dir, "lineitem", "orders")
+    m = (lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+         .groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
+         .agg(F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+              .alias("cents")))
+    w = Window.orderBy("month")
+    return m.select("month", "cents",
+                    (F.col("cents") - F.lag("cents").over(w))
+                    .alias("mom_delta_cents"))
