@@ -70,6 +70,9 @@ HEADLINE = [
     "boilerplate_strip",
     # the capstone composition: the whole curation stack in one plan
     "training_data_release",
+    # exact prefix-filter similarity join (lossless candidate pruning —
+    # the scale-critical complement to the LSH approximate paths)
+    "allpairs_exact_jaccard",
 ]
 
 

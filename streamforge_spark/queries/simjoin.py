@@ -1,0 +1,267 @@
+"""Exact set-similarity join via prefix filtering (AllPairs / PPJoin
+family, Bayardo et al. WWW'07; Xiao et al. WWW'08) and weighted graph
+distance — the lossless complements to the approximate LSH paths.
+
+``dedup_minhash_lsh`` trades recall for candidate count; the prefix
+filter prunes candidates EXACTLY: under a global token order, two sets
+with Jaccard >= t must share a token within their (1-t)-prefixes, so
+only prefix tokens are indexed and no qualifying pair is ever missed.
+The output is bit-identical to the quadratic all-pairs oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from streamforge_spark.functions.simdedup import hash60_sql, oracle_hash60
+from streamforge_spark.functions.text import word_ngrams
+from streamforge_spark.io import spread_for_compute
+from streamforge_spark.queries.common import prep
+from streamforge_spark.registry import query
+
+# Jaccard threshold as an exact fraction T_NUM/T_DEN (integer prefix
+# arithmetic — no float ceil ever decides soundness)
+ALLPAIRS_T_NUM, ALLPAIRS_T_DEN = 3, 5          # t = 0.6
+ALLPAIRS_T = ALLPAIRS_T_NUM / ALLPAIRS_T_DEN
+
+_HASHED_SHINGLES_SQL = (
+    "list_distinct(list_transform("
+    "  generate_series(1, greatest(len(t) - 2, 1)),"
+    "  i -> " + hash60_sql("concat_ws(' ', t[i], t[i+1], t[i+2])") + "))"
+)
+
+_ALLPAIRS_ORACLE = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+glist AS (SELECT doc_id, {_HASHED_SHINGLES_SQL} AS hs FROM toks),
+p AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+             CAST(len(list_intersect(a.hs, b.hs)) AS BIGINT) AS i,
+             CAST(len(a.hs) AS BIGINT) AS na,
+             CAST(len(b.hs) AS BIGINT) AS nb
+      FROM glist a JOIN glist b ON a.doc_id < b.doc_id)
+SELECT d1, d2, CAST(i AS DOUBLE) / CAST(na + nb - i AS DOUBLE) AS jaccard
+FROM p
+WHERE CAST(i AS DOUBLE) / CAST(na + nb - i AS DOUBLE) >= {ALLPAIRS_T}
+"""
+
+
+@query("allpairs_exact_jaccard", oracle=_ALLPAIRS_ORACLE)
+def allpairs_exact_jaccard(spark, sf_dir):
+    """EXACT Jaccard-threshold similarity self-join (t=0.6) over
+    word-3-gram shingle sets, via AllPairs prefix filtering — every
+    qualifying pair is emitted with its exact similarity, no recall
+    loss, yet candidates are generated from a small prefix index
+    instead of full posting lists.
+
+    Prefix filter: order all shingles globally by (document frequency
+    asc, hash asc) — rarest first. A doc with n shingles indexes only
+    its first ``n - ceil(t*n) + 1`` shingles in that order; two sets
+    with J >= t must share an indexed shingle (PPJoin Lemma 1), so the
+    posting-list pair generation over prefixes alone is lossless.
+    ceil(t*n) is computed in integer arithmetic ((T_NUM*n + T_DEN - 1)
+    div T_DEN) so float rounding can never shorten a prefix.
+
+    Scale shape vs the full inverted index (dedup_ngram_jaccard): at
+    t=0.6 only ~the rarest 40% of each doc's shingles are exploded
+    into the index, and the hottest (most common, hence
+    last-in-order) shingles — exactly the ones whose posting lists
+    blow up quadratically — are the FIRST ones the prefix drops.
+    Candidates additionally pass the integer size filter
+    (T_DEN*min(na,nb) >= T_NUM*max(na,nb)) before verification, and
+    verification joins candidate ids back to per-doc sorted hash
+    arrays — set intersection per candidate, corpus never re-scanned.
+    All exchanges carry 8-byte hashes, never shingle strings.
+    """
+    (docs,) = prep(spark, sf_dir, "documents")
+    d = (spread_for_compute(docs, "doc_id")
+         .select("doc_id", word_ngrams(F.col("text"), 3).alias("gs"))
+         .select("doc_id", F.array_distinct(
+             F.transform("gs", lambda g: oracle_hash60(g))).alias("hs")))
+    dfreq = (d.select(F.explode("hs").alias("h"))
+             .groupBy("h").agg(F.count(F.lit(1)).alias("df")))
+    # per-doc shingle hashes in canonical rarest-first order
+    ranked = (d.select("doc_id", F.explode("hs").alias("h"))
+              .join(dfreq, "h")
+              .groupBy("doc_id")
+              .agg(F.sort_array(F.collect_list(F.struct("df", "h"))).alias("s")))
+    # materialize the canonical-order arrays ONCE: prefix extraction and
+    # BOTH verification joins read from here — without this the
+    # tokenize+hash+rank subtree replays per consumer (audited at 6
+    # documents scans; 2 after). ~8 bytes/shingle — the "persist the
+    # tokenized projection" tradeoff from training_data_release, applied.
+    arr = ranked.select(
+        "doc_id",
+        F.transform("s", lambda x: x["h"]).alias("hs"),
+        F.size("s").cast("long").alias("n")).localCheckpoint(eager=False)
+    prefix_len = (F.col("n")
+                  - F.expr(f"({ALLPAIRS_T_NUM} * n + {ALLPAIRS_T_DEN - 1}) "
+                           f"div {ALLPAIRS_T_DEN}") + 1).cast("int")
+    pre = arr.select("doc_id", "n",
+                     F.slice("hs", F.lit(1), prefix_len).alias("prefix"))
+    posting = (pre.select("doc_id", "n", F.explode("prefix").alias("h"))
+               .groupBy("h")
+               .agg(F.sort_array(F.collect_list(F.struct("doc_id", "n")))
+                    .alias("ds"))
+               .filter(F.size("ds") >= 2))
+    cand = (posting.select(F.explode(F.expr(
+        "flatten(transform(ds, (x, i) -> "
+        "transform(slice(ds, i + 2, size(ds) - i - 1), "
+        "y -> struct(x.doc_id AS d1, x.n AS na, y.doc_id AS d2, y.n AS nb))))"
+    )).alias("p")).select("p.*")
+        .filter(F.least("na", "nb") * ALLPAIRS_T_DEN
+                >= F.greatest("na", "nb") * ALLPAIRS_T_NUM)
+        .distinct())
+    ver = (cand
+           .join(arr.select(F.col("doc_id").alias("d1"),
+                            F.col("hs").alias("h1")), "d1")
+           .join(arr.select(F.col("doc_id").alias("d2"),
+                            F.col("hs").alias("h2")), "d2")
+           .select("d1", "d2",
+                   F.size(F.array_intersect("h1", "h2")).cast("long").alias("i"),
+                   "na", "nb"))
+    jac = (ver.select(
+        "d1", "d2",
+        (F.col("i").cast("double")
+         / (F.col("na") + F.col("nb") - F.col("i")).cast("double"))
+        .alias("jaccard")))
+    return jac.filter(F.col("jaccard") >= ALLPAIRS_T)
+
+
+SSSP_ROUNDS = 3
+SSSP_SEED_NATION = 0
+
+
+def _sssp_oracle(rounds: int, seed_nation: int) -> str:
+    """Unrolled Bellman-Ford min-plus relaxation; each round is the
+    same full-relaxation step the Spark plan runs. MATERIALIZED stops
+    DuckDB re-inlining the chain (3^rounds blowup otherwise)."""
+    ctes = [
+        """pairs AS MATERIALIZED (
+  SELECT o.o_custkey AS c, l.l_suppkey AS s,
+         MIN(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS w
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2)""",
+        """edges AS MATERIALIZED (
+  SELECT c * 2 AS src, s * 2 + 1 AS dst, w FROM pairs
+  UNION ALL
+  SELECT s * 2 + 1 AS src, c * 2 AS dst, w FROM pairs)""",
+        f"""d0 AS MATERIALIZED (
+  SELECT c_custkey * 2 AS node, CAST(0 AS BIGINT) AS dist
+  FROM customer WHERE c_nationkey = {seed_nation})""",
+    ]
+    for r in range(rounds):
+        ctes.append(f"""d{r + 1} AS MATERIALIZED (
+  SELECT node, MIN(dist) AS dist FROM (
+    SELECT node, dist FROM d{r}
+    UNION ALL
+    SELECT e.dst AS node, d.dist + e.w AS dist
+    FROM d{r} d JOIN edges e ON e.src = d.node) GROUP BY node)""")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT node, dist FROM d{rounds}")
+
+
+@query("weighted_shortest_path",
+       oracle=_sssp_oracle(SSSP_ROUNDS, SSSP_SEED_NATION))
+def weighted_shortest_path(spark, sf_dir):
+    """Weighted single-source shortest path (min-cost reachability)
+    over the customer–supplier graph: cheapest path cost in integer
+    cents from nation-{seed} customers within 3 Bellman-Ford rounds —
+    the weighted complement of ``bfs_reachability`` (min-plus
+    relaxation instead of hop counting; supply-chain cheapest-route /
+    trust-propagation primitive).
+
+    Scale shape: each round is one equi-join of the current distance
+    vector against the edge list plus one map-side-combined MIN rollup
+    — no windows, no driver state. Distances are exact BIGINT cents,
+    so MIN is deterministic at any parallelism (no float-sum ties).
+    The edge list materializes once (localCheckpoint) because every
+    round re-joins it; distance vectors checkpoint lazily to keep the
+    per-round DAG flat (the discipline proven in bfs_reachability /
+    supplier_pagerank)."""
+    lineitem, orders, customer = prep(spark, sf_dir,
+                                      "lineitem", "orders", "customer")
+    pairs = (lineitem.join(orders,
+                           lineitem["l_orderkey"] == orders["o_orderkey"])
+             .groupBy(F.col("o_custkey").alias("c"),
+                      F.col("l_suppkey").alias("s"))
+             .agg(F.min(F.round(F.col("l_extendedprice") * 100)
+                        .cast("long")).alias("w")))
+    edges = (pairs.select((F.col("c") * 2).alias("src"),
+                          (F.col("s") * 2 + 1).alias("dst"), "w")
+             .unionByName(pairs.select((F.col("s") * 2 + 1).alias("src"),
+                                       (F.col("c") * 2).alias("dst"), "w"))
+             .localCheckpoint(eager=True))
+    dist = (customer.filter(F.col("c_nationkey") == SSSP_SEED_NATION)
+            .select((F.col("c_custkey") * 2).alias("node"),
+                    F.lit(0).cast("long").alias("dist")))
+    for _ in range(SSSP_ROUNDS):
+        relaxed = (edges.join(dist, edges["src"] == dist["node"])
+                   .select(F.col("dst").alias("node"),
+                           (F.col("dist") + F.col("w")).alias("dist")))
+        dist = (dist.unionByName(relaxed)
+                .groupBy("node").agg(F.min("dist").alias("dist"))
+                .localCheckpoint(eager=False))
+    return dist
+
+
+_RFM_ORACLE = """
+WITH base AS (
+  SELECT o_custkey AS c_custkey,
+         MAX(o_orderdate) AS last_order,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS spend_cents
+  FROM orders GROUP BY o_custkey),
+scored AS (
+  SELECT c_custkey,
+         ntile(5) OVER (ORDER BY last_order, c_custkey)  AS r_score,
+         ntile(5) OVER (ORDER BY n_orders, c_custkey)    AS f_score,
+         ntile(5) OVER (ORDER BY spend_cents, c_custkey) AS m_score,
+         n_orders, spend_cents
+  FROM base)
+SELECT c_custkey,
+       CAST(r_score AS INTEGER) AS r_score,
+       CAST(f_score AS INTEGER) AS f_score,
+       CAST(m_score AS INTEGER) AS m_score,
+       CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+         || CAST(m_score AS VARCHAR) AS segment,
+       n_orders, spend_cents
+FROM scored
+"""
+
+
+@query("rfm_segments", oracle=_RFM_ORACLE)
+def rfm_segments(spark, sf_dir):
+    """RFM customer segmentation: quintile scores for Recency (last
+    order date), Frequency (order count) and Monetary (exact-cent
+    lifetime spend), concatenated into the classic 'RFM' segment code
+    (555 = best on all three).
+
+    Determinism: every ntile ORDER BY carries c_custkey as the final
+    tiebreak, so quintile assignment is a total order — identical in
+    both engines regardless of partitioning. Monetary is an integer
+    cents sum (no float ties).
+
+    Scale note: the three global ntile windows sort the per-customer
+    rollup, which is dimension-sized (one row per customer, ~1e7 at
+    100 TB facts) — the same customer-scale global sorts the TPC-H
+    suite already performs. The orders->per-customer rollup itself is
+    one map-side-combined exchange of the fact table."""
+    (orders,) = prep(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+    base = (orders.groupBy(F.col("o_custkey").alias("c_custkey"))
+            .agg(F.max("o_orderdate").alias("last_order"),
+                 F.count(F.lit(1)).alias("n_orders"),
+                 F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                  .alias("spend_cents")))
+    r = F.ntile(5).over(Window.orderBy("last_order", "c_custkey"))
+    f = F.ntile(5).over(Window.orderBy("n_orders", "c_custkey"))
+    m = F.ntile(5).over(Window.orderBy("spend_cents", "c_custkey"))
+    scored = base.select(
+        "c_custkey",
+        r.alias("r_score"), f.alias("f_score"), m.alias("m_score"),
+        "n_orders", "spend_cents")
+    return scored.select(
+        "c_custkey", "r_score", "f_score", "m_score",
+        F.concat(F.col("r_score").cast("string"),
+                 F.col("f_score").cast("string"),
+                 F.col("m_score").cast("string")).alias("segment"),
+        "n_orders", "spend_cents")

@@ -31,5 +31,5 @@ def load_all() -> None:
     from streamforge_spark.queries import (  # noqa: F401
         cdc, streamops, joins, sessions, tpch, text, embeddings, llm,
         surplus, envelope_io, analytics, relational, windows, curation,
-        repetition, timeseries, graphs, sketches, release,
+        repetition, timeseries, graphs, sketches, release, simjoin,
     )

@@ -534,7 +534,8 @@ def test_interval_overlap_join_no_bnlj(spark):
 
 @pytest.mark.parametrize("name", [
     "boilerplate_strip", "bigram_lm_score", "session_paths",
-    "embedding_random_projection",
+    "embedding_random_projection", "allpairs_exact_jaccard",
+    "weighted_shortest_path", "rfm_segments",
 ])
 def test_round2_additions_no_nested_loops(spark, name):
     # every new shape is equi-join/aggregate algebra — a nested loop or
