@@ -610,3 +610,46 @@ def source_overlap_matrix(spark, sf_dir):
             .groupBy(F.col("a.source").alias("source_a"),
                      F.col("b.source").alias("source_b"))
             .agg(F.count(F.lit(1)).alias("shared_grams")))
+
+
+# -- deterministic epoch shuffle (reproducible training order) ----------
+
+SHUFFLE_SEED = "epoch-0"
+SHUFFLE_SHARDS = 8
+
+_SHUFFLE_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id,
+         {hash60_sql("CAST(doc_id AS VARCHAR)", f"'{SHUFFLE_SEED}'")} AS h
+  FROM documents)
+SELECT doc_id,
+       CAST(h % {SHUFFLE_SHARDS} AS INTEGER) AS shard,
+       CAST(row_number() OVER (PARTITION BY h % {SHUFFLE_SHARDS}
+                               ORDER BY h, doc_id) AS BIGINT) AS pos
+FROM h
+"""
+
+
+@query("corpus_shuffle_order", oracle=_SHUFFLE_ORACLE)
+def corpus_shuffle_order(spark, sf_dir):
+    """Deterministic seeded corpus shuffle: every document gets a
+    reproducible (shard, position) for one training epoch, keyed by a
+    60-bit hash of (seed, doc_id). Re-running with the same seed
+    yields byte-identical data order — the property that makes
+    training runs resumable and ablations comparable; a new epoch is
+    just a new seed string.
+
+    Scale shape: the hash is a scan-side projection; sharding is a
+    mod on the hash (uniform by construction — no skew regardless of
+    doc_id distribution); within-shard order is a rank window
+    PARTITIONED by shard, so each shard sorts independently in
+    parallel (never a global sort). Writing shards with
+    partitionBy(shard) ORDER BY pos streams each shard in final
+    training order."""
+    (docs,) = prep(spark, sf_dir, "documents")
+    h = oracle_hash60(F.col("doc_id").cast("string"), salt=SHUFFLE_SEED)
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return (docs.select("doc_id", h.alias("h"),
+                        (h % SHUFFLE_SHARDS).cast("int").alias("shard"))
+            .select("doc_id", "shard",
+                    F.row_number().over(w).cast("long").alias("pos")))

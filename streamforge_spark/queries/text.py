@@ -788,3 +788,75 @@ def tokenizer_fertility_by_lang(spark, sf_dir):
             .select("lang_pred", "n_docs", "total_bpe", "total_words",
                     F.expr("(1000000 * total_bpe) DIV total_words")
                     .alias("fertility_ppm")))
+
+
+_SOFT_DEDUP_ORACLE = f"""
+WITH RECURSIVE pairs AS ({_NGRAM_ORACLE}),
+edges AS (
+  SELECT d1 AS a, d2 AS b FROM pairs
+  UNION
+  SELECT d2 AS a, d1 AS b FROM pairs
+),
+reach(node, label) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, r.label FROM reach r JOIN edges e ON e.b = r.node
+),
+comp AS (SELECT node AS doc_id, MIN(label) AS component
+         FROM reach GROUP BY node),
+sizes AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_size
+          FROM comp GROUP BY component),
+d AS (SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents)
+SELECT d.doc_id,
+       COALESCE(c.component, d.doc_id) AS component,
+       COALESCE(s.cluster_size, 1) AS cluster_size,
+       1000000 // COALESCE(s.cluster_size, 1) AS weight_ppm,
+       d.n_tokens,
+       (d.n_tokens * (1000000 // COALESCE(s.cluster_size, 1))) // 1000000
+         AS weighted_tokens
+FROM d
+LEFT JOIN comp c ON c.doc_id = d.doc_id
+LEFT JOIN sizes s ON s.component = c.component
+"""
+
+
+@query("soft_dedup_weights", oracle=_SOFT_DEDUP_ORACLE)
+def soft_dedup_weights(spark, sf_dir):
+    """SOFT deduplication: instead of dropping near-duplicates, weight
+    every document by 1/cluster_size (ppm-exact) so a k-way duplicate
+    cluster contributes one document's worth of training mass in
+    expectation (the Falcon/RefinedWeb-style alternative to hard
+    removal — keeps benign repetition signal, kills over-sampling).
+    Emits per-doc cluster id, cluster size, sampling weight, and the
+    weighted token budget the doc contributes.
+
+    Scale shape: rides dedup_ngram_jaccard's pair generation and the
+    iterative min-label closure (operators/graph.py) unchanged; the
+    additions are one map-side-combined size rollup over the
+    (clustered-docs-only) component table and two LEFT equi-joins back
+    to the corpus token counts. Weights are integer ppm with
+    truncating division on both engines — no float sampling math."""
+    from streamforge_spark.operators.graph import connected_components
+    (docs,) = prep(spark, sf_dir, "documents")
+    comp = (connected_components(
+        dedup_ngram_jaccard(spark, sf_dir), "d1", "d2")
+        .select(F.col("node").alias("doc_id"), "component"))
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size"))
+    d = docs.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
+    return (d.join(comp, "doc_id", "left")
+            .join(sizes, "component", "left")
+            .select(
+                "doc_id",
+                F.coalesce("component", F.col("doc_id")).alias("component"),
+                F.coalesce("cluster_size", F.lit(1)).cast("long")
+                 .alias("cluster_size"),
+                "n_tokens")
+            .withColumn("weight_ppm", F.expr("1000000 div cluster_size"))
+            .withColumn("weighted_tokens",
+                        F.expr("(n_tokens * (1000000 div cluster_size)) "
+                               "div 1000000"))
+            .select("doc_id", "component", "cluster_size", "weight_ppm",
+                    "n_tokens", "weighted_tokens"))

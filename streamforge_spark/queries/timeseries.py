@@ -1207,3 +1207,53 @@ def event_disorder_report(spark, sf_dir):
         F.count(F.when(late, F.lit(1))).alias("n_late"),
         F.coalesce(F.max(F.when(late, lateness)), F.lit(0))
         .alias("max_lateness_micros"))
+
+
+# -- Holt linear-trend smoothing (exact recursive, Spark 4 WITH RECURSIVE)
+
+_HOLT_BODY = """
+WITH RECURSIVE s AS (
+  SELECT o_custkey AS c, date_trunc('month', o_orderdate) AS m,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS y
+  FROM {T} GROUP BY 1, 2),
+seq AS (
+  SELECT c, m, y, row_number() OVER (PARTITION BY c ORDER BY m) AS i FROM s),
+r AS (
+  SELECT c, i, m, y, y AS l, CAST(0 AS BIGINT) AS b FROM seq WHERE i = 1
+  UNION ALL
+  SELECT q.c, q.i, q.m, q.y,
+         (q.y + r.l + r.b) {D} 2 AS l,
+         (((q.y + r.l + r.b) {D} 2) - r.l + r.b) {D} 2 AS b
+  FROM r JOIN seq q ON q.c = r.c AND q.i = r.i + 1)
+SELECT c AS c_custkey, m AS month, y AS rev_cents, l AS level_cents,
+       b AS trend_cents, l + b AS forecast_cents FROM r
+"""
+
+
+@query("holt_forecast", oracle=_HOLT_BODY.format(T="orders", D="//"))
+def holt_forecast(spark, sf_dir):
+    """Holt linear-trend exponential smoothing (level + trend,
+    alpha = beta = 1/2) over each customer's monthly revenue series —
+    the classic short-horizon forecaster; ``forecast_cents`` is the
+    one-step-ahead prediction after each observation. The
+    trend-tracking upgrade of ``ewma_values`` (level only).
+
+    This is a genuinely recursive computation (state feeds the next
+    step), expressed with Spark 4's WITH RECURSIVE — it runs entirely
+    JVM-side as iterated equi-joins on (customer, step), no Python on
+    the data path. The DuckDB oracle is the SAME recursive SQL (only
+    the integer-division operator differs: Spark ``div`` and DuckDB
+    ``//`` both truncate toward zero), and alpha = beta = 1/2 keeps
+    every smoothing step in exact BIGINT halving — bit-identical
+    across engines at any parallelism.
+
+    Scale shape: the monthly rollup is one map-side-combined exchange
+    of the fact table; each recursion round then joins the surviving
+    frontier (rows at step i) against the step-indexed series — work
+    per round decays with the number of customers still having that
+    many months. Recursion depth = max series length (bounded by the
+    calendar, ~80 here; spark.sql.cteRecursionLevelLimit defaults to
+    100)."""
+    (orders,) = prep(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("holt_orders_v")
+    return spark.sql(_HOLT_BODY.format(T="holt_orders_v", D="div"))
