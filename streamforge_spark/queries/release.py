@@ -153,7 +153,16 @@ def training_data_release(spark, sf_dir):
                     .when(F.col("n_dup") * RELEASE_REP_MULT
                           > F.col("n_segs"), "repetition")
                     .when(F.col("_contam"), "contaminated")
-                    .otherwise("kept").alias("verdict")))
+                    .otherwise("kept").alias("verdict"))
+                # two consumers read the verdict table (shard packing +
+                # the final stamp join); without this the entire gate
+                # subtree — LSH signatures, closure, repetition stats,
+                # contamination join — replays once per consumer. The
+                # checkpointed table is corpus-sized but NARROW (5
+                # small columns, no text) — this is the "persist the
+                # tokenized projection" production note, applied to the
+                # verdict ledger instead.
+                .localCheckpoint(eager=False))
     kept = (verdicts.filter(F.col("verdict") == "kept")
             .withColumn("adm", oracle_hash60(
                 F.col("doc_id").cast("string"), salt="release")))
