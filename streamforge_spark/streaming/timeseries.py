@@ -235,3 +235,78 @@ def streaming_debounce(events: DataFrame, *, key_col: str = "user_id",
     return prepared.groupBy("user_id").applyInPandasWithState(
         fn, outputStructType=out_schema, stateStructType=state_schema,
         outputMode="append", timeoutConf=GroupStateTimeout.EventTimeTimeout)
+
+
+def holt_recursion(ys: list[int], level: int | None, trend: int):
+    """The sequential Holt(alpha=beta=1/2) spec shared by the streaming
+    operator and the batch recursive-CTE query (queries/timeseries.py::
+    holt_forecast): TRUNCATING integer halving (matches SQL ``div`` /
+    DuckDB ``//``), first observation initializes (level=y, trend=0).
+    Returns (rows, level, trend) with rows = [(y, l, b, l+b)]."""
+    def tdiv2(a: int) -> int:
+        q = abs(a) // 2
+        return q if a >= 0 else -q
+    rows = []
+    for y in ys:
+        if level is None:
+            level, trend = y, 0
+        else:
+            ln = tdiv2(y + level + trend)
+            trend = tdiv2(ln - level + trend)
+            level = ln
+        rows.append((y, level, trend, level + trend))
+    return rows, level, trend
+
+
+def streaming_holt(points: DataFrame) -> DataFrame:
+    """Streaming Holt linear-trend smoothing: per-key (level, trend)
+    keyed state updated by the EXACT integer recursion the batch
+    ``holt_forecast`` recursive CTE runs — streaming and batch are the
+    same function of the series, so a restarted/backfilled stream
+    converges to the batch answer bit-for-bit
+    (test_streaming_holt_matches_batch).
+
+    Input rows are pre-aggregated series points
+    (c_custkey, month timestamp, rev_cents) — at 100 TB the upstream
+    micro-batch does the map-side monthly rollup and this operator
+    holds TWO integers per key regardless of volume. Within a
+    micro-batch points process in month order; cross-batch order is
+    the source's replay order (checkpointed file/Kafka sources
+    preserve it per key)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType([
+        T.StructField("c_custkey", T.LongType()),
+        T.StructField("month", T.TimestampType()),
+        T.StructField("rev_cents", T.LongType()),
+        T.StructField("level_cents", T.LongType()),
+        T.StructField("trend_cents", T.LongType()),
+        T.StructField("forecast_cents", T.LongType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("level", T.LongType()),
+        T.StructField("trend", T.LongType()),
+    ])
+
+    def fn(key: tuple, pdfs, state: GroupState):
+        import pandas as pd
+        level, trend = state.get if state.exists else (None, 0)
+        months, ys = [], []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("month")
+            months.extend(pdf["month"])
+            ys.extend(int(y) for y in pdf["rev_cents"])
+        rows, level, trend = holt_recursion(ys, level, trend)
+        state.update((int(level), int(trend)))
+        yield pd.DataFrame({
+            "c_custkey": [key[0]] * len(rows),
+            "month": months,
+            "rev_cents": [r[0] for r in rows],
+            "level_cents": [r[1] for r in rows],
+            "trend_cents": [r[2] for r in rows],
+            "forecast_cents": [r[3] for r in rows],
+        })
+
+    return points.groupBy("c_custkey").applyInPandasWithState(
+        fn, outputStructType=out_schema, stateStructType=state_schema,
+        outputMode="append", timeoutConf=GroupStateTimeout.NoTimeout)

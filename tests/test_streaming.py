@@ -735,3 +735,33 @@ def test_streaming_cep_under_rocksdb_state_store(spark, workdir):
         else:
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_streaming_holt_matches_batch(spark, workdir):
+    # per-key (level, trend) state fed in two month-ordered batches
+    # must equal the batch WITH RECURSIVE holt_forecast bit-for-bit
+    from streamforge_spark.io import load
+    from streamforge_spark.queries.timeseries import holt_forecast
+    from streamforge_spark.streaming.timeseries import streaming_holt
+    sf = "/root/testdata/sf0.001"
+    orders = load(spark, sf, "orders")
+    series = (orders.groupBy(F.col("o_custkey").alias("c_custkey"),
+                             F.date_trunc("month", "o_orderdate").alias("month"))
+              .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                   .alias("rev_cents")))
+    pivot = "1998-01-01"
+    src = f"{workdir}/holt_src"
+    series.filter(F.col("month") < pivot).coalesce(1) \
+        .write.mode("append").parquet(src)
+    stream = spark.readStream.schema(series.schema).parquet(src)
+    out = streaming_holt(stream)
+    q = (out.writeStream.format("memory").queryName("holt_out")
+         .outputMode("append").start())
+    q.processAllAvailable()
+    series.filter(F.col("month") >= pivot).coalesce(1) \
+        .write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    got = {tuple(r) for r in spark.sql("select * from holt_out").collect()}
+    want = {tuple(r) for r in holt_forecast(spark, sf).collect()}
+    assert got == want
