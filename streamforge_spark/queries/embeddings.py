@@ -826,3 +826,74 @@ def knn_label_predict(spark, sf_dir):
             .filter(F.col("rn") == 1)
             .select(F.col("qid").alias("vec_id"),
                     F.col("label").alias("predicted_label"), "n_votes"))
+
+
+# -- embedding-space drift: per-label centroid vs global centroid -------
+
+_CENTROID_ORACLE = """
+WITH r AS (
+  SELECT label, i AS dim, CAST(ROUND(e[i] * 1000000) AS BIGINT) AS m
+  FROM (SELECT label, embedding::DOUBLE[] AS e FROM embeddings) t,
+       unnest(generate_series(1, len(e))) AS u(i)),
+per AS (SELECT label, dim, SUM(m) AS s, CAST(COUNT(*) AS BIGINT) AS n
+        FROM r GROUP BY 1, 2),
+lc AS (SELECT label,
+              list(CAST(s AS DOUBLE) / CAST(n * 1000000 AS DOUBLE)
+                   ORDER BY dim) AS cv,
+              MIN(n) AS n_vecs
+       FROM per GROUP BY label),
+g AS (SELECT dim, SUM(s) AS s, SUM(n) AS n FROM per GROUP BY dim),
+gc AS (SELECT list(CAST(s AS DOUBLE) / CAST(n * 1000000 AS DOUBLE)
+                   ORDER BY dim) AS gv FROM g)
+SELECT label, n_vecs,
+       list_dot_product(cv, gv)
+         / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(gv, gv)))
+         AS cos_to_global
+FROM lc, gc
+"""
+
+
+@query("label_centroid_shift", oracle=_CENTROID_ORACLE)
+def label_centroid_shift(spark, sf_dir):
+    """Embedding-space drift monitor: per label (stand-in for a data
+    source / model version / time slice), the cosine between that
+    slice's centroid and the global corpus centroid — cos near 1 means
+    the slice sits where the corpus sits; a drop flags representation
+    drift (new domain, encoder change, pipeline bug). The
+    embedding-space complement of source_token_drift.
+
+    Exactness: per-dimension sums run in integer micro-units (exact at
+    any parallelism); centroids divide once per dimension with the
+    identical IEEE expression in both engines; cosines are the
+    sequential-fold dot product that matches DuckDB's
+    list_dot_product bit-for-bit.
+
+    Scale shape: ONE map-side-combined (label, dim) rollup of the
+    corpus — everything after is |labels| x dims centroids (KBs), so
+    the cosine stage is a broadcast cross of a dimension-sized table.
+    Adding a day/source axis to the rollup key makes it the
+    incremental drift dashboard (centroid sums are mergeable state,
+    like the HLL sketch columns)."""
+    (emb,) = prep(spark, sf_dir, "embeddings")
+    rows = (emb.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>"))
+        .alias("dim0", "v"))
+        .select("label", (F.col("dim0") + 1).alias("dim"),
+                F.round(F.col("v") * 1000000).cast("long").alias("m")))
+    per = (rows.groupBy("label", "dim")
+           .agg(F.sum("m").alias("s"), F.count(F.lit(1)).alias("n")))
+    c = F.col("s").cast("double") / (F.col("n") * 1000000).cast("double")
+    lc = (per.select("label", "dim", c.alias("c"), "n")
+          .groupBy("label")
+          .agg(F.transform(F.sort_array(F.collect_list(F.struct("dim", "c"))),
+                           lambda x: x["c"]).alias("cv"),
+               F.min("n").alias("n_vecs")))
+    gper = (per.groupBy("dim")
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n")))
+    gc = (gper.select("dim", c.alias("c"))
+          .agg(F.transform(F.sort_array(F.collect_list(F.struct("dim", "c"))),
+                           lambda x: x["c"]).alias("gv")))
+    return (lc.crossJoin(F.broadcast(gc))
+            .select("label", "n_vecs",
+                    cosine(F.col("cv"), F.col("gv")).alias("cos_to_global")))

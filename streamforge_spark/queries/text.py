@@ -860,3 +860,52 @@ def soft_dedup_weights(spark, sf_dir):
                                "div 1000000"))
             .select("doc_id", "component", "cluster_size", "weight_ppm",
                     "n_tokens", "weighted_tokens"))
+
+
+_NOVELTY_ORACLE = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+glist AS (SELECT doc_id,
+                 list_distinct(list_transform(
+                   generate_series(1, greatest(len(t) - 2, 1)),
+                   i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS gs
+          FROM toks),
+grams AS (SELECT doc_id, unnest(gs) AS g FROM glist),
+dfreq AS (SELECT g, CAST(count(*) AS BIGINT) AS df FROM grams GROUP BY g)
+SELECT gr.doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(count(CASE WHEN d.df = 1 THEN 1 END) AS BIGINT) AS n_unique,
+       (1000000 * count(CASE WHEN d.df = 1 THEN 1 END)) // count(*)
+         AS novelty_ppm
+FROM grams gr JOIN dfreq d ON d.g = gr.g
+GROUP BY gr.doc_id
+"""
+
+
+@query("doc_novelty", oracle=_NOVELTY_ORACLE)
+def doc_novelty(spark, sf_dir):
+    """Document novelty scoring: the fraction of a document's distinct
+    word-3-gram shingles that appear NOWHERE else in the corpus
+    (corpus-level document frequency = 1) — high novelty marks
+    original content worth up-sampling; near-zero novelty marks
+    template/boilerplate-dominated docs even when no single pair
+    crosses a near-dup threshold. The per-document complement of
+    boilerplate_strip's per-segment verdicts.
+
+    Scale shape: same narrow discipline as boilerplate_strip — the
+    shuffled rows are (doc_id, 8-byte shingle hash); document
+    frequency is one map-side-combined rollup; the df table joins back
+    on the hash and the per-doc ratio is an integer-ppm fold. No
+    shingle strings in any exchange."""
+    (docs,) = prep(spark, sf_dir, "documents")
+    grams = (spread_for_compute(docs, "doc_id")
+             .select("doc_id", F.explode(
+                 word_ngrams(F.col("text"), 3)).alias("g"))
+             .withColumn("h", F.xxhash64("g")).drop("g"))
+    dfreq = grams.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    uniq = F.count(F.when(F.col("df") == 1, F.lit(1)))
+    return (grams.join(dfreq, "h")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_shingles"),
+                 uniq.alias("n_unique"))
+            .withColumn("novelty_ppm",
+                        F.expr("(1000000 * n_unique) div n_shingles")))
