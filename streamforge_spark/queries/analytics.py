@@ -978,3 +978,54 @@ def monthly_revenue_trend(spark, sf_dir):
     return m.select("month", "cents",
                     (F.col("cents") - F.lag("cents").over(w))
                     .alias("mom_delta_cents"))
+
+
+# -- skyline / pareto frontier ------------------------------------------
+
+_SKYLINE_ORACLE = """
+WITH p AS (SELECT p_partkey, p_size,
+                  CAST(ROUND(p_retailprice * 100) AS BIGINT) AS cents
+           FROM part),
+w AS (SELECT *,
+             max(p_size) OVER (ORDER BY cents
+                               RANGE BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING) AS best_cheaper,
+             max(p_size) OVER (PARTITION BY cents) AS best_same_price
+      FROM p)
+SELECT p_partkey, p_size, cents
+FROM w
+WHERE (best_cheaper IS NULL OR p_size > best_cheaper)
+  AND p_size = best_same_price
+"""
+
+
+@query("pareto_frontier_parts", oracle=_SKYLINE_ORACLE)
+def pareto_frontier_parts(spark, sf_dir):
+    """Skyline query: the pareto-optimal parts under (minimize price,
+    maximize size) — a part survives iff no other part is at least as
+    big for a strictly lower price, and no same-price part is strictly
+    bigger. The classic multi-criteria shortlist (supplier selection,
+    price-performance frontiers).
+
+    One-pass window formulation: order by exact integer cents; the
+    strictly-cheaper best size is a RANGE frame ending 1 cent before
+    the current row (integer range frame — no float boundary
+    ambiguity), and same-price domination is a partitioned max. Part
+    is a dimension table, so the global-order window is
+    dimension-sized (the rfm_segments argument); the frontier itself
+    is at most one row per distinct price."""
+    from pyspark.sql import Window
+    (part,) = prep(spark, sf_dir, "part")
+    p = part.select("p_partkey", "p_size",
+                    F.round(F.col("p_retailprice") * 100).cast("long")
+                    .alias("cents"))
+    cheaper = (Window.orderBy("cents")
+               .rangeBetween(Window.unboundedPreceding, -1))
+    same = Window.partitionBy("cents")
+    w = p.select("p_partkey", "p_size", "cents",
+                 F.max("p_size").over(cheaper).alias("best_cheaper"),
+                 F.max("p_size").over(same).alias("best_same_price"))
+    return (w.filter((F.col("best_cheaper").isNull()
+                      | (F.col("p_size") > F.col("best_cheaper")))
+                     & (F.col("p_size") == F.col("best_same_price")))
+            .select("p_partkey", "p_size", "cents"))

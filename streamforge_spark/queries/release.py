@@ -224,3 +224,42 @@ def release_summary(spark, sf_dir):
             .groupBy("source", "verdict")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("n_tokens").alias("n_tokens")))
+
+
+# -- dataset content fingerprint (release integrity) --------------------
+
+_FINGERPRINT_ORACLE = f"""
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS n_tokens,
+       bit_xor({hash60_sql("CAST(doc_id AS VARCHAR) || ':' || text")})
+         AS content_xor
+FROM documents
+GROUP BY source
+"""
+
+
+@query("dataset_fingerprint", oracle=_FINGERPRINT_ORACLE)
+def dataset_fingerprint(spark, sf_dir):
+    """Order-insensitive per-source content fingerprint: XOR of 60-bit
+    row digests plus doc/token counts. Two releases (or a release and
+    its replica on another cluster) compare by fingerprint alone — a
+    changed, dropped, or duplicated document flips the XOR — without
+    moving any data. The cheap integrity check that catches silent
+    corruption between pipeline hops (the batch analog of the sink
+    idempotence tests).
+
+    Scale shape: a pure scan-side digest followed by ONE
+    map-side-combined rollup; XOR is commutative/associative so the
+    aggregation is exact at any parallelism — the same mergeable-state
+    argument as the sketch columns, with zero collision risk of a
+    false MATCH beyond 2^-60 per differing row."""
+    (docs,) = prep(spark, sf_dir, "documents")
+    h = oracle_hash60(F.concat(F.col("doc_id").cast("string"),
+                               F.lit(":"), F.col("text")))
+    return (docs.select("source", h.alias("h"),
+                        token_count(F.col("text")).alias("n_tokens"))
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").alias("n_tokens"),
+                 F.expr("bit_xor(h)").alias("content_xor")))

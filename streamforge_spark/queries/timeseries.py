@@ -1257,3 +1257,142 @@ def holt_forecast(spark, sf_dir):
     (orders,) = prep(spark, sf_dir, "orders")
     orders.createOrReplaceTempView("holt_orders_v")
     return spark.sql(_HOLT_BODY.format(T="holt_orders_v", D="div"))
+
+
+# -- classical seasonal indices (ratio-to-moving-average) ---------------
+
+_SEASONAL_IDX_ORACLE = """
+WITH m AS (
+  SELECT date_trunc('month', o_orderdate) AS month,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1),
+w AS (
+  SELECT month, cents,
+         sum(cents) OVER (ORDER BY month
+                          ROWS BETWEEN 5 PRECEDING AND 6 FOLLOWING) AS s12,
+         count(*)  OVER (ORDER BY month
+                          ROWS BETWEEN 5 PRECEDING AND 6 FOLLOWING) AS n12
+  FROM m),
+r AS (
+  SELECT CAST(month(month) AS BIGINT) AS month_of_year,
+         (cents * 12 * 1000000) // s12 AS r_ppm
+  FROM w WHERE n12 = 12)
+SELECT month_of_year,
+       CAST(count(*) AS BIGINT) AS n_windows,
+       SUM(r_ppm) // count(*) AS seasonal_index_ppm
+FROM r GROUP BY month_of_year
+"""
+
+
+@query("seasonal_index_monthly", oracle=_SEASONAL_IDX_ORACLE)
+def seasonal_index_monthly(spark, sf_dir):
+    """Classical ratio-to-moving-average seasonal decomposition: each
+    month's revenue is expressed as ppm of its trailing/leading
+    12-month moving average, then averaged per calendar month — the
+    textbook seasonal index (index > 1e6 = that calendar month runs
+    above trend). The decomposition complement of
+    seasonal_anomaly_cells (weekday/hour profile) at monthly grain.
+
+    Exactness: the MA ratio is integer ppm against the 12-month SUM
+    (cents*12e6 div s12 — no float division), and the per-calendar-
+    month average is an integer div of summed ppms; incomplete edge
+    windows (n12 < 12) are excluded, so every index averages only
+    full-year-context ratios. int64 headroom: monthly revenue up to
+    ~7.7e11 cents before cents*12e6 overflows — scale the unit (e.g.
+    whole dollars) past that.
+
+    Scale shape: the fact table reduces to one map-side-combined
+    monthly rollup; the MA window and index rollup run on the
+    ~|months| table (KBs at any corpus size)."""
+    from pyspark.sql import Window
+    (orders,) = prep(spark, sf_dir, "orders")
+    m = (orders.groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
+         .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+              .alias("cents")))
+    w = Window.orderBy("month").rowsBetween(-5, 6)
+    sums = m.select("month", "cents",
+                    F.sum("cents").over(w).alias("s12"),
+                    F.count(F.lit(1)).over(w).alias("n12"))
+    r = (sums.filter(F.col("n12") == 12)
+         .select(F.month("month").cast("long").alias("month_of_year"),
+                 F.expr("(cents * 12 * 1000000) div s12").alias("r_ppm")))
+    return (r.groupBy("month_of_year")
+            .agg(F.count(F.lit(1)).alias("n_windows"),
+                 F.expr("sum(r_ppm) div count(*)")
+                 .alias("seasonal_index_ppm")))
+
+
+# -- Kaplan-Meier survival (signup -> first purchase, censored) ---------
+
+_KM_BODY = """
+WITH RECURSIVE su AS (
+  SELECT user_id, MIN(ts) AS signup_ts FROM {T}
+  WHERE event_type = 'signup' GROUP BY user_id),
+conv AS (
+  SELECT e.user_id, MIN(e.ts) AS convert_ts
+  FROM {T} e JOIN su ON su.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= su.signup_ts
+  GROUP BY e.user_id),
+last AS (
+  SELECT user_id, MAX(ts) AS last_ts FROM {T} GROUP BY user_id),
+subj AS (
+  SELECT su.user_id,
+         CASE WHEN c.convert_ts IS NOT NULL
+              THEN {DIFF_CONV} ELSE {DIFF_CENS} END AS day,
+         (c.convert_ts IS NOT NULL) AS converted
+  FROM su JOIN last l ON l.user_id = su.user_id
+  LEFT JOIN conv c ON c.user_id = su.user_id),
+agg AS (
+  SELECT day,
+         CAST(count(CASE WHEN converted THEN 1 END) AS BIGINT) AS d,
+         CAST(count(CASE WHEN NOT converted THEN 1 END) AS BIGINT) AS c
+  FROM subj GROUP BY day),
+total AS (SELECT CAST(count(*) AS BIGINT) AS n0 FROM subj),
+risk AS (
+  SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i,
+         day, d, c,
+         n0 - COALESCE(sum(d + c) OVER (ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS n
+  FROM agg CROSS JOIN total),
+r AS (
+  SELECT i, day, d, c, n, (1000000 * (n - d)) {D} n AS s
+  FROM risk WHERE i = 1
+  UNION ALL
+  SELECT q.i, q.day, q.d, q.c, q.n, (r.s * (q.n - q.d)) {D} q.n
+  FROM r JOIN risk q ON q.i = r.i + 1)
+SELECT day, n AS n_at_risk, d AS n_converted, c AS n_censored,
+       s AS survival_ppm
+FROM r
+"""
+
+_KM_SPARK = _KM_BODY.format(
+    T="km_events_v", D="div",
+    DIFF_CONV="CAST(datediff(to_date(c.convert_ts), to_date(su.signup_ts)) AS BIGINT)",
+    DIFF_CENS="CAST(datediff(to_date(l.last_ts), to_date(su.signup_ts)) AS BIGINT)")
+_KM_DUCK = _KM_BODY.format(
+    T="events", D="//",
+    DIFF_CONV="CAST(date_diff('day', CAST(su.signup_ts AS DATE), CAST(c.convert_ts AS DATE)) AS BIGINT)",
+    DIFF_CENS="CAST(date_diff('day', CAST(su.signup_ts AS DATE), CAST(l.last_ts AS DATE)) AS BIGINT)")
+
+
+@query("survival_curve", oracle=_KM_DUCK)
+def survival_curve(spark, sf_dir):
+    """Kaplan-Meier survival curve for signup -> first purchase:
+    users who never convert are right-CENSORED at their last observed
+    event (the estimator's whole point — dropping them would bias
+    conversion down; counting them as non-converts forever would bias
+    it up). Emits the at-risk/converted/censored counts per day since
+    signup and the KM survival probability in exact ppm.
+
+    The survival product S(t) = prod(1 - d_i/n_i) is genuinely
+    recursive; like holt_forecast it runs JVM-side via Spark 4
+    WITH RECURSIVE, with each step an integer ppm multiply-divide
+    (truncating div on both engines) — so the curve is bit-identical
+    to the DuckDB oracle at any parallelism. The curve table is
+    |distinct days| rows; everything before it is two map-side-
+    combined rollups of the events table and a windowed cumulative
+    sum over that small table."""
+    (events,) = prep(spark, sf_dir, "events")
+    events.createOrReplaceTempView("km_events_v")
+    return spark.sql(_KM_SPARK)
