@@ -1029,3 +1029,62 @@ def pareto_frontier_parts(spark, sf_dir):
                       | (F.col("p_size") > F.col("best_cheaper")))
                      & (F.col("p_size") == F.col("best_same_price")))
             .select("p_partkey", "p_size", "cents"))
+
+
+# -- Benford first-digit audit ------------------------------------------
+
+#: Benford expected first-digit shares in ppm (log10(1+1/d), fixed
+#: literals so neither engine evaluates a non-correctly-rounded log)
+BENFORD_PPM = {1: 301030, 2: 176091, 3: 124939, 4: 96910,
+               5: 79181, 6: 66947, 7: 57992, 8: 51153, 9: 45757}
+
+_BENFORD_ORACLE = f"""
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM orders WHERE o_totalprice > 0),
+c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY digit),
+t AS (SELECT SUM(n) AS total FROM c),
+e(digit, expected_ppm) AS (VALUES
+  {", ".join(f"({d}, {p})" for d, p in BENFORD_PPM.items())})
+SELECT e.digit, COALESCE(c.n, 0) AS n,
+       (COALESCE(c.n, 0) * 1000000) // t.total AS observed_ppm,
+       e.expected_ppm,
+       abs((COALESCE(c.n, 0) * 1000000) // t.total - e.expected_ppm)
+         AS deviation_ppm
+FROM e LEFT JOIN c ON c.digit = e.digit CROSS JOIN t
+"""
+
+
+@query("benford_first_digit", oracle=_BENFORD_ORACLE)
+def benford_first_digit(spark, sf_dir):
+    """Benford's-law audit of order totals: the observed first-digit
+    distribution vs the log-law expectation, in integer ppm — the
+    classic screen for fabricated or systematically clamped monetary
+    data (heavy deviation on one digit = pricing rule or fraud, not
+    noise). Expected shares are fixed literals so no engine evaluates
+    a (non-correctly-rounded) log10 at query time.
+
+    Scale shape: first digit is a scan-side string op on exact cents;
+    one 9-row map-side-combined rollup; the expectation join is a
+    9-row broadcast."""
+    (orders,) = prep(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    d = (orders.filter(F.col("o_totalprice") > 0)
+         .select(F.substring(cents.cast("string"), 1, 1).cast("long")
+                 .alias("digit")))
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    t = c.agg(F.sum("n").alias("total"))
+    e = spark.createDataFrame(
+        [(d_, p) for d_, p in BENFORD_PPM.items()],
+        "digit long, expected_ppm long")
+    return (F.broadcast(e).join(c, "digit", "left")
+            .crossJoin(F.broadcast(t))
+            .select("digit",
+                    F.coalesce("n", F.lit(0)).alias("n"),
+                    F.expr("(coalesce(n, 0) * 1000000) div total")
+                    .alias("observed_ppm"),
+                    "expected_ppm")
+            .withColumn("deviation_ppm",
+                        F.abs(F.col("observed_ppm")
+                              - F.col("expected_ppm"))))

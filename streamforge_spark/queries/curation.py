@@ -653,3 +653,57 @@ def corpus_shuffle_order(spark, sf_dir):
                         (h % SHUFFLE_SHARDS).cast("int").alias("shard"))
             .select("doc_id", "shard",
                     F.row_number().over(w).cast("long").alias("pos")))
+
+
+# -- temperature-scaled mixture weights (UniMax / alpha-sampling) -------
+
+MIX_TEMP_BUDGET = 100_000  # total token budget to allocate
+
+
+_TEMPERATURE_ORACLE = f"""
+WITH src AS (
+  SELECT source,
+         SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS n_tokens
+  FROM documents GROUP BY source),
+w AS (
+  SELECT source, n_tokens,
+         CAST(ROUND(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT)
+           AS w_micro
+  FROM src),
+t AS (SELECT SUM(w_micro) AS total FROM w)
+SELECT source, n_tokens,
+       (w_micro * 1000000) // total AS weight_ppm,
+       ({MIX_TEMP_BUDGET} * w_micro) // total AS quota_tokens
+FROM w CROSS JOIN t
+"""
+
+
+@query("mixture_temperature_weights", oracle=_TEMPERATURE_ORACLE)
+def mixture_temperature_weights(spark, sf_dir):
+    """Temperature-scaled mixture weights (alpha = 0.5): each source's
+    share of the training budget is proportional to sqrt(its tokens) —
+    the standard multilingual/multi-source flattening (raw proportional
+    sampling drowns small sources; uniform over-trains them; sqrt is
+    the T=2 compromise). Emits per-source weight and the token quota
+    out of a fixed budget.
+
+    Exactness without float-sum order problems: sqrt is the ONE float
+    op (IEEE-correctly-rounded in both engines), immediately rounded
+    to integer micro-units, so the normalizing total is an exact
+    BIGINT sum and every weight/quota is integer division. Scale
+    shape: one map-side-combined source rollup; everything after is
+    |sources| rows."""
+    (docs,) = prep(spark, sf_dir, "documents")
+    src = (docs.groupBy("source")
+           .agg(F.sum(F.size(F.split("text", " ")).cast("long"))
+                .alias("n_tokens")))
+    w = src.withColumn(
+        "w_micro",
+        F.round(F.sqrt(F.col("n_tokens").cast("double")) * 1000000)
+        .cast("long"))
+    t = w.agg(F.sum("w_micro").alias("total"))
+    return (w.crossJoin(F.broadcast(t))
+            .select("source", "n_tokens",
+                    F.expr("(w_micro * 1000000) div total").alias("weight_ppm"),
+                    F.expr(f"({MIX_TEMP_BUDGET} * w_micro) div total")
+                    .alias("quota_tokens")))

@@ -1396,3 +1396,51 @@ def survival_curve(spark, sf_dir):
     (events,) = prep(spark, sf_dir, "events")
     events.createOrReplaceTempView("km_events_v")
     return spark.sql(_KM_SPARK)
+
+
+# -- clamped running balance (reflection identity, no recursion) --------
+
+_CLAMP_ORACLE = """
+WITH f AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type = 'purchase'
+              THEN -CAST(ROUND(value * 100) AS BIGINT)
+              ELSE  CAST(ROUND(value * 100) AS BIGINT) END AS flow
+  FROM events),
+w AS (
+  SELECT user_id, ts, event_id, flow,
+         sum(flow) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS s
+  FROM f)
+SELECT user_id, ts, event_id, flow,
+       s - least(0, min(s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING))
+         AS balance_cents
+FROM w
+"""
+
+
+@query("clamped_balance", oracle=_CLAMP_ORACLE)
+def clamped_balance(spark, sf_dir):
+    """Floor-at-zero running balance per user (credits accrue, purchase
+    debits spend, balance can never go negative — wallet/credit/
+    inventory semantics). The naive definition is the recursion
+    B_t = max(B_{t-1} + x_t, 0), which would force per-key sequential
+    state; the REFLECTION identity B_t = S_t - min(0, min_{k<=t} S_k)
+    (prefix sum minus its clamped running minimum) turns it into TWO
+    stacked window aggregates over ONE exchange — the closed form that
+    makes a 10^12-row clamped ledger a single shuffle on user_id.
+    Exact integer cents throughout; ties ordered by (ts, event_id)."""
+    from pyspark.sql import Window
+    (events,) = prep(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    f = events.select(
+        "user_id", "ts", "event_id",
+        F.when(F.col("event_type") == "purchase", -cents)
+        .otherwise(cents).alias("flow"))
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    s = f.withColumn("s", F.sum("flow").over(w))
+    return (s.select("user_id", "ts", "event_id", "flow",
+                     (F.col("s") - F.least(F.lit(0), F.min("s").over(w)))
+                     .alias("balance_cents")))
