@@ -765,3 +765,35 @@ def test_streaming_holt_matches_batch(spark, workdir):
     got = {tuple(r) for r in spark.sql("select * from holt_out").collect()}
     want = {tuple(r) for r in holt_forecast(spark, sf).collect()}
     assert got == want
+
+
+def test_state_inspect_reads_dedup_checkpoint(spark, workdir):
+    # the offline state reader must see exactly the keys the dedup
+    # operator holds, with expiry = event time + ttl (the ops/debug
+    # surface: state introspection without touching the job)
+    import sys, pathlib
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent / "tools"))
+    from state_inspect import inspect
+    from streamforge_spark.streaming.dedup import streaming_dedup
+    src, ckpt, out = f"{workdir}/si_src", f"{workdir}/si_ckpt", f"{workdir}/si_out"
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (2, "2024-01-01 10:01:00"),
+         (1, "2024-01-01 10:02:00")], "k long, ts string") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    df.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    q = (streaming_dedup(stream, ["k"], "ts", ttl="10 minutes")
+         .writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", ckpt).start())
+    q.processAllAvailable(); q.stop()
+    report = inspect(spark, ckpt, limit=5)
+    assert report["n_state_rows"] == 2          # keys 1 and 2, not the dup
+    assert report["operators"]                  # metadata rows exist
+    state = (spark.read.format("statestore").option("path", ckpt).load()
+             .select("key.k", "value.expiresAtMicros").collect())
+    got = {(r.k, r.expiresAtMicros) for r in state}
+    import datetime
+    base = datetime.datetime(2024, 1, 1, 10, 0, tzinfo=datetime.timezone.utc)
+    micros = lambda m: int((base + datetime.timedelta(minutes=m)).timestamp() * 1e6)
+    # expiry = first-seen event time + 10m ttl
+    assert got == {(1, micros(10)), (2, micros(11))}
