@@ -1088,3 +1088,137 @@ def benford_first_digit(spark, sf_dir):
             .withColumn("deviation_ppm",
                         F.abs(F.col("observed_ppm")
                               - F.col("expected_ppm"))))
+
+
+# -- price/volume variance decomposition (FP&A bridge) ------------------
+
+VAR_YEAR_BASE, VAR_YEAR_CMP = 1997, 1998
+
+_VARIANCE_ORACLE = f"""
+WITH y AS (
+  SELECT c.c_nationkey AS nation,
+         year(o.o_orderdate) AS yr,
+         SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS rev,
+         SUM(CAST(l.l_quantity AS BIGINT)) AS qty
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE year(o.o_orderdate) IN ({VAR_YEAR_BASE}, {VAR_YEAR_CMP})
+  GROUP BY 1, 2),
+b AS (SELECT nation, rev AS rev1, qty AS q1 FROM y WHERE yr = {VAR_YEAR_BASE}),
+c AS (SELECT nation, rev AS rev2, qty AS q2 FROM y WHERE yr = {VAR_YEAR_CMP})
+SELECT b.nation,
+       rev1, rev2, q1, q2,
+       rev2 - rev1 AS delta_cents,
+       CAST(q2 - q1 AS DOUBLE) * (CAST(rev1 AS DOUBLE) / CAST(q1 AS DOUBLE))
+         AS volume_effect,
+       CAST(q2 AS DOUBLE) * (CAST(rev2 AS DOUBLE) / CAST(q2 AS DOUBLE)
+                             - CAST(rev1 AS DOUBLE) / CAST(q1 AS DOUBLE))
+         AS price_effect
+FROM b JOIN c ON c.nation = b.nation
+WHERE q1 > 0 AND q2 > 0
+"""
+
+
+@query("revenue_variance_decomposition", oracle=_VARIANCE_ORACLE)
+def revenue_variance_decomposition(spark, sf_dir):
+    """Price/volume variance bridge: per nation, the year-over-year
+    revenue delta split into a VOLUME effect ((q2-q1) at base-year
+    unit price) and a PRICE effect (q2 at the unit-price change) —
+    the standard FP&A decomposition that answers "did we sell more,
+    or sell dearer". volume_effect + price_effect == delta exactly
+    (the two-term Laspeyres/Paasche split).
+
+    Revenue and quantity aggregate as exact integers (order-free);
+    unit prices are then derived with the identical IEEE expression
+    sequence in both engines, so even the float effects hash-match.
+    One fact rollup keyed (nation, year), then a |nations| self-join."""
+    lineitem, orders, customer = prep(spark, sf_dir,
+                                      "lineitem", "orders", "customer")
+    y = (lineitem
+         .join(orders, lineitem["l_orderkey"] == orders["o_orderkey"])
+         .join(customer, orders["o_custkey"] == customer["c_custkey"])
+         .filter(F.year("o_orderdate").isin(VAR_YEAR_BASE, VAR_YEAR_CMP))
+         .groupBy(F.col("c_nationkey").alias("nation"),
+                  F.year("o_orderdate").alias("yr"))
+         .agg(F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+              .alias("rev"),
+              F.sum(F.col("l_quantity").cast("long")).alias("qty")))
+    b = (y.filter(F.col("yr") == VAR_YEAR_BASE)
+         .select("nation", F.col("rev").alias("rev1"),
+                 F.col("qty").alias("q1")))
+    c = (y.filter(F.col("yr") == VAR_YEAR_CMP)
+         .select(F.col("nation").alias("nation2"),
+                 F.col("rev").alias("rev2"), F.col("qty").alias("q2")))
+    p1 = F.col("rev1").cast("double") / F.col("q1").cast("double")
+    p2 = F.col("rev2").cast("double") / F.col("q2").cast("double")
+    return (b.join(c, b["nation"] == c["nation2"])
+            .filter((F.col("q1") > 0) & (F.col("q2") > 0))
+            .select("nation", "rev1", "rev2", "q1", "q2",
+                    (F.col("rev2") - F.col("rev1")).alias("delta_cents"),
+                    ((F.col("q2") - F.col("q1")).cast("double") * p1)
+                    .alias("volume_effect"),
+                    (F.col("q2").cast("double") * (p2 - p1))
+                    .alias("price_effect")))
+
+
+# -- cohort LTV curves --------------------------------------------------
+
+_LTV_ORACLE = """
+WITH firsts AS (
+  SELECT o_custkey,
+         date_trunc('month', MIN(o_orderdate)) AS cohort_month
+  FROM orders GROUP BY o_custkey),
+facts AS (
+  SELECT f.cohort_month,
+         (year(o.o_orderdate) * 12 + month(o.o_orderdate))
+           - (year(f.cohort_month) * 12 + month(f.cohort_month))
+           AS age_months,
+         CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents,
+         o.o_custkey
+  FROM orders o JOIN firsts f ON f.o_custkey = o.o_custkey),
+g AS (
+  SELECT cohort_month, CAST(age_months AS BIGINT) AS age_months,
+         CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_active,
+         SUM(cents) AS rev_cents
+  FROM facts GROUP BY 1, 2)
+SELECT cohort_month, age_months, n_active, rev_cents,
+       SUM(rev_cents) OVER (PARTITION BY cohort_month ORDER BY age_months
+                            ROWS UNBOUNDED PRECEDING) AS cum_rev_cents
+FROM g
+"""
+
+
+@query("cohort_ltv", oracle=_LTV_ORACLE)
+def cohort_ltv(spark, sf_dir):
+    """Cohort lifetime-value curves: customers grouped by first-order
+    month; per (cohort, months-since-first-order) the active count,
+    revenue, and CUMULATIVE revenue — the LTV curve marketing payback
+    models read off. Complements retention_cohorts (who comes back)
+    with how much they spend as they age.
+
+    Ages are exact integer month arithmetic (year*12+month), revenue
+    exact cents; the cumulative window is partitioned per cohort (a
+    |cohorts| x |ages| table after one fact rollup + one first-order
+    rollup joined back on the customer key)."""
+    from pyspark.sql import Window
+    (orders,) = prep(spark, sf_dir, "orders")
+    firsts = (orders.groupBy("o_custkey")
+              .agg(F.date_trunc("month", F.min("o_orderdate"))
+                   .alias("cohort_month")))
+    mnum = lambda c: F.year(c) * 12 + F.month(c)
+    facts = (orders.join(firsts, "o_custkey")
+             .select("cohort_month",
+                     (mnum(F.col("o_orderdate"))
+                      - mnum(F.col("cohort_month"))).cast("long")
+                     .alias("age_months"),
+                     F.round(F.col("o_totalprice") * 100).cast("long")
+                     .alias("cents"),
+                     "o_custkey"))
+    g = (facts.groupBy("cohort_month", "age_months")
+         .agg(F.count_distinct("o_custkey").alias("n_active"),
+              F.sum("cents").alias("rev_cents")))
+    w = (Window.partitionBy("cohort_month").orderBy("age_months")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return g.select("cohort_month", "age_months", "n_active", "rev_cents",
+                    F.sum("rev_cents").over(w).alias("cum_rev_cents"))
