@@ -1,0 +1,281 @@
+"""Classical statistics over the fact tables: autocorrelation,
+two-sample KS drift, drawdown, and Gini concentration.
+
+The reference's analytics surface stops at windowed aggregates
+(SessionAnalyzer.java, SURVEY §2.8); a production engine feeding
+dashboards and data-quality monitors also needs the textbook series
+statistics.  Every query here follows the repo's exact-arithmetic
+discipline (integer cents/dollars, one IEEE float op sequence at the
+very end, identical in the DuckDB oracle) so value hashes match
+bit-for-bit at any parallelism.
+
+Scale theme: each query first collapses the fact table with ONE
+map-side-combined rollup (days / distinct cents / users / customers)
+and runs its window math on the small rollup.  ``ks_value_drift``
+demonstrates the fully distributed form: a two-phase bucketed prefix
+sum, so even the cumulative stage never needs a single-partition
+window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from streamforge_spark.queries.common import prep
+from streamforge_spark.registry import query
+
+_ACF_LAGS = 7
+
+_ACF_ORACLE = f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         SUM(CAST(ROUND(o_totalprice) AS BIGINT)) AS dollars
+  FROM orders GROUP BY 1),
+m AS (SELECT CAST(FLOOR(CAST(SUM(dollars) AS DOUBLE) / COUNT(*)) AS BIGINT) AS mu
+      FROM daily),
+cent AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY day) AS rn,
+         dollars - (SELECT mu FROM m) AS c
+  FROM daily),
+den AS (SELECT SUM(c * c) AS d FROM cent),
+pairs AS (
+  SELECT l.lag_k, a.c * b.c AS p
+  FROM (VALUES (1), (2), (3), (4), (5), (6), (7)) l(lag_k)
+  JOIN cent a ON TRUE
+  JOIN cent b ON b.rn = a.rn + l.lag_k)
+SELECT lag_k, COUNT(*) AS n_pairs,
+       CAST(SUM(p) AS DOUBLE) / (SELECT CAST(d AS DOUBLE) FROM den) AS acf
+FROM pairs GROUP BY lag_k ORDER BY lag_k
+"""
+
+
+@query("acf_daily_revenue", oracle=_ACF_ORACLE)
+def acf_daily_revenue(spark, sf_dir):
+    """Autocorrelation of the daily order-revenue series at lags 1..7
+    (the standard estimator: lagged co-moments over the full-series
+    second moment).
+
+    Exactness: the series is whole dollars (BIGINT); the mean is the
+    floored integer mean, so centered values, all products, and both
+    moment sums are exact BIGINT; ``acf`` is one IEEE division of two
+    exact integers — bit-identical to the oracle.  (BIGINT holds the
+    moment sums up to roughly sf300; past that the two sums become
+    DECIMAL(38,0)/HUGEINT with no other change.)
+
+    Scale: the fact scan reduces to a |days|-sized rollup via ONE
+    map-side-combined aggregation; the lag windows and moment sums run
+    on that KB-scale table (the single-partition window is over days,
+    never rows).  No Python, no collect.
+    """
+    (orders,) = prep(spark, sf_dir, "orders")
+    daily = (orders
+             .groupBy(F.to_date("o_orderdate").alias("day"))
+             .agg(F.sum(F.round("o_totalprice").cast("long")).alias("dollars")))
+    mu = daily.agg(
+        F.floor(F.sum("dollars").cast("double") / F.count(F.lit(1)))
+        .cast("long").alias("mu"))
+    cent = (daily.crossJoin(F.broadcast(mu))
+            .select((F.col("dollars") - F.col("mu")).alias("c"), "day")
+            .withColumn("rn", F.row_number().over(Window.orderBy("day"))))
+    den = cent.agg(F.sum(F.col("c") * F.col("c")).alias("d"))
+    w = Window.orderBy("rn")
+    lag_cols = [F.lag("c", k).over(w).alias(f"c{k}") for k in range(1, _ACF_LAGS + 1)]
+    stacked = (cent.select("c", *lag_cols)
+               .select("c", F.expr(
+                   "stack({n}, {args}) AS (lag_k, c_lag)".format(
+                       n=_ACF_LAGS,
+                       args=", ".join(f"{k}, c{k}" for k in range(1, _ACF_LAGS + 1)))))
+               .where(F.col("c_lag").isNotNull()))
+    num = (stacked.groupBy("lag_k")
+           .agg(F.count(F.lit(1)).alias("n_pairs"),
+                F.sum(F.col("c") * F.col("c_lag")).alias("num")))
+    return (num.crossJoin(F.broadcast(den))
+            .select(F.col("lag_k").cast("int").alias("lag_k"),
+                    "n_pairs",
+                    (F.col("num").cast("double") / F.col("d").cast("double"))
+                    .alias("acf"))
+            .orderBy("lag_k"))
+
+
+_KS_ORACLE = """
+WITH ev AS (
+  SELECT CAST(ROUND(value * 100) AS BIGINT) AS cents,
+         epoch_us(ts) AS eus
+  FROM events),
+bounds AS (SELECT MIN(eus) AS lo, MAX(eus) AS hi FROM ev),
+tagged AS (
+  SELECT cents,
+         CASE WHEN eus < (SELECT lo + (hi - lo) // 2 FROM bounds)
+              THEN 1 ELSE 0 END AS early
+  FROM ev),
+per_value AS (
+  SELECT cents, SUM(early) AS n1, SUM(1 - early) AS n2
+  FROM tagged GROUP BY cents),
+cum AS (
+  SELECT cents,
+         SUM(n1) OVER (ORDER BY cents) AS c1,
+         SUM(n2) OVER (ORDER BY cents) AS c2
+  FROM per_value),
+tot AS (SELECT SUM(n1) AS t1, SUM(n2) AS t2 FROM per_value)
+SELECT t.t1 AS n_early, t.t2 AS n_late,
+       CAST(MAX(ABS(c.c1 * t.t2 - c.c2 * t.t1)) AS DOUBLE)
+         / (CAST(t.t1 AS DOUBLE) * CAST(t.t2 AS DOUBLE)) AS ks_stat
+FROM cum c, tot t
+GROUP BY t.t1, t.t2
+"""
+
+_KS_BUCKET = 1000  # cents per ECDF bucket (partition key of phase 1)
+
+
+@query("ks_value_drift", oracle=_KS_ORACLE)
+def ks_value_drift(spark, sf_dir):
+    """Two-sample Kolmogorov–Smirnov drift statistic: the event-value
+    distribution of the first half of the time range vs the second
+    half (split at the midpoint timestamp).
+
+    D = max over values of |ECDF_early − ECDF_late|, computed exactly
+    as MAX(|cum1·n2 − cum2·n1|) / (n1·n2): every term is BIGINT (the
+    cross products stay under 2^63 up to ~10^9 rows per side) and the
+    single division is the same IEEE sequence as the oracle.
+
+    Scale — fully distributed ECDF: the fact table collapses to a
+    distinct-cents rollup (map-side combined), then the cumulative
+    counts use a TWO-PHASE BUCKETED PREFIX SUM: within-bucket running
+    sums are windowed PARTITIONED BY bucket (parallel), bucket offsets
+    come from a tiny bucket-totals rollup, broadcast back.  No
+    single-partition window over data-sized input anywhere in the
+    plan, so the ECDF scales to an arbitrary value domain.
+    """
+    (events,) = prep(spark, sf_dir, "events")
+    ev = events.select(
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.unix_micros("ts").alias("eus"))
+    bounds = ev.agg(F.min("eus").alias("lo"), F.max("eus").alias("hi"))
+    tagged = (ev.crossJoin(F.broadcast(bounds))
+              .select("cents",
+                      F.when(F.col("eus") < F.col("lo")
+                             + F.expr("(hi - lo) DIV 2"), F.lit(1))
+                      .otherwise(F.lit(0)).alias("early")))
+    per_value = (tagged.groupBy("cents")
+                 .agg(F.sum("early").alias("n1"),
+                      F.sum(F.lit(1) - F.col("early")).alias("n2")))
+    per_value = per_value.withColumn("bucket", F.expr(f"cents DIV {_KS_BUCKET}"))
+    w_in = (Window.partitionBy("bucket").orderBy("cents")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    within = (per_value
+              .withColumn("w1", F.sum("n1").over(w_in))
+              .withColumn("w2", F.sum("n2").over(w_in)))
+    btot = (per_value.groupBy("bucket")
+            .agg(F.sum("n1").alias("b1"), F.sum("n2").alias("b2")))
+    w_b = (Window.orderBy("bucket")
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    offsets = (btot
+               .withColumn("off1", F.sum("b1").over(w_b) - F.col("b1"))
+               .withColumn("off2", F.sum("b2").over(w_b) - F.col("b2"))
+               .select("bucket", "off1", "off2"))
+    cum = (within.join(F.broadcast(offsets), "bucket")
+           .select((F.col("off1") + F.col("w1")).alias("c1"),
+                   (F.col("off2") + F.col("w2")).alias("c2")))
+    tot = per_value.agg(F.sum("n1").alias("t1"), F.sum("n2").alias("t2"))
+    return (cum.crossJoin(F.broadcast(tot))
+            .groupBy("t1", "t2")
+            .agg(F.max(F.abs(F.col("c1") * F.col("t2")
+                             - F.col("c2") * F.col("t1"))).alias("m"))
+            .select(F.col("t1").alias("n_early"), F.col("t2").alias("n_late"),
+                    (F.col("m").cast("double")
+                     / (F.col("t1").cast("double") * F.col("t2").cast("double")))
+                    .alias("ks_stat")))
+
+
+@query(
+    "max_drawdown_user",
+    oracle="""
+SELECT user_id, MAX(runmax) AS peak_cents,
+       MAX(runmax - cum) AS max_drawdown_cents
+FROM (
+  SELECT user_id, cum,
+         MAX(cum) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runmax
+  FROM (
+    SELECT user_id, ts, event_id,
+           SUM(CAST(ROUND(value * 100) AS BIGINT))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+    FROM events))
+GROUP BY user_id
+""",
+)
+def max_drawdown_user(spark, sf_dir):
+    """Per-user maximum drawdown of the cumulative event-value ledger:
+    the largest peak-to-trough drop of the running total, plus the
+    all-time peak.
+
+    Spark shape: two stacked window functions over ONE ``user_id``
+    exchange — running sum (the ledger), running max (the peak so
+    far) — then a map-side-combined per-user rollup of the gap.  The
+    (ts, event_id) order key is unique, so the fold is deterministic.
+    All integers; no Python; one shuffle.
+    """
+    (events,) = prep(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    ledger = events.select(
+        "user_id", "ts", "event_id",
+        F.sum(F.round(F.col("value") * 100).cast("long")).over(w).alias("cum"))
+    ledger = ledger.withColumn("runmax", F.max("cum").over(w))
+    return (ledger.groupBy("user_id")
+            .agg(F.max("runmax").alias("peak_cents"),
+                 F.max(F.col("runmax") - F.col("cum"))
+                 .alias("max_drawdown_cents")))
+
+
+_GINI_ORACLE = """
+WITH per_cust AS (
+  SELECT o_custkey, SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY o_custkey),
+ranked AS (
+  SELECT cents,
+         ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS i
+  FROM per_cust)
+SELECT COUNT(*) AS n_customers,
+       SUM(cents) AS total_cents,
+       (2.0 * CAST(SUM(i * cents) AS DOUBLE))
+         / (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(cents) AS DOUBLE))
+       - (CAST(COUNT(*) AS DOUBLE) + 1.0) / CAST(COUNT(*) AS DOUBLE) AS gini
+FROM ranked
+"""
+
+
+@query("gini_revenue", oracle=_GINI_ORACLE)
+def gini_revenue(spark, sf_dir):
+    """Gini coefficient of customer revenue concentration, via the
+    rank formula G = 2·Σ i·xᵢ / (n·Σxᵢ) − (n+1)/n over the ascending
+    revenue order.
+
+    Exactness: revenue is integer cents; Σ i·xᵢ and Σ xᵢ are exact
+    BIGINT (ties contribute the same regardless of intra-tie order,
+    and the (cents, custkey) key makes the rank itself deterministic
+    anyway); the final expression is the identical IEEE sequence as
+    the oracle.
+
+    Scale: the fact table collapses to a |customers| rollup first
+    (map-side combined); the global rank runs on that rollup.  Past
+    dimension scale the rank becomes the bucketed two-phase prefix
+    sum demonstrated in ``ks_value_drift`` (bucket by revenue range,
+    offset by bucket counts) — same math, no single-partition window.
+    """
+    (orders,) = prep(spark, sf_dir, "orders")
+    per_cust = (orders.groupBy("o_custkey")
+                .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                     .alias("cents")))
+    ranked = per_cust.select(
+        "cents",
+        F.row_number().over(Window.orderBy("cents", "o_custkey")).alias("i"))
+    n = F.count(F.lit(1))
+    return ranked.agg(
+        n.alias("n_customers"),
+        F.sum("cents").alias("total_cents"),
+        ((F.lit(2.0) * F.sum(F.col("i") * F.col("cents")).cast("double"))
+         / (n.cast("double") * F.sum("cents").cast("double"))
+         - (n.cast("double") + F.lit(1.0)) / n.cast("double")).alias("gini"))

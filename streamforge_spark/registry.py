@@ -32,4 +32,5 @@ def load_all() -> None:
         cdc, streamops, joins, sessions, tpch, text, embeddings, llm,
         surplus, envelope_io, analytics, relational, windows, curation,
         repetition, timeseries, graphs, sketches, release, simjoin,
+        stats,
     )
