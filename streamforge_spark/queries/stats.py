@@ -69,9 +69,13 @@ def acf_daily_revenue(spark, sf_dir):
     never rows).  No Python, no collect.
     """
     (orders,) = prep(spark, sf_dir, "orders")
+    # The |days| rollup is consumed four times (mean, centering, both
+    # moment sums); materialize it once so the fact table is scanned
+    # ONCE — it is KB-scale, so the checkpoint is free.
     daily = (orders
              .groupBy(F.to_date("o_orderdate").alias("day"))
-             .agg(F.sum(F.round("o_totalprice").cast("long")).alias("dollars")))
+             .agg(F.sum(F.round("o_totalprice").cast("long")).alias("dollars"))
+             .localCheckpoint(eager=False))
     mu = daily.agg(
         F.floor(F.sum("dollars").cast("double") / F.count(F.lit(1)))
         .cast("long").alias("mu"))
@@ -157,10 +161,15 @@ def ks_value_drift(spark, sf_dir):
                       F.when(F.col("eus") < F.col("lo")
                              + F.expr("(hi - lo) DIV 2"), F.lit(1))
                       .otherwise(F.lit(0)).alias("early")))
+    # The distinct-cents rollup feeds four consumers (within-bucket
+    # cumsum, bucket totals, offsets, grand totals); materialize it
+    # once so events is scanned only for the bounds pass + the tally
+    # pass, never re-scanned per consumer.
     per_value = (tagged.groupBy("cents")
                  .agg(F.sum("early").alias("n1"),
-                      F.sum(F.lit(1) - F.col("early")).alias("n2")))
-    per_value = per_value.withColumn("bucket", F.expr(f"cents DIV {_KS_BUCKET}"))
+                      F.sum(F.lit(1) - F.col("early")).alias("n2"))
+                 .withColumn("bucket", F.expr(f"cents DIV {_KS_BUCKET}"))
+                 .localCheckpoint(eager=False))
     w_in = (Window.partitionBy("bucket").orderBy("cents")
             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     within = (per_value
