@@ -1048,3 +1048,77 @@ def incremental_fuzzy_dedup(spark, sf_dir):
     return (docs.filter(F.col("doc_id") >= INGEST_SPLIT_ID).select("doc_id")
             .join(matched, F.col("doc_id") == matched["d2"], "left")
             .select("doc_id", "dup_of", F.col("dup_of").isNull().alias("kept")))
+
+
+# -- T5-style span-corruption masking plan ------------------------------
+
+SPAN_SALT = "spanmask-v1"
+SPAN_LEN = 3          # mean-3 fixed spans
+SPAN_EVERY = 20       # one span start per 20 tokens => ~15% masked
+
+_SPAN_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+  FROM documents),
+s AS (SELECT doc_id, n, (n + {SPAN_EVERY - 1}) // {SPAN_EVERY} AS n_spans FROM d),
+st AS (
+  SELECT doc_id, n,
+         CAST(('0x' || substr(md5('{SPAN_SALT}:' || CAST(doc_id AS VARCHAR)
+               || ':' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT) % n AS p0
+  FROM s, UNNEST(generate_series(1, n_spans)) AS t(i)
+  WHERE n > 0),
+pos AS (
+  SELECT DISTINCT doc_id, p FROM (
+    SELECT doc_id,
+           UNNEST(generate_series(p0, LEAST(p0 + {SPAN_LEN - 1}, n - 1))) AS p
+    FROM st)),
+m AS (SELECT doc_id, COUNT(*) AS n_masked FROM pos GROUP BY doc_id)
+SELECT s.doc_id, s.n AS n_tokens, s.n_spans,
+       COALESCE(m.n_masked, 0) AS n_masked,
+       CASE WHEN s.n > 0 THEN (COALESCE(m.n_masked, 0) * 1000000) // s.n
+            ELSE 0 END AS mask_ppm
+FROM s LEFT JOIN m ON s.doc_id = m.doc_id
+"""
+
+_SPAN_EXPR = f"""
+CASE WHEN n >= 1 THEN
+  size(array_distinct(flatten(transform(
+    transform(sequence(1, (n + {SPAN_EVERY - 1}) DIV {SPAN_EVERY}),
+      i -> CAST(conv(substring(md5(concat('{SPAN_SALT}:',
+               CAST(doc_id AS STRING), ':', CAST(i AS STRING))), 1, 15),
+               16, 10) AS BIGINT) % n),
+    s -> sequence(s, least(s + {SPAN_LEN - 1}, n - 1))))))
+ELSE CAST(0 AS INT) END
+"""
+
+
+@query("span_corruption_masks", oracle=_SPAN_ORACLE)
+def span_corruption_masks(spark, sf_dir):
+    """T5-style span-corruption masking plan: for each document,
+    deterministic pseudo-random span starts (one md5-seeded start per
+    {SPAN_EVERY} tokens, span length {SPAN_LEN}), reporting how many
+    token positions each doc actually masks after span overlap
+    (exact integer ppm).
+
+    The masking decision is a pure function of (doc_id, span index) —
+    the same reproducible-coin idiom as the samplers
+    (`functions/simdedup.py::oracle_hash60`) — so a re-run, a
+    different cluster, or the DuckDB oracle all pick the SAME spans.
+
+    Scale: the entire computation is ONE scan-side projection — span
+    starts, span expansion, overlap dedup, and the mask count all
+    happen inside higher-order array functions (transform/flatten/
+    array_distinct) on each row, JVM-side.  No shuffle, no explode
+    blow-up, no Python.  The oracle uses the equivalent explode
+    formulation; results are identical.
+    """
+    from streamforge_spark.functions.text import token_count
+    (docs,) = prep(spark, sf_dir, "documents")
+    d = docs.select("doc_id", token_count(F.col("text")).alias("n"))
+    return d.select(
+        "doc_id",
+        F.col("n").alias("n_tokens"),
+        F.expr(f"(n + {SPAN_EVERY - 1}) DIV {SPAN_EVERY}").alias("n_spans"),
+        F.expr(_SPAN_EXPR).cast("long").alias("n_masked"),
+        F.expr(f"CASE WHEN n > 0 THEN (CAST(({_SPAN_EXPR}) AS BIGINT) * 1000000) DIV n "
+               "ELSE CAST(0 AS BIGINT) END").alias("mask_ppm"))

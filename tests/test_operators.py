@@ -804,3 +804,18 @@ def test_export_release_writes_shard_partitions_and_ledger(spark, tmp_path):
     assert ledger.count() == 500
     assert set(r.verdict for r in ledger.select("verdict").distinct()
                .collect()) >= {"kept", "benchmark"}
+
+
+def test_bloom_prune_superset_and_selective(spark):
+    from streamforge_spark.operators.bloomjoin import bloom_prune, bloom_words
+    m = 1 << 14
+    build = spark.range(0, 1000).selectExpr("id AS k")          # members 0..999
+    probe = spark.range(0, 20000).selectExpr("id AS k")         # 5% members
+    words = bloom_words(build, "k", m)
+    # the word table is tiny regardless of build cardinality
+    assert words.count() <= m // 64
+    kept = set(r.k for r in bloom_prune(probe, "k", words, m).collect())
+    # no false negatives: every true member survives
+    assert set(range(1000)) <= kept
+    # real pruning: non-members mostly dropped (fp rate well under 50%)
+    assert len(kept) < 1000 + 0.5 * 19000
