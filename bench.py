@@ -73,6 +73,13 @@ HEADLINE = [
     # exact prefix-filter similarity join (lossless candidate pruning —
     # the scale-critical complement to the LSH approximate paths)
     "allpairs_exact_jaccard",
+    # round-3 late additions: bloom-pruned join (runtime-filter shape),
+    # distributed two-phase ECDF (KS drift), zero-shuffle span masking,
+    # single-exchange drawdown ledger
+    "bloom_prune_join",
+    "ks_value_drift",
+    "span_corruption_masks",
+    "max_drawdown_user",
 ]
 
 

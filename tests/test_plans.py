@@ -609,3 +609,28 @@ def test_round2_batch3_no_nested_loops(spark, name):
     assert "CartesianProduct" not in plan
     if name != "source_token_drift":
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bloom_prune_join_prunes_scan_no_smj(spark):
+    plan = plan_of(spark, "bloom_prune_join")
+    # probe side: one lineitem scan reading only the 3 needed columns
+    scan_schema = [l for l in plan.splitlines()
+                   if "ReadSchema" in l and "l_orderkey" in l][0]
+    assert "l_extendedprice" in scan_schema and "l_comment" not in scan_schema
+    # bloom words + membership checks are broadcast joins; nothing SMJs
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_span_corruption_zero_shuffle(spark):
+    plan = plan_of(spark, "span_corruption_masks")
+    # the whole masking plan is a scan-side projection
+    assert plan.count("Arguments: hashpartitioning") == 0
+    assert "Exchange" not in plan.replace("rebalance", "")
+    scan_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "text" in scan_schema and "lang" not in scan_schema
+
+
+def test_max_drawdown_single_exchange(spark):
+    plan = plan_of(spark, "max_drawdown_user")
+    assert plan.count("Arguments: hashpartitioning") == 1
