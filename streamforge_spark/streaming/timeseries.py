@@ -310,3 +310,70 @@ def streaming_holt(points: DataFrame) -> DataFrame:
     return points.groupBy("c_custkey").applyInPandasWithState(
         fn, outputStructType=out_schema, stateStructType=state_schema,
         outputMode="append", timeoutConf=GroupStateTimeout.NoTimeout)
+
+
+def streaming_value_histogram(events: DataFrame, *,
+                              watermark: str = "2 days",
+                              window: str = "1 day",
+                              bucket_cents: int = 5000) -> DataFrame:
+    """Watermarked per-(event_type, window) value histogram — the
+    streaming half of the distribution-drift monitor.
+
+    One windowed count per (type, window, bucket): algebraic, so
+    map-side partials compact each micro-batch before the state
+    update; state is one counter per open (type, window, bucket) —
+    bucket count is bounded by the value range, windows by the
+    watermark.  Late events inside the watermark update their bucket
+    in place (update mode).  The drift statistic itself is plain
+    column algebra over this stream's output (`drift_vs_baseline`) —
+    keeping the stateful stage to ONE aggregation, which is what
+    Structured Streaming supports without append-mode chaining.
+    """
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (events.withWatermark("ts", watermark)
+            .groupBy("event_type",
+                     F.window("ts", window).alias("w"),
+                     F.floor(cents / F.lit(bucket_cents)).cast("long")
+                     .alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select("event_type", F.col("w.start").alias("day"), "bucket", "n"))
+
+
+def drift_vs_baseline(hist: DataFrame, baseline: DataFrame) -> DataFrame:
+    """Total-variation drift (x2, ppm) of each (event_type, day)
+    histogram against a static baseline distribution
+    ``(event_type, bucket, share_ppm)`` — same transcendental-free
+    integer statistic as the batch `value_drift_report`.
+
+    Batch column algebra (run it on the drained histogram table or
+    inside foreachBatch): per-window totals are a tiny rollup; the
+    baseline is KB-scale and broadcast; buckets absent on either side
+    contribute their full share to the distance via the outer join.
+    """
+    from pyspark.sql import Window
+    # the histogram is rollup-sized (types x windows x buckets);
+    # materialize once so the three consumers below (shares, observed
+    # windows, the union) never replay the upstream source, and
+    # self-join lineage stays unambiguous even over sink views
+    hist = (hist.select("event_type", "day", "bucket", "n")
+            .localCheckpoint(eager=False))
+    t = F.sum("n").over(Window.partitionBy("event_type", "day"))
+    sh = hist.select("event_type", "day", "bucket",
+                     F.round(F.col("n").cast("double") / t.cast("double")
+                             * 1000000).cast("long").alias("share_ppm"))
+    joined = (sh.join(F.broadcast(baseline).withColumnRenamed(
+                  "share_ppm", "base_ppm"),
+                  ["event_type", "bucket"], "full")
+              .select("event_type", "day",
+                      F.coalesce("share_ppm", F.lit(0)).alias("s"),
+                      F.coalesce("base_ppm", F.lit(0)).alias("b")))
+    # full-join rows with a NULL day are baseline-only buckets for a
+    # (type, day) that never saw them; they must count against every
+    # window of that type — re-key them per observed window.
+    days = hist.select("event_type", "day").distinct()
+    missing = (joined.where(F.col("day").isNull())
+               .drop("day").join(days, "event_type"))
+    present = joined.where(F.col("day").isNotNull())
+    return (present.unionByName(missing.select(*present.columns))
+            .groupBy("event_type", "day")
+            .agg(F.sum(F.abs(F.col("s") - F.col("b"))).alias("tv2_ppm")))

@@ -797,3 +797,52 @@ def test_state_inspect_reads_dedup_checkpoint(spark, workdir):
     micros = lambda m: int((base + datetime.timedelta(minutes=m)).timestamp() * 1e6)
     # expiry = first-seen event time + 10m ttl
     assert got == {(1, micros(10)), (2, micros(11))}
+
+
+def test_streaming_drift_matches_batch(spark, workdir):
+    # windowed histogram fed in two arrival batches + TV drift vs a
+    # static baseline must equal the same computation done in one batch
+    from streamforge_spark.io import load
+    from streamforge_spark.streaming.timeseries import (
+        drift_vs_baseline, streaming_value_histogram)
+    events = load(spark, "/root/testdata/sf0.001", "events") \
+        .select("event_id", "ts", "event_type", "value")
+    src = f"{workdir}/evd"
+    events.filter(F.dayofmonth("ts") <= 15).coalesce(1) \
+        .write.mode("append").parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    out = streaming_value_histogram(stream)
+    q = (out.writeStream.format("memory").queryName("drift_hist")
+         .outputMode("update").start())
+    q.processAllAvailable()
+    events.filter(F.dayofmonth("ts") > 15).coalesce(1) \
+        .write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    # update mode re-emits on change: last (= max n) emission per key wins
+    hist = spark.sql(
+        "select event_type, day, bucket, max(n) as n from drift_hist "
+        "group by event_type, day, bucket")
+    # baseline: the first week's distribution, computed batch-side
+    base_ev = events.filter(F.dayofmonth("ts") <= 7)
+    cents = F.round(F.col("value") * 100).cast("long")
+    bh = (base_ev.groupBy("event_type",
+                          F.floor(cents / F.lit(5000)).cast("long")
+                          .alias("bucket"))
+          .agg(F.count(F.lit(1)).alias("n")))
+    bt = bh.groupBy("event_type").agg(F.sum("n").alias("t"))
+    baseline = (bh.join(bt, "event_type")
+                .select("event_type", "bucket",
+                        F.round(F.col("n").cast("double")
+                                / F.col("t").cast("double") * 1000000)
+                        .cast("long").alias("share_ppm")))
+    got = {(r.event_type, r.day, r.tv2_ppm)
+           for r in drift_vs_baseline(hist, baseline).collect()}
+    # batch analog: identical histogram computed in one pass
+    batch_hist = (events.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day"),
+        F.floor(cents / F.lit(5000)).cast("long").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n")))
+    want = {(r.event_type, r.day, r.tv2_ppm)
+            for r in drift_vs_baseline(batch_hist, baseline).collect()}
+    assert got == want and len(got) > 10
