@@ -897,3 +897,105 @@ def label_centroid_shift(spark, sf_dir):
     return (lc.crossJoin(F.broadcast(gc))
             .select("label", "n_vecs",
                     cosine(F.col("cv"), F.col("gv")).alias("cos_to_global")))
+
+
+# -- dimension-truncation (matryoshka) retrieval quality ----------------
+
+TRUNC_DIMS = 16
+
+_TRUNC_ORACLE = f"""
+WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < {TOPK_NQ}),
+c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings),
+s AS (SELECT qid, cid,
+             list_dot_product(qv, cv)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cosf,
+             list_dot_product(qv[1:{TRUNC_DIMS}], cv[1:{TRUNC_DIMS}])
+               / (sqrt(list_dot_product(qv[1:{TRUNC_DIMS}], qv[1:{TRUNC_DIMS}]))
+                  * sqrt(list_dot_product(cv[1:{TRUNC_DIMS}], cv[1:{TRUNC_DIMS}]))) AS cost
+      FROM q, c WHERE qid <> cid),
+rf AS (SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY cosf DESC, cid) AS rn FROM s),
+rt AS (SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY cost DESC, cid) AS rn FROM s)
+SELECT rf.qid AS query_id,
+       CAST(COUNT(rt.cid) AS BIGINT) AS overlap_at_k,
+       CAST({TOPK_K} AS BIGINT) AS k
+FROM rf LEFT JOIN rt
+  ON rf.qid = rt.qid AND rf.cid = rt.cid AND rt.rn <= {TOPK_K}
+WHERE rf.rn <= {TOPK_K}
+GROUP BY rf.qid
+"""
+
+
+@query("embedding_trunc_overlap", oracle=_TRUNC_ORACLE)
+def embedding_trunc_overlap(spark, sf_dir):
+    """Matryoshka-style truncation audit: per query, how many of the
+    full-dimension cosine top-k survive when retrieval runs on only
+    the first {TRUNC_DIMS} of 64 dimensions — the measurement behind
+    "can we cut vector storage/compute 4x?".
+
+    Both retrievals run in ONE corpus pass: the mapInPandas scorer
+    computes full and truncated cosines per Arrow batch (same
+    dim-sequential accumulation as `ann_cosine_topk`, so both are
+    bit-identical to DuckDB's fold), prunes each variant to its
+    per-partition top-k, and ships n_part*k*2 rows per query to the
+    global rank — the corpus is never collected and never scanned
+    twice.  Output is pure integers (overlap counts).
+    """
+    (emb,) = prep(spark, sf_dir, "embeddings")
+    q_rows = sorted(emb.filter(F.col("vec_id") < TOPK_NQ)
+                    .select("vec_id", "embedding").collect())
+    Q = np.array([r.embedding for r in q_rows], dtype=np.float64)
+    qids = np.array([r.vec_id for r in q_rows])
+    bq = spark.sparkContext.broadcast((Q, qids))
+
+    schema = T.StructType([
+        T.StructField("variant", T.StringType()),
+        T.StructField("qid", T.LongType()),
+        T.StructField("cid", T.LongType()),
+        T.StructField("cos", T.DoubleType()),
+    ])
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        Qm, ids = bq.value
+        parts: dict[str, tuple[list, list]] = {
+            "full": ([], []), "trunc": ([], [])}
+        for pdf in batches:
+            C = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            cids = pdf["vec_id"].to_numpy()
+            for v, d in (("full", None), ("trunc", TRUNC_DIMS)):
+                Cv, Qv = (C, Qm) if d is None else (C[:, :d], Qm[:, :d])
+                cos = (seq_dot_matrix(Cv, Qv)
+                       / np.outer(seq_norms(Cv), seq_norms(Qv)))
+                cos[cids[:, None] == ids[None, :]] = -np.inf
+                parts[v][0].append(cos)
+                parts[v][1].append(cids)
+        for v, (cos_parts, cid_parts) in parts.items():
+            if not cos_parts:
+                continue
+            cos_all = np.concatenate(cos_parts)
+            cid_all = np.concatenate(cid_parts)
+            out = {"qid": [], "cid": [], "cos": []}
+            for j, qid in enumerate(ids):
+                order = np.lexsort((cid_all, -cos_all[:, j]))[:TOPK_K]
+                keep = order[np.isfinite(cos_all[order, j])]
+                out["qid"].append(np.full(len(keep), qid))
+                out["cid"].append(cid_all[keep])
+                out["cos"].append(cos_all[keep, j])
+            pdf_out = pd.DataFrame({k: np.concatenate(v2)
+                                    for k, v2 in out.items()})
+            pdf_out.insert(0, "variant", v)
+            yield pdf_out
+
+    scored = emb.mapInPandas(score, schema)
+    w = Window.partitionBy("variant", "qid").orderBy(
+        F.col("cos").desc(), F.col("cid"))
+    ranked = (scored.withColumn("rn", F.row_number().over(w))
+              .filter(F.col("rn") <= TOPK_K)
+              .select("variant", "qid", "cid"))
+    full = ranked.where(F.col("variant") == "full").drop("variant")
+    trunc = (ranked.where(F.col("variant") == "trunc").drop("variant")
+             .withColumn("_hit", F.lit(1)))
+    return (full.join(trunc, ["qid", "cid"], "left")
+            .groupBy(F.col("qid").alias("query_id"))
+            .agg(F.count("_hit").alias("overlap_at_k"),
+                 F.lit(TOPK_K).cast("long").alias("k")))

@@ -1147,3 +1147,38 @@ def paired_rank_test(spark, sf_dir):
 
     return (a.groupBy("user_id").cogroup(b.groupBy("user_id"))
             .applyInPandas(fn, "user_id long, n_a long, n_b long, u2 long"))
+
+
+_EXPLOSION_ORACLE = """
+WITH l AS (SELECT user_id AS k, COUNT(*) AS n_left FROM events GROUP BY 1),
+r AS (SELECT o_custkey AS k, COUNT(*) AS n_right FROM orders GROUP BY 1)
+SELECT k AS key, n_left, n_right, n_left * n_right AS pairs
+FROM l JOIN r USING (k)
+ORDER BY pairs DESC, key
+LIMIT 20
+"""
+
+
+@query("join_explosion_risk", oracle=_EXPLOSION_ORACLE)
+def join_explosion_risk(spark, sf_dir):
+    """Join-planning audit: before running an M:N join (events x
+    orders on customer key), report the 20 keys whose per-side
+    multiplicities multiply into the most output rows — the keys that
+    blow up a fanout join and the input to a salting / skew-hint
+    decision (the estimator behind `operators/skew.py::salted_join`).
+
+    Scale: each side collapses to a per-key count with ONE map-side-
+    combined rollup (counts move, rows don't); the rollups join on the
+    key, and the top-20 rides a TakeOrderedAndProject — no full sort,
+    no data-sized shuffle beyond the two count rollups.
+    """
+    events, orders = prep(spark, sf_dir, "events", "orders")
+    left = (events.groupBy(F.col("user_id").alias("key"))
+            .agg(F.count(F.lit(1)).alias("n_left")))
+    right = (orders.groupBy(F.col("o_custkey").alias("key"))
+             .agg(F.count(F.lit(1)).alias("n_right")))
+    return (left.join(right, "key")
+            .select("key", "n_left", "n_right",
+                    (F.col("n_left") * F.col("n_right")).alias("pairs"))
+            .orderBy(F.col("pairs").desc(), "key")
+            .limit(20))

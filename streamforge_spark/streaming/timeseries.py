@@ -377,3 +377,25 @@ def drift_vs_baseline(hist: DataFrame, baseline: DataFrame) -> DataFrame:
     return (present.unionByName(missing.select(*present.columns))
             .groupBy("event_type", "day")
             .agg(F.sum(F.abs(F.col("s") - F.col("b"))).alias("tv2_ppm")))
+
+
+def streaming_daily_distinct(events: DataFrame, *,
+                             watermark: str = "2 days",
+                             window: str = "1 day") -> DataFrame:
+    """Watermarked daily distinct-user estimates via HLL sketches —
+    the streaming twin of `queries/sketches.py::hll_daily_distinct`.
+
+    Why sketches and not dropDuplicates+count: exact distinct state
+    grows with cardinality; the HLL register array is FIXED-SIZE per
+    open window, and register merges are max-operations — commutative
+    and order-insensitive — so incremental arrival produces the SAME
+    estimate as one batch pass (pinned by the streaming==batch test,
+    exact equality, no tolerance).  Map-side partials compact each
+    micro-batch to one sketch per (window, partition) before the
+    state update.
+    """
+    return (events.withWatermark("ts", watermark)
+            .groupBy(F.window("ts", window).alias("w"))
+            .agg(F.hll_sketch_agg("user_id").alias("sk"))
+            .select(F.col("w.start").alias("day"),
+                    F.hll_sketch_estimate("sk").alias("est_users")))

@@ -846,3 +846,37 @@ def test_streaming_drift_matches_batch(spark, workdir):
     want = {(r.event_type, r.day, r.tv2_ppm)
             for r in drift_vs_baseline(batch_hist, baseline).collect()}
     assert got == want and len(got) > 10
+
+
+def test_streaming_hll_distinct_matches_batch(spark, workdir):
+    # HLL register merges are max-ops (order-insensitive), so the
+    # streaming estimate must EQUAL the batch estimate, not approximate
+    from streamforge_spark.io import load
+    from streamforge_spark.streaming.timeseries import streaming_daily_distinct
+    events = load(spark, "/root/testdata/sf0.001", "events") \
+        .select("event_id", "ts", "user_id")
+    src = f"{workdir}/evh"
+    # time-ordered arrival (watermark-legal), with day 15 sent in BOTH
+    # batches: exercises cross-batch register merge for one window and
+    # HLL's insensitivity to duplicate arrivals
+    events.filter(F.dayofmonth("ts") <= 15).coalesce(1) \
+        .write.mode("append").parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    q = (streaming_daily_distinct(stream)
+         .writeStream.format("memory").queryName("hll_out")
+         .outputMode("update").start())
+    q.processAllAvailable()
+    events.filter(F.dayofmonth("ts") >= 15).coalesce(1) \
+        .write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    got = {(r.day, r.est_users) for r in spark.sql(
+        "select day, max(est_users) as est_users from hll_out group by day"
+    ).collect()}
+    want = {(r.day, r.est_users) for r in
+            (events.groupBy(F.window("ts", "1 day").alias("w"))
+             .agg(F.hll_sketch_agg("user_id").alias("sk"))
+             .select(F.col("w.start").alias("day"),
+                     F.hll_sketch_estimate("sk").alias("est_users"))
+             ).collect()}
+    assert got == want and len(got) > 5
