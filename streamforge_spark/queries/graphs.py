@@ -417,3 +417,56 @@ def supplier_kcore(spark, sf_dir):
     rev = pairs.select((F.col("s") * 2 + 1).alias("src"),
                        (F.col("c") * 2).alias("dst"))
     return kcore_peel(fwd.unionByName(rev), k=KCORE_K, rounds=KCORE_ROUNDS)
+
+
+_LINKPRED_ORACLE = """
+WITH cs AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+deg AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS d FROM cs GROUP BY c),
+pairs AS (
+  SELECT a.s AS s1, b.s AS s2, a.c
+  FROM cs a JOIN cs b ON a.c = b.c AND a.s < b.s)
+SELECT s1, s2,
+       CAST(COUNT(*) AS BIGINT) AS common_customers,
+       SUM(1000000 // d.d) AS ra_ppm
+FROM pairs p JOIN deg d ON p.c = d.c
+GROUP BY s1, s2
+ORDER BY ra_ppm DESC, s1, s2
+LIMIT 20
+"""
+
+
+@query("supplier_link_pred", oracle=_LINKPRED_ORACLE)
+def supplier_link_pred(spark, sf_dir):
+    """Link prediction on the customer-supplier bipartite graph: the
+    20 supplier pairs most likely to be substitutes/collaborators by
+    the Resource-Allocation index — RA(s1,s2) = sum over shared
+    customers of 1/degree(customer), in exact ppm (integer floor
+    division, so the sum is an exact BIGINT; Adamic-Adar's 1/log
+    would drag libm into the oracle).
+
+    Scale: the fact table collapses to the DISTINCT (customer,
+    supplier) incidence list first (one map-side-combined rollup);
+    pair generation is the posting-list self-join PER CUSTOMER —
+    quadratic only in per-customer degree, never corpus-wide (the
+    same inverted-index discipline as dedup_ngram_jaccard), and a
+    hot-customer cap (degree ceiling before pairing) is one filter
+    away.  Top-20 rides TakeOrderedAndProject, no full sort.
+    """
+    lineitem, orders = prep(spark, sf_dir, "lineitem", "orders")
+    cs = (lineitem.join(orders, lineitem["l_orderkey"] == orders["o_orderkey"])
+          .select(F.col("o_custkey").alias("c"),
+                  F.col("l_suppkey").alias("s"))
+          .distinct()
+          .localCheckpoint(eager=False))
+    deg = cs.groupBy("c").agg(F.count(F.lit(1)).alias("d"))
+    a = cs.select("c", F.col("s").alias("s1"))
+    b = cs.select("c", F.col("s").alias("s2"))
+    return (a.join(b, "c").where(F.col("s1") < F.col("s2"))
+            .join(deg, "c")
+            .groupBy("s1", "s2")
+            .agg(F.count(F.lit(1)).alias("common_customers"),
+                 F.sum(F.expr("1000000 DIV d")).alias("ra_ppm"))
+            .orderBy(F.col("ra_ppm").desc(), "s1", "s2")
+            .limit(20))

@@ -288,3 +288,90 @@ def gini_revenue(spark, sf_dir):
         ((F.lit(2.0) * F.sum(F.col("i") * F.col("cents")).cast("double"))
          / (n.cast("double") * F.sum("cents").cast("double"))
          - (n.cast("double") + F.lit(1.0)) / n.cast("double")).alias("gini"))
+
+
+_XCORR_LAGS = 3
+
+_XCORR_ORACLE = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         COUNT(*) FILTER (WHERE event_type = 'click') AS a,
+         COUNT(*) FILTER (WHERE event_type = 'purchase') AS b
+  FROM events GROUP BY 1),
+m AS (SELECT CAST(FLOOR(CAST(SUM(a) AS DOUBLE) / COUNT(*)) AS BIGINT) AS ma,
+             CAST(FLOOR(CAST(SUM(b) AS DOUBLE) / COUNT(*)) AS BIGINT) AS mb
+      FROM daily),
+cent AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY day) AS rn,
+         a - (SELECT ma FROM m) AS ca,
+         b - (SELECT mb FROM m) AS cb
+  FROM daily),
+den AS (SELECT SUM(ca * ca) AS da, SUM(cb * cb) AS db FROM cent),
+pairs AS (
+  SELECT l.lag_k, x.ca * y.cb AS p
+  FROM (VALUES (-3), (-2), (-1), (0), (1), (2), (3)) l(lag_k)
+  JOIN cent x ON TRUE
+  JOIN cent y ON y.rn = x.rn + l.lag_k)
+SELECT lag_k, COUNT(*) AS n_pairs,
+       CAST(SUM(p) AS DOUBLE)
+         / SQRT(CAST((SELECT da FROM den) AS DOUBLE)
+                * CAST((SELECT db FROM den) AS DOUBLE)) AS xcorr
+FROM pairs GROUP BY lag_k ORDER BY lag_k
+"""
+
+
+@query("xcorr_lead_lag", oracle=_XCORR_ORACLE)
+def xcorr_lead_lag(spark, sf_dir):
+    """Lead-lag cross-correlation between the daily click series and
+    the daily purchase series at lags -3..+3 — positive-lag peaks mean
+    clicks LEAD purchases by that many days (the campaign-to-
+    conversion delay estimator).
+
+    Same exact-arithmetic scheme as ``acf_daily_revenue``: integer
+    daily counts, floored integer means, exact BIGINT co-moments; the
+    one float step is num / sqrt(da*db) — sqrt is correctly rounded
+    under IEEE 754, so the identical operand sequence matches the
+    oracle bit-for-bit.
+
+    Scale: ONE map-side-combined (day) rollup of the fact table, then
+    lag windows over the |days|-sized series.  Negative and positive
+    lags come from the same seven stacked lead columns — one window
+    pass, no per-lag self-joins.
+    """
+    (events,) = prep(spark, sf_dir, "events")
+    daily = (events
+             .groupBy(F.to_date("ts").alias("day"))
+             .agg(F.count(F.when(F.col("event_type") == "click", 1)).alias("a"),
+                  F.count(F.when(F.col("event_type") == "purchase", 1)).alias("b"))
+             .localCheckpoint(eager=False))
+    m = daily.agg(
+        F.floor(F.sum("a").cast("double") / F.count(F.lit(1))).cast("long").alias("ma"),
+        F.floor(F.sum("b").cast("double") / F.count(F.lit(1))).cast("long").alias("mb"))
+    cent = (daily.crossJoin(F.broadcast(m))
+            .select("day",
+                    (F.col("a") - F.col("ma")).alias("ca"),
+                    (F.col("b") - F.col("mb")).alias("cb"))
+            .withColumn("rn", F.row_number().over(Window.orderBy("day"))))
+    den = cent.agg(F.sum(F.col("ca") * F.col("ca")).alias("da"),
+                   F.sum(F.col("cb") * F.col("cb")).alias("db"))
+    w = Window.orderBy("rn")
+    lags = range(-_XCORR_LAGS, _XCORR_LAGS + 1)
+    lag_cols = [F.lag("cb", -k).over(w).alias(f"cb_{k + _XCORR_LAGS}")
+                for k in lags]
+    stacked = (cent.select("ca", *lag_cols)
+               .select("ca", F.expr(
+                   "stack({n}, {args}) AS (lag_k, cb_lag)".format(
+                       n=len(list(lags)),
+                       args=", ".join(f"{k}, cb_{k + _XCORR_LAGS}"
+                                      for k in lags))))
+               .where(F.col("cb_lag").isNotNull()))
+    num = (stacked.groupBy("lag_k")
+           .agg(F.count(F.lit(1)).alias("n_pairs"),
+                F.sum(F.col("ca") * F.col("cb_lag")).alias("num")))
+    return (num.crossJoin(F.broadcast(den))
+            .select(F.col("lag_k").cast("int").alias("lag_k"),
+                    "n_pairs",
+                    (F.col("num").cast("double")
+                     / F.sqrt(F.col("da").cast("double")
+                              * F.col("db").cast("double"))).alias("xcorr"))
+            .orderBy("lag_k"))
