@@ -267,3 +267,65 @@ def flow_silence_q(spark, sf_dir):
     (events,) = prep(spark, sf_dir, "events")
     return flow_silence_report(events, "event_type", "ts",
                                timeout_seconds=14400, order_tiebreak="event_id")
+
+
+_DELETION_ORACLE = """
+WITH requests AS (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'error'),
+impact AS (
+  SELECT 'events' AS target_table, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_subjects
+  FROM events e JOIN requests r ON e.user_id = r.user_id
+  UNION ALL
+  SELECT 'orders', CAST(COUNT(*) AS BIGINT),
+         CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT)
+  FROM orders o JOIN requests r ON o.o_custkey = r.user_id
+  UNION ALL
+  SELECT 'customer', CAST(COUNT(*) AS BIGINT),
+         CAST(COUNT(DISTINCT c.c_custkey) AS BIGINT)
+  FROM customer c JOIN requests r ON c.c_custkey = r.user_id
+  UNION ALL
+  SELECT 'lineitem', CAST(COUNT(*) AS BIGINT),
+         CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT)
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN requests r ON o.o_custkey = r.user_id)
+SELECT target_table, n_rows, n_subjects FROM impact
+"""
+
+
+@query("deletion_propagation_report", oracle=_DELETION_ORACLE)
+def deletion_propagation_report(spark, sf_dir):
+    """Right-to-be-forgotten impact audit: given the deletion-request
+    set (users who emitted an 'error' event stands in for the DSAR
+    list), count the rows each table must tombstone — the planning
+    report a CDC DELETE fan-out (MongoSinkBuilder's delete path,
+    MongoSinkBuilder.java:104-139) runs before issuing the actual
+    deletes.
+
+    Scale: the request set is a distinct-rollup of the fact table
+    (small — deletion requests are rare) and BROADCASTS into every
+    per-table probe; each table contributes one broadcast-join +
+    count, so no fact table ever shuffles.  lineitem has no direct
+    customer key — its impact routes through the orders join, the same
+    key-propagation chain an actual cascade delete needs.
+    """
+    events, orders, customer, lineitem = prep(
+        spark, sf_dir, "events", "orders", "customer", "lineitem")
+    requests = (events.where(F.col("event_type") == "error")
+                .select(F.col("user_id").alias("_req_uid"))
+                .distinct().localCheckpoint(eager=False))
+    bq = F.broadcast(requests)
+
+    def impact(name, df, key, subject):
+        hit = df.join(bq, df[key] == F.col("_req_uid")).drop("_req_uid")
+        return hit.agg(
+            F.lit(name).alias("target_table"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct(subject).alias("n_subjects"))
+
+    li = lineitem.join(orders.select("o_orderkey", "o_custkey"),
+                       lineitem["l_orderkey"] == orders["o_orderkey"])
+    return (impact("events", events, "user_id", "user_id")
+            .unionByName(impact("orders", orders, "o_custkey", "o_custkey"))
+            .unionByName(impact("customer", customer, "c_custkey", "c_custkey"))
+            .unionByName(impact("lineitem", li, "o_custkey", "o_custkey")))

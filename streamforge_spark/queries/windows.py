@@ -304,3 +304,56 @@ def window_rank_suite(spark, sf_dir):
         F.dense_rank().over(w).cast("long").alias("drnk"),
         F.round(F.percent_rank().over(w) * 1000000).cast("long").alias("pct_rank_ppm"),
         F.round(F.cume_dist().over(w) * 1000000).cast("long").alias("cume_ppm"))
+
+
+_RUNS_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN LAG(event_type) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id) IS DISTINCT FROM event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM events),
+islands AS (
+  SELECT user_id, event_type, ts,
+         SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM flagged)
+SELECT user_id, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MIN(ts) AS run_start,
+       MAX(ts) AS run_end
+FROM islands
+GROUP BY user_id, event_type, island
+"""
+
+
+@query("event_runs", oracle=_RUNS_ORACLE)
+def event_runs(spark, sf_dir):
+    """Gaps-and-islands run-length encoding: collapse each user's
+    CONSECUTIVE events of the same type (in (ts, event_id) order) into
+    runs — the classic sessionize-by-value-change shape behind "3
+    failed logins in a row" and retry-burst detection, complementing
+    the time-gap sessionizer (SessionAnalyzer, SURVEY §2.8).
+
+    Island id = running count of type-change flags (lag + prefix sum),
+    NOT the textbook double-row-number difference: the change-flag form
+    keeps every window on the SAME partition key (user_id), so the
+    whole query is ONE hash exchange + a map-side-combined rollup,
+    where rn_overall - rn_within_type would shuffle twice (user_id and
+    (user_id, event_type) partitionings don't unify).
+    """
+    (events,) = prep(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged = events.select(
+        "user_id", "event_type", "ts", "event_id",
+        F.when(F.lag("event_type").over(w).eqNullSafe(F.col("event_type")),
+               F.lit(0)).otherwise(F.lit(1)).alias("chg"))
+    islands = flagged.select(
+        "user_id", "event_type", "ts",
+        F.sum("chg").over(wc).alias("island"))
+    return (islands.groupBy("user_id", "event_type", "island")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.min("ts").alias("run_start"),
+                 F.max("ts").alias("run_end"))
+            .drop("island"))
