@@ -375,3 +375,132 @@ def xcorr_lead_lag(spark, sf_dir):
                      / F.sqrt(F.col("da").cast("double")
                               * F.col("db").cast("double"))).alias("xcorr"))
             .orderBy("lag_k"))
+
+
+_FIFO_ORACLE = """
+WITH supply AS (
+  SELECT user_id, event_id AS supply_event,
+         SUM(CAST(ROUND(value * 100) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_hi,
+         CAST(ROUND(value * 100) AS BIGINT) AS amt
+  FROM events WHERE event_type IN ('signup', 'click')),
+demand AS (
+  SELECT user_id, event_id AS demand_event,
+         SUM(CAST(ROUND(value * 100) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS d_hi,
+         CAST(ROUND(value * 100) AS BIGINT) AS amt
+  FROM events WHERE event_type = 'purchase')
+SELECT s.user_id, s.supply_event, d.demand_event,
+       LEAST(s.s_hi, d.d_hi) - GREATEST(s.s_hi - s.amt, d.d_hi - d.amt)
+         AS matched_cents
+FROM supply s JOIN demand d
+  ON s.user_id = d.user_id
+ AND s.s_hi - s.amt < d.d_hi
+ AND d.d_hi - d.amt < s.s_hi
+WHERE LEAST(s.s_hi, d.d_hi) - GREATEST(s.s_hi - s.amt, d.d_hi - d.amt) > 0
+"""
+
+
+@query("fifo_lot_matching", oracle=_FIFO_ORACLE)
+def fifo_lot_matching(spark, sf_dir):
+    """FIFO lot matching: per user, allocate each purchase (demand)
+    against accumulated signup/click credits (supply lots) in strict
+    arrival order — the inventory-costing / payment-application
+    allocation, solved WITHOUT per-row iteration.
+
+    The closed form: FIFO consumption is interval intersection of the
+    two cumulative prefix sums — supply lot i covers [s_hi-amt, s_hi)
+    of cumulative credit, demand j consumes [d_hi-amt, d_hi); the
+    matched quantity is the overlap length.  Exact integer cents.
+
+    Scale: two windowed prefix sums over ONE user_id exchange each,
+    then a per-user interval-overlap join — each demand matches O(1)
+    lots amortized (intervals partition the line), so output is
+    ~|supply|+|demand| rows, never a blow-up; a monster key ranges-
+    partitions its prefix sums like every ledger op here.
+    """
+    (events,) = prep(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+
+    def ledger(df, id_alias, hi_alias):
+        return df.select(
+            "user_id", F.col("event_id").alias(id_alias),
+            cents.alias("amt"), "ts", "event_id"
+        ).select("user_id", id_alias, "amt",
+                 F.sum("amt").over(w).alias(hi_alias))
+
+    supply = ledger(events.where(F.col("event_type").isin("signup", "click")),
+                    "supply_event", "s_hi")
+    demand = ledger(events.where(F.col("event_type") == "purchase"),
+                    "demand_event", "d_hi")
+    s = supply.select("user_id", "supply_event",
+                      (F.col("s_hi") - F.col("amt")).alias("s_lo"), "s_hi")
+    d = demand.select(F.col("user_id").alias("d_user"), "demand_event",
+                      (F.col("d_hi") - F.col("amt")).alias("d_lo"), "d_hi")
+    matched = (F.least("s_hi", "d_hi") - F.greatest("s_lo", "d_lo"))
+    return (s.join(d, (s["user_id"] == d["d_user"])
+                   & (s["s_lo"] < d["d_hi"]) & (d["d_lo"] < s["s_hi"]))
+            .select("user_id", "supply_event", "demand_event",
+                    matched.alias("matched_cents"))
+            .where(F.col("matched_cents") > 0))
+
+
+_BUSDAYS_ORACLE = """
+WITH per_order AS (
+  SELECT o.o_orderkey, o.o_orderpriority,
+         datediff('day', DATE '1970-01-05', CAST(o.o_orderdate AS DATE)) AS j1,
+         datediff('day', DATE '1970-01-05', MAX(CAST(l.l_shipdate AS DATE))) AS j2
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2, 3),
+bd AS (
+  SELECT o_orderpriority,
+         (5 * (j2 // 7) + LEAST(j2 % 7, 5))
+           - (5 * (j1 // 7) + LEAST(j1 % 7, 5)) AS bus_days
+  FROM per_order)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       SUM(bus_days) AS total_bus_days,
+       (SUM(bus_days) * 1000000) // COUNT(*) AS avg_bus_days_ppm
+FROM bd GROUP BY o_orderpriority
+"""
+
+
+@query("fulfillment_business_days", oracle=_BUSDAYS_ORACLE)
+def fulfillment_business_days(spark, sf_dir):
+    """Order-to-last-shipment latency in BUSINESS days (weekends
+    excluded) per order priority — the SLA metric contracts are
+    actually written in.
+
+    Weekday counting is the closed form f(d) = 5*(j DIV 7) +
+    least(j MOD 7, 5) with j = days since a Monday epoch
+    (1970-01-05): no calendar explode, no per-day anything — so it
+    composes into the scan projection.  (Spark's dayofweek is 1-based
+    and DuckDB's 0-based; the epoch-arithmetic form sidesteps that
+    trap entirely.)  All integers; the ppm average is floor division.
+
+    Scale: lineitem collapses to max(shipdate) per order in one
+    map-side-combined rollup, joins orders on the key, and the
+    priority rollup is 5 rows.
+    """
+    orders, lineitem = prep(spark, sf_dir, "orders", "lineitem")
+    ship = (lineitem.groupBy("l_orderkey")
+            .agg(F.max(F.to_date("l_shipdate")).alias("ship_d")))
+    j = lambda c: F.datediff(c, F.lit("1970-01-05").cast("date"))  # noqa: E731
+    f = lambda jc: (F.lit(5) * F.expr(f"({jc}) div 7")  # noqa: E731
+                    + F.least(F.expr(f"({jc}) % 7"), F.lit(5)))
+    per_order = (orders.join(ship, orders["o_orderkey"] == ship["l_orderkey"])
+                 .select("o_orderpriority",
+                         j(F.to_date("o_orderdate")).alias("j1"),
+                         j(F.col("ship_d")).alias("j2")))
+    bd = per_order.select(
+        "o_orderpriority",
+        (f("j2") - f("j1")).alias("bus_days"))
+    return (bd.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.sum("bus_days").alias("total_bus_days"),
+                 F.expr("(sum(bus_days) * 1000000) div count(*)")
+                 .alias("avg_bus_days_ppm")))
