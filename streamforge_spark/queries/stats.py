@@ -504,3 +504,133 @@ def fulfillment_business_days(spark, sf_dir):
                  F.sum("bus_days").alias("total_bus_days"),
                  F.expr("(sum(bus_days) * 1000000) div count(*)")
                  .alias("avg_bus_days_ppm")))
+
+
+_THEILSEN_ORACLE = """
+WITH daily AS (
+  SELECT event_type,
+         datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+         SUM(CAST(ROUND(value * 100) AS BIGINT)) AS y
+  FROM events GROUP BY 1, 2),
+slopes AS (
+  SELECT a.event_type,
+         ((b.y - a.y) * 1000000) // (b.x - a.x) AS slope_micro
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND b.x > a.x),
+ranked AS (
+  SELECT event_type, slope_micro,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY slope_micro, slope_micro) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM slopes)
+SELECT event_type,
+       CAST(MAX(n) AS BIGINT) AS n_slopes,
+       MAX(CASE WHEN rn = (n + 1) // 2 THEN slope_micro END)
+         AS median_slope_micro
+FROM ranked GROUP BY event_type
+"""
+
+
+@query("theilsen_trend", oracle=_THEILSEN_ORACLE)
+def theilsen_trend(spark, sf_dir):
+    """Theil–Sen robust trend per event type: the MEDIAN of all
+    pairwise slopes of the daily-revenue series — outlier days that
+    wreck the OLS trend (`user_value_trend`) barely move this one.
+
+    Exactness without float slopes: each slope is (dy*1e6) DIV dx —
+    exact integer micro-units with floor semantics identical in both
+    engines — and the median is the lower order statistic at rank
+    (n+1) DIV 2, so no float ever decides an ordering.
+
+    Scale: the fact table collapses to the (type, day) rollup first;
+    pair generation is quadratic ONLY in |days| per type (the series
+    length, not row count) — 365 days → 66k slope rows per type, a
+    rounding error next to the fact scan.
+    """
+    (events,) = prep(spark, sf_dir, "events")
+    daily = (events.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        .alias("x"))
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("y"))
+        .localCheckpoint(eager=False))
+    a = daily.select("event_type", F.col("x").alias("xa"), F.col("y").alias("ya"))
+    b = daily.select(F.col("event_type").alias("et2"),
+                     F.col("x").alias("xb"), F.col("y").alias("yb"))
+    slopes = (a.join(b, (a["event_type"] == b["et2"]) & (b["xb"] > a["xa"]))
+              .select("event_type",
+                      F.expr("((yb - ya) * 1000000) div (xb - xa)")
+                      .alias("slope_micro")))
+    w = Window.partitionBy("event_type").orderBy("slope_micro")
+    wn = Window.partitionBy("event_type")
+    ranked = slopes.select(
+        "event_type", "slope_micro",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"))
+    return (ranked.groupBy("event_type")
+            .agg(F.max("n").alias("n_slopes"),
+                 F.max(F.when(F.col("rn") == F.expr("(n + 1) div 2"),
+                              F.col("slope_micro")))
+                 .alias("median_slope_micro")))
+
+
+_BOOT_B = 32
+
+_BOOT_ORACLE = f"""
+WITH o AS (
+  SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders),
+reps AS (
+  SELECT r.b, o.cents
+  FROM o, UNNEST(generate_series(1, {_BOOT_B})) AS r(b)
+  WHERE CAST(('0x' || substr(md5('boot-v1:' || CAST(r.b AS VARCHAR) || ':'
+        || CAST(o.o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) % 2 = 0),
+means AS (
+  SELECT b, SUM(cents) // COUNT(*) AS mean_cents
+  FROM reps GROUP BY b),
+ranked AS (
+  SELECT mean_cents, ROW_NUMBER() OVER (ORDER BY mean_cents, mean_cents) AS rn
+  FROM means)
+SELECT CAST({_BOOT_B} AS BIGINT) AS n_replicates,
+       MAX(CASE WHEN rn = 1 THEN mean_cents END) AS lo_cents,
+       MAX(CASE WHEN rn = {_BOOT_B} THEN mean_cents END) AS hi_cents,
+       MAX(CASE WHEN rn = {_BOOT_B // 2} THEN mean_cents END) AS mid_cents
+FROM ranked
+"""
+
+
+@query("bootstrap_ci_revenue", oracle=_BOOT_ORACLE)
+def bootstrap_ci_revenue(spark, sf_dir):
+    """Subsampling bootstrap for the mean order value: {_BOOT_B}
+    deterministic half-samples (row r joins replicate b iff
+    md5('boot-v1:b:key') is even — the reproducible-coin idiom, so
+    any engine draws the SAME replicates), each replicate's integer
+    mean, and the min/median/max replicate means as the spread
+    estimate.
+
+    Scale: replicate fan-out is explode(sequence(1, B)) over the
+    (key, cents) projection — B× amplification of two BIGINTs, not of
+    rows' full width — and the per-replicate means are ONE map-side-
+    combined rollup of B groups.  All floor-division integers.
+    """
+    (orders,) = prep(spark, sf_dir, "orders")
+    from streamforge_spark.functions.simdedup import oracle_hash60
+    o = orders.select("o_orderkey",
+                      F.round(F.col("o_totalprice") * 100).cast("long")
+                      .alias("cents"))
+    reps = (o.select("o_orderkey", "cents",
+                     F.explode(F.sequence(F.lit(1), F.lit(_BOOT_B))).alias("b"))
+            .where(F.pmod(oracle_hash60(
+                F.concat(F.col("b").cast("string"), F.lit(":"),
+                         F.col("o_orderkey").cast("string")), salt="boot-v1"),
+                F.lit(2)) == 0))
+    means = (reps.groupBy("b")
+             .agg(F.expr("sum(cents) div count(*)").alias("mean_cents")))
+    ranked = means.select(
+        "mean_cents",
+        F.row_number().over(Window.orderBy("mean_cents")).alias("rn"))
+    return ranked.agg(
+        F.lit(_BOOT_B).cast("long").alias("n_replicates"),
+        F.max(F.when(F.col("rn") == 1, F.col("mean_cents"))).alias("lo_cents"),
+        F.max(F.when(F.col("rn") == _BOOT_B, F.col("mean_cents"))).alias("hi_cents"),
+        F.max(F.when(F.col("rn") == _BOOT_B // 2, F.col("mean_cents"))).alias("mid_cents"))
