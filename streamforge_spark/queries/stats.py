@@ -634,3 +634,102 @@ def bootstrap_ci_revenue(spark, sf_dir):
         F.max(F.when(F.col("rn") == 1, F.col("mean_cents"))).alias("lo_cents"),
         F.max(F.when(F.col("rn") == _BOOT_B, F.col("mean_cents"))).alias("hi_cents"),
         F.max(F.when(F.col("rn") == _BOOT_B // 2, F.col("mean_cents"))).alias("mid_cents"))
+
+
+_IMPUTE_ORACLE = """
+WITH v AS (
+  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events),
+mean_ AS (
+  SELECT event_type, SUM(cents) // COUNT(*) AS mean_cents FROM v GROUP BY 1),
+ranked AS (
+  SELECT event_type, cents,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM v),
+median_ AS (
+  SELECT event_type,
+         MAX(CASE WHEN rn = (n + 1) // 2 THEN cents END) AS median_cents
+  FROM ranked GROUP BY event_type),
+freq AS (SELECT event_type, cents, COUNT(*) AS c FROM v GROUP BY 1, 2),
+mode_ AS (
+  SELECT event_type, cents AS mode_cents FROM (
+    SELECT event_type, cents,
+           ROW_NUMBER() OVER (PARTITION BY event_type
+                              ORDER BY c DESC, cents) AS rm
+    FROM freq) WHERE rm = 1)
+SELECT m.event_type, m.mean_cents, d.median_cents, o.mode_cents
+FROM mean_ m JOIN median_ d USING (event_type) JOIN mode_ o USING (event_type)
+"""
+
+
+@query("imputation_values", oracle=_IMPUTE_ORACLE)
+def imputation_values(spark, sf_dir):
+    """Null-imputation fitting: per event type, the three classic
+    fill values — floored integer mean, lower-median order statistic,
+    and mode (ties broken to the smallest value) — the artifacts a
+    feature pipeline persists at train time and replays at serving.
+
+    Scale: mean and mode come from map-side-combined rollups (the
+    mode's (type, cents) rollup is bounded by the value domain); the
+    median is the one rank window, per type.  The three KB-scale
+    results join on the 4-row type key.
+    """
+    (events,) = prep(spark, sf_dir, "events")
+    v = events.select("event_type",
+                      F.round(F.col("value") * 100).cast("long").alias("cents"))
+    mean_ = v.groupBy("event_type").agg(
+        F.expr("sum(cents) div count(*)").alias("mean_cents"))
+    w = Window.partitionBy("event_type").orderBy("cents")
+    wn = Window.partitionBy("event_type")
+    median_ = (v.select("event_type", "cents",
+                        F.row_number().over(w).alias("rn"),
+                        F.count(F.lit(1)).over(wn).alias("n"))
+               .groupBy("event_type")
+               .agg(F.max(F.when(F.col("rn") == F.expr("(n + 1) div 2"),
+                                 F.col("cents"))).alias("median_cents")))
+    freq = v.groupBy("event_type", "cents").agg(F.count(F.lit(1)).alias("c"))
+    wm = Window.partitionBy("event_type").orderBy(F.col("c").desc(), "cents")
+    mode_ = (freq.withColumn("rm", F.row_number().over(wm))
+             .where(F.col("rm") == 1)
+             .select("event_type", F.col("cents").alias("mode_cents")))
+    return (mean_.join(median_, "event_type").join(mode_, "event_type"))
+
+
+_CHISQ_ORACLE = """
+WITH obs AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS o FROM events GROUP BY 1),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS k, SUM(o) AS t FROM obs)
+SELECT t.k AS n_categories, t.t AS n_events,
+       CAST(SUM((o.o * t.k - t.t) * (o.o * t.k - t.t)) AS DOUBLE)
+         / (CAST(t.k AS DOUBLE) * CAST(t.t AS DOUBLE)) AS chisq_uniform
+FROM obs o CROSS JOIN tot t
+GROUP BY t.k, t.t
+"""
+
+
+@query("chisq_event_mix", oracle=_CHISQ_ORACLE)
+def chisq_event_mix(spark, sf_dir):
+    """Chi-square goodness-of-fit of the event-type mix against the
+    uniform expectation — the alert behind "did a producer stop
+    sending one event class?", complementing per-bucket drift
+    (value_drift_report) with a single-number category test.
+
+    Identity used: with e = t/k, sum((o-e)^2/e) == sum((o*k - t)^2) /
+    (k*t) — the left side needs float expectations per category, the
+    right side is ONE exact BIGINT sum and a single IEEE division.
+
+    Scale: one map-side-combined type rollup (k rows), a one-row
+    total, a broadcast cross — nothing data-sized after the scan.
+    """
+    (events,) = prep(spark, sf_dir, "events")
+    obs = events.groupBy("event_type").agg(F.count(F.lit(1)).alias("o")) \
+        .localCheckpoint(eager=False)
+    tot = obs.agg(F.count(F.lit(1)).alias("k"), F.sum("o").alias("t"))
+    return (obs.crossJoin(F.broadcast(tot))
+            .groupBy("k", "t")
+            .agg(F.sum((F.col("o") * F.col("k") - F.col("t"))
+                       * (F.col("o") * F.col("k") - F.col("t"))).alias("num"))
+            .select(F.col("k").alias("n_categories"),
+                    F.col("t").alias("n_events"),
+                    (F.col("num").cast("double")
+                     / (F.col("k").cast("double") * F.col("t").cast("double")))
+                    .alias("chisq_uniform")))
