@@ -1444,3 +1444,59 @@ def clamped_balance(spark, sf_dir):
     return (s.select("user_id", "ts", "event_id", "flow",
                      (F.col("s") - F.least(F.lit(0), F.min("s").over(w)))
                      .alias("balance_cents")))
+
+
+# -- Holt-Winters additive seasonal smoothing (weekly period, exact) ----
+
+_HW_BODY = """
+WITH RECURSIVE hw_s AS (
+  SELECT event_type AS c, date_trunc('day', ts) AS d,
+         SUM(CAST(ROUND(value * 100) AS BIGINT)) AS y
+  FROM {T} GROUP BY 1, 2),
+hw_seq AS (
+  SELECT c, d, y, row_number() OVER (PARTITION BY c ORDER BY d) AS i FROM hw_s),
+hw_r AS (
+  SELECT c, i, d, y, y AS l, CAST(0 AS BIGINT) AS b,
+         CAST(0 AS BIGINT) AS q1, CAST(0 AS BIGINT) AS q2,
+         CAST(0 AS BIGINT) AS q3, CAST(0 AS BIGINT) AS q4,
+         CAST(0 AS BIGINT) AS q5, CAST(0 AS BIGINT) AS q6,
+         CAST(0 AS BIGINT) AS q7
+  FROM hw_seq WHERE i = 1
+  UNION ALL
+  SELECT q.c, q.i, q.d, q.y,
+         (q.y - r.q1 + r.l + r.b) {D} 2 AS l,
+         (((q.y - r.q1 + r.l + r.b) {D} 2) - r.l + r.b) {D} 2 AS b,
+         r.q2 AS q1, r.q3 AS q2, r.q4 AS q3, r.q5 AS q4,
+         r.q6 AS q5, r.q7 AS q6,
+         (q.y - ((q.y - r.q1 + r.l + r.b) {D} 2) + r.q1) {D} 2 AS q7
+  FROM hw_r r JOIN hw_seq q ON q.c = r.c AND q.i = r.i + 1)
+SELECT c AS event_type, d AS day, y AS rev_cents,
+       l AS level_cents, b AS trend_cents, q7 AS seasonal_cents,
+       l + b + q1 AS forecast_next_cents
+FROM hw_r
+"""
+
+
+@query("holt_winters_weekly", oracle=_HW_BODY.format(T="events", D="//"))
+def holt_winters_weekly(spark, sf_dir):
+    """Holt-Winters ADDITIVE seasonal smoothing (level + trend +
+    weekly seasonality, alpha = beta = gamma = 1/2) over each event
+    type's daily revenue — the seasonal upgrade of `holt_forecast`
+    for series where Monday simply isn't Sunday.
+
+    The seasonal state is a 7-slot QUEUE carried through the
+    recursion (q1 = the seasonal estimate for the CURRENT step): each
+    step consumes q1, rotates, and appends the re-smoothed estimate —
+    so the recursion needs only the previous ROW, never a look-back
+    join to step i-7.  `forecast_next_cents` = l + b + (next slot) is
+    the true one-step-ahead prediction.  All state is exact BIGINT
+    halving (`div`/`//` both truncate toward zero), so the ENTIRE
+    recursive computation is bit-identical to the DuckDB oracle.
+
+    Scale: one map-side-combined (type, day) rollup, then Spark 4
+    WITH RECURSIVE iterated equi-joins on (type, step) — JVM-side, no
+    Python; depth = series length (30 here), parallel across types.
+    """
+    (events,) = prep(spark, sf_dir, "events")
+    events.createOrReplaceTempView("hw_events_v")
+    return spark.sql(_HW_BODY.format(T="hw_events_v", D="div"))
