@@ -246,3 +246,42 @@ def plan_compaction(spark: SparkSession, path: str, *,
         if not placed:
             groups.append({"files": [name], "bytes": size})
     return groups
+
+
+def read_csv_quarantine(spark: SparkSession, path: str, schema,
+                        **options) -> tuple[DataFrame, DataFrame]:
+    """CSV ingestion with format-error quarantine: parse in PERMISSIVE
+    mode with a ``_corrupt_record`` capture column and split into the
+    pipeline's dual-output ``(pass_df, dlq_df)`` protocol — extending
+    the reference's DLQ discipline (DLQPublisher, SURVEY §2.2) from
+    semantic violations down to the byte/format layer, where real feed
+    breakage usually starts.
+
+    A row is quarantined when the raw line failed to parse (corrupt
+    column non-null).  The DLQ branch carries the ORIGINAL raw line as
+    ``raw_event``, so the quarantine is replayable after a parser fix.
+
+    Scale: PERMISSIVE parsing is a per-task scan concern — no shuffle;
+    the split is two filters over one cached parse (Catalyst shares
+    the scan), and schema/column pruning still applies to the clean
+    branch.
+    """
+    from streamforge_spark.pipeline import dlq_event
+    import pyspark.sql.types as T_
+    full = T_.StructType(list(schema.fields)
+                         + [T_.StructField("_corrupt_record", T_.StringType())])
+    # Spark refuses to evaluate a plan that filters on the internal
+    # corrupt-record column of a live scan (QUERY_ONLY_CORRUPT_RECORD
+    # _COLUMN); materialize the parse once, then split — which is also
+    # the right plan: one parse feeding both branches.
+    raw = (spark.read.schema(full)
+           .options(mode="PERMISSIVE", columnNameOfCorruptRecord="_corrupt_record",
+                    **options)
+           .csv(path)
+           .localCheckpoint(eager=False))
+    bad = raw.where(F.col("_corrupt_record").isNotNull())
+    passed = (raw.where(F.col("_corrupt_record").isNull())
+              .drop("_corrupt_record"))
+    dlq = dlq_event(bad, "FORMAT_ERROR", F.lit("malformed csv record"),
+                    source=path, raw_event=F.col("_corrupt_record"))
+    return passed, dlq

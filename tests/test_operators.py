@@ -819,3 +819,28 @@ def test_bloom_prune_superset_and_selective(spark):
     assert set(range(1000)) <= kept
     # real pruning: non-members mostly dropped (fp rate well under 50%)
     assert len(kept) < 1000 + 0.5 * 19000
+
+
+def test_read_csv_quarantine_splits_and_replays(spark, tmp_path):
+    from pyspark.sql import types as T
+    from streamforge_spark.io import read_csv_quarantine
+    p = tmp_path / "feed.csv"
+    p.write_text(
+        "1,alice,10.5\n"
+        "2,bob,not_a_number\n"      # type failure -> corrupt
+        "3,carol,7.25\n"
+        "garbage line without commas\n")
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("amount", T.DoubleType())])
+    passed, dlq = read_csv_quarantine(spark, str(p), schema)
+    ok = {(r.id, r.name, r.amount) for r in passed.collect()}
+    assert ok == {(1, "alice", 10.5), (3, "carol", 7.25)}
+    bad = dlq.collect()
+    assert len(bad) == 2
+    assert all(r.error_type == "FORMAT_ERROR" for r in bad)
+    # the original raw lines ride along for replay
+    raws = {r.raw_event for r in bad}
+    assert "2,bob,not_a_number" in raws
+    assert "garbage line without commas" in raws
