@@ -880,3 +880,33 @@ def test_streaming_hll_distinct_matches_batch(spark, workdir):
                      F.hll_sketch_estimate("sk").alias("est_users"))
              ).collect()}
     assert got == want and len(got) > 5
+
+
+def test_streaming_scd2_enrich_matches_batch(spark, workdir):
+    # stream-static temporal join must enrich each event with the same
+    # version the batch SCD2 join picks
+    from streamforge_spark.envelope import envelope_from_events
+    from streamforge_spark.io import load
+    from streamforge_spark.operators.materialize import materializer_history
+    from streamforge_spark.streaming.materialize import streaming_scd2_enrich
+    events = load(spark, "/root/testdata/sf0.001", "events")
+    env = envelope_from_events(events)
+    hist = materializer_history(
+        env, ["primary_key"], ["event_time", "event_id"], "event_time",
+        delete_predicate=F.col("operation") == "delete")
+    versions = hist.select("primary_key", "payload_json",
+                           "valid_from", "valid_to").localCheckpoint()
+    left = env.select("event_id", "primary_key", "event_time")
+    want = {(r.event_id, r.state_payload) for r in
+            streaming_scd2_enrich(left, versions).collect()}
+    src = f"{workdir}/scd2"
+    left.coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(left.schema).parquet(src)
+    q = (streaming_scd2_enrich(stream, versions)
+         .writeStream.format("memory").queryName("scd2_out")
+         .outputMode("append").start())
+    q.processAllAvailable()
+    q.stop()
+    got = {(r.event_id, r.state_payload)
+           for r in spark.sql("select * from scd2_out").collect()}
+    assert got == want and len(got) > 100
