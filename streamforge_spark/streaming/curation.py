@@ -37,3 +37,58 @@ def streaming_contamination(doc_stream: DataFrame, bench: DataFrame,
     return (grams.join(F.broadcast(bench), "g")
             .groupBy(id_col)
             .agg(F.count(F.lit(1)).alias("n_shared_grams")))
+
+
+def streaming_token_budget(doc_stream: DataFrame, *, budget: int,
+                           id_col: str = "doc_id", src_col: str = "source",
+                           tokens_col: str = "n_tokens") -> DataFrame:
+    """Streaming per-source token-budget admission: documents arrive,
+    each source's running token total accumulates in keyed state, and
+    a doc is ADMITTED only while its source's cumulative total (after
+    adding it) stays within the budget — the arrival-order streaming
+    twin of the batch `token_budget_mix` (which admits in determinstic
+    hash order instead).
+
+    State per source is ONE integer.  Within a micro-batch, docs
+    process in (doc_id) order for determinism; admission is
+    first-come-first-served, the semantics an ingest gate actually
+    has.  Emits only admitted docs (append mode) with their
+    cumulative position, so downstream sees a corpus that never
+    overshoots any source budget.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType([
+        T.StructField("source", T.StringType()),
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_tokens", T.LongType()),
+        T.StructField("cum_tokens", T.LongType()),
+    ])
+    state_schema = T.StructType([T.StructField("used", T.LongType())])
+
+    def fn(key: tuple, pdfs, state: GroupState):
+        import pandas as pd
+        used = state.get[0] if state.exists else 0
+        rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("doc_id")
+            for did, nt in zip(pdf["doc_id"], pdf["n_tokens"]):
+                if used + int(nt) <= budget:
+                    used += int(nt)
+                    rows.append((int(did), int(nt), used))
+        state.update((used,))
+        yield pd.DataFrame({
+            "source": [key[0]] * len(rows),
+            "doc_id": [r[0] for r in rows],
+            "n_tokens": [r[1] for r in rows],
+            "cum_tokens": [r[2] for r in rows],
+        })
+
+    prepared = doc_stream.select(
+        F.col(src_col).alias("source"), F.col(id_col).alias("doc_id"),
+        F.col(tokens_col).cast("long").alias("n_tokens"))
+    return prepared.groupBy("source").applyInPandasWithState(
+        fn, outputStructType=out_schema, stateStructType=state_schema,
+        outputMode="append", timeoutConf=GroupStateTimeout.NoTimeout)

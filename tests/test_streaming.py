@@ -910,3 +910,51 @@ def test_streaming_scd2_enrich_matches_batch(spark, workdir):
     got = {(r.event_id, r.state_payload)
            for r in spark.sql("select * from scd2_out").collect()}
     assert got == want and len(got) > 100
+
+
+def test_streaming_token_budget_admission(spark, workdir):
+    # per-source budget: arrival-order admission across two batches
+    # must equal the batch prefix-sum spec in the same order, and
+    # never overshoot any source's budget
+    from streamforge_spark.functions.text import token_count
+    from streamforge_spark.io import load
+    from streamforge_spark.streaming.curation import streaming_token_budget
+    budget = 800
+    docs = (load(spark, "/root/testdata/sf0.001", "documents")
+            .select("doc_id", "source",
+                    token_count(F.col("text")).alias("n_tokens")))
+    src = f"{workdir}/docs"
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1) \
+        .write.mode("append").parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    q = (streaming_token_budget(stream, budget=budget)
+         .writeStream.format("memory").queryName("budget_out")
+         .outputMode("append").start())
+    q.processAllAvailable()
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1) \
+        .write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    got = [(r.source, r.doc_id, r.cum_tokens)
+           for r in spark.sql(
+               "select * from budget_out order by source, cum_tokens").collect()]
+    # batch spec: same arrival order (evens by doc_id, then odds)
+    from pyspark.sql import Window
+    ordered = docs.withColumn(
+        "arr", F.struct((F.col("doc_id") % 2).alias("p"), "doc_id"))
+    w = (Window.partitionBy("source").orderBy("arr")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    spec = (ordered.withColumn("cum", F.sum("n_tokens").over(w))
+            .where(F.col("cum") <= budget))
+    # NOTE: the window spec admits only while the prefix stays in
+    # budget CONTIGUOUSLY; FCFS admission skips an oversized doc and
+    # may admit a later smaller one, so compare against a python fold
+    rows = ordered.select("source", "doc_id", "n_tokens", "arr").collect()
+    used, want = {}, []
+    for r in sorted(rows, key=lambda r: (r.source, (r.arr.p, r.arr.doc_id))):
+        u = used.get(r.source, 0)
+        if u + r.n_tokens <= budget:
+            used[r.source] = u + r.n_tokens
+            want.append((r.source, r.doc_id, used[r.source]))
+    assert got == sorted(want, key=lambda t: (t[0], t[2]))
+    assert max(used.values()) <= budget
