@@ -733,3 +733,58 @@ def chisq_event_mix(spark, sf_dir):
                     (F.col("num").cast("double")
                      / (F.col("k").cast("double") * F.col("t").cast("double")))
                     .alias("chisq_uniform")))
+
+
+_QQ_ORACLE = """
+WITH v AS (
+  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events WHERE event_type IN ('click', 'purchase')),
+q AS (
+  SELECT g.q20, v.event_type, MAX(v.cents) AS qv
+  FROM (SELECT UNNEST(generate_series(1, 19)) AS q20) g
+  JOIN v ON v.rn = CAST(CEIL(g.q20 * v.n / 20.0) AS BIGINT)
+  GROUP BY 1, 2)
+SELECT a.q20 AS ventile,
+       a.qv AS click_cents,
+       b.qv AS purchase_cents,
+       b.qv - a.qv AS gap_cents
+FROM q a JOIN q b ON a.q20 = b.q20
+WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+"""
+
+
+@query("qq_plot_points", oracle=_QQ_ORACLE)
+def qq_plot_points(spark, sf_dir):
+    """Q-Q plot data: the 19 ventiles of the click-value distribution
+    against the same ventiles of the purchase-value distribution —
+    the visual companion to `ks_value_drift` (KS says IF they differ;
+    the Q-Q gap says WHERE).
+
+    Exact order statistics (rank = ceil(q*n/20), deterministic
+    (value, event_id) order), computed for both series in ONE rank
+    window pass over the filtered scan — the ventile extraction is a
+    19-row broadcast join against the ranked rows, not 19 queries.
+    """
+    (events,) = prep(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    v = (events.where(F.col("event_type").isin("click", "purchase"))
+         .select("event_type",
+                 F.round(F.col("value") * 100).cast("long").alias("cents"),
+                 F.row_number().over(w).alias("rn"),
+                 F.count(F.lit(1)).over(wn).alias("n")))
+    g = spark.range(1, 20).select(F.col("id").cast("int").alias("q20"))
+    q = (v.join(F.broadcast(g),
+                F.col("rn") == F.ceil(F.col("q20") * F.col("n") / 20.0)
+                .cast("long"))
+         .groupBy("q20", "event_type").agg(F.max("cents").alias("qv")))
+    a = q.where(F.col("event_type") == "click") \
+         .select(F.col("q20").alias("ventile"), F.col("qv").alias("click_cents"))
+    b = q.where(F.col("event_type") == "purchase") \
+         .select(F.col("q20").alias("bq"), F.col("qv").alias("purchase_cents"))
+    return (a.join(b, a["ventile"] == b["bq"])
+            .select("ventile", "click_cents", "purchase_cents",
+                    (F.col("purchase_cents") - F.col("click_cents"))
+                    .alias("gap_cents")))

@@ -909,3 +909,75 @@ def doc_novelty(spark, sf_dir):
                  uniq.alias("n_unique"))
             .withColumn("novelty_ppm",
                         F.expr("(1000000 * n_unique) div n_shingles")))
+
+
+# -- collocation mining over a bounded vocabulary -----------------------
+
+COLLOC_VOCAB = 100      # pair universe: top-df tokens only
+COLLOC_MIN_DOCS = 5     # min co-occurrence support
+
+_COLLOC_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, UNNEST(list_distinct(string_split(text, ' '))) AS tok
+  FROM documents),
+df AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM toks GROUP BY tok),
+vocab AS (
+  SELECT tok, df FROM df ORDER BY df DESC, tok LIMIT {COLLOC_VOCAB}),
+vt AS (SELECT t.doc_id, t.tok FROM toks t JOIN vocab v ON t.tok = v.tok),
+pairs AS (
+  SELECT a.tok AS t1, b.tok AS t2, CAST(COUNT(*) AS BIGINT) AS both_docs
+  FROM vt a JOIN vt b ON a.doc_id = b.doc_id AND a.tok < b.tok
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {COLLOC_MIN_DOCS}),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents)
+SELECT p.t1, p.t2, p.both_docs,
+       (p.both_docs * n.nd * 1000000) // (v1.df * v2.df) AS lift_ppm
+FROM pairs p
+JOIN vocab v1 ON p.t1 = v1.tok
+JOIN vocab v2 ON p.t2 = v2.tok
+CROSS JOIN n
+ORDER BY lift_ppm DESC, t1, t2
+LIMIT 20
+"""
+
+
+@query("term_collocations", oracle=_COLLOC_ORACLE)
+def term_collocations(spark, sf_dir):
+    """Collocation mining: the 20 most-associated token pairs (by
+    integer-ppm lift = P(both)/(P(a)P(b))) among the {COLLOC_VOCAB}
+    highest-document-frequency tokens — phrase/entity discovery with
+    the pair universe BOUNDED by construction, so the quadratic step
+    can never follow corpus growth.
+
+    Scale: one distinct-token projection (8-byte-ish tokens, text
+    never shuffles), a df rollup, a top-{COLLOC_VOCAB} vocabulary via
+    TakeOrderedAndProject that BROADCASTS into the token stream, and
+    per-doc pair generation only over vocabulary hits (≤ vocab²/2
+    per doc, typically far fewer).  Lift is floor-division ppm —
+    exact, no logs.
+    """
+    from streamforge_spark.functions.text import tokens
+    (docs,) = prep(spark, sf_dir, "documents")
+    toks = (docs.select("doc_id",
+                        F.explode(F.array_distinct(tokens(F.col("text"))))
+                        .alias("tok"))
+            .localCheckpoint(eager=False))
+    df = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    vocab = df.orderBy(F.col("df").desc(), "tok").limit(COLLOC_VOCAB) \
+              .localCheckpoint(eager=False)
+    vt = toks.join(F.broadcast(vocab.select("tok")), "tok")
+    a = vt.select("doc_id", F.col("tok").alias("t1"))
+    b = vt.select(F.col("doc_id").alias("d2"), F.col("tok").alias("t2"))
+    pairs = (a.join(b, (a["doc_id"] == b["d2"]) & (a["t1"] < b["t2"]))
+             .groupBy("t1", "t2").agg(F.count(F.lit(1)).alias("both_docs"))
+             .where(F.col("both_docs") >= COLLOC_MIN_DOCS))
+    nd = docs.agg(F.count(F.lit(1)).alias("nd"))
+    v1 = vocab.select(F.col("tok").alias("t1"), F.col("df").alias("df1"))
+    v2 = vocab.select(F.col("tok").alias("t2"), F.col("df").alias("df2"))
+    return (pairs.join(F.broadcast(v1), "t1").join(F.broadcast(v2), "t2")
+            .crossJoin(F.broadcast(nd))
+            .select("t1", "t2", "both_docs",
+                    F.expr("(both_docs * nd * 1000000) div (df1 * df2)")
+                    .alias("lift_ppm"))
+            .orderBy(F.col("lift_ppm").desc(), "t1", "t2")
+            .limit(20))
