@@ -415,32 +415,38 @@ def fifo_lot_matching(spark, sf_dir):
     of cumulative credit, demand j consumes [d_hi-amt, d_hi); the
     matched quantity is the overlap length.  Exact integer cents.
 
-    Scale: two windowed prefix sums over ONE user_id exchange each,
-    then a per-user interval-overlap join — each demand matches O(1)
-    lots amortized (intervals partition the line), so output is
-    ~|supply|+|demand| rows, never a blow-up; a monster key ranges-
-    partitions its prefix sums like every ledger op here.
+    Scale: ONE scan + ONE user_id window exchange computes BOTH
+    ledgers (conditional prefix sums side by side over the tagged,
+    materialized frame), then a per-user interval-overlap join — each
+    demand matches O(1) lots amortized (intervals partition the
+    line), so output is ~|supply|+|demand| rows, never a blow-up; a
+    monster key range-partitions its prefix sums like every ledger op
+    here.
     """
     (events,) = prep(spark, sf_dir, "events")
     cents = F.round(F.col("value") * 100).cast("long")
+    is_supply = F.col("event_type").isin("signup", "click")
     w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-
-    def ledger(df, id_alias, hi_alias):
-        return df.select(
-            "user_id", F.col("event_id").alias(id_alias),
-            cents.alias("amt"), "ts", "event_id"
-        ).select("user_id", id_alias, "amt",
-                 F.sum("amt").over(w).alias(hi_alias))
-
-    supply = ledger(events.where(F.col("event_type").isin("signup", "click")),
-                    "supply_event", "s_hi")
-    demand = ledger(events.where(F.col("event_type") == "purchase"),
-                    "demand_event", "d_hi")
-    s = supply.select("user_id", "supply_event",
-                      (F.col("s_hi") - F.col("amt")).alias("s_lo"), "s_hi")
-    d = demand.select(F.col("user_id").alias("d_user"), "demand_event",
-                      (F.col("d_hi") - F.col("amt")).alias("d_lo"), "d_hi")
+    tagged = (events
+              .where(is_supply | (F.col("event_type") == "purchase"))
+              .select("user_id", "event_id", "ts",
+                      cents.alias("amt"), is_supply.alias("sup"))
+              .select("user_id", "event_id", "amt", "sup",
+                      F.sum(F.when(F.col("sup"), F.col("amt"))
+                            .otherwise(F.lit(0))).over(w).alias("s_cum"),
+                      F.sum(F.when(~F.col("sup"), F.col("amt"))
+                            .otherwise(F.lit(0))).over(w).alias("d_cum"))
+              .localCheckpoint(eager=False))
+    s = (tagged.where("sup")
+         .select("user_id", F.col("event_id").alias("supply_event"),
+                 (F.col("s_cum") - F.col("amt")).alias("s_lo"),
+                 F.col("s_cum").alias("s_hi")))
+    d = (tagged.where(~F.col("sup"))
+         .select(F.col("user_id").alias("d_user"),
+                 F.col("event_id").alias("demand_event"),
+                 (F.col("d_cum") - F.col("amt")).alias("d_lo"),
+                 F.col("d_cum").alias("d_hi")))
     matched = (F.least("s_hi", "d_hi") - F.greatest("s_lo", "d_lo"))
     return (s.join(d, (s["user_id"] == d["d_user"])
                    & (s["s_lo"] < d["d_hi"]) & (d["d_lo"] < s["s_hi"]))
@@ -675,8 +681,11 @@ def imputation_values(spark, sf_dir):
     results join on the 4-row type key.
     """
     (events,) = prep(spark, sf_dir, "events")
+    # three consumers (mean, median, mode) — materialize the 2-column
+    # projection once so the fact table is scanned once, not thrice
     v = events.select("event_type",
-                      F.round(F.col("value") * 100).cast("long").alias("cents"))
+                      F.round(F.col("value") * 100).cast("long").alias("cents")) \
+        .localCheckpoint(eager=False)
     mean_ = v.groupBy("event_type").agg(
         F.expr("sum(cents) div count(*)").alias("mean_cents"))
     w = Window.partitionBy("event_type").orderBy("cents")
@@ -776,10 +785,13 @@ def qq_plot_points(spark, sf_dir):
                  F.row_number().over(w).alias("rn"),
                  F.count(F.lit(1)).over(wn).alias("n")))
     g = spark.range(1, 20).select(F.col("id").cast("int").alias("q20"))
+    # 38-row result consumed twice (click side, purchase side):
+    # materialize so the ranked scan runs once
     q = (v.join(F.broadcast(g),
                 F.col("rn") == F.ceil(F.col("q20") * F.col("n") / 20.0)
                 .cast("long"))
-         .groupBy("q20", "event_type").agg(F.max("cents").alias("qv")))
+         .groupBy("q20", "event_type").agg(F.max("cents").alias("qv"))
+         .localCheckpoint(eager=False))
     a = q.where(F.col("event_type") == "click") \
          .select(F.col("q20").alias("ventile"), F.col("qv").alias("click_cents"))
     b = q.where(F.col("event_type") == "purchase") \
