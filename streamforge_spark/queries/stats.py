@@ -800,3 +800,48 @@ def qq_plot_points(spark, sf_dir):
             .select("ventile", "click_cents", "purchase_cents",
                     (F.col("purchase_cents") - F.col("click_cents"))
                     .alias("gap_cents")))
+
+
+_FANO_ORACLE = """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2),
+m AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(x) AS s, SUM(x * x) AS s2
+  FROM daily GROUP BY user_id)
+SELECT user_id, n AS n_active_days, s AS n_events,
+       ((n * s2 - s * s) * 1000000) // (n * s) AS fano_ppm
+FROM m
+WHERE n >= 5
+ORDER BY fano_ppm DESC, user_id
+LIMIT 20
+"""
+
+
+@query("user_burstiness", oracle=_FANO_ORACLE)
+def user_burstiness(spark, sf_dir):
+    """Burstiness ranking: the 20 users whose daily activity deviates
+    most from Poisson, by the Fano factor (population variance over
+    mean of daily event counts) in exact ppm — Fano ≈ 1e6 is
+    Poisson-steady, above it is bursty (bot bursts, retry storms).
+
+    Identity: var/mean = (n·Σx² − S²) / (n·S), every term an exact
+    BIGINT from ONE map-side-combined (user, day) rollup followed by
+    one per-user rollup; floor division keeps it integer.  Top-20 via
+    TakeOrderedAndProject; minimum 5 active days for stability.
+    """
+    (events,) = prep(spark, sf_dir, "events")
+    daily = (events.groupBy("user_id", F.to_date("ts").alias("day"))
+             .agg(F.count(F.lit(1)).alias("x")))
+    m = (daily.groupBy("user_id")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum("x").alias("s"),
+              F.sum(F.col("x") * F.col("x")).alias("s2")))
+    return (m.where(F.col("n") >= 5)
+            .select("user_id", F.col("n").alias("n_active_days"),
+                    F.col("s").alias("n_events"),
+                    F.expr("((n * s2 - s * s) * 1000000) div (n * s)")
+                    .alias("fano_ppm"))
+            .orderBy(F.col("fano_ppm").desc(), "user_id")
+            .limit(20))

@@ -357,3 +357,42 @@ def event_runs(spark, sf_dir):
                  F.min("ts").alias("run_start"),
                  F.max("ts").alias("run_end"))
             .drop("island"))
+
+
+_TRIGRAM_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type AS t1,
+         LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t2,
+         LEAD(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t3
+  FROM events)
+SELECT t1, t2, t3, CAST(COUNT(*) AS BIGINT) AS n
+FROM seq WHERE t3 IS NOT NULL
+GROUP BY t1, t2, t3
+ORDER BY n DESC, t1, t2, t3
+LIMIT 20
+"""
+
+
+@query("event_trigrams", oracle=_TRIGRAM_ORACLE)
+def event_trigrams(spark, sf_dir):
+    """Top-20 contiguous 3-step behavior patterns across all user
+    streams — the order-3 upgrade of the Markov transition matrix
+    (`event_transitions`), for "what do users actually DO in
+    sequence" questions (click→click→error spikes, signup→click→
+    purchase golden paths).
+
+    ONE user_id window exchange produces both leads; the trigram
+    rollup is map-side combined (|types|³ groups max) and the top-20
+    rides TakeOrderedAndProject.
+    """
+    (events,) = prep(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        F.col("event_type").alias("t1"),
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"))
+    return (seq.where(F.col("t3").isNotNull())
+            .groupBy("t1", "t2", "t3")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.col("n").desc(), "t1", "t2", "t3")
+            .limit(20))
