@@ -634,3 +634,23 @@ def test_span_corruption_zero_shuffle(spark):
 def test_max_drawdown_single_exchange(spark):
     plan = plan_of(spark, "max_drawdown_user")
     assert plan.count("Arguments: hashpartitioning") == 1
+
+
+def test_column_lineage_resolves_sources(spark):
+    # lineage from the ANALYZED plan: projections, aggregates, and
+    # join enrichments must trace back to the right fixture columns
+    import pathlib
+    import sys
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent / "tools"))
+    from lineage import column_lineage
+    lin = column_lineage(spark, registry.QUERIES["q1_pricing_summary"](spark, SF), SF)
+    assert lin["sum_disc_price"] == {"lineitem.l_discount", "lineitem.l_extendedprice"}
+    assert lin["l_returnflag"] == {"lineitem.l_returnflag"}
+    lin5 = column_lineage(spark, registry.QUERIES["q5_region_revenue"](spark, SF), SF)
+    assert lin5["n_name"] == {"nation.n_name"}
+    assert lin5["revenue"] == {"lineitem.l_discount", "lineitem.l_extendedprice"}
+    # a GDPR-style audit: which outputs of the enrichment query touch
+    # the customer table at all?
+    lin_e = column_lineage(spark, registry.QUERIES["static_join_enrich"](spark, SF), SF)
+    touched = {c for c, s in lin_e.items() if any(x.startswith("customer.") for x in s)}
+    assert "c_name" in touched and "event_id" not in touched
