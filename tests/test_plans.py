@@ -654,3 +654,20 @@ def test_column_lineage_resolves_sources(spark):
     lin_e = column_lineage(spark, registry.QUERIES["static_join_enrich"](spark, SF), SF)
     touched = {c for c, s in lin_e.items() if any(x.startswith("customer.") for x in s)}
     assert "c_name" in touched and "event_id" not in touched
+
+
+def test_measured_shuffle_volume_aggregations(spark):
+    # measured (not eyeballed): map-side combine must keep the bytes
+    # crossing the exchange at <1% of scanned bytes for the rollup
+    # queries — losing a partial aggregate blows this up ~1000x
+    import pathlib
+    import sys
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent / "tools"))
+    from shuffle_audit import audit_query
+    for name in ("q1_pricing_summary", "q5_region_revenue"):
+        a = audit_query(spark, registry.QUERIES[name], SF)
+        assert a["scan_bytes"] > 0
+        assert a["shuffle_bytes"] < 0.01 * a["scan_bytes"], (name, a)
+    # and a scan-side projection must shuffle NOTHING
+    a = audit_query(spark, registry.QUERIES["span_corruption_masks"], SF)
+    assert a["shuffle_bytes"] == 0
