@@ -396,3 +396,59 @@ def event_trigrams(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n"))
             .orderBy(F.col("n").desc(), "t1", "t2", "t3")
             .limit(20))
+
+
+_TRANSIT_LAT_ORACLE = """
+WITH hops AS (
+  SELECT event_type AS t1,
+         LEAD(event_type) OVER w AS t2,
+         epoch_us(LEAD(ts) OVER w) - epoch_us(ts) AS gap_us
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+ranked AS (
+  SELECT t1, t2, gap_us,
+         ROW_NUMBER() OVER (PARTITION BY t1, t2 ORDER BY gap_us) AS rn,
+         COUNT(*) OVER (PARTITION BY t1, t2) AS n
+  FROM hops WHERE t2 IS NOT NULL)
+SELECT t1, t2, CAST(MAX(n) AS BIGINT) AS n_hops,
+       MAX(CASE WHEN rn = (n + 1) // 2 THEN gap_us END) AS median_gap_us,
+       MAX(CASE WHEN rn = CAST(CEIL(0.95 * n) AS BIGINT) THEN gap_us END)
+         AS p95_gap_us
+FROM ranked GROUP BY t1, t2
+"""
+
+
+@query("transition_latency", oracle=_TRANSIT_LAT_ORACLE)
+def transition_latency(spark, sf_dir):
+    """Process-mining bottleneck finder: for every directly-follows
+    transition (t1 -> t2) in user event streams, the median and p95
+    dwell time — `event_transitions` says WHERE users go, this says
+    how LONG each hop takes (the slow hop is the bottleneck).
+
+    Exact integer microseconds; medians/p95 are order statistics
+    (deterministic gap order).  Two exchanges: user_id for the lead
+    window, (t1, t2) for the rank — both row-sized but narrow (two
+    strings + one long), and the per-transition rank partitions
+    parallelize across the |types|² transition key space.
+    """
+    (events,) = prep(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    hops = (events.select(
+        F.col("event_type").alias("t1"),
+        F.lead("event_type").over(w).alias("t2"),
+        (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts"))
+        .alias("gap_us"))
+        .where(F.col("t2").isNotNull()))
+    wr = Window.partitionBy("t1", "t2").orderBy("gap_us")
+    wn = Window.partitionBy("t1", "t2")
+    ranked = hops.select(
+        "t1", "t2", "gap_us",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"))
+    return (ranked.groupBy("t1", "t2")
+            .agg(F.max("n").alias("n_hops"),
+                 F.max(F.when(F.col("rn") == F.expr("(n + 1) div 2"),
+                              F.col("gap_us"))).alias("median_gap_us"),
+                 F.max(F.when(F.col("rn") == F.ceil(F.lit(0.95) * F.col("n"))
+                              .cast("long"), F.col("gap_us")))
+                 .alias("p95_gap_us")))
