@@ -844,3 +844,44 @@ def test_read_csv_quarantine_splits_and_replays(spark, tmp_path):
     raws = {r.raw_event for r in bad}
     assert "2,bob,not_a_number" in raws
     assert "garbage line without commas" in raws
+
+
+def test_backfill_resumes_and_is_idempotent(spark, tmp_path):
+    from streamforge_spark.backfill import backfill
+    from streamforge_spark.io import load
+    target = str(tmp_path / "bf")
+
+    def transform(spark_, lo, hi):
+        ev = load(spark_, "/root/testdata/sf0.001", "events")
+        return (ev.where((F.to_date("ts") >= lo) & (F.to_date("ts") < hi))
+                .groupBy(F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"),
+                         "event_type")
+                .agg(F.count(F.lit(1)).alias("n")))
+
+    chunks = [("2024-01-01", "2024-01-08"),
+              ("2024-01-08", "2024-01-15"),
+              ("2024-01-15", "2024-01-22")]
+    r1 = backfill(spark, transform=transform, target=target,
+                  partition_col="day", chunks=chunks)
+    assert len(r1["run"]) == 3 and not r1["skipped"]
+    full = spark.read.parquet(target)
+    want = full.count()
+    # resume: everything ledgered -> nothing re-runs, data untouched
+    r2 = backfill(spark, transform=transform, target=target,
+                  partition_col="day", chunks=chunks)
+    assert not r2["run"] and len(r2["skipped"]) == 3
+    assert spark.read.parquet(target).count() == want
+    # crash simulation: drop one ledger marker -> ONLY that chunk
+    # re-runs, and dynamic overwrite keeps the total identical
+    import os
+    os.remove(f"{target}/_backfill/2024-01-08__2024-01-15")
+    r3 = backfill(spark, transform=transform, target=target,
+                  partition_col="day", chunks=chunks)
+    assert r3["run"] == ["2024-01-08__2024-01-15"] and len(r3["skipped"]) == 2
+    assert spark.read.parquet(target).count() == want
+    # chunk result matches a direct one-shot computation (fresh read:
+    # the rewrite invalidated the earlier DataFrame's file listing)
+    final = spark.read.parquet(target).select("day", "event_type", "n")
+    direct = transform(spark, "2024-01-01", "2024-01-22")
+    assert (final.exceptAll(direct).count() == 0
+            and direct.exceptAll(final).count() == 0)
