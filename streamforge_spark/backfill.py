@@ -70,3 +70,65 @@ def backfill(spark: SparkSession, *,
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     return {"run": run, "skipped": skipped}
+
+
+def publish_wap(spark: SparkSession, df: DataFrame, table_root: str,
+                checks: list[tuple[str, str]],
+                version: str) -> dict:
+    """Write-Audit-Publish: stage the dataset, audit it with SQL
+    predicates, and only then atomically flip the `_current` pointer —
+    readers NEVER observe an unaudited or half-written version.
+
+    ``checks`` are (name, violation_predicate_sql): a check fails when
+    any staged row satisfies the predicate.  On failure the staged
+    data stays on disk under ``_staging`` for debugging and the
+    previous published version keeps serving.
+
+    This is the batch twin of the streaming DLQ gate (SchemaEnforcer/
+    ConstraintEnforcer, SURVEY §2.9): same rules, but the blast-radius
+    control is versioned publication instead of row routing.  At
+    100 TB the expensive parts (write, audit scan) happen OUTSIDE the
+    serving path; the publish itself is one small pointer-file write.
+
+    Returns {"published": bool, "version": str, "violations": {...}}.
+    """
+    staging = f"{table_root.rstrip('/')}/_staging/{version}"
+    final = f"{table_root.rstrip('/')}/v={version}"
+    df.write.mode("overwrite").parquet(staging)
+    staged = spark.read.parquet(staging)
+    violations = {}
+    for name, predicate in checks:
+        violations[name] = staged.where(predicate).count()
+    if any(violations.values()):
+        return {"published": False, "version": version,
+                "violations": violations}
+    fs, jvm = _fs(spark, table_root)
+    fs.rename(jvm.org.apache.hadoop.fs.Path(staging),
+              jvm.org.apache.hadoop.fs.Path(final))
+    # pointer flip: write tmp then rename over _current (atomic on
+    # HDFS/local; on S3 use a manifest commit service instead)
+    ptr_tmp = jvm.org.apache.hadoop.fs.Path(
+        f"{table_root.rstrip('/')}/_current.tmp")
+    out = fs.create(ptr_tmp, True)
+    out.write(bytearray(version.encode()))
+    out.close()
+    ptr = jvm.org.apache.hadoop.fs.Path(f"{table_root.rstrip('/')}/_current")
+    fs.delete(ptr, False)
+    fs.rename(ptr_tmp, ptr)
+    return {"published": True, "version": version, "violations": violations}
+
+
+def read_published(spark: SparkSession, table_root: str) -> DataFrame:
+    """Read the currently published version via the `_current` pointer."""
+    fs, jvm = _fs(spark, table_root)
+    ptr = jvm.org.apache.hadoop.fs.Path(f"{table_root.rstrip('/')}/_current")
+    stream = fs.open(ptr)
+    try:
+        version = bytes(
+            stream.readAllBytes() if hasattr(stream, "readAllBytes")
+            else []).decode() or None
+    finally:
+        stream.close()
+    if not version:
+        raise FileNotFoundError(f"no published version under {table_root}")
+    return spark.read.parquet(f"{table_root.rstrip('/')}/v={version}")

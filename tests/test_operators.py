@@ -885,3 +885,27 @@ def test_backfill_resumes_and_is_idempotent(spark, tmp_path):
     direct = transform(spark, "2024-01-01", "2024-01-22")
     assert (final.exceptAll(direct).count() == 0
             and direct.exceptAll(final).count() == 0)
+
+
+def test_write_audit_publish_gates_bad_versions(spark, tmp_path):
+    from streamforge_spark.backfill import publish_wap, read_published
+    root = str(tmp_path / "wap")
+    checks = [("null_key", "k IS NULL"), ("neg_amount", "amount < 0")]
+    good = spark.createDataFrame([(1, 10), (2, 20)], "k long, amount long")
+    r1 = publish_wap(spark, good, root, checks, version="001")
+    assert r1["published"] and not any(r1["violations"].values())
+    assert {(r.k, r.amount) for r in read_published(spark, root).collect()} \
+        == {(1, 10), (2, 20)}
+    # a bad version must be refused and the old version keeps serving
+    bad = spark.createDataFrame([(3, -5), (None, 7)], "k long, amount long")
+    r2 = publish_wap(spark, bad, root, checks, version="002")
+    assert not r2["published"]
+    assert r2["violations"] == {"null_key": 1, "neg_amount": 1}
+    assert {(r.k, r.amount) for r in read_published(spark, root).collect()} \
+        == {(1, 10), (2, 20)}
+    # a later good version flips the pointer
+    r3 = publish_wap(spark, good.withColumn("amount", F.col("amount") + 1),
+                     root, checks, version="003")
+    assert r3["published"]
+    assert {(r.k, r.amount) for r in read_published(spark, root).collect()} \
+        == {(1, 11), (2, 21)}
