@@ -1182,3 +1182,50 @@ def join_explosion_risk(spark, sf_dir):
                     (F.col("n_left") * F.col("n_right")).alias("pairs"))
             .orderBy(F.col("pairs").desc(), "key")
             .limit(20))
+
+
+_TRIPLES_ORACLE = """
+WITH basket AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+triples AS (
+  SELECT a.p AS p1, b.p AS p2, c.p AS p3
+  FROM basket a
+  JOIN basket b ON a.o = b.o AND a.p < b.p
+  JOIN basket c ON a.o = c.o AND b.p < c.p)
+SELECT p1, p2, p3, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM triples GROUP BY p1, p2, p3
+HAVING COUNT(*) >= 2
+ORDER BY n_orders DESC, p1, p2, p3
+LIMIT 20
+"""
+
+
+@query("basket_triples", oracle=_TRIPLES_ORACLE)
+def basket_triples(spark, sf_dir):
+    """Frequent 3-itemsets: the 20 part triples most often bought in
+    the same order (support ≥ 2) — the order-3 extension of the pair
+    lift table (`market_basket_lift`), the shape recommendation
+    bundles are mined from.
+
+    Scale: triple generation is combinations WITHIN a basket — cubic
+    only in basket size (≤7 lines per order in this schema, and
+    bounded by cart-size product limits in any real one), never in
+    catalog or order count.  Two self-equi-joins on the order key
+    reuse one exchange of the distinct (order, part) rollup; the
+    triple rollup is map-side combined and top-20 rides
+    TakeOrderedAndProject.
+    """
+    (lineitem,) = prep(spark, sf_dir, "lineitem")
+    basket = (lineitem.select(F.col("l_orderkey").alias("o"),
+                              F.col("l_partkey").alias("p"))
+              .distinct().localCheckpoint(eager=False))
+    a = basket.select("o", F.col("p").alias("p1"))
+    b = basket.select(F.col("o").alias("ob"), F.col("p").alias("p2"))
+    c = basket.select(F.col("o").alias("oc"), F.col("p").alias("p3"))
+    return (a.join(b, (a["o"] == b["ob"]) & (a["p1"] < b["p2"]))
+            .join(c, (a["o"] == c["oc"]) & (b["p2"] < c["p3"]))
+            .groupBy("p1", "p2", "p3")
+            .agg(F.count(F.lit(1)).alias("n_orders"))
+            .where(F.col("n_orders") >= 2)
+            .orderBy(F.col("n_orders").desc(), "p1", "p2", "p3")
+            .limit(20))

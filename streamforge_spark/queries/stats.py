@@ -845,3 +845,101 @@ def user_burstiness(spark, sf_dir):
                     .alias("fano_ppm"))
             .orderBy(F.col("fano_ppm").desc(), "user_id")
             .limit(20))
+
+
+_WMEDIAN_ORACLE = """
+WITH r AS (
+  SELECT o_orderpriority,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS w
+  FROM orders),
+c AS (
+  SELECT o_orderpriority, cents, w,
+         SUM(w) OVER (PARTITION BY o_orderpriority
+                      ORDER BY cents, w
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+         SUM(w) OVER (PARTITION BY o_orderpriority) AS tw
+  FROM r)
+SELECT o_orderpriority,
+       MIN(cents) AS weighted_median_cents,
+       MIN(tw) AS total_weight
+FROM c WHERE 2 * cw >= tw
+GROUP BY o_orderpriority
+"""
+
+
+@query("weighted_median_order_value", oracle=_WMEDIAN_ORACLE)
+def weighted_median_order_value(spark, sf_dir):
+    """Revenue-weighted median order value per priority: the order
+    value at which HALF THE MONEY (not half the orders) sits below —
+    the statistic that answers "what does the typical dollar buy?"
+    when a plain median answers "what does the typical order cost?".
+
+    Weighted median = smallest value whose running weight reaches half
+    the total: one prefix-sum window per priority (exact BIGINT cents
+    as both value and weight), then a min over the qualifying
+    suffix — no iteration, no floats.  ONE priority-key exchange.
+    """
+    (orders,) = prep(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    r = orders.select("o_orderpriority", cents.alias("cents"),
+                      cents.alias("w"))
+    wc = (Window.partitionBy("o_orderpriority").orderBy("cents", "w")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wt = Window.partitionBy("o_orderpriority")
+    c = r.select("o_orderpriority", "cents",
+                 F.sum("w").over(wc).alias("cw"),
+                 F.sum("w").over(wt).alias("tw"))
+    return (c.where(2 * F.col("cw") >= F.col("tw"))
+            .groupBy("o_orderpriority")
+            .agg(F.min("cents").alias("weighted_median_cents"),
+                 F.min("tw").alias("total_weight")))
+
+
+_STREAK_ORACLE = """
+WITH d AS (
+  SELECT DISTINCT user_id,
+         datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS j
+  FROM events),
+g AS (
+  SELECT user_id, j,
+         j - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY j) AS grp
+  FROM d),
+runs AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS len,
+         MIN(j) AS start_j
+  FROM g GROUP BY user_id, grp)
+SELECT user_id,
+       MAX(len) AS longest_streak_days,
+       CAST(COUNT(*) AS BIGINT) AS n_streaks,
+       CAST(SUM(len) AS BIGINT) AS active_days
+FROM runs GROUP BY user_id
+"""
+
+
+@query("activity_streaks", oracle=_STREAK_ORACLE)
+def activity_streaks(spark, sf_dir):
+    """Per-user engagement streaks: longest run of CONSECUTIVE active
+    days, streak count, and total active days — the retention-health
+    metric behind habit scoring.
+
+    The calendar twin of `event_runs`: islands come from the classic
+    `day_number − row_number` constant (consecutive days share it),
+    over the DISTINCT active-day rollup — so the fact table collapses
+    to ≤|users|×|days| rows before any window.  One user_id exchange;
+    all integers.
+    """
+    (events,) = prep(spark, sf_dir, "events")
+    d = (events.select(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        .alias("j")).distinct())
+    w = Window.partitionBy("user_id").orderBy("j")
+    g = d.select("user_id", "j",
+                 (F.col("j") - F.row_number().over(w)).alias("grp"))
+    runs = (g.groupBy("user_id", "grp")
+            .agg(F.count(F.lit(1)).alias("len")))
+    return (runs.groupBy("user_id")
+            .agg(F.max("len").alias("longest_streak_days"),
+                 F.count(F.lit(1)).alias("n_streaks"),
+                 F.sum("len").alias("active_days")))
