@@ -1222,3 +1222,114 @@ def cohort_ltv(spark, sf_dir):
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     return g.select("cohort_month", "age_months", "n_active", "rev_cents",
                     F.sum("rev_cents").over(w).alias("cum_rev_cents"))
+
+
+_DECAY_ORACLE = """
+WITH clicks AS (
+  SELECT user_id, event_id AS click_id, ts AS click_ts
+  FROM events WHERE event_type = 'click'),
+purchases AS (
+  SELECT user_id, ts AS p_ts,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'),
+credits AS (
+  SELECT c.click_id,
+         p.cents // CAST(POWER(2, datediff('day', CAST(c.click_ts AS DATE),
+                                           CAST(p.p_ts AS DATE))) AS BIGINT)
+           AS credit_cents
+  FROM clicks c JOIN purchases p
+    ON c.user_id = p.user_id
+   AND c.click_ts < p.p_ts
+   AND c.click_ts >= p.p_ts - INTERVAL 7 DAY)
+SELECT click_id, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       SUM(credit_cents) AS credit_cents
+FROM credits GROUP BY click_id
+HAVING SUM(credit_cents) > 0
+"""
+
+
+@query("attribution_time_decay", oracle=_DECAY_ORACLE)
+def attribution_time_decay(spark, sf_dir):
+    """Time-decayed attribution: each click within 7 days before a
+    purchase earns credit halved per whole day of distance
+    (cents DIV 2^days) — the recency-weighted complement of
+    `attribution_linear`'s equal split.
+
+    Half-per-day keeps the decay in EXACT integer arithmetic (floor
+    halving, no pow-of-float): engines agree bit-for-bit, and credits
+    remain summable BIGINTs.  The click⨝purchase join is per-user with
+    a 7-day band — the same bounded-state shape as the stream-stream
+    DynamicJoiner (ttl window), so state never follows history length.
+    """
+    (events,) = prep(spark, sf_dir, "events")
+    clicks = (events.where(F.col("event_type") == "click")
+              .select("user_id", F.col("event_id").alias("click_id"),
+                      F.col("ts").alias("click_ts")))
+    purchases = (events.where(F.col("event_type") == "purchase")
+                 .select(F.col("user_id").alias("pu"),
+                         F.col("ts").alias("p_ts"),
+                         F.round(F.col("value") * 100).cast("long")
+                         .alias("cents")))
+    days = F.datediff(F.to_date("p_ts"), F.to_date("click_ts"))
+    joined = clicks.join(
+        purchases,
+        (clicks["user_id"] == purchases["pu"])
+        & (clicks["click_ts"] < purchases["p_ts"])
+        & (clicks["click_ts"] >= purchases["p_ts"] - F.expr("INTERVAL 7 DAYS")))
+    return (joined
+            .select("click_id",
+                    F.expr("cents div CAST(POWER(2, datediff(to_date(p_ts), "
+                           "to_date(click_ts))) AS BIGINT)")
+                    .alias("credit_cents"))
+            .groupBy("click_id")
+            .agg(F.count(F.lit(1)).alias("n_purchases"),
+                 F.sum("credit_cents").alias("credit_cents"))
+            .where(F.col("credit_cents") > 0))
+
+
+_NEWRET_ORACLE = """
+WITH firsts AS (
+  SELECT o_custkey, MIN(o_orderdate) AS first_dt FROM orders GROUP BY 1),
+tagged AS (
+  SELECT date_trunc('month', o.o_orderdate) AS month,
+         CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents,
+         date_trunc('month', o.o_orderdate) = date_trunc('month', f.first_dt)
+           AS is_new
+  FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey)
+SELECT month,
+       SUM(CASE WHEN is_new THEN cents ELSE 0 END) AS new_cents,
+       SUM(CASE WHEN is_new THEN 0 ELSE cents END) AS returning_cents,
+       (SUM(CASE WHEN is_new THEN cents ELSE 0 END) * 1000000)
+         // SUM(cents) AS new_share_ppm
+FROM tagged GROUP BY month
+"""
+
+
+@query("new_vs_returning_revenue", oracle=_NEWRET_ORACLE)
+def new_vs_returning_revenue(spark, sf_dir):
+    """Monthly revenue split between NEW customers (first-ever order
+    month) and RETURNING ones, with the new share in exact ppm — the
+    growth-vs-retention decomposition every revenue dashboard leads
+    with.
+
+    One window-free formulation: the per-customer first-order date is
+    a map-side-combined rollup that joins back on the customer key
+    (broadcast at dimension scale), so the fact table takes exactly
+    one shuffle-free pass plus the month rollup.
+    """
+    (orders,) = prep(spark, sf_dir, "orders")
+    firsts = (orders.groupBy("o_custkey")
+              .agg(F.min("o_orderdate").alias("first_dt")))
+    tagged = (orders.join(F.broadcast(firsts), "o_custkey")
+              .select(F.date_trunc("month", "o_orderdate").alias("month"),
+                      F.round(F.col("o_totalprice") * 100).cast("long")
+                      .alias("cents"),
+                      (F.date_trunc("month", "o_orderdate")
+                       == F.date_trunc("month", "first_dt")).alias("is_new")))
+    new_c = F.sum(F.when(F.col("is_new"), F.col("cents")).otherwise(F.lit(0)))
+    ret_c = F.sum(F.when(F.col("is_new"), F.lit(0)).otherwise(F.col("cents")))
+    return (tagged.groupBy("month")
+            .agg(new_c.alias("new_cents"),
+                 ret_c.alias("returning_cents"),
+                 F.expr("(sum(CASE WHEN is_new THEN cents ELSE 0 END) "
+                        "* 1000000) div sum(cents)").alias("new_share_ppm")))
