@@ -1333,3 +1333,69 @@ def new_vs_returning_revenue(spark, sf_dir):
                  ret_c.alias("returning_cents"),
                  F.expr("(sum(CASE WHEN is_new THEN cents ELSE 0 END) "
                         "* 1000000) div sum(cents)").alias("new_share_ppm")))
+
+
+_ELASTICITY_ORACLE = """
+WITH monthly AS (
+  SELECT p.p_brand,
+         date_trunc('month', o.o_orderdate) AS month,
+         SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+           // SUM(CAST(l.l_quantity AS BIGINT)) AS unit_cents,
+         SUM(CAST(l.l_quantity AS BIGINT)) AS qty
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY 1, 2),
+lagged AS (
+  SELECT p_brand, month, unit_cents, qty,
+         LAG(unit_cents) OVER (PARTITION BY p_brand ORDER BY month) AS pc0,
+         LAG(qty) OVER (PARTITION BY p_brand ORDER BY month) AS q0
+  FROM monthly)
+SELECT p_brand, month,
+       ((qty - q0) * (unit_cents + pc0) * 1000000)
+         // ((unit_cents - pc0) * (qty + q0)) AS arc_elasticity_ppm
+FROM lagged
+WHERE pc0 IS NOT NULL AND unit_cents <> pc0 AND qty + q0 > 0
+"""
+
+
+@query("price_elasticity_monthly", oracle=_ELASTICITY_ORACLE)
+def price_elasticity_monthly(spark, sf_dir):
+    """Arc price elasticity of demand per brand-month: the midpoint
+    formula ((Δq·(p₁+p₀)) / (Δp·(q₁+q₀))) in exact integer ppm — the
+    log-log regression's transcendental-free cousin, computable
+    bit-identically in both engines (floor-division unit price, exact
+    integer cross products, months with unchanged price excluded as
+    undefined).
+
+    Scale: the fact join collapses to a (brand, month) rollup
+    (map-side combined; part is a broadcast dim), the lag window runs
+    per brand over the month series, and every exchange carries
+    dimension-scale rows.
+    """
+    from pyspark.sql import Window
+    lineitem, orders, part = prep(spark, sf_dir, "lineitem", "orders", "part")
+    monthly = (lineitem
+               .join(orders.select("o_orderkey", "o_orderdate"),
+                     lineitem["l_orderkey"] == orders["o_orderkey"])
+               .join(F.broadcast(part.select("p_partkey", "p_brand")),
+                     lineitem["l_partkey"] == part["p_partkey"])
+               .groupBy("p_brand",
+                        F.date_trunc("month", "o_orderdate").alias("month"))
+               .agg(F.expr("sum(CAST(ROUND(l_extendedprice * 100) AS BIGINT))"
+                           " div sum(CAST(l_quantity AS BIGINT))")
+                    .alias("unit_cents"),
+                    F.sum(F.col("l_quantity").cast("long")).alias("qty")))
+    w = Window.partitionBy("p_brand").orderBy("month")
+    lagged = monthly.select(
+        "p_brand", "month", "unit_cents", "qty",
+        F.lag("unit_cents").over(w).alias("pc0"),
+        F.lag("qty").over(w).alias("q0"))
+    return (lagged
+            .where(F.col("pc0").isNotNull()
+                   & (F.col("unit_cents") != F.col("pc0"))
+                   & (F.col("qty") + F.col("q0") > 0))
+            .select("p_brand", "month",
+                    F.expr("((qty - q0) * (unit_cents + pc0) * 1000000) div "
+                           "((unit_cents - pc0) * (qty + q0))")
+                    .alias("arc_elasticity_ppm")))
