@@ -92,3 +92,80 @@ def streaming_token_budget(doc_stream: DataFrame, *, budget: int,
     return prepared.groupBy("source").applyInPandasWithState(
         fn, outputStructType=out_schema, stateStructType=state_schema,
         outputMode="append", timeoutConf=GroupStateTimeout.NoTimeout)
+
+
+def streaming_rate_limit(events: DataFrame, *, rate_num: int = 1,
+                         rate_den: int = 1, burst: int = 1,
+                         key_col: str = "user_id") -> DataFrame:
+    """Per-key token-bucket rate limiting as keyed streaming state:
+    each key's bucket refills ``rate_num/rate_den`` tokens per
+    EVENT-TIME second (a fraction, so hourly-scale quotas stay exact
+    integers) up to ``burst``; an event is admitted iff a token is
+    available, else marked throttled — the admission-control operator
+    in front of a hot sink or a paid downstream API.
+
+    Event-time refill makes the decision a pure function of the
+    ordered event stream (deterministic, replayable, testable against
+    a batch fold) rather than of wall-clock scheduling.  State per key
+    is TWO integers (token count scaled by rate, last event-time
+    micros).  Emits every event with its verdict (append mode) so
+    downstream can route admitted vs throttled like any dual-output
+    stage.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("admitted", T.BooleanType()),
+        T.StructField("tokens_after", T.LongType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("tokens_scaled", T.LongType()),   # tokens * 1e6
+        T.StructField("last_us", T.LongType()),
+    ])
+    scale = 1_000_000
+
+    def fn(key: tuple, pdfs, state: GroupState):
+        import pandas as pd
+        if state.exists:
+            tokens, last_us = state.get
+        else:
+            tokens, last_us = burst * scale, None
+        ids, ts_us, verdicts, remaining = [], [], [], []
+        rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["eus", "event_id"])
+            rows.extend(zip((int(e) for e in pdf["event_id"]),
+                            (int(u) for u in pdf["eus"])))
+        rows.sort(key=lambda r: (r[1], r[0]))
+        for eid, eus in rows:
+            if last_us is not None and eus > last_us:
+                # Δus * (num/den) tokens/sec == scaled tokens (exact)
+                refill = (eus - last_us) * rate_num // rate_den
+                tokens = min(burst * scale, tokens + refill)
+            last_us = eus if last_us is None else max(last_us, eus)
+            if tokens >= scale:
+                tokens -= scale
+                ok = True
+            else:
+                ok = False
+            ids.append(eid)
+            verdicts.append(ok)
+            remaining.append(tokens // scale)
+        state.update((int(tokens), int(last_us if last_us is not None else 0)))
+        yield pd.DataFrame({
+            "user_id": [key[0]] * len(ids),
+            "event_id": ids,
+            "admitted": verdicts,
+            "tokens_after": remaining,
+        })
+
+    prepared = events.select(
+        F.col(key_col).alias("user_id"), "event_id",
+        F.unix_micros("ts").alias("eus"))
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        fn, outputStructType=out_schema, stateStructType=state_schema,
+        outputMode="append", timeoutConf=GroupStateTimeout.NoTimeout)

@@ -958,3 +958,44 @@ def test_streaming_token_budget_admission(spark, workdir):
             want.append((r.source, r.doc_id, used[r.source]))
     assert got == sorted(want, key=lambda t: (t[0], t[2]))
     assert max(used.values()) <= budget
+
+
+def test_streaming_rate_limit_matches_batch_fold(spark, workdir):
+    # token bucket over two arrival batches == one python fold over the
+    # event-time-ordered stream (event-time refill => deterministic)
+    from streamforge_spark.io import load
+    from streamforge_spark.streaming.curation import streaming_rate_limit
+    events = load(spark, "/root/testdata/sf0.001", "events") \
+        .select("event_id", "ts", "user_id")
+    src = f"{workdir}/evr"
+    events.filter(F.dayofmonth("ts") <= 15).coalesce(1) \
+        .write.mode("append").parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    q = (streaming_rate_limit(stream, rate_num=1, rate_den=100_000, burst=2)
+         .writeStream.format("memory").queryName("rate_out")
+         .outputMode("append").start())
+    q.processAllAvailable()
+    events.filter(F.dayofmonth("ts") > 15).coalesce(1) \
+        .write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    got = {r.event_id: (r.admitted, r.tokens_after)
+           for r in spark.sql("select * from rate_out").collect()}
+    # batch spec: same fold in python over (user, ts) order
+    scale = 1_000_000
+    rows = events.select("user_id", "event_id",
+                         F.unix_micros("ts").alias("eus")).collect()
+    state = {}
+    want = {}
+    for r in sorted(rows, key=lambda r: (r.user_id, r.eus, r.event_id)):
+        tokens, last = state.get(r.user_id, (2 * scale, None))
+        if last is not None and r.eus > last:
+            tokens = min(2 * scale, tokens + (r.eus - last) * 1 // 100_000)
+        last = r.eus if last is None else max(last, r.eus)
+        ok = tokens >= scale
+        if ok:
+            tokens -= scale
+        state[r.user_id] = (tokens, last)
+        want[r.event_id] = (ok, tokens // scale)
+    assert got == want
+    assert any(not v[0] for v in got.values())   # throttling actually bites
