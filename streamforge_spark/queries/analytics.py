@@ -1399,3 +1399,51 @@ def price_elasticity_monthly(spark, sf_dir):
                     F.expr("((qty - q0) * (unit_cents + pc0) * 1000000) div "
                            "((unit_cents - pc0) * (qty + q0))")
                     .alias("arc_elasticity_ppm")))
+
+
+_TRENDING_ORACLE = """
+WITH aged AS (
+  SELECT l.l_partkey,
+         datediff('day', CAST(o.o_orderdate AS DATE), DATE '1998-08-02')
+           AS age_d
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderdate >= TIMESTAMP '1998-07-03')
+SELECT l_partkey,
+       CAST(COUNT(*) AS BIGINT) AS n_orders_30d,
+       SUM(CAST(1000000 AS BIGINT) // CAST(POWER(2, LEAST(GREATEST(age_d, 0), 30)) AS BIGINT))
+         AS trend_score_micro
+FROM aged GROUP BY l_partkey
+ORDER BY trend_score_micro DESC, l_partkey
+LIMIT 20
+"""
+
+
+@query("trending_parts", oracle=_TRENDING_ORACLE)
+def trending_parts(spark, sf_dir):
+    """Trending ranking: the 20 parts with the highest exponentially
+    recency-decayed order score over the last 30 days (half-life =
+    one day, i.e. score += 1e6 >> age_days) — "what is hot RIGHT NOW"
+    as opposed to raw 30-day counts that a slow steady seller wins.
+
+    Halving per whole day keeps the decay exact-integer (the same
+    trick as `attribution_time_decay`), so the score is an exact
+    BIGINT sum.  The date filter pushes into the orders scan; one
+    broadcast-joined rollup; top-20 via TakeOrderedAndProject.
+    """
+    lineitem, orders = prep(spark, sf_dir, "lineitem", "orders")
+    aged = (lineitem
+            .join(orders.select("o_orderkey", "o_orderdate")
+                  .where(F.col("o_orderdate") >= "1998-07-03"),
+                  lineitem["l_orderkey"] == orders["o_orderkey"])
+            .select("l_partkey",
+                    F.least(F.greatest(
+                        F.datediff(F.lit("1998-08-02").cast("date"),
+                                   F.to_date("o_orderdate")), F.lit(0)),
+                        F.lit(30)).alias("age_d")))
+    return (aged.groupBy("l_partkey")
+            .agg(F.count(F.lit(1)).alias("n_orders_30d"),
+                 F.sum(F.expr(
+                     "CAST(1000000 AS BIGINT) div CAST(POWER(2, age_d) AS BIGINT)"))
+                 .alias("trend_score_micro"))
+            .orderBy(F.col("trend_score_micro").desc(), "l_partkey")
+            .limit(20))

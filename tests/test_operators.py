@@ -909,3 +909,30 @@ def test_write_audit_publish_gates_bad_versions(spark, tmp_path):
     assert r3["published"]
     assert {(r.k, r.amount) for r in read_published(spark, root).collect()} \
         == {(1, 11), (2, 21)}
+
+
+def test_infer_constraints_bootstrap_enforcer(spark):
+    from streamforge_spark.operators.quality import (
+        constraint_enforcer, infer_constraints, rules_from_inference)
+    df = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, 20.0, "b"), (3, 15.0, None)],
+        "id long, amount double, tag string")
+    props = infer_constraints(df, ["id", "amount", "tag"])
+    kinds = {(p["column"], p["rule"]) for p in props}
+    assert ("id", "not_null") in kinds and ("id", "unique") in kinds
+    assert ("amount", "range") in kinds
+    assert ("tag", "not_null") not in kinds          # it HAS a null
+    # the inferred rules wire straight into the enforcer: clean rows
+    # pass, an out-of-range newcomer goes to the DLQ
+    # a growing surrogate key will outrun its observed range — drop
+    # that proposal (range inference is for measures, not keys)
+    rules = rules_from_inference(
+        [p for p in props if not (p["column"] == "id" and p["rule"] == "range")])
+    newdata = spark.createDataFrame(
+        [(4, 18.0, "d"), (5, 999.0, "e"), (None, 12.0, "f")],
+        "id long, amount double, tag string")
+    passed, dlq = constraint_enforcer(newdata, rules)
+    assert [r.id for r in passed.collect()] == [4]
+    msgs = [r.error_message for r in dlq.collect()]
+    assert any("amount_range" in m for m in msgs)
+    assert any("id_not_null" in m for m in msgs)
