@@ -1447,3 +1447,86 @@ def trending_parts(spark, sf_dir):
                  .alias("trend_score_micro"))
             .orderBy(F.col("trend_score_micro").desc(), "l_partkey")
             .limit(20))
+
+
+_TOPN_OTHERS_ORACLE = """
+WITH rev AS (
+  SELECT c.c_nationkey AS nation, o.o_custkey,
+         SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT nation, o_custkey, cents,
+         ROW_NUMBER() OVER (PARTITION BY nation
+                            ORDER BY cents DESC, o_custkey) AS rn
+  FROM rev)
+SELECT nation,
+       CASE WHEN rn <= 3 THEN CAST(o_custkey AS VARCHAR)
+            ELSE 'OTHERS' END AS who,
+       SUM(cents) AS cents,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM ranked
+GROUP BY nation, CASE WHEN rn <= 3 THEN CAST(o_custkey AS VARCHAR)
+                      ELSE 'OTHERS' END
+"""
+
+
+@query("topn_with_others", oracle=_TOPN_OTHERS_ORACLE)
+def topn_with_others(spark, sf_dir):
+    """Top-3 customers per nation by revenue PLUS an OTHERS residual
+    row — the band-aggregation shape every exec dashboard uses (the
+    plain top-k drops the long tail; this keeps totals reconciling).
+
+    One (nation, customer) rollup (map-side combined), one rank
+    window per nation, then a second rollup where ranks >3 collapse
+    into the OTHERS band — totals across bands equal the nation total
+    by construction.
+    """
+    from pyspark.sql import Window
+    orders, customer = prep(spark, sf_dir, "orders", "customer")
+    rev = (orders.join(F.broadcast(customer.select("c_custkey", "c_nationkey")),
+                       orders["o_custkey"] == customer["c_custkey"])
+           .groupBy(F.col("c_nationkey").alias("nation"), "o_custkey")
+           .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                .alias("cents")))
+    w = Window.partitionBy("nation").orderBy(F.col("cents").desc(), "o_custkey")
+    ranked = rev.withColumn("rn", F.row_number().over(w))
+    who = F.when(F.col("rn") <= 3, F.col("o_custkey").cast("string")) \
+           .otherwise(F.lit("OTHERS"))
+    return (ranked.groupBy("nation", who.alias("who"))
+            .agg(F.sum("cents").alias("cents"),
+                 F.count(F.lit(1)).alias("n_customers")))
+
+
+_AGING_ORACLE = """
+WITH open_orders AS (
+  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+         datediff('day', CAST(o_orderdate AS DATE), DATE '1998-08-02') AS age_d
+  FROM orders WHERE o_orderstatus <> 'F')
+SELECT CASE WHEN age_d <= 30 THEN '0-30'
+            WHEN age_d <= 60 THEN '31-60'
+            WHEN age_d <= 90 THEN '61-90'
+            ELSE '90+' END AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       SUM(cents) AS outstanding_cents
+FROM open_orders GROUP BY 1
+"""
+
+
+@query("receivables_aging", oracle=_AGING_ORACLE)
+def receivables_aging(spark, sf_dir):
+    """Accounts-receivable aging: open (non-finalized) orders bucketed
+    by days outstanding at the snapshot date — the finance close
+    report.  Scan-side projection + 4-group rollup; the status filter
+    pushes into the scan.
+    """
+    (orders,) = prep(spark, sf_dir, "orders")
+    age = F.datediff(F.lit("1998-08-02").cast("date"),
+                     F.to_date("o_orderdate"))
+    bucket = (F.when(age <= 30, "0-30").when(age <= 60, "31-60")
+              .when(age <= 90, "61-90").otherwise("90+"))
+    return (orders.where(F.col("o_orderstatus") != "F")
+            .groupBy(bucket.alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                 .alias("outstanding_cents")))
