@@ -1500,3 +1500,63 @@ def holt_winters_weekly(spark, sf_dir):
     (events,) = prep(spark, sf_dir, "events")
     events.createOrReplaceTempView("hw_events_v")
     return spark.sql(_HW_BODY.format(T="hw_events_v", D="div"))
+
+
+# -- moving-average crossover signals (division-free exact compare) -----
+
+_MA_CROSS_ORACLE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1),
+w AS (
+  SELECT day, cents,
+         SUM(cents) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS s7,
+         COUNT(*)  OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS n7,
+         SUM(cents) OVER (ORDER BY day ROWS BETWEEN 27 PRECEDING AND CURRENT ROW) AS s28,
+         COUNT(*)  OVER (ORDER BY day ROWS BETWEEN 27 PRECEDING AND CURRENT ROW) AS n28
+  FROM daily),
+sig AS (
+  SELECT day, s7 * 28 > s28 * 7 AS above,
+         LAG(s7 * 28 > s28 * 7) OVER (ORDER BY day) AS prev_above
+  FROM w WHERE n7 = 7 AND n28 = 28)
+SELECT CAST(day AS TIMESTAMP) AS day,
+       CASE WHEN above THEN 'golden_cross' ELSE 'death_cross' END AS signal
+FROM sig
+WHERE prev_above IS NOT NULL AND above <> prev_above
+"""
+
+
+@query("ma_crossover_signals", oracle=_MA_CROSS_ORACLE)
+def ma_crossover_signals(spark, sf_dir):
+    """Moving-average crossover detector on daily revenue: days where
+    the 7-day MA crosses the 28-day MA (golden/death cross) — the
+    classic momentum regime-change signal.
+
+    Division-free exactness: avg7 > avg28 ⟺ s7·28 > s28·7 once both
+    windows are FULL (partial windows excluded), so the comparison is
+    a pure BIGINT predicate — no float MA ever computed.  One
+    map-side-combined daily rollup; the frames and the lag share one
+    ordered pass over the |days| series.
+    """
+    (orders,) = prep(spark, sf_dir, "orders")
+    daily = (orders.groupBy(F.to_date("o_orderdate").alias("day"))
+             .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                  .alias("cents")))
+    w7 = Window.orderBy("day").rowsBetween(-6, 0)
+    w28 = Window.orderBy("day").rowsBetween(-27, 0)
+    w = (daily
+         .withColumn("s7", F.sum("cents").over(w7))
+         .withColumn("n7", F.count(F.lit(1)).over(w7))
+         .withColumn("s28", F.sum("cents").over(w28))
+         .withColumn("n28", F.count(F.lit(1)).over(w28)))
+    sig = (w.where((F.col("n7") == 7) & (F.col("n28") == 28))
+           .select("day",
+                   (F.col("s7") * 28 > F.col("s28") * 7).alias("above"))
+           .withColumn("prev_above",
+                       F.lag("above").over(Window.orderBy("day"))))
+    return (sig.where(F.col("prev_above").isNotNull()
+                      & (F.col("above") != F.col("prev_above")))
+            .select(F.col("day").cast("timestamp").alias("day"),
+                    F.when(F.col("above"), "golden_cross")
+                    .otherwise("death_cross").alias("signal")))
