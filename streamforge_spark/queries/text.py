@@ -981,3 +981,99 @@ def term_collocations(spark, sf_dir):
                     .alias("lift_ppm"))
             .orderBy(F.col("lift_ppm").desc(), "t1", "t2")
             .limit(20))
+
+
+# -- readability + Zipf-law corpus statistics ---------------------------
+
+_ARI_ORACLE = """
+WITH f AS (
+  SELECT doc_id,
+         CAST(len(replace(text, ' ', '')) AS BIGINT) AS chars,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS words,
+         GREATEST(CAST(len(text) - len(replace(replace(replace(text, '.', ''),
+                  '!', ''), '?', '')) AS BIGINT), 1) AS sents
+  FROM documents)
+SELECT doc_id, chars, words, sents,
+       (4.71 * (CAST(chars AS DOUBLE) / CAST(words AS DOUBLE)))
+         + (0.5 * (CAST(words AS DOUBLE) / CAST(sents AS DOUBLE)))
+         - 21.43 AS ari
+FROM f WHERE words > 0
+"""
+
+
+@query("readability_ari", oracle=_ARI_ORACLE)
+def readability_ari(spark, sf_dir):
+    """Automated Readability Index per document — the grade-level
+    score corpus-quality filters use alongside `quality_score`'s
+    ratio gates (too-low = fragments/listicles, too-high = OCR noise
+    and run-ons).
+
+    Counts (chars sans spaces, whitespace tokens, sentence
+    terminators with a floor of 1) are exact integers; the ARI
+    itself is ONE fixed IEEE sequence — two divisions, two products,
+    one subtraction, identical on both engines.  Pure scan-side
+    projection: no shuffle, no Python.
+    """
+    (docs,) = prep(spark, sf_dir, "documents")
+    tx = F.col("text")
+    chars = F.length(F.regexp_replace(tx, " ", "")).cast("long")
+    words = token_count(tx)
+    sents = F.greatest(
+        (F.length(tx) - F.length(F.regexp_replace(tx, "[.!?]", "")))
+        .cast("long"), F.lit(1))
+    f = docs.select("doc_id", chars.alias("chars"), words.alias("words"),
+                    sents.alias("sents"))
+    return (f.where(F.col("words") > 0)
+            .select("doc_id", "chars", "words", "sents",
+                    ((F.lit(4.71) * (F.col("chars").cast("double")
+                                     / F.col("words").cast("double")))
+                     + (F.lit(0.5) * (F.col("words").cast("double")
+                                      / F.col("sents").cast("double")))
+                     - F.lit(21.43)).alias("ari")))
+
+
+_ZIPF_ORACLE = """
+WITH tok AS (
+  SELECT UNNEST(string_split(text, ' ')) AS t FROM documents),
+freq AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS f FROM tok
+         WHERE t <> '' GROUP BY t),
+ranked AS (
+  SELECT t, f, ROW_NUMBER() OVER (ORDER BY f DESC, t) AS r
+  FROM freq),
+top AS (SELECT * FROM ranked WHERE r <= 50),
+base AS (SELECT f AS f1 FROM top WHERE r = 1)
+SELECT r AS rank, t AS token, f AS freq,
+       (r * f * 1000000) // (SELECT f1 FROM base) AS zipf_product_ppm
+FROM top
+"""
+
+
+@query("zipf_check", oracle=_ZIPF_ORACLE)
+def zipf_check(spark, sf_dir):
+    """Zipf's-law audit: for the 50 most frequent tokens, rank ×
+    frequency normalized by the top frequency (ppm) — a healthy
+    natural-language corpus keeps this product roughly flat; machine-
+    generated or template-heavy corpora bend it, making this a cheap
+    generation-artifact detector.
+
+    One token rollup (map-side combined, tokens only — text never
+    shuffles), top-50 via TakeOrderedAndProject, and the ppm products
+    are exact floor-division integers.
+    """
+    from streamforge_spark.functions.text import tokens
+    (docs,) = prep(spark, sf_dir, "documents")
+    freq = (docs.select(F.explode(tokens(F.col("text"))).alias("t"))
+            .where(F.col("t") != "")
+            .groupBy("t").agg(F.count(F.lit(1)).alias("f")))
+    ranked = (freq.orderBy(F.col("f").desc(), "t").limit(50)
+              .select("t", "f",
+                      F.row_number().over(
+                          Window.orderBy(F.col("f").desc(), "t"))
+                      .alias("r"))
+              .localCheckpoint(eager=False))
+    base = ranked.where(F.col("r") == 1).select(F.col("f").alias("f1"))
+    return (ranked.crossJoin(F.broadcast(base))
+            .select(F.col("r").alias("rank"), F.col("t").alias("token"),
+                    F.col("f").alias("freq"),
+                    F.expr("(r * f * 1000000) div f1")
+                    .alias("zipf_product_ppm")))
