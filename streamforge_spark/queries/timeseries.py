@@ -1560,3 +1560,70 @@ def ma_crossover_signals(spark, sf_dir):
             .select(F.col("day").cast("timestamp").alias("day"),
                     F.when(F.col("above"), "golden_cross")
                     .otherwise("death_cross").alias("signal")))
+
+
+# -- SRE multiwindow SLO burn-rate alerts -------------------------------
+
+#: error budget: 2% of events may be errors (20_000 ppm)
+SLO_BUDGET_PPM = 20_000
+#: Google-SRE multiwindow thresholds: fast burn 14.4x over 1h,
+#: slow burn 6x over 6h
+SLO_FAST_X, SLO_SLOW_X = 144, 60      # x10 to stay integer
+
+
+_SLO_ORACLE = f"""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hour,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS errs
+  FROM events GROUP BY 1),
+w AS (
+  SELECT hour, n, errs,
+         SUM(n) OVER (ORDER BY hour ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS n6,
+         SUM(errs) OVER (ORDER BY hour ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS e6,
+         COUNT(*) OVER (ORDER BY hour ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS k6
+  FROM hourly)
+SELECT hour, n AS n_events, errs AS n_errors,
+       (errs * 1000000) // n AS error_ppm,
+       errs * 1000000 * 10 > n * {SLO_BUDGET_PPM} * {SLO_FAST_X} AS fast_burn,
+       k6 = 6 AND e6 * 1000000 * 10 > n6 * {SLO_BUDGET_PPM} * {SLO_SLOW_X}
+         AS slow_burn
+FROM w WHERE n > 0
+"""
+
+
+@query("slo_burn_rate", oracle=_SLO_ORACLE)
+def slo_burn_rate(spark, sf_dir):
+    """Multiwindow SLO burn-rate alerting (the Google SRE workbook
+    policy): per hour, the error rate against a 2% error budget, with
+    a FAST-burn flag (1-hour rate > 14.4x budget) and a SLOW-burn
+    flag (6-hour rate > 6x budget, full windows only) — the paging
+    rule that catches both sudden outages and slow leaks.
+
+    Division-free exactness: `rate > X*budget` is evaluated as
+    `errs*1e6*10 > n*budget*X10` — pure BIGINT cross products (the
+    x10 keeps 14.4 integer), so the alert decision is bit-identical
+    everywhere.  One map-side-combined hourly rollup; the 6-hour
+    frame runs over the |hours| series.
+    """
+    (events,) = prep(spark, sf_dir, "events")
+    hourly = (events.groupBy(F.date_trunc("hour", "ts").alias("hour"))
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.count(F.when(F.col("event_type") == "error", 1))
+                   .alias("errs")))
+    w6 = Window.orderBy("hour").rowsBetween(-5, 0)
+    w = (hourly
+         .withColumn("n6", F.sum("n").over(w6))
+         .withColumn("e6", F.sum("errs").over(w6))
+         .withColumn("k6", F.count(F.lit(1)).over(w6)))
+    return (w.where(F.col("n") > 0)
+            .select("hour", F.col("n").alias("n_events"),
+                    F.col("errs").alias("n_errors"),
+                    F.expr("(errs * 1000000) div n").alias("error_ppm"),
+                    (F.col("errs") * 1000000 * 10
+                     > F.col("n") * SLO_BUDGET_PPM * SLO_FAST_X)
+                    .alias("fast_burn"),
+                    ((F.col("k6") == 6)
+                     & (F.col("e6") * 1000000 * 10
+                        > F.col("n6") * SLO_BUDGET_PPM * SLO_SLOW_X))
+                    .alias("slow_burn")))
