@@ -1530,3 +1530,59 @@ def receivables_aging(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n_orders"),
                  F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
                  .alias("outstanding_cents")))
+
+
+SHRINK_C = 50   # empirical-Bayes pseudo-observations
+
+_SHRUNK_ORACLE = f"""
+WITH lines AS (
+  SELECT l.l_suppkey,
+         CASE WHEN datediff('day', CAST(o.o_orderdate AS DATE),
+                            CAST(l.l_shipdate AS DATE)) > 90
+              THEN 1 ELSE 0 END AS is_late
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+per AS (
+  SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(is_late) AS BIGINT) AS late
+  FROM lines GROUP BY 1),
+g AS (SELECT (SUM(late) * 1000000) // SUM(n) AS global_ppm FROM per)
+SELECT p.l_suppkey AS suppkey, p.n AS n_lines, p.late AS n_late,
+       (p.late * 1000000) // p.n AS raw_ppm,
+       (p.late * 1000000 + {SHRINK_C} * g.global_ppm) // (p.n + {SHRINK_C})
+         AS shrunk_ppm
+FROM per p CROSS JOIN g
+"""
+
+
+@query("smoothed_supplier_reliability", oracle=_SHRUNK_ORACLE)
+def smoothed_supplier_reliability(spark, sf_dir):
+    """Empirical-Bayes shrunk supplier late-rates: each supplier's
+    late-shipment ppm pulled toward the global rate by {SHRINK_C}
+    pseudo-observations — so a supplier with 3 shipments and 1 late
+    doesn't top the risk list above one with 3000 and 900 (the
+    small-sample ranking pathology `supplier_reliability`'s raw ppm
+    has).
+
+    shrunk = (late·1e6 + C·global_ppm) / (n + C), all floor-division
+    integers.  One fact shuffle for the per-supplier rollup; the
+    global rate is a one-row broadcast.
+    """
+    lineitem, orders = prep(spark, sf_dir, "lineitem", "orders")
+    lines = (lineitem.join(orders.select("o_orderkey", "o_orderdate"),
+                           F.col("l_orderkey") == F.col("o_orderkey"))
+             .select("l_suppkey",
+                     F.when(F.datediff(F.to_date("l_shipdate"),
+                                       F.to_date("o_orderdate")) > 90, 1)
+                     .otherwise(0).alias("is_late")))
+    per = (lines.groupBy("l_suppkey")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum("is_late").cast("long").alias("late"))
+           .localCheckpoint(eager=False))
+    g = per.agg(F.expr("(sum(late) * 1000000) div sum(n)").alias("global_ppm"))
+    return (per.crossJoin(F.broadcast(g))
+            .select(F.col("l_suppkey").alias("suppkey"),
+                    F.col("n").alias("n_lines"),
+                    F.col("late").alias("n_late"),
+                    F.expr("(late * 1000000) div n").alias("raw_ppm"),
+                    F.expr(f"(late * 1000000 + {SHRINK_C} * global_ppm) "
+                           f"div (n + {SHRINK_C})").alias("shrunk_ppm")))
