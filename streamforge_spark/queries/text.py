@@ -1077,3 +1077,64 @@ def zipf_check(spark, sf_dir):
                     F.col("f").alias("freq"),
                     F.expr("(r * f * 1000000) div f1")
                     .alias("zipf_product_ppm")))
+
+
+# -- dedup-cluster quality audit (chaining detection) -------------------
+
+_CLUSTER_AUDIT_ORACLE = f"""
+WITH RECURSIVE pairs AS MATERIALIZED ({_NGRAM_ORACLE}),
+edges AS (
+  SELECT d1 AS a, d2 AS b FROM pairs
+  UNION
+  SELECT d2 AS a, d1 AS b FROM pairs
+),
+reach(node, label) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, r.label FROM reach r JOIN edges e ON e.b = r.node
+),
+comp AS (SELECT node, MIN(label) AS component FROM reach GROUP BY node),
+per AS (
+  SELECT c.component,
+         CAST(COUNT(DISTINCT p.d1 || '-' || p.d2) AS BIGINT) AS n_edges,
+         MIN(p.jaccard) AS min_edge_jaccard
+  FROM pairs p JOIN comp c ON p.d1 = c.node
+  GROUP BY c.component),
+sizes AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS size
+          FROM comp GROUP BY component)
+SELECT s.component, s.size, per.n_edges, per.min_edge_jaccard,
+       per.n_edges = s.size - 1 AND s.size >= 3 AS chain_risk
+FROM sizes s JOIN per ON per.component = s.component
+WHERE s.size >= 2
+"""
+
+
+@query("dedup_cluster_audit", oracle=_CLUSTER_AUDIT_ORACLE)
+def dedup_cluster_audit(spark, sf_dir):
+    """Quality audit of the near-dup clusters: per component, its
+    size, detected-edge count, weakest edge similarity, and a
+    CHAIN-RISK flag (tree-sparse components of size ≥ 3: A~B~C linked
+    only through B means A and C may not resemble each other at all —
+    the classic transitive-closure over-merge that deletes
+    non-duplicates).
+
+    Composes the existing pieces: the inverted-index pair generator +
+    min-label closure; the audit adds one pairs⨝components join and
+    two dimension-scale rollups.  min(jaccard) over an identical edge
+    set is engine-deterministic, so the audit is fully
+    oracle-checked.
+    """
+    from streamforge_spark.operators.graph import connected_components
+    pairs = dedup_ngram_jaccard(spark, sf_dir).localCheckpoint(eager=False)
+    comp = connected_components(pairs, "d1", "d2")
+    per = (pairs.join(comp, pairs["d1"] == comp["node"])
+           .groupBy("component")
+           .agg(F.count(F.lit(1)).alias("n_edges"),
+                F.min("jaccard").alias("min_edge_jaccard")))
+    sizes = (comp.groupBy("component")
+             .agg(F.count(F.lit(1)).alias("size")))
+    return (sizes.join(per, "component")
+            .where(F.col("size") >= 2)
+            .select("component", "size", "n_edges", "min_edge_jaccard",
+                    ((F.col("n_edges") == F.col("size") - 1)
+                     & (F.col("size") >= 3)).alias("chain_risk")))
