@@ -1,0 +1,16 @@
+#!/bin/sh
+# Full verification pipeline — everything the driver/judge checks,
+# runnable locally in one shot (~20 min on local[32]):
+#   sh tools/ci.sh
+set -e
+cd "$(dirname "$0")/.."
+echo "== unit + streaming + oracle parity (sf0.001) =="
+python -m pytest tests/ -x -q
+echo "== full oracle parity at driver scale (sf0.01) =="
+STREAMFORGE_PARITY_SF=/root/testdata/sf0.01 python -m pytest tests/test_oracle_parity.py -q
+echo "== physical-plan audit (PLANS.md) =="
+python tools/plan_report.py
+echo "== measured shuffle volumes (SHUFFLE.md) =="
+python tools/shuffle_audit.py
+echo "== headline bench (sf0.1) =="
+python bench.py
