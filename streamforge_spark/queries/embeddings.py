@@ -999,3 +999,56 @@ def embedding_trunc_overlap(spark, sf_dir):
             .groupBy(F.col("qid").alias("query_id"))
             .agg(F.count("_hit").alias("overlap_at_k"),
                  F.lit(TOPK_K).cast("long").alias("k")))
+
+
+_EMB_OUTLIER_ORACLE = """
+WITH r AS (
+  SELECT i AS dim, CAST(ROUND(e[i] * 1000000) AS BIGINT) AS m
+  FROM (SELECT embedding::DOUBLE[] AS e FROM embeddings) t,
+       unnest(generate_series(1, len(e))) AS u(i)),
+g AS (SELECT dim, SUM(m) AS s, CAST(COUNT(*) AS BIGINT) AS n FROM r GROUP BY dim),
+gc AS (SELECT list(CAST(s AS DOUBLE) / CAST(n * 1000000 AS DOUBLE)
+                   ORDER BY dim) AS gv FROM g)
+SELECT vec_id, label,
+       list_dot_product(embedding::DOUBLE[], gv)
+         / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+            * sqrt(list_dot_product(gv, gv))) AS cos_to_centroid
+FROM embeddings, gc
+ORDER BY cos_to_centroid, vec_id
+LIMIT 20
+"""
+
+
+@query("embedding_outliers", oracle=_EMB_OUTLIER_ORACLE)
+def embedding_outliers(spark, sf_dir):
+    """Embedding-space outlier detection: the 20 vectors LEAST aligned
+    with the global corpus centroid — the per-vector complement of
+    `label_centroid_shift`'s per-slice view, surfacing mis-embedded /
+    corrupted / off-domain items for manual review.
+
+    Same exactness stack: integer micro-unit centroid sums (ONE
+    map-side-combined dim rollup), one IEEE division per centroid
+    dimension, sequential-fold cosines.  The per-vector cosine is a
+    broadcast of the KB-sized centroid onto the corpus scan; bottom-20
+    rides TakeOrderedAndProject.  (At 10⁹ vectors the HOF fold swaps
+    for the mapInPandas matmul used by `ann_cosine_topk` — same
+    values, vectorized.)
+    """
+    (emb,) = prep(spark, sf_dir, "embeddings")
+    rows = (emb.select(
+        F.posexplode(F.col("embedding").cast("array<double>"))
+        .alias("dim0", "v"))
+        .select((F.col("dim0") + 1).alias("dim"),
+                F.round(F.col("v") * 1000000).cast("long").alias("m")))
+    g = rows.groupBy("dim").agg(F.sum("m").alias("s"),
+                                F.count(F.lit(1)).alias("n"))
+    c = F.col("s").cast("double") / (F.col("n") * 1000000).cast("double")
+    gc = (g.select("dim", c.alias("c"))
+          .agg(F.transform(F.sort_array(F.collect_list(F.struct("dim", "c"))),
+                           lambda x: x["c"]).alias("gv")))
+    return (emb.crossJoin(F.broadcast(gc))
+            .select("vec_id", "label",
+                    cosine(F.col("embedding").cast("array<double>"),
+                           F.col("gv")).alias("cos_to_centroid"))
+            .orderBy("cos_to_centroid", "vec_id")
+            .limit(20))

@@ -943,3 +943,70 @@ def activity_streaks(spark, sf_dir):
             .agg(F.max("len").alias("longest_streak_days"),
                  F.count(F.lit(1)).alias("n_streaks"),
                  F.sum("len").alias("active_days")))
+
+
+_DID_ORACLE = """
+WITH treated AS (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'error'),
+cells AS (
+  SELECT (t.user_id IS NOT NULL) AS is_treated,
+         e.ts >= TIMESTAMP '2024-01-16 00:00:00' AS is_post,
+         CAST(ROUND(e.value * 100) AS BIGINT) AS cents
+  FROM events e LEFT JOIN treated t ON e.user_id = t.user_id
+  WHERE e.event_type = 'purchase'),
+m AS (
+  SELECT is_treated, is_post,
+         SUM(cents) // COUNT(*) AS mean_cents,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM cells GROUP BY 1, 2)
+SELECT
+  MAX(CASE WHEN is_treated AND is_post THEN mean_cents END) AS treat_post,
+  MAX(CASE WHEN is_treated AND NOT is_post THEN mean_cents END) AS treat_pre,
+  MAX(CASE WHEN NOT is_treated AND is_post THEN mean_cents END) AS ctrl_post,
+  MAX(CASE WHEN NOT is_treated AND NOT is_post THEN mean_cents END) AS ctrl_pre,
+  (MAX(CASE WHEN is_treated AND is_post THEN mean_cents END)
+   - MAX(CASE WHEN is_treated AND NOT is_post THEN mean_cents END))
+  - (MAX(CASE WHEN NOT is_treated AND is_post THEN mean_cents END)
+     - MAX(CASE WHEN NOT is_treated AND NOT is_post THEN mean_cents END))
+    AS did_cents,
+  SUM(n) AS n_purchases
+FROM m
+"""
+
+
+@query("did_estimator", oracle=_DID_ORACLE)
+def did_estimator(spark, sf_dir):
+    """Difference-in-differences: purchase-value change for users who
+    experienced an error (treated) vs those who didn't (control),
+    before vs after the mid-month cutover — the quasi-experimental
+    estimator when randomized assignment (`ab_test_cuped`) isn't
+    available.
+
+    DiD = (T_post − T_pre) − (C_post − C_pre) on floored integer
+    cell means — all BIGINT, no float anywhere.  The treated set is a
+    distinct rollup broadcast into the purchase stream; the 2x2 cell
+    table is one map-side-combined aggregation.
+    """
+    (events,) = prep(spark, sf_dir, "events")
+    treated = (events.where(F.col("event_type") == "error")
+               .select(F.col("user_id").alias("t_uid")).distinct())
+    cells = (events.where(F.col("event_type") == "purchase")
+             .join(F.broadcast(treated),
+                   F.col("user_id") == F.col("t_uid"), "left")
+             .select(F.col("t_uid").isNotNull().alias("is_treated"),
+                     (F.col("ts") >= "2024-01-16").alias("is_post"),
+                     F.round(F.col("value") * 100).cast("long").alias("cents")))
+    m = (cells.groupBy("is_treated", "is_post")
+         .agg(F.expr("sum(cents) div count(*)").alias("mean_cents"),
+              F.count(F.lit(1)).alias("n")))
+    cell = lambda t, p: F.max(  # noqa: E731
+        F.when((F.col("is_treated") == t) & (F.col("is_post") == p),
+               F.col("mean_cents")))
+    return m.agg(
+        cell(True, True).alias("treat_post"),
+        cell(True, False).alias("treat_pre"),
+        cell(False, True).alias("ctrl_post"),
+        cell(False, False).alias("ctrl_pre"),
+        ((cell(True, True) - cell(True, False))
+         - (cell(False, True) - cell(False, False))).alias("did_cents"),
+        F.sum("n").alias("n_purchases"))
