@@ -1010,3 +1010,64 @@ def did_estimator(spark, sf_dir):
         ((cell(True, True) - cell(True, False))
          - (cell(False, True) - cell(False, False))).alias("did_cents"),
         F.sum("n").alias("n_purchases"))
+
+
+_TWOPROP_ORACLE = """
+WITH halves AS (
+  SELECT CAST(ts AS DATE) < DATE '2024-01-16' AS first_half,
+         user_id, event_type
+  FROM events WHERE event_type IN ('click', 'purchase')),
+per AS (
+  SELECT first_half,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS x
+  FROM halves GROUP BY first_half),
+w AS (
+  SELECT MAX(CASE WHEN first_half THEN x END) AS x1,
+         MAX(CASE WHEN first_half THEN n END) AS n1,
+         MAX(CASE WHEN NOT first_half THEN x END) AS x2,
+         MAX(CASE WHEN NOT first_half THEN n END) AS n2
+  FROM per)
+SELECT x1, n1, x2, n2,
+       (CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        - CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+       / SQRT((CAST(x1 + x2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+              * (1.0 - CAST(x1 + x2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+              * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE)))
+         AS z_stat
+FROM w
+"""
+
+
+@query("two_proportion_test", oracle=_TWOPROP_ORACLE)
+def two_proportion_test(spark, sf_dir):
+    """Two-proportion z-test: did the purchase share of engagement
+    events shift between the first and second half of the month?  The
+    pooled-variance z statistic — the simplest member of the
+    significance family (`paired_rank_test` and the Mann-Whitney
+    cogroup handle the rank-based cases).
+
+    The four counts are exact event rollups; the z value is
+    ONE fixed IEEE sequence (divisions, one sqrt) identical in both
+    engines — floats never influence row identity, only the one
+    output scalar.
+    """
+    (events,) = prep(spark, sf_dir, "events")
+    halves = (events.where(F.col("event_type").isin("click", "purchase"))
+              .select((F.to_date("ts") < F.lit("2024-01-16").cast("date"))
+                      .alias("first_half"), "user_id", "event_type"))
+    per = (halves.groupBy("first_half")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.count(F.when(F.col("event_type") == "purchase", 1))
+                .alias("x")))
+    w = per.agg(
+        F.max(F.when(F.col("first_half"), F.col("x"))).alias("x1"),
+        F.max(F.when(F.col("first_half"), F.col("n"))).alias("n1"),
+        F.max(F.when(~F.col("first_half"), F.col("x"))).alias("x2"),
+        F.max(F.when(~F.col("first_half"), F.col("n"))).alias("n2"))
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    pooled = (d("x1") + d("x2")) / (d("n1") + d("n2"))
+    z = ((d("x1") / d("n1") - d("x2") / d("n2"))
+         / F.sqrt(pooled * (F.lit(1.0) - pooled)
+                  * (F.lit(1.0) / d("n1") + F.lit(1.0) / d("n2"))))
+    return w.select("x1", "n1", "x2", "n2", z.alias("z_stat"))
