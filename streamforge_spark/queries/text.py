@@ -1138,3 +1138,40 @@ def dedup_cluster_audit(spark, sf_dir):
             .select("component", "size", "n_edges", "min_edge_jaccard",
                     ((F.col("n_edges") == F.col("size") - 1)
                      & (F.col("size") >= 3)).alias("chain_risk")))
+
+
+_LANG_CONFUSION_ORACLE = f"""
+WITH pred AS (
+  SELECT lang AS true_lang, {{lang_case}} AS pred_lang FROM documents)
+SELECT true_lang, pred_lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       (COUNT(*) * 1000000) // SUM(COUNT(*)) OVER (PARTITION BY true_lang)
+         AS row_share_ppm
+FROM pred GROUP BY true_lang, pred_lang
+""".replace("{lang_case}", _lang_case_sql())
+
+
+@query("lang_confusion_matrix", oracle=_LANG_CONFUSION_ORACLE)
+def lang_confusion_matrix(spark, sf_dir):
+    """Language-ID evaluation: the confusion matrix of the n-gram
+    heuristic (`functions/text.py::lang_id`) against the fixture's
+    ground-truth ``lang`` column, with per-true-language row shares
+    in exact ppm — the accuracy report that justifies (or indicts)
+    the curation pipeline's language gate.
+
+    One scan-side prediction + one map-side-combined (true, pred)
+    rollup; the row-share window runs over the tiny |langs|² matrix.
+    """
+    (docs,) = prep(spark, sf_dir, "documents")
+    pred = docs.select(F.col("lang").alias("true_lang"),
+                       lang_id(F.col("text")).alias("pred_lang"))
+    m = (pred.groupBy("true_lang", "pred_lang")
+         .agg(F.count(F.lit(1)).alias("n_docs")))
+    w = Window.partitionBy("true_lang")
+    return m.select("true_lang", "pred_lang", "n_docs",
+                    F.expr("n_docs * 1000000").cast("long")
+                    .alias("_num")) \
+            .withColumn("row_share_ppm",
+                        F.expr("_num div sum(n_docs) over "
+                               "(partition by true_lang)")) \
+            .drop("_num")
