@@ -999,3 +999,33 @@ def test_streaming_rate_limit_matches_batch_fold(spark, workdir):
         want[r.event_id] = (ok, tokens // scale)
     assert got == want
     assert any(not v[0] for v in got.values())   # throttling actually bites
+
+
+def test_streaming_bloom_dedup_never_forgets(spark, workdir):
+    # duplicates arriving in a later batch (far beyond any watermark)
+    # must STILL be suppressed; every first occurrence must emit
+    from streamforge_spark.streaming.dedup import streaming_bloom_dedup
+    src = f"{workdir}/bloomdd"
+    b1 = spark.createDataFrame([(f"k{i}",) for i in range(200)], "key string")
+    b1.coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(b1.schema).parquet(src)
+    q = (streaming_bloom_dedup(stream)
+         .writeStream.format("memory").queryName("bloom_out")
+         .outputMode("append").start())
+    q.processAllAvailable()
+    # batch 2: 100 repeats + 100 new keys
+    b2 = spark.createDataFrame(
+        [(f"k{i}",) for i in range(100)] + [(f"n{i}",) for i in range(100)],
+        "key string")
+    b2.coalesce(1).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    got = [r.key for r in spark.sql("select * from bloom_out").collect()]
+    assert len(got) == len(set(got))            # nothing emitted twice
+    emitted = set(got)
+    # no false negatives: a key absent from the output must be a
+    # bloom false positive of an earlier DIFFERENT key — at 300 keys
+    # over 2x64k bits that's vanishingly rare, so demand near-total
+    # coverage and full suppression of the 100 repeats
+    assert len(emitted) >= 298
+    assert sum(1 for k in emitted if k.startswith("k")) <= 200
