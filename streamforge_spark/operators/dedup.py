@@ -76,3 +76,40 @@ def stateful_merger(df: DataFrame, key_cols: Sequence[str],
         .filter(F.col("_prev_fp").isNull() | (F.col("_fp") != F.col("_prev_fp")))
         .drop("_fp", "_prev_fp")
     )
+
+
+def table_diff(old: DataFrame, new: DataFrame, key_cols: list[str],
+               compare_cols: list[str]) -> DataFrame:
+    """Row-level diff between two versions of a table: one row per
+    changed key, classified INSERT / UPDATE / DELETE, carrying the
+    compared columns from whichever side(s) exist — the reconciliation
+    primitive behind CDC backfills, replication audits, and "what did
+    this rebuild change?" reviews (the batch analog of the
+    Materializer's changelog, pattern/materialization/Materializer).
+
+    Shape: ONE full-outer join on the key (both sides shuffle once —
+    or zero times if both are bucketed on the key), change detection
+    via null-safe column comparison.  Unchanged rows drop out, so
+    output is proportional to the drift, not the table.
+    """
+    from pyspark.sql import functions as F
+    o = old.select(*key_cols, *[F.col(c).alias(f"_old_{c}")
+                                for c in compare_cols])
+    n = new.select(*key_cols, *[F.col(c).alias(f"_new_{c}")
+                                for c in compare_cols])
+    o = o.withColumn("_in_old", F.lit(True))
+    n = n.withColumn("_in_new", F.lit(True))
+    j = o.join(n, key_cols, "full")
+    changed = F.lit(False)
+    for c in compare_cols:
+        changed = changed | ~F.col(f"_old_{c}").eqNullSafe(F.col(f"_new_{c}"))
+    kind = (F.when(F.col("_in_old").isNull(), "INSERT")
+            .when(F.col("_in_new").isNull(), "DELETE")
+            .when(changed, "UPDATE"))
+    return (j.withColumn("change_type", kind)
+            .where(F.col("change_type").isNotNull())
+            .select("change_type", *key_cols,
+                    *[F.col(f"_old_{c}").alias(f"old_{c}")
+                      for c in compare_cols],
+                    *[F.col(f"_new_{c}").alias(f"new_{c}")
+                      for c in compare_cols]))

@@ -1229,3 +1229,49 @@ def basket_triples(spark, sf_dir):
             .where(F.col("n_orders") >= 2)
             .orderBy(F.col("n_orders").desc(), "p1", "p2", "p3")
             .limit(20))
+
+
+_TABLE_DIFF_ORACLE = """
+WITH old_v AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders),
+new_v AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 10 = 0 THEN cents + 100 ELSE cents END AS cents
+  FROM old_v WHERE o_orderkey % 17 <> 0)
+SELECT CASE WHEN o.o_orderkey IS NULL THEN 'INSERT'
+            WHEN n.o_orderkey IS NULL THEN 'DELETE'
+            ELSE 'UPDATE' END AS change_type,
+       COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+       o.cents AS old_cents, n.cents AS new_cents
+FROM old_v o FULL JOIN new_v n ON o.o_orderkey = n.o_orderkey
+WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+   OR o.cents IS DISTINCT FROM n.cents
+   OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+"""
+
+
+@query("table_version_diff", oracle=_TABLE_DIFF_ORACLE)
+def table_version_diff(spark, sf_dir):
+    """Version reconciliation demo of `operators/dedup.py::table_diff`:
+    the fixture orders table against a deterministically mutated
+    rebuild (every 17th key dropped → DELETE, every 10th price bumped
+    → UPDATE) — output is exactly the drift, classified.
+
+    One full-outer key join; unchanged rows vanish, so at 100 TB the
+    output (and everything after the join) is proportional to the
+    CHANGE volume.
+    """
+    from streamforge_spark.operators.dedup import table_diff
+    (orders,) = prep(spark, sf_dir, "orders")
+    old = orders.select(
+        "o_orderkey", "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"))
+    new = (old.where(F.col("o_orderkey") % 17 != 0)
+           .withColumn("cents",
+                       F.when(F.col("o_orderkey") % 10 == 0,
+                              F.col("cents") + 100).otherwise(F.col("cents"))))
+    d = table_diff(old, new, ["o_orderkey"], ["cents", "o_orderstatus"])
+    return d.select("change_type", "o_orderkey",
+                    "old_cents", "new_cents")
