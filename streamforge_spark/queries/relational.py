@@ -1275,3 +1275,77 @@ def table_version_diff(spark, sf_dir):
     d = table_diff(old, new, ["o_orderkey"], ["cents", "o_orderstatus"])
     return d.select("change_type", "o_orderkey",
                     "old_cents", "new_cents")
+
+
+_DQ_ORACLE = """
+SELECT 'orders' AS tbl, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS pk_dups,
+       CAST(COUNT(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT) AS null_keys,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+        LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_custkey IS NULL) AS orphans
+FROM orders
+UNION ALL
+SELECT 'lineitem', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(*) - COUNT(DISTINCT l_orderkey * 16 + l_linenumber) AS BIGINT),
+       CAST(COUNT(*) FILTER (WHERE l_orderkey IS NULL) AS BIGINT),
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+        LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderkey IS NULL)
+FROM lineitem
+UNION ALL
+SELECT 'customer', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(*) - COUNT(DISTINCT c_custkey) AS BIGINT),
+       CAST(COUNT(*) FILTER (WHERE c_nationkey IS NULL) AS BIGINT),
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM customer c
+        LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE n.n_nationkey IS NULL)
+FROM customer
+UNION ALL
+SELECT 'events', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(*) - COUNT(DISTINCT event_id) AS BIGINT),
+       CAST(COUNT(*) FILTER (WHERE user_id IS NULL) AS BIGINT),
+       CAST(0 AS BIGINT)
+FROM events
+"""
+
+
+@query("dq_scorecard", oracle=_DQ_ORACLE)
+def dq_scorecard(spark, sf_dir):
+    """One-row-per-table data-quality scorecard: row count, primary-
+    key duplicates, null foreign keys, and referential orphans — the
+    warehouse health dashboard's top table, unioned across the core
+    tables so ONE query feeds the whole panel (the per-table detail
+    lives in `data_profile` / `referential_integrity_report`).
+
+    Each table contributes one pass (counts + distinct) plus an
+    anti-join against its parent (the parent key sides broadcast at
+    dimension scale; lineitem⨝orders is the one fact-fact anti-join
+    and shuffles once).
+    """
+    orders, customer, lineitem, nation, events = prep(
+        spark, sf_dir, "orders", "customer", "lineitem", "nation", "events")
+
+    def card(name, df, pk, fk, parent, parent_key):
+        stats = df.agg(
+            F.lit(name).alias("tbl"),
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.count(F.lit(1)) - F.countDistinct(pk)).alias("pk_dups"),
+            F.count(F.when(F.col(fk).isNull(), 1)).alias("null_keys"))
+        if parent is None:
+            return stats.withColumn("orphans", F.lit(0).cast("long"))
+        orphans = (df.join(parent, df[fk] == parent[parent_key], "left_anti")
+                   .agg(F.count(F.lit(1)).alias("orphans")))
+        return stats.crossJoin(F.broadcast(orphans))
+
+    line_pk = (F.col("l_orderkey") * 16 + F.col("l_linenumber"))
+    return (card("orders", orders, F.col("o_orderkey"), "o_custkey",
+                 customer.select("c_custkey"), "c_custkey")
+            .unionByName(card("lineitem", lineitem, line_pk, "l_orderkey",
+                              orders.select(F.col("o_orderkey").alias("_pk")),
+                              "_pk"))
+            .unionByName(card("customer", customer, F.col("c_custkey"),
+                              "c_nationkey",
+                              nation.select("n_nationkey"), "n_nationkey"))
+            .unionByName(card("events", events, F.col("event_id"),
+                              "user_id", None, None)))
