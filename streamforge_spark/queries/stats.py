@@ -1071,3 +1071,60 @@ def two_proportion_test(spark, sf_dir):
          / F.sqrt(pooled * (F.lit(1.0) - pooled)
                   * (F.lit(1.0) / d("n1") + F.lit(1.0) / d("n2"))))
     return w.select("x1", "n1", "x2", "n2", z.alias("z_stat"))
+
+
+_CORR_ORACLE = """
+WITH per_order AS (
+  SELECT o.o_orderkey,
+         CAST(COUNT(*) AS BIGINT) AS x,
+         CAST(MAX(CASE WHEN o.o_orderpriority = '1-URGENT'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS y
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_orderkey, o.o_orderpriority),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+  FROM per_order)
+SELECT n, sx AS total_lines, sy AS n_urgent,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                * CAST(n * syy - sy * sy AS DOUBLE)) AS corr
+FROM m
+"""
+
+
+@query("size_urgency_corr", oracle=_CORR_ORACLE)
+def size_urgency_corr(spark, sf_dir):
+    """Point-biserial (Pearson) correlation between an order's line
+    count and its being URGENT — "do rush orders run smaller?".  The
+    named correlation primitive, computed the scale-correct way:
+
+    all five co-moments are EXACT BIGINTs from one map-side-combined
+    rollup (never a two-pass mean-then-deviation scan), and the
+    classic n·Σxy − ΣxΣy formula spends exactly one IEEE
+    division + sqrt at the end — bit-identical in both engines.
+    """
+    orders, lineitem = prep(spark, sf_dir, "orders", "lineitem")
+    per_order = (lineitem.join(
+        orders.select("o_orderkey", "o_orderpriority"),
+        lineitem["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("x"))
+        .select("x", F.when(F.col("o_orderpriority") == "1-URGENT",
+                            F.lit(1)).otherwise(F.lit(0))
+                .cast("long").alias("y")))
+    m = per_order.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"))
+    return m.select(
+        "n", F.col("sx").alias("total_lines"), F.col("sy").alias("n_urgent"),
+        ((F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+         / F.sqrt((F.col("n") * F.col("sxx")
+                   - F.col("sx") * F.col("sx")).cast("double")
+                  * (F.col("n") * F.col("syy")
+                     - F.col("sy") * F.col("sy")).cast("double")))
+        .alias("corr"))
