@@ -1349,3 +1349,48 @@ def dq_scorecard(spark, sf_dir):
                               nation.select("n_nationkey"), "n_nationkey"))
             .unionByName(card("events", events, F.col("event_id"),
                               "user_id", None, None)))
+
+
+_JOINSIZE_ORACLE = """
+WITH l AS (SELECT user_id AS k, CAST(COUNT(*) AS BIGINT) AS nl
+           FROM events GROUP BY 1),
+r AS (SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS nr
+      FROM orders GROUP BY 1),
+pred AS (SELECT COALESCE(SUM(l.nl * r.nr), 0) AS predicted
+         FROM l JOIN r ON l.k = r.k),
+act AS (SELECT CAST(COUNT(*) AS BIGINT) AS actual
+        FROM events e JOIN orders o ON e.user_id = o.o_custkey)
+SELECT predicted, actual, predicted = actual AS exact_match
+FROM pred, act
+"""
+
+
+@query("join_size_prediction", oracle=_JOINSIZE_ORACLE)
+def join_size_prediction(spark, sf_dir):
+    """Join-size prediction, self-verified: the output cardinality of
+    events⨝orders computed WITHOUT running the join (sum over keys of
+    multiplicity products — the statistic a cost-based optimizer
+    wants) next to the actual join count, plus the equality flag —
+    which is provably TRUE, because per-key count products aren't an
+    estimate, they're the exact closed form.
+
+    Why it matters at 100 TB: the prediction side touches two
+    map-side-combined count rollups (KB per key domain), while the
+    actual join materializes every output row — this query IS the
+    argument for sizing joins from rollups before running them
+    (`join_explosion_risk` is the per-key drill-down).
+    """
+    events, orders = prep(spark, sf_dir, "events", "orders")
+    l = events.groupBy(F.col("user_id").alias("k")) \
+        .agg(F.count(F.lit(1)).alias("nl"))
+    r = orders.groupBy(F.col("o_custkey").alias("k")) \
+        .agg(F.count(F.lit(1)).alias("nr"))
+    pred = (l.join(r, "k")
+            .agg(F.coalesce(F.sum(F.col("nl") * F.col("nr")), F.lit(0))
+                 .alias("predicted")))
+    act = (events.join(orders, events["user_id"] == orders["o_custkey"])
+           .agg(F.count(F.lit(1)).alias("actual")))
+    return (pred.crossJoin(act)
+            .select("predicted", "actual",
+                    (F.col("predicted") == F.col("actual"))
+                    .alias("exact_match")))

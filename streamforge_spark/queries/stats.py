@@ -1128,3 +1128,46 @@ def size_urgency_corr(spark, sf_dir):
                   * (F.col("n") * F.col("syy")
                      - F.col("sy") * F.col("sy")).cast("double")))
         .alias("corr"))
+
+
+_REPEAT_ORACLE = """
+WITH p AS (
+  SELECT user_id, CAST(ts AS DATE) AS d
+  FROM events WHERE event_type = 'purchase'),
+gaps AS (
+  SELECT user_id,
+         datediff('day', LAG(d) OVER (PARTITION BY user_id ORDER BY d, user_id),
+                  d) AS gap_d
+  FROM (SELECT DISTINCT user_id, d FROM p))
+SELECT CASE WHEN gap_d <= 1 THEN '1d'
+            WHEN gap_d <= 3 THEN '2-3d'
+            WHEN gap_d <= 7 THEN '4-7d'
+            ELSE '8d+' END AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_gaps
+FROM gaps WHERE gap_d IS NOT NULL AND gap_d > 0
+GROUP BY 1
+"""
+
+
+@query("repeat_purchase_intervals", oracle=_REPEAT_ORACLE)
+def repeat_purchase_intervals(spark, sf_dir):
+    """Repeat-purchase cadence: the distribution of gaps between a
+    user's consecutive purchase DAYS, bucketed — the input to
+    replenishment-reminder timing and the denominator behind "is this
+    user overdue?" churn heuristics.
+
+    Distinct purchase-days per user first (rollup), one lag window on
+    that, then a 4-bucket rollup — every exchange dimension-scale.
+    """
+    (events,) = prep(spark, sf_dir, "events")
+    p = (events.where(F.col("event_type") == "purchase")
+         .select("user_id", F.to_date("ts").alias("d")).distinct())
+    w = Window.partitionBy("user_id").orderBy("d", "user_id")
+    gaps = p.select("user_id",
+                    F.datediff(F.col("d"), F.lag("d").over(w)).alias("gap_d"))
+    bucket = (F.when(F.col("gap_d") <= 1, "1d")
+              .when(F.col("gap_d") <= 3, "2-3d")
+              .when(F.col("gap_d") <= 7, "4-7d").otherwise("8d+"))
+    return (gaps.where(F.col("gap_d").isNotNull() & (F.col("gap_d") > 0))
+            .groupBy(bucket.alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n_gaps")))
