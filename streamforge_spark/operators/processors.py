@@ -63,3 +63,40 @@ def chunk_udtf():
                 yield (i // width, " ".join(part), len(part))
 
     return ChunkDoc
+
+
+def pseudonymize(df, cols, salt: str):
+    """GDPR pseudonymization: replace identifier columns with
+    deterministic keyed tokens (md5 over salt:value — stable across
+    runs and engines, so joins on the token still work), and return a
+    separate VAULT mapping tokens back to originals for the
+    re-identification path that lawful bases permit.
+
+    Returns ``(tokenized_df, vault_df)``; the vault holds one row per
+    distinct (column, original) pair and is the only artifact that
+    needs restricted storage — the tokenized table can flow to the
+    analytics tier.  Deleting a subject from the vault (the
+    `deletion_propagation_report` flow) makes their tokens
+    permanently unlinkable: crypto-shredding without touching the
+    fact tables.
+
+    Both outputs are narrow projections of one scan; the vault adds a
+    per-column distinct rollup.
+    """
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+    token = lambda c: F.md5(  # noqa: E731
+        F.concat(F.lit(f"{salt}:{c}:"), F.col(c).cast("string")))
+    out = df
+    for c in cols:
+        out = out.withColumn(
+            c, F.when(F.col(c).isNotNull(), token(c)))
+    vaults = [
+        df.select(F.lit(c).alias("column"),
+                  F.col(c).cast("string").alias("original"),
+                  token(c).alias("token"))
+        .where(F.col("original").isNotNull()).distinct()
+        for c in cols
+    ]
+    return out, reduce(lambda a, b: a.unionByName(b), vaults)

@@ -936,3 +936,22 @@ def test_infer_constraints_bootstrap_enforcer(spark):
     msgs = [r.error_message for r in dlq.collect()]
     assert any("amount_range" in m for m in msgs)
     assert any("id_not_null" in m for m in msgs)
+
+
+def test_pseudonymize_stable_tokens_and_vault_joinback(spark):
+    from streamforge_spark.operators.processors import pseudonymize
+    df = spark.createDataFrame(
+        [(1, 100, "x"), (2, 100, "y"), (3, None, "z")],
+        "event_id long, user_id long, payload string")
+    tok, vault = pseudonymize(df, ["user_id"], salt="s1")
+    rows = {r.event_id: r.user_id for r in tok.collect()}
+    # same original -> same token (joins still work); null stays null
+    assert rows[1] == rows[2] and rows[1] != "100" and rows[3] is None
+    # vault re-identifies
+    back = (tok.join(vault.where(F.col("column") == "user_id"),
+                     tok["user_id"] == F.col("token"))
+            .select("event_id", "original").collect())
+    assert {(r.event_id, r.original) for r in back} == {(1, "100"), (2, "100")}
+    # a different salt rotates every token (breach containment)
+    tok2, _ = pseudonymize(df, ["user_id"], salt="s2")
+    assert {r.user_id for r in tok2.collect()} != {r.user_id for r in tok.collect()}
