@@ -1171,3 +1171,62 @@ def repeat_purchase_intervals(spark, sf_dir):
     return (gaps.where(F.col("gap_d").isNotNull() & (F.col("gap_d") > 0))
             .groupBy(bucket.alias("bucket"))
             .agg(F.count(F.lit(1)).alias("n_gaps")))
+
+
+_ROLLCORR_ORACLE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS a,
+         CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS b
+  FROM events GROUP BY 1),
+w AS (
+  SELECT day,
+         COUNT(*) OVER fr AS n,
+         SUM(a) OVER fr AS sa, SUM(b) OVER fr AS sb,
+         SUM(a * a) OVER fr AS saa, SUM(b * b) OVER fr AS sbb,
+         SUM(a * b) OVER fr AS sab
+  FROM daily
+  WINDOW fr AS (ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+SELECT CAST(day AS TIMESTAMP) AS day,
+       CAST(n * sab - sa * sb AS DOUBLE)
+         / SQRT(CAST(n * saa - sa * sa AS DOUBLE)
+                * CAST(n * sbb - sb * sb AS DOUBLE)) AS corr_14d
+FROM w
+WHERE n = 14 AND n * saa - sa * sa > 0 AND n * sbb - sb * sb > 0
+"""
+
+
+@query("rolling_click_purchase_corr", oracle=_ROLLCORR_ORACLE)
+def rolling_click_purchase_corr(spark, sf_dir):
+    """Rolling 14-day Pearson correlation between daily click volume
+    and daily purchase volume — the decoupling monitor ("clicks are
+    up but purchases stopped following") that a single whole-period
+    correlation (`size_urgency_corr`) can't see.
+
+    The five co-moment sums accumulate in the SAME window frame as
+    exact BIGINTs, so each day's correlation is one fixed IEEE
+    formula over exact integers; degenerate windows (zero variance)
+    are excluded identically on both sides.  One daily rollup; one
+    frame pass over the |days| series.
+    """
+    (events,) = prep(spark, sf_dir, "events")
+    daily = (events.groupBy(F.to_date("ts").alias("day"))
+             .agg(F.count(F.when(F.col("event_type") == "click", 1)).alias("a"),
+                  F.count(F.when(F.col("event_type") == "purchase", 1))
+                  .alias("b")))
+    fr = Window.orderBy("day").rowsBetween(-13, 0)
+    w = daily.select(
+        "day",
+        F.count(F.lit(1)).over(fr).alias("n"),
+        F.sum("a").over(fr).alias("sa"), F.sum("b").over(fr).alias("sb"),
+        F.sum(F.col("a") * F.col("a")).over(fr).alias("saa"),
+        F.sum(F.col("b") * F.col("b")).over(fr).alias("sbb"),
+        F.sum(F.col("a") * F.col("b")).over(fr).alias("sab"))
+    va = F.col("n") * F.col("saa") - F.col("sa") * F.col("sa")
+    vb = F.col("n") * F.col("sbb") - F.col("sb") * F.col("sb")
+    return (w.where((F.col("n") == 14) & (va > 0) & (vb > 0))
+            .select(F.col("day").cast("timestamp").alias("day"),
+                    ((F.col("n") * F.col("sab")
+                      - F.col("sa") * F.col("sb")).cast("double")
+                     / F.sqrt(va.cast("double") * vb.cast("double")))
+                    .alias("corr_14d")))
