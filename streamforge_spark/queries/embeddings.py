@@ -1052,3 +1052,88 @@ def embedding_outliers(spark, sf_dir):
                            F.col("gv")).alias("cos_to_centroid"))
             .orderBy("cos_to_centroid", "vec_id")
             .limit(20))
+
+
+_SEPARATION_ORACLE = """
+WITH q AS (
+  SELECT vec_id, label, i AS dim,
+         CAST(ROUND(e[i] / sqrt(list_dot_product(e, e)) * 1000) AS BIGINT) AS v
+  FROM (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings) t,
+       unnest(generate_series(1, len(e))) AS u(i)),
+norms AS (
+  SELECT vec_id, label, SUM(v * v) AS nrm FROM q GROUP BY 1, 2),
+per_dim AS (
+  SELECT label, dim, SUM(v) AS s FROM q GROUP BY 1, 2),
+per_label AS (
+  SELECT p.label, SUM(p.s * p.s) AS s2,
+         (SELECT SUM(nrm) FROM norms n WHERE n.label = p.label) AS ssq,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM norms n
+          WHERE n.label = p.label) AS n
+  FROM per_dim p GROUP BY p.label),
+gdim AS (SELECT dim, SUM(s) AS s FROM per_dim GROUP BY dim),
+gstat AS (
+  SELECT (SELECT SUM(s * s) FROM gdim) AS gs2,
+         (SELECT SUM(s2) FROM per_label) AS sum_ls2,
+         (SELECT SUM(n) FROM per_label) AS bign,
+         (SELECT SUM(n * n) FROM per_label) AS sum_n2)
+SELECT CAST(label AS VARCHAR) AS label, n AS n_vecs,
+       (s2 - ssq) // (n * (n - 1)) AS intra_mean_micro
+FROM per_label WHERE n >= 2
+UNION ALL
+SELECT '__inter__', bign,
+       (gs2 - sum_ls2) // (bign * bign - sum_n2)
+FROM gstat
+"""
+
+
+@query("label_separation", oracle=_SEPARATION_ORACLE)
+def label_separation(spark, sf_dir):
+    """Embedding-quality separation report: mean pairwise cosine
+    WITHIN each label vs the mean cosine BETWEEN labels — computed
+    WITHOUT generating a single pair, via the sum-of-sums identity
+    Σ_{i≠j} vᵢ·vⱼ = ‖Σv‖² − Σ‖v‖² on unit vectors (milli-quantized
+    after IEEE normalization, so every sum is an exact BIGINT and the
+    pair means are exact floor divisions in micro-units).
+
+    A healthy labeling shows intra ≫ inter; collapse of the gap means
+    the labels aren't separable in this embedding space (the
+    aggregate view behind `knn_label_predict`'s per-item votes).
+
+    Scale: ONE (label, dim) rollup of the corpus — identical shape to
+    `label_centroid_shift` — then label-count-sized arithmetic.
+    O(n·d) total work for O(n²) pair semantics.
+    """
+    (emb,) = prep(spark, sf_dir, "embeddings")
+    e = F.col("embedding").cast("array<double>")
+    nrm = F.sqrt(F.aggregate(F.transform(e, lambda x: x * x),
+                             F.lit(0.0), lambda a, x: a + x))
+    q = (emb.select("vec_id", "label",
+                    F.posexplode(F.transform(
+                        e, lambda x: F.round(x / nrm * 1000).cast("long")))
+                    .alias("dim0", "v")))
+    norms = q.groupBy("vec_id", "label").agg(F.sum(F.col("v") * F.col("v"))
+                                             .alias("nrm"))
+    per_dim = q.groupBy("label", "dim0").agg(F.sum("v").alias("s")) \
+        .localCheckpoint(eager=False)
+    lab_n = norms.groupBy("label").agg(F.count(F.lit(1)).alias("n"),
+                                       F.sum("nrm").alias("ssq"))
+    per_label = (per_dim.groupBy("label")
+                 .agg(F.sum(F.col("s") * F.col("s")).alias("s2"))
+                 .join(lab_n, "label")
+                 .localCheckpoint(eager=False))
+    intra = (per_label.where(F.col("n") >= 2)
+             .select(F.col("label").cast("string").alias("label"),
+                     F.col("n").alias("n_vecs"),
+                     F.expr("(s2 - ssq) div (n * (n - 1))")
+                     .alias("intra_mean_micro")))
+    gdim = per_dim.groupBy("dim0").agg(F.sum("s").alias("s"))
+    gs2 = gdim.agg(F.sum(F.col("s") * F.col("s")).alias("gs2"))
+    tots = per_label.agg(F.sum("s2").alias("sum_ls2"),
+                         F.sum("n").alias("bign"),
+                         F.sum(F.col("n") * F.col("n")).alias("sum_n2"))
+    inter = (gs2.crossJoin(tots)
+             .select(F.lit("__inter__").alias("label"),
+                     F.col("bign").alias("n_vecs"),
+                     F.expr("(gs2 - sum_ls2) div (bign * bign - sum_n2)")
+                     .alias("intra_mean_micro")))
+    return intra.unionByName(inter)
