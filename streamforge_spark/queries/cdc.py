@@ -329,3 +329,48 @@ def deletion_propagation_report(spark, sf_dir):
             .unionByName(impact("orders", orders, "o_custkey", "o_custkey"))
             .unionByName(impact("customer", customer, "c_custkey", "c_custkey"))
             .unionByName(impact("lineitem", li, "o_custkey", "o_custkey")))
+
+
+_OFFSET_AUDIT_ORACLE = """
+WITH seq AS (
+  SELECT event_type, event_id,
+         LAG(event_id) OVER (PARTITION BY event_type ORDER BY event_id)
+           AS prev_id
+  FROM events)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_offsets,
+       CAST(COUNT(*) FILTER (WHERE event_id - prev_id > 1) AS BIGINT)
+         AS n_gaps,
+       COALESCE(SUM(CASE WHEN event_id - prev_id > 1
+                         THEN event_id - prev_id - 1 END), 0) AS missing_total,
+       COALESCE(MAX(event_id - prev_id - 1), 0) AS max_gap
+FROM seq GROUP BY event_type
+"""
+
+
+@query("offset_continuity_audit", oracle=_OFFSET_AUDIT_ORACLE)
+def offset_continuity_audit(spark, sf_dir):
+    """Offset-continuity audit: treating event_id as a per-type
+    consumer offset (each type reads a sparse subsequence of the
+    global log), report gap counts, total missing offsets, and the
+    largest hole — the loss detector a CDC consumer runs against its
+    resume tokens (MongoChangeStreamSource's resume-token contract,
+    SURVEY §2.1: a gap after restart means dropped changes).
+
+    For a type-partitioned consumer, gaps between ITS offsets are
+    expected (other types own them) — what matters is the per-type
+    profile staying stable; a sudden max_gap spike on one type is the
+    alert.  One (type) window exchange; pure integers.
+    """
+    (events,) = prep(spark, sf_dir, "events")
+    from pyspark.sql import Window
+    w = Window.partitionBy("event_type").orderBy("event_id")
+    seq = events.select("event_type", "event_id",
+                        F.lag("event_id").over(w).alias("prev_id"))
+    gap = F.col("event_id") - F.col("prev_id") - 1
+    return (seq.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_offsets"),
+                 F.count(F.when(gap > 0, 1)).alias("n_gaps"),
+                 F.coalesce(F.sum(F.when(gap > 0, gap)), F.lit(0))
+                 .alias("missing_total"),
+                 F.coalesce(F.max(gap), F.lit(0)).alias("max_gap")))
