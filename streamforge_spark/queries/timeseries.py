@@ -1627,3 +1627,48 @@ def slo_burn_rate(spark, sf_dir):
                      & (F.col("e6") * 1000000 * 10
                         > F.col("n6") * SLO_BUDGET_PPM * SLO_SLOW_X))
                     .alias("slow_burn")))
+
+
+_BANDS_ORACLE = """
+WITH r AS (
+  SELECT date_trunc('day', ts) AS day,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents,
+         ROW_NUMBER() OVER (PARTITION BY date_trunc('day', ts)
+                            ORDER BY value, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY date_trunc('day', ts)) AS n
+  FROM events)
+SELECT day,
+       MAX(CASE WHEN rn = CAST(CEIL(0.10 * n) AS BIGINT) THEN cents END) AS p10_cents,
+       MAX(CASE WHEN rn = CAST(CEIL(0.50 * n) AS BIGINT) THEN cents END) AS p50_cents,
+       MAX(CASE WHEN rn = CAST(CEIL(0.90 * n) AS BIGINT) THEN cents END) AS p90_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM r GROUP BY day
+"""
+
+
+@query("percentile_bands_daily", oracle=_BANDS_ORACLE)
+def percentile_bands_daily(spark, sf_dir):
+    """Daily p10/p50/p90 value ribbons — the banded time series every
+    latency/value dashboard plots (the per-day sibling of the per-type
+    `event_value_percentiles`).  Exact order statistics, one (day)
+    rank window, map-side-combined band extraction.
+    """
+    (events,) = prep(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts")
+    w = Window.partitionBy(day).orderBy("value", "event_id")
+    wn = Window.partitionBy(day)
+    r = events.select(
+        day.alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"))
+
+    def band(q):
+        return F.max(F.when(
+            F.col("rn") == F.ceil(F.lit(q) * F.col("n")).cast("long"),
+            F.col("cents")))
+
+    return (r.groupBy("day")
+            .agg(band(0.10).alias("p10_cents"), band(0.50).alias("p50_cents"),
+                 band(0.90).alias("p90_cents"),
+                 F.count(F.lit(1)).alias("n_events")))
