@@ -87,32 +87,3 @@ def replay_dlq(dlq: DataFrame,
                                          source=source)
         bad = bad.unionByName(schema_bad)
     return ok, bad
-
-
-def replay_dlq(spark, dlq: DataFrame, schema) -> tuple[DataFrame, DataFrame]:
-    """Close the dead-letter loop: parse each DLQ row's ``raw_event``
-    back into typed rows for RE-INJECTION after the bug that
-    dead-lettered them is fixed — the half of the DLQ contract the
-    reference leaves to ops runbooks (DLQPublisher.java publishes,
-    nothing consumes).
-
-    Returns ``(recovered, still_bad)``: rows whose raw_event parses
-    under ``schema`` (routed back into the pipeline), and rows that
-    STILL fail (kept in DLQ shape, error_type REPLAY_PARSE_ERROR, so
-    replay attempts are themselves idempotent and auditable).
-
-    Scan-side from_json only — replay cost is proportional to the DLQ,
-    which is small by construction.
-    """
-    parsed = dlq.withColumn("_rec", F.from_json(F.col("raw_event"), schema))
-    # from_json in PERMISSIVE mode yields a row of nulls for garbage —
-    # treat all-null structs as parse failures
-    any_field = F.coalesce(
-        *[F.col(f"_rec.{f.name}").cast("string") for f in schema.fields])
-    recovered = (parsed.where(F.col("_rec").isNotNull()
-                              & any_field.isNotNull())
-                 .select("_rec.*"))
-    still_bad = (parsed.where(F.col("_rec").isNull() | any_field.isNull())
-                 .drop("_rec")
-                 .withColumn("error_type", F.lit("REPLAY_PARSE_ERROR")))
-    return recovered, still_bad

@@ -104,20 +104,3 @@ def test_metrics_collector_streaming_and_batch(spark, tmp_path):
     finally:
         spark.streams.removeListener(collector)
 
-
-def test_replay_dlq_recovers_fixed_rows(spark):
-    from pyspark.sql import types as T
-    from streamforge_spark.pipeline import dlq_event, replay_dlq
-    schema = T.StructType([T.StructField("id", T.LongType()),
-                           T.StructField("v", T.StringType())])
-    good = spark.createDataFrame([(1, "a"), (2, "b")], schema)
-    # dead-letter them (raw_event = JSON of the row), plus one entry
-    # whose raw payload is garbage and can never replay
-    dlq = dlq_event(good, "CONSTRAINT_VIOLATION", "too small", "t")
-    garbage = (dlq.limit(1)
-               .withColumn("raw_event", F.lit("not json at all")))
-    recovered, still_bad = replay_dlq(spark, dlq.union(garbage), schema)
-    assert {(r.id, r.v) for r in recovered.collect()} == {(1, "a"), (2, "b")}
-    bad = still_bad.collect()
-    assert len(bad) == 1 and bad[0].error_type == "REPLAY_PARSE_ERROR"
-    assert bad[0].raw_event == "not json at all"
