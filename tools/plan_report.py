@@ -84,7 +84,11 @@ TIMESERIES = [
     "receivables_aging", "ma_crossover_signals", "readability_ari",
     "zipf_check", "slo_burn_rate", "smoothed_supplier_reliability",
     "dedup_cluster_audit", "did_estimator", "embedding_outliers",
-    "two_proportion_test", "lang_confusion_matrix",
+    "two_proportion_test", "lang_confusion_matrix", "table_version_diff",
+    "dq_scorecard", "size_urgency_corr", "join_size_prediction",
+    "repeat_purchase_intervals", "rolling_click_purchase_corr",
+    "label_separation", "offset_continuity_audit",
+    "percentile_bands_daily",
 ]
 
 
