@@ -1230,3 +1230,52 @@ def rolling_click_purchase_corr(spark, sf_dir):
                       - F.col("sa") * F.col("sb")).cast("double")
                      / F.sqrt(va.cast("double") * vb.cast("double")))
                     .alias("corr_14d")))
+
+
+_RESURRECT_GAP_D = 10
+
+_RESURRECT_ORACLE = f"""
+WITH d AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+seq AS (
+  SELECT user_id, day,
+         LAG(day) OVER (PARTITION BY user_id ORDER BY day) AS prev_day
+  FROM d)
+SELECT day,
+       CAST(COUNT(*) AS BIGINT) AS n_active,
+       CAST(COUNT(*) FILTER (
+         WHERE prev_day IS NOT NULL
+           AND datediff('day', prev_day, day) >= {_RESURRECT_GAP_D})
+         AS BIGINT) AS n_resurrected,
+       (COUNT(*) FILTER (
+         WHERE prev_day IS NOT NULL
+           AND datediff('day', prev_day, day) >= {_RESURRECT_GAP_D})
+        * 1000000) // COUNT(*) AS resurrected_ppm
+FROM seq GROUP BY day
+"""
+
+
+@query("resurrection_rate_daily", oracle=_RESURRECT_ORACLE)
+def resurrection_rate_daily(spark, sf_dir):
+    """Daily resurrection rate: of each day's active users, the share
+    returning after ≥{_RESURRECT_GAP_D} dormant days — the lifecycle
+    counterpart of `retention_cohorts` (retention asks "did they
+    stay", this asks "did the lapsed come back", the number
+    reactivation campaigns are graded on).
+
+    Distinct (user, day) rollup → per-user lag → daily rollup with
+    exact ppm share.  One user exchange + one day rollup.
+    """
+    (events,) = prep(spark, sf_dir, "events")
+    d = events.select("user_id", F.date_trunc("day", "ts").alias("day")) \
+        .distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    seq = d.select("user_id", "day", F.lag("day").over(w).alias("prev_day"))
+    res = (F.col("prev_day").isNotNull()
+           & (F.datediff(F.col("day"), F.col("prev_day"))
+              >= _RESURRECT_GAP_D))
+    return (seq.groupBy("day")
+            .agg(F.count(F.lit(1)).alias("n_active"),
+                 F.count(F.when(res, 1)).alias("n_resurrected"))
+            .select("day", "n_active", "n_resurrected",
+                    F.expr("(n_resurrected * 1000000) div n_active")
+                    .alias("resurrected_ppm")))
