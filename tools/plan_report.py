@@ -88,7 +88,7 @@ TIMESERIES = [
     "dq_scorecard", "size_urgency_corr", "join_size_prediction",
     "repeat_purchase_intervals", "rolling_click_purchase_corr",
     "label_separation", "offset_continuity_audit",
-    "percentile_bands_daily",
+    "percentile_bands_daily", "resurrection_rate_daily",
 ]
 
 
