@@ -412,3 +412,54 @@ def bitemporal_snapshot(spark, sf_dir):
             .filter(F.col("rn") == 1)
             .select(F.col("pk").alias("user_id"), "event_id", "valid_ts",
                     "txn_ts", "event_type", "value_cents"))
+
+
+_GAP_SENSITIVITY_ORACLE = """
+WITH seq AS (
+  SELECT user_id,
+         epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id)) AS gap_us
+  FROM events),
+gaps AS (
+  SELECT g.gap_min,
+         (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events)
+           + SUM(CASE WHEN s.gap_us > CAST(g.gap_min AS BIGINT) * 60000000 THEN 1 ELSE 0 END)
+           AS n_sessions
+  FROM (VALUES (10), (20), (30), (60)) g(gap_min)
+  JOIN seq s ON s.gap_us IS NOT NULL
+  GROUP BY g.gap_min)
+SELECT gap_min, n_sessions FROM gaps
+"""
+
+
+@query("session_gap_sensitivity", oracle=_GAP_SENSITIVITY_ORACLE)
+def session_gap_sensitivity(spark, sf_dir):
+    """Sessionization parameter sensitivity: total session count at
+    gap thresholds of 10/20/30/60 minutes — the tuning curve for the
+    SessionAnalyzer's one free parameter (SessionAnalyzer.java:76-78):
+    pick the knee, not a folklore constant.
+
+    The trick: sessions(T) = |users| + |gaps > T|, so ONE lag pass
+    over the events (one user_id exchange) answers every threshold
+    with conditional sums — no per-threshold re-sessionization, no
+    session_window at all.
+    """
+    (events,) = prep(spark, sf_dir, "events")
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "user_id",
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)))
+        .alias("gap_us"))
+    users = events.agg(F.countDistinct("user_id").alias("u"))
+    gaps = seq.where(F.col("gap_us").isNotNull()) \
+        .crossJoin(F.broadcast(
+            spark.createDataFrame([(10,), (20,), (30,), (60,)],
+                                  "gap_min int")))
+    return (gaps.groupBy("gap_min")
+            .agg(F.sum(F.when(F.col("gap_us")
+                              > F.col("gap_min").cast("long") * 60000000,
+                              1).otherwise(0)).alias("n_breaks"))
+            .crossJoin(F.broadcast(users))
+            .select("gap_min",
+                    (F.col("u") + F.col("n_breaks")).alias("n_sessions")))
