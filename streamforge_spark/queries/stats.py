@@ -1279,3 +1279,87 @@ def resurrection_rate_daily(spark, sf_dir):
             .select("day", "n_active", "n_resurrected",
                     F.expr("(n_resurrected * 1000000) div n_active")
                     .alias("resurrected_ppm")))
+
+
+_SDID_ORACLE = """
+WITH treated AS (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'error'),
+pre_activity AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_pre
+  FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
+  GROUP BY user_id),
+bucketed AS (
+  SELECT user_id, NTILE(5) OVER (ORDER BY n_pre, user_id) AS bucket
+  FROM pre_activity),
+cells AS (
+  SELECT b.bucket,
+         (t.user_id IS NOT NULL) AS is_treated,
+         e.ts >= TIMESTAMP '2024-01-16 00:00:00' AS is_post,
+         CAST(ROUND(e.value * 100) AS BIGINT) AS cents
+  FROM events e
+  JOIN bucketed b ON e.user_id = b.user_id
+  LEFT JOIN treated t ON e.user_id = t.user_id
+  WHERE e.event_type = 'purchase'),
+m AS (
+  SELECT bucket, is_treated, is_post,
+         SUM(cents) // COUNT(*) AS mean_cents, CAST(COUNT(*) AS BIGINT) AS n
+  FROM cells GROUP BY 1, 2, 3)
+SELECT bucket,
+  MAX(CASE WHEN is_treated AND is_post THEN mean_cents END) AS treat_post,
+  MAX(CASE WHEN is_treated AND NOT is_post THEN mean_cents END) AS treat_pre,
+  MAX(CASE WHEN NOT is_treated AND is_post THEN mean_cents END) AS ctrl_post,
+  MAX(CASE WHEN NOT is_treated AND NOT is_post THEN mean_cents END) AS ctrl_pre,
+  (MAX(CASE WHEN is_treated AND is_post THEN mean_cents END)
+   - MAX(CASE WHEN is_treated AND NOT is_post THEN mean_cents END))
+  - (MAX(CASE WHEN NOT is_treated AND is_post THEN mean_cents END)
+     - MAX(CASE WHEN NOT is_treated AND NOT is_post THEN mean_cents END))
+    AS did_cents,
+  SUM(n) AS n_purchases
+FROM m GROUP BY bucket
+"""
+
+
+@query("stratified_did", oracle=_SDID_ORACLE)
+def stratified_did(spark, sf_dir):
+    """Stratified difference-in-differences: users bucketed into
+    pre-period activity quintiles FIRST, then the 2x2 DiD computed
+    within each stratum — controls for "error-prone users were simply
+    more active", the confound the pooled `did_estimator` can't see
+    (the poor man's propensity matching, and often most of its value).
+
+    NTILE over (n_pre, user_id) is deterministic; everything else is
+    the same all-BIGINT floored-mean machinery.  The bucket map is a
+    per-user rollup broadcast back into the purchase stream; the 5x4
+    cell table is one map-side-combined aggregation.
+    """
+    (events,) = prep(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    treated = (events.where(F.col("event_type") == "error")
+               .select(F.col("user_id").alias("t_uid")).distinct())
+    pre = (events.where(F.col("ts") < cutoff)
+           .groupBy("user_id").agg(F.count(F.lit(1)).alias("n_pre")))
+    bucketed = pre.select(
+        "user_id",
+        F.ntile(5).over(Window.orderBy("n_pre", "user_id")).alias("bucket"))
+    cells = (events.where(F.col("event_type") == "purchase")
+             .join(F.broadcast(bucketed), "user_id")
+             .join(F.broadcast(treated),
+                   F.col("user_id") == F.col("t_uid"), "left")
+             .select("bucket",
+                     F.col("t_uid").isNotNull().alias("is_treated"),
+                     (F.col("ts") >= cutoff).alias("is_post"),
+                     F.round(F.col("value") * 100).cast("long").alias("cents")))
+    m = (cells.groupBy("bucket", "is_treated", "is_post")
+         .agg(F.expr("sum(cents) div count(*)").alias("mean_cents"),
+              F.count(F.lit(1)).alias("n")))
+    cell = lambda t, p: F.max(  # noqa: E731
+        F.when((F.col("is_treated") == t) & (F.col("is_post") == p),
+               F.col("mean_cents")))
+    return m.groupBy("bucket").agg(
+        cell(True, True).alias("treat_post"),
+        cell(True, False).alias("treat_pre"),
+        cell(False, True).alias("ctrl_post"),
+        cell(False, False).alias("ctrl_pre"),
+        ((cell(True, True) - cell(True, False))
+         - (cell(False, True) - cell(False, False))).alias("did_cents"),
+        F.sum("n").alias("n_purchases"))
