@@ -1363,3 +1363,113 @@ def stratified_did(spark, sf_dir):
         ((cell(True, True) - cell(True, False))
          - (cell(False, True) - cell(False, False))).alias("did_cents"),
         F.sum("n").alias("n_purchases"))
+
+
+_DOUBLECHARGE_ORACLE = """
+WITH p AS (
+  SELECT user_id, event_id, ts,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase')
+SELECT a.user_id, a.event_id AS first_charge, b.event_id AS second_charge,
+       a.cents,
+       epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+FROM p a JOIN p b
+  ON a.user_id = b.user_id AND a.cents = b.cents
+ AND a.ts <= b.ts AND a.event_id < b.event_id
+ AND epoch_us(b.ts) - epoch_us(a.ts) <= 43200000000
+"""
+
+
+@query("double_charge_candidates", oracle=_DOUBLECHARGE_ORACLE)
+def double_charge_candidates(spark, sf_dir):
+    """Double-charge detection: purchase pairs by the SAME user for
+    the SAME amount within 12 hours — the payment-ops dedup review
+    queue (retry storms, double-submits), where exact TTL dedup
+    (`dedup_first_seen`) can't apply because a repeated identical
+    purchase is usually legitimate and must be REVIEWED, not dropped.
+
+    Equi-join on (user, cents) — far more selective than user alone —
+    with the time band as a residual filter; per-key pair cost is
+    quadratic only in same-amount repeats per user (≈1).  Exact
+    integer cents and microsecond gaps.
+    """
+    (events,) = prep(spark, sf_dir, "events")
+    p = (events.where(F.col("event_type") == "purchase")
+         .select("user_id", "event_id", "ts",
+                 F.round(F.col("value") * 100).cast("long").alias("cents"))
+         .localCheckpoint(eager=False))
+    a = p.select(F.col("user_id"), F.col("event_id").alias("first_charge"),
+                 F.col("ts").alias("ts_a"), "cents")
+    b = p.select(F.col("user_id").alias("ub"),
+                 F.col("event_id").alias("second_charge"),
+                 F.col("ts").alias("ts_b"), F.col("cents").alias("cb"))
+    gap = F.unix_micros("ts_b") - F.unix_micros("ts_a")
+    return (a.join(b, (a["user_id"] == b["ub"]) & (a["cents"] == b["cb"])
+                   & (a["ts_a"] <= b["ts_b"])
+                   & (a["first_charge"] < b["second_charge"])
+                   & (gap <= 43_200_000_000))
+            .select("user_id", "first_charge", "second_charge", "cents",
+                    gap.alias("gap_us")))
+
+
+_FIRSTLAST_ORACLE = """
+WITH clicks AS (
+  SELECT user_id, event_id AS click_id, ts AS c_ts
+  FROM events WHERE event_type = 'click'),
+purchases AS (
+  SELECT user_id, event_id AS purchase_id, ts AS p_ts,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'),
+joined AS (
+  SELECT p.purchase_id, p.cents, c.click_id, c.c_ts
+  FROM purchases p JOIN clicks c
+    ON c.user_id = p.user_id
+   AND c.c_ts < p.p_ts AND c.c_ts >= p.p_ts - INTERVAL 7 DAY),
+ranked AS (
+  SELECT purchase_id, cents, click_id,
+         ROW_NUMBER() OVER (PARTITION BY purchase_id
+                            ORDER BY c_ts, click_id) AS rf,
+         ROW_NUMBER() OVER (PARTITION BY purchase_id
+                            ORDER BY c_ts DESC, click_id DESC) AS rl,
+         COUNT(*) OVER (PARTITION BY purchase_id) AS n
+  FROM joined)
+SELECT purchase_id, cents,
+       MAX(CASE WHEN rf = 1 THEN click_id END) AS first_touch,
+       MAX(CASE WHEN rl = 1 THEN click_id END) AS last_touch,
+       CAST(MAX(n) AS BIGINT) AS n_touches
+FROM ranked GROUP BY purchase_id, cents
+"""
+
+
+@query("attribution_first_last", oracle=_FIRSTLAST_ORACLE)
+def attribution_first_last(spark, sf_dir):
+    """First-touch and last-touch attribution per purchase (7-day
+    click window) — the two bookend models next to
+    `attribution_linear` (equal split) and `attribution_time_decay`
+    (recency-weighted), so a user can compare all four policies on
+    identical joins.
+
+    min_by/max_by under the composite (ts, click_id) key are
+    deterministic AND map-side combinable — the whole attribution is
+    one banded join + one algebraic rollup, no window sort.
+    """
+    (events,) = prep(spark, sf_dir, "events")
+    clicks = (events.where(F.col("event_type") == "click")
+              .select("user_id", F.col("event_id").alias("click_id"),
+                      F.col("ts").alias("c_ts")))
+    purchases = (events.where(F.col("event_type") == "purchase")
+                 .select(F.col("user_id").alias("pu"),
+                         F.col("event_id").alias("purchase_id"),
+                         F.col("ts").alias("p_ts"),
+                         F.round(F.col("value") * 100).cast("long")
+                         .alias("cents")))
+    joined = clicks.join(
+        purchases,
+        (clicks["user_id"] == purchases["pu"])
+        & (clicks["c_ts"] < purchases["p_ts"])
+        & (clicks["c_ts"] >= purchases["p_ts"] - F.expr("INTERVAL 7 DAYS")))
+    seq = F.struct("c_ts", "click_id")
+    return (joined.groupBy("purchase_id", "cents")
+            .agg(F.min_by("click_id", seq).alias("first_touch"),
+                 F.max_by("click_id", seq).alias("last_touch"),
+                 F.count(F.lit(1)).alias("n_touches")))
