@@ -1394,3 +1394,64 @@ def join_size_prediction(spark, sf_dir):
             .select("predicted", "actual",
                     (F.col("predicted") == F.col("actual"))
                     .alias("exact_match")))
+
+
+_BASKETMIX_ORACLE = """
+WITH ob AS (
+  SELECT l.l_orderkey AS o, p.p_brand AS b, CAST(COUNT(*) AS BIGINT) AS c
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY 1, 2),
+g AS (
+  SELECT b, (SUM(c) * 1000000) // (SELECT SUM(c) FROM ob) AS g_ppm
+  FROM ob GROUP BY b),
+o_tot AS (SELECT o, SUM(c) AS n FROM ob GROUP BY o),
+terms AS (
+  SELECT ob.o,
+         ABS((ob.c * 1000000) // t.n - g.g_ppm) AS dev_ppm,
+         g.g_ppm
+  FROM ob JOIN o_tot t ON ob.o = t.o JOIN g ON ob.b = g.b)
+SELECT o AS orderkey,
+       SUM(dev_ppm) + (1000000 - SUM(g_ppm)) AS tv2_ppm
+FROM terms GROUP BY o
+ORDER BY tv2_ppm DESC, o
+LIMIT 20
+"""
+
+
+@query("basket_mix_outliers", oracle=_BASKETMIX_ORACLE)
+def basket_mix_outliers(spark, sf_dir):
+    """Basket-composition outliers: the 20 orders whose brand mix is
+    FURTHEST from the corpus-wide brand distribution (total-variation
+    x2, exact ppm) — reseller/fraud baskets and data glitches look
+    like this, normal shoppers don't.
+
+    The absent-brand algebra keeps it one pass: brands missing from
+    an order each contribute their full global share, and
+    Σ_absent g = 1e6 − Σ_present g — so NO per-order explosion over
+    the brand catalog, just |basket| present-brand terms plus one
+    closed-form remainder.  Global shares are a KB-scale broadcast;
+    top-20 rides TakeOrderedAndProject.
+    """
+    lineitem, part = prep(spark, sf_dir, "lineitem", "part")
+    ob = (lineitem.join(F.broadcast(part.select("p_partkey", "p_brand")),
+                        lineitem["l_partkey"] == part["p_partkey"])
+          .groupBy(F.col("l_orderkey").alias("o"),
+                   F.col("p_brand").alias("b"))
+          .agg(F.count(F.lit(1)).alias("c"))
+          .localCheckpoint(eager=False))
+    tot = ob.agg(F.sum("c").alias("t"))
+    g = (ob.groupBy("b").agg(F.sum("c").alias("bc"))
+         .crossJoin(F.broadcast(tot))
+         .select("b", F.expr("(bc * 1000000) div t").alias("g_ppm")))
+    w = Window.partitionBy("o")
+    terms = (ob.withColumn("n", F.sum("c").over(w))
+             .join(F.broadcast(g), "b")
+             .select("o",
+                     F.abs(F.expr("(c * 1000000) div n") - F.col("g_ppm"))
+                     .alias("dev_ppm"),
+                     "g_ppm"))
+    return (terms.groupBy(F.col("o").alias("orderkey"))
+            .agg((F.sum("dev_ppm") + (F.lit(1000000) - F.sum("g_ppm")))
+                 .alias("tv2_ppm"))
+            .orderBy(F.col("tv2_ppm").desc(), "orderkey")
+            .limit(20))
