@@ -1586,3 +1586,91 @@ def smoothed_supplier_reliability(spark, sf_dir):
                     F.expr("(late * 1000000) div n").alias("raw_ppm"),
                     F.expr(f"(late * 1000000 + {SHRINK_C} * global_ppm) "
                            f"div (n + {SHRINK_C})").alias("shrunk_ppm")))
+
+
+_SINGLESOURCE_ORACLE = """
+WITH per_part AS (
+  SELECT l_partkey,
+         CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+         SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS exposure_cents,
+         CAST(COUNT(*) AS BIGINT) AS n_lines
+  FROM lineitem GROUP BY l_partkey)
+SELECT l_partkey AS partkey, exposure_cents, n_lines
+FROM per_part WHERE n_suppliers = 1
+ORDER BY exposure_cents DESC, partkey
+LIMIT 20
+"""
+
+
+@query("single_source_parts", oracle=_SINGLESOURCE_ORACLE)
+def single_source_parts(spark, sf_dir):
+    """Supply-chain concentration risk: the 20 highest-revenue parts
+    bought from exactly ONE supplier — the single-source exposure list
+    a procurement team hedges first (complements
+    `supplier_reliability`'s per-vendor view with a per-PART view).
+
+    One map-side-combined part rollup (distinct-supplier count +
+    exposure), a selectivity filter, top-20 via
+    TakeOrderedAndProject.
+    """
+    (lineitem,) = prep(spark, sf_dir, "lineitem")
+    per_part = (lineitem.groupBy("l_partkey")
+                .agg(F.countDistinct("l_suppkey").alias("n_suppliers"),
+                     F.sum(F.round(F.col("l_extendedprice") * 100)
+                           .cast("long")).alias("exposure_cents"),
+                     F.count(F.lit(1)).alias("n_lines")))
+    return (per_part.where(F.col("n_suppliers") == 1)
+            .select(F.col("l_partkey").alias("partkey"),
+                    "exposure_cents", "n_lines")
+            .orderBy(F.col("exposure_cents").desc(), "partkey")
+            .limit(20))
+
+
+_PRICESPREAD_ORACLE = """
+WITH unit AS (
+  SELECT l_partkey, l_suppkey,
+         SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+           // SUM(CAST(l_quantity AS BIGINT)) AS unit_cents
+  FROM lineitem GROUP BY 1, 2),
+spread AS (
+  SELECT l_partkey,
+         CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+         MIN(unit_cents) AS min_unit_cents,
+         MAX(unit_cents) AS max_unit_cents
+  FROM unit GROUP BY l_partkey HAVING COUNT(*) >= 2)
+SELECT l_partkey AS partkey, n_suppliers, min_unit_cents, max_unit_cents,
+       ((max_unit_cents - min_unit_cents) * 1000000) // min_unit_cents
+         AS spread_ppm
+FROM spread WHERE min_unit_cents > 0
+ORDER BY spread_ppm DESC, partkey
+LIMIT 20
+"""
+
+
+@query("supplier_price_spread", oracle=_PRICESPREAD_ORACLE)
+def supplier_price_spread(spark, sf_dir):
+    """Procurement arbitrage: the 20 parts with the widest unit-price
+    spread across suppliers (spread over the cheapest, exact ppm) —
+    where switching vendors pays the most.
+
+    Floor-division unit prices per (part, supplier) from one rollup,
+    a per-part min/max rollup, top-20 — every exchange carries
+    dimension-scale rows.
+    """
+    (lineitem,) = prep(spark, sf_dir, "lineitem")
+    unit = (lineitem.groupBy("l_partkey", "l_suppkey")
+            .agg(F.expr("sum(CAST(ROUND(l_extendedprice * 100) AS BIGINT))"
+                        " div sum(CAST(l_quantity AS BIGINT))")
+                 .alias("unit_cents")))
+    spread = (unit.groupBy("l_partkey")
+              .agg(F.count(F.lit(1)).alias("n_suppliers"),
+                   F.min("unit_cents").alias("min_unit_cents"),
+                   F.max("unit_cents").alias("max_unit_cents"))
+              .where(F.col("n_suppliers") >= 2))
+    return (spread.where(F.col("min_unit_cents") > 0)
+            .select(F.col("l_partkey").alias("partkey"), "n_suppliers",
+                    "min_unit_cents", "max_unit_cents",
+                    F.expr("((max_unit_cents - min_unit_cents) * 1000000) "
+                           "div min_unit_cents").alias("spread_ppm"))
+            .orderBy(F.col("spread_ppm").desc(), "partkey")
+            .limit(20))
