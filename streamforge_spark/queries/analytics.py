@@ -1674,3 +1674,116 @@ def supplier_price_spread(spark, sf_dir):
                            "div min_unit_cents").alias("spread_ppm"))
             .orderBy(F.col("spread_ppm").desc(), "partkey")
             .limit(20))
+
+
+_EROSION_ORACLE = """
+WITH realized AS (
+  SELECT l_partkey,
+         SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+           // SUM(CAST(l_quantity AS BIGINT)) AS realized_unit_cents,
+         CAST(COUNT(*) AS BIGINT) AS n_lines
+  FROM lineitem GROUP BY l_partkey)
+SELECT r.l_partkey AS partkey,
+       CAST(ROUND(p.p_retailprice * 100) AS BIGINT) AS retail_cents,
+       r.realized_unit_cents, r.n_lines,
+       ((CAST(ROUND(p.p_retailprice * 100) AS BIGINT)
+         - r.realized_unit_cents) * 1000000)
+         // CAST(ROUND(p.p_retailprice * 100) AS BIGINT) AS erosion_ppm
+FROM realized r JOIN part p ON r.l_partkey = p.p_partkey
+WHERE ROUND(p.p_retailprice * 100) > 0
+ORDER BY erosion_ppm DESC, partkey
+LIMIT 20
+"""
+
+
+@query("price_erosion_ranking", oracle=_EROSION_ORACLE)
+def price_erosion_ranking(spark, sf_dir):
+    """Margin-erosion ranking: the 20 parts whose realized
+    (post-discount) unit price sits furthest below list price, in
+    exact ppm of retail — the pricing-team view of where discounts
+    actually land (q14 measures promo revenue share; this names the
+    SKUs bleeding margin).
+
+    One fact rollup (floor-division realized unit price), a broadcast
+    join onto the part dim, top-20 via TakeOrderedAndProject.
+    """
+    lineitem, part = prep(spark, sf_dir, "lineitem", "part")
+    realized = (lineitem.groupBy("l_partkey")
+                .agg(F.expr(
+                    "sum(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)"
+                    " AS BIGINT)) div sum(CAST(l_quantity AS BIGINT))")
+                    .alias("realized_unit_cents"),
+                    F.count(F.lit(1)).alias("n_lines")))
+    retail = F.round(F.col("p_retailprice") * 100).cast("long")
+    return (realized.join(F.broadcast(
+                part.select("p_partkey", retail.alias("retail_cents"))),
+                realized["l_partkey"] == F.col("p_partkey"))
+            .where(F.col("retail_cents") > 0)
+            .select(F.col("l_partkey").alias("partkey"), "retail_cents",
+                    "realized_unit_cents", "n_lines",
+                    F.expr("((retail_cents - realized_unit_cents) * 1000000)"
+                           " div retail_cents").alias("erosion_ppm"))
+            .orderBy(F.col("erosion_ppm").desc(), "partkey")
+            .limit(20))
+
+
+_BCG_ORACLE = """
+WITH rev AS (
+  SELECT p.p_brand AS brand,
+         o.o_orderdate >= TIMESTAMP '1995-06-01' AS is_h2,
+         CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)
+           AS cents
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN part p ON l.l_partkey = p.p_partkey),
+per AS (
+  SELECT brand,
+         SUM(cents) AS total_cents,
+         SUM(CASE WHEN is_h2 THEN cents ELSE 0 END) AS h2_cents,
+         SUM(CASE WHEN is_h2 THEN 0 ELSE cents END) AS h1_cents
+  FROM rev GROUP BY brand),
+tot AS (SELECT SUM(total_cents) AS t FROM per)
+SELECT brand,
+       (per.total_cents * 1000000) // tot.t AS share_ppm,
+       CASE WHEN per.h1_cents > 0
+            THEN (per.h2_cents * 1000000) // per.h1_cents END AS growth_ppm
+FROM per CROSS JOIN tot
+"""
+
+
+@query("brand_portfolio_matrix", oracle=_BCG_ORACLE)
+def brand_portfolio_matrix(spark, sf_dir):
+    """Portfolio (BCG-style) matrix source: per brand, revenue SHARE
+    (ppm of corpus) on one axis and GROWTH (second-half over
+    first-half revenue, ppm) on the other — the scatter behind
+    invest/divest reviews.
+
+    ONE three-way-join pass collapses to a |brands| rollup with
+    conditional half-period sums; the share normalizer is a one-row
+    broadcast.  Brands with no first-half revenue report NULL growth
+    (total formulation) rather than a division error.
+    """
+    lineitem, orders, part = prep(spark, sf_dir, "lineitem", "orders", "part")
+    rev = (lineitem
+           .join(orders.select("o_orderkey", "o_orderdate"),
+                 lineitem["l_orderkey"] == orders["o_orderkey"])
+           .join(F.broadcast(part.select("p_partkey", "p_brand")),
+                 lineitem["l_partkey"] == part["p_partkey"])
+           .select(F.col("p_brand").alias("brand"),
+                   (F.col("o_orderdate") >= "1995-06-01").alias("is_h2"),
+                   F.round(F.col("l_extendedprice")
+                           * (1 - F.col("l_discount")) * 100)
+                   .cast("long").alias("cents")))
+    per = (rev.groupBy("brand")
+           .agg(F.sum("cents").alias("total_cents"),
+                F.sum(F.when(F.col("is_h2"), F.col("cents")).otherwise(0))
+                .alias("h2_cents"),
+                F.sum(F.when(F.col("is_h2"), F.lit(0)).otherwise(F.col("cents")))
+                .alias("h1_cents")))
+    tot = per.agg(F.sum("total_cents").alias("t"))
+    return (per.crossJoin(F.broadcast(tot))
+            .select("brand",
+                    F.expr("(total_cents * 1000000) div t").alias("share_ppm"),
+                    F.when(F.col("h1_cents") > 0,
+                           F.expr("(h2_cents * 1000000) div h1_cents"))
+                    .alias("growth_ppm")))
