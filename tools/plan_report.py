@@ -89,6 +89,11 @@ TIMESERIES = [
     "repeat_purchase_intervals", "rolling_click_purchase_corr",
     "label_separation", "offset_continuity_audit",
     "percentile_bands_daily", "resurrection_rate_daily",
+    "session_gap_sensitivity", "stratified_did",
+    "double_charge_candidates", "attribution_first_last",
+    "basket_mix_outliers", "single_source_parts",
+    "supplier_price_spread", "price_erosion_ranking",
+    "brand_portfolio_matrix",
 ]
 
 
