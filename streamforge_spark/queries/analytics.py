@@ -1787,3 +1787,55 @@ def brand_portfolio_matrix(spark, sf_dir):
                     F.when(F.col("h1_cents") > 0,
                            F.expr("(h2_cents * 1000000) div h1_cents"))
                     .alias("growth_ppm")))
+
+
+_ASSORT_ORACLE = """
+WITH rev AS (
+  SELECT date_trunc('month', o.o_orderdate) AS month, l.l_partkey,
+         SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+             AS BIGINT)) AS cents
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT month, cents,
+         ROW_NUMBER() OVER (PARTITION BY month
+                            ORDER BY cents DESC, l_partkey) AS rn
+  FROM rev)
+SELECT month,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       SUM(cents) AS total_cents,
+       (SUM(CASE WHEN rn <= 10 THEN cents ELSE 0 END) * 1000000)
+         // SUM(cents) AS top10_share_ppm
+FROM ranked GROUP BY month
+"""
+
+
+@query("assortment_concentration_trend", oracle=_ASSORT_ORACLE)
+def assortment_concentration_trend(spark, sf_dir):
+    """Assortment concentration over time: each month's revenue share
+    captured by its OWN top-10 parts (exact ppm) — a rising curve
+    means the catalog is hollowing out into hits, the merchandising
+    signal `pareto_concentration` gives only as a whole-period
+    snapshot.
+
+    One (month, part) rollup, a per-month rank window, a month rollup
+    with a conditional top-10 sum — exchanges carry (months x parts)
+    rows, never raw facts.
+    """
+    from pyspark.sql import Window
+    lineitem, orders = prep(spark, sf_dir, "lineitem", "orders")
+    rev = (lineitem.join(orders.select("o_orderkey", "o_orderdate"),
+                         lineitem["l_orderkey"] == orders["o_orderkey"])
+           .groupBy(F.date_trunc("month", "o_orderdate").alias("month"),
+                    "l_partkey")
+           .agg(F.sum(F.round(F.col("l_extendedprice")
+                              * (1 - F.col("l_discount")) * 100).cast("long"))
+                .alias("cents")))
+    w = Window.partitionBy("month").orderBy(F.col("cents").desc(), "l_partkey")
+    ranked = rev.withColumn("rn", F.row_number().over(w))
+    return (ranked.groupBy("month")
+            .agg(F.count(F.lit(1)).alias("n_parts"),
+                 F.sum("cents").alias("total_cents"),
+                 F.expr("(sum(CASE WHEN rn <= 10 THEN cents ELSE 0 END)"
+                        " * 1000000) div sum(cents)")
+                 .alias("top10_share_ppm")))
