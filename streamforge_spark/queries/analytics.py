@@ -1839,3 +1839,56 @@ def assortment_concentration_trend(spark, sf_dir):
                  F.expr("(sum(CASE WHEN rn <= 10 THEN cents ELSE 0 END)"
                         " * 1000000) div sum(cents)")
                  .alias("top10_share_ppm")))
+
+
+_LATCV_ORACLE = """
+WITH lat AS (
+  SELECT l.l_suppkey,
+         CAST(datediff('day', CAST(o.o_orderdate AS DATE),
+                       CAST(l.l_shipdate AS DATE)) AS BIGINT) AS x
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+m AS (
+  SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(x) AS s, SUM(x * x) AS s2
+  FROM lat GROUP BY l_suppkey)
+SELECT l_suppkey AS suppkey, n AS n_lines,
+       s // n AS mean_latency_days,
+       ((n * s2 - s * s) * 1000000) // (s * s) AS cv2_ppm
+FROM m
+WHERE n >= 20 AND s > 0
+ORDER BY cv2_ppm DESC, suppkey
+LIMIT 20
+"""
+
+
+@query("supplier_latency_consistency", oracle=_LATCV_ORACLE)
+def supplier_latency_consistency(spark, sf_dir):
+    """Vendor CONSISTENCY ranking: the 20 suppliers with the most
+    erratic ship latency by squared coefficient of variation
+    (var/mean², exact ppm) — a vendor who is always 40 days late is
+    plannable; one who swings 5-80 days breaks every promise date
+    (`supplier_reliability` ranks the late, this ranks the
+    unpredictable).
+
+    cv² = (n·Σx² − S²)/S², all exact BIGINT from one map-side-
+    combined rollup; minimum 20 lines for stability; top-20 via
+    TakeOrderedAndProject.
+    """
+    lineitem, orders = prep(spark, sf_dir, "lineitem", "orders")
+    lat = (lineitem.join(orders.select("o_orderkey", "o_orderdate"),
+                         lineitem["l_orderkey"] == orders["o_orderkey"])
+           .select("l_suppkey",
+                   F.datediff(F.to_date("l_shipdate"),
+                              F.to_date("o_orderdate")).cast("long")
+                   .alias("x")))
+    m = (lat.groupBy("l_suppkey")
+         .agg(F.count(F.lit(1)).alias("n"), F.sum("x").alias("s"),
+              F.sum(F.col("x") * F.col("x")).alias("s2")))
+    return (m.where((F.col("n") >= 20) & (F.col("s") > 0))
+            .select(F.col("l_suppkey").alias("suppkey"),
+                    F.col("n").alias("n_lines"),
+                    F.expr("s div n").alias("mean_latency_days"),
+                    F.expr("((n * s2 - s * s) * 1000000) div (s * s)")
+                    .alias("cv2_ppm"))
+            .orderBy(F.col("cv2_ppm").desc(), "suppkey")
+            .limit(20))
