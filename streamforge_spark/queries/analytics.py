@@ -1892,3 +1892,89 @@ def supplier_latency_consistency(spark, sf_dir):
                     .alias("cv2_ppm"))
             .orderBy(F.col("cv2_ppm").desc(), "suppkey")
             .limit(20))
+
+
+_SPLITS_ORACLE = """
+WITH per_order AS (
+  SELECT l_orderkey, CAST(COUNT(DISTINCT l_shipdate) AS BIGINT) AS n_ship_days
+  FROM lineitem GROUP BY l_orderkey)
+SELECT n_ship_days,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       (COUNT(*) * 1000000) // (SELECT COUNT(*) FROM per_order) AS share_ppm
+FROM per_order GROUP BY n_ship_days
+"""
+
+
+@query("shipment_fragmentation", oracle=_SPLITS_ORACLE)
+def shipment_fragmentation(spark, sf_dir):
+    """Shipment fragmentation: how many distinct ship DATES each order
+    needed, as a distribution with exact ppm shares — every extra
+    shipment day is a box, a label, and a support ticket; the ops
+    lever is moving mass toward 1.
+
+    Two map-side-combined rollups (per-order distinct days, then the
+    distribution); the share normalizer is a one-row broadcast.
+    """
+    (lineitem,) = prep(spark, sf_dir, "lineitem")
+    per_order = (lineitem.groupBy("l_orderkey")
+                 .agg(F.countDistinct("l_shipdate").alias("n_ship_days"))
+                 .localCheckpoint(eager=False))
+    tot = per_order.agg(F.count(F.lit(1)).alias("t"))
+    return (per_order.groupBy("n_ship_days")
+            .agg(F.count(F.lit(1)).alias("n_orders"))
+            .crossJoin(F.broadcast(tot))
+            .select("n_ship_days", "n_orders",
+                    F.expr("(n_orders * 1000000) div t").alias("share_ppm")))
+
+
+_LATTREND_ORACLE = """
+WITH lat AS (
+  SELECT date_trunc('month', o.o_orderdate) AS month,
+         CAST(datediff('day', CAST(o.o_orderdate AS DATE),
+                       CAST(l.l_shipdate AS DATE)) AS BIGINT) AS d,
+         l.l_orderkey, l.l_linenumber
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+r AS (
+  SELECT month, d,
+         ROW_NUMBER() OVER (PARTITION BY month
+                            ORDER BY d, l_orderkey, l_linenumber) AS rn,
+         COUNT(*) OVER (PARTITION BY month) AS n
+  FROM lat)
+SELECT month,
+       MAX(CASE WHEN rn = CAST(CEIL(0.50 * n) AS BIGINT) THEN d END) AS p50_days,
+       MAX(CASE WHEN rn = CAST(CEIL(0.90 * n) AS BIGINT) THEN d END) AS p90_days,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM r GROUP BY month
+"""
+
+
+@query("fulfillment_latency_trend", oracle=_LATTREND_ORACLE)
+def fulfillment_latency_trend(spark, sf_dir):
+    """Monthly p50/p90 order-to-ship latency trend — the ops question
+    is never "what is p90" but "is p90 DRIFTING"; this is the
+    time-series the `fulfillment_business_days` snapshot feeds into.
+    Exact order statistics per month (deterministic composite order
+    key), one month-partitioned rank window.
+    """
+    from pyspark.sql import Window
+    lineitem, orders = prep(spark, sf_dir, "lineitem", "orders")
+    lat = (lineitem.join(orders.select("o_orderkey", "o_orderdate"),
+                         lineitem["l_orderkey"] == orders["o_orderkey"])
+           .select(F.date_trunc("month", "o_orderdate").alias("month"),
+                   F.datediff(F.to_date("l_shipdate"),
+                              F.to_date("o_orderdate")).cast("long").alias("d"),
+                   "l_orderkey", "l_linenumber"))
+    w = Window.partitionBy("month").orderBy("d", "l_orderkey", "l_linenumber")
+    wn = Window.partitionBy("month")
+    r = lat.select("month", "d",
+                   F.row_number().over(w).alias("rn"),
+                   F.count(F.lit(1)).over(wn).alias("n"))
+
+    def band(q):
+        return F.max(F.when(
+            F.col("rn") == F.ceil(F.lit(q) * F.col("n")).cast("long"),
+            F.col("d")))
+
+    return (r.groupBy("month")
+            .agg(band(0.50).alias("p50_days"), band(0.90).alias("p90_days"),
+                 F.count(F.lit(1)).alias("n_lines")))
