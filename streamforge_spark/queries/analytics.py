@@ -1978,3 +1978,69 @@ def fulfillment_latency_trend(spark, sf_dir):
     return (r.groupBy("month")
             .agg(band(0.50).alias("p50_days"), band(0.90).alias("p90_days"),
                  F.count(F.lit(1)).alias("n_lines")))
+
+
+_TRADE_ORACLE = """
+WITH flows AS (
+  SELECT s.s_nationkey AS supp_nation, c.c_nationkey AS cust_nation,
+         CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)
+           AS cents
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  WHERE s.s_nationkey <> c.c_nationkey),
+outb AS (SELECT supp_nation AS nation, SUM(cents) AS out_cents
+         FROM flows GROUP BY 1),
+inb AS (SELECT cust_nation AS nation, SUM(cents) AS in_cents
+        FROM flows GROUP BY 1)
+SELECT n.n_name AS nation,
+       COALESCE(o.out_cents, 0) AS exports_cents,
+       COALESCE(i.in_cents, 0) AS imports_cents,
+       COALESCE(o.out_cents, 0) - COALESCE(i.in_cents, 0) AS net_cents
+FROM nation n
+LEFT JOIN outb o ON n.n_nationkey = o.nation
+LEFT JOIN inb i ON n.n_nationkey = i.nation
+"""
+
+
+@query("nation_trade_balance", oracle=_TRADE_ORACLE)
+def nation_trade_balance(spark, sf_dir):
+    """Cross-nation trade balance: for each nation, revenue its
+    suppliers EXPORT (sold to foreign customers) vs its customers
+    IMPORT, and the net — the aggregate ledger q7's per-pair flows
+    roll up into.
+
+    ONE pass over the cross-nation flows (dims broadcast, only
+    lineitem⨝orders shuffles — the q7 plan), then two nation-sized
+    rollups joined onto the 25-row nation dim.
+    """
+    lineitem, orders, customer, supplier, nation = prep(
+        spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation")
+    flows = (lineitem
+             .join(orders.select("o_orderkey", "o_custkey"),
+                   lineitem["l_orderkey"] == orders["o_orderkey"])
+             .join(F.broadcast(customer.select("c_custkey", "c_nationkey")),
+                   orders["o_custkey"] == customer["c_custkey"])
+             .join(F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+                   lineitem["l_suppkey"] == supplier["s_suppkey"])
+             .where(F.col("s_nationkey") != F.col("c_nationkey"))
+             .select(F.col("s_nationkey").alias("supp_nation"),
+                     F.col("c_nationkey").alias("cust_nation"),
+                     F.round(F.col("l_extendedprice")
+                             * (1 - F.col("l_discount")) * 100).cast("long")
+                     .alias("cents"))
+             .localCheckpoint(eager=False))
+    outb = flows.groupBy(F.col("supp_nation").alias("nk")) \
+        .agg(F.sum("cents").alias("out_cents"))
+    inb = flows.groupBy(F.col("cust_nation").alias("nk")) \
+        .agg(F.sum("cents").alias("in_cents"))
+    return (nation.select(F.col("n_nationkey").alias("nk"),
+                          F.col("n_name").alias("nation"))
+            .join(F.broadcast(outb), "nk", "left")
+            .join(F.broadcast(inb), "nk", "left")
+            .select("nation",
+                    F.coalesce("out_cents", F.lit(0)).alias("exports_cents"),
+                    F.coalesce("in_cents", F.lit(0)).alias("imports_cents"),
+                    (F.coalesce("out_cents", F.lit(0))
+                     - F.coalesce("in_cents", F.lit(0))).alias("net_cents")))
