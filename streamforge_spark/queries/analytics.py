@@ -2044,3 +2044,39 @@ def nation_trade_balance(spark, sf_dir):
                     F.coalesce("in_cents", F.lit(0)).alias("imports_cents"),
                     (F.coalesce("out_cents", F.lit(0))
                      - F.coalesce("in_cents", F.lit(0))).alias("net_cents")))
+
+
+_MISSING_DAYS_ORACLE = """
+WITH bounds AS (
+  SELECT MIN(CAST(o_orderdate AS DATE)) AS d0,
+         MAX(CAST(o_orderdate AS DATE)) AS d1
+  FROM orders),
+grid AS (
+  SELECT CAST(UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM bounds),
+observed AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS day FROM orders)
+SELECT CAST(g.day AS TIMESTAMP) AS day
+FROM grid g LEFT JOIN observed o ON g.day = o.day
+WHERE o.day IS NULL
+"""
+
+
+@query("missing_order_days", oracle=_MISSING_DAYS_ORACLE)
+def missing_order_days(spark, sf_dir):
+    """ETL-hole detector: calendar days inside the table's own active
+    span with ZERO orders — for a feed that should never sleep, each
+    row is a lost batch / upstream outage to investigate (the batch
+    twin of the streaming `flow_silence_report`).
+
+    The grid generates from a one-row bounds aggregate (executor-side
+    sequence explode, same discipline as gap_fill_daily), anti-joined
+    against the distinct observed days — all dimension-scale after
+    the distinct-day rollup.
+    """
+    (orders,) = prep(spark, sf_dir, "orders")
+    bounds = orders.agg(F.min(F.to_date("o_orderdate")).alias("d0"),
+                        F.max(F.to_date("o_orderdate")).alias("d1"))
+    grid = bounds.select(F.explode(F.sequence("d0", "d1")).alias("day"))
+    observed = orders.select(F.to_date("o_orderdate").alias("day")).distinct()
+    return (grid.join(observed, "day", "left_anti")
+            .select(F.col("day").cast("timestamp").alias("day")))
