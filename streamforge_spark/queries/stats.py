@@ -1473,3 +1473,42 @@ def attribution_first_last(spark, sf_dir):
             .agg(F.min_by("click_id", seq).alias("first_touch"),
                  F.max_by("click_id", seq).alias("last_touch"),
                  F.count(F.lit(1)).alias("n_touches")))
+
+
+_ROUNDBIAS_ORACLE = """
+WITH v AS (
+  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(*) FILTER (WHERE cents % 100 = 0) AS BIGINT) AS n_round,
+       (COUNT(*) FILTER (WHERE cents % 100 = 0) * 1000000) // COUNT(*)
+         AS round_ppm,
+       (COUNT(*) FILTER (WHERE cents % 100 = 0) * 100 * 1000000) // COUNT(*)
+         AS lift_vs_uniform_ppm
+FROM v GROUP BY event_type
+"""
+
+
+@query("round_number_bias", oracle=_ROUNDBIAS_ORACLE)
+def round_number_bias(spark, sf_dir):
+    """Round-number bias: the share of whole-dollar values per event
+    type, with lift against the 1-in-100 uniform expectation (ppm) —
+    humans type round numbers, generators and organic processes
+    don't; manual-entry fraud and synthetic data both light this up
+    (the digit-pattern sibling of `benford_first_digit`).
+
+    Pure scan-side modulo + one rollup; exact floor-division ppm.
+    """
+    (events,) = prep(spark, sf_dir, "events")
+    v = events.select("event_type",
+                      F.round(F.col("value") * 100).cast("long").alias("cents"))
+    is_round = F.when(F.col("cents") % 100 == 0, 1)
+    return (v.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.count(is_round).alias("n_round"))
+            .select("event_type", "n_events", "n_round",
+                    F.expr("(n_round * 1000000) div n_events")
+                    .alias("round_ppm"),
+                    F.expr("(n_round * 100 * 1000000) div n_events")
+                    .alias("lift_vs_uniform_ppm")))
