@@ -1672,3 +1672,58 @@ def percentile_bands_daily(spark, sf_dir):
             .agg(band(0.10).alias("p10_cents"), band(0.50).alias("p50_cents"),
                  band(0.90).alias("p90_cents"),
                  F.count(F.lit(1)).alias("n_events")))
+
+
+_PACING_ORACLE = """
+WITH daily AS (
+  SELECT date_trunc('month', o_orderdate) AS month,
+         CAST(day(o_orderdate) AS BIGINT) AS dom,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1, 2),
+cum AS (
+  SELECT month, dom, cents,
+         SUM(cents) OVER (PARTITION BY month ORDER BY dom
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_cents,
+         SUM(cents) OVER (PARTITION BY month) AS m_total
+  FROM daily),
+paced AS (
+  SELECT dom, (cum_cents * 1000000) // m_total AS pace_ppm FROM cum)
+SELECT dom AS day_of_month,
+       CAST(COUNT(*) AS BIGINT) AS n_months,
+       SUM(pace_ppm) // COUNT(*) AS mean_cum_share_ppm
+FROM paced GROUP BY dom
+"""
+
+
+@query("revenue_pacing_curve", oracle=_PACING_ORACLE)
+def revenue_pacing_curve(spark, sf_dir):
+    """Intra-month revenue pacing: by day-of-month, the average
+    cumulative share of that month's revenue already booked (exact
+    ppm) — the curve finance tracks mid-month actuals against ("day
+    12 usually means 40% booked; we're at 31% — miss coming").
+
+    One (month, dom) rollup; per-month prefix sums partition by
+    month (parallel windows); the dom rollup averages across months
+    in floor-division ppm.
+    """
+    (orders,) = prep(spark, sf_dir, "orders")
+    daily = (orders.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month"),
+        F.dayofmonth("o_orderdate").cast("long").alias("dom"))
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+             .alias("cents")))
+    wc = (Window.partitionBy("month").orderBy("dom")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wm = Window.partitionBy("month")
+    paced = daily.select(
+        "dom",
+        F.expr("(sum(cents) over (partition by month order by dom "
+               "rows between unbounded preceding and current row) "
+               "* 1000000)").alias("_num"),
+        F.sum("cents").over(wm).alias("_tot")) \
+        .select("dom", F.expr("_num div _tot").alias("pace_ppm"))
+    return (paced.groupBy(F.col("dom").alias("day_of_month"))
+            .agg(F.count(F.lit(1)).alias("n_months"),
+                 F.expr("sum(pace_ppm) div count(*)")
+                 .alias("mean_cum_share_ppm")))

@@ -93,7 +93,10 @@ TIMESERIES = [
     "double_charge_candidates", "attribution_first_last",
     "basket_mix_outliers", "single_source_parts",
     "supplier_price_spread", "price_erosion_ranking",
-    "brand_portfolio_matrix",
+    "brand_portfolio_matrix", "assortment_concentration_trend",
+    "supplier_latency_consistency", "shipment_fragmentation",
+    "fulfillment_latency_trend", "nation_trade_balance",
+    "missing_order_days", "round_number_bias", "revenue_pacing_curve",
 ]
 
 
