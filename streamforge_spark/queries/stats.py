@@ -406,9 +406,12 @@ WHERE LEAST(s.s_hi, d.d_hi) - GREATEST(s.s_hi - s.amt, d.d_hi - d.amt) > 0
 @query("fifo_lot_matching", oracle=_FIFO_ORACLE)
 def fifo_lot_matching(spark, sf_dir):
     """FIFO lot matching: per user, allocate each purchase (demand)
-    against accumulated signup/click credits (supply lots) in strict
-    arrival order — the inventory-costing / payment-application
-    allocation, solved WITHOUT per-row iteration.
+    against signup/click credits (supply lots) in strict POSITIONAL
+    order — classic FIFO lot accounting: the j-th demanded unit
+    always matches the j-th supplied unit, so a demand arriving ahead
+    of its supply back-orders against the next lots (pinned by the
+    conservation property test).  The inventory-costing /
+    payment-application allocation, solved WITHOUT per-row iteration.
 
     The closed form: FIFO consumption is interval intersection of the
     two cumulative prefix sums — supply lot i covers [s_hi-amt, s_hi)

@@ -195,3 +195,86 @@ def test_cms_never_undercounts(spark):
     rows = cms_user_counts(spark, "/root/testdata/sf0.001").collect()
     assert len(rows) > 0
     assert all(r.overcount >= 0 for r in rows)
+
+
+@given(st.lists(st.integers(0, 100_000), min_size=1, max_size=300,
+                unique=True),
+       st.lists(st.integers(0, 100_000), min_size=1, max_size=300,
+                unique=True))
+@SLOW
+def test_bloom_prune_no_false_negatives(spark, members, probes):
+    # superset property must hold for ARBITRARY key sets, not just the
+    # crafted range test: every true member always survives pruning
+    from streamforge_spark.operators.bloomjoin import bloom_prune, bloom_words
+    m = 1 << 13
+    build = spark.createDataFrame([(k,) for k in members], "k long")
+    probe = spark.createDataFrame([(k,) for k in probes], "k long")
+    words = bloom_words(build, "k", m)
+    kept = {r.k for r in bloom_prune(probe, "k", words, m).collect()}
+    assert set(members) & set(probes) <= kept
+
+
+@given(st.lists(st.tuples(st.sampled_from(["s", "d"]),
+                          st.integers(1, 500)),
+                min_size=1, max_size=40))
+@SLOW
+def test_fifo_matching_conserves_quantity(spark, ops):
+    # per user: every demand's matched total == min(demand, supply
+    # available up to it) -- conservation, no double-allocation
+    from streamforge_spark.queries.common import prep  # noqa: F401
+    rows = [(1, i, BASE + timedelta(seconds=i), kind, amt)
+            for i, (kind, amt) in enumerate(ops)]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, kind string, amt long")
+    # reimplement the query's ledger inline on the synthetic frame
+    from pyspark.sql import Window
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    tagged = df.select(
+        "user_id", "event_id", "amt", (F.col("kind") == "s").alias("sup"),
+        F.sum(F.when(F.col("kind") == "s", F.col("amt")).otherwise(0))
+        .over(w).alias("s_cum"),
+        F.sum(F.when(F.col("kind") == "d", F.col("amt")).otherwise(0))
+        .over(w).alias("d_cum"))
+    s = tagged.where("sup").select(
+        F.col("event_id").alias("se"),
+        (F.col("s_cum") - F.col("amt")).alias("s_lo"),
+        F.col("s_cum").alias("s_hi"))
+    d = tagged.where(~F.col("sup")).select(
+        F.col("event_id").alias("de"),
+        (F.col("d_cum") - F.col("amt")).alias("d_lo"),
+        F.col("d_cum").alias("d_hi"))
+    matched = (s.crossJoin(d)
+               .where((F.col("s_lo") < F.col("d_hi"))
+                      & (F.col("d_lo") < F.col("s_hi")))
+               .select("de",
+                       (F.least("s_hi", "d_hi")
+                        - F.greatest("s_lo", "d_lo")).alias("m"))
+               .where(F.col("m") > 0)
+               .groupBy("de").agg(F.sum("m").alias("total")))
+    got = {r.de: r.total for r in matched.collect()}
+    # positional-FIFO spec (classic lot accounting, backorders match
+    # future lots): demand j covering cumulative units [d_lo, d_hi)
+    # is matched exactly where it overlaps total supply [0, S)
+    supply_total = sum(a for k, a in ops if k == "s")
+    d_seen = 0
+    for i, (kind, amt) in enumerate(ops):
+        if kind == "d":
+            want = max(0, min(d_seen + amt, supply_total) - d_seen)
+            assert got.get(i, 0) == want, (i, ops)
+            d_seen += amt
+
+
+@given(st.integers(0, 20000), st.integers(0, 500))
+@SLOW
+def test_business_day_formula_matches_bruteforce(spark, start, span):
+    # the closed-form weekday count must equal the day-by-day count
+    # for arbitrary [d1, d2) windows
+    from datetime import date, timedelta as td
+    d1 = date(1970, 1, 5) + td(days=start)
+    d2 = d1 + td(days=span)
+    brute = sum(1 for i in range(span)
+                if (d1 + td(days=i)).weekday() < 5)
+    f = lambda d: 5 * ((d - date(1970, 1, 5)).days // 7) \
+        + min((d - date(1970, 1, 5)).days % 7, 5)
+    assert f(d2) - f(d1) == brute
