@@ -278,3 +278,55 @@ def test_business_day_formula_matches_bruteforce(spark, start, span):
     f = lambda d: 5 * ((d - date(1970, 1, 5)).days // 7) \
         + min((d - date(1970, 1, 5)).days % 7, 5)
     assert f(d2) - f(d1) == brute
+
+
+@given(st.dictionaries(st.integers(0, 30), st.integers(0, 5), max_size=20),
+       st.dictionaries(st.integers(0, 30), st.integers(0, 5), max_size=20))
+@SLOW
+def test_table_diff_reconstructs_new_version(spark, old_map, new_map):
+    # applying the diff to OLD must reproduce NEW exactly: inserts
+    # added, deletes removed, updates replaced — I/U/D completeness
+    from streamforge_spark.operators.dedup import table_diff
+    old = spark.createDataFrame(
+        [(k, v) for k, v in old_map.items()] or [(None, None)],
+        "k long, v long").where(F.col("k").isNotNull())
+    new = spark.createDataFrame(
+        [(k, v) for k, v in new_map.items()] or [(None, None)],
+        "k long, v long").where(F.col("k").isNotNull())
+    d = table_diff(old, new, ["k"], ["v"]).collect()
+    rebuilt = dict(old_map)
+    for r in d:
+        if r.change_type == "DELETE":
+            rebuilt.pop(r.k, None)
+        else:
+            rebuilt[r.k] = r.new_v
+    assert rebuilt == new_map
+    # and no diff row is a no-op
+    for r in d:
+        if r.change_type == "UPDATE":
+            assert r.old_v != r.new_v
+
+
+@given(st.lists(st.integers(1, 1000), min_size=1, max_size=60))
+@SLOW
+def test_weighted_median_prefix_form_matches_bruteforce(spark, vals):
+    # the prefix-sum weighted median (weight == value) must equal the
+    # brute-force smallest x with cumweight >= total/2
+    from pyspark.sql import Window
+    df = spark.createDataFrame([(v,) for v in vals], "cents long")
+    wc = (Window.orderBy("cents", "cents")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    got = (df.select("cents", F.sum("cents").over(wc).alias("cw"),
+                     F.sum("cents").over(
+                         Window.partitionBy()).alias("tw"))
+           .where(2 * F.col("cw") >= F.col("tw"))
+           .agg(F.min("cents")).collect()[0][0])
+    s = sorted(vals)
+    total = sum(s)
+    cum = 0
+    for x in s:
+        cum += x
+        if 2 * cum >= total:
+            want = x
+            break
+    assert got == want
