@@ -330,3 +330,35 @@ def test_weighted_median_prefix_form_matches_bruteforce(spark, vals):
             want = x
             break
     assert got == want
+
+
+@given(st.lists(st.tuples(st.integers(0, 5000), st.booleans()),
+                min_size=2, max_size=200))
+@SLOW
+def test_two_phase_prefix_sum_equals_single_window(spark, rows):
+    # the bucketed two-phase ECDF decomposition (ks_value_drift's
+    # scale template) must equal the plain single-window cumsum for
+    # arbitrary value distributions and bucket boundaries
+    from pyspark.sql import Window
+    df = (spark.createDataFrame(rows, "cents long, early boolean")
+          .groupBy("cents")
+          .agg(F.sum(F.when(F.col("early"), 1).otherwise(0)).alias("n1"))
+          .withColumn("bucket", F.expr("cents DIV 7")))
+    plain = df.select(
+        "cents",
+        F.sum("n1").over(Window.orderBy("cents")
+                         .rowsBetween(Window.unboundedPreceding,
+                                      Window.currentRow)).alias("c1"))
+    w_in = (Window.partitionBy("bucket").orderBy("cents")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    within = df.withColumn("w1", F.sum("n1").over(w_in))
+    btot = df.groupBy("bucket").agg(F.sum("n1").alias("b1"))
+    w_b = (Window.orderBy("bucket")
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    offs = btot.withColumn("off1", F.sum("b1").over(w_b) - F.col("b1")) \
+        .select("bucket", "off1")
+    two_phase = (within.join(offs, "bucket")
+                 .select("cents", (F.col("off1") + F.col("w1")).alias("c1")))
+    a = {r.cents: r.c1 for r in plain.collect()}
+    b = {r.cents: r.c1 for r in two_phase.collect()}
+    assert a == b
