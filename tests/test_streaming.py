@@ -1029,3 +1029,39 @@ def test_streaming_bloom_dedup_never_forgets(spark, workdir):
     # coverage and full suppression of the 100 repeats
     assert len(emitted) >= 298
     assert sum(1 for k in emitted if k.startswith("k")) <= 200
+
+
+def test_streaming_histogram_under_rocksdb_matches_default(spark, workdir):
+    # the windowed drift histogram must be store-agnostic: RocksDB
+    # provider (the 100 TB configuration) == default HDFS-backed store
+    from streamforge_spark.io import load
+    from streamforge_spark.streaming.timeseries import streaming_value_histogram
+    events = load(spark, "/root/testdata/sf0.001", "events") \
+        .select("event_id", "ts", "event_type", "value")
+
+    def run(name, provider):
+        prev = spark.conf.get(
+            "spark.sql.streaming.stateStore.providerClass", None)
+        if provider:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", provider)
+        try:
+            src = f"{workdir}/{name}"
+            events.coalesce(1).write.mode("append").parquet(src)
+            stream = spark.readStream.schema(events.schema).parquet(src)
+            q = (streaming_value_histogram(stream)
+                 .writeStream.format("memory").queryName(name)
+                 .outputMode("update").start())
+            q.processAllAvailable()
+            q.stop()
+            return {(r.event_type, r.day, r.bucket, r.n)
+                    for r in spark.sql(f"select * from {name}").collect()}
+        finally:
+            if provider and prev:
+                spark.conf.set(
+                    "spark.sql.streaming.stateStore.providerClass", prev)
+
+    default = run("hist_default", None)
+    rocks = run("hist_rocks", "org.apache.spark.sql.execution.streaming."
+                "state.RocksDBStateStoreProvider")
+    assert default == rocks and len(default) > 50
