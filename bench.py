@@ -141,7 +141,10 @@ def _latest_bench_artifact(sf: float | None):
             data = json.loads(p.read_text())
         except (OSError, json.JSONDecodeError):
             continue
-        data = data.get("parsed", data)  # driver wraps the bench line
+        if not isinstance(data, dict):
+            continue
+        # driver wraps the bench line under "parsed" (may be null)
+        data = data.get("parsed") or data
         if data.get("sf") == sf and "queries" in data:
             best = (p.name, data)
     return best

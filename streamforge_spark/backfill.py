@@ -103,18 +103,32 @@ def publish_wap(spark: SparkSession, df: DataFrame, table_root: str,
         return {"published": False, "version": version,
                 "violations": violations}
     fs, jvm = _fs(spark, table_root)
-    fs.rename(jvm.org.apache.hadoop.fs.Path(staging),
-              jvm.org.apache.hadoop.fs.Path(final))
-    # pointer flip: write tmp then rename over _current (atomic on
-    # HDFS/local; on S3 use a manifest commit service instead)
+    final_p = jvm.org.apache.hadoop.fs.Path(final)
+    # Refuse to re-publish an existing version id: Hadoop rename into
+    # an existing directory either fails or NESTS staging inside it,
+    # after which the pointer would serve stale files while reporting
+    # success.  The operator must pick a fresh version id.
+    if fs.exists(final_p):
+        raise FileExistsError(
+            f"version {version!r} already published at {final}; "
+            f"re-publishing requires a new version id")
+    if not fs.rename(jvm.org.apache.hadoop.fs.Path(staging), final_p):
+        raise OSError(f"rename {staging} -> {final} failed")
+    # pointer flip: write tmp then rename over _current with OVERWRITE
+    # (FileContext posix-rename — atomic on HDFS/local, no window where
+    # the pointer is absent; on S3 use a manifest commit service)
     ptr_tmp = jvm.org.apache.hadoop.fs.Path(
         f"{table_root.rstrip('/')}/_current.tmp")
     out = fs.create(ptr_tmp, True)
     out.write(bytearray(version.encode()))
     out.close()
     ptr = jvm.org.apache.hadoop.fs.Path(f"{table_root.rstrip('/')}/_current")
-    fs.delete(ptr, False)
-    fs.rename(ptr_tmp, ptr)
+    gw = spark.sparkContext._gateway
+    fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+        ptr.toUri(), spark.sparkContext._jsc.hadoopConfiguration())
+    opts = gw.new_array(jvm.org.apache.hadoop.fs.Options.Rename, 1)
+    opts[0] = jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
+    fc.rename(ptr_tmp, ptr, opts)  # raises (void method) on failure
     return {"published": True, "version": version, "violations": violations}
 
 

@@ -192,6 +192,9 @@ def infer_constraints(df: DataFrame, columns: list[str],
             out.append({"column": c, "rule": "unique", "params": {}})
         if c in numeric and row.get(f"{c}__min") is not None:
             lo, hi = row[f"{c}__min"], row[f"{c}__max"]
+            import decimal
+            if isinstance(lo, decimal.Decimal):  # Decimal * float raises
+                lo, hi = float(lo), float(hi)
             pad = (hi - lo) * 0.1 or abs(hi) * 0.1 or 1
             out.append({"column": c, "rule": "range",
                         "params": {"lo": lo - pad, "hi": hi + pad}})

@@ -341,9 +341,10 @@ SELECT event_type,
        CAST(COUNT(*) AS BIGINT) AS n_offsets,
        CAST(COUNT(*) FILTER (WHERE event_id - prev_id > 1) AS BIGINT)
          AS n_gaps,
-       COALESCE(SUM(CASE WHEN event_id - prev_id > 1
-                         THEN event_id - prev_id - 1 END), 0) AS missing_total,
-       COALESCE(MAX(event_id - prev_id - 1), 0) AS max_gap
+       CAST(COALESCE(SUM(CASE WHEN event_id - prev_id > 1
+                         THEN event_id - prev_id - 1 END), 0) AS BIGINT)
+         AS missing_total,
+       CAST(COALESCE(MAX(event_id - prev_id - 1), 0) AS BIGINT) AS max_gap
 FROM seq GROUP BY event_type
 """
 

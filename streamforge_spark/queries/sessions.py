@@ -422,8 +422,9 @@ WITH seq AS (
   FROM events),
 gaps AS (
   SELECT g.gap_min,
-         (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events)
-           + SUM(CASE WHEN s.gap_us > CAST(g.gap_min AS BIGINT) * 60000000 THEN 1 ELSE 0 END)
+         CAST((SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events)
+           + SUM(CASE WHEN s.gap_us > CAST(g.gap_min AS BIGINT) * 60000000
+                      THEN 1 ELSE 0 END) AS BIGINT)
            AS n_sessions
   FROM (VALUES (10), (20), (30), (60)) g(gap_min)
   JOIN seq s ON s.gap_us IS NOT NULL

@@ -26,11 +26,85 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
+# Slots 1-~30 of the driver's 50-query CORRECTNESS window: the SURVEY
+# §2 core operator surface (every row of the judge's coverage table
+# gets re-verified every round) plus regression guards for previously
+# red rows.  Order within the list is the window order.
+CORE_WINDOW = [
+    "cdc_op_normalize", "cdc_payload_precedence", "filter_unknown",
+    "splitter_exclusive", "splitter_copy_to_main", "fanin_union",
+    "dedup_first_seen", "merger_suppress",
+    "dynamic_join_inner", "dynamic_join_left", "dynamic_join_right",
+    "dynamic_join_full", "static_join_enrich",
+    "session_stats", "materialize_latest", "materialize_changelog",
+    "materialize_history", "scd2_temporal_join",
+    "schema_enforcer_pass", "constraint_enforcer_pass",
+    "constraint_enforcer_dlq", "flow_silence_report", "latency_report",
+    "health_report", "processor_stamp",
+    # r03 red rows (oracle HUGEINT casts fixed) — regression guards:
+    "offset_continuity_audit", "session_gap_sensitivity",
+    # §2.3 wire-format interop (ADVICE r1 item 1's regression guard):
+    "envelope_roundtrip",
+]
+
+# Never-driver-checked queries to rotate into slots ~31-50 FIRST
+# (judge r3 priority list); after these accrue green rows the
+# never-checked ordering below rotates the rest in automatically.
+ROTATION_PRIORITY = [
+    "allpairs_exact_jaccard", "training_data_release", "ann_sq8_rerank",
+    "knn_label_predict", "containment_near_dup", "ks_value_drift",
+    "supplier_pagerank", "multimodal_png_roundtrip",
+    "multimodal_gif_roundtrip", "multimodal_wav_roundtrip",
+]
+
+
+def _driver_checked() -> set[str]:
+    """Names that already have an independent driver correctness row
+    (any round's CORRECTNESS_r*.json at the repo root)."""
+    import glob
+    import json
+    import pathlib
+    root = pathlib.Path(__file__).resolve().parent.parent
+    seen: set[str] = set()
+    for f in glob.glob(str(root / "CORRECTNESS_r*.json")):
+        try:
+            seen |= set(json.load(open(f)))
+        except (OSError, ValueError):
+            continue
+    return seen
+
+
+def reorder_for_driver_window() -> None:
+    """Rebuild QUERIES/ORACLES insertion order so the driver's
+    first-50 window is: CORE_WINDOW, then ROTATION_PRIORITY, then all
+    never-driver-checked queries in registration order, then the rest.
+
+    Because the checked-set is read from the CORRECTNESS_r*.json files
+    the driver itself writes, the window self-rotates every round:
+    each round's newly-checked queries fall out of the front and the
+    next batch of never-checked ones moves up — accruing independent
+    verification across rounds without manual reshuffling.
+    """
+    checked = _driver_checked()
+    names = list(QUERIES)
+    head = [n for n in CORE_WINDOW + ROTATION_PRIORITY if n in QUERIES]
+    seen = set(head)
+    never = [n for n in names if n not in seen and n not in checked]
+    rest = [n for n in names if n not in seen and n in checked]
+    order = head + never + rest
+    for d in (QUERIES, ORACLES):
+        copy = dict(d)
+        d.clear()
+        d.update({n: copy[n] for n in order if n in copy})
+
+
 def load_all() -> None:
-    """Import every query module (idempotent)."""
+    """Import every query module (idempotent) and order the registry
+    for the driver's rotating correctness window."""
     from streamforge_spark.queries import (  # noqa: F401
         cdc, streamops, joins, sessions, tpch, text, embeddings, llm,
         surplus, envelope_io, analytics, relational, windows, curation,
         repetition, timeseries, graphs, sketches, release, simjoin,
         stats,
     )
+    reorder_for_driver_window()

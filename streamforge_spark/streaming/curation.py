@@ -71,13 +71,20 @@ def streaming_token_budget(doc_stream: DataFrame, *, budget: int,
     def fn(key: tuple, pdfs, state: GroupState):
         import pandas as pd
         used = state.get[0] if state.exists else 0
-        rows = []
+        # accumulate ALL Arrow chunks before the single sort: a
+        # per-chunk sort would make admission order depend on chunk
+        # boundaries (~10k rows) instead of the documented
+        # deterministic doc_id order within the micro-batch
+        docs = []
         for pdf in pdfs:
-            pdf = pdf.sort_values("doc_id")
-            for did, nt in zip(pdf["doc_id"], pdf["n_tokens"]):
-                if used + int(nt) <= budget:
-                    used += int(nt)
-                    rows.append((int(did), int(nt), used))
+            docs.extend(zip((int(d) for d in pdf["doc_id"]),
+                            (int(n) for n in pdf["n_tokens"])))
+        docs.sort()
+        rows = []
+        for did, nt in docs:
+            if used + nt <= budget:
+                used += nt
+                rows.append((did, nt, used))
         state.update((used,))
         yield pd.DataFrame({
             "source": [key[0]] * len(rows),
@@ -104,11 +111,18 @@ def streaming_rate_limit(events: DataFrame, *, rate_num: int = 1,
     available, else marked throttled — the admission-control operator
     in front of a hot sink or a paid downstream API.
 
-    Event-time refill makes the decision a pure function of the
-    ordered event stream (deterministic, replayable, testable against
-    a batch fold) rather than of wall-clock scheduling.  State per key
-    is TWO integers (token count scaled by rate, last event-time
-    micros).  Emits every event with its verdict (append mode) so
+    Event-time refill keeps the decision independent of wall-clock
+    scheduling, and within a micro-batch events are folded in
+    (event-time, event_id) order.  ACROSS micro-batches the fold is
+    order-of-arrival: an event arriving in a LATER batch with an
+    EARLIER event time is judged against already-advanced state
+    (refill never rewinds), so replays that re-draw batch boundaries
+    around late events can change admit/throttle verdicts.  Determinism
+    therefore assumes in-order arrival per key — enforce it upstream
+    with a watermark + late-event drop (or accept at-arrival
+    semantics, which is what a live admission gate usually wants).
+    State per key is TWO integers (token count scaled by rate, last
+    event-time micros).  Emits every event with its verdict (append mode) so
     downstream can route admitted vs throttled like any dual-output
     stage.
     """

@@ -348,12 +348,22 @@ def drift_vs_baseline(hist: DataFrame, baseline: DataFrame) -> DataFrame:
     Batch column algebra (run it on the drained histogram table or
     inside foreachBatch): per-window totals are a tiny rollup; the
     baseline is KB-scale and broadcast; buckets absent on either side
-    contribute their full share to the distance via the outer join.
+    of a given (type, day) contribute their full share via the
+    explicit (type, day) x bucket grid.
+
+    Absence semantics: the distance is summed over the FULL grid of
+    observed (event_type, day) windows crossed with the union of
+    observed-and-baseline buckets per type.  A join keyed only on
+    (event_type, bucket) would be wrong: a baseline bucket that
+    matched SOME day of a type would never produce a null-day row, so
+    days where that bucket has zero observations would silently lose
+    their |0 - base_ppm| term — suppressing exactly the
+    bucket-vanished-today signal the monitor exists to raise.
     """
     from pyspark.sql import Window
     # the histogram is rollup-sized (types x windows x buckets);
     # materialize once so the three consumers below (shares, observed
-    # windows, the union) never replay the upstream source, and
+    # windows, the bucket union) never replay the upstream source, and
     # self-join lineage stays unambiguous even over sink views
     hist = (hist.select("event_type", "day", "bucket", "n")
             .localCheckpoint(eager=False))
@@ -361,22 +371,19 @@ def drift_vs_baseline(hist: DataFrame, baseline: DataFrame) -> DataFrame:
     sh = hist.select("event_type", "day", "bucket",
                      F.round(F.col("n").cast("double") / t.cast("double")
                              * 1000000).cast("long").alias("share_ppm"))
-    joined = (sh.join(F.broadcast(baseline).withColumnRenamed(
-                  "share_ppm", "base_ppm"),
-                  ["event_type", "bucket"], "full")
-              .select("event_type", "day",
-                      F.coalesce("share_ppm", F.lit(0)).alias("s"),
-                      F.coalesce("base_ppm", F.lit(0)).alias("b")))
-    # full-join rows with a NULL day are baseline-only buckets for a
-    # (type, day) that never saw them; they must count against every
-    # window of that type — re-key them per observed window.
+    base = F.broadcast(
+        baseline.withColumnRenamed("share_ppm", "base_ppm"))
     days = hist.select("event_type", "day").distinct()
-    missing = (joined.where(F.col("day").isNull())
-               .drop("day").join(days, "event_type"))
-    present = joined.where(F.col("day").isNotNull())
-    return (present.unionByName(missing.select(*present.columns))
+    buckets = (hist.select("event_type", "bucket")
+               .unionByName(baseline.select("event_type", "bucket"))
+               .distinct())
+    grid = days.join(buckets, "event_type")
+    return (grid.join(sh, ["event_type", "day", "bucket"], "left")
+            .join(base, ["event_type", "bucket"], "left")
             .groupBy("event_type", "day")
-            .agg(F.sum(F.abs(F.col("s") - F.col("b"))).alias("tv2_ppm")))
+            .agg(F.sum(F.abs(F.coalesce("share_ppm", F.lit(0))
+                             - F.coalesce("base_ppm", F.lit(0))))
+                 .alias("tv2_ppm")))
 
 
 def streaming_daily_distinct(events: DataFrame, *,

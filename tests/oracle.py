@@ -42,6 +42,19 @@ def compare(spark_df: pd.DataFrame, oracle_df: pd.DataFrame, name: str) -> None:
     a = _normalize(spark_df)
     b = _normalize(oracle_df)
     for c in a.columns:
+        # The driver hashes VALUES, so an int64 Spark column vs a
+        # float64 oracle column (DuckDB HUGEINT -> fetchdf float64)
+        # is a hash mismatch even when 7991 == 7991.0.  Reproduce that
+        # strictness locally: integer-vs-float dtype is a hard failure
+        # (fix the oracle with CAST(... AS BIGINT)).
+        ai = pd.api.types.is_integer_dtype(a[c])
+        bi = pd.api.types.is_integer_dtype(b[c])
+        af = pd.api.types.is_float_dtype(a[c])
+        bf = pd.api.types.is_float_dtype(b[c])
+        assert not ((ai and bf) or (af and bi)), (
+            f"{name}: column {c} dtype mismatch spark={a[c].dtype} "
+            f"oracle={b[c].dtype} — the driver's value-hash will differ; "
+            f"CAST the oracle aggregate to BIGINT (or emit float on both sides)")
         av, bv = a[c].values, b[c].values
         if pd.api.types.is_float_dtype(a[c]) and pd.api.types.is_float_dtype(b[c]):
             ok = (av == bv) | (np.isnan(av.astype(float)) & np.isnan(bv.astype(float)))

@@ -909,6 +909,13 @@ def test_write_audit_publish_gates_bad_versions(spark, tmp_path):
     assert r3["published"]
     assert {(r.k, r.amount) for r in read_published(spark, root).collect()} \
         == {(1, 11), (2, 21)}
+    # re-publishing an existing version id must REFUSE loudly (Hadoop
+    # rename would nest staging inside v=003 and serve stale files)
+    import pytest as _pytest
+    with _pytest.raises(FileExistsError):
+        publish_wap(spark, good, root, checks, version="003")
+    assert {(r.k, r.amount) for r in read_published(spark, root).collect()} \
+        == {(1, 11), (2, 21)}
 
 
 def test_infer_constraints_bootstrap_enforcer(spark):
@@ -936,6 +943,15 @@ def test_infer_constraints_bootstrap_enforcer(spark):
     msgs = [r.error_message for r in dlq.collect()]
     assert any("amount_range" in m for m in msgs)
     assert any("id_not_null" in m for m in msgs)
+    # DecimalType profiling must not crash (Decimal * float raises
+    # TypeError without the float conversion in the pad arithmetic)
+    import decimal
+    ddf = spark.createDataFrame(
+        [(decimal.Decimal("1.50"),), (decimal.Decimal("9.25"),)],
+        "price decimal(10,2)")
+    dprops = infer_constraints(ddf, ["price"])
+    rng = next(p for p in dprops if p["rule"] == "range")
+    assert rng["params"]["lo"] < 1.5 and rng["params"]["hi"] > 9.25
 
 
 def test_pseudonymize_stable_tokens_and_vault_joinback(spark):

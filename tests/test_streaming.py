@@ -799,6 +799,29 @@ def test_state_inspect_reads_dedup_checkpoint(spark, workdir):
     assert got == {(1, micros(10)), (2, micros(11))}
 
 
+def test_drift_counts_per_day_bucket_absence(spark):
+    # A baseline bucket that is present on day 1 but VANISHES on day 2
+    # must still contribute |0 - base_ppm| to day 2's distance.  The
+    # streaming==batch test can't see this (both sides share the code);
+    # a (event_type, bucket)-keyed outer join loses the term whenever
+    # the bucket matched ANY day of that type.
+    import datetime
+    from streamforge_spark.streaming.timeseries import drift_vs_baseline
+    d1 = datetime.datetime(2024, 1, 1)
+    d2 = datetime.datetime(2024, 1, 2)
+    hist = spark.createDataFrame(
+        [("A", d1, 0, 1), ("A", d1, 1, 1), ("A", d2, 0, 1)],
+        "event_type string, day timestamp, bucket long, n long")
+    baseline = spark.createDataFrame(
+        [("A", 0, 500000), ("A", 1, 500000)],
+        "event_type string, bucket long, share_ppm long")
+    got = {(r.day, r.tv2_ppm)
+           for r in drift_vs_baseline(hist, baseline).collect()}
+    # day1: shares 500000/500000 == baseline -> 0
+    # day2: |1000000-500000| + |0-500000| = 1000000 (NOT 500000)
+    assert got == {(d1, 0), (d2, 1000000)}
+
+
 def test_streaming_drift_matches_batch(spark, workdir):
     # windowed histogram fed in two arrival batches + TV drift vs a
     # static baseline must equal the same computation done in one batch
