@@ -54,20 +54,30 @@ def materializer_changelog(df: DataFrame, key_cols: Sequence[str],
     """
     is_del = delete_predicate if delete_predicate is not None else F.lit(False)
     w = Window.partitionBy(*key_cols).orderBy(*order_cols)
-    prev_val = F.lag(value_col).over(w)
-    prev_del = F.lag(is_del.cast("boolean")).over(w)
+    # Stage the two lag() columns EXPLICITLY before deriving anything
+    # from them.  Folding lags inline into the output expressions made
+    # Spark's window extraction (a) evaluate lag(value) three separate
+    # times and (b) push the derived key/after/ts projections BELOW the
+    # window exchange — shipping the payload twice (raw + derived) and
+    # doubling shuffle bytes.  With the lags staged, the exchange
+    # carries only key/order/value/time columns plus one boolean.
+    withw = (df.withColumn("_is_del", is_del.cast("boolean"))
+             .withColumn("_prev_val", F.lag(value_col).over(w))
+             .withColumn("_prev_del", F.lag("_is_del").over(w)))
     # 'before' image: null when no previous row or previous row deleted the state.
-    before = F.when(prev_del | prev_val.isNull(), F.lit(None)).otherwise(prev_val)
+    before = F.when(F.col("_prev_del") | F.col("_prev_val").isNull(),
+                    F.lit(None)).otherwise(F.col("_prev_val"))
     ctype = (
-        F.when(is_del, F.lit("DELETE"))
+        F.when(F.col("_is_del"), F.lit("DELETE"))
         .when(before.isNull(), F.lit("INSERT"))
         .otherwise(F.lit("UPDATE"))
     )
-    out = df.select(
+    out = withw.select(
         ctype.alias("change_type"),
         F.concat_ws("\x01", *key_cols).alias("key"),
         before.cast("string").alias("before"),
-        F.when(is_del, F.lit(None)).otherwise(F.col(value_col)).cast("string").alias("after"),
+        F.when(F.col("_is_del"), F.lit(None)).otherwise(F.col(value_col))
+        .cast("string").alias("after"),
         F.col(time_col).alias("ts"),
         *[F.col(c) for c in key_cols],
     )

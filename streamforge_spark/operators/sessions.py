@@ -61,17 +61,29 @@ def session_analyzer(df: DataFrame, key_col: str, time_col: str,
         total = (_duration_seconds(watermark or "0 seconds")
                  + _duration_seconds(allowed_lateness or "0 seconds"))
         df = df.withWatermark(time_col, f"{total} seconds")
-    return (
-        df.groupBy(F.col(key_col), F.session_window(F.col(time_col), gap))
-        .agg(
-            F.min(time_col).alias("session_start"),
-            F.max(time_col).alias("session_end"),
-            F.count(F.lit(1)).alias("event_count"),
-            (F.unix_micros(F.max(time_col)) - F.unix_micros(F.min(time_col)))
-            .alias("duration_us"),
-            *agg_exprs,
-        )
-        .drop("session_window")
+    # session_start/end are DERIVED from the merged session window
+    # (start == first event ts; end == last event ts + gap, exactly —
+    # microsecond-long arithmetic) instead of min/max aggregates: that
+    # removes two aggregation buffers from every partial-agg row the
+    # session exchange ships, which is pure overhead at 100 TB where
+    # most partial groups hold a single event.
+    gap_us = _duration_seconds(gap) * 1_000_000
+    end_ts = F.timestamp_micros(
+        F.unix_micros(F.col("session_window.end")) - F.lit(gap_us))
+    agged = df.groupBy(
+        F.col(key_col), F.session_window(F.col(time_col), gap)).agg(
+        F.count(F.lit(1)).alias("event_count"), *agg_exprs)
+    extra = [c for c in agged.columns
+             if c not in (key_col, "session_window", "event_count")]
+    return agged.select(
+        F.col(key_col),
+        F.col("session_window.start").alias("session_start"),
+        end_ts.alias("session_end"),
+        "event_count",
+        (F.unix_micros(end_ts)
+         - F.unix_micros(F.col("session_window.start")))
+        .alias("duration_us"),
+        *[F.col(c) for c in extra],
     )
 
 

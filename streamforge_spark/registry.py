@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
+RAW_ORACLES: dict[str, str] = {}  # as registered, before dtype-cast wrap
 
 
 def query(name: str, oracle: str | None = None):
@@ -21,9 +22,37 @@ def query(name: str, oracle: str | None = None):
     def deco(fn):
         QUERIES[name] = fn
         if oracle is not None:
+            RAW_ORACLES[name] = oracle
             ORACLES[name] = oracle
         return fn
     return deco
+
+
+def _apply_oracle_casts() -> None:
+    """Rebuild ORACLES from RAW_ORACLES, wrapping each oracle listed in
+    the generated dtype-cast map (queries/oracle_casts.py) so its
+    DuckDB result dtypes match the Spark result dtypes.
+
+    DuckDB widens BIGINT aggregates (SUM, integer arithmetic chains)
+    to HUGEINT/DECIMAL, which ``fetchdf`` hands to pandas as float64 —
+    while the equivalent Spark plan keeps int64.  The driver's
+    order-insensitive value-hash is dtype-sensitive (``7991`` !=
+    ``7991.0``), so every such column needs an explicit cast back.
+    Doing it centrally from one generated map (re-derived by
+    ``tools/gen_oracle_casts.py`` diffing actual result schemas) fixes
+    all columns of all oracles in one auditable mechanism instead of
+    286 hand-edited SQL strings.  Idempotent: always rebuilt from the
+    raw registered SQL.
+    """
+    from streamforge_spark.queries.oracle_casts import CASTS
+    for name, cols in CASTS.items():
+        raw = RAW_ORACLES.get(name)
+        if not raw or not cols:
+            continue
+        repl = ", ".join(f"CAST({c} AS {t}) AS {c}"
+                         for c, t in sorted(cols.items()))
+        ORACLES[name] = (f"SELECT * REPLACE ({repl})\n"
+                         f"FROM (\n{raw}\n) __oracle_cast")
 
 
 # Slots 1-~30 of the driver's 50-query CORRECTNESS window: the SURVEY
@@ -107,4 +136,5 @@ def load_all() -> None:
         repetition, timeseries, graphs, sketches, release, simjoin,
         stats,
     )
+    _apply_oracle_casts()
     reorder_for_driver_window()
