@@ -107,3 +107,82 @@ def theta_event_audiences(spark, sf_dir):
                           F.col(col).alias("est_users"))
         out = part if out is None else out.unionByName(part)
     return out
+
+
+_BLOOM_M = 65536
+
+_BLOOM_FP_ORACLE = f"""
+WITH keys AS (SELECT DISTINCT event_id AS k FROM events),
+pos AS (
+  SELECT k, CAST(('0x' || substr(md5('bp1:' || CAST(k AS VARCHAR)), 1, 15))
+                 AS BIGINT) % {_BLOOM_M} AS p FROM keys
+  UNION
+  SELECT k, CAST(('0x' || substr(md5('bp2:' || CAST(k AS VARCHAR)), 1, 15))
+                 AS BIGINT) % {_BLOOM_M} AS p FROM keys),
+cnt AS (SELECT p, COUNT(*) AS nk FROM pos GROUP BY p),
+shadow AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS shadowed_keys FROM (
+    SELECT k FROM pos JOIN cnt USING (p)
+    GROUP BY k HAVING MIN(nk) >= 2)),
+stats AS (
+  SELECT CAST(COUNT(DISTINCT k) AS BIGINT) AS n_keys,
+         CAST(COUNT(DISTINCT p) AS BIGINT) AS set_bits
+  FROM pos)
+SELECT n_keys, set_bits,
+       set_bits * set_bits * 1000000 // (CAST({_BLOOM_M} AS BIGINT) * {_BLOOM_M})
+         AS fp_ppm,
+       shadowed_keys
+FROM stats, shadow
+"""
+
+
+@query("bloom_fp_bound", oracle=_BLOOM_FP_ORACLE)
+def bloom_fp_bound(spark, sf_dir):
+    """Static false-positive audit of the streaming bloom dedup
+    (streaming/dedup.py::streaming_bloom_dedup): after inserting every
+    key into an m=65536-bit filter with 2 md5-derived hash positions,
+    report (a) the occupied-bit count and the resulting fresh-key
+    false-positive rate (set_bits/m)^2 in ppm, and (b) the number of
+    keys BOTH of whose positions are shared with other keys — the
+    keys that would be suppressed if they arrived after their
+    shadowers.  This is the batch twin the streaming operator's
+    "classic bloom rate" docstring promises, on the same table the
+    driver checks (VERDICT r3 item 6).
+
+    Position math is the cross-engine 60-bit md5 hash
+    (functions/simdedup.py::oracle_hash60), so the oracle is EXACT —
+    integer ppm via floor division, no floats anywhere.
+
+    Scale shape: distinct + two integer groupBys; position cardinality
+    is capped at m (65536) regardless of key count, so the poscnt
+    rollup is KB-scale at any data size.
+    """
+    from pyspark.sql import functions as F
+
+    from streamforge_spark.functions.simdedup import oracle_hash60
+    from streamforge_spark.queries.common import prep
+
+    (events,) = prep(spark, sf_dir, "events")
+    m = _BLOOM_M
+    keys = events.select(F.col("event_id").alias("k")).distinct()
+
+    def pos(salt):
+        return F.pmod(oracle_hash60(F.col("k").cast("string"), salt=salt),
+                      F.lit(m))
+
+    pos_df = (keys.select("k", pos("bp1").alias("p"))
+              .unionAll(keys.select("k", pos("bp2").alias("p")))
+              .distinct())
+    poscnt = pos_df.groupBy("p").agg(F.count(F.lit(1)).alias("nk"))
+    shadow = (pos_df.join(poscnt, "p")
+              .groupBy("k").agg(F.min("nk").alias("minnk"))
+              .where(F.col("minnk") >= 2)
+              .agg(F.count(F.lit(1)).alias("shadowed_keys")))
+    stats = pos_df.agg(F.countDistinct("k").alias("n_keys"),
+                       F.countDistinct("p").alias("set_bits"))
+    return (stats.crossJoin(shadow)
+            .select("n_keys", "set_bits",
+                    F.expr(f"set_bits * set_bits * 1000000L "
+                           f"div (CAST({m} AS BIGINT) * {m})")
+                    .alias("fp_ppm"),
+                    "shadowed_keys"))

@@ -84,6 +84,7 @@ ROTATION_PRIORITY = [
     "knn_label_predict", "containment_near_dup", "ks_value_drift",
     "supplier_pagerank", "multimodal_png_roundtrip",
     "multimodal_gif_roundtrip", "multimodal_wav_roundtrip",
+    "bloom_fp_bound",
 ]
 
 

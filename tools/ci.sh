@@ -8,6 +8,8 @@ echo "== unit + streaming + oracle parity (sf0.001) =="
 python -m pytest tests/ -x -q
 echo "== full oracle parity at driver scale (sf0.01) =="
 STREAMFORGE_PARITY_SF=/root/testdata/sf0.01 python -m pytest tests/test_oracle_parity.py -q
+echo "== oracle dtype-cast map current (HUGEINT drift lint) =="
+python tools/gen_oracle_casts.py --check
 echo "== physical-plan audit (PLANS.md) =="
 python tools/plan_report.py
 echo "== measured shuffle volumes (SHUFFLE.md) =="
