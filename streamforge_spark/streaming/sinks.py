@@ -214,13 +214,129 @@ def foreach_batch_es_upsert(df: DataFrame, target_path: str, checkpoint: str,
     semantics ES gives via `_id`-addressed index requests, expressed
     through the same partition-scoped upsert sink. Replays overwrite
     the same document ids, so at-least-once delivery is effectively
-    once. With a live cluster, swap the storage half for
-    ``format('es').option('es.mapping.id', id_col)`` per batch; the
-    batch function (latest-per-id reduction) is unchanged."""
+    once.  For the REAL wire protocol use
+    :func:`foreach_batch_es_bulk`, which speaks the chunked ``_bulk``
+    ndjson API over HTTP from the executors (integration-tested
+    against an in-process bulk endpoint in tests/test_es_sink.py);
+    this parquet-backed variant remains for offline/file targets."""
     return foreach_batch_upsert(
         df, target_path, key_cols=[id_col],
         order_cols=time_cols or ["processed_time"],
         checkpoint=checkpoint, trigger_seconds=trigger_seconds)
+
+
+def es_bulk_writer(url: str, index: str, id_col: str,
+                   op_col: str | None = None, delete_value: str = "delete",
+                   chunk_docs: int = 500, max_retries: int = 4,
+                   backoff_s: float = 0.5):
+    """Partition-level Elasticsearch ``_bulk`` writer (pure stdlib
+    HTTP, runs ON THE EXECUTORS — the driver never sees a document).
+
+    Mirrors ElasticsearchSinkBuilder.java: document ``_id`` = the id
+    column (so replays overwrite, at-least-once becomes effectively
+    once), DELETE ops become bulk ``delete`` actions, requests are
+    chunked at ``chunk_docs`` actions (the reference's 500-doc flush,
+    ElasticsearchSinkBuilder.java bulk settings), and retryable
+    statuses (429/5xx, connection resets) back off and retry; a
+    response with ``"errors": true`` raises so the micro-batch fails
+    and replays rather than dropping documents silently.
+
+    At 1000 executors this fans the index traffic out per partition —
+    size partitions so chunk_docs * doc_size fits the ES http limit,
+    and cap parallelism with the stream's shuffle partitioning, not a
+    driver-side collect.
+    """
+    def write_partition(rows) -> None:
+        import json as _json
+        import time as _time
+        import urllib.error
+        import urllib.request
+
+        buf: list[str] = []
+        n_actions = 0
+
+        def flush() -> None:
+            nonlocal n_actions
+            if not buf:
+                return
+            body = ("\n".join(buf) + "\n").encode()
+            req = urllib.request.Request(
+                f"{url.rstrip('/')}/_bulk", data=body,
+                headers={"Content-Type": "application/x-ndjson"})
+            for attempt in range(max_retries):
+                try:
+                    with urllib.request.urlopen(req, timeout=30) as r:
+                        resp = _json.load(r)
+                    if resp.get("errors"):
+                        # a replayed delete of an already-deleted doc
+                        # reports item status 404 — that is the
+                        # idempotent outcome, not a failure
+                        bad = [it for it in resp.get("items", [])
+                               if next(iter(it.values())).get("status", 200)
+                               >= 300
+                               and not ("delete" in it
+                                        and it["delete"].get("status")
+                                        == 404)][:3]
+                        if bad:
+                            raise RuntimeError(f"_bulk item failures: {bad}")
+                    break
+                except urllib.error.HTTPError as e:
+                    if e.code not in (429, 502, 503, 504) \
+                            or attempt == max_retries - 1:
+                        raise
+                    _time.sleep(backoff_s * (2 ** attempt))
+                except urllib.error.URLError:
+                    if attempt == max_retries - 1:
+                        raise
+                    _time.sleep(backoff_s * (2 ** attempt))
+            buf.clear()
+            n_actions = 0
+
+        for row in rows:
+            d = row.asDict(recursive=True)
+            doc_id = str(d[id_col])
+            if op_col is not None and d.get(op_col) == delete_value:
+                buf.append(_json.dumps(
+                    {"delete": {"_index": index, "_id": doc_id}}))
+            else:
+                buf.append(_json.dumps(
+                    {"index": {"_index": index, "_id": doc_id}}))
+                buf.append(_json.dumps(d, default=str))
+            n_actions += 1
+            if n_actions >= chunk_docs:
+                flush()
+        flush()
+
+    return write_partition
+
+
+def foreach_batch_es_bulk(df: DataFrame, url: str, index: str,
+                          checkpoint: str, id_col: str = "trace_id",
+                          order_cols: list[str] | None = None,
+                          op_col: str | None = None,
+                          trigger_seconds: int | None = None):
+    """ElasticsearchSinkBuilder over real HTTP: per micro-batch,
+    reduce to the latest row per document id (so one replayed batch
+    cannot interleave stale versions), then stream each partition
+    through the chunked ``_bulk`` writer.  Idempotent under replay
+    because the document id addresses the write."""
+    from pyspark.sql import Window
+
+    order = order_cols or ["processed_time"]
+
+    def fn(batch: DataFrame, _bid: int) -> None:
+        w = Window.partitionBy(id_col).orderBy(
+            *[F.col(c).desc() for c in order])
+        latest = (batch.withColumn("_rn", F.row_number().over(w))
+                  .filter(F.col("_rn") == 1).drop("_rn"))
+        latest.foreachPartition(
+            es_bulk_writer(url, index, id_col, op_col=op_col))
+
+    writer = (df.writeStream.outputMode("update").foreachBatch(fn)
+              .option("checkpointLocation", checkpoint))
+    if trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer
 
 
 def parquet_sink(df: DataFrame, path: str, checkpoint: str,

@@ -1,0 +1,93 @@
+"""Elasticsearch bulk sink over real HTTP (tests/es_stub.py).
+
+Closes VERDICT r3 item 7: the ES sink is no longer a parquet
+stand-in — ``es_bulk_writer`` speaks the actual ``_bulk`` ndjson
+protocol from the executors, and these tests drive it end-to-end
+against an in-process HTTP server: upsert-by-_id idempotence,
+tombstone deletes (including replayed delete-of-missing), chunked
+flushes, and 503 retry with backoff.
+"""
+
+import datetime
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from tests.es_stub import EsStub
+
+
+def _rows(spark, data):
+    return spark.createDataFrame(
+        data, "trace_id string, processed_time timestamp, "
+              "operation string, v long")
+
+
+T0 = datetime.datetime(2024, 1, 1, 10, 0)
+T1 = datetime.datetime(2024, 1, 1, 10, 1)
+
+
+def test_es_bulk_upsert_delete_idempotent_replay(spark):
+    from streamforge_spark.streaming.sinks import es_bulk_writer
+
+    batch = _rows(spark, [
+        ("a", T0, "insert", 1),
+        ("a", T1, "update", 2),      # later version of a
+        ("b", T0, "insert", 10),
+        ("c", T0, "delete", 0),      # delete of a doc never indexed
+    ])
+    with EsStub() as es:
+        writer = es_bulk_writer(es.url, "traces", "trace_id",
+                                op_col="operation", backoff_s=0.05)
+        latest = (batch.withColumn(
+            "_rn", F.row_number().over(
+                Window.partitionBy("trace_id")
+                .orderBy(F.col("processed_time").desc())))
+            .filter("_rn = 1").drop("_rn"))
+        rows = latest.collect()
+        writer(iter(rows))
+        assert es.docs[("traces", "a")]["v"] == 2     # latest version won
+        assert es.docs[("traces", "b")]["v"] == 10
+        assert ("traces", "c") not in es.docs
+        # replay the SAME batch (at-least-once delivery): state unchanged,
+        # and the replayed delete-of-missing (404 item) must not raise
+        writer(iter(rows))
+        assert {k[1] for k in es.docs} == {"a", "b"}
+        assert es.docs[("traces", "a")]["v"] == 2
+
+
+def test_es_bulk_chunked_flush_and_retry(spark):
+    from streamforge_spark.streaming.sinks import es_bulk_writer
+
+    n = 25
+    batch = _rows(spark, [(f"t{i}", T0, "insert", i) for i in range(n)])
+    with EsStub(fail_first=2) as es:   # first two requests answer 503
+        writer = es_bulk_writer(es.url, "traces", "trace_id",
+                                chunk_docs=10, backoff_s=0.05)
+        writer(iter(batch.collect()))
+        # all docs landed despite the 503s, over multiple chunks
+        assert len(es.docs) == n
+        assert es.docs[("traces", "t7")]["v"] == 7
+        # 25 docs / 10-doc chunks = 3 successful posts + 2 failed = 5
+        assert es.requests == 5
+
+
+def test_es_bulk_streaming_foreach_batch(spark, tmp_path):
+    from streamforge_spark.streaming.sinks import foreach_batch_es_bulk
+
+    src = str(tmp_path / "es_src")
+    batch = _rows(spark, [("a", T0, "insert", 1), ("b", T0, "insert", 2)])
+    batch.write.mode("append").parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    with EsStub() as es:
+        q = foreach_batch_es_bulk(
+            stream, es.url, "traces", str(tmp_path / "es_ckpt"),
+            id_col="trace_id", order_cols=["processed_time"],
+            op_col="operation").start()
+        q.processAllAvailable()
+        # second micro-batch: update a, delete b
+        _rows(spark, [("a", T1, "update", 5), ("b", T1, "delete", 0)]) \
+            .write.mode("append").parquet(src)
+        q.processAllAvailable()
+        q.stop()
+        assert es.docs[("traces", "a")]["v"] == 5
+        assert ("traces", "b") not in es.docs
