@@ -265,3 +265,96 @@ def rfm_segments(spark, sf_dir):
                  F.col("f_score").cast("string"),
                  F.col("m_score").cast("string")).alias("segment"),
         "n_orders", "spend_cents")
+
+
+_WINNOW_K = 8    # k-gram length (chars)
+_WINNOW_W = 4    # window of consecutive k-gram hashes
+
+_WINNOW_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, text FROM documents WHERE length(text) >= {_WINNOW_K}),
+pos AS (
+  SELECT doc_id, text,
+         unnest(generate_series(1, length(text) - {_WINNOW_K} + 1)) AS p
+  FROM base),
+hashed AS (
+  SELECT doc_id, p,
+         {hash60_sql(f"substr(text, p, {_WINNOW_K})", "'wk'")} AS h
+  FROM pos),
+win AS (
+  SELECT doc_id,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY p
+                      ROWS BETWEEN CURRENT ROW
+                      AND {_WINNOW_W - 1} FOLLOWING) AS f,
+         COUNT(*) OVER (PARTITION BY doc_id ORDER BY p
+                        ROWS BETWEEN CURRENT ROW
+                        AND {_WINNOW_W - 1} FOLLOWING) AS c
+  FROM hashed),
+sel AS (SELECT DISTINCT doc_id, f FROM win WHERE c = {_WINNOW_W}),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(COUNT(*) AS BIGINT) AS shared
+  FROM sel a JOIN sel b ON a.f = b.f AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+SELECT doc_a, doc_b, shared FROM pairs
+"""
+
+
+@query("winnow_near_dup", oracle=_WINNOW_ORACLE)
+def winnow_near_dup(spark, sf_dir):
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every k=8-char gram, keep
+    the MINIMUM hash of each w=4 window of consecutive grams, and
+    report document pairs sharing >= 3 selected fingerprints.
+
+    Why this beats the fixed-stride rolling hash (`doc_fingerprint`):
+    winnowing GUARANTEES any shared substring of length >= w+k-1 = 11
+    chars contributes a common fingerprint regardless of alignment —
+    insertion of one char upstream shifts strides but not window
+    minima.  Complements MinHash/SimHash (set similarity) with
+    contiguous-substring evidence, the signal used for contamination
+    and clone detection.
+
+    Scale shape: the char-gram explode is len(text)x rows but stays
+    PARTITION-LOCAL (hash + per-doc window min, no text in any
+    exchange); the only shuffle is the (doc_id, fingerprint) pair
+    list into the equi-join — 16 bytes/row, the same inverted-index
+    shape as `dedup_ngram_jaccard`.  At 100 TB add a band-limit on
+    posting length (drop fingerprints appearing in > T docs, like the
+    LSH bucket cap) before the join.
+
+    Exactness: hash60 char-gram hashes on both engines; window frames
+    are ROWS-based (no peer ambiguity); MIN over BIGINT; pair counts
+    via integer COUNT.
+    """
+    from pyspark.sql import Window
+
+    (docs,) = prep(spark, sf_dir, "documents")
+    k, w = _WINNOW_K, _WINNOW_W
+    base = (spread_for_compute(docs, "doc_id")
+            .select("doc_id", "text")
+            .where(F.length("text") >= k))
+    pos = base.select(
+        "doc_id", "text",
+        F.explode(F.sequence(F.lit(1),
+                             F.length("text") - k + 1)).alias("p"))
+    hashed = pos.select(
+        "doc_id", "p",
+        oracle_hash60(F.expr(f"substring(text, p, {k})"),
+                      salt="wk").alias("h"))
+    frame = (Window.partitionBy("doc_id").orderBy("p")
+             .rowsBetween(Window.currentRow, w - 1))
+    sel = (hashed.select(
+        "doc_id",
+        F.min("h").over(frame).alias("f"),
+        F.count(F.lit(1)).over(frame).alias("c"))
+        .where(F.col("c") == w)
+        .select("doc_id", "f").distinct())
+    a = sel.alias("a")
+    b = sel.alias("b")
+    return (a.join(b, (F.col("a.f") == F.col("b.f"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .groupBy(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"))
+            .agg(F.count(F.lit(1)).alias("shared"))
+            .where(F.col("shared") >= 3))
