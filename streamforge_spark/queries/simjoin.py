@@ -349,7 +349,10 @@ def winnow_near_dup(spark, sf_dir):
         F.min("h").over(frame).alias("f"),
         F.count(F.lit(1)).over(frame).alias("c"))
         .where(F.col("c") == w)
-        .select("doc_id", "f").distinct())
+        .select("doc_id", "f").distinct()
+        # both sides of the self-join read this: pin it so the
+        # char-gram explode runs once, not twice
+        .localCheckpoint(eager=False))
     a = sel.alias("a")
     b = sel.alias("b")
     return (a.join(b, (F.col("a.f") == F.col("b.f"))

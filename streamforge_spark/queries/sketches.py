@@ -170,9 +170,12 @@ def bloom_fp_bound(spark, sf_dir):
         return F.pmod(oracle_hash60(F.col("k").cast("string"), salt=salt),
                       F.lit(m))
 
+    # three consumers (poscnt, shadow, stats) — pin the rollup so the
+    # fact scan happens once, not six times (union doubles each reuse)
     pos_df = (keys.select("k", pos("bp1").alias("p"))
               .unionAll(keys.select("k", pos("bp2").alias("p")))
-              .distinct())
+              .distinct()
+              .localCheckpoint(eager=False))
     poscnt = pos_df.groupBy("p").agg(F.count(F.lit(1)).alias("nk"))
     shadow = (pos_df.join(poscnt, "p")
               .groupBy("k").agg(F.min("nk").alias("minnk"))
