@@ -707,3 +707,76 @@ def mixture_temperature_weights(spark, sf_dir):
                     F.expr("(w_micro * 1000000) div total").alias("weight_ppm"),
                     F.expr(f"({MIX_TEMP_BUDGET} * w_micro) div total")
                     .alias("quota_tokens")))
+
+
+PACK_CHUNK_TOKENS = 2048
+
+_PACK_CHUNK_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+  FROM documents),
+c AS (
+  SELECT source, n,
+         SUM(n) OVER (PARTITION BY source ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM d),
+p AS (SELECT source, n, cum - n AS s, cum - 1 AS e FROM c WHERE n > 0)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n) AS BIGINT) AS total_tokens,
+       (CAST(SUM(n) AS BIGINT) + {PACK_CHUNK_TOKENS - 1})
+         // {PACK_CHUNK_TOKENS} AS n_chunks,
+       CAST(COUNT(*) FILTER (WHERE s // {PACK_CHUNK_TOKENS}
+                             <> e // {PACK_CHUNK_TOKENS}) AS BIGINT)
+         AS split_docs,
+       ((CAST(SUM(n) AS BIGINT) + {PACK_CHUNK_TOKENS - 1})
+         // {PACK_CHUNK_TOKENS}) * {PACK_CHUNK_TOKENS}
+         - CAST(SUM(n) AS BIGINT) AS tail_waste
+FROM p GROUP BY source
+"""
+
+
+@query("pack_chunk_stats", oracle=_PACK_CHUNK_ORACLE)
+def pack_chunk_stats(spark, sf_dir):
+    """Sequence-packing audit for LLM pretraining: concatenate each
+    source's token stream in doc_id order and split it into fixed
+    2048-token training chunks (the concat-and-chunk packing real
+    pretraining pipelines use), reporting per source the chunk count,
+    how many documents straddle a chunk boundary (their loss masks
+    span two samples), and the tail waste of the final partial chunk.
+
+    Deterministic and engine-exact: doc order is doc_id, token counts
+    are whitespace splits (the repo's standard token coin), every
+    statistic is integer arithmetic on a prefix sum — a doc occupies
+    global token positions [cum-n, cum-1], so it splits iff the two
+    ends land in different floor-div chunks.
+
+    Scale shape: one token-count projection on the scan (text never
+    shuffles), one hash exchange on source for the prefix-sum window,
+    then an algebraic groupBy.  A monster source range-partitions the
+    prefix sum with per-chunk carry-ins exactly like ks_value_drift's
+    two-phase form; the output is one row per source.
+    """
+    from streamforge_spark.functions.text import token_count
+    (docs,) = prep(spark, sf_dir, "documents")
+    C = PACK_CHUNK_TOKENS
+    d = docs.select("doc_id", "source",
+                    token_count(F.col("text")).alias("n"))
+    w = (Window.partitionBy("source").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    p = (d.withColumn("cum", F.sum("n").over(w))
+         .where(F.col("n") > 0)
+         .select("source", "n",
+                 (F.col("cum") - F.col("n")).alias("s"),
+                 (F.col("cum") - 1).alias("e")))
+    total = F.sum("n")
+    n_chunks = F.expr(f"(sum(n) + {C - 1}) div {C}")
+    return (p.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 total.alias("total_tokens"),
+                 n_chunks.alias("n_chunks"),
+                 F.count(F.when(F.expr(f"s div {C}") != F.expr(f"e div {C}"),
+                                1)).alias("split_docs"),
+                 (n_chunks * C - total).alias("tail_waste")))

@@ -183,3 +183,75 @@ def streaming_rate_limit(events: DataFrame, *, rate_num: int = 1,
     return prepared.groupBy("user_id").applyInPandasWithState(
         fn, outputStructType=out_schema, stateStructType=state_schema,
         outputMode="append", timeoutConf=GroupStateTimeout.NoTimeout)
+
+
+def streaming_pack_chunks(doc_stream: DataFrame, *, chunk_tokens: int = 2048,
+                          id_col: str = "doc_id", src_col: str = "source",
+                          tokens_col: str = "n_tokens") -> DataFrame:
+    """Streaming sequence packing: as documents arrive, append each
+    source's token stream to its running concat-and-chunk position and
+    emit the chunk span every document lands on — the online twin of
+    the batch `pack_chunk_stats` audit, for pipelines that shard
+    training chunks as data flows in rather than in a nightly pass.
+
+    State per source is ONE integer (the running token total), so the
+    packing position survives micro-batch boundaries: a chunk can
+    start in one batch and finish in a later one and both documents
+    see the same chunk id.  Within a micro-batch, rows across ALL
+    Arrow chunks are accumulated first and folded once in doc_id
+    order (the chunk-boundary-independence rule
+    `streaming_token_budget` follows); across batches, order is
+    arrival order — deterministic when the upstream feed is in-order
+    per source, the same contract as the rest of this module.
+
+    Emits (source, doc_id, n_tokens, start_pos, chunk_first,
+    chunk_last, split) in append mode.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType([
+        T.StructField("source", T.StringType()),
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_tokens", T.LongType()),
+        T.StructField("start_pos", T.LongType()),
+        T.StructField("chunk_first", T.LongType()),
+        T.StructField("chunk_last", T.LongType()),
+        T.StructField("split", T.BooleanType()),
+    ])
+    state_schema = T.StructType([T.StructField("cum", T.LongType())])
+
+    def fn(key: tuple, pdfs, state: GroupState):
+        import pandas as pd
+        cum = state.get[0] if state.exists else 0
+        docs = []
+        for pdf in pdfs:
+            docs.extend(zip((int(d) for d in pdf["doc_id"]),
+                            (int(n) for n in pdf["n_tokens"])))
+        docs.sort()
+        rows = []
+        for did, nt in docs:
+            if nt <= 0:
+                continue
+            start = cum
+            cum += nt
+            cf, cl = start // chunk_tokens, (cum - 1) // chunk_tokens
+            rows.append((did, nt, start, cf, cl, cf != cl))
+        state.update((cum,))
+        yield pd.DataFrame({
+            "source": [key[0]] * len(rows),
+            "doc_id": [r[0] for r in rows],
+            "n_tokens": [r[1] for r in rows],
+            "start_pos": [r[2] for r in rows],
+            "chunk_first": [r[3] for r in rows],
+            "chunk_last": [r[4] for r in rows],
+            "split": [r[5] for r in rows],
+        })
+
+    prepared = doc_stream.select(
+        F.col(src_col).alias("source"), F.col(id_col).alias("doc_id"),
+        F.col(tokens_col).cast("long").alias("n_tokens"))
+    return prepared.groupBy("source").applyInPandasWithState(
+        fn, outputStructType=out_schema, stateStructType=state_schema,
+        outputMode="append", timeoutConf=GroupStateTimeout.NoTimeout)

@@ -1088,3 +1088,46 @@ def test_streaming_histogram_under_rocksdb_matches_default(spark, workdir):
     rocks = run("hist_rocks", "org.apache.spark.sql.execution.streaming."
                 "state.RocksDBStateStoreProvider")
     assert default == rocks and len(default) > 50
+
+
+def test_streaming_pack_chunks_state_spans_batches(spark, workdir):
+    # packing positions must be continuous across micro-batches: a
+    # chunk that starts in batch 1 finishes in batch 2 with the same
+    # chunk id, and the whole two-batch run equals one python fold in
+    # the same arrival order
+    from streamforge_spark.functions.text import token_count
+    from streamforge_spark.io import load
+    from streamforge_spark.streaming.curation import streaming_pack_chunks
+    C = 512
+    docs = (load(spark, "/root/testdata/sf0.001", "documents")
+            .select("doc_id", "source",
+                    token_count(F.col("text")).alias("n_tokens")))
+    src = f"{workdir}/packdocs"
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1) \
+        .write.mode("append").parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    q = (streaming_pack_chunks(stream, chunk_tokens=C)
+         .writeStream.format("memory").queryName("pack_out")
+         .outputMode("append").start())
+    q.processAllAvailable()
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1) \
+        .write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    got = {(r.source, r.doc_id): (r.start_pos, r.chunk_first,
+                                  r.chunk_last, r.split)
+           for r in spark.sql("select * from pack_out").collect()}
+    # python fold in arrival order (evens by doc_id, then odds)
+    rows = docs.collect()
+    cum, want = {}, {}
+    for r in sorted(rows, key=lambda r: (r.doc_id % 2, r.doc_id)):
+        if r.n_tokens <= 0:
+            continue
+        s = cum.get(r.source, 0)
+        cum[r.source] = s + r.n_tokens
+        cf, cl = s // C, (cum[r.source] - 1) // C
+        want[(r.source, r.doc_id)] = (s, cf, cl, cf != cl)
+    assert got == want and len(got) > 100
+    # at least one doc straddles a batch boundary chunk: its start is
+    # in batch-1 territory but its chunk completes with batch-2 docs
+    assert any(v[3] for v in got.values())
