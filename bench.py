@@ -80,6 +80,12 @@ HEADLINE = [
     "ks_value_drift",
     "span_corruption_masks",
     "max_drawdown_user",
+    # round-4 additions: winnowing fingerprints (char-gram explode +
+    # partition-local window minima + posting join), sequence-packing
+    # audit (per-source prefix sum), bloom FP static analysis
+    "winnow_near_dup",
+    "pack_chunk_stats",
+    "bloom_fp_bound",
 ]
 
 

@@ -362,3 +362,59 @@ def test_two_phase_prefix_sum_equals_single_window(spark, rows):
     a = {r.cents: r.c1 for r in plain.collect()}
     b = {r.cents: r.c1 for r in two_phase.collect()}
     assert a == b
+
+
+def _winnow_py(text: str, k: int = 8, w: int = 4) -> set:
+    """Pure-python mirror of winnow_near_dup's selection rule: 60-bit
+    md5 hash of every k-char gram, keep the min of each full window of
+    w consecutive gram hashes (value-only fingerprints)."""
+    import hashlib
+    if len(text) < k:
+        return set()
+    hs = [int(hashlib.md5(f"wk:{text[p:p + k]}".encode()).hexdigest()[:15], 16)
+          for p in range(len(text) - k + 1)]
+    return {min(hs[s:s + w]) for s in range(len(hs) - w + 1)}
+
+
+@given(st.data())
+@SLOW
+def test_winnowing_guarantee_detects_shared_substrings(data):
+    # THE winnowing theorem (Schleimer et al. 2003): any substring of
+    # length >= w + k - 1 shared between two documents contributes at
+    # least one common fingerprint, regardless of alignment.  This is
+    # what the algorithm is FOR; the oracle-parity test cannot check
+    # it because both engines implement the same selection rule.
+    k, w = 8, 4
+    alpha = st.text(alphabet="abcdefgh ", min_size=0, max_size=60)
+    common = data.draw(st.text(alphabet="xyz", min_size=k + w - 1,
+                               max_size=2 * (k + w)))
+    pre_a, post_a = data.draw(alpha), data.draw(alpha)
+    pre_b, post_b = data.draw(alpha), data.draw(alpha)
+    doc_a = pre_a + common + post_a
+    doc_b = pre_b + common + post_b
+    fa, fb = _winnow_py(doc_a, k, w), _winnow_py(doc_b, k, w)
+    assert fa & fb, (doc_a, doc_b)
+
+
+@given(st.lists(st.integers(1, 500), min_size=1, max_size=40),
+       st.integers(2, 64))
+@SLOW
+def test_packing_invariants(tokens, C):
+    # concat-and-chunk packing: chunk spans are contiguous, start where
+    # the previous doc ended, and the boundary-straddle flag is exactly
+    # floor(start/C) != floor(end/C); totals reconcile with tail waste
+    cum = 0
+    prev_end = -1
+    n_split = 0
+    for n in tokens:
+        s, e = cum, cum + n - 1
+        assert s == prev_end + 1
+        cf, cl = s // C, e // C
+        assert cf <= cl
+        n_split += cf != cl
+        prev_end = e
+        cum += n
+    n_chunks = (cum + C - 1) // C
+    waste = n_chunks * C - cum
+    assert 0 <= waste < C
+    assert n_chunks == (prev_end // C) + 1
