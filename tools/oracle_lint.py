@@ -8,15 +8,16 @@ oracles at sf0.001 and flags any float64 result column whose non-null
 values are all integral: almost always an uncast ``SUM``/``COUNT``
 arithmetic that needs ``CAST(... AS BIGINT)``.
 
-Columns named in ``ALLOW`` are known-legitimate float outputs whose
-values happen to be integral at tiny SF (both engine sides emit
-float64 for them, so the driver's hash matches anyway).  A flagged
-column is only a REAL bug when the Spark side emits an integer dtype
-— which ``tests/oracle.py::compare`` now fails hard on — so run the
-parity suite for the definitive verdict; this lint is the fast sweep.
+This is the fast HEURISTIC sweep; the authoritative gates are
+``tools/gen_oracle_casts.py --check`` (diffs actual result dtypes
+against the Spark side, kept current in tools/ci.sh) and the strict
+dtype comparison in ``tests/oracle.py::compare``.  Expected residual
+suspects: columns that carry NULLs — pandas stores a nullable int64
+as float64 on BOTH engine sides, so they hash consistently and are
+not bugs.  Exit code is therefore 0 on suspects (informational) and
+1 only on oracle execution errors.
 
 Usage: python tools/oracle_lint.py [sf_dir]
-Exit code 1 if any non-allowed suspect is found.
 """
 
 from __future__ import annotations
@@ -56,10 +57,11 @@ def main() -> int:
         print(f"ERROR  {name}: {err}")
     for name, c, sample in suspects:
         print(f"SUSPECT {name}.{c}: float64 but integral values {sample} "
-              f"— uncast HUGEINT? verify with parity test")
+              f"— NULL-bearing int column (benign) or uncast HUGEINT; "
+              f"gen_oracle_casts --check is authoritative")
     print(f"oracle_lint: {len(registry.ORACLES)} oracles, "
           f"{len(suspects)} suspects, {len(errors)} errors")
-    return 1 if (suspects or errors) else 0
+    return 1 if errors else 0
 
 
 if __name__ == "__main__":
