@@ -780,3 +780,48 @@ def pack_chunk_stats(spark, sf_dir):
                  F.count(F.when(F.expr(f"s div {C}") != F.expr(f"e div {C}"),
                                 1)).alias("split_docs"),
                  (n_chunks * C - total).alias("tail_waste")))
+
+
+_KANON_ORACLE = """
+WITH cls AS (
+  SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS sz
+  FROM customer GROUP BY 1, 2),
+th AS (SELECT unnest([2, 5, 10, 20]) AS k)
+SELECT k,
+       CAST(COUNT(*) FILTER (WHERE sz < k) AS BIGINT) AS classes_below,
+       CAST(COALESCE(SUM(sz) FILTER (WHERE sz < k), 0) AS BIGINT)
+         AS rows_at_risk
+FROM th CROSS JOIN cls
+GROUP BY k
+"""
+
+
+@query("k_anonymity_audit", oracle=_KANON_ORACLE)
+def k_anonymity_audit(spark, sf_dir):
+    """k-anonymity audit over quasi-identifiers: every (nation,
+    market-segment) equivalence class whose size falls below k makes
+    its members re-identifiable at that k — the release gate a privacy
+    review runs before shipping "anonymized" training data (the
+    publish-time complement of row-level `pii_scrub`).  Reports, for
+    k in {2, 5, 10, 20}, how many classes and how many ROWS sit below
+    the threshold; release policy then suppresses or generalizes
+    those classes.
+
+    Scale shape: one map-side-combined groupBy collapses the table to
+    |classes| rows (bounded by the quasi-identifier domain, not the
+    data); the threshold sweep is a 4x cross join on that rollup.
+    Pure integer counts.
+    """
+    (customer,) = prep(spark, sf_dir, "customer")
+    cls = (customer.groupBy("c_nationkey", "c_mktsegment")
+           .agg(F.count(F.lit(1)).alias("sz"))
+           .localCheckpoint(eager=False))
+    th = spark.range(1).select(
+        F.explode(F.array(*[F.lit(k) for k in (2, 5, 10, 20)])).alias("k"))
+    return (th.crossJoin(cls)
+            .groupBy("k")
+            .agg(F.count(F.when(F.col("sz") < F.col("k"), 1))
+                 .alias("classes_below"),
+                 F.coalesce(F.sum(F.when(F.col("sz") < F.col("k"),
+                                         F.col("sz"))), F.lit(0))
+                 .alias("rows_at_risk")))
