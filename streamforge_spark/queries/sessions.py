@@ -464,3 +464,66 @@ def session_gap_sensitivity(spark, sf_dir):
             .crossJoin(F.broadcast(users))
             .select("gap_min",
                     (F.col("u") + F.col("n_breaks")).alias("n_sessions")))
+
+
+_DYN_GAP_CASE = """CASE event_type
+  WHEN 'click' THEN 600 WHEN 'purchase' THEN 1800
+  WHEN 'view' THEN 300 WHEN 'signup' THEN 900
+  WHEN 'error' THEN 60 ELSE 600 END"""
+
+_DYN_GAP_ORACLE = f"""
+WITH ev AS (
+  SELECT user_id, event_id, epoch_us(ts) AS eus,
+         ({_DYN_GAP_CASE}) * CAST(1000000 AS BIGINT) AS gap_us
+  FROM events),
+marked AS (
+  SELECT user_id, eus, gap_us,
+         MAX(eus + gap_us) OVER (
+           PARTITION BY user_id ORDER BY eus, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+  FROM ev),
+isl AS (
+  SELECT user_id, eus, gap_us,
+         SUM(CASE WHEN prev_end IS NULL OR eus > prev_end
+                  THEN 1 ELSE 0 END) OVER (
+           PARTITION BY user_id ORDER BY eus, gap_us
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM marked)
+SELECT user_id,
+       CAST(MIN(eus) AS BIGINT) AS start_us,
+       CAST(MAX(eus + gap_us) AS BIGINT) AS end_us,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM isl GROUP BY user_id, sid
+"""
+
+
+@query("session_dynamic_gap", oracle=_DYN_GAP_ORACLE)
+def session_dynamic_gap(spark, sf_dir):
+    """Dynamic-gap sessionization: each event extends its session by a
+    gap that depends on the EVENT TYPE (a purchase keeps intent alive
+    30 min, an error only 60 s) — the SessionAnalyzer generalization
+    where the inactivity knob is per-event instead of global, and the
+    feature Spark's session_window uniquely supports as a gap COLUMN.
+
+    Runs the real ``F.session_window(ts, gap_expr)`` and oracles it
+    against the algebraic island spec: a session breaks exactly when
+    an event's time exceeds the running MAX of (event_time + its gap)
+    over all earlier events of the user (equality merges, matching
+    the static-gap behavior pinned by session_gap_sensitivity).
+    Bounds are emitted as epoch micros so both engines compare pure
+    integers.
+
+    Scale shape: identical to the static SessionAnalyzer — ONE hash
+    exchange on user_id into merged-session aggregation; the gap CASE
+    is scan-side column algebra.
+    """
+    from pyspark.sql import functions as F
+    (events,) = prep(spark, sf_dir, "events")
+    gap = F.expr(f"concat(cast(({_DYN_GAP_CASE}) as string), ' seconds')")
+    return (events
+            .groupBy("user_id", F.session_window(F.col("ts"), gap))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select("user_id",
+                    F.unix_micros("session_window.start").alias("start_us"),
+                    F.unix_micros("session_window.end").alias("end_us"),
+                    "n_events"))
