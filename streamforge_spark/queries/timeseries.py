@@ -1727,3 +1727,85 @@ def revenue_pacing_curve(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n_months"),
                  F.expr("sum(pace_ppm) div count(*)")
                  .alias("mean_cum_share_ppm")))
+
+
+_TV_DRIFT_DAY_ORACLE = """
+WITH h AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(FLOOR(CAST(ROUND(value * 100) AS BIGINT) / 5000) AS BIGINT)
+           AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2, 3),
+ht AS (SELECT event_type, day, SUM(n) AS t FROM h GROUP BY 1, 2),
+s AS (
+  SELECT h.event_type, h.day, h.bucket,
+         CAST(ROUND(CAST(n AS DOUBLE) / CAST(t AS DOUBLE) * 1000000)
+              AS BIGINT) AS share
+  FROM h JOIN ht USING (event_type, day)),
+b0 AS (
+  SELECT event_type,
+         CAST(FLOOR(CAST(ROUND(value * 100) AS BIGINT) / 5000) AS BIGINT)
+           AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events WHERE CAST(ts AS DATE) < DATE '2024-01-08' GROUP BY 1, 2),
+bt AS (SELECT event_type, SUM(n) AS t FROM b0 GROUP BY 1),
+base AS (
+  SELECT b0.event_type, bucket,
+         CAST(ROUND(CAST(n AS DOUBLE) / CAST(t AS DOUBLE) * 1000000)
+              AS BIGINT) AS bppm
+  FROM b0 JOIN bt USING (event_type)),
+days AS (SELECT DISTINCT event_type, day FROM h),
+bks AS (
+  SELECT DISTINCT event_type, bucket FROM (
+    SELECT event_type, bucket FROM h
+    UNION SELECT event_type, bucket FROM base)),
+grid AS (
+  SELECT d.event_type, d.day, k.bucket
+  FROM days d JOIN bks k USING (event_type))
+SELECT g.event_type, g.day,
+       CAST(SUM(ABS(COALESCE(s.share, 0) - COALESCE(base.bppm, 0)))
+            AS BIGINT) AS tv2_ppm
+FROM grid g
+LEFT JOIN s ON s.event_type = g.event_type AND s.day = g.day
+           AND s.bucket = g.bucket
+LEFT JOIN base ON base.event_type = g.event_type
+              AND base.bucket = g.bucket
+GROUP BY 1, 2
+"""
+
+
+@query("tv_drift_by_day", oracle=_TV_DRIFT_DAY_ORACLE)
+def tv_drift_by_day(spark, sf_dir):
+    """Daily total-variation drift of each event type's value
+    histogram against its first-week baseline — runs the ACTUAL
+    monitoring operator (`streaming/timeseries.py::drift_vs_baseline`,
+    the batch half of the streaming drift monitor) so the driver's
+    independent gate covers the grid-absence semantics fixed this
+    round: a baseline bucket with zero observations on some day MUST
+    contribute its full |0 - base_ppm| term to that day (the old
+    (type, bucket)-keyed outer join silently lost it — exactly the
+    bucket-vanished signal the monitor exists to raise).
+
+    Scale shape is the operator's: the histogram is a rollup (types x
+    days x bounded buckets), the baseline broadcasts, the explicit
+    (type, day) x bucket grid is rollup-sized algebra — the fact
+    table is scanned twice (histogram + baseline) and never joined
+    row-wise.
+    """
+    from streamforge_spark.streaming.timeseries import drift_vs_baseline
+    (events,) = prep(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    bucket = F.floor(cents / F.lit(5000)).cast("long").alias("bucket")
+    hist = (events.groupBy("event_type",
+                           F.date_trunc("day", "ts").alias("day"), bucket)
+            .agg(F.count(F.lit(1)).alias("n")))
+    b0 = (events.where(F.to_date("ts") < F.lit("2024-01-08").cast("date"))
+          .groupBy("event_type", bucket)
+          .agg(F.count(F.lit(1)).alias("n")))
+    bt = b0.groupBy("event_type").agg(F.sum("n").alias("t"))
+    baseline = (b0.join(bt, "event_type")
+                .select("event_type", "bucket",
+                        F.round(F.col("n").cast("double")
+                                / F.col("t").cast("double") * 1000000)
+                        .cast("long").alias("share_ppm")))
+    return drift_vs_baseline(hist, baseline)

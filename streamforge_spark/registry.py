@@ -84,7 +84,9 @@ ROTATION_PRIORITY = [
     "knn_label_predict", "containment_near_dup", "ks_value_drift",
     "supplier_pagerank", "multimodal_png_roundtrip",
     "multimodal_gif_roundtrip", "multimodal_wav_roundtrip",
-    "bloom_fp_bound",
+    # round-4 additions — each a new capability worth an independent row
+    "bloom_fp_bound", "winnow_near_dup", "pack_chunk_stats",
+    "session_dynamic_gap", "k_anonymity_audit", "tv_drift_by_day",
 ]
 
 
