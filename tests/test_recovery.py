@@ -151,3 +151,58 @@ def test_non_source_loss_errors_propagate(spark, tmp_path):
                                   checkpoint=ckpt, gap_report_path=gaps)
     assert not glob.glob(f"{gaps}/gap-*.json")
     assert not glob.glob(f"{ckpt}.expired-*")
+
+
+def test_kafka_style_loud_loss_triggers_recovery(spark, tmp_path):
+    # the Kafka spelling of token expiry surfaces as an exception
+    # (trimmed segments -> "Offsets out of range"); the degrade path
+    # must classify it as source loss and restart from now
+    from streamforge_spark.streaming.recovery import start_with_token_recovery
+
+    src = str(tmp_path / "src3")
+    ckpt = str(tmp_path / "ckpt3")
+    gaps = str(tmp_path / "gaps3")
+    os.makedirs(src)
+    os.makedirs(gaps)
+    os.makedirs(ckpt)   # exists so archive has something to move
+    _write_src(f"{src}/f0.parquet", [1, 2])
+    calls = []
+
+    def start(resumed_at):
+        calls.append(resumed_at)
+        if resumed_at is None:
+            raise RuntimeError(
+                "Offsets out of range with no configured reset policy")
+        stream = (spark.readStream.format("parquet").schema(SCHEMA)
+                  .load(src))
+        return (stream.writeStream.format("memory")
+                .queryName("kloss_out")
+                .option("checkpointLocation", ckpt).start())
+
+    q, resumed = start_with_token_recovery(
+        spark, start, checkpoint=ckpt, gap_report_path=gaps)
+    q.stop()
+    assert calls[0] is None and resumed is not None
+    reports = [json.loads(open(p).read())
+               for p in glob.glob(f"{gaps}/gap-*.json")]
+    assert len(reports) == 1
+    assert "Offsets out of range" in reports[0]["error"]
+
+
+def test_preflight_ignores_committed_batch_file_loss(spark, tmp_path):
+    # files from COMMITTED batches may legitimately age out of the
+    # source (sink already has the data) — preflight must not flag them
+    from streamforge_spark.streaming.recovery import preflight_source_audit
+
+    src = str(tmp_path / "src4")
+    out = str(tmp_path / "out4")
+    ckpt = str(tmp_path / "ckpt4")
+    os.makedirs(src)
+    _write_src(f"{src}/f0.parquet", [1, 2, 3])
+    start_fn = _pipeline(spark, src, out, ckpt)
+    q = start_fn(None)
+    q.processAllAvailable()
+    q.stop()
+    # batch 0 is committed; deleting its source file is retention, not loss
+    os.remove(f"{src}/f0.parquet")
+    assert preflight_source_audit(spark, ckpt) == []
