@@ -2080,3 +2080,109 @@ def missing_order_days(spark, sf_dir):
     observed = orders.select(F.to_date("o_orderdate").alias("day")).distinct()
     return (grid.join(observed, "day", "left_anti")
             .select(F.col("day").cast("timestamp").alias("day")))
+
+
+_FUNNEL_ORACLE = """
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'signup' GROUP BY user_id),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s1.t1
+  GROUP BY e.user_id),
+s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+  GROUP BY e.user_id),
+c AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM s1) AS n_signup,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM s2) AS n_click,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM s3) AS n_purchase)
+SELECT n_signup, n_click, n_purchase,
+       CASE WHEN n_signup = 0 THEN 0
+            ELSE n_click * 1000000 // n_signup END AS click_conv_ppm,
+       CASE WHEN n_click = 0 THEN 0
+            ELSE n_purchase * 1000000 // n_click END AS purchase_conv_ppm
+FROM c
+"""
+
+
+@query("funnel_conversion", oracle=_FUNNEL_ORACLE)
+def funnel_conversion(spark, sf_dir):
+    """Ordered conversion funnel signup -> click -> purchase: a user
+    counts at each stage only if the stage event happens STRICTLY
+    AFTER their first event of the previous stage (the temporal-order
+    matching that separates a funnel from three independent counts —
+    and the composition the reference user builds from FilterInterceptor
+    + SessionAnalyzer output by hand).
+
+    Scale shape: each stage is a type-filtered (pushed-down scan)
+    map-side-combined MIN per user joined to the previous stage's
+    dimension-sized (user, t) rollup — three narrow passes, no
+    row-wise self-join.  Conversion ratios are integer ppm (floor
+    division both engines).
+    """
+    (events,) = prep(spark, sf_dir, "events")
+
+    def stage(event_type, prev):
+        e = events.where(F.col("event_type") == event_type)
+        if prev is not None:
+            e = (e.join(prev, "user_id")
+                 .where(F.col("ts") > F.col("_pt")))
+        return (e.groupBy("user_id").agg(F.min("ts").alias("_pt"))
+                .localCheckpoint(eager=False))
+
+    s1 = stage("signup", None)
+    s2 = stage("click", s1)
+    s3 = stage("purchase", s2)
+    counts = (s1.agg(F.count(F.lit(1)).alias("n_signup"))
+              .crossJoin(s2.agg(F.count(F.lit(1)).alias("n_click")))
+              .crossJoin(s3.agg(F.count(F.lit(1)).alias("n_purchase"))))
+    conv = lambda n, d: F.when(F.col(d) == 0, F.lit(0).cast("long")) \
+        .otherwise(F.expr(f"{n} * 1000000L div {d}"))  # noqa: E731
+    return counts.select(
+        "n_signup", "n_click", "n_purchase",
+        conv("n_click", "n_signup").alias("click_conv_ppm"),
+        conv("n_purchase", "n_click").alias("purchase_conv_ppm"))
+
+
+_PATHS_ORACLE = """
+WITH seq AS (
+  SELECT event_type AS e1,
+         LEAD(event_type, 1) OVER w AS e2,
+         LEAD(event_type, 2) OVER w AS e3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT e1, e2, e3, CAST(COUNT(*) AS BIGINT) AS n
+FROM seq WHERE e3 IS NOT NULL
+GROUP BY e1, e2, e3
+ORDER BY n DESC, e1, e2, e3
+LIMIT 15
+"""
+
+
+@query("top_event_paths", oracle=_PATHS_ORACLE)
+def top_event_paths(spark, sf_dir):
+    """Top 3-step behavioral paths: the most frequent ordered triples
+    of consecutive event types per user — the path-mining extension of
+    the 1-step `event_transitions` Markov matrix (what funnels should
+    we even look at?).
+
+    One user_id exchange for the lead window (the per-user sequence
+    never leaves its partition), a |types|^3-bounded aggregate, and a
+    top-15 that rides TakeOrderedAndProject — no global sort of data.
+    Deterministic tiebreak (count desc, then lexicographic).
+    """
+    from pyspark.sql import Window
+    (events,) = prep(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"))
+    return (seq.where(F.col("e3").isNotNull())
+            .groupBy("e1", "e2", "e3")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.col("n").desc(), "e1", "e2", "e3")
+            .limit(15))
