@@ -1131,3 +1131,81 @@ def test_streaming_pack_chunks_state_spans_batches(spark, workdir):
     # at least one doc straddles a batch boundary chunk: its start is
     # in batch-1 territory but its chunk completes with batch-2 docs
     assert any(v[3] for v in got.values())
+
+
+def test_streaming_funnel_matches_batch_min_chain(spark, workdir):
+    # staged funnel state across two in-order batches == the batch
+    # chained-MIN formulation (funnel_conversion's spec)
+    from streamforge_spark.io import load
+    from streamforge_spark.streaming.funnel import streaming_funnel
+    events = load(spark, "/root/testdata/sf0.001", "events") \
+        .select("event_id", "ts", "user_id", "event_type")
+    src = f"{workdir}/funnel_src"
+    events.filter(F.dayofmonth("ts") <= 15).coalesce(1) \
+        .write.mode("append").parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    q = (streaming_funnel(stream)
+         .writeStream.format("memory").queryName("funnel_out")
+         .outputMode("append").start())
+    q.processAllAvailable()
+    events.filter(F.dayofmonth("ts") > 15).coalesce(1) \
+        .write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    got = {(r.user_id, r.stage_idx): r.completed_us
+           for r in spark.sql("select * from funnel_out").collect()}
+    # batch spec: chained MINs over the full history (order-free)
+    rows = events.select("user_id", "event_type",
+                         F.unix_micros("ts").alias("eus")).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append((r.eus, r.event_type))
+    want = {}
+    for u, evs in by_user.items():
+        t1 = min((e for e, t in evs if t == "signup"), default=None)
+        if t1 is None:
+            continue
+        want[(u, 0)] = t1
+        t2 = min((e for e, t in evs if t == "click" and e > t1),
+                 default=None)
+        if t2 is None:
+            continue
+        want[(u, 1)] = t2
+        t3 = min((e for e, t in evs if t == "purchase" and e > t2),
+                 default=None)
+        if t3 is not None:
+            want[(u, 2)] = t3
+    assert got == want and len(got) > 30
+
+
+def test_streaming_funnel_state_crosses_batches(spark, workdir):
+    # signup arrives in batch 1, click/purchase in batch 2: the stage
+    # state must survive the boundary and enforce strict ordering
+    # (the click at the SAME instant as signup does not count)
+    import datetime as dt
+    from streamforge_spark.streaming.funnel import streaming_funnel
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string")
+    src = f"{workdir}/funnel2"
+    spark.createDataFrame(
+        [(1, t0, 7, "signup"), (2, t0, 7, "click")], schema) \
+        .coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema).parquet(src)
+    q = (streaming_funnel(stream)
+         .writeStream.format("memory").queryName("funnel2_out")
+         .outputMode("append").start())
+    q.processAllAvailable()
+    spark.createDataFrame(
+        [(3, t0 + dt.timedelta(minutes=1), 7, "click"),
+         (4, t0 + dt.timedelta(minutes=2), 7, "purchase")], schema) \
+        .coalesce(1).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    got = [(r.stage_idx, r.stage) for r in spark.sql(
+        "select * from funnel2_out order by completed_us, stage_idx")
+        .collect()]
+    # batch 1: only signup (same-instant click fails strict order);
+    # batch 2: click then purchase complete against carried state
+    assert got == [(0, "signup"), (1, "click"), (2, "purchase")]
