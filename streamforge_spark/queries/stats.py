@@ -1515,3 +1515,61 @@ def round_number_bias(spark, sf_dir):
                     .alias("round_ppm"),
                     F.expr("(n_round * 100 * 1000000) div n_events")
                     .alias("lift_vs_uniform_ppm")))
+
+
+_EXACT_PCTL_ORACLE = """
+WITH v AS (
+  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS c,
+         CAST(COUNT(*) AS BIGINT) AS k
+  FROM events GROUP BY 1, 2),
+r AS (
+  SELECT event_type, c,
+         SUM(k) OVER (PARTITION BY event_type ORDER BY c
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum,
+         SUM(k) OVER (PARTITION BY event_type) AS n
+  FROM v)
+SELECT event_type,
+       CAST(MIN(CASE WHEN cum * 100 >= n * 50 THEN c END) AS BIGINT)
+         AS p50_cents,
+       CAST(MIN(CASE WHEN cum * 100 >= n * 90 THEN c END) AS BIGINT)
+         AS p90_cents,
+       CAST(MIN(CASE WHEN cum * 100 >= n * 99 THEN c END) AS BIGINT)
+         AS p99_cents
+FROM r GROUP BY event_type
+"""
+
+
+@query("exact_percentiles_by_type", oracle=_EXACT_PCTL_ORACLE)
+def exact_percentiles_by_type(spark, sf_dir):
+    """EXACT p50/p90/p99 of event value per type — percentile_disc
+    semantics (smallest value whose cumulative count reaches ceil(p*n))
+    in pure integer arithmetic, the SLO-reporting op where
+    `percentile_approx`'s error bars are not acceptable.
+
+    Scale shape — why this is NOT a per-type global sort: values are
+    integer cents, so the fact table first collapses to a
+    (type, cents) frequency rollup (map-side combined, cardinality
+    bounded by the value domain, not the row count); the cumulative
+    window and the rank selection then run on the ROLLUP.  The same
+    two-phase trick as ks_value_drift, giving exact order statistics
+    over 100 TB with one data-sized exchange.  Selection rule
+    cum*100 >= n*p keeps everything in BIGINTs (no float ranks).
+    """
+    from pyspark.sql import Window
+    (events,) = prep(spark, sf_dir, "events")
+    v = (events.groupBy("event_type",
+                        F.round(F.col("value") * 100).cast("long").alias("c"))
+         .agg(F.count(F.lit(1)).alias("k")))
+    wcum = (Window.partitionBy("event_type").orderBy("c")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    wall = Window.partitionBy("event_type")
+    r = v.select("event_type", "c",
+                 F.sum("k").over(wcum).alias("cum"),
+                 F.sum("k").over(wall).alias("n"))
+    pick = lambda p: F.min(  # noqa: E731
+        F.when(F.col("cum") * 100 >= F.col("n") * p, F.col("c")))
+    return (r.groupBy("event_type")
+            .agg(pick(50).alias("p50_cents"),
+                 pick(90).alias("p90_cents"),
+                 pick(99).alias("p99_cents")))
