@@ -51,3 +51,23 @@ def test_exists_require_and_dotenv_quotes(files):
     cfg.activate_job("JobA")
     assert cfg.get("ONLY_JOB") == "j"
     assert cfg.get("MISSING", "dflt") == "dflt"
+
+
+def test_bench_artifact_parser_survives_driver_wrapper_shapes(tmp_path, monkeypatch):
+    # the driver wraps bench output as {"parsed": null, "tail": ...} on
+    # partial captures; r3's artifact crashed the naive .get chain
+    import json
+    import bench as bench_mod
+    root = tmp_path
+    (root / "BENCH_r01.json").write_text(json.dumps(
+        {"n": 1, "rc": 0, "sf": 0.1, "parsed": None, "tail": "garbage"}))
+    (root / "BENCH_r02.json").write_text("not json at all {")
+    (root / "BENCH_r03.json").write_text(json.dumps(
+        {"parsed": {"sf": 0.1, "queries": {"q1": 1.5}, "value": 1.5}}))
+    (root / "BENCH_r04.json").write_text(json.dumps([1, 2, 3]))  # non-dict
+    monkeypatch.setattr(
+        bench_mod.pathlib.Path, "resolve",
+        lambda self: root / "bench.py", raising=False)
+    name, data = bench_mod._latest_bench_artifact(0.1)
+    assert name == "BENCH_r03.json" and data["queries"] == {"q1": 1.5}
+    assert bench_mod._latest_bench_artifact(0.01) is None
