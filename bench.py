@@ -149,8 +149,10 @@ def _latest_bench_artifact(sf: float | None):
             continue
         if not isinstance(data, dict):
             continue
-        # driver wraps the bench line under "parsed" (may be null)
-        data = data.get("parsed") or data
+        # driver wraps the bench line under "parsed" (may be null or a
+        # truncated string — only a dict is usable)
+        parsed = data.get("parsed")
+        data = parsed if isinstance(parsed, dict) else data
         if data.get("sf") == sf and "queries" in data:
             best = (p.name, data)
     return best

@@ -814,8 +814,7 @@ def k_anonymity_audit(spark, sf_dir):
     """
     (customer,) = prep(spark, sf_dir, "customer")
     cls = (customer.groupBy("c_nationkey", "c_mktsegment")
-           .agg(F.count(F.lit(1)).alias("sz"))
-           .localCheckpoint(eager=False))
+           .agg(F.count(F.lit(1)).alias("sz")))
     th = spark.range(1).select(
         F.explode(F.array(*[F.lit(k) for k in (2, 5, 10, 20)])).alias("k"))
     return (th.crossJoin(cls)

@@ -477,7 +477,7 @@ WITH ev AS (
          ({_DYN_GAP_CASE}) * CAST(1000000 AS BIGINT) AS gap_us
   FROM events),
 marked AS (
-  SELECT user_id, eus, gap_us,
+  SELECT user_id, event_id, eus, gap_us,
          MAX(eus + gap_us) OVER (
            PARTITION BY user_id ORDER BY eus, event_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
@@ -486,7 +486,7 @@ isl AS (
   SELECT user_id, eus, gap_us,
          SUM(CASE WHEN prev_end IS NULL OR eus > prev_end
                   THEN 1 ELSE 0 END) OVER (
-           PARTITION BY user_id ORDER BY eus, gap_us
+           PARTITION BY user_id ORDER BY eus, event_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
   FROM marked)
 SELECT user_id,

@@ -120,7 +120,14 @@ def reorder_for_driver_window() -> None:
     """
     checked = _driver_checked()
     names = list(QUERIES)
-    head = [n for n in CORE_WINDOW + ROTATION_PRIORITY if n in QUERIES]
+    # CORE_WINDOW stays pinned (re-verified every round); a
+    # ROTATION_PRIORITY name drops out of the head as soon as the
+    # driver has checked it, freeing its slot for the next
+    # never-checked query — otherwise the priority block would pin
+    # itself and stall the rotation
+    head = [n for n in CORE_WINDOW if n in QUERIES] + \
+           [n for n in ROTATION_PRIORITY
+            if n in QUERIES and n not in checked]
     seen = set(head)
     never = [n for n in names if n not in seen and n not in checked]
     rest = [n for n in names if n not in seen and n in checked]

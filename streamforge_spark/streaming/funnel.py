@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame
 def streaming_funnel(events: DataFrame,
                      stages: Sequence[str] = ("signup", "click", "purchase"),
                      *, key_col: str = "user_id", type_col: str = "event_type",
-                     time_col: str = "ts") -> DataFrame:
+                     time_col: str = "ts", id_col: str = "event_id") -> DataFrame:
     """Emit (user_id, stage_idx, stage, completed_us) whenever a user
     first completes a funnel stage (append mode)."""
     from pyspark.sql import functions as F
@@ -78,7 +78,8 @@ def streaming_funnel(events: DataFrame,
         })
 
     prepared = events.select(
-        F.col(key_col).alias("user_id"), "event_id",
+        F.col(key_col).alias("user_id"),
+        F.col(id_col).alias("event_id"),
         F.col(type_col).alias("etype"),
         F.unix_micros(F.col(time_col)).alias("eus"))
     return prepared.groupBy("user_id").applyInPandasWithState(

@@ -51,14 +51,17 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 # Error signatures that mean "the source no longer holds data the
-# checkpoint needs" — the file-source and Kafka-source spellings of a
-# trimmed oplog.  Anything else (syntax errors, OOM, sink failures)
-# must propagate: restarting from now would silently eat real bugs.
+# checkpoint needs" — the Kafka spellings of a trimmed oplog, plus the
+# JVM FileNotFound a mid-read deletion raises.  Kept NARROW on
+# purpose: a broad marker like "does not exist" also matches unrelated
+# AnalysisExceptions (a mistyped static-lookup path), and
+# misclassifying a real bug as source loss ARCHIVES a healthy
+# checkpoint and skips backlog.  File-source retention loss does not
+# raise at all (it replays empty — measured); the preflight audit
+# catches it, so no file-source string needs to be here.
 _SOURCE_LOSS_MARKERS = (
     "FileNotFoundException",
-    "does not exist",
     "Offsets out of range",          # Kafka trimmed segments
-    "startOffset",                   # Kafka data-loss wording
     "failOnDataLoss",
 )
 
@@ -97,27 +100,31 @@ def preflight_source_audit(spark: SparkSession, checkpoint: str) -> list[str]:
     if not fs.exists(root):
         return []
 
-    def batch_ids(p):
+    def log_files(p):
+        """(batch_id, name) pairs — including 'N.compact' logs, which
+        hold the CUMULATIVE entry list at compaction interval N."""
         if not fs.exists(p):
             return []
         out = []
         for st in fs.listStatus(p):
             name = st.getPath().getName()
-            if name.isdigit():
-                out.append(int(name))
+            base = name[:-len(".compact")] if name.endswith(".compact") \
+                else name
+            if base.isdigit():
+                out.append((int(base), name))
         return out
 
-    commits = batch_ids(JPath(f"{checkpoint}/commits"))
+    commits = [b for b, _ in log_files(JPath(f"{checkpoint}/commits"))]
     last_commit = max(commits) if commits else -1
-    missing: list[str] = []
+    missing: set[str] = set()
     sources_dir = JPath(f"{checkpoint}/sources")
     if not fs.exists(sources_dir):
         return []
     for src_st in fs.listStatus(sources_dir):
-        for bid in batch_ids(src_st.getPath()):
+        for bid, name in log_files(src_st.getPath()):
             if bid <= last_commit:
                 continue
-            log = JPath(f"{src_st.getPath()}/{bid}")
+            log = JPath(f"{src_st.getPath()}/{name}")
             stream = fs.open(log)
             try:
                 text = bytes(stream.readAllBytes()).decode()
@@ -130,10 +137,16 @@ def preflight_source_audit(spark: SparkSession, checkpoint: str) -> list[str]:
                     entry = json.loads(line)
                 except ValueError:
                     continue
+                # compact logs replay EVERY historical entry; each
+                # entry carries its own batchId — only pending ones
+                # (beyond the last commit) gate the resume
+                ebid = entry.get("batchId", bid)
+                if ebid <= last_commit:
+                    continue
                 path = entry.get("path")
                 if path and not fs.exists(JPath(path)):
-                    missing.append(path)
-    return missing
+                    missing.add(path)
+    return sorted(missing)
 
 
 def from_now_filter(stream: DataFrame, resumed_at: datetime.datetime | None,

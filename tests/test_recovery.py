@@ -206,3 +206,36 @@ def test_preflight_ignores_committed_batch_file_loss(spark, tmp_path):
     # batch 0 is committed; deleting its source file is retention, not loss
     os.remove(f"{src}/f0.parquet")
     assert preflight_source_audit(spark, ckpt) == []
+
+
+def test_preflight_reads_compact_source_logs(spark, tmp_path):
+    # with a small compaction interval the pending batch's source log
+    # is 'N.compact' holding the CUMULATIVE entry list; preflight must
+    # (a) not skip the file, (b) gate only entries whose own batchId
+    # is pending — a deleted COMMITTED file in the same compact log is
+    # retention, not loss
+    from streamforge_spark.streaming.recovery import preflight_source_audit
+
+    src = str(tmp_path / "src5")
+    out = str(tmp_path / "out5")
+    ckpt = str(tmp_path / "ckpt5")
+    os.makedirs(src)
+    spark.conf.set("spark.sql.streaming.fileSource.log.compactInterval", "2")
+    try:
+        start_fn = _pipeline(spark, src, out, ckpt)
+        for i in range(4):
+            _write_src(f"{src}/f{i}.parquet", [i])
+            q = start_fn(None)
+            q.processAllAvailable()
+            q.stop()
+    finally:
+        spark.conf.unset("spark.sql.streaming.fileSource.log.compactInterval")
+    assert os.path.exists(f"{ckpt}/sources/0/3.compact")
+    # make batch 3 pending again and trim its file AND an old committed one
+    for p in (f"{ckpt}/commits/3", f"{ckpt}/commits/.3.crc"):
+        if os.path.exists(p):
+            os.remove(p)
+    os.remove(f"{src}/f3.parquet")
+    os.remove(f"{src}/f0.parquet")   # committed history — must NOT flag
+    missing = preflight_source_audit(spark, ckpt)
+    assert len(missing) == 1 and missing[0].endswith("f3.parquet")
