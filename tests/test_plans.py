@@ -671,3 +671,65 @@ def test_measured_shuffle_volume_aggregations(spark):
     # and a scan-side projection must shuffle NOTHING
     a = audit_query(spark, registry.QUERIES["span_corruption_masks"], SF)
     assert a["shuffle_bytes"] == 0
+
+
+def test_winnow_exchanges_carry_no_text(spark):
+    # the char-gram explode and window minima are partition-local;
+    # only (doc_id, fingerprint) longs may cross an exchange
+    plan = plan_of(spark, "winnow_near_dup")
+    import re
+    for m in re.finditer(r"\(\d+\) Exchange\n(Input \[\d+\]: \[[^\]]*\])",
+                         plan):
+        assert "text" not in m.group(1), m.group(1)
+
+
+def test_pack_chunk_token_count_is_scan_side(spark):
+    # text is consumed by the token-count projection before the
+    # source exchange: no exchange input may contain the text column
+    plan = plan_of(spark, "pack_chunk_stats")
+    import re
+    for m in re.finditer(r"\(\d+\) Exchange\n(Input \[\d+\]: \[[^\]]*\])",
+                         plan):
+        assert "text" not in m.group(1), m.group(1)
+
+
+def test_exact_percentiles_sorts_only_the_rollup(spark):
+    # the cumulative window runs on the (type, cents) frequency
+    # rollup: the plan must aggregate BEFORE any sort (two-phase), and
+    # the scan reads only the two needed columns
+    plan = plan_of(spark, "exact_percentiles_by_type")
+    first_agg = plan.find("HashAggregate")
+    first_sort = plan.find("(\n".join([""])) or plan.find("Sort ")
+    assert first_agg != -1 and "Sort" in plan
+    # formatted plans list operators leaves-first: the aggregate that
+    # builds the rollup must appear in the tree BELOW the window sort,
+    # i.e. with a higher operator id
+    import re
+    ids = {m.group(2): int(m.group(1))
+           for m in re.finditer(r"\((\d+)\) (\w+)", plan)}
+    assert ids.get("HashAggregate", 0) > ids.get("Sort", 99)
+    scan_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "user_id" not in scan_schema and "props" not in scan_schema
+
+
+def test_session_dynamic_gap_single_exchange(spark):
+    # dynamic-gap sessions cost the same ONE user_id exchange as the
+    # static SessionAnalyzer (plus AQE's optional final coalesce)
+    plan = plan_of(spark, "session_dynamic_gap")
+    assert plan.count("Arguments: hashpartitioning(user_id") == 1
+
+
+def test_funnel_stage_filter_pushes_to_scan(spark):
+    # funnel_conversion's final plan is segmented by the stage-rollup
+    # localCheckpoints (each rollup feeds two consumers), so assert the
+    # pushdown on the stage shape itself: a type-filtered per-user MIN
+    # must reach the parquet scan as an EqualTo filter
+    from streamforge_spark.io import load
+    from pyspark.sql import functions as F
+    events = load(spark, SF, "events")
+    stage = (events.where(F.col("event_type") == "signup")
+             .groupBy("user_id").agg(F.min("ts").alias("_pt")))
+    plan = stage._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+    assert "EqualTo(event_type,signup)" in plan
