@@ -1801,7 +1801,10 @@ def tv_drift_by_day(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n")))
     b0 = (events.where(F.to_date("ts") < F.lit("2024-01-08").cast("date"))
           .groupBy("event_type", bucket)
-          .agg(F.count(F.lit(1)).alias("n")))
+          .agg(F.count(F.lit(1)).alias("n"))
+          # two consumers (totals + share join): pin so the baseline
+          # week is scanned once
+          .localCheckpoint(eager=False))
     bt = b0.groupBy("event_type").agg(F.sum("n").alias("t"))
     baseline = (b0.join(bt, "event_type")
                 .select("event_type", "bucket",
