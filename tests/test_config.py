@@ -71,3 +71,39 @@ def test_bench_artifact_parser_survives_driver_wrapper_shapes(tmp_path, monkeypa
     name, data = bench_mod._latest_bench_artifact(0.1)
     assert name == "BENCH_r03.json" and data["queries"] == {"q1": 1.5}
     assert bench_mod._latest_bench_artifact(0.01) is None
+
+
+def test_driver_window_rotation_rules(monkeypatch):
+    # the self-rotating window contract future rounds rely on:
+    # CORE stays pinned; ROTATION_PRIORITY names drop out once the
+    # driver has checked them; never-checked queries fill the rest in
+    # registration order; already-checked non-core sink to the back
+    from streamforge_spark import registry
+    registry.load_all()
+    names = list(registry.QUERIES)
+    checked = set(registry.CORE_WINDOW[:5]) \
+        | {registry.ROTATION_PRIORITY[0], registry.ROTATION_PRIORITY[2]} \
+        | set(names[-40:])
+    with monkeypatch.context() as m:
+        m.setattr(registry, "_driver_checked", lambda: checked)
+        registry.reorder_for_driver_window()
+        order = list(registry.QUERIES)
+        n_core = len([n for n in registry.CORE_WINDOW
+                      if n in registry.QUERIES])
+        # core first, in order, even the already-checked ones
+        assert order[:n_core] == [n for n in registry.CORE_WINDOW
+                                  if n in registry.QUERIES]
+        # checked priority names are NOT pinned after core
+        prio_block = order[n_core:n_core + len(registry.ROTATION_PRIORITY)]
+        assert registry.ROTATION_PRIORITY[0] not in prio_block
+        assert registry.ROTATION_PRIORITY[2] not in prio_block
+        assert registry.ROTATION_PRIORITY[1] in prio_block
+        # the 50-slot window holds no already-checked non-core queries
+        window = order[:50]
+        for n in window[n_core:]:
+            assert n not in checked, n
+        # ORACLES order mirrors QUERIES order
+        assert [n for n in order if n in registry.ORACLES] == \
+            list(registry.ORACLES)
+    # monkeypatch restored: rebuild the real ordering for later tests
+    registry.reorder_for_driver_window()
