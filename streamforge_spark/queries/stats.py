@@ -1556,20 +1556,11 @@ def exact_percentiles_by_type(spark, sf_dir):
     over 100 TB with one data-sized exchange.  Selection rule
     cum*100 >= n*p keeps everything in BIGINTs (no float ranks).
     """
-    from pyspark.sql import Window
+    from streamforge_spark.functions.percentiles import (
+        percentiles_from_frequencies,
+    )
     (events,) = prep(spark, sf_dir, "events")
     v = (events.groupBy("event_type",
                         F.round(F.col("value") * 100).cast("long").alias("c"))
          .agg(F.count(F.lit(1)).alias("k")))
-    wcum = (Window.partitionBy("event_type").orderBy("c")
-            .rowsBetween(Window.unboundedPreceding, 0))
-    wall = Window.partitionBy("event_type")
-    r = v.select("event_type", "c",
-                 F.sum("k").over(wcum).alias("cum"),
-                 F.sum("k").over(wall).alias("n"))
-    pick = lambda p: F.min(  # noqa: E731
-        F.when(F.col("cum") * 100 >= F.col("n") * p, F.col("c")))
-    return (r.groupBy("event_type")
-            .agg(pick(50).alias("p50_cents"),
-                 pick(90).alias("p90_cents"),
-                 pick(99).alias("p99_cents")))
+    return percentiles_from_frequencies(v, ["event_type"])

@@ -406,3 +406,20 @@ def streaming_daily_distinct(events: DataFrame, *,
             .agg(F.hll_sketch_agg("user_id").alias("sk"))
             .select(F.col("w.start").alias("day"),
                     F.hll_sketch_estimate("sk").alias("est_users")))
+
+
+def streaming_cents_histogram(events: DataFrame) -> DataFrame:
+    """Global per-(type, cents) frequency stream — the stateful half
+    of EXACT online percentiles.  State is one counter per distinct
+    (type, cents) pair: bounded by the value DOMAIN (like the bloom
+    dedup's bitset, not by throughput), which is what makes exact
+    order statistics feasible as a stream.  Drain the update-mode
+    output (latest count per key) and hand it to
+    `functions/percentiles.py::percentiles_from_frequencies` — the
+    SAME selection the batch `exact_percentiles_by_type` oracle
+    verifies, so the online readout provably equals the batch one.
+    """
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (events
+            .groupBy("event_type", cents.alias("c"))
+            .agg(F.count(F.lit(1)).alias("k")))

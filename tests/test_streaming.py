@@ -1209,3 +1209,41 @@ def test_streaming_funnel_state_crosses_batches(spark, workdir):
     # batch 1: only signup (same-instant click fails strict order);
     # batch 2: click then purchase complete against carried state
     assert got == [(0, "signup"), (1, "click"), (2, "purchase")]
+
+
+def test_streaming_exact_percentiles_match_batch(spark, workdir):
+    # drained streaming cents-histogram + shared percentile selection
+    # == the oracle-checked batch exact_percentiles_by_type
+    from streamforge_spark.functions.percentiles import (
+        percentiles_from_frequencies,
+    )
+    from streamforge_spark.io import load
+    from streamforge_spark.streaming.timeseries import (
+        streaming_cents_histogram,
+    )
+    from streamforge_spark.registry import QUERIES, load_all
+    load_all()
+    events = load(spark, "/root/testdata/sf0.001", "events") \
+        .select("event_id", "ts", "event_type", "value")
+    src = f"{workdir}/pctl_src"
+    events.filter(F.col("event_id") % 2 == 0).coalesce(1) \
+        .write.mode("append").parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    q = (streaming_cents_histogram(stream)
+         .writeStream.format("memory").queryName("pctl_hist")
+         .outputMode("update").start())
+    q.processAllAvailable()
+    events.filter(F.col("event_id") % 2 == 1).coalesce(1) \
+        .write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    drained = spark.sql(
+        "select event_type, c, max(k) as k from pctl_hist "
+        "group by event_type, c")
+    got = {(r.event_type): (r.p50_cents, r.p90_cents, r.p99_cents)
+           for r in percentiles_from_frequencies(
+               drained, ["event_type"]).collect()}
+    want = {(r.event_type): (r.p50_cents, r.p90_cents, r.p99_cents)
+            for r in QUERIES["exact_percentiles_by_type"](
+                spark, "/root/testdata/sf0.001").collect()}
+    assert got == want and len(got) >= 4
