@@ -55,12 +55,29 @@ def stream_job(name: str):
     return deco
 
 
+def _maybe_from_now(df: DataFrame, cfg: ScopedConfig) -> DataFrame:
+    """Apply the token-expiry recovery cut when the launcher set one:
+    after `--recover` archives an expired checkpoint, only files
+    modified after the recovery point flow (restart-from-now,
+    streaming/recovery.py) — the sink keeps its history, nothing
+    re-ingests."""
+    us = cfg.get("RECOVER_FROM_NOW_US")
+    if not us:
+        return df
+    import datetime
+    from streamforge_spark.streaming.recovery import from_now_filter
+    resumed = datetime.datetime.fromtimestamp(
+        int(us) / 1e6, tz=datetime.timezone.utc)
+    return from_now_filter(df, resumed)
+
+
 def _envelopes(spark: SparkSession, cfg: ScopedConfig,
                key: str = "SOURCE_PATH") -> tuple[DataFrame, DataFrame]:
     # the wire format: newline-delimited JSON envelope strings (the
     # Kafka value payload shape), read as raw text so poison lines
     # reach the parser's DLQ split instead of failing the source
     raw = file_stream(spark, cfg.require(key), _RAW_SCHEMA, fmt="text")
+    raw = _maybe_from_now(raw, cfg)
     return parse_stream_envelop(raw)
 
 
@@ -288,7 +305,9 @@ def corpus_ingest(spark: SparkSession, cfg: ScopedConfig):
     from streamforge_spark.functions.text import quality_score, word_ngrams
     from streamforge_spark.pipeline import dlq_event
 
-    raw = file_stream(spark, cfg.require("SOURCE_PATH"), _RAW_SCHEMA, fmt="text")
+    raw = _maybe_from_now(
+        file_stream(spark, cfg.require("SOURCE_PATH"), _RAW_SCHEMA,
+                    fmt="text"), cfg)
     parsed = raw.withColumn("doc", F.from_json("value", _DOC_SCHEMA))
     valid = (F.col("doc").isNotNull() & F.col("doc.doc_id").isNotNull()
              & F.col("doc.text").isNotNull())

@@ -162,12 +162,13 @@ def from_now_filter(stream: DataFrame, resumed_at: datetime.datetime | None,
 
 def report_gap(spark: SparkSession, gap_report_path: str, *,
                checkpoint: str, archived_to: str, error: str,
-               resumed_at: datetime.datetime) -> None:
+               resumed_at: datetime.datetime,
+               policy: str = "restart-from-now") -> None:
     """Append one structured gap row to the DLQ/metrics channel (a
     JSON-lines directory readable by the observability queries)."""
     row = json.dumps({
         "kind": "cdc_token_expired",
-        "policy": "restart-from-now",
+        "policy": policy,
         "checkpoint": checkpoint,
         "archived_to": archived_to,
         "error": error[:2000],

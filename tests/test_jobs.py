@@ -251,3 +251,59 @@ def test_corpus_ingest_checkpoint_recovery_no_duplicates(spark, tmp_path):
     run_job("CorpusIngest", job_cfg(tmp_path), spark=spark, drain=True)
     kept = sorted(r.doc_id for r in read(spark, tmp_path, "corpus").collect())
     assert kept == [1, 2]
+
+
+def test_corpus_ingest_recover_flag_token_expiry(spark, tmp_path):
+    # launcher --recover end-to-end: an expired corpus checkpoint
+    # (pending batch references a deleted source file) is archived, a
+    # gap row lands in OUTPUT_PATH/_gaps, the job restarts from now
+    # (no re-ingest of surviving history), and new files flow
+    import glob
+    import json
+    import os
+    import time
+    good = ("a decent length document about spark engines and data "
+            "processing pipelines with many useful words appearing here "
+            "and continuing long enough to clear the quality threshold "
+            "for ingestion into the training corpus today")
+    write_lines(tmp_path / "in", [doc_line(1, good)])
+    run_job("CorpusIngest", job_cfg(tmp_path), spark=spark, drain=True)
+    write_lines(tmp_path / "in", [doc_line(2, good + " extra tail")],
+                name="batch1.txt")
+    run_job("CorpusIngest", job_cfg(tmp_path), spark=spark, drain=True)
+    assert sorted(r.doc_id for r in
+                  read(spark, tmp_path, "corpus").collect()) == [1, 2]
+    # token expiry on the corpus sink's checkpoint: last batch's
+    # commit + its source file vanish
+    ckpt = tmp_path / "ckpt" / "corpus"
+    # batch 1 read batch1.txt; later commits may be empty ticks — trim
+    # every commit from 1 on so batch 1 is pending again
+    for p in list((ckpt / "commits").iterdir()):
+        base = p.name.removeprefix(".").removesuffix(".crc")
+        if base.isdigit() and int(base) >= 1:
+            os.remove(p)
+    os.remove(tmp_path / "in" / "batch1.txt")
+    # recover: report-and-continue — the gap row lands BEFORE the
+    # resume makes the silent empty-replay invisible; the checkpoint
+    # and sink manifest stay intact (continuous batch ids)
+    run_job("CorpusIngest", job_cfg(tmp_path), spark=spark, drain=True,
+            recover=True)
+    assert sorted(r.doc_id for r in
+                  read(spark, tmp_path, "corpus").collect()) == [1, 2]
+    reports = [json.loads(open(p).read()) for p in
+               glob.glob(str(tmp_path / "out" / "_gaps" / "gap-*.json"))]
+    assert len(reports) == 1 and reports[0]["kind"] == "cdc_token_expired"
+    assert reports[0]["policy"] == "skip-lost-files"
+    assert "batch1.txt" in reports[0]["error"]
+    assert not glob.glob(str(tmp_path / "ckpt" / "corpus.expired-*"))
+    # new data flows normally; a second --recover run is clean (the
+    # empty replay committed over the hole, nothing left pending)
+    time.sleep(0.2)
+    write_lines(tmp_path / "in", [doc_line(3, good + " more words")],
+                name="batch2.txt")
+    run_job("CorpusIngest", job_cfg(tmp_path), spark=spark, drain=True,
+            recover=True)
+    assert sorted(r.doc_id for r in
+                  read(spark, tmp_path, "corpus").collect()) == [1, 2, 3]
+    reports = glob.glob(str(tmp_path / "out" / "_gaps" / "gap-*.json"))
+    assert len(reports) == 1   # no duplicate gap row
