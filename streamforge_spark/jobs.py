@@ -56,18 +56,23 @@ def stream_job(name: str):
 
 
 def _maybe_from_now(df: DataFrame, cfg: ScopedConfig) -> DataFrame:
-    """Apply the token-expiry recovery cut when the launcher set one:
-    after `--recover` archives an expired checkpoint, only files
-    modified after the recovery point flow (restart-from-now,
-    streaming/recovery.py) — the sink keeps its history, nothing
-    re-ingests."""
+    """Operator-set from-now cut: when the config carries
+    ``RECOVER_FROM_NOW_US`` (epoch microseconds), only files modified
+    after that instant flow (streaming/recovery.py::from_now_filter).
+    This is the MANUAL half of the degrade story — an operator who
+    has rebuilt or retired a checkpoint sets it to skip re-ingesting
+    history the sink already has; the launcher's ``--recover`` audit
+    itself is report-and-continue and does not set it."""
     us = cfg.get("RECOVER_FROM_NOW_US")
     if not us:
         return df
     import datetime
     from streamforge_spark.streaming.recovery import from_now_filter
-    resumed = datetime.datetime.fromtimestamp(
-        int(us) / 1e6, tz=datetime.timezone.utc)
+    # exact integer epoch->datetime (float seconds would wobble ±1us
+    # against the strict > boundary)
+    resumed = (datetime.datetime(1970, 1, 1,
+                                 tzinfo=datetime.timezone.utc)
+               + datetime.timedelta(microseconds=int(us)))
     return from_now_filter(df, resumed)
 
 

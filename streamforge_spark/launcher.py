@@ -40,27 +40,33 @@ def _preflight_recover(spark, cfg: ScopedConfig) -> None:
     the lost range as an empty replay — continuous batch ids keep the
     parquet sink manifest consistent).  No-op when healthy."""
     import datetime
+    import hashlib
 
     from streamforge_spark.streaming import recovery
 
     ckpt_root = cfg.require("CHECKPOINT_DIR")
-    jvm = spark.sparkContext._jvm
-    conf = spark.sparkContext._jsc.hadoopConfiguration()
-    root = jvm.org.apache.hadoop.fs.Path(ckpt_root)
-    fs = root.getFileSystem(conf)
+    fs, _JPath, root = recovery._hadoop_fs(spark, ckpt_root)
     if not fs.exists(root):
         return
     for st in fs.listStatus(root):
         if not st.isDirectory():
             continue
         sub = st.getPath().toString()
+        if ".expired-" in st.getPath().getName():
+            continue   # forensic archives from past loud-loss
+            # recoveries are expired by construction — not news
         lost = recovery.preflight_source_audit(spark, sub)
         if not lost:
             continue
+        # deterministic report id per (checkpoint, lost-file set): a
+        # rerun before the pending batch commits re-detects the same
+        # hole but must not double-count it in the gap ledger
+        key = hashlib.md5(
+            ("\x00".join([sub] + lost)).encode()).hexdigest()
         recovery.report_gap(
             spark, f"{cfg.require('OUTPUT_PATH').rstrip('/')}/_gaps",
             checkpoint=sub, archived_to="",
-            policy="skip-lost-files",
+            policy="skip-lost-files", dedupe_key=key,
             error=f"preflight: pending batches reference missing "
                   f"files {lost[:5]}",
             resumed_at=datetime.datetime.now(datetime.timezone.utc))

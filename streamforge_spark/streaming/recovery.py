@@ -66,6 +66,16 @@ _SOURCE_LOSS_MARKERS = (
 )
 
 
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(fs, JPath, path_obj) for the filesystem hosting ``path`` —
+    the one place the Hadoop FS resolution lives."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    JPath = jvm.org.apache.hadoop.fs.Path
+    p = JPath(path)
+    return p.getFileSystem(conf), JPath, p
+
+
 def _is_source_loss(exc: BaseException) -> bool:
     if isinstance(exc, SourceDataLoss):
         return True
@@ -92,11 +102,7 @@ def preflight_source_audit(spark: SparkSession, checkpoint: str) -> list[str]:
     Hadoop FS API so it works on whatever filesystem hosts the
     checkpoint.
     """
-    jvm = spark.sparkContext._jvm
-    conf = spark.sparkContext._jsc.hadoopConfiguration()
-    JPath = jvm.org.apache.hadoop.fs.Path
-    root = JPath(checkpoint)
-    fs = root.getFileSystem(conf)
+    fs, JPath, root = _hadoop_fs(spark, checkpoint)
     if not fs.exists(root):
         return []
 
@@ -163,9 +169,15 @@ def from_now_filter(stream: DataFrame, resumed_at: datetime.datetime | None,
 def report_gap(spark: SparkSession, gap_report_path: str, *,
                checkpoint: str, archived_to: str, error: str,
                resumed_at: datetime.datetime,
-               policy: str = "restart-from-now") -> None:
+               policy: str = "restart-from-now",
+               dedupe_key: str | None = None) -> bool:
     """Append one structured gap row to the DLQ/metrics channel (a
-    JSON-lines directory readable by the observability queries)."""
+    JSON-lines directory readable by the observability queries).
+
+    ``dedupe_key`` names the report file deterministically so the
+    SAME loss reported twice (e.g. a --recover rerun before the
+    pending batch commits) writes exactly one row; returns False when
+    the row already existed."""
     row = json.dumps({
         "kind": "cdc_token_expired",
         "policy": policy,
@@ -174,26 +186,24 @@ def report_gap(spark: SparkSession, gap_report_path: str, *,
         "error": error[:2000],
         "resumed_at": resumed_at.isoformat(),
     })
-    jvm = spark.sparkContext._jvm
-    conf = spark.sparkContext._jsc.hadoopConfiguration()
-    path = jvm.org.apache.hadoop.fs.Path(
-        f"{gap_report_path.rstrip('/')}/gap-{uuid.uuid4().hex}.json")
-    fs = path.getFileSystem(conf)
+    name = dedupe_key or uuid.uuid4().hex
+    fs, _JPath, path = _hadoop_fs(
+        spark, f"{gap_report_path.rstrip('/')}/gap-{name}.json")
+    if dedupe_key and fs.exists(path):
+        return False   # this exact loss was already reported
     out = fs.create(path, False)
     out.write(bytearray((row + "\n").encode()))
     out.close()
+    return True
 
 
 def archive_checkpoint(spark: SparkSession, checkpoint: str) -> str:
     """Move the expired checkpoint aside (kept for forensics)."""
-    jvm = spark.sparkContext._jvm
-    conf = spark.sparkContext._jsc.hadoopConfiguration()
-    src = jvm.org.apache.hadoop.fs.Path(checkpoint)
+    fs, JPath, src = _hadoop_fs(spark, checkpoint)
     stamp = datetime.datetime.now(datetime.timezone.utc).strftime(
         "%Y%m%dT%H%M%S")
-    dst = jvm.org.apache.hadoop.fs.Path(
+    dst = JPath(
         f"{checkpoint.rstrip('/')}.expired-{stamp}-{uuid.uuid4().hex[:6]}")
-    fs = src.getFileSystem(conf)
     if fs.exists(src) and not fs.rename(src, dst):
         raise OSError(f"failed to archive checkpoint {checkpoint}")
     return dst.toString()

@@ -307,3 +307,26 @@ def test_corpus_ingest_recover_flag_token_expiry(spark, tmp_path):
                   read(spark, tmp_path, "corpus").collect()) == [1, 2, 3]
     reports = glob.glob(str(tmp_path / "out" / "_gaps" / "gap-*.json"))
     assert len(reports) == 1   # no duplicate gap row
+
+
+def test_recover_from_now_us_manual_cut(spark, tmp_path):
+    # the operator-set from-now knob: files modified at or before the
+    # cut never ingest; files modified after it do (exact micros, no
+    # float wobble)
+    import time
+    good = ("a decent length document about spark engines and data "
+            "processing pipelines with many useful words appearing here "
+            "and continuing long enough to clear the quality threshold "
+            "for ingestion into the training corpus today")
+    write_lines(tmp_path / "in", [doc_line(1, good)])
+    time.sleep(0.6)
+    cut_us = int(time.time() * 1e6)
+    time.sleep(0.6)
+    write_lines(tmp_path / "in", [doc_line(2, good + " extra tail")],
+                name="batch1.txt")
+    run_job("CorpusIngest",
+            job_cfg(tmp_path, RECOVER_FROM_NOW_US=cut_us),
+            spark=spark, drain=True)
+    kept = sorted(r.doc_id for r in
+                  read(spark, tmp_path, "corpus").collect())
+    assert kept == [2]   # pre-cut history skipped, post-cut flows

@@ -695,19 +695,20 @@ def test_pack_chunk_token_count_is_scan_side(spark):
 
 def test_exact_percentiles_sorts_only_the_rollup(spark):
     # the cumulative window runs on the (type, cents) frequency
-    # rollup: the plan must aggregate BEFORE any sort (two-phase), and
-    # the scan reads only the two needed columns
+    # rollup: the plan must build the aggregate BEFORE any sort
+    # (two-phase), and the scan reads only the two needed columns.
+    # Formatted plans number operators leaves-first (Scan = (1), root
+    # = highest), so two-phase means SOME HashAggregate carries a
+    # LOWER id than the window Sort; a degenerate raw-data sort would
+    # put the Sort below (= lower id than) every aggregate.
     plan = plan_of(spark, "exact_percentiles_by_type")
-    first_agg = plan.find("HashAggregate")
-    first_sort = plan.find("(\n".join([""])) or plan.find("Sort ")
-    assert first_agg != -1 and "Sort" in plan
-    # formatted plans list operators leaves-first: the aggregate that
-    # builds the rollup must appear in the tree BELOW the window sort,
-    # i.e. with a higher operator id
     import re
-    ids = {m.group(2): int(m.group(1))
-           for m in re.finditer(r"\((\d+)\) (\w+)", plan)}
-    assert ids.get("HashAggregate", 0) > ids.get("Sort", 99)
+    agg_ids = [int(m.group(1)) for m in
+               re.finditer(r"\((\d+)\) (?:Hash|ObjectHash)Aggregate", plan)]
+    sort_ids = [int(m.group(1)) for m in
+                re.finditer(r"\((\d+)\) Sort\b", plan)]
+    assert agg_ids and sort_ids
+    assert min(agg_ids) < min(sort_ids), (agg_ids, sort_ids)
     scan_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
     assert "user_id" not in scan_schema and "props" not in scan_schema
 
