@@ -375,3 +375,41 @@ def offset_continuity_audit(spark, sf_dir):
                  F.coalesce(F.sum(F.when(gap > 0, gap)), F.lit(0))
                  .alias("missing_total"),
                  F.coalesce(F.max(gap), F.lit(0)).alias("max_gap")))
+
+
+@query(
+    "metadata_decorator_stamp",
+    oracle="""
+SELECT event_id,
+       'stage.audit.partition,stage.audit.processedAt' AS stamp_keys,
+       ts AS stamped_at
+FROM events
+""",
+)
+def metadata_decorator_stamp(spark, sf_dir):
+    """MetadataDecorator's deterministic surface, driver-checkable
+    (VERDICT r3 row 31 was "unit-only — partition id nondeterministic
+    by design"): run the real decorator
+    (operators/observability.py::metadata_decorator,
+    MetadataDecorator.java:71-82) with a pinned processed-at column,
+    then project what IS deterministic — the injected key set (both
+    stage.<name>.* stamps present on every row, map_concat preserved a
+    null base map) and the processedAt value round-tripped through the
+    string-typed metadata map back to a timestamp.  The partition-id
+    VALUE stays out of the oracle, honestly, because task placement is
+    scheduler-dependent.
+
+    Scan-side column algebra; zero exchanges.
+    """
+    from streamforge_spark.operators.observability import metadata_decorator
+    (events,) = prep(spark, sf_dir, "events")
+    base = events.select(
+        "event_id", "ts",
+        F.lit(None).cast("map<string,string>").alias("metadata"))
+    dec = metadata_decorator(base, "audit", processed_at=F.col("ts"))
+    return dec.select(
+        "event_id",
+        F.array_join(F.array_sort(F.map_keys("metadata")), ",")
+        .alias("stamp_keys"),
+        F.to_timestamp(F.col("metadata")["stage.audit.processedAt"])
+        .alias("stamped_at"))
