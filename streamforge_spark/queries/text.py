@@ -1175,3 +1175,78 @@ def lang_confusion_matrix(spark, sf_dir):
                         F.expr("_num div sum(n_docs) over "
                                "(partition by true_lang)")) \
             .drop("_num")
+
+
+MG_K = 50   # heavy-hitter threshold: frequency > n_tokens / MG_K
+
+_HEAVY_HITTERS_ORACLE = f"""
+WITH t AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+tt AS (SELECT token FROM t WHERE token <> ''),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tt)
+SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM tt, n
+GROUP BY token, n.n
+HAVING COUNT(*) * {MG_K} > n.n
+"""
+
+
+@query("heavy_hitters_misra_gries", oracle=_HEAVY_HITTERS_ORACLE)
+def heavy_hitters_misra_gries(spark, sf_dir):
+    """EXACT corpus heavy hitters (tokens with frequency > n/k,
+    k={k}) via the Misra-Gries mergeable-summary pattern (Agarwal et
+    al., "Mergeable Summaries", PODS'12): each partition keeps a
+    k-counter MG sketch of its own token stream (Arrow-batched
+    mapInPandas — the sketch is WHY Python appears: it exists to
+    avoid materializing the full token domain), the per-partition
+    candidate sets union into a tiny driver-free DataFrame, and a
+    second pass counts ONLY candidate tokens exactly.
+
+    Correctness is unconditional: any token with global frequency
+    > n/k must exceed n_p/k in at least one partition (pigeonhole),
+    so the candidate union is a guaranteed superset whatever the
+    partitioning; the exact verify pass then removes false
+    candidates.  Result is deterministic even though the intermediate
+    sketch contents aren't.
+
+    100 TB shape: the full token stream is NEVER shuffled on token —
+    the only token-keyed aggregation is over rows matching <= k x
+    partitions candidate keys (semi-join filter before the exchange);
+    everything else is partition-local.  Compare `groupBy(token)`:
+    one shuffle of the entire token domain.
+    """
+    import pandas as pd
+
+    (docs,) = prep(spark, sf_dir, "documents")
+    toks = (spread_for_compute(docs, "doc_id")
+            .select(F.explode(F.split("text", " ")).alias("token"))
+            .where(F.col("token") != ""))
+
+    k = MG_K
+
+    def mg_candidates(batches):
+        # classic Misra-Gries with batched decrement: merge each Arrow
+        # batch's value_counts, then while more than k counters live,
+        # subtract the overflow-th smallest count from all (equivalent
+        # to that many k+1-way decrement rounds)
+        counters: dict = {}
+        for pdf in batches:
+            for t, c in pdf["token"].value_counts().items():
+                counters[t] = counters.get(t, 0) + int(c)
+            if len(counters) > k:
+                delta = sorted(counters.values())[len(counters) - k - 1]
+                counters = {t: c - delta for t, c in counters.items()
+                            if c > delta}
+        yield pd.DataFrame({"token": list(counters)})
+
+    cands = toks.mapInPandas(mg_candidates, "token string").distinct()
+    total = toks.agg(F.count(F.lit(1)).alias("n"))
+    return (toks.join(F.broadcast(cands), "token")
+            .groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+            .crossJoin(F.broadcast(total))
+            .where(F.col("cnt") * k > F.col("n"))
+            .select("token", "cnt"))
+
+
+heavy_hitters_misra_gries.__doc__ = \
+    heavy_hitters_misra_gries.__doc__.format(k=MG_K)

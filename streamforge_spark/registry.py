@@ -88,7 +88,7 @@ ROTATION_PRIORITY = [
     "bloom_fp_bound", "winnow_near_dup", "pack_chunk_stats",
     "session_dynamic_gap", "k_anonymity_audit", "tv_drift_by_day",
     "funnel_conversion", "top_event_paths", "exact_percentiles_by_type",
-    "metadata_decorator_stamp",
+    "metadata_decorator_stamp", "heavy_hitters_misra_gries",
 ]
 
 

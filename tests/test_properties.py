@@ -418,3 +418,29 @@ def test_packing_invariants(tokens, C):
     waste = n_chunks * C - cum
     assert 0 <= waste < C
     assert n_chunks == (prev_end // C) + 1
+
+
+def _mg_py(tokens, k):
+    counters = {}
+    for t in tokens:
+        counters[t] = counters.get(t, 0) + 1
+        if len(counters) > k:
+            delta = sorted(counters.values())[len(counters) - k - 1]
+            counters = {u: c - delta for u, c in counters.items()
+                        if c > delta}
+    return set(counters)
+
+
+@given(st.lists(st.integers(0, 30), min_size=1, max_size=300),
+       st.integers(2, 10), st.integers(1, 5))
+@SLOW
+def test_misra_gries_candidates_are_a_superset(tokens, k, n_parts):
+    # the guarantee heavy_hitters_misra_gries relies on: any item with
+    # global frequency > n/k appears in the UNION of per-partition MG
+    # candidate sets, for every partitioning (pigeonhole over n_p/k)
+    from collections import Counter
+    parts = [tokens[i::n_parts] for i in range(n_parts)]
+    cands = set().union(*(_mg_py(p, k) for p in parts if p))
+    n = len(tokens)
+    heavy = {t for t, c in Counter(tokens).items() if c * k > n}
+    assert heavy <= cands, (heavy - cands, k, n_parts)
