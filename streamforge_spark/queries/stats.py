@@ -1564,3 +1564,58 @@ def exact_percentiles_by_type(spark, sf_dir):
                         F.round(F.col("value") * 100).cast("long").alias("c"))
          .agg(F.count(F.lit(1)).alias("k")))
     return percentiles_from_frequencies(v, ["event_type"])
+
+
+_PCHART_ORACLE = """
+WITH w AS (
+  SELECT date_trunc('week', CAST(l_shipdate AS TIMESTAMP)) AS wk,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(*) FILTER (WHERE l_returnflag = 'R') AS BIGINT) AS d
+  FROM lineitem GROUP BY 1),
+tot AS (SELECT SUM(n) AS tn, SUM(d) AS td FROM w)
+SELECT wk, n, d,
+       CAST(ROUND(CAST(d AS DOUBLE) / CAST(n AS DOUBLE) * 1000000)
+            AS BIGINT) AS rate_ppm,
+       CAST(ROUND((CAST(td AS DOUBLE) / CAST(tn AS DOUBLE)
+                   + 3 * sqrt(CAST(td AS DOUBLE) / CAST(tn AS DOUBLE)
+                              * (1 - CAST(td AS DOUBLE)
+                                     / CAST(tn AS DOUBLE))
+                              / CAST(n AS DOUBLE))) * 1000000)
+            AS BIGINT) AS ucl_ppm
+FROM w CROSS JOIN tot
+"""
+
+
+@query("return_rate_pchart", oracle=_PCHART_ORACLE)
+def return_rate_pchart(spark, sf_dir):
+    """Shewhart p-chart over the weekly return rate: each week's
+    return fraction against the 3-sigma upper control limit
+    p̄ + 3·sqrt(p̄(1-p̄)/n_week) — the statistical-process-control
+    readout an ops team runs on any defect-rate stream (breach =
+    rate_ppm > ucl_ppm, an integer compare downstream).
+
+    Exactness: the control limit needs sqrt, so this is one of the
+    few queries with a float tail — kept bit-portable by computing the
+    IDENTICAL IEEE op sequence on both engines (div, mul, sub, div,
+    sqrt, mul, add — every step correctly rounded in both JVM and
+    DuckDB) and rounding to integer ppm once at the end.
+
+    Scale shape: one map-side-combined conditional-count rollup to
+    |weeks| rows; the totals broadcast back.  date_trunc('week') is
+    ISO/Monday-based in both engines.
+    """
+    (lineitem,) = prep(spark, sf_dir, "lineitem")
+    w = (lineitem.groupBy(
+            F.date_trunc("week", F.col("l_shipdate").cast("timestamp"))
+            .alias("wk"))
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.count(F.when(F.col("l_returnflag") == "R", 1)).alias("d")))
+    tot = w.agg(F.sum("n").alias("tn"), F.sum("d").alias("td"))
+    dbl = lambda c: F.col(c).cast("double")  # noqa: E731
+    pbar = dbl("td") / dbl("tn")
+    ucl = (pbar + F.lit(3) * F.sqrt(pbar * (F.lit(1) - pbar) / dbl("n")))
+    return (w.crossJoin(F.broadcast(tot))
+            .select("wk", "n", "d",
+                    F.round(dbl("d") / dbl("n") * 1000000).cast("long")
+                    .alias("rate_ppm"),
+                    F.round(ucl * 1000000).cast("long").alias("ucl_ppm")))

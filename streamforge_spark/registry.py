@@ -89,6 +89,7 @@ ROTATION_PRIORITY = [
     "session_dynamic_gap", "k_anonymity_audit", "tv_drift_by_day",
     "funnel_conversion", "top_event_paths", "exact_percentiles_by_type",
     "metadata_decorator_stamp", "heavy_hitters_misra_gries",
+    "return_rate_pchart",
 ]
 
 

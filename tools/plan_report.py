@@ -45,7 +45,7 @@ CURATION = [
 #: time-series analytics queries (queries/timeseries.py) + graph /
 #: vector-infra additions.
 TIMESERIES = [
-    "bloom_fp_bound", "winnow_near_dup", "pack_chunk_stats", "k_anonymity_audit", "session_dynamic_gap", "tv_drift_by_day", "funnel_conversion", "top_event_paths", "exact_percentiles_by_type", "metadata_decorator_stamp", "heavy_hitters_misra_gries",
+    "bloom_fp_bound", "winnow_near_dup", "pack_chunk_stats", "k_anonymity_audit", "session_dynamic_gap", "tv_drift_by_day", "funnel_conversion", "top_event_paths", "exact_percentiles_by_type", "metadata_decorator_stamp", "heavy_hitters_misra_gries", "return_rate_pchart",
     "gap_fill_daily", "ohlc_daily", "zscore_outliers",
     "value_histogram", "event_transitions", "value_drift_report",
     "winsorized_values", "supplier_pagerank", "embedding_quantize_int8",
