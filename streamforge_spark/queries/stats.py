@@ -1609,7 +1609,9 @@ def return_rate_pchart(spark, sf_dir):
             F.date_trunc("week", F.col("l_shipdate").cast("timestamp"))
             .alias("wk"))
          .agg(F.count(F.lit(1)).alias("n"),
-              F.count(F.when(F.col("l_returnflag") == "R", 1)).alias("d")))
+              F.count(F.when(F.col("l_returnflag") == "R", 1)).alias("d"))
+         # two consumers (totals + the chart rows): one fact scan
+         .localCheckpoint(eager=False))
     tot = w.agg(F.sum("n").alias("tn"), F.sum("d").alias("td"))
     dbl = lambda c: F.col(c).cast("double")  # noqa: E731
     pbar = dbl("td") / dbl("tn")

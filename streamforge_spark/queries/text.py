@@ -1250,3 +1250,8 @@ def heavy_hitters_misra_gries(spark, sf_dir):
 
 heavy_hitters_misra_gries.__doc__ = \
     heavy_hitters_misra_gries.__doc__.format(k=MG_K)
+# heavy_hitters_misra_gries scans documents 3x (candidates / total /
+# verify) by DESIGN: the exploded token stream is LARGER than the
+# column-pruned source text, so re-deriving it per pass beats
+# materializing it — the same adjudicated trade as bigram_lm_score's
+# 3-scan plan (see PLANS.md note).
