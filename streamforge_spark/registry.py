@@ -55,25 +55,19 @@ def _apply_oracle_casts() -> None:
                          f"FROM (\n{raw}\n) __oracle_cast")
 
 
-# Slots 1-~30 of the driver's 50-query CORRECTNESS window: the SURVEY
-# §2 core operator surface (every row of the judge's coverage table
-# gets re-verified every round) plus regression guards for previously
-# red rows.  Order within the list is the window order.
+# Pinned head of the driver's 50-query CORRECTNESS window.  Shrunk
+# from 28 to 12 after two consecutive all-green rounds (judge r4 item
+# 4): one representative per §2 operator family plus the ex-red r03
+# regression guards — everything else rotates so never-checked queries
+# accrue independent rows faster (~38/round instead of ~22).
 CORE_WINDOW = [
-    "cdc_op_normalize", "cdc_payload_precedence", "filter_unknown",
-    "splitter_exclusive", "splitter_copy_to_main", "fanin_union",
-    "dedup_first_seen", "merger_suppress",
-    "dynamic_join_inner", "dynamic_join_left", "dynamic_join_right",
-    "dynamic_join_full", "static_join_enrich",
-    "session_stats", "materialize_latest", "materialize_changelog",
-    "materialize_history", "scd2_temporal_join",
-    "schema_enforcer_pass", "constraint_enforcer_pass",
-    "constraint_enforcer_dlq", "flow_silence_report", "latency_report",
-    "health_report", "processor_stamp",
+    "cdc_op_normalize", "cdc_payload_precedence", "envelope_roundtrip",
+    "dynamic_join_inner", "static_join_enrich",
+    "session_stats", "materialize_latest",
+    "schema_enforcer_pass", "constraint_enforcer_dlq",
+    "dedup_first_seen",
     # r03 red rows (oracle HUGEINT casts fixed) — regression guards:
     "offset_continuity_audit", "session_gap_sensitivity",
-    # §2.3 wire-format interop (ADVICE r1 item 1's regression guard):
-    "envelope_roundtrip",
 ]
 
 # Never-driver-checked queries to rotate into slots ~31-50 FIRST
@@ -93,46 +87,84 @@ ROTATION_PRIORITY = [
 ]
 
 
-def _driver_checked() -> set[str]:
-    """Names that already have an independent driver correctness row
-    (any round's CORRECTNESS_r*.json at the repo root)."""
+def _driver_rows() -> tuple[set[str], set[str]]:
+    """(green, red) name sets from every round's CORRECTNESS_r*.json
+    at the repo root.  A row is *green* only when the driver confirmed
+    rows + schema + value-hash (hash_match may be absent for the
+    rows-only approx sketches — rows_match alone counts there); *red*
+    means the name appeared in some artifact but has never gone green.
+    Red is computed after the union so one later green row clears it.
+    """
     import glob
     import json
     import pathlib
     root = pathlib.Path(__file__).resolve().parent.parent
+    green: set[str] = set()
     seen: set[str] = set()
     for f in glob.glob(str(root / "CORRECTNESS_r*.json")):
         try:
-            seen |= set(json.load(open(f)))
+            rows = json.load(open(f))
         except (OSError, ValueError):
             continue
-    return seen
+        if not isinstance(rows, dict):
+            continue
+        for name, row in rows.items():
+            seen.add(name)
+            if not isinstance(row, dict):
+                continue
+            ok = bool(row.get("rows_match")) and \
+                row.get("schema_match") in (True, None) and \
+                row.get("hash_match") in (True, None)
+            if ok:
+                green.add(name)
+    return green, seen - green
+
+
+def _driver_checked() -> set[str]:
+    """Names with a fully GREEN driver correctness row.  Red-only rows
+    deliberately do NOT count (judge r4 item 1): treating any
+    appearance as "checked" rotated the five r01-red LSH/SimHash/ANN
+    queries out of the window forever without re-verification."""
+    return _driver_rows()[0]
+
+
+def _driver_red() -> set[str]:
+    """Names the driver has checked but NEVER seen green — these jump
+    to the front of the rotation (right after CORE_WINDOW) until a
+    green row lands."""
+    return _driver_rows()[1]
 
 
 def reorder_for_driver_window() -> None:
     """Rebuild QUERIES/ORACLES insertion order so the driver's
-    first-50 window is: CORE_WINDOW, then ROTATION_PRIORITY, then all
+    first-50 window is: CORE_WINDOW, then every red (checked-but-
+    never-green) query, then ROTATION_PRIORITY, then all
     never-driver-checked queries in registration order, then the rest.
 
     Because the checked-set is read from the CORRECTNESS_r*.json files
     the driver itself writes, the window self-rotates every round:
-    each round's newly-checked queries fall out of the front and the
+    each round's newly-green queries fall out of the front and the
     next batch of never-checked ones moves up — accruing independent
-    verification across rounds without manual reshuffling.
+    verification across rounds without manual reshuffling.  A FAILed
+    row is the opposite of verification, so red names re-enter at the
+    window head every round until the driver confirms them green.
     """
     checked = _driver_checked()
+    red = _driver_red()
     names = list(QUERIES)
-    # CORE_WINDOW stays pinned (re-verified every round); a
-    # ROTATION_PRIORITY name drops out of the head as soon as the
-    # driver has checked it, freeing its slot for the next
-    # never-checked query — otherwise the priority block would pin
-    # itself and stall the rotation
-    head = [n for n in CORE_WINDOW if n in QUERIES] + \
-           [n for n in ROTATION_PRIORITY
-            if n in QUERIES and n not in checked]
+    # CORE_WINDOW stays pinned (re-verified every round); red rows
+    # outrank everything else pending; a ROTATION_PRIORITY name drops
+    # out of the head as soon as the driver has green-checked it,
+    # freeing its slot for the next never-checked query — otherwise
+    # the priority block would pin itself and stall the rotation
+    head = [n for n in CORE_WINDOW if n in QUERIES]
+    head += [n for n in names if n in red and n not in head]
+    head += [n for n in ROTATION_PRIORITY
+             if n in QUERIES and n not in checked and n not in head]
     seen = set(head)
-    never = [n for n in names if n not in seen and n not in checked]
-    rest = [n for n in names if n not in seen and n in checked]
+    never = [n for n in names if n not in seen and n not in checked
+             and n not in red]
+    rest = [n for n in names if n not in seen and n not in set(never)]
     order = head + never + rest
     for d in (QUERIES, ORACLES):
         copy = dict(d)
