@@ -269,6 +269,13 @@ def rfm_segments(spark, sf_dir):
 
 _WINNOW_K = 8    # k-gram length (chars)
 _WINNOW_W = 4    # window of consecutive k-gram hashes
+#: Posting-length cap: fingerprints selected in more than this many
+#: documents are shared boilerplate and are dropped before the
+#: self-join (same discipline as text.NGRAM_MAX_DF — bounds the
+#: per-fingerprint pair fan-out at O(cap²)).  Far above any df seen
+#: at test scale, and mirrored in the oracle, so small-SF results are
+#: cap-invisible and parity holds at any scale.
+_WINNOW_MAX_DF = 64
 
 _WINNOW_ORACLE = f"""
 WITH base AS (
@@ -291,10 +298,13 @@ win AS (
                         AND {_WINNOW_W - 1} FOLLOWING) AS c
   FROM hashed),
 sel AS (SELECT DISTINCT doc_id, f FROM win WHERE c = {_WINNOW_W}),
+keptf AS (SELECT f FROM sel GROUP BY f
+          HAVING COUNT(*) BETWEEN 2 AND {_WINNOW_MAX_DF}),
+kept AS (SELECT doc_id, f FROM sel JOIN keptf USING (f)),
 pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          CAST(COUNT(*) AS BIGINT) AS shared
-  FROM sel a JOIN sel b ON a.f = b.f AND a.doc_id < b.doc_id
+  FROM kept a JOIN kept b ON a.f = b.f AND a.doc_id < b.doc_id
   GROUP BY 1, 2 HAVING COUNT(*) >= 3)
 SELECT doc_a, doc_b, shared FROM pairs
 """
@@ -319,9 +329,12 @@ def winnow_near_dup(spark, sf_dir):
     PARTITION-LOCAL (hash + per-doc window min, no text in any
     exchange); the only shuffle is the (doc_id, fingerprint) pair
     list into the equi-join — 16 bytes/row, the same inverted-index
-    shape as `dedup_ngram_jaccard`.  At 100 TB add a band-limit on
-    posting length (drop fingerprints appearing in > T docs, like the
-    LSH bucket cap) before the join.
+    shape as `dedup_ngram_jaccard`.  Fingerprints selected in more
+    than _WINNOW_MAX_DF documents are dropped before the self-join
+    (boilerplate cap, mirrored in the oracle) so one hot fingerprint
+    can't make the candidate space quadratic; the df >= 2 side of the
+    same filter also prunes singleton fingerprints — the vast
+    majority — before they reach the join at all.
 
     Exactness: hash60 char-gram hashes on both engines; window frames
     are ROWS-based (no peer ambiguity); MIN over BIGINT; pair counts
@@ -350,11 +363,15 @@ def winnow_near_dup(spark, sf_dir):
         F.count(F.lit(1)).over(frame).alias("c"))
         .where(F.col("c") == w)
         .select("doc_id", "f").distinct()
-        # both sides of the self-join read this: pin it so the
-        # char-gram explode runs once, not twice
+        # three consumers (df count + both join sides): pin it so the
+        # char-gram explode runs once, not thrice
         .localCheckpoint(eager=False))
-    a = sel.alias("a")
-    b = sel.alias("b")
+    keptf = (sel.groupBy("f").agg(F.count(F.lit(1)).alias("df"))
+             .filter((F.col("df") >= 2) & (F.col("df") <= _WINNOW_MAX_DF))
+             .select("f"))
+    kept = sel.join(keptf, "f")
+    a = kept.alias("a")
+    b = kept.alias("b")
     return (a.join(b, (F.col("a.f") == F.col("b.f"))
                    & (F.col("a.doc_id") < F.col("b.doc_id")))
             .groupBy(F.col("a.doc_id").alias("doc_a"),

@@ -129,6 +129,21 @@ def dedup_exact(spark, sf_dir):
 
 NGRAM_JACCARD_THRESHOLD = 0.2
 
+#: Posting-length cap: shingles appearing in more than this many
+#: documents are BOILERPLATE (license headers, navigation chrome,
+#: templated phrases) and are dropped BEFORE the pair join.  Without
+#: it one hot shingle in a boilerplate-heavy corpus makes the
+#: candidate space quadratic in its posting length — the one
+#: all-pairs escape hatch in the inverted-index design.  Evidence a
+#: capped shingle would have carried is (a) redundant for true
+#: near-dups (they share many RARE shingles too) and (b) noise for
+#: everything else.  64 is far above the max df observed at the test
+#: scales (25 at sf0.1), so small-scale results are cap-invisible;
+#: the DuckDB oracles carry the identical cap so parity holds at any
+#: scale.  test_posting_cap_linearity proves candidate growth stays
+#: linear on a synthetic boilerplate corpus.
+NGRAM_MAX_DF = 64
+
 _NGRAM_ORACLE = f"""
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
 glist AS (SELECT doc_id,
@@ -138,8 +153,11 @@ glist AS (SELECT doc_id,
           FROM toks),
 grams AS (SELECT doc_id, unnest(gs) AS g FROM glist),
 sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM grams GROUP BY doc_id),
+keptg AS (SELECT g FROM grams GROUP BY g
+          HAVING count(*) BETWEEN 2 AND {NGRAM_MAX_DF}),
+kept AS (SELECT doc_id, g FROM grams JOIN keptg USING (g)),
 inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(count(*) AS BIGINT) AS i
-          FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+          FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id
           GROUP BY 1, 2)
 SELECT d1, d2, CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard
 FROM inter
@@ -149,29 +167,25 @@ WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= {NGRAM_JACCARD_THRE
 """
 
 
-@query("dedup_ngram_jaccard", oracle=_NGRAM_ORACLE)
-def dedup_ngram_jaccard(spark, sf_dir):
-    """Near-duplicate pairs by word-3-gram (shingle) Jaccard.
+def shingle_pair_candidates(docs, n: int = 3, max_df: int = NGRAM_MAX_DF):
+    """Candidate near-dup pairs via a df-capped shingle inverted index
+    — the shared machinery of dedup_ngram_jaccard and
+    containment_near_dup.  Returns (d1, na, d2, nb) rows, one per
+    (pair, shared-kept-shingle).
 
-    Distributed formulation (inverted-index blocking, ONE shingle
-    pass): explode distinct shingles, group the posting list per
-    shingle, emit candidate i<j pairs with array higher-order
-    functions, aggregate intersection counts, compute
-    |A∩B| / (|A|+|B|-|A∩B|). The naive self-join on the shingle
-    computes the (expensive) shingle explode twice and shuffles it
-    twice; the posting-list form scans and shingles the corpus once.
-    Per-shingle pair blowup is quadratic in posting-list length either
-    way — shingles are deduped per doc, so only genuinely common
-    phrases are hot. MinHash+LSH (dedup_minhash_lsh) is the variant
-    that also cuts the candidate space.
+    Plan shape: one shingle explode (pinned — two consumers), a
+    map-side-combined df count per 8-byte shingle hash, a
+    `2 <= df <= max_df` filter, then a shuffle join of the surviving
+    grams back on the hash.  The df filter runs BEFORE any posting
+    list is materialised, so a hot shingle never builds an array row
+    at all (the cap both bounds the i<j pair fan-out at O(max_df²)
+    per shingle AND removes the single-giant-array executor OOM).
+    The post-join groupBy("g") reuses the join's hash partitioning —
+    no third exchange of the grams table.
     """
-    (docs,) = prep(spark, sf_dir, "documents")
-    # spread: shingle generation parallelizes across the cluster even
-    # when the input is a single small file (no-op when the scan is
-    # already well-partitioned — no shuffle at real scale)
     grams = (
         spread_for_compute(docs, "doc_id")
-        .select("doc_id", word_ngrams(F.col("text"), 3).alias("gs"))
+        .select("doc_id", word_ngrams(F.col("text"), n).alias("gs"))
         # carry each doc's set size alongside its shingles so no
         # second text parse / size join is ever needed
         .select("doc_id", F.size("gs").cast("long").alias("n"),
@@ -182,17 +196,42 @@ def dedup_ngram_jaccard(spark, sf_dir):
         # collisions (~n_grams²/2^65) can merge two posting lists —
         # immaterial for a near-dup metric and absent at oracle scale.
         .withColumn("g", F.xxhash64("g"))
+        # two consumers (df count + join) — pin so the text scan and
+        # shingle explode run once, not twice
+        .localCheckpoint(eager=False)
     )
+    keptg = (grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+             .filter((F.col("df") >= 2) & (F.col("df") <= max_df))
+             .select("g"))
     postings = (
-        grams.groupBy("g")
+        grams.join(keptg, "g")
+        .groupBy("g")
         .agg(F.sort_array(F.collect_list(F.struct("doc_id", "n"))).alias("ds"))
-        .filter(F.size("ds") >= 2)
     )
-    pairs = postings.select(F.explode(F.expr(
+    return postings.select(F.explode(F.expr(
         "flatten(transform(ds, (x, i) -> "
         "transform(slice(ds, i + 2, size(ds) - i - 1), "
         "y -> struct(x.doc_id AS d1, x.n AS na, y.doc_id AS d2, y.n AS nb))))"
     )).alias("p")).select("p.*")
+
+
+@query("dedup_ngram_jaccard", oracle=_NGRAM_ORACLE)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Near-duplicate pairs by word-3-gram (shingle) Jaccard.
+
+    Distributed formulation (df-capped inverted-index blocking, ONE
+    shingle pass — see shingle_pair_candidates): explode distinct
+    shingles, drop shingles with document frequency > NGRAM_MAX_DF
+    (boilerplate), group the posting list per surviving shingle, emit
+    candidate i<j pairs with array higher-order functions, aggregate
+    intersection counts, compute |A∩B| / (|A|+|B|-|A∩B|) with the
+    FULL per-doc set sizes in the denominator (the cap prunes
+    evidence, not the metric's normalisation).  MinHash+LSH
+    (dedup_minhash_lsh) is the probabilistic variant that also cuts
+    the candidate space.
+    """
+    (docs,) = prep(spark, sf_dir, "documents")
+    pairs = shingle_pair_candidates(docs, n=3)
     jac = (
         pairs.groupBy("d1", "d2")
         .agg(F.count(F.lit(1)).alias("i"),
@@ -347,8 +386,11 @@ glist AS (SELECT doc_id,
           FROM toks),
 grams AS (SELECT doc_id, unnest(gs) AS g FROM glist),
 sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM grams GROUP BY doc_id),
+keptg AS (SELECT g FROM grams GROUP BY g
+          HAVING count(*) BETWEEN 2 AND {NGRAM_MAX_DF}),
+kept AS (SELECT doc_id, g FROM grams JOIN keptg USING (g)),
 inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(count(*) AS BIGINT) AS i
-          FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+          FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id
           GROUP BY 1, 2),
 directed AS (
   SELECT d1 AS contained, d2 AS container, i,
@@ -371,32 +413,19 @@ def containment_near_dup(spark, sf_dir):
     farms). The union denominator dilutes those pairs below any
     Jaccard threshold; the containment denominator does not.
 
-    Scale shape: identical single-pass inverted-index blocking as
-    dedup_ngram_jaccard (shared candidate machinery — one shingle
-    explode, posting lists on 8-byte shingle hashes, i<j pair
-    aggregation), then each undirected pair fans into its two
-    directed containments with a 2-element explode. Same shuffle
-    profile as the Jaccard query; no extra corpus pass for the
-    directed form.
+    Scale shape: identical df-capped single-pass inverted-index
+    blocking as dedup_ngram_jaccard (shared shingle_pair_candidates —
+    one shingle explode, df cap before any posting list exists,
+    posting lists on 8-byte shingle hashes, i<j pair aggregation),
+    then each undirected pair fans into its two directed containments
+    with a 2-element explode.  The cap matters doubly here: the old
+    per-shingle collect_list built ONE unbounded array row for a hot
+    shingle (executor OOM, not just pair blowup); now that shingle is
+    dropped before the list aggregate.  Containment denominators stay
+    the FULL per-doc set sizes.
     """
     (docs,) = prep(spark, sf_dir, "documents")
-    grams = (
-        spread_for_compute(docs, "doc_id")
-        .select("doc_id", word_ngrams(F.col("text"), 3).alias("gs"))
-        .select("doc_id", F.size("gs").cast("long").alias("n"),
-                F.explode("gs").alias("g"))
-        .withColumn("g", F.xxhash64("g"))
-    )
-    postings = (
-        grams.groupBy("g")
-        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "n"))).alias("ds"))
-        .filter(F.size("ds") >= 2)
-    )
-    pairs = postings.select(F.explode(F.expr(
-        "flatten(transform(ds, (x, i) -> "
-        "transform(slice(ds, i + 2, size(ds) - i - 1), "
-        "y -> struct(x.doc_id AS d1, x.n AS na, y.doc_id AS d2, y.n AS nb))))"
-    )).alias("p")).select("p.*")
+    pairs = shingle_pair_candidates(docs, n=3)
     agg = pairs.groupBy("d1", "d2").agg(
         F.count(F.lit(1)).alias("i"),
         F.min("na").alias("na"), F.min("nb").alias("nb"))

@@ -1,0 +1,97 @@
+"""Posting-length cap (document-frequency cap) linearity proof.
+
+The shingle inverted index behind dedup_ngram_jaccard /
+containment_near_dup (queries/text.py::shingle_pair_candidates) and
+the winnowing fingerprint join (queries/simjoin.py::winnow_near_dup)
+emit one candidate row per (pair, shared fingerprint).  Without a df
+cap, a fingerprint shared by all n documents — boilerplate — emits
+C(n,2) pairs: quadratic in corpus size, the one all-pairs escape
+hatch in the design.  With the cap, hot fingerprints are dropped
+before any posting list or pair exists, and candidate volume grows
+linearly with the corpus while true near-dup pairs (linked by RARE
+shared shingles) are still found.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+BOILER = ("this content is provided as is without warranty of any kind "
+          "either express or implied")
+
+
+def _boiler_corpus(spark, n_docs: int):
+    """n_docs documents, each = shared boilerplate sentence (shingle
+    df = n_docs) + per-doc unique filler (df = 1); docs (2i, 2i+1)
+    additionally share a rare 8-token sentence (df = 2) — the true
+    near-dup signal a cap must NOT destroy."""
+    rows = []
+    for i in range(n_docs):
+        rare = " ".join(f"rare{i // 2}tok{j}" for j in range(8))
+        uniq = " ".join(f"u{i}x{j}" for j in range(8))
+        rows.append((i, f"{BOILER} {rare} {uniq}"))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _candidates(docs, max_df):
+    from streamforge_spark.queries.text import shingle_pair_candidates
+    return shingle_pair_candidates(docs, n=3, max_df=max_df).count()
+
+
+def test_posting_cap_linearity(spark):
+    capped_sm = _candidates(_boiler_corpus(spark, 20), max_df=8)
+    capped_lg = _candidates(_boiler_corpus(spark, 40), max_df=8)
+    # linear: doubling the corpus ~doubles candidates (rare-pair
+    # shingles only — 6 per pair, n/2 pairs)
+    assert capped_sm > 0
+    assert capped_lg <= 2.5 * capped_sm
+
+    uncapped_sm = _candidates(_boiler_corpus(spark, 20), max_df=1 << 40)
+    uncapped_lg = _candidates(_boiler_corpus(spark, 40), max_df=1 << 40)
+    # without the cap the boilerplate shingles dominate: C(n,2) pairs
+    # per hot shingle — demonstrably super-linear
+    assert uncapped_lg >= 3.5 * uncapped_sm
+    # and the cap is doing real work at this df profile
+    assert capped_lg < uncapped_lg / 5
+
+
+def test_posting_cap_keeps_true_pairs(spark):
+    from streamforge_spark.queries.text import shingle_pair_candidates
+    docs = _boiler_corpus(spark, 20)
+    pairs = (shingle_pair_candidates(docs, n=3, max_df=8)
+             .select("d1", "d2").distinct().collect())
+    found = {(r.d1, r.d2) for r in pairs}
+    expected = {(2 * i, 2 * i + 1) for i in range(10)}
+    assert expected <= found
+
+
+def test_winnow_cap_matches_oracle_shape(spark):
+    """The winnow df cap prunes singleton AND hot fingerprints before
+    the self-join; pairs linked only through boilerplate disappear,
+    pairs linked by rare substrings survive."""
+    from streamforge_spark.queries.simjoin import winnow_near_dup
+    import streamforge_spark.queries.simjoin as sj
+    # corpus where two docs share a long rare substring and ALL docs
+    # share boilerplate; with the cap, only the rare-substring pair
+    # should survive the shared>=3 gate
+    rows = [(i, f"{BOILER} unique filler text number {i} for doc {i}")
+            for i in range(12)]
+    shared = "an extremely distinctive shared passage of text present twice"
+    rows.append((100, f"{BOILER} {shared} plus tail alpha"))
+    rows.append((101, f"{BOILER} {shared} plus tail omega"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    docs.createOrReplaceTempView("documents_capttest")
+    old = sj._WINNOW_MAX_DF
+    try:
+        sj._WINNOW_MAX_DF = 6
+        import unittest.mock as mock
+        with mock.patch.object(sj, "prep",
+                               lambda s, d, *n: [docs]):
+            out = winnow_near_dup(spark, "unused").collect()
+    finally:
+        sj._WINNOW_MAX_DF = old
+    got = {(r.doc_a, r.doc_b) for r in out}
+    assert (100, 101) in got
+    # no pair linked solely by boilerplate (df=14 > cap) survives
+    assert all(a == 100 and b == 101 for a, b in got)
