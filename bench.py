@@ -136,15 +136,25 @@ def main() -> None:
         "pass_spread_max": round(max(
             max(p[n] for p in passes) / max(min(p[n] for p in passes), 1e-9)
             for n in HEADLINE), 2),
+        # full per-pass timings so a future contention event is
+        # diagnosable from the artifact alone (which pass, which
+        # contiguous stretch) without re-running anything
+        "passes": [{n: round(t, 3) for n, t in p.items()} for p in passes],
     }
     prev = _latest_bench_artifact(sf)
     if prev is not None:
         src, prev_data = prev
         prev_q = prev_data.get("queries", {})
+        prev_runs = prev_data.get("runs_per_query", 1)
         out["vs_prev"] = {
             "source": src,
             "total_prev": prev_data.get("value"),
             "total_delta": round(total - prev_data.get("value", 0.0), 3),
+            # best-of-N vs single-run artifacts aren't apples-to-apples
+            # (min-of-passes flatters the newer number); flag it so the
+            # delta is read as cross-methodology, not as a code change
+            "runs_per_query_prev": prev_runs,
+            "cross_methodology": prev_runs != len(passes),
             "per_query_delta": {
                 n: round(timings[n] - prev_q[n], 3)
                 for n in timings if n in prev_q

@@ -297,9 +297,11 @@ def corpus_ingest(spark: SparkSession, cfg: ScopedConfig):
     benchmark decontamination gate (shared word-n-grams with the
     static bench set -> quarantine) -> stamped parquet corpus.
 
-    Decontamination here inlines the bench shingle set as a broadcast
-    literal (eval benchmarks are small by nature); an unbounded bench
-    list swaps in the stream-static join variant
+    Decontamination gates the stream with a stream-static broadcast
+    semi/anti join against the folded bench shingle set (one array
+    row, built and shipped Spark-side — the driver never holds a
+    shingle); a bench set too big even to broadcast swaps in the
+    exploded equi-join variant
     (streaming/curation.py::streaming_contamination) without touching
     the chain. Config: BENCH_PATH (optional newline-text file of bench
     docs), SOURCE_PATH, OUTPUT_PATH, CHECKPOINT_DIR.
@@ -335,20 +337,30 @@ def corpus_ingest(spark: SparkSession, cfg: ScopedConfig):
     if bench_path:
         # derive bench shingles with the SAME column function the gate
         # applies to the stream — one tokenizer, no drift risk between
-        # a hand-rolled python copy and word_ngrams
-        bench = spark.read.text(bench_path)
-        bench_grams = sorted({
-            g for r in bench.select(
-                word_ngrams(F.col("value"), CORPUS_DECON_NGRAM).alias("gs"))
-            .collect() for g in r.gs})
-        hit = F.arrays_overlap(
-            word_ngrams(F.col("text"), CORPUS_DECON_NGRAM),
-            F.lit(bench_grams).cast("array<string>"))
+        # a hand-rolled python copy and word_ngrams — and keep the set
+        # OFF the driver: the shingles fold to one array row that
+        # BROADCASTS to the executors (stream-static broadcast
+        # semi/anti join), instead of a driver collect + literal array
+        # that ships the whole set inside the serialized plan on every
+        # micro-batch and caps out at plan-size limits long before a
+        # real eval suite does.  Same split semantics as before:
+        # semi = any shared shingle, anti = none.
+        bench = (spark.read.text(bench_path)
+                 .select(F.explode(
+                     word_ngrams(F.col("value"), CORPUS_DECON_NGRAM))
+                     .alias("g"))
+                 .agg(F.collect_set("g").alias("bench_gs")))
+        gated = docs.withColumn(
+            "gs", word_ngrams(F.col("text"), CORPUS_DECON_NGRAM))
+        overlap = F.arrays_overlap(F.col("gs"), F.col("bench_gs"))
+        contaminated = (gated.join(F.broadcast(bench), overlap, "left_semi")
+                        .drop("gs"))
+        clean = (gated.join(F.broadcast(bench), overlap, "left_anti")
+                 .drop("gs"))
     else:
-        hit = F.lit(False)
-    contaminated = docs.filter(hit)
-    clean = (docs.filter(~hit)
-             .withColumn("ingested_at", F.current_timestamp()))
+        contaminated = docs.filter(F.lit(False))
+        clean = docs
+    clean = clean.withColumn("ingested_at", F.current_timestamp())
 
     return [_sink(clean, cfg, "corpus"),
             _sink(low_q, cfg, "quarantine_quality"),

@@ -237,73 +237,102 @@ def es_bulk_writer(url: str, index: str, id_col: str,
     once), DELETE ops become bulk ``delete`` actions, requests are
     chunked at ``chunk_docs`` actions (the reference's 500-doc flush,
     ElasticsearchSinkBuilder.java bulk settings), and retryable
-    statuses (429/5xx, connection resets) back off and retry; a
-    response with ``"errors": true`` raises so the micro-batch fails
-    and replays rather than dropping documents silently.
+    statuses (429/5xx, connection resets) back off and retry —
+    including ITEM-level 429s inside a 200 response (how real ES
+    signals per-shard backpressure): only the rejected actions
+    re-bulk through the backoff schedule.  Non-retryable item
+    failures raise so the micro-batch fails and replays rather than
+    dropping documents silently.
 
     At 1000 executors this fans the index traffic out per partition —
     size partitions so chunk_docs * doc_size fits the ES http limit,
     and cap parallelism with the stream's shuffle partitioning, not a
     driver-side collect.
     """
+    RETRYABLE = (429, 502, 503, 504)
+
     def write_partition(rows) -> None:
         import json as _json
         import time as _time
         import urllib.error
         import urllib.request
 
-        buf: list[str] = []
-        n_actions = 0
+        acts: list[list[str]] = []   # one entry per action (1-2 ndjson lines)
 
         def flush() -> None:
-            nonlocal n_actions
-            if not buf:
+            if not acts:
                 return
-            body = ("\n".join(buf) + "\n").encode()
-            req = urllib.request.Request(
-                f"{url.rstrip('/')}/_bulk", data=body,
-                headers={"Content-Type": "application/x-ndjson"})
+            # real ES signals backpressure two ways: a whole-request
+            # 429/5xx (handled below), and a 200 ``_bulk`` response
+            # whose ITEMS carry 429 — the common case under sustained
+            # load.  Raising on the latter would fail the micro-batch
+            # and crash-loop the stream replaying whole batches, so
+            # instead the REJECTED actions alone re-bulk through the
+            # same backoff schedule; anything non-retryable still
+            # raises for an at-least-once replay.
+            pending = list(acts)
             for attempt in range(max_retries):
+                body = ("\n".join(ln for a in pending for ln in a)
+                        + "\n").encode()
+                req = urllib.request.Request(
+                    f"{url.rstrip('/')}/_bulk", data=body,
+                    headers={"Content-Type": "application/x-ndjson"})
                 try:
                     with urllib.request.urlopen(req, timeout=30) as r:
                         resp = _json.load(r)
-                    if resp.get("errors"):
-                        # a replayed delete of an already-deleted doc
-                        # reports item status 404 — that is the
-                        # idempotent outcome, not a failure
-                        bad = [it for it in resp.get("items", [])
-                               if next(iter(it.values())).get("status", 200)
-                               >= 300
-                               and not ("delete" in it
-                                        and it["delete"].get("status")
-                                        == 404)][:3]
-                        if bad:
-                            raise RuntimeError(f"_bulk item failures: {bad}")
-                    break
                 except urllib.error.HTTPError as e:
-                    if e.code not in (429, 502, 503, 504) \
+                    if e.code not in RETRYABLE \
                             or attempt == max_retries - 1:
                         raise
                     _time.sleep(backoff_s * (2 ** attempt))
+                    continue
                 except urllib.error.URLError:
                     if attempt == max_retries - 1:
                         raise
                     _time.sleep(backoff_s * (2 ** attempt))
-            buf.clear()
-            n_actions = 0
+                    continue
+                if not resp.get("errors"):
+                    break
+                retry_idx: list[int] = []
+                fatal: list[dict] = []
+                for i, it in enumerate(resp.get("items", [])):
+                    info = next(iter(it.values()))
+                    status = info.get("status", 200)
+                    if status < 300:
+                        continue
+                    # a replayed delete of an already-deleted doc
+                    # reports item status 404 — that is the
+                    # idempotent outcome, not a failure
+                    if "delete" in it and status == 404:
+                        continue
+                    if status in RETRYABLE:
+                        retry_idx.append(i)
+                    else:
+                        fatal.append(it)
+                if fatal:
+                    raise RuntimeError(f"_bulk item failures: {fatal[:3]}")
+                if not retry_idx:
+                    break
+                if attempt == max_retries - 1:
+                    raise RuntimeError(
+                        f"_bulk backpressure persisted after "
+                        f"{max_retries} attempts: "
+                        f"{len(retry_idx)} actions still rejected")
+                pending = [pending[i] for i in retry_idx]
+                _time.sleep(backoff_s * (2 ** attempt))
+            acts.clear()
 
         for row in rows:
             d = row.asDict(recursive=True)
             doc_id = str(d[id_col])
             if op_col is not None and d.get(op_col) == delete_value:
-                buf.append(_json.dumps(
-                    {"delete": {"_index": index, "_id": doc_id}}))
+                acts.append([_json.dumps(
+                    {"delete": {"_index": index, "_id": doc_id}})])
             else:
-                buf.append(_json.dumps(
-                    {"index": {"_index": index, "_id": doc_id}}))
-                buf.append(_json.dumps(d, default=str))
-            n_actions += 1
-            if n_actions >= chunk_docs:
+                acts.append([_json.dumps(
+                    {"index": {"_index": index, "_id": doc_id}}),
+                    _json.dumps(d, default=str)])
+            if len(acts) >= chunk_docs:
                 flush()
         flush()
 

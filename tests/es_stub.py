@@ -15,10 +15,14 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 
 class EsStub:
-    def __init__(self, fail_first: int = 0):
+    def __init__(self, fail_first: int = 0, backpressure_first: int = 0):
         self.docs: dict[tuple[str, str], dict] = {}   # (index, _id) -> doc
         self.requests = 0
         self.fail_first = fail_first
+        # first N requests answer 200 but reject every SECOND index
+        # action with an item-level 429 (real ES backpressure shape)
+        self.backpressure_first = backpressure_first
+        self.action_counts: list[int] = []    # actions seen per request
         self._lock = threading.Lock()
         stub = self
 
@@ -37,6 +41,8 @@ class EsStub:
                     if stub.requests <= stub.fail_first:
                         self.send_error(503, "simulated overload")
                         return
+                    throttling = (stub.requests
+                                  <= stub.backpressure_first)
                     items = []
                     lines = [ln for ln in body.splitlines() if ln.strip()]
                     i = 0
@@ -46,6 +52,13 @@ class EsStub:
                         meta = action[kind]
                         key = (meta["_index"], meta["_id"])
                         if kind == "index":
+                            if throttling and len(items) % 2 == 1:
+                                items.append({"index": {
+                                    "status": 429,
+                                    "error": {"type":
+                                              "es_rejected_execution"}}})
+                                i += 2
+                                continue
                             stub.docs[key] = json.loads(lines[i + 1])
                             items.append({"index": {"status": 200}})
                             i += 2
@@ -59,6 +72,7 @@ class EsStub:
                         else:
                             items.append({kind: {"status": 400}})
                             i += 1
+                    stub.action_counts.append(len(items))
                 # like real ES: any item status >= 300 flips the flag
                 # (including delete-of-missing 404s)
                 errors = any(next(iter(it.values()))["status"] >= 300

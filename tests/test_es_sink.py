@@ -71,6 +71,44 @@ def test_es_bulk_chunked_flush_and_retry(spark):
         assert es.requests == 5
 
 
+def test_es_bulk_item_level_429_retries_rejected_only(spark):
+    # a 200 _bulk response whose ITEMS carry 429 is how real ES
+    # signals backpressure — the writer must re-bulk ONLY the
+    # rejected actions through the backoff loop, not raise and
+    # crash-loop the whole micro-batch (VERDICT r5 item 6)
+    from streamforge_spark.streaming.sinks import es_bulk_writer
+
+    n = 8
+    batch = _rows(spark, [(f"t{i}", T0, "insert", i) for i in range(n)])
+    with EsStub(backpressure_first=1) as es:
+        writer = es_bulk_writer(es.url, "traces", "trace_id",
+                                backoff_s=0.01)
+        writer(iter(batch.collect()))
+        # every doc landed despite the throttled first request
+        assert len(es.docs) == n
+        assert all(es.docs[("traces", f"t{i}")]["v"] == i
+                   for i in range(n))
+        # second request carried only the 4 rejected actions
+        assert es.action_counts == [n, n // 2]
+
+
+def test_es_bulk_item_level_429_exhaustion_raises(spark):
+    # persistent backpressure must eventually fail the batch loudly
+    # (at-least-once replay), never drop the rejected docs
+    import pytest
+    from streamforge_spark.streaming.sinks import es_bulk_writer
+
+    # the stub rejects every 2nd action while throttling, so with 2
+    # attempts the retry of the 2 rejected actions is still partially
+    # rejected on the final attempt -> must raise, not drop
+    batch = _rows(spark, [(f"t{i}", T0, "insert", i) for i in range(4)])
+    with EsStub(backpressure_first=100) as es:
+        writer = es_bulk_writer(es.url, "traces", "trace_id",
+                                max_retries=2, backoff_s=0.01)
+        with pytest.raises(RuntimeError, match="backpressure persisted"):
+            writer(iter(batch.collect()))
+
+
 def test_es_bulk_streaming_foreach_batch(spark, tmp_path):
     from streamforge_spark.streaming.sinks import foreach_batch_es_bulk
 

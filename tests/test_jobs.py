@@ -223,6 +223,42 @@ def test_corpus_ingest_job(spark, tmp_path):
     assert len(dlq) == 1 and dlq[0].error_type == "PARSE_ERROR"
 
 
+def test_corpus_ingest_decon_gate_broadcasts(spark, tmp_path):
+    # the decontamination gate must be a stream-static BROADCAST
+    # semi/anti join against the folded bench shingle set — never a
+    # driver-side collect inlined as a literal array (plan-size-bound,
+    # re-shipped per micro-batch, and invisible to Spark's broadcast
+    # memory accounting)
+    from streamforge_spark.launcher import JOB_REGISTRY
+    good = ("a decent length document about spark engines and data "
+            "processing pipelines with many useful words appearing here "
+            "and continuing long enough to clear the quality threshold "
+            "for ingestion into the training corpus today")
+    write_lines(tmp_path / "in", [doc_line(1, good)])
+    write_lines(tmp_path / "bench", ["benchmark secret answer tokens xyz"],
+                name="bench.txt")
+    cfg = job_cfg(tmp_path, BENCH_PATH=tmp_path / "bench")
+    cfg.activate_job("CorpusIngest")
+    queries = JOB_REGISTRY["CorpusIngest"](spark, cfg)
+    try:
+        for q in queries:
+            q.processAllAvailable()
+        plans = [q._jsq.explainInternal(True) for q in queries]
+    finally:
+        for q in queries:
+            q.stop()
+    gate = [p for p in plans if "arrays_overlap" in p]
+    assert len(gate) == 2, "expected a semi (quarantine) and an anti (clean) gate"
+    assert any("LeftSemi" in p for p in gate)
+    assert any("LeftAnti" in p for p in gate)
+    for p in gate:
+        assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+        # the bench set must arrive via collect_set aggregation on the
+        # static side, not as an inlined literal array of shingles
+        assert "collect_set" in p
+        assert "benchmark secret" not in p
+
+
 def test_corpus_ingest_empty_text_quarantined_not_crashing(spark, tmp_path):
     # empty (but valid-JSON) text must flow to the quality quarantine —
     # under ANSI mode a naive punct/chars ratio would DIVIDE_BY_ZERO
