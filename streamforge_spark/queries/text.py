@@ -1284,3 +1284,180 @@ heavy_hitters_misra_gries.__doc__ = \
 # column-pruned source text, so re-deriving it per pass beats
 # materializing it — the same adjudicated trade as bigram_lm_score's
 # 3-scan plan (see PLANS.md note).
+
+
+# -- exact-substring duplication (span-level dedup signal) --------------
+
+XS_K = 30          # duplicated-window length (chars); real pipelines ~50
+# no posting cap needed here (unlike shingle_pair_candidates): there is
+# no pair self-join — a window hash hot in 10^6 docs costs one df row
+# and a semi-join probe, never a quadratic candidate fan-out
+
+_XS_HASH = hash60_sql(f"substr(text, p, {XS_K})", "'xs'")
+
+_XS_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, text FROM documents WHERE length(text) >= {XS_K}),
+pos AS (
+  SELECT doc_id, text,
+         unnest(generate_series(1, length(text) - {XS_K} + 1)) AS p
+  FROM base),
+hashed AS (SELECT doc_id, p, {_XS_HASH} AS h FROM pos),
+hdf AS (SELECT h FROM (
+          SELECT h, COUNT(DISTINCT doc_id) AS df FROM hashed GROUP BY h)
+        WHERE df >= 2),
+shared AS (SELECT doc_id, p FROM hashed JOIN hdf USING (h)),
+flag AS (
+  SELECT doc_id, p,
+         CASE WHEN lag(p) OVER (PARTITION BY doc_id ORDER BY p) IS NULL
+              THEN 1
+              WHEN p > lag(p) OVER (PARTITION BY doc_id ORDER BY p)
+                   + {XS_K} THEN 1
+              ELSE 0 END AS new_span
+  FROM shared),
+sid AS (
+  SELECT doc_id, p,
+         SUM(new_span) OVER (PARTITION BY doc_id ORDER BY p
+                             ROWS UNBOUNDED PRECEDING) AS s
+  FROM flag),
+spans AS (
+  SELECT doc_id, MIN(p) AS sp, MAX(p) + {XS_K} - 1 AS ep
+  FROM sid GROUP BY doc_id, s),
+per AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+         CAST(SUM(ep - sp + 1) AS BIGINT) AS dup_chars
+  FROM spans GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(per.n_dup_spans, 0) AS n_dup_spans,
+       COALESCE(per.dup_chars, 0) AS dup_chars,
+       CASE WHEN length(d.text) = 0 THEN 0
+            ELSE (1000000 * COALESCE(per.dup_chars, 0)) // length(d.text)
+       END AS dup_char_ppm
+FROM documents d LEFT JOIN per USING (doc_id)
+"""
+
+
+@query("exact_substring_spans", oracle=_XS_ORACLE)
+def exact_substring_spans(spark, sf_dir):
+    """Exact-substring duplication per document (the span-level dedup
+    signal of Lee et al., "Deduplicating Training Data Makes Language
+    Models Better": text that appears verbatim elsewhere in the corpus
+    should be CUT, not the whole document dropped).  Every XS_K-char
+    window is hashed; windows whose hash occurs in >= 2 documents are
+    'duplicated'; overlapping/adjacent duplicated windows merge into
+    maximal spans (gaps-and-islands on positions — ends are monotone
+    for fixed K, so lag() alone finds the breaks).  Emits per doc the
+    merged span count, duplicated char total and ppm fraction — the
+    inputs a span-cutting pass needs to decide what to strip.
+
+    Scale shape: the char-window explode stays PARTITION-LOCAL (text
+    never crosses an exchange); only (doc_id, p, h) rows shuffle —
+    once for the distinct-doc df rollup, once for the semi-join (the
+    hashed relation is pinned: 2 consumers).  The interval merge
+    exchanges only the *shared* positions on doc_id, and the final
+    per-doc rollup is dimension-sized.  ANSI-safe: ppm uses integer
+    `div` with an explicit zero-length guard.
+    """
+    (docs,) = prep(spark, sf_dir, "documents")
+    k = XS_K
+    base = (spread_for_compute(docs, "doc_id")
+            .select("doc_id", "text")
+            .where(F.length("text") >= k))
+    pos = base.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1),
+                             F.length("text") - k + 1)).alias("p"),
+        "text")
+    hashed = (pos.select(
+        "doc_id", "p",
+        oracle_hash60(F.expr(f"substring(text, p, {k})"),
+                      salt="xs").alias("h"))
+        # two consumers (df rollup + semi-join): pin so the char
+        # explode + hash runs once
+        .localCheckpoint(eager=False))
+    hdf = (hashed.groupBy("h")
+           .agg(F.count_distinct("doc_id").alias("df"))
+           .where(F.col("df") >= 2).select("h"))
+    shared = hashed.join(hdf, "h", "left_semi").select("doc_id", "p")
+    w = Window.partitionBy("doc_id").orderBy("p")
+    lag_p = F.lag("p").over(w)
+    flagged = shared.withColumn(
+        "new_span",
+        F.when(lag_p.isNull(), F.lit(1))
+         .when(F.col("p") > lag_p + k, F.lit(1))
+         .otherwise(F.lit(0)))
+    sid = flagged.withColumn(
+        "s", F.sum("new_span").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    spans = (sid.groupBy("doc_id", "s")
+             .agg(F.min("p").alias("sp"),
+                  (F.max("p") + k - 1).alias("ep")))
+    per = (spans.groupBy("doc_id")
+           .agg(F.count(F.lit(1)).alias("n_dup_spans"),
+                F.sum(F.col("ep") - F.col("sp") + 1).alias("dup_chars")))
+    return (docs.join(per, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("n_dup_spans", F.lit(0)).cast("long")
+                 .alias("n_dup_spans"),
+                F.coalesce("dup_chars", F.lit(0)).cast("long")
+                 .alias("dup_chars"),
+                F.when(F.length("text") == 0, F.lit(0).cast("long"))
+                 .otherwise(F.expr(
+                     "(1000000 * coalesce(dup_chars, 0)) div length(text)"))
+                 .alias("dup_char_ppm")))
+
+
+# -- vocabulary coverage (tokenizer-fit signal) -------------------------
+
+VOCAB_TOP_K = 16   # corpus vocabulary size (top-K terms by frequency)
+
+_OOV_ORACLE = f"""
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+              FROM documents),
+cnt AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY term),
+vocab AS (SELECT term FROM cnt ORDER BY c DESC, term LIMIT {VOCAB_TOP_K}),
+per AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_oov
+        FROM toks WHERE term NOT IN (SELECT term FROM vocab)
+        GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+       COALESCE(per.n_oov, 0) AS n_oov,
+       (1000000 * COALESCE(per.n_oov, 0))
+         // len(string_split(d.text, ' ')) AS oov_ppm
+FROM documents d LEFT JOIN per USING (doc_id)
+"""
+
+
+@query("vocab_oov_rate", oracle=_OOV_ORACLE)
+def vocab_oov_rate(spark, sf_dir):
+    """Out-of-vocabulary rate per document against the corpus's own
+    top-K vocabulary — the tokenizer-fit signal (a doc full of tokens
+    a fixed vocab can't cover trains badly / explodes its token
+    count).  Vocabulary = top VOCAB_TOP_K terms by global frequency
+    (count desc, term asc — a total order, so the vocab is identical
+    in both engines).
+
+    Scale shape: one token rollup (map-side combined — the exchange
+    carries distinct (term, partial count) pairs, not tokens), top-K
+    via TakeOrderedAndProject on the dimension-sized term table, then
+    the vocab BROADCASTS back for a per-doc anti-join count — the
+    corpus-side token stream never shuffles for the membership test,
+    only the per-doc count combine.  `string_split` of any text is
+    non-empty, so the ppm division is total.
+    """
+    (docs,) = prep(spark, sf_dir, "documents")
+    toks = (spread_for_compute(docs, "doc_id")
+            .select("doc_id", F.explode(F.split("text", " ")).alias("term")))
+    vocab = (toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+             .orderBy(F.col("c").desc(), "term").limit(VOCAB_TOP_K)
+             .select("term"))
+    per = (toks.join(F.broadcast(vocab), "term", "left_anti")
+           .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_oov")))
+    return (docs.join(per, "doc_id", "left")
+            .select(
+                "doc_id",
+                token_count(F.col("text")).alias("n_tokens"),
+                F.coalesce("n_oov", F.lit(0)).cast("long").alias("n_oov"),
+                F.expr("(1000000 * coalesce(n_oov, 0)) "
+                       "div size(split(text, ' '))").alias("oov_ppm")))

@@ -84,6 +84,8 @@ ROTATION_PRIORITY = [
     "funnel_conversion", "top_event_paths", "exact_percentiles_by_type",
     "metadata_decorator_stamp", "heavy_hitters_misra_gries",
     "return_rate_pchart",
+    # round-6 additions
+    "exact_substring_spans", "vocab_oov_rate",
 ]
 
 
