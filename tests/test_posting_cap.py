@@ -81,7 +81,6 @@ def test_winnow_cap_matches_oracle_shape(spark):
     rows.append((100, f"{BOILER} {shared} plus tail alpha"))
     rows.append((101, f"{BOILER} {shared} plus tail omega"))
     docs = spark.createDataFrame(rows, "doc_id long, text string")
-    docs.createOrReplaceTempView("documents_capttest")
     old = sj._WINNOW_MAX_DF
     try:
         sj._WINNOW_MAX_DF = 6
@@ -95,3 +94,28 @@ def test_winnow_cap_matches_oracle_shape(spark):
     assert (100, 101) in got
     # no pair linked solely by boilerplate (df=14 > cap) survives
     assert all(a == 100 and b == 101 for a, b in got)
+
+
+def test_exact_substring_spans_detects_shared_passage(spark):
+    """A passage >= XS_K chars shared verbatim between two docs must
+    surface as exactly ONE merged span of exactly the passage's length
+    in each doc (window hashes straddling the passage boundary differ
+    between the docs, so the island is precisely the shared chars)."""
+    import unittest.mock as mock
+    import streamforge_spark.queries.text as qt
+
+    shared = "abcdefghijklmnopqrstuvwxyz0123456789ABCD"   # 40 >= XS_K
+    t1 = "QQQQQQQQQQQQQQQQQQQQ" + shared + "RRRRRRRRRRRRRRRRRRRR"
+    t2 = "SSSSSSSSSSSSSSSSSSSS" + shared + "TTTTTTTTTTTTTTTTTTTT"
+    t3 = "UUUUUUUUUUUUUUUUUUUUVVVVVVVVVVVVVVVVVVVVWWWWWWWWWW"
+    docs = spark.createDataFrame(
+        [(1, t1), (2, t2), (3, t3)], "doc_id long, text string")
+    with mock.patch.object(qt, "prep", lambda s, d, *n: [docs]):
+        out = {r.doc_id: r
+               for r in qt.exact_substring_spans(spark, "unused").collect()}
+    L = len(shared)
+    for d, t in ((1, t1), (2, t2)):
+        assert out[d].n_dup_spans == 1
+        assert out[d].dup_chars == L
+        assert out[d].dup_char_ppm == 1_000_000 * L // len(t)
+    assert out[3].n_dup_spans == 0 and out[3].dup_chars == 0

@@ -444,3 +444,35 @@ def test_misra_gries_candidates_are_a_superset(tokens, k, n_parts):
     n = len(tokens)
     heavy = {t for t, c in Counter(tokens).items() if c * k > n}
     assert heavy <= cands, (heavy - cands, k, n_parts)
+
+
+def _merge_spans_py(positions, k):
+    """Pure-python mirror of exact_substring_spans' gaps-and-islands
+    rule: a new span starts iff p > prev_p + k (interval ends are
+    monotone for fixed k, so lag on the previous POSITION suffices)."""
+    spans = []
+    prev_p = None
+    for p in sorted(positions):
+        if prev_p is not None and p <= prev_p + k:
+            spans[-1][1] = p + k - 1
+        else:
+            spans.append([p, p + k - 1])
+        prev_p = p
+    return spans
+
+
+@given(st.sets(st.integers(1, 200), max_size=60), st.integers(2, 12))
+@SLOW
+def test_exact_substring_span_merge_is_interval_union(positions, k):
+    # the merge's contract: dup_chars == |union of [p, p+k-1]| exactly
+    # (no double count across overlapping windows, no dropped chars),
+    # and emitted spans are maximal (separated by >= 1 uncovered char).
+    # The oracle-parity test can't check this — both engines implement
+    # the same rule; this pins the rule itself against the spec.
+    spans = _merge_spans_py(positions, k)
+    covered = set()
+    for p in positions:
+        covered |= set(range(p, p + k))
+    assert sum(e - s + 1 for s, e in spans) == len(covered)
+    for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+        assert s2 > e1 + 1
