@@ -1461,3 +1461,57 @@ def vocab_oov_rate(spark, sf_dir):
                 F.coalesce("n_oov", F.lit(0)).cast("long").alias("n_oov"),
                 F.expr("(1000000 * coalesce(n_oov, 0)) "
                        "div size(split(text, ' '))").alias("oov_ppm")))
+
+
+# -- boilerplate / hot-shingle audit ------------------------------------
+
+HOT_SHINGLE_K = 20   # report size
+
+_HOT_SHINGLE_ORACLE = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+glist AS (SELECT doc_id,
+                 list_distinct(list_transform(
+                   generate_series(1, greatest(len(t) - 2, 1)),
+                   i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS gs
+          FROM toks),
+grams AS (SELECT doc_id, unnest(gs) AS g FROM glist),
+df AS (SELECT g, CAST(count(*) AS BIGINT) AS df,
+              CAST(MIN(doc_id) AS BIGINT) AS example_doc
+       FROM grams GROUP BY g)
+SELECT g AS shingle, df,
+       df > {NGRAM_MAX_DF} AS capped,
+       example_doc
+FROM df
+ORDER BY df DESC, g
+LIMIT {HOT_SHINGLE_K}
+"""
+
+
+@query("hot_shingle_report", oracle=_HOT_SHINGLE_ORACLE)
+def hot_shingle_report(spark, sf_dir):
+    """Top-K hottest shingles by document frequency, flagged where the
+    NGRAM_MAX_DF posting cap would drop them — the operational audit
+    behind the cap ("no silent caps": a 100 TB run should SEE the
+    license headers / navigation chrome it excluded from near-dup
+    evidence, with an example document to inspect).  Deterministic
+    total order (df desc, shingle asc).
+
+    Scale shape: one shingle explode, one map-side-combined rollup on
+    the shingle string (the string must survive to the report, so
+    this query shuffles (shingle, partial-count/min) pairs — distinct
+    shingles per map partition, the same exchange class as a term
+    rollup), then TakeOrderedAndProject for the top-K.  No joins.
+    """
+    (docs,) = prep(spark, sf_dir, "documents")
+    grams = (spread_for_compute(docs, "doc_id")
+             .select("doc_id",
+                     F.explode(word_ngrams(F.col("text"), 3)).alias("g")))
+    df = (grams.groupBy("g")
+          .agg(F.count(F.lit(1)).alias("df"),
+               F.min("doc_id").alias("example_doc")))
+    return (df.select(
+        F.col("g").alias("shingle"), "df",
+        (F.col("df") > NGRAM_MAX_DF).alias("capped"),
+        "example_doc")
+        .orderBy(F.col("df").desc(), "shingle")
+        .limit(HOT_SHINGLE_K))

@@ -85,7 +85,7 @@ ROTATION_PRIORITY = [
     "metadata_decorator_stamp", "heavy_hitters_misra_gries",
     "return_rate_pchart",
     # round-6 additions
-    "exact_substring_spans", "vocab_oov_rate",
+    "exact_substring_spans", "vocab_oov_rate", "hot_shingle_report",
 ]
 
 
