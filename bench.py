@@ -86,6 +86,12 @@ HEADLINE = [
     "winnow_near_dup",
     "pack_chunk_stats",
     "bloom_fp_bound",
+    # round-6 additions: span-level exact-substring dedup signal
+    # (window-hash df + interval merge), vocabulary OOV rate
+    # (broadcast vocab anti-join), hot-shingle cap audit
+    "exact_substring_spans",
+    "vocab_oov_rate",
+    "hot_shingle_report",
 ]
 
 

@@ -1351,12 +1351,16 @@ def exact_substring_spans(spark, sf_dir):
     inputs a span-cutting pass needs to decide what to strip.
 
     Scale shape: the char-window explode stays PARTITION-LOCAL (text
-    never crosses an exchange); only (doc_id, p, h) rows shuffle —
-    once for the distinct-doc df rollup, once for the semi-join (the
-    hashed relation is pinned: 2 consumers).  The interval merge
-    exchanges only the *shared* positions on doc_id, and the final
-    per-doc rollup is dimension-sized.  ANSI-safe: ppm uses integer
-    `div` with an explicit zero-length guard.
+    never crosses an exchange); the (doc_id, p, h) position table —
+    this query's bulk — crosses an exchange exactly ONCE: cross-doc
+    sharing is decided by min(doc_id)!=max(doc_id) window functions
+    over the h partition (no df rollup, no semi-join, no second pass
+    of the big table; an unordered min/max buffer per partition, so a
+    hot boilerplate window costs two longs, never an array).  The
+    interval merge then exchanges only the *shared* positions on
+    doc_id, and the final per-doc rollup is dimension-sized.
+    ANSI-safe: ppm uses integer `div` with an explicit zero-length
+    guard.
     """
     (docs,) = prep(spark, sf_dir, "documents")
     k = XS_K
@@ -1368,17 +1372,16 @@ def exact_substring_spans(spark, sf_dir):
         F.explode(F.sequence(F.lit(1),
                              F.length("text") - k + 1)).alias("p"),
         "text")
-    hashed = (pos.select(
+    hashed = pos.select(
         "doc_id", "p",
         oracle_hash60(F.expr(f"substring(text, p, {k})"),
                       salt="xs").alias("h"))
-        # two consumers (df rollup + semi-join): pin so the char
-        # explode + hash runs once
-        .localCheckpoint(eager=False))
-    hdf = (hashed.groupBy("h")
-           .agg(F.count_distinct("doc_id").alias("df"))
-           .where(F.col("df") >= 2).select("h"))
-    shared = hashed.join(hdf, "h", "left_semi").select("doc_id", "p")
+    wh = Window.partitionBy("h")
+    shared = (hashed
+              .withColumn("_mn", F.min("doc_id").over(wh))
+              .withColumn("_mx", F.max("doc_id").over(wh))
+              .where(F.col("_mn") != F.col("_mx"))
+              .select("doc_id", "p"))
     w = Window.partitionBy("doc_id").orderBy("p")
     lag_p = F.lag("p").over(w)
     flagged = shared.withColumn(
@@ -1395,16 +1398,19 @@ def exact_substring_spans(spark, sf_dir):
     per = (spans.groupBy("doc_id")
            .agg(F.count(F.lit(1)).alias("n_dup_spans"),
                 F.sum(F.col("ep") - F.col("sp") + 1).alias("dup_chars")))
-    return (docs.join(per, "doc_id", "left")
+    # project length BEFORE the join: only (doc_id, n_len) may cross
+    # if the doc side ever exchanges — text stays at the scan
+    base_len = docs.select("doc_id", F.length("text").alias("n_len"))
+    return (base_len.join(per, "doc_id", "left")
             .select(
                 "doc_id",
                 F.coalesce("n_dup_spans", F.lit(0)).cast("long")
                  .alias("n_dup_spans"),
                 F.coalesce("dup_chars", F.lit(0)).cast("long")
                  .alias("dup_chars"),
-                F.when(F.length("text") == 0, F.lit(0).cast("long"))
+                F.when(F.col("n_len") == 0, F.lit(0).cast("long"))
                  .otherwise(F.expr(
-                     "(1000000 * coalesce(dup_chars, 0)) div length(text)"))
+                     "(1000000 * coalesce(dup_chars, 0)) div n_len"))
                  .alias("dup_char_ppm")))
 
 
@@ -1441,26 +1447,26 @@ def vocab_oov_rate(spark, sf_dir):
     Scale shape: one token rollup (map-side combined — the exchange
     carries distinct (term, partial count) pairs, not tokens), top-K
     via TakeOrderedAndProject on the dimension-sized term table, then
-    the vocab BROADCASTS back for a per-doc anti-join count — the
-    corpus-side token stream never shuffles for the membership test,
-    only the per-doc count combine.  `string_split` of any text is
-    non-empty, so the ppm division is total.
+    the vocab BROADCASTS back and ONE more token pass counts total
+    and OOV tokens together per doc (marker left join + conditional
+    count — every doc tokenizes to >= 1 token, so the per-doc rollup
+    covers the whole corpus and no docs join is needed; the ppm
+    division is total for the same reason).
     """
     (docs,) = prep(spark, sf_dir, "documents")
     toks = (spread_for_compute(docs, "doc_id")
             .select("doc_id", F.explode(F.split("text", " ")).alias("term")))
     vocab = (toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
              .orderBy(F.col("c").desc(), "term").limit(VOCAB_TOP_K)
-             .select("term"))
-    per = (toks.join(F.broadcast(vocab), "term", "left_anti")
-           .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_oov")))
-    return (docs.join(per, "doc_id", "left")
+             .select("term", F.lit(1).alias("_in_vocab")))
+    marked = toks.join(F.broadcast(vocab), "term", "left")
+    return (marked.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.count(F.when(F.col("_in_vocab").isNull(), 1))
+                  .alias("n_oov"))
             .select(
-                "doc_id",
-                token_count(F.col("text")).alias("n_tokens"),
-                F.coalesce("n_oov", F.lit(0)).cast("long").alias("n_oov"),
-                F.expr("(1000000 * coalesce(n_oov, 0)) "
-                       "div size(split(text, ' '))").alias("oov_ppm")))
+                "doc_id", "n_tokens", "n_oov",
+                F.expr("(1000000 * n_oov) div n_tokens").alias("oov_ppm")))
 
 
 # -- boilerplate / hot-shingle audit ------------------------------------

@@ -681,6 +681,25 @@ def test_measured_shuffle_volume_aggregations(spark):
     assert a["shuffle_bytes"] == 0
 
 
+def test_exact_substring_spans_exchanges_carry_no_text(spark):
+    # window hashing is partition-local; only (doc_id, p, h) longs and
+    # the pre-projected doc length may cross a post-explode exchange.
+    # The ONE permitted text-bearing exchange is spread_for_compute's
+    # small-input repartition of the raw (doc_id, text) rows — a
+    # doc-level (not per-position) move that is skipped entirely when
+    # the scan is already parallel (always at real scale).
+    import re
+    plan = plan_of(spark, "exact_substring_spans")
+    text_exchanges = [
+        m.group(1)
+        for m in re.finditer(r"\(\d+\) Exchange\n(Input \[\d+\]: \[[^\]]*\])",
+                             plan)
+        if "text" in m.group(1)]
+    assert len(text_exchanges) <= 1, text_exchanges
+    for inp in text_exchanges:       # must be the raw 2-column spread
+        assert re.match(r"Input \[2\]: \[doc_id#\d+L, text#\d+\]", inp), inp
+
+
 def test_winnow_exchanges_carry_no_text(spark):
     # the char-gram explode and window minima are partition-local;
     # only (doc_id, fingerprint) longs may cross an exchange
