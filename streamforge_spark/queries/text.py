@@ -1521,3 +1521,124 @@ def hot_shingle_report(spark, sf_dir):
         "example_doc")
         .orderBy(F.col("df").desc(), "shingle")
         .limit(HOT_SHINGLE_K))
+
+
+# -- incremental exact-substring contamination (ingest gate) ------------
+
+#: same ingest-batch convention as queries.llm.INGEST_SPLIT_ID (doc_id
+#: >= split is the "newly arriving" batch); kept as a local constant to
+#: avoid a cross-module import that would reorder query registration —
+#: test_ingest_split_constants_agree pins the two values together.
+XS_SPLIT_ID = 400
+
+_XS_INCR_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, text FROM documents WHERE length(text) >= {XS_K}),
+pos AS (
+  SELECT doc_id, text,
+         unnest(generate_series(1, length(text) - {XS_K} + 1)) AS p
+  FROM base),
+hashed AS (SELECT doc_id, p, {_XS_HASH} AS h FROM pos),
+flagged AS (
+  SELECT doc_id, p,
+         MIN(doc_id) OVER (PARTITION BY h) AS mn
+  FROM hashed),
+shared AS (
+  SELECT doc_id, p FROM flagged
+  WHERE doc_id >= {XS_SPLIT_ID} AND mn < {XS_SPLIT_ID}),
+brk AS (
+  SELECT doc_id, p,
+         CASE WHEN lag(p) OVER (PARTITION BY doc_id ORDER BY p) IS NULL
+              THEN 1
+              WHEN p > lag(p) OVER (PARTITION BY doc_id ORDER BY p)
+                   + {XS_K} THEN 1
+              ELSE 0 END AS new_span
+  FROM shared),
+sid AS (
+  SELECT doc_id, p,
+         SUM(new_span) OVER (PARTITION BY doc_id ORDER BY p
+                             ROWS UNBOUNDED PRECEDING) AS s
+  FROM brk),
+spans AS (
+  SELECT doc_id, MIN(p) AS sp, MAX(p) + {XS_K} - 1 AS ep
+  FROM sid GROUP BY doc_id, s),
+per AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+         CAST(SUM(ep - sp + 1) AS BIGINT) AS dup_chars
+  FROM spans GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(per.n_dup_spans, 0) AS n_dup_spans,
+       COALESCE(per.dup_chars, 0) AS dup_chars,
+       CASE WHEN length(d.text) = 0 THEN 0
+            ELSE (1000000 * COALESCE(per.dup_chars, 0)) // length(d.text)
+       END AS dup_char_ppm
+FROM documents d LEFT JOIN per USING (doc_id)
+WHERE d.doc_id >= {XS_SPLIT_ID}
+"""
+
+
+@query("incremental_substring_contamination", oracle=_XS_INCR_ORACLE)
+def incremental_substring_contamination(spark, sf_dir):
+    """Incremental ingest gate: for each NEWLY arriving document
+    (doc_id >= XS_SPLIT_ID), the exact-substring duplication stats
+    against the EXISTING corpus only (min over each window hash's
+    doc ids < split ⟺ some established doc already contains the
+    window) — "how much of this incoming doc is already in my
+    corpus verbatim", the span-level decon/admission signal, and the
+    ingest twin of exact_substring_spans (which scores the whole
+    corpus symmetrically).
+
+    Scale property: the position table crosses ONE exchange (the same
+    min-over-h window as exact_substring_spans — new-vs-new sharing is
+    deliberately NOT flagged here, so the min alone decides); the
+    interval merge touches only the new docs' shared positions. In
+    production the corpus side's window-hash min-index is READ from a
+    persisted index (appended per batch) — recomputed here because the
+    fixture has no cross-run state, same caveat as
+    incremental_fuzzy_dedup.
+    """
+    (docs,) = prep(spark, sf_dir, "documents")
+    k, split = XS_K, XS_SPLIT_ID
+    base = (spread_for_compute(docs, "doc_id")
+            .select("doc_id", "text")
+            .where(F.length("text") >= k))
+    pos = base.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1),
+                             F.length("text") - k + 1)).alias("p"),
+        "text")
+    hashed = pos.select(
+        "doc_id", "p",
+        oracle_hash60(F.expr(f"substring(text, p, {k})"),
+                      salt="xs").alias("h"))
+    shared = (hashed
+              .withColumn("_mn", F.min("doc_id").over(Window.partitionBy("h")))
+              .where((F.col("doc_id") >= split) & (F.col("_mn") < split))
+              .select("doc_id", "p"))
+    w = Window.partitionBy("doc_id").orderBy("p")
+    lag_p = F.lag("p").over(w)
+    sid = (shared
+           .withColumn("new_span",
+                       F.when(lag_p.isNull(), F.lit(1))
+                        .when(F.col("p") > lag_p + k, F.lit(1))
+                        .otherwise(F.lit(0)))
+           .withColumn("s", F.sum("new_span").over(
+               w.rowsBetween(Window.unboundedPreceding, Window.currentRow))))
+    spans = (sid.groupBy("doc_id", "s")
+             .agg(F.min("p").alias("sp"), (F.max("p") + k - 1).alias("ep")))
+    per = (spans.groupBy("doc_id")
+           .agg(F.count(F.lit(1)).alias("n_dup_spans"),
+                F.sum(F.col("ep") - F.col("sp") + 1).alias("dup_chars")))
+    new_docs = (docs.where(F.col("doc_id") >= split)
+                .select("doc_id", F.length("text").alias("n_len")))
+    return (new_docs.join(per, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("n_dup_spans", F.lit(0)).cast("long")
+                 .alias("n_dup_spans"),
+                F.coalesce("dup_chars", F.lit(0)).cast("long")
+                 .alias("dup_chars"),
+                F.when(F.col("n_len") == 0, F.lit(0).cast("long"))
+                 .otherwise(F.expr(
+                     "(1000000 * coalesce(dup_chars, 0)) div n_len"))
+                 .alias("dup_char_ppm")))

@@ -119,3 +119,12 @@ def test_exact_substring_spans_detects_shared_passage(spark):
         assert out[d].dup_chars == L
         assert out[d].dup_char_ppm == 1_000_000 * L // len(t)
     assert out[3].n_dup_spans == 0 and out[3].dup_chars == 0
+
+
+def test_ingest_split_constants_agree():
+    # XS_SPLIT_ID is a local copy of llm.INGEST_SPLIT_ID (avoids a
+    # cross-module import that would reorder query registration) —
+    # the two ingest-batch conventions must never drift apart
+    from streamforge_spark.queries.llm import INGEST_SPLIT_ID
+    from streamforge_spark.queries.text import XS_SPLIT_ID
+    assert XS_SPLIT_ID == INGEST_SPLIT_ID
