@@ -255,3 +255,88 @@ def streaming_pack_chunks(doc_stream: DataFrame, *, chunk_tokens: int = 2048,
     return prepared.groupBy("source").applyInPandasWithState(
         fn, outputStructType=out_schema, stateStructType=state_schema,
         outputMode="append", timeoutConf=GroupStateTimeout.NoTimeout)
+
+
+def substring_hash_index(ref_docs: DataFrame, k: int | None = None,
+                         text_col: str = "text") -> DataFrame:
+    """Distinct k-char window hashes of a (static) reference corpus —
+    the persisted index the streaming exact-substring gate joins
+    against.  In production this is built once and appended per
+    admitted batch; same hash as queries/text.py::exact_substring_spans
+    so batch and streaming agree bit-for-bit."""
+    from streamforge_spark.functions.simdedup import oracle_hash60
+    from streamforge_spark.queries.text import XS_K
+    k = k or XS_K
+    pos = (ref_docs.where(F.length(text_col) >= k)
+           .select(F.col(text_col).alias("_t"),
+                   F.explode(F.sequence(
+                       F.lit(1), F.length(text_col) - k + 1)).alias("p")))
+    return (pos.select(oracle_hash60(
+        F.expr(f"substring(_t, p, {k})"), salt="xs").alias("h"))
+        .distinct())
+
+
+def streaming_substring_contamination(doc_stream: DataFrame,
+                                      ref_index: DataFrame,
+                                      k: int | None = None,
+                                      id_col: str = "doc_id",
+                                      text_col: str = "text") -> DataFrame:
+    """Streaming exact-substring admission gate: per incoming document,
+    the merged-span stats of its verbatim overlap with the reference
+    corpus (the online twin of
+    queries/text.py::incremental_substring_contamination — same window
+    hash, same interval-merge semantics).
+
+    Plan shape: the stream explodes to (doc, position, hash) rows
+    STATELESSLY, equi-joins the static index on the 8-byte hash
+    (Catalyst picks broadcast vs sort-merge by index size), then ONE
+    update-mode aggregation per doc collects the shared positions and
+    a higher-order ``aggregate`` fold merges them into spans — window
+    functions are unsupported on streams, but the fold over the
+    per-doc sorted array is a pure column expression and a doc's
+    position count is bounded by its length.  Emits only contaminated
+    docs (>= 1 shared window); state is one position array per
+    contaminated doc per micro-batch window — add a watermark on the
+    ingest timestamp upstream to expire it in production.
+    """
+    from streamforge_spark.functions.simdedup import oracle_hash60
+    from streamforge_spark.queries.text import XS_K
+    k = k or XS_K
+    pos = (doc_stream.where(F.length(text_col) >= k)
+           .select(F.col(id_col),
+                   F.length(text_col).alias("n_len"),
+                   F.col(text_col).alias("_t"),
+                   F.explode(F.sequence(
+                       F.lit(1), F.length(text_col) - k + 1)).alias("p")))
+    hashed = pos.select(
+        id_col, "n_len", "p",
+        oracle_hash60(F.expr(f"substring(_t, p, {k})"),
+                      salt="xs").alias("h"))
+    shared = hashed.join(ref_index, "h").select(id_col, "n_len", "p")
+    per = (shared.groupBy(id_col, "n_len")
+           .agg(F.sort_array(F.collect_list(F.col("p").cast("long")))
+                .alias("ps")))
+    # fold sorted positions into merged spans: a position p extends the
+    # open span by (p - prev) chars when p <= prev + k, else opens a
+    # new k-char span — identical break rule to the batch gaps-and-
+    # islands merge (strict p > prev + k)
+    merged = F.expr(f"""
+        aggregate(
+          ps,
+          named_struct('prev', CAST(-{2 * 10**9} AS BIGINT),
+                       'ns', CAST(0 AS BIGINT),
+                       'ch', CAST(0 AS BIGINT)),
+          (acc, p) -> named_struct(
+              'prev', p,
+              'ns', acc.ns + IF(p > acc.prev + {k}, 1L, 0L),
+              'ch', acc.ch + IF(p > acc.prev + {k},
+                                CAST({k} AS BIGINT), p - acc.prev)),
+          acc -> named_struct('n_dup_spans', acc.ns, 'dup_chars', acc.ch))
+    """)
+    return (per.select(id_col, "n_len", merged.alias("m"))
+            .select(
+                id_col,
+                F.col("m.n_dup_spans").alias("n_dup_spans"),
+                F.col("m.dup_chars").alias("dup_chars"),
+                F.expr("(1000000 * m.dup_chars) div n_len")
+                 .alias("dup_char_ppm")))

@@ -1247,3 +1247,46 @@ def test_streaming_exact_percentiles_match_batch(spark, workdir):
             for r in QUERIES["exact_percentiles_by_type"](
                 spark, "/root/testdata/sf0.001").collect()}
     assert got == want and len(got) >= 4
+
+
+def test_streaming_substring_contamination_matches_batch(spark, workdir):
+    # stream-static exact-substring gate == the batch incremental
+    # query (same window hash, same interval merge) on the same split
+    import unittest.mock as mock
+    import streamforge_spark.queries.text as qt
+    from streamforge_spark.streaming.curation import (
+        streaming_substring_contamination, substring_hash_index)
+
+    DOCS = T.StructType([T.StructField("doc_id", T.LongType()),
+                         T.StructField("text", T.StringType())])
+    passage = "a distinctive forty-character long shared passage of corpus text"
+    ref_rows = [(1, "established corpus document alpha " + passage),
+                (2, "another established doc with only its own words here")]
+    new_b1 = [(400, "new arrival containing " + passage + " plus a new tail"),
+              (401, "a totally novel new document with zero verbatim overlap")]
+    new_b2 = [(402, passage + " duplicated wholesale in a later batch")]
+    ref = spark.createDataFrame(ref_rows, DOCS)
+    idx = substring_hash_index(ref)
+
+    src = f"{workdir}/newdocs"
+    spark.createDataFrame(new_b1, DOCS).coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(DOCS).parquet(src)
+    out = streaming_substring_contamination(stream, idx)
+    q = (out.writeStream.format("memory").queryName("substr_contam")
+         .outputMode("update").start())
+    q.processAllAvailable()
+    spark.createDataFrame(new_b2, DOCS).coalesce(1).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    got = {r.doc_id: (r.n_dup_spans, r.dup_chars, r.dup_char_ppm)
+           for r in spark.sql("select * from substr_contam").collect()}
+
+    # batch reference: same fixture through the incremental query
+    # (ref ids < XS_SPLIT_ID=400, stream ids >= 400)
+    combined = spark.createDataFrame(ref_rows + new_b1 + new_b2, DOCS)
+    with mock.patch.object(qt, "prep", lambda s, d, *n: [combined]):
+        batch = qt.incremental_substring_contamination(spark, "unused")
+        want = {r.doc_id: (r.n_dup_spans, r.dup_chars, r.dup_char_ppm)
+                for r in batch.collect() if r.n_dup_spans > 0}
+    assert got == want
+    assert 400 in got and 402 in got and 401 not in got
