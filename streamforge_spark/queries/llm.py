@@ -1122,3 +1122,66 @@ def span_corruption_masks(spark, sf_dir):
         F.expr(_SPAN_EXPR).cast("long").alias("n_masked"),
         F.expr(f"CASE WHEN n > 0 THEN (CAST(({_SPAN_EXPR}) AS BIGINT) * 1000000) DIV n "
                "ELSE CAST(0 AS BIGINT) END").alias("mask_ppm"))
+
+
+# -- ANN index quality: recall@k vs exact ground truth ------------------
+
+def _ann_recall_oracle() -> str:
+    """Compose the three existing ANN oracles (brute-force truth, LSH,
+    IVF) into one recall rollup — every sub-pipeline is the exact SQL
+    already proven by its own query, nested as scoped CTE chains."""
+    from streamforge_spark.queries.embeddings import _TOPK_ORACLE
+    lsh = _ann_lsh_oracle()
+    ivf = _ann_ivf_oracle(IVF_CELLS, IVF_ROUNDS, 10000, IVF_NPROBE,
+                          ANN_NQ, ANN_K)
+    return f"""
+WITH truth AS (SELECT query_id, neighbor_id FROM ({_TOPK_ORACLE})),
+lsh AS (SELECT query_id, neighbor_id FROM ({lsh})),
+ivf AS (SELECT query_id, neighbor_id FROM ({ivf}))
+SELECT t.query_id,
+       CAST({ANN_K} AS BIGINT) AS k,
+       CAST(COUNT(l.neighbor_id) AS BIGINT) AS lsh_hits,
+       (1000000 * COUNT(l.neighbor_id)) // {ANN_K} AS lsh_recall_ppm,
+       CAST(COUNT(i.neighbor_id) AS BIGINT) AS ivf_hits,
+       (1000000 * COUNT(i.neighbor_id)) // {ANN_K} AS ivf_recall_ppm
+FROM truth t
+LEFT JOIN lsh l ON l.query_id = t.query_id
+                AND l.neighbor_id = t.neighbor_id
+LEFT JOIN ivf i ON i.query_id = t.query_id
+                AND i.neighbor_id = t.neighbor_id
+GROUP BY t.query_id
+"""
+
+
+@query("ann_recall_eval", oracle=_ann_recall_oracle())
+def ann_recall_eval(spark, sf_dir):
+    """ANN index calibration: recall@k of the LSH and IVF indexes
+    against the exact brute-force cosine top-k, per query — the audit
+    that decides whether an approximate index is good enough to
+    replace the exact scan (the companion of embedding_trunc_overlap,
+    which audits the REPRESENTATION; this audits the INDEX).
+
+    Scale shape: the three retrievals each keep their own proven
+    single-pass plans; the recall rollup joins three k*n_queries-row
+    results (dimension-sized — broadcast) and emits integer ppm.
+    """
+    from streamforge_spark.queries.embeddings import ann_cosine_topk
+    truth = ann_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    lsh = (ann_lsh_topk_q(spark, sf_dir)
+           .select("query_id", "neighbor_id").withColumn("_l", F.lit(1)))
+    ivf = (ann_ivf_topk_q(spark, sf_dir)
+           .select("query_id", "neighbor_id").withColumn("_i", F.lit(1)))
+    return (truth
+            .join(F.broadcast(lsh), ["query_id", "neighbor_id"], "left")
+            .join(F.broadcast(ivf), ["query_id", "neighbor_id"], "left")
+            .groupBy("query_id")
+            .agg(F.lit(ANN_K).cast("long").alias("k"),
+                 F.count("_l").alias("lsh_hits"),
+                 F.count("_i").alias("ivf_hits"))
+            .select(
+                "query_id", "k", "lsh_hits",
+                F.expr(f"(1000000 * lsh_hits) div {ANN_K}")
+                 .alias("lsh_recall_ppm"),
+                "ivf_hits",
+                F.expr(f"(1000000 * ivf_hits) div {ANN_K}")
+                 .alias("ivf_recall_ppm")))

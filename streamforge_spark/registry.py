@@ -86,7 +86,7 @@ ROTATION_PRIORITY = [
     "return_rate_pchart",
     # round-6 additions
     "exact_substring_spans", "vocab_oov_rate", "hot_shingle_report",
-    "incremental_substring_contamination",
+    "incremental_substring_contamination", "ann_recall_eval",
 ]
 
 
