@@ -1351,16 +1351,20 @@ def exact_substring_spans(spark, sf_dir):
     inputs a span-cutting pass needs to decide what to strip.
 
     Scale shape: the char-window explode stays PARTITION-LOCAL (text
-    never crosses an exchange); the (doc_id, p, h) position table —
-    this query's bulk — crosses an exchange exactly ONCE: cross-doc
-    sharing is decided by min(doc_id)!=max(doc_id) window functions
-    over the h partition (no df rollup, no semi-join, no second pass
-    of the big table; an unordered min/max buffer per partition, so a
-    hot boilerplate window costs two longs, never an array).  The
-    interval merge then exchanges only the *shared* positions on
-    doc_id, and the final per-doc rollup is dimension-sized.
-    ANSI-safe: ppm uses integer `div` with an explicit zero-length
-    guard.
+    never crosses an exchange); cross-doc sharing is decided by a
+    min/max(doc_id) ROLLUP per window hash — deliberately an
+    aggregation + semi-join rather than a min/max window function
+    over the h partition: the window form moves one fewer pass but
+    puts every occurrence of a hot boilerplate window into ONE task's
+    sort (window partitions cannot be skew-split), while the rollup's
+    map-side combine collapses hot hashes to one partial per map task
+    and the semi-join back is AQE-skew-splittable (and its right side
+    — the genuinely SHARED hashes only — broadcasts outright on
+    mostly-unique corpora, making the join exchange-free).  The
+    pinned hashed relation has 2 consumers; the interval merge then
+    exchanges only the shared positions on doc_id, and the final
+    per-doc rollup is dimension-sized.  ANSI-safe: ppm uses integer
+    `div` with an explicit zero-length guard.
     """
     (docs,) = prep(spark, sf_dir, "documents")
     k = XS_K
@@ -1372,16 +1376,17 @@ def exact_substring_spans(spark, sf_dir):
         F.explode(F.sequence(F.lit(1),
                              F.length("text") - k + 1)).alias("p"),
         "text")
-    hashed = pos.select(
+    hashed = (pos.select(
         "doc_id", "p",
         oracle_hash60(F.expr(f"substring(text, p, {k})"),
                       salt="xs").alias("h"))
-    wh = Window.partitionBy("h")
-    shared = (hashed
-              .withColumn("_mn", F.min("doc_id").over(wh))
-              .withColumn("_mx", F.max("doc_id").over(wh))
-              .where(F.col("_mn") != F.col("_mx"))
-              .select("doc_id", "p"))
+        .localCheckpoint(eager=False))
+    sharedh = (hashed.groupBy("h")
+               .agg(F.min("doc_id").alias("_mn"),
+                    F.max("doc_id").alias("_mx"))
+               .where(F.col("_mn") != F.col("_mx"))
+               .select("h"))
+    shared = hashed.join(sharedh, "h", "left_semi").select("doc_id", "p")
     w = Window.partitionBy("doc_id").orderBy("p")
     lag_p = F.lag("p").over(w)
     flagged = shared.withColumn(
@@ -1588,14 +1593,16 @@ def incremental_substring_contamination(spark, sf_dir):
     ingest twin of exact_substring_spans (which scores the whole
     corpus symmetrically).
 
-    Scale property: the position table crosses ONE exchange (the same
-    min-over-h window as exact_substring_spans — new-vs-new sharing is
-    deliberately NOT flagged here, so the min alone decides); the
-    interval merge touches only the new docs' shared positions. In
-    production the corpus side's window-hash min-index is READ from a
-    persisted index (appended per batch) — recomputed here because the
-    fixture has no cross-run state, same caveat as
-    incremental_fuzzy_dedup.
+    Scale property: the established-corpus window-hash index is a
+    map-side-combined min(doc_id) rollup (skew-safe like
+    exact_substring_spans — new-vs-new sharing is deliberately NOT
+    flagged, so the min < split alone decides), and the join's LEFT
+    side is pre-filtered to the new batch, so the match costs
+    O(batch), never O(corpus); the interval merge touches only the
+    new docs' shared positions. In production the corpus side's
+    min-index is READ from a persisted index (appended per batch) —
+    recomputed here because the fixture has no cross-run state, same
+    caveat as incremental_fuzzy_dedup.
     """
     (docs,) = prep(spark, sf_dir, "documents")
     k, split = XS_K, XS_SPLIT_ID
@@ -1607,13 +1614,15 @@ def incremental_substring_contamination(spark, sf_dir):
         F.explode(F.sequence(F.lit(1),
                              F.length("text") - k + 1)).alias("p"),
         "text")
-    hashed = pos.select(
+    hashed = (pos.select(
         "doc_id", "p",
         oracle_hash60(F.expr(f"substring(text, p, {k})"),
                       salt="xs").alias("h"))
-    shared = (hashed
-              .withColumn("_mn", F.min("doc_id").over(Window.partitionBy("h")))
-              .where((F.col("doc_id") >= split) & (F.col("_mn") < split))
+        .localCheckpoint(eager=False))
+    refh = (hashed.groupBy("h").agg(F.min("doc_id").alias("_mn"))
+            .where(F.col("_mn") < split).select("h"))
+    shared = (hashed.where(F.col("doc_id") >= split)
+              .join(refh, "h", "left_semi")
               .select("doc_id", "p"))
     w = Window.partitionBy("doc_id").orderBy("p")
     lag_p = F.lag("p").over(w)
