@@ -1651,3 +1651,141 @@ def incremental_substring_contamination(spark, sf_dir):
                  .otherwise(F.expr(
                      "(1000000 * coalesce(dup_chars, 0)) div n_len"))
                  .alias("dup_char_ppm")))
+
+
+# -- exact-substring CUT: emit the deduplicated corpus ------------------
+
+_XS_CUT_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, text FROM documents WHERE length(text) >= {XS_K}),
+pos AS (
+  SELECT doc_id, text,
+         unnest(generate_series(1, length(text) - {XS_K} + 1)) AS p
+  FROM base),
+hashed AS (SELECT doc_id, p, {_XS_HASH} AS h FROM pos),
+owner AS (SELECT h, MIN(doc_id) AS mn FROM hashed GROUP BY h),
+cutpos AS (
+  SELECT hd.doc_id, hd.p FROM hashed hd JOIN owner o USING (h)
+  WHERE o.mn < hd.doc_id),
+brk AS (
+  SELECT doc_id, p,
+         CASE WHEN lag(p) OVER (PARTITION BY doc_id ORDER BY p) IS NULL
+              THEN 1
+              WHEN p > lag(p) OVER (PARTITION BY doc_id ORDER BY p)
+                   + {XS_K} THEN 1
+              ELSE 0 END AS new_span
+  FROM cutpos),
+sid AS (
+  SELECT doc_id, p,
+         SUM(new_span) OVER (PARTITION BY doc_id ORDER BY p
+                             ROWS UNBOUNDED PRECEDING) AS s
+  FROM brk),
+spans AS (
+  SELECT doc_id, MIN(p) AS sp, MAX(p) + {XS_K} - 1 AS ep
+  FROM sid GROUP BY doc_id, s),
+segs AS (
+  SELECT doc_id,
+         COALESCE(lag(ep) OVER (PARTITION BY doc_id ORDER BY sp), 0) + 1
+           AS gs,
+         sp - 1 AS ge
+  FROM spans
+  UNION ALL
+  SELECT sp.doc_id, MAX(sp.ep) + 1, MAX(length(d.text))
+  FROM spans sp JOIN documents d USING (doc_id)
+  GROUP BY sp.doc_id),
+kept AS (
+  SELECT s.doc_id,
+         string_agg(substr(d.text, CAST(s.gs AS BIGINT),
+                           CAST(s.ge - s.gs + 1 AS BIGINT)),
+                    '' ORDER BY s.gs) AS kept_text
+  FROM segs s JOIN documents d USING (doc_id)
+  GROUP BY s.doc_id)
+SELECT d.doc_id,
+       COALESCE(k.kept_text, d.text) AS kept_text,
+       CAST(length(COALESCE(k.kept_text, d.text)) AS BIGINT) AS kept_len,
+       CAST(length(d.text)
+            - length(COALESCE(k.kept_text, d.text)) AS BIGINT) AS chars_cut
+FROM documents d LEFT JOIN kept k USING (doc_id)
+"""
+
+
+@query("exact_substring_cut_release", oracle=_XS_CUT_ORACLE)
+def exact_substring_cut_release(spark, sf_dir):
+    """The ACTION behind exact_substring_spans: emit the corpus with
+    duplicated spans CUT (Lee et al. ExactSubstr semantics at doc
+    granularity — the window's lowest-doc_id owner keeps its text;
+    every later doc has its copy of the span spliced out).  Output is
+    the full release: doc_id, post-cut text, kept/cut char counts.
+    Self-repetition inside the owning doc is preserved by design (the
+    owner is never cut).
+
+    Scale shape: the same skew-safe owner rollup as
+    exact_substring_spans (map-side-combined min per window hash);
+    cut positions come from one hash-equi join (AQE-skew-splittable),
+    the span merge and the complement-segment derivation are window
+    algebra over the CUT rows only, and the splice itself is a
+    per-doc sorted-segment transform + array_join — document text
+    crosses an exchange exactly once, doc-level, to meet its segment
+    list.  Segments are provably non-negative-length (maximal merged
+    spans are separated by >= 1 kept char), so the substring algebra
+    is total.
+    """
+    (docs,) = prep(spark, sf_dir, "documents")
+    k = XS_K
+    base = (spread_for_compute(docs, "doc_id")
+            .select("doc_id", "text")
+            .where(F.length("text") >= k))
+    pos = base.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1),
+                             F.length("text") - k + 1)).alias("p"),
+        "text")
+    hashed = (pos.select(
+        "doc_id", "p",
+        oracle_hash60(F.expr(f"substring(text, p, {k})"),
+                      salt="xs").alias("h"))
+        .localCheckpoint(eager=False))
+    owner = hashed.groupBy("h").agg(F.min("doc_id").alias("mn"))
+    cutpos = (hashed.join(owner, "h")
+              .where(F.col("mn") < F.col("doc_id"))
+              .select("doc_id", "p"))
+    w = Window.partitionBy("doc_id").orderBy("p")
+    lag_p = F.lag("p").over(w)
+    sid = (cutpos
+           .withColumn("new_span",
+                       F.when(lag_p.isNull(), F.lit(1))
+                        .when(F.col("p") > lag_p + k, F.lit(1))
+                        .otherwise(F.lit(0)))
+           .withColumn("s", F.sum("new_span").over(
+               w.rowsBetween(Window.unboundedPreceding, Window.currentRow))))
+    spans = (sid.groupBy("doc_id", "s")
+             .agg(F.min("p").alias("sp"), (F.max("p") + k - 1).alias("ep")))
+    ws = Window.partitionBy("doc_id").orderBy("sp")
+    gaps = spans.select(
+        "doc_id",
+        (F.coalesce(F.lag("ep").over(ws), F.lit(0)) + 1).alias("gs"),
+        (F.col("sp") - 1).alias("ge"))
+    tails = (spans.groupBy("doc_id")
+             .agg((F.max("ep") + 1).alias("gs"))
+             .withColumn("ge", F.lit(None).cast("long")))
+    segs = gaps.unionByName(tails)
+    kept = (segs.groupBy("doc_id")
+            .agg(F.sort_array(F.collect_list(F.struct(
+                F.col("gs").cast("long").alias("gs"),
+                F.col("ge").cast("long").alias("ge")))).alias("segs"))
+            .join(docs.select("doc_id", "text"), "doc_id")
+            .select(
+                "doc_id",
+                F.expr("array_join(transform(segs, s -> substring(text, "
+                       "CAST(s.gs AS INT), CAST(coalesce(s.ge, "
+                       "length(text)) - s.gs + 1 AS INT))), '')")
+                 .alias("kept_text")))
+    return (docs.join(kept, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("kept_text", F.col("text")).alias("kept_text"),
+                F.length(F.coalesce("kept_text", F.col("text")))
+                 .cast("long").alias("kept_len"),
+                (F.length("text")
+                 - F.length(F.coalesce("kept_text", F.col("text"))))
+                 .cast("long").alias("chars_cut")))

@@ -87,6 +87,7 @@ ROTATION_PRIORITY = [
     # round-6 additions
     "exact_substring_spans", "vocab_oov_rate", "hot_shingle_report",
     "incremental_substring_contamination", "ann_recall_eval",
+    "exact_substring_cut_release",
 ]
 
 

@@ -128,3 +128,25 @@ def test_ingest_split_constants_agree():
     from streamforge_spark.queries.llm import INGEST_SPLIT_ID
     from streamforge_spark.queries.text import XS_SPLIT_ID
     assert XS_SPLIT_ID == INGEST_SPLIT_ID
+
+
+def test_exact_substring_cut_release_splices_later_copy(spark):
+    """ExactSubstr cut semantics: the lowest-doc_id owner keeps its
+    text verbatim; a later doc's copy of the shared passage is spliced
+    out, leaving exactly its unique prefix + suffix."""
+    import unittest.mock as mock
+    import streamforge_spark.queries.text as qt
+
+    shared = "abcdefghijklmnopqrstuvwxyz0123456789ABCD"   # 40 >= XS_K
+    t1 = "QQQQQQQQQQQQQQQQQQQQ" + shared + "RRRRRRRRRRRRRRRRRRRR"
+    t2 = "SSSSSSSSSSSSSSSSSSSS" + shared + "TTTTTTTTTTTTTTTTTTTT"
+    docs = spark.createDataFrame(
+        [(1, t1), (2, t2)], "doc_id long, text string")
+    with mock.patch.object(qt, "prep", lambda s, d, *n: [docs]):
+        out = {r.doc_id: r
+               for r in qt.exact_substring_cut_release(spark, "unused")
+               .collect()}
+    assert out[1].kept_text == t1 and out[1].chars_cut == 0
+    assert out[2].kept_text == "S" * 20 + "T" * 20
+    assert out[2].chars_cut == len(shared)
+    assert out[2].kept_len == 40
