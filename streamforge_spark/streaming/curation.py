@@ -340,3 +340,28 @@ def streaming_substring_contamination(doc_stream: DataFrame,
                 F.col("m.dup_chars").alias("dup_chars"),
                 F.expr("(1000000 * m.dup_chars) div n_len")
                  .alias("dup_char_ppm")))
+
+
+def streaming_vocab_oov(doc_stream: DataFrame, vocab: DataFrame,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Streaming tokenizer-fit gate: per incoming document, total and
+    out-of-vocabulary token counts against a static vocabulary (the
+    online twin of queries/text.py::vocab_oov_rate, whose corpus-global
+    vocab is the thing a stream can't compute — production pins the
+    vocab from the last batch build).  Stateless per micro-batch: a
+    doc's tokens arrive together, the vocab broadcasts, and the
+    per-doc rollup is the only exchange.  ``vocab`` is a one-column
+    (``term``) DataFrame."""
+    toks = doc_stream.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), " ")).alias("term"))
+    marked = toks.join(
+        F.broadcast(vocab.select("term").withColumn("_v", F.lit(1))),
+        "term", "left")
+    return (marked.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.count(F.when(F.col("_v").isNull(), 1)).alias("n_oov"))
+            .select(id_col, "n_tokens", "n_oov",
+                    F.expr("(1000000 * n_oov) div n_tokens")
+                     .alias("oov_ppm")))

@@ -1290,3 +1290,29 @@ def test_streaming_substring_contamination_matches_batch(spark, workdir):
                 for r in batch.collect() if r.n_dup_spans > 0}
     assert got == want
     assert 400 in got and 402 in got and 401 not in got
+
+
+def test_streaming_vocab_oov_matches_batch(spark, workdir):
+    # stream-static OOV gate == the batch query's per-doc counts when
+    # fed the batch-built vocabulary
+    from streamforge_spark.streaming.curation import streaming_vocab_oov
+
+    DOCS = T.StructType([T.StructField("doc_id", T.LongType()),
+                         T.StructField("text", T.StringType())])
+    rows = [(1, "alpha beta alpha gamma"),
+            (2, "alpha delta delta epsilon zeta"),
+            (3, "beta beta beta")]
+    vocab = spark.createDataFrame([("alpha",), ("beta",)], "term string")
+    src = f"{workdir}/oovdocs"
+    spark.createDataFrame(rows[:2], DOCS).coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(DOCS).parquet(src)
+    q = (streaming_vocab_oov(stream, vocab)
+         .writeStream.format("memory").queryName("oov_out")
+         .outputMode("update").start())
+    q.processAllAvailable()
+    spark.createDataFrame(rows[2:], DOCS).coalesce(1).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    got = {r.doc_id: (r.n_tokens, r.n_oov, r.oov_ppm)
+           for r in spark.sql("select * from oov_out").collect()}
+    assert got == {1: (4, 1, 250000), 2: (5, 4, 800000), 3: (3, 0, 0)}
