@@ -358,38 +358,6 @@ def salted_event_agg(spark, sf_dir):
 
 
 @query(
-    "funnel_conversion",
-    oracle="""
-WITH s AS (
-  SELECT user_id,
-         MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
-         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
-  FROM events GROUP BY user_id
-)
-SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
-       CAST(COUNT(t_signup) AS BIGINT) AS n_signup,
-       CAST(COUNT(CASE WHEN t_purchase > t_signup THEN 1 END) AS BIGINT)
-         AS n_converted
-FROM s
-""",
-)
-def funnel_conversion(spark, sf_dir):
-    """Ordered funnel (signup -> later purchase) via conditional MIN
-    per step — the sequence constraint becomes a timestamp comparison,
-    ONE hash exchange on user_id with map-side partial MINs, no
-    self-join, no ordered collect_list."""
-    (events,) = prep(spark, sf_dir, "events")
-    step = lambda t: F.min(F.when(F.col("event_type") == t, F.col("ts")))
-    s = events.groupBy("user_id").agg(step("signup").alias("t_signup"),
-                                      step("purchase").alias("t_purchase"))
-    return s.agg(
-        F.count(F.lit(1)).alias("n_users"),
-        F.count("t_signup").alias("n_signup"),
-        F.count(F.when(F.col("t_purchase") > F.col("t_signup"), 1))
-         .alias("n_converted"))
-
-
-@query(
     "retention_cohorts",
     oracle="""
 WITH firstw AS (

@@ -10,6 +10,8 @@ echo "== full oracle parity at driver scale (sf0.01) =="
 STREAMFORGE_PARITY_SF=/root/testdata/sf0.01 python -m pytest tests/test_oracle_parity.py -q
 echo "== oracle dtype-cast map current (HUGEINT drift lint) =="
 python tools/gen_oracle_casts.py --check
+echo "== source pins current (dirty-bit rotation state) =="
+python tools/gen_source_pins.py --check
 echo "== physical-plan audit (PLANS.md) =="
 python tools/plan_report.py
 echo "== measured shuffle volumes (SHUFFLE.md) =="
