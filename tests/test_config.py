@@ -73,6 +73,59 @@ def test_bench_artifact_parser_survives_driver_wrapper_shapes(tmp_path, monkeypa
     assert bench_mod._latest_bench_artifact(0.01) is None
 
 
+def test_bench_vs_prev_reconstructs_truncated_wrapper_tail(tmp_path, monkeypatch):
+    # the driver wrapper keeps a 2000-char stdout tail; once the
+    # headline set outgrew it, `parsed` went null and vs_prev silently
+    # fell back to the r01 artifact (judge r6 item 4).  The tail still
+    # ends with [partial pass map] + complete vs_prev, so per-query MIN
+    # timings reconstruct as prev_source + delta, and delta-uncovered
+    # names fall back to the min over the visible raw pass values.
+    import json
+    import bench as bench_mod
+    root = tmp_path
+    (root / "BENCH_r01.json").write_text(json.dumps({
+        "sf": 0.1,
+        "parsed": {"sf": 0.1, "value": 3.0, "runs_per_query": 1,
+                   "queries": {"old_a": 1.0, "old_b": 2.0}}}))
+    tail = ('runcated_front... "new_c": 0.93, "old_b": 2.31}, '
+            '{"new_c": 0.91, "old_b": 2.29}], '
+            '"vs_prev": {"source": "BENCH_r01.json", "total_prev": 3.0, '
+            '"total_delta": 1.2, "runs_per_query_prev": 1, '
+            '"per_query_delta": {"old_a": 0.1, "old_b": 0.2}}}\n')
+    (root / "BENCH_r06.json").write_text(json.dumps(
+        {"n": 6, "rc": 0, "sf": 0.1, "parsed": None, "tail": tail}))
+    monkeypatch.setattr(
+        bench_mod.pathlib.Path, "resolve",
+        lambda self: root / "bench.py", raising=False)
+    name, data = bench_mod._latest_bench_artifact(0.1)
+    assert name == "BENCH_r06.json" and data["reconstructed"] is True
+    # delta-based exact mins beat raw pass values; uncovered names get
+    # the min over visible passes
+    assert data["queries"] == {"old_a": 1.1, "old_b": 2.2, "new_c": 0.91}
+    assert data["value"] == 4.2  # total_prev + total_delta
+    # a full untruncated line in the tail is preferred verbatim
+    (root / "BENCH_r06.json").write_text(json.dumps(
+        {"sf": 0.1, "parsed": None,
+         "tail": 'noise\n{"metric": "m", "sf": 0.1, "value": 9.9, '
+                 '"queries": {"q": 9.9}}\n'}))
+    name, data = bench_mod._latest_bench_artifact(0.1)
+    assert name == "BENCH_r06.json" and data["queries"] == {"q": 9.9}
+    assert "reconstructed" not in data
+    # the self-ledger outranks wrappers: the last line tagged with the
+    # previous round (rounds_seen == max_wrapper_round - 1) is that
+    # round's final (driver) run, untruncated
+    (root / "BENCH_SELF.jsonl").write_text(
+        json.dumps({"sf": 0.1, "rounds_seen": 4, "value": 1.0,
+                    "queries": {"stale": 1.0}}) + "\n"
+        + json.dumps({"sf": 0.1, "rounds_seen": 5, "value": 5.5,
+                      "queries": {"fresh": 5.5}}) + "\n"
+        + json.dumps({"sf": 0.01, "rounds_seen": 5, "value": 0.5,
+                      "queries": {"wrong_sf": 0.5}}) + "\n")
+    name, data = bench_mod._latest_bench_artifact(0.1)
+    assert name.startswith("BENCH_SELF.jsonl") and \
+        data["queries"] == {"fresh": 5.5}
+
+
 # Fixed literal fixtures for the rotation tests: registered-query
 # names that are stable across rounds (former CORE_WINDOW members —
 # still registered, no longer pinned).  NEVER derive these from the
