@@ -339,6 +339,11 @@ def winnow_near_dup(spark, sf_dir):
     Exactness: hash60 char-gram hashes on both engines; window frames
     are ROWS-based (no peer ambiguity); MIN over BIGINT; pair counts
     via integer COUNT.
+
+    Output contract: shared-fingerprint counts are cap-conditioned
+    LOWER BOUNDS (a fingerprint selected in > _WINNOW_MAX_DF docs is
+    excluded as boilerplate); ``hot_shingle_report`` is the matching
+    audit of what a df cap hides.
     """
     from pyspark.sql import Window
 

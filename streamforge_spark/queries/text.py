@@ -229,6 +229,13 @@ def dedup_ngram_jaccard(spark, sf_dir):
     evidence, not the metric's normalisation).  MinHash+LSH
     (dedup_minhash_lsh) is the probabilistic variant that also cuts
     the candidate space.
+
+    Output contract: because capped shingles are excluded from the
+    intersection but not the denominator, the reported jaccard is a
+    cap-conditioned LOWER BOUND — pairs linked mainly by boilerplate
+    may fall below threshold.  ``hot_shingle_report`` is the audit of
+    exactly what the cap excluded (which shingles, their df, example
+    docs); run it alongside when tuning NGRAM_MAX_DF.
     """
     (docs,) = prep(spark, sf_dir, "documents")
     pairs = shingle_pair_candidates(docs, n=3)
@@ -423,6 +430,10 @@ def containment_near_dup(spark, sf_dir):
     shingle (executor OOM, not just pair blowup); now that shingle is
     dropped before the list aggregate.  Containment denominators stay
     the FULL per-doc set sizes.
+
+    Output contract: reported containment is a cap-conditioned LOWER
+    BOUND (capped shingles leave the numerator, not the denominator);
+    ``hot_shingle_report`` audits what the cap excluded.
     """
     (docs,) = prep(spark, sf_dir, "documents")
     pairs = shingle_pair_candidates(docs, n=3)

@@ -280,7 +280,10 @@ def streaming_substring_contamination(doc_stream: DataFrame,
                                       ref_index: DataFrame,
                                       k: int | None = None,
                                       id_col: str = "doc_id",
-                                      text_col: str = "text") -> DataFrame:
+                                      text_col: str = "text",
+                                      ts_col: str | None = None,
+                                      watermark: str | None = None
+                                      ) -> DataFrame:
     """Streaming exact-substring admission gate: per incoming document,
     the merged-span stats of its verbatim overlap with the reference
     corpus (the online twin of
@@ -295,25 +298,41 @@ def streaming_substring_contamination(doc_stream: DataFrame,
     functions are unsupported on streams, but the fold over the
     per-doc sorted array is a pure column expression and a doc's
     position count is bounded by its length.  Emits only contaminated
-    docs (>= 1 shared window); state is one position array per
-    contaminated doc per micro-batch window — add a watermark on the
-    ingest timestamp upstream to expire it in production.
+    docs (>= 1 shared window).
+
+    State lifetime: without a watermark the per-doc position array
+    lives in the state store forever.  Pass ``ts_col``/``watermark``
+    (mirroring session_analyzer's signature) to apply
+    ``withWatermark`` BEFORE the aggregation and carry the ingest
+    timestamp into the group key, so a doc's state row is evicted once
+    the watermark passes its arrival time — the production wiring the
+    pre-round-7 docstring only described.
     """
     from streamforge_spark.functions.simdedup import oracle_hash60
     from streamforge_spark.queries.text import XS_K
     k = k or XS_K
+    if (ts_col is None) != (watermark is None):
+        raise ValueError("ts_col and watermark must be given together")
+    if ts_col is not None:
+        doc_stream = doc_stream.withWatermark(ts_col, watermark)
+    ts_keys = [ts_col] if ts_col is not None else []
     pos = (doc_stream.where(F.length(text_col) >= k)
            .select(F.col(id_col),
                    F.length(text_col).alias("n_len"),
                    F.col(text_col).alias("_t"),
+                   *[F.col(c) for c in ts_keys],
                    F.explode(F.sequence(
                        F.lit(1), F.length(text_col) - k + 1)).alias("p")))
     hashed = pos.select(
-        id_col, "n_len", "p",
+        id_col, "n_len", "p", *ts_keys,
         oracle_hash60(F.expr(f"substring(_t, p, {k})"),
                       salt="xs").alias("h"))
-    shared = hashed.join(ref_index, "h").select(id_col, "n_len", "p")
-    per = (shared.groupBy(id_col, "n_len")
+    shared = hashed.join(ref_index, "h").select(id_col, "n_len", "p",
+                                                *ts_keys)
+    # the ingest timestamp joins the group key (one ts per doc, so the
+    # grouping is still per-doc) — that is what lets the watermark
+    # evict the finished doc's state row
+    per = (shared.groupBy(id_col, "n_len", *ts_keys)
            .agg(F.sort_array(F.collect_list(F.col("p").cast("long")))
                 .alias("ps")))
     # fold sorted positions into merged spans: a position p extends the

@@ -1292,6 +1292,63 @@ def test_streaming_substring_contamination_matches_batch(spark, workdir):
     assert 400 in got and 402 in got and 401 not in got
 
 
+def test_streaming_substring_contamination_watermark_evicts(spark, workdir):
+    # ts_col/watermark wire withWatermark before the aggregation and
+    # put the ingest ts in the group key, so a doc's state row leaves
+    # the store once the watermark passes it — same emitted values
+    import datetime as dt
+    import pytest
+    from streamforge_spark.streaming.curation import (
+        streaming_substring_contamination, substring_hash_index)
+
+    DOCS = T.StructType([T.StructField("doc_id", T.LongType()),
+                         T.StructField("text", T.StringType()),
+                         T.StructField("ingest_ts", T.TimestampType())])
+    passage = "a distinctive forty-character long shared passage of corpus text"
+    ref = spark.createDataFrame(
+        [(1, "corpus doc alpha " + passage, None)], DOCS)
+    idx = substring_hash_index(ref)
+
+    with pytest.raises(ValueError):
+        streaming_substring_contamination(
+            spark.readStream.schema(DOCS).parquet(workdir), idx,
+            ts_col="ingest_ts")
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    late = dt.datetime(2024, 1, 1, 12, 0, 0)
+    src = f"{workdir}/wmdocs"
+    spark.createDataFrame(
+        [(500, "arrival with " + passage + " inside", t0)],
+        DOCS).coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(DOCS).parquet(src)
+    out = streaming_substring_contamination(
+        stream, idx, ts_col="ingest_ts", watermark="1 hour")
+    q = (out.writeStream.format("memory").queryName("substr_wm")
+         .outputMode("update").start())
+    q.processAllAvailable()
+    # a batch far past the watermark horizon: doc 500's state row
+    # (keyed by its ts) must be evicted afterwards
+    spark.createDataFrame(
+        [(501, passage + " again much later", late)],
+        DOCS).coalesce(1).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    # one more empty-advance batch so eviction metrics land
+    spark.createDataFrame(
+        [(502, "no overlap at all in this one", late)],
+        DOCS).coalesce(1).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    got = {r.doc_id: (r.n_dup_spans, r.dup_chars)
+           for r in spark.sql("select * from substr_wm").collect()}
+    state_rows = q.lastProgress["stateOperators"][0]["numRowsTotal"]
+    q.stop()
+    # the shared span may extend past the passage through shared
+    # adjacent characters (the space before it is also in the ref)
+    assert got[500][0] == 1 and got[500][1] >= len(passage)
+    assert got[501][0] == 1
+    assert 502 not in got
+    assert state_rows <= 1  # doc 500 (t0) evicted by the 12:00 watermark
+
+
 def test_streaming_vocab_oov_matches_batch(spark, workdir):
     # stream-static OOV gate == the batch query's per-doc counts when
     # fed the batch-built vocabulary
