@@ -1377,43 +1377,16 @@ def exact_substring_spans(spark, sf_dir):
     per-doc rollup is dimension-sized.  ANSI-safe: ppm uses integer
     `div` with an explicit zero-length guard.
     """
+    from streamforge_spark.functions.substring_index import (
+        merge_spans, span_stats, substring_index, window_hashes)
     (docs,) = prep(spark, sf_dir, "documents")
     k = XS_K
-    base = (spread_for_compute(docs, "doc_id")
-            .select("doc_id", "text")
-            .where(F.length("text") >= k))
-    pos = base.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(1),
-                             F.length("text") - k + 1)).alias("p"),
-        "text")
-    hashed = (pos.select(
-        "doc_id", "p",
-        oracle_hash60(F.expr(f"substring(text, p, {k})"),
-                      salt="xs").alias("h"))
-        .localCheckpoint(eager=False))
-    sharedh = (hashed.groupBy("h")
-               .agg(F.min("doc_id").alias("_mn"),
-                    F.max("doc_id").alias("_mx"))
-               .where(F.col("_mn") != F.col("_mx"))
+    hashed = window_hashes(docs, k).localCheckpoint(eager=False)
+    sharedh = (substring_index(hashed)
+               .where(F.col("mn") != F.col("mx"))
                .select("h"))
     shared = hashed.join(sharedh, "h", "left_semi").select("doc_id", "p")
-    w = Window.partitionBy("doc_id").orderBy("p")
-    lag_p = F.lag("p").over(w)
-    flagged = shared.withColumn(
-        "new_span",
-        F.when(lag_p.isNull(), F.lit(1))
-         .when(F.col("p") > lag_p + k, F.lit(1))
-         .otherwise(F.lit(0)))
-    sid = flagged.withColumn(
-        "s", F.sum("new_span").over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    spans = (sid.groupBy("doc_id", "s")
-             .agg(F.min("p").alias("sp"),
-                  (F.max("p") + k - 1).alias("ep")))
-    per = (spans.groupBy("doc_id")
-           .agg(F.count(F.lit(1)).alias("n_dup_spans"),
-                F.sum(F.col("ep") - F.col("sp") + 1).alias("dup_chars")))
+    per = span_stats(merge_spans(shared, k))
     # project length BEFORE the join: only (doc_id, n_len) may cross
     # if the doc side ever exchanges — text stays at the scan
     base_len = docs.select("doc_id", F.length("text").alias("n_len"))
@@ -1615,40 +1588,17 @@ def incremental_substring_contamination(spark, sf_dir):
     recomputed here because the fixture has no cross-run state, same
     caveat as incremental_fuzzy_dedup.
     """
+    from streamforge_spark.functions.substring_index import (
+        merge_spans, span_stats, substring_index, window_hashes)
     (docs,) = prep(spark, sf_dir, "documents")
     k, split = XS_K, XS_SPLIT_ID
-    base = (spread_for_compute(docs, "doc_id")
-            .select("doc_id", "text")
-            .where(F.length("text") >= k))
-    pos = base.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(1),
-                             F.length("text") - k + 1)).alias("p"),
-        "text")
-    hashed = (pos.select(
-        "doc_id", "p",
-        oracle_hash60(F.expr(f"substring(text, p, {k})"),
-                      salt="xs").alias("h"))
-        .localCheckpoint(eager=False))
-    refh = (hashed.groupBy("h").agg(F.min("doc_id").alias("_mn"))
-            .where(F.col("_mn") < split).select("h"))
+    hashed = window_hashes(docs, k).localCheckpoint(eager=False)
+    refh = (substring_index(hashed)
+            .where(F.col("mn") < split).select("h"))
     shared = (hashed.where(F.col("doc_id") >= split)
               .join(refh, "h", "left_semi")
               .select("doc_id", "p"))
-    w = Window.partitionBy("doc_id").orderBy("p")
-    lag_p = F.lag("p").over(w)
-    sid = (shared
-           .withColumn("new_span",
-                       F.when(lag_p.isNull(), F.lit(1))
-                        .when(F.col("p") > lag_p + k, F.lit(1))
-                        .otherwise(F.lit(0)))
-           .withColumn("s", F.sum("new_span").over(
-               w.rowsBetween(Window.unboundedPreceding, Window.currentRow))))
-    spans = (sid.groupBy("doc_id", "s")
-             .agg(F.min("p").alias("sp"), (F.max("p") + k - 1).alias("ep")))
-    per = (spans.groupBy("doc_id")
-           .agg(F.count(F.lit(1)).alias("n_dup_spans"),
-                F.sum(F.col("ep") - F.col("sp") + 1).alias("dup_chars")))
+    per = span_stats(merge_spans(shared, k))
     new_docs = (docs.where(F.col("doc_id") >= split)
                 .select("doc_id", F.length("text").alias("n_len")))
     return (new_docs.join(per, "doc_id", "left")
@@ -1741,36 +1691,16 @@ def exact_substring_cut_release(spark, sf_dir):
     spans are separated by >= 1 kept char), so the substring algebra
     is total.
     """
+    from streamforge_spark.functions.substring_index import (
+        merge_spans, substring_index, window_hashes)
     (docs,) = prep(spark, sf_dir, "documents")
     k = XS_K
-    base = (spread_for_compute(docs, "doc_id")
-            .select("doc_id", "text")
-            .where(F.length("text") >= k))
-    pos = base.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(1),
-                             F.length("text") - k + 1)).alias("p"),
-        "text")
-    hashed = (pos.select(
-        "doc_id", "p",
-        oracle_hash60(F.expr(f"substring(text, p, {k})"),
-                      salt="xs").alias("h"))
-        .localCheckpoint(eager=False))
-    owner = hashed.groupBy("h").agg(F.min("doc_id").alias("mn"))
+    hashed = window_hashes(docs, k).localCheckpoint(eager=False)
+    owner = substring_index(hashed).select("h", "mn")
     cutpos = (hashed.join(owner, "h")
               .where(F.col("mn") < F.col("doc_id"))
               .select("doc_id", "p"))
-    w = Window.partitionBy("doc_id").orderBy("p")
-    lag_p = F.lag("p").over(w)
-    sid = (cutpos
-           .withColumn("new_span",
-                       F.when(lag_p.isNull(), F.lit(1))
-                        .when(F.col("p") > lag_p + k, F.lit(1))
-                        .otherwise(F.lit(0)))
-           .withColumn("s", F.sum("new_span").over(
-               w.rowsBetween(Window.unboundedPreceding, Window.currentRow))))
-    spans = (sid.groupBy("doc_id", "s")
-             .agg(F.min("p").alias("sp"), (F.max("p") + k - 1).alias("ep")))
+    spans = merge_spans(cutpos, k)
     ws = Window.partitionBy("doc_id").orderBy("sp")
     gaps = spans.select(
         "doc_id",

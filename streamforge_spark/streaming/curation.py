@@ -258,22 +258,21 @@ def streaming_pack_chunks(doc_stream: DataFrame, *, chunk_tokens: int = 2048,
 
 
 def substring_hash_index(ref_docs: DataFrame, k: int | None = None,
-                         text_col: str = "text") -> DataFrame:
+                         text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
     """Distinct k-char window hashes of a (static) reference corpus —
-    the persisted index the streaming exact-substring gate joins
-    against.  In production this is built once and appended per
-    admitted batch; same hash as queries/text.py::exact_substring_spans
-    so batch and streaming agree bit-for-bit."""
-    from streamforge_spark.functions.simdedup import oracle_hash60
+    the index the streaming exact-substring gate joins against.  Same
+    builder (functions/substring_index.py) and hash as
+    queries/text.py::exact_substring_spans, so batch and streaming
+    agree bit-for-bit; production builds it once with
+    write_substring_index and folds admitted batches in with
+    merge_substring_index."""
+    from streamforge_spark.functions.substring_index import window_hashes
     from streamforge_spark.queries.text import XS_K
     k = k or XS_K
-    pos = (ref_docs.where(F.length(text_col) >= k)
-           .select(F.col(text_col).alias("_t"),
-                   F.explode(F.sequence(
-                       F.lit(1), F.length(text_col) - k + 1)).alias("p")))
-    return (pos.select(oracle_hash60(
-        F.expr(f"substring(_t, p, {k})"), salt="xs").alias("h"))
-        .distinct())
+    return (window_hashes(ref_docs, k, id_col=id_col,
+                          text_col=text_col, spread=False)
+            .select("h").distinct())
 
 
 def streaming_substring_contamination(doc_stream: DataFrame,
