@@ -98,6 +98,12 @@ HEADLINE = [
     "ann_recall_eval",
     "incremental_substring_contamination",
     "exact_substring_cut_release",
+    # round-7 new queries: DSIR importance weights (one rollup + two
+    # broadcast joins), MinHash estimate-vs-exact calibration (banded
+    # candidates + array zip)
+    "dsir_importance_weight",
+    "minhash_estimate_calibration",
+    "lsh_band_recall_sweep",
 ]
 
 

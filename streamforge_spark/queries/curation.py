@@ -824,3 +824,82 @@ def k_anonymity_audit(spark, sf_dir):
                  F.coalesce(F.sum(F.when(F.col("sz") < F.col("k"),
                                          F.col("sz"))), F.lit(0))
                  .alias("rows_at_risk")))
+
+
+# -- DSIR importance weights (data selection) ---------------------------
+
+#: the "high-quality target" slice the importance weights aim at —
+#: a fixed 20% of the fixture's sources, standing in for the curated
+#: reference corpus (Wikipedia/books in the paper's setup)
+DSIR_TARGET_SOURCES = ("src0", "src1", "src2", "src3")
+
+_DSIR_TGT_SQL = "('" + "','".join(DSIR_TARGET_SOURCES) + "')"
+
+
+def _dsir_oracle() -> str:
+    from streamforge_spark.functions.dsir import DSIR_BUCKETS, DSIR_MICRO, DSIR_SALT
+    return f"""
+WITH tok AS (
+  SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+  FROM documents),
+b AS (
+  SELECT doc_id, source,
+         {hash60_sql('tok', f"'{DSIR_SALT}'")} % {DSIR_BUCKETS} AS bkt
+  FROM tok),
+model AS (
+  SELECT bkt, CAST(count(*) AS BIGINT) AS cr,
+         CAST(count(*) FILTER (WHERE source IN {_DSIR_TGT_SQL}) AS BIGINT) AS ct
+  FROM b GROUP BY bkt),
+tots AS (SELECT SUM(cr) AS nr, SUM(ct) AS nt FROM model),
+llr AS (
+  SELECT bkt,
+         CAST(ROUND(ln(CAST((ct + 1) * (nr + {DSIR_BUCKETS}) AS DOUBLE)
+                       / CAST((cr + 1) * (nt + {DSIR_BUCKETS}) AS DOUBLE))
+                    * {DSIR_MICRO}) AS BIGINT) AS llr_micro
+  FROM model CROSS JOIN tots)
+SELECT b.doc_id, b.source,
+       b.source IN {_DSIR_TGT_SQL} AS is_target,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(llr_micro) AS BIGINT) AS score_micro,
+       CAST(sum(llr_micro) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         AS avg_llr_micro
+FROM b JOIN llr USING (bkt)
+GROUP BY b.doc_id, b.source
+"""
+
+
+@query("dsir_importance_weight", oracle=_dsir_oracle())
+def dsir_importance_weight(spark, sf_dir):
+    """DSIR importance weights (Xie et al. 2023, arXiv:2302.03169):
+    fit add-one-smoothed hashed-unigram models on the target slice
+    (DSIR_TARGET_SOURCES) and on the whole corpus, then score every
+    document by its summed per-token log-likelihood ratio — the log
+    importance weight that resampling uses to tilt the pretraining
+    mix toward the target distribution.  Emits per doc the token
+    count, the exact integer micro-unit score, and the length-
+    normalized average (one IEEE division).
+
+    Exactness: ln is the single float op, rounded to BIGINT micro-
+    units per BUCKET (4096 rows), so per-doc sums are integer-exact
+    in any order — see functions/dsir.py for the measured Spark vs
+    DuckDB ln agreement and the 2^53 headroom argument.
+
+    Plan (100 TB): one map-side-combined rollup token stream ->
+    4096-row model (target counted via CASE in the same pass, not a
+    second scan), totals broadcast onto it, model broadcast into the
+    scoring join (the token stream never shuffles to meet the model),
+    and the per-doc rollup is the single remaining exchange — the
+    same silhouette as bigram_lm_score with a bounded model side."""
+    from streamforge_spark.functions.dsir import dsir_llr_model, dsir_score
+    (docs,) = prep(spark, sf_dir, "documents")
+    target = F.col("source").isin(*DSIR_TARGET_SOURCES)
+    llr = dsir_llr_model(docs, target)
+    per_doc = dsir_score(docs, llr)
+    meta = docs.select("doc_id", "source",
+                       target.alias("is_target"))
+    return (per_doc.join(meta, "doc_id")
+            .select("doc_id", "source", "is_target", "n_tokens",
+                    "score_micro",
+                    (F.col("score_micro").cast("double")
+                     / F.col("n_tokens").cast("double"))
+                    .alias("avg_llr_micro")))

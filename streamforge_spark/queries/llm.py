@@ -1185,3 +1185,95 @@ def ann_recall_eval(spark, sf_dir):
                 "ivf_hits",
                 F.expr(f"(1000000 * ivf_hits) div {ANN_K}")
                  .alias("ivf_recall_ppm")))
+
+
+# -- MinHash estimate calibration ---------------------------------------
+
+_MINHASH_CALIB_ORACLE = f"""
+WITH {_SHINGLE_CTES},
+mh AS (SELECT doc_id, p, MIN({hash60_sql('g', 'CAST(p AS VARCHAR)')}) AS sig
+       FROM grams CROSS JOIN range({NUM_PERM}) t(p) GROUP BY doc_id, p),
+bands AS (SELECT doc_id, CAST(p // {NUM_PERM // LSH_BANDS} AS INTEGER) AS band,
+                 list(sig ORDER BY p) AS bkey
+          FROM mh GROUP BY 1, 2),
+cands AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+est AS (SELECT c.d1, c.d2,
+               CAST(count(*) FILTER (WHERE a.sig = b.sig) AS BIGINT) AS matches
+        FROM cands c
+        JOIN mh a ON a.doc_id = c.d1
+        JOIN mh b ON b.doc_id = c.d2 AND b.p = a.p
+        GROUP BY c.d1, c.d2),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM grams GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(count(*) AS BIGINT) AS i
+          FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT e.d1, e.d2, e.matches,
+       (1000000 * e.matches) // {NUM_PERM} AS est_ppm,
+       (1000000 * COALESCE(i.i, 0)) // (sa.n + sb.n - COALESCE(i.i, 0))
+         AS exact_ppm,
+       (1000000 * e.matches) // {NUM_PERM}
+         - (1000000 * COALESCE(i.i, 0)) // (sa.n + sb.n - COALESCE(i.i, 0))
+         AS err_ppm
+FROM est e
+LEFT JOIN inter i ON i.d1 = e.d1 AND i.d2 = e.d2
+JOIN sizes sa ON sa.doc_id = e.d1
+JOIN sizes sb ON sb.doc_id = e.d2
+"""
+
+
+@query("minhash_estimate_calibration", oracle=_MINHASH_CALIB_ORACLE)
+def minhash_estimate_calibration(spark, sf_dir):
+    """MinHash estimator calibration (the text-dedup sibling of
+    ann_recall_eval): for every LSH candidate pair, the signature-
+    agreement Jaccard estimate (matching positions / 32, in ppm)
+    side-by-side with the EXACT shingle-set Jaccard, plus the signed
+    error — the measurement that tells you whether 32 permutations
+    and a 0.2 threshold actually separate your dup band from your
+    keep band before you commit a corpus-wide dedup to production.
+    Pure integer arithmetic end to end (counts and floor divisions —
+    no float anywhere), so the oracle match is exact by construction.
+
+    Plan (100 TB): signatures are the same one-explode-one-rollup pass
+    dedup_minhash_lsh ships; candidates collide in banded buckets
+    (never all-pairs); the estimate is an array zip on the joined
+    32-long signatures; exact verification reuses the shingle arrays
+    via array_intersect on the candidate pairs only.  The shingle
+    arrays materialize once (localCheckpoint) and feed signatures and
+    both verification sides, same as minhash_lsh_pairs
+    (functions/simdedup.py:95)."""
+    from streamforge_spark.functions.simdedup import (
+        lsh_candidate_pairs, oracle_hash60)
+    from streamforge_spark.functions.text import word_ngrams
+    from streamforge_spark.io import spread_for_compute
+    (docs,) = prep(spark, sf_dir, "documents")
+    gram_sets = (spread_for_compute(docs, "doc_id")
+                 .select("doc_id", word_ngrams(F.col("text"), 3).alias("gs"))
+                 .localCheckpoint())
+    grams = gram_sets.select("doc_id", F.explode("gs").alias("g"))
+    mins = [F.min(oracle_hash60(F.col("g"), salt=str(p))).alias(f"h{p}")
+            for p in range(NUM_PERM)]
+    sigs = grams.groupBy("doc_id").agg(*mins).select(
+        "doc_id",
+        F.array(*[F.col(f"h{p}") for p in range(NUM_PERM)]).alias("sig"))
+    cands = lsh_candidate_pairs(sigs)
+    s1 = sigs.select(F.col("doc_id").alias("d1"), F.col("sig").alias("sig1"))
+    s2 = sigs.select(F.col("doc_id").alias("d2"), F.col("sig").alias("sig2"))
+    g1 = gram_sets.select(F.col("doc_id").alias("d1"), F.col("gs").alias("gs1"))
+    g2 = gram_sets.select(F.col("doc_id").alias("d2"), F.col("gs").alias("gs2"))
+    matches = F.aggregate(
+        F.zip_with("sig1", "sig2",
+                   lambda x, y: F.when(x == y, F.lit(1)).otherwise(F.lit(0))),
+        F.lit(0).cast("long"), lambda acc, v: acc + v)
+    paired = (cands.join(s1, "d1").join(s2, "d2")
+              .join(g1, "d1").join(g2, "d2")
+              .select("d1", "d2", matches.alias("matches"),
+                      F.size(F.array_intersect("gs1", "gs2")).cast("long").alias("i"),
+                      F.size(F.array_union("gs1", "gs2")).cast("long").alias("u")))
+    return paired.select(
+        "d1", "d2", "matches",
+        F.expr(f"(1000000 * matches) div {NUM_PERM}").alias("est_ppm"),
+        F.expr("(1000000 * i) div u").alias("exact_ppm"),
+        F.expr(f"(1000000 * matches) div {NUM_PERM} - (1000000 * i) div u")
+        .alias("err_ppm"))

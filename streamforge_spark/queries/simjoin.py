@@ -383,3 +383,120 @@ def winnow_near_dup(spark, sf_dir):
                      F.col("b.doc_id").alias("doc_b"))
             .agg(F.count(F.lit(1)).alias("shared"))
             .where(F.col("shared") >= 3))
+
+
+# -- LSH band-count recall sweep ----------------------------------------
+
+LSH_SWEEP_BANDS = (4, 8, 16)
+
+
+def _lsh_sweep_oracle() -> str:
+    from streamforge_spark.functions.simdedup import NUM_PERM
+    from streamforge_spark.queries.llm import _SHINGLE_CTES
+    cfg = ", ".join(str(b) for b in LSH_SWEEP_BANDS)
+    return f"""
+WITH truth AS ({_ALLPAIRS_ORACLE}),
+{_SHINGLE_CTES},
+mh AS (SELECT doc_id, p, MIN({hash60_sql('g', 'CAST(p AS VARCHAR)')}) AS sig
+       FROM grams CROSS JOIN range({NUM_PERM}) t(p) GROUP BY doc_id, p),
+cfg AS (SELECT unnest([{cfg}]) AS bands),
+banded AS (SELECT c.bands, doc_id,
+                  CAST(p // ({NUM_PERM} // c.bands) AS INTEGER) AS band,
+                  list(sig ORDER BY p) AS bkey
+           FROM mh CROSS JOIN cfg c GROUP BY 1, 2, 3),
+cands AS (SELECT DISTINCT a.bands, a.doc_id AS d1, b.doc_id AS d2
+          FROM banded a JOIN banded b
+            ON a.bands = b.bands AND a.band = b.band
+           AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+n_t AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
+caught AS (SELECT c.bands, CAST(count(*) AS BIGINT) AS n_caught
+           FROM cands c JOIN truth t ON t.d1 = c.d1 AND t.d2 = c.d2
+           GROUP BY 1),
+tot AS (SELECT bands, CAST(count(*) AS BIGINT) AS n_candidates
+        FROM cands GROUP BY 1)
+SELECT CAST(cfg.bands AS BIGINT) AS bands,
+       CAST({NUM_PERM} // cfg.bands AS BIGINT) AS rows_per_band,
+       n_t.n_truth,
+       COALESCE(caught.n_caught, 0) AS n_caught,
+       CASE WHEN n_t.n_truth = 0 THEN 0
+            ELSE (1000000 * COALESCE(caught.n_caught, 0)) // n_t.n_truth
+       END AS recall_ppm,
+       COALESCE(tot.n_candidates, 0) AS n_candidates
+FROM cfg CROSS JOIN n_t
+LEFT JOIN caught ON caught.bands = cfg.bands
+LEFT JOIN tot ON tot.bands = cfg.bands
+"""
+
+
+@query("lsh_band_recall_sweep", oracle=_lsh_sweep_oracle())
+def lsh_band_recall_sweep(spark, sf_dir):
+    """LSH banding calibration: for band counts 4/8/16 over the same
+    32-permutation MinHash signatures, the measured recall of the
+    band-collision candidate generator against the EXACT t=0.6
+    Jaccard truth set (the prefix-filtered allpairs join — lossless
+    by PPJoin Lemma 1), plus the candidate volume each config pays.
+    This is the b-vs-r S-curve tuning table you consult before
+    committing a corpus-wide LSH dedup: more bands buys recall
+    (4->~6%, 8->~67%, 16->~99% at J=0.6 theoretically) at the price
+    of candidate pairs to verify.  Pure integer counts and floor
+    divisions; the zero-truth edge is a total CASE on both engines.
+
+    Plan (100 TB): the truth set reuses allpairs' prefix-filter
+    (never quadratic); signatures are one explode+rollup; each config
+    is a banded self-join on (band, 32/b-long key) — the same bounded
+    LSH-bucket shape as production dedup, three configs unioned.  The
+    1-row truth count broadcasts (adjudicated scalar pattern)."""
+    from streamforge_spark.functions.simdedup import NUM_PERM
+    (docs,) = prep(spark, sf_dir, "documents")
+    truth = (allpairs_exact_jaccard(spark, sf_dir)
+             .select("d1", "d2").localCheckpoint(eager=False))
+    gram_sets = (spread_for_compute(docs, "doc_id")
+                 .select("doc_id", word_ngrams(F.col("text"), 3).alias("gs")))
+    grams = gram_sets.select("doc_id", F.explode("gs").alias("g"))
+    mins = [F.min(oracle_hash60(F.col("g"), salt=str(p))).alias(f"h{p}")
+            for p in range(NUM_PERM)]
+    sigs = (grams.groupBy("doc_id").agg(*mins)
+            .select("doc_id", F.array(*[F.col(f"h{p}")
+                                        for p in range(NUM_PERM)]).alias("sig"))
+            # three banding consumers — hash the grams once
+            .localCheckpoint(eager=False))
+    per_cfg = []
+    for bands in LSH_SWEEP_BANDS:
+        rows = NUM_PERM // bands
+        banded = sigs.select(
+            "doc_id",
+            F.posexplode(F.array(*[
+                F.xxhash64(*[F.col("sig")[b * rows + r] for r in range(rows)])
+                for b in range(bands)
+            ])).alias("band", "band_hash"))
+        a, b = banded.alias("a"), banded.alias("b")
+        per_cfg.append(
+            a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.band_hash") == F.col("b.band_hash"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.lit(bands).cast("long").alias("bands"),
+                    F.col("a.doc_id").alias("d1"),
+                    F.col("b.doc_id").alias("d2"))
+            .distinct())
+    cands = per_cfg[0]
+    for c in per_cfg[1:]:
+        cands = cands.unionByName(c)
+    cands = cands.localCheckpoint(eager=False)
+    n_t = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    caught = (cands.join(truth, ["d1", "d2"])
+              .groupBy("bands").agg(F.count(F.lit(1)).alias("n_caught")))
+    tot = cands.groupBy("bands").agg(F.count(F.lit(1)).alias("n_candidates"))
+    cfg = spark.createDataFrame(
+        [(b, NUM_PERM // b) for b in LSH_SWEEP_BANDS],
+        "bands long, rows_per_band long")
+    return (cfg.crossJoin(F.broadcast(n_t))
+            .join(caught, "bands", "left")
+            .join(tot, "bands", "left")
+            .select("bands", "rows_per_band", "n_truth",
+                    F.coalesce("n_caught", F.lit(0)).alias("n_caught"),
+                    F.when(F.col("n_truth") == 0, F.lit(0).cast("long"))
+                     .otherwise(F.expr(
+                         "(1000000 * coalesce(n_caught, 0)) div n_truth"))
+                     .alias("recall_ppm"),
+                    F.coalesce("n_candidates", F.lit(0))
+                     .alias("n_candidates")))

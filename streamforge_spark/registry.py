@@ -100,6 +100,9 @@ ROTATION_PRIORITY = [
     "exact_substring_spans", "vocab_oov_rate", "hot_shingle_report",
     "incremental_substring_contamination", "ann_recall_eval",
     "exact_substring_cut_release",
+    # round-7 additions
+    "dsir_importance_weight", "minhash_estimate_calibration",
+    "lsh_band_recall_sweep",
 ]
 
 

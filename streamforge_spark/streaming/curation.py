@@ -383,3 +383,52 @@ def streaming_vocab_oov(doc_stream: DataFrame, vocab: DataFrame,
             .select(id_col, "n_tokens", "n_oov",
                     F.expr("(1000000 * n_oov) div n_tokens")
                      .alias("oov_ppm")))
+
+
+def streaming_dsir_gate(doc_stream: DataFrame, llr_model: DataFrame,
+                        threshold_micro: int = 0,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Streaming DSIR admission gate: score each incoming document
+    against a static hashed-unigram log-ratio model
+    (functions/dsir.py::dsir_llr_model — production pins the model
+    from the last batch fit, exactly like streaming_vocab_oov pins
+    its vocabulary) and admit it when the length-normalized log
+    importance weight clears the threshold.  The online twin of
+    queries/curation.py::dsir_importance_weight.
+
+    Stateless stream-static shape: the <=DSIR_BUCKETS-row model
+    broadcasts, a doc's tokens arrive together in its micro-batch,
+    and the per-doc rollup is the only exchange.  Tokens hashing to
+    buckets absent from the model (vocabulary drift since the model
+    was fit) score the smoothed unseen-bucket ratio — the same
+    add-one mass the batch fit would give them — so the gate degrades
+    continuously rather than dropping drifted tokens.
+
+    ``avg_llr_micro`` is an integer floor division (not the batch
+    query's IEEE divide): the admission comparison stays exact under
+    any micro-batch replay.
+    """
+    from streamforge_spark.functions.dsir import (
+        DSIR_BUCKETS, DSIR_MICRO, dsir_bucket)
+
+    # smoothed score for a bucket never seen at fit time: counts are
+    # zero on both sides, so the ratio collapses to ln((nr+B)/(nt+B)).
+    # The totals aren't recoverable from the llr table; take the
+    # neutral 0 (ratio 1) unless the caller supplies a model row —
+    # dsir_llr_model emits a row for EVERY bucket with corpus mass,
+    # so this only triggers on genuinely novel vocabulary.
+    toks = doc_stream.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+    marked = (toks.select(F.col(id_col),
+                          dsir_bucket(F.col("tok"), DSIR_BUCKETS).alias("bkt"))
+              .join(F.broadcast(llr_model), "bkt", "left")
+              .withColumn("llr_micro", F.coalesce("llr_micro", F.lit(0))))
+    return (marked.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.sum("llr_micro").alias("score_micro"))
+            .select(id_col, "n_tokens", "score_micro",
+                    F.expr("score_micro div n_tokens").alias("avg_llr_micro"))
+            .withColumn("admitted",
+                        F.col("avg_llr_micro") >= F.lit(int(threshold_micro))))

@@ -1373,3 +1373,54 @@ def test_streaming_vocab_oov_matches_batch(spark, workdir):
     got = {r.doc_id: (r.n_tokens, r.n_oov, r.oov_ppm)
            for r in spark.sql("select * from oov_out").collect()}
     assert got == {1: (4, 1, 250000), 2: (5, 4, 800000), 3: (3, 0, 0)}
+
+
+def test_streaming_dsir_gate_matches_batch(spark, workdir):
+    # stream-static DSIR gate == the batch scorer when fed the
+    # batch-fit model; novel-vocabulary tokens take the neutral score
+    from streamforge_spark.functions.dsir import dsir_llr_model, dsir_score
+    from streamforge_spark.streaming.curation import streaming_dsir_gate
+
+    DOCS = T.StructType([T.StructField("doc_id", T.LongType()),
+                         T.StructField("source", T.StringType()),
+                         T.StructField("text", T.StringType())])
+    fit_rows = [(1, "tgt", "alpha beta alpha"),
+                (2, "tgt", "alpha alpha gamma"),
+                (3, "raw", "delta delta epsilon"),
+                (4, "raw", "beta delta zeta zeta")]
+    fit = spark.createDataFrame(fit_rows, DOCS)
+    model = dsir_llr_model(fit, F.col("source") == "tgt").localCheckpoint()
+
+    stream_rows = [(10, "?", "alpha alpha delta"),
+                   (11, "?", "zeta epsilon"),
+                   (12, "?", "alpha novelword")]
+    src = f"{workdir}/dsirdocs"
+    spark.createDataFrame(stream_rows[:2], DOCS).coalesce(1) \
+        .write.mode("append").parquet(src)
+    stream = spark.readStream.schema(DOCS).parquet(src)
+    q = (streaming_dsir_gate(stream, model, threshold_micro=0)
+         .writeStream.format("memory").queryName("dsir_out")
+         .outputMode("update").start())
+    q.processAllAvailable()
+    spark.createDataFrame(stream_rows[2:], DOCS).coalesce(1) \
+        .write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    got = {r.doc_id: (r.n_tokens, r.score_micro, r.avg_llr_micro, r.admitted)
+           for r in spark.sql("select * from dsir_out").collect()}
+
+    # batch reference over the in-model docs (10, 11): identical sums
+    batch = {r.doc_id: (r.n_tokens, r.score_micro) for r in dsir_score(
+        spark.createDataFrame(stream_rows[:2], DOCS), model).collect()}
+    for did in (10, 11):
+        assert got[did][0] == batch[did][0]
+        assert got[did][1] == batch[did][1]
+        assert got[did][3] == (got[did][1] // got[did][0] >= 0)
+    # doc 12: 'novelword' is outside the fit vocabulary -> neutral 0,
+    # 'alpha' keeps its model score; both tokens counted
+    model_rows = {r.bkt: r.llr_micro for r in model.collect()}
+    from streamforge_spark.functions.dsir import dsir_bucket
+    alpha_bkt = spark.range(1).select(
+        dsir_bucket(F.lit("alpha")).alias("b")).collect()[0].b
+    assert got[12][0] == 2
+    assert got[12][1] == model_rows[alpha_bkt]
