@@ -69,7 +69,10 @@ def dsir_llr_model(docs: DataFrame, target: Column,
     model = (toks.select("_t", dsir_bucket(F.col("tok"), buckets).alias("bkt"))
              .groupBy("bkt")
              .agg(F.count(F.lit(1)).alias("cr"),
-                  F.count(F.when(F.col("_t"), 1)).alias("ct")))
+                  F.count(F.when(F.col("_t"), 1)).alias("ct"))
+             # two consumers (totals + the ratio projection): pin the
+             # <=buckets-row rollup so the corpus token pass runs once
+             .localCheckpoint(eager=False))
     tots = model.agg(F.sum("cr").alias("nr"), F.sum("ct").alias("nt"))
     return (model.crossJoin(F.broadcast(tots))
             .select("bkt", F.round(F.log(

@@ -890,16 +890,22 @@ def dsir_importance_weight(spark, sf_dir):
     scoring join (the token stream never shuffles to meet the model),
     and the per-doc rollup is the single remaining exchange — the
     same silhouette as bigram_lm_score with a bounded model side."""
-    from streamforge_spark.functions.dsir import dsir_llr_model, dsir_score
+    from streamforge_spark.functions.dsir import dsir_bucket, dsir_llr_model
     (docs,) = prep(spark, sf_dir, "documents")
     target = F.col("source").isin(*DSIR_TARGET_SOURCES)
     llr = dsir_llr_model(docs, target)
-    per_doc = dsir_score(docs, llr)
-    meta = docs.select("doc_id", "source",
-                       target.alias("is_target"))
-    return (per_doc.join(meta, "doc_id")
-            .select("doc_id", "source", "is_target", "n_tokens",
-                    "score_micro",
+    # source rides the token stream through the scoring rollup — two
+    # corpus passes total (model fit + scoring), no third meta join
+    toks = docs.select("doc_id", "source",
+                       F.explode(F.split("text", " ")).alias("tok"))
+    scored = (toks.select("doc_id", "source",
+                          dsir_bucket(F.col("tok")).alias("bkt"))
+              .join(F.broadcast(llr), "bkt"))
+    return (scored.groupBy("doc_id", "source")
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.sum("llr_micro").alias("score_micro"))
+            .select("doc_id", "source", target.alias("is_target"),
+                    "n_tokens", "score_micro",
                     (F.col("score_micro").cast("double")
                      / F.col("n_tokens").cast("double"))
                     .alias("avg_llr_micro")))
