@@ -104,6 +104,7 @@ HEADLINE = [
     "dsir_importance_weight",
     "minhash_estimate_calibration",
     "lsh_band_recall_sweep",
+    "gopher_quality_flags",
 ]
 
 

@@ -1730,3 +1730,97 @@ def exact_substring_cut_release(spark, sf_dir):
                 (F.length("text")
                  - F.length(F.coalesce("kept_text", F.col("text"))))
                  .cast("long").alias("chars_cut")))
+
+
+# -- Gopher quality rules -----------------------------------------------
+
+#: Gopher rule thresholds (Rae et al. 2021, Appendix A1.1), in the
+#: repo's integer fixed-point units
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 50, 100_000
+GOPHER_MIN_MWL_MILLI, GOPHER_MAX_MWL_MILLI = 3_000, 10_000
+GOPHER_MIN_STOPWORDS = 2
+GOPHER_MIN_ALPHA_PPM = 800_000
+
+_GOPHER_ORACLE = f"""
+WITH m AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         CAST(length(text) - len(string_split(text, ' ')) + 1 AS BIGINT)
+           AS sum_word_chars,
+         CAST(len(list_filter(string_split(text, ' '),
+                   x -> x IN ({_sql_markers(STOPWORDS)}))) AS BIGINT)
+           AS stopword_cnt,
+         CAST(len(list_filter(string_split(text, ' '),
+                   x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT)
+           AS n_alpha_words
+  FROM documents),
+r AS (
+  SELECT doc_id, n_words,
+         (1000 * sum_word_chars) // n_words AS mean_word_len_milli,
+         stopword_cnt,
+         (1000000 * n_alpha_words) // n_words AS alpha_word_ppm
+  FROM m)
+SELECT doc_id, n_words, mean_word_len_milli, stopword_cnt, alpha_word_ppm,
+       n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+         AS flag_word_count,
+       mean_word_len_milli
+         BETWEEN {GOPHER_MIN_MWL_MILLI} AND {GOPHER_MAX_MWL_MILLI}
+         AS flag_mean_word_len,
+       stopword_cnt >= {GOPHER_MIN_STOPWORDS} AS flag_stopwords,
+       alpha_word_ppm >= {GOPHER_MIN_ALPHA_PPM} AS flag_alpha,
+       (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
+         AND (mean_word_len_milli
+              BETWEEN {GOPHER_MIN_MWL_MILLI} AND {GOPHER_MAX_MWL_MILLI})
+         AND stopword_cnt >= {GOPHER_MIN_STOPWORDS}
+         AND alpha_word_ppm >= {GOPHER_MIN_ALPHA_PPM} AS gopher_pass
+FROM r
+"""
+
+
+@query("gopher_quality_flags", oracle=_GOPHER_ORACLE)
+def gopher_quality_flags(spark, sf_dir):
+    """Gopher quality rules (Rae et al. 2021, Appendix A1.1) as a
+    per-document gate: word count in [50, 100k], mean word length in
+    [3, 10] (integer milli-units), >=2 stopwords, >=80% of words
+    containing an alphabetic character — plus the AND of all four as
+    ``gopher_pass``.  The line-based rules (duplicate lines, bullet/
+    ellipsis line starts) don't apply to the single-line fixture text
+    and the within-doc duplicate-n-gram rules live in
+    doc_repetition_stats; together they complete the published set.
+    The mean-word-length identity ``sum(len(w)) = length(text) -
+    (n_words - 1)`` holds exactly because tokens are single-space
+    separated (the corpus contract every other token coin here uses).
+
+    Plan (100 TB): pure column algebra on the scan — zero shuffles,
+    zero joins, whole-stage codegen end to end; reads only (doc_id,
+    text).  The cheapest possible quality gate, which is the point:
+    Gopher rules run FIRST in a production funnel so the expensive
+    dedup/model scoring stages see fewer documents."""
+    (docs,) = prep(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    m = docs.select(
+        "doc_id",
+        F.size(t).cast("long").alias("n_words"),
+        (F.length("text") - F.size(t) + 1).cast("long").alias("sum_word_chars"),
+        F.size(F.filter(t, lambda x: x.isin(*STOPWORDS))).cast("long")
+        .alias("stopword_cnt"),
+        F.size(F.filter(t, lambda x: x.rlike("[a-zA-Z]"))).cast("long")
+        .alias("n_alpha_words"))
+    r = m.select(
+        "doc_id", "n_words",
+        F.expr("(1000 * sum_word_chars) div n_words").alias("mean_word_len_milli"),
+        "stopword_cnt",
+        F.expr("(1000000 * n_alpha_words) div n_words").alias("alpha_word_ppm"))
+    f_wc = F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+    f_mwl = F.col("mean_word_len_milli").between(GOPHER_MIN_MWL_MILLI,
+                                                 GOPHER_MAX_MWL_MILLI)
+    f_stop = F.col("stopword_cnt") >= GOPHER_MIN_STOPWORDS
+    f_alpha = F.col("alpha_word_ppm") >= GOPHER_MIN_ALPHA_PPM
+    return r.select(
+        "doc_id", "n_words", "mean_word_len_milli", "stopword_cnt",
+        "alpha_word_ppm",
+        f_wc.alias("flag_word_count"),
+        f_mwl.alias("flag_mean_word_len"),
+        f_stop.alias("flag_stopwords"),
+        f_alpha.alias("flag_alpha"),
+        (f_wc & f_mwl & f_stop & f_alpha).alias("gopher_pass"))

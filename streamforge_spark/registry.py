@@ -102,7 +102,7 @@ ROTATION_PRIORITY = [
     "exact_substring_cut_release",
     # round-7 additions
     "dsir_importance_weight", "minhash_estimate_calibration",
-    "lsh_band_recall_sweep",
+    "lsh_band_recall_sweep", "gopher_quality_flags",
 ]
 
 
