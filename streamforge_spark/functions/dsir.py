@@ -54,6 +54,54 @@ def dsir_bucket(tok: Column, buckets: int = DSIR_BUCKETS) -> Column:
     return oracle_hash60(tok, salt=DSIR_SALT) % buckets
 
 
+def dsir_counts(docs: DataFrame, target: Column,
+                text_col: str = "text",
+                buckets: int = DSIR_BUCKETS) -> DataFrame:
+    """(bkt, cr, ct) — raw and target token counts per hashed bucket:
+    the model's SUFFICIENT STATISTICS.  Counts are additive, so models
+    over disjoint corpora merge exactly (:func:`merge_dsir_counts`) —
+    the property that makes the persisted-model / incremental-refit
+    path (queries/curation.py::dsir_incremental_refit) exact rather
+    than approximate.  One map-side-combined rollup of the token
+    stream; the target filter is a counted CASE in the same pass."""
+    toks = docs.select(target.alias("_t"),
+                       F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+    return (toks.select("_t", dsir_bucket(F.col("tok"), buckets).alias("bkt"))
+            .groupBy("bkt")
+            .agg(F.count(F.lit(1)).alias("cr"),
+                 F.count(F.when(F.col("_t"), 1)).alias("ct")))
+
+
+def merge_dsir_counts(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Exact model merge: bucket-wise sum of two count tables (e.g. a
+    persisted corpus model + the newly ingested batch).  Outer join on
+    <=buckets rows — trivially broadcastable."""
+    bb = b.select(F.col("bkt"), F.col("cr").alias("_cr2"),
+                  F.col("ct").alias("_ct2"))
+    return (a.join(bb, "bkt", "full")
+            .select("bkt",
+                    (F.coalesce("cr", F.lit(0))
+                     + F.coalesce("_cr2", F.lit(0))).alias("cr"),
+                    (F.coalesce("ct", F.lit(0))
+                     + F.coalesce("_ct2", F.lit(0))).alias("ct")))
+
+
+def dsir_llr_from_counts(counts: DataFrame,
+                         buckets: int = DSIR_BUCKETS) -> DataFrame:
+    """(bkt, llr_micro) from a (bkt, cr, ct) count table: add-one
+    smoothing, exact BIGINT products into ONE double division, ln as
+    the single float op rounded to micro-units (module docstring)."""
+    # two consumers (totals + the ratio projection): pin the
+    # <=buckets-row table so its lineage runs once
+    counts = counts.localCheckpoint(eager=False)
+    tots = counts.agg(F.sum("cr").alias("nr"), F.sum("ct").alias("nt"))
+    return (counts.crossJoin(F.broadcast(tots))
+            .select("bkt", F.round(F.log(
+                ((F.col("ct") + 1) * (F.col("nr") + buckets)).cast("double")
+                / ((F.col("cr") + 1) * (F.col("nt") + buckets)).cast("double"))
+                * DSIR_MICRO).cast("long").alias("llr_micro")))
+
+
 def dsir_llr_model(docs: DataFrame, target: Column,
                    text_col: str = "text",
                    buckets: int = DSIR_BUCKETS) -> DataFrame:
@@ -64,21 +112,19 @@ def dsir_llr_model(docs: DataFrame, target: Column,
     corpus (e.g. ``F.col("source").isin(...)``); the raw side is the
     whole input.  One rollup + one broadcast totals row.
     """
-    toks = docs.select(target.alias("_t"),
-                       F.explode(F.split(F.col(text_col), " ")).alias("tok"))
-    model = (toks.select("_t", dsir_bucket(F.col("tok"), buckets).alias("bkt"))
-             .groupBy("bkt")
-             .agg(F.count(F.lit(1)).alias("cr"),
-                  F.count(F.when(F.col("_t"), 1)).alias("ct"))
-             # two consumers (totals + the ratio projection): pin the
-             # <=buckets-row rollup so the corpus token pass runs once
-             .localCheckpoint(eager=False))
-    tots = model.agg(F.sum("cr").alias("nr"), F.sum("ct").alias("nt"))
-    return (model.crossJoin(F.broadcast(tots))
-            .select("bkt", F.round(F.log(
-                ((F.col("ct") + 1) * (F.col("nr") + buckets)).cast("double")
-                / ((F.col("cr") + 1) * (F.col("nt") + buckets)).cast("double"))
-                * DSIR_MICRO).cast("long").alias("llr_micro")))
+    return dsir_llr_from_counts(
+        dsir_counts(docs, target, text_col, buckets), buckets)
+
+
+def save_dsir_counts(counts: DataFrame, path: str) -> None:
+    """Persist the model's sufficient statistics (the artifact a
+    production pipeline keeps between ingest batches — same contract
+    as functions/substring_index.py's persisted window-hash index)."""
+    counts.write.mode("overwrite").parquet(path)
+
+
+def load_dsir_counts(spark, path: str) -> DataFrame:
+    return spark.read.parquet(path).select("bkt", "cr", "ct")
 
 
 def dsir_score(docs: DataFrame, llr_model: DataFrame,

@@ -909,3 +909,62 @@ def dsir_importance_weight(spark, sf_dir):
                     (F.col("score_micro").cast("double")
                      / F.col("n_tokens").cast("double"))
                     .alias("avg_llr_micro")))
+
+
+#: same ingest-batch convention as queries.llm.INGEST_SPLIT_ID /
+#: queries.text.XS_SPLIT_ID (doc_id >= split is the newly arriving
+#: batch); local constant to keep registration order import-free —
+#: test_ingest_split_constants_agree pins all three together.
+DSIR_SPLIT_ID = 400
+
+
+def _dsir_refit_oracle() -> str:
+    from streamforge_spark.functions.dsir import DSIR_BUCKETS, DSIR_MICRO, DSIR_SALT
+    return f"""
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+b AS (
+  SELECT source,
+         {hash60_sql('tok', f"'{DSIR_SALT}'")} % {DSIR_BUCKETS} AS bkt
+  FROM tok),
+model AS (
+  SELECT bkt, CAST(count(*) AS BIGINT) AS cr,
+         CAST(count(*) FILTER (WHERE source IN {_DSIR_TGT_SQL}) AS BIGINT) AS ct
+  FROM b GROUP BY bkt),
+tots AS (SELECT SUM(cr) AS nr, SUM(ct) AS nt FROM model)
+SELECT bkt, cr, ct,
+       CAST(ROUND(ln(CAST((ct + 1) * (nr + {DSIR_BUCKETS}) AS DOUBLE)
+                     / CAST((cr + 1) * (nt + {DSIR_BUCKETS}) AS DOUBLE))
+                  * {DSIR_MICRO}) AS BIGINT) AS llr_micro
+FROM model CROSS JOIN tots
+"""
+
+
+@query("dsir_incremental_refit", oracle=_dsir_refit_oracle())
+def dsir_incremental_refit(spark, sf_dir):
+    """Incremental DSIR model refit: the established corpus's count
+    table (in production read back from the persisted model store —
+    functions/dsir.py::save_dsir_counts, the same keep-the-artifact
+    contract as the substring window-hash index) merges bucket-wise
+    with the newly ingested batch's counts, and the refit log-ratio
+    table derives from the merged sufficient statistics.  The oracle
+    fits the FULL corpus directly — equality proves the merge is
+    exact, not an approximation: counts are additive sufficient
+    statistics, so incremental model maintenance never drifts from a
+    from-scratch rebuild.
+
+    Plan (100 TB): only the batch's tokens are scanned and rolled up
+    (O(batch), like incremental_fuzzy_dedup and the substring ingest
+    gate); the established side is a <=4096-row table; the merge is a
+    full outer join of two bucket tables and the llr projection is
+    one broadcast totals row.  Here both sides recompute from the
+    fixture because rounds share no cross-run state."""
+    from streamforge_spark.functions.dsir import (
+        dsir_counts, dsir_llr_from_counts, merge_dsir_counts)
+    (docs,) = prep(spark, sf_dir, "documents")
+    target = F.col("source").isin(*DSIR_TARGET_SOURCES)
+    est = dsir_counts(docs.filter(F.col("doc_id") < DSIR_SPLIT_ID), target)
+    new = dsir_counts(docs.filter(F.col("doc_id") >= DSIR_SPLIT_ID), target)
+    merged = merge_dsir_counts(est, new).localCheckpoint(eager=False)
+    return merged.join(dsir_llr_from_counts(merged), "bkt").select(
+        "bkt", "cr", "ct", "llr_micro")

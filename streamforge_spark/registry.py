@@ -103,6 +103,7 @@ ROTATION_PRIORITY = [
     # round-7 additions
     "dsir_importance_weight", "minhash_estimate_calibration",
     "lsh_band_recall_sweep", "gopher_quality_flags",
+    "dsir_incremental_refit",
 ]
 
 

@@ -121,3 +121,26 @@ def test_gopher_rule_boundaries(spark):
     assert rows[1].gopher_pass
     assert not rows[2].flag_word_count and not rows[2].gopher_pass
     assert not rows[3].flag_mean_word_len and not rows[3].gopher_pass
+
+
+def test_dsir_counts_merge_and_persist_roundtrip(spark, tmp_path):
+    """Mergeability + persistence: full-corpus counts == merge of two
+    disjoint halves' counts, including through a parquet round-trip of
+    the 'established' half (the production model-store path)."""
+    from streamforge_spark.functions.dsir import (
+        dsir_counts, load_dsir_counts, merge_dsir_counts,
+        save_dsir_counts)
+    rows = [(i, "tgt" if i % 3 == 0 else "raw",
+             f"w{i % 7} w{i % 5} w{i % 3} common") for i in range(40)]
+    docs = spark.createDataFrame(rows, DOCS)
+    tgt = F.col("source") == "tgt"
+    full = {(r.bkt): (r.cr, r.ct)
+            for r in dsir_counts(docs, tgt).collect()}
+    est = dsir_counts(docs.filter(F.col("doc_id") < 25), tgt)
+    path = str(tmp_path / "model")
+    save_dsir_counts(est, path)
+    merged = merge_dsir_counts(
+        load_dsir_counts(spark, path),
+        dsir_counts(docs.filter(F.col("doc_id") >= 25), tgt))
+    got = {(r.bkt): (r.cr, r.ct) for r in merged.collect()}
+    assert got == full

@@ -125,9 +125,11 @@ def test_ingest_split_constants_agree():
     # XS_SPLIT_ID is a local copy of llm.INGEST_SPLIT_ID (avoids a
     # cross-module import that would reorder query registration) —
     # the two ingest-batch conventions must never drift apart
+    from streamforge_spark.queries.curation import DSIR_SPLIT_ID
     from streamforge_spark.queries.llm import INGEST_SPLIT_ID
     from streamforge_spark.queries.text import XS_SPLIT_ID
     assert XS_SPLIT_ID == INGEST_SPLIT_ID
+    assert DSIR_SPLIT_ID == INGEST_SPLIT_ID
 
 
 def test_exact_substring_cut_release_splices_later_copy(spark):
