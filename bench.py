@@ -105,6 +105,7 @@ HEADLINE = [
     "minhash_estimate_calibration",
     "lsh_band_recall_sweep",
     "gopher_quality_flags",
+    "dsir_incremental_refit",
 ]
 
 
