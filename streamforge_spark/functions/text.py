@@ -127,3 +127,53 @@ def bpe_tokens(text: Column) -> Column:
 
 def bpe_token_count(text: Column) -> Column:
     return F.size(bpe_tokens(text)).cast("long")
+
+
+# -- Gopher quality rules (Rae et al. 2021, Appendix A1.1) ---------------
+
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 50, 100_000
+GOPHER_MIN_MWL_MILLI, GOPHER_MAX_MWL_MILLI = 3_000, 10_000
+GOPHER_MIN_STOPWORDS = 2
+GOPHER_MIN_ALPHA_PPM = 800_000
+
+
+def gopher_metrics(df, id_cols=("doc_id",), text_col: str = "text"):
+    """Per-row Gopher rule metrics and flags — shared by the batch
+    query (queries/text.py::gopher_quality_flags) and the streaming
+    gate (streaming/curation.py::streaming_gopher_gate); pure column
+    algebra, identical in both modes because there is no state.
+
+    The mean-word-length identity ``sum(len(w)) == length(text) -
+    (n_words - 1)`` is exact under the single-space corpus contract.
+    """
+    import pyspark.sql.functions as F
+    t = F.split(text_col, " ")
+    m = df.select(
+        *id_cols,
+        F.size(t).cast("long").alias("n_words"),
+        (F.length(text_col) - F.size(t) + 1).cast("long")
+        .alias("sum_word_chars"),
+        F.size(F.filter(t, lambda x: x.isin(*STOPWORDS))).cast("long")
+        .alias("stopword_cnt"),
+        F.size(F.filter(t, lambda x: x.rlike("[a-zA-Z]"))).cast("long")
+        .alias("n_alpha_words"))
+    r = m.select(
+        *id_cols, "n_words",
+        F.expr("(1000 * sum_word_chars) div n_words")
+        .alias("mean_word_len_milli"),
+        "stopword_cnt",
+        F.expr("(1000000 * n_alpha_words) div n_words")
+        .alias("alpha_word_ppm"))
+    f_wc = F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+    f_mwl = F.col("mean_word_len_milli").between(GOPHER_MIN_MWL_MILLI,
+                                                 GOPHER_MAX_MWL_MILLI)
+    f_stop = F.col("stopword_cnt") >= GOPHER_MIN_STOPWORDS
+    f_alpha = F.col("alpha_word_ppm") >= GOPHER_MIN_ALPHA_PPM
+    return r.select(
+        *id_cols, "n_words", "mean_word_len_milli", "stopword_cnt",
+        "alpha_word_ppm",
+        f_wc.alias("flag_word_count"),
+        f_mwl.alias("flag_mean_word_len"),
+        f_stop.alias("flag_stopwords"),
+        f_alpha.alias("flag_alpha"),
+        (f_wc & f_mwl & f_stop & f_alpha).alias("gopher_pass"))

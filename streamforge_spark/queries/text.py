@@ -1735,11 +1735,13 @@ def exact_substring_cut_release(spark, sf_dir):
 # -- Gopher quality rules -----------------------------------------------
 
 #: Gopher rule thresholds (Rae et al. 2021, Appendix A1.1), in the
-#: repo's integer fixed-point units
-GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 50, 100_000
-GOPHER_MIN_MWL_MILLI, GOPHER_MAX_MWL_MILLI = 3_000, 10_000
-GOPHER_MIN_STOPWORDS = 2
-GOPHER_MIN_ALPHA_PPM = 800_000
+#: repo's integer fixed-point units — the column logic is shared with
+#: the streaming gate via functions.text.gopher_metrics
+from streamforge_spark.functions.text import (  # noqa: E402
+    GOPHER_MAX_MWL_MILLI, GOPHER_MAX_WORDS, GOPHER_MIN_ALPHA_PPM,
+    GOPHER_MIN_MWL_MILLI, GOPHER_MIN_STOPWORDS, GOPHER_MIN_WORDS,
+    gopher_metrics,
+)
 
 _GOPHER_ORACLE = f"""
 WITH m AS (
@@ -1797,30 +1799,86 @@ def gopher_quality_flags(spark, sf_dir):
     Gopher rules run FIRST in a production funnel so the expensive
     dedup/model scoring stages see fewer documents."""
     (docs,) = prep(spark, sf_dir, "documents")
-    t = F.split("text", " ")
-    m = docs.select(
-        "doc_id",
-        F.size(t).cast("long").alias("n_words"),
-        (F.length("text") - F.size(t) + 1).cast("long").alias("sum_word_chars"),
-        F.size(F.filter(t, lambda x: x.isin(*STOPWORDS))).cast("long")
-        .alias("stopword_cnt"),
-        F.size(F.filter(t, lambda x: x.rlike("[a-zA-Z]"))).cast("long")
-        .alias("n_alpha_words"))
-    r = m.select(
-        "doc_id", "n_words",
-        F.expr("(1000 * sum_word_chars) div n_words").alias("mean_word_len_milli"),
-        "stopword_cnt",
-        F.expr("(1000000 * n_alpha_words) div n_words").alias("alpha_word_ppm"))
-    f_wc = F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
-    f_mwl = F.col("mean_word_len_milli").between(GOPHER_MIN_MWL_MILLI,
-                                                 GOPHER_MAX_MWL_MILLI)
-    f_stop = F.col("stopword_cnt") >= GOPHER_MIN_STOPWORDS
-    f_alpha = F.col("alpha_word_ppm") >= GOPHER_MIN_ALPHA_PPM
-    return r.select(
-        "doc_id", "n_words", "mean_word_len_milli", "stopword_cnt",
-        "alpha_word_ppm",
-        f_wc.alias("flag_word_count"),
-        f_mwl.alias("flag_mean_word_len"),
-        f_stop.alias("flag_stopwords"),
-        f_alpha.alias("flag_alpha"),
-        (f_wc & f_mwl & f_stop & f_alpha).alias("gopher_pass"))
+    return gopher_metrics(docs)
+
+
+# -- per-source corpus report card --------------------------------------
+
+_SOURCE_QUALITY_ORACLE = f"""
+WITH m AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         (1000 * CAST(length(text) - len(string_split(text, ' ')) + 1
+                      AS BIGINT)) // len(string_split(text, ' '))
+           AS mwl_milli,
+         CAST(len(list_filter(string_split(text, ' '),
+                   x -> x IN ({_sql_markers(STOPWORDS)}))) AS BIGINT)
+           AS stopword_cnt,
+         (1000000 * CAST(len(list_filter(string_split(text, ' '),
+                   x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT))
+           // len(string_split(text, ' ')) AS alpha_ppm
+  FROM documents),
+g AS (
+  SELECT doc_id, source, n_words,
+         (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
+           AND (mwl_milli BETWEEN {GOPHER_MIN_MWL_MILLI}
+                AND {GOPHER_MAX_MWL_MILLI})
+           AND stopword_cnt >= {GOPHER_MIN_STOPWORDS}
+           AND alpha_ppm >= {GOPHER_MIN_ALPHA_PPM} AS gopher_pass
+  FROM m),
+freq AS (SELECT source, n_words, CAST(count(*) AS BIGINT) AS k
+         FROM g GROUP BY source, n_words),
+cums AS (SELECT source, n_words, k,
+                SUM(k) OVER (PARTITION BY source ORDER BY n_words
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS cum,
+                SUM(k) OVER (PARTITION BY source) AS n
+         FROM freq),
+med AS (SELECT source,
+               CAST(MIN(CASE WHEN cum * 100 >= n * 50 THEN n_words END)
+                    AS BIGINT) AS median_tokens
+        FROM cums GROUP BY source)
+SELECT g.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_words) AS BIGINT) AS total_tokens,
+       MIN(med.median_tokens) AS median_tokens,
+       (1000000 * CAST(count(*) FILTER (WHERE gopher_pass) AS BIGINT))
+         // count(*) AS gopher_pass_ppm
+FROM g JOIN med ON med.source = g.source
+GROUP BY g.source
+"""
+
+
+@query("source_quality_summary", oracle=_SOURCE_QUALITY_ORACLE)
+def source_quality_summary(spark, sf_dir):
+    """Per-source corpus report card: document count, token volume,
+    EXACT median document length (percentile_disc via the repo's
+    two-phase frequency rollup — order statistics that stay exact at
+    any scale), and the Gopher-rules pass rate in ppm.  This is the
+    table a data-mix owner reads before adjusting source weights
+    (mixture_temperature_weights) or tightening gates — each source's
+    volume, shape, and quality yield on one row.
+
+    Plan (100 TB): the Gopher metrics are scan-side column algebra;
+    the ONLY corpus-sized exchange is the (source, n_words) frequency
+    rollup (map-side combined, bounded by |sources| x |distinct
+    lengths|, not by documents); the median selection and the pass-
+    rate rollup both run on that bounded table.  No joins touch the
+    corpus."""
+    from streamforge_spark.functions.percentiles import (
+        percentiles_from_frequencies)
+    (docs,) = prep(spark, sf_dir, "documents")
+    g = gopher_metrics(docs, id_cols=("doc_id", "source"))
+    freq = g.groupBy("source", "n_words").agg(F.count(F.lit(1)).alias("k"))
+    med = (percentiles_from_frequencies(freq, ["source"],
+                                        value_col="n_words",
+                                        count_col="k", percents=(50,))
+           .select("source", F.col("p50_cents").alias("median_tokens")))
+    agg = g.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").alias("total_tokens"),
+        F.count(F.when(F.col("gopher_pass"), 1)).alias("_npass"))
+    return (agg.join(med, "source")
+            .select("source", "n_docs", "total_tokens", "median_tokens",
+                    F.expr("(1000000 * _npass) div n_docs")
+                    .alias("gopher_pass_ppm")))

@@ -432,3 +432,19 @@ def streaming_dsir_gate(doc_stream: DataFrame, llr_model: DataFrame,
                     F.expr("score_micro div n_tokens").alias("avg_llr_micro"))
             .withColumn("admitted",
                         F.col("avg_llr_micro") >= F.lit(int(threshold_micro))))
+
+
+def streaming_gopher_gate(doc_stream: DataFrame,
+                          id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """Streaming Gopher quality gate: the same rule columns as the
+    batch query (functions/text.py::gopher_metrics — literally shared
+    code, so streaming == batch by construction), evaluated per
+    arriving document with ZERO state — it is pure column algebra, so
+    it runs map-side inside the micro-batch and is the cheapest first
+    gate of the online funnel (gopher -> vocab OOV -> substring
+    contamination -> DSIR admission), dropping documents before any
+    stateful or model-backed stage pays for them."""
+    from streamforge_spark.functions.text import gopher_metrics
+    return gopher_metrics(doc_stream, id_cols=(id_col,),
+                          text_col=text_col)

@@ -1424,3 +1424,34 @@ def test_streaming_dsir_gate_matches_batch(spark, workdir):
         dsir_bucket(F.lit("alpha")).alias("b")).collect()[0].b
     assert got[12][0] == 2
     assert got[12][1] == model_rows[alpha_bkt]
+
+
+def test_streaming_gopher_gate_matches_batch(spark, workdir):
+    # the gate is stateless shared column algebra: streaming rows ==
+    # the batch builder's rows for the same documents
+    from streamforge_spark.functions.text import gopher_metrics
+    from streamforge_spark.streaming.curation import streaming_gopher_gate
+
+    DOCS = T.StructType([T.StructField("doc_id", T.LongType()),
+                         T.StructField("text", T.StringType())])
+    rows = [(1, " ".join(["the"] * 50)),
+            (2, "too short"),
+            (3, " ".join(["of"] * 49 + ["the"]))]
+    src = f"{workdir}/gopherdocs"
+    spark.createDataFrame(rows[:2], DOCS).coalesce(1) \
+        .write.mode("append").parquet(src)
+    stream = spark.readStream.schema(DOCS).parquet(src)
+    q = (streaming_gopher_gate(stream)
+         .writeStream.format("memory").queryName("gopher_out")
+         .outputMode("append").start())
+    q.processAllAvailable()
+    spark.createDataFrame(rows[2:], DOCS).coalesce(1) \
+        .write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    got = {r.doc_id: r.asDict() for r in
+           spark.sql("select * from gopher_out").collect()}
+    want = {r.doc_id: r.asDict() for r in
+            gopher_metrics(spark.createDataFrame(rows, DOCS)).collect()}
+    assert got == want
+    assert got[1]["gopher_pass"] and not got[2]["gopher_pass"]
