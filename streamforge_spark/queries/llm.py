@@ -1277,3 +1277,104 @@ def minhash_estimate_calibration(spark, sf_dir):
         F.expr("(1000000 * i) div u").alias("exact_ppm"),
         F.expr(f"(1000000 * matches) div {NUM_PERM} - (1000000 * i) div u")
         .alias("err_ppm"))
+
+
+# -- dedup threshold yield curve ----------------------------------------
+
+#: ppm thresholds for the yield sweep (Jaccard 0.2 .. 0.8)
+DEDUP_YIELD_THRESHOLDS_PPM = (200_000, 400_000, 600_000, 800_000)
+
+_YIELD_ORACLE = f"""
+WITH {_SHINGLE_CTES},
+mh AS (SELECT doc_id, p, MIN({hash60_sql('g', 'CAST(p AS VARCHAR)')}) AS sig
+       FROM grams CROSS JOIN range({NUM_PERM}) t(p) GROUP BY doc_id, p),
+bands AS (SELECT doc_id, CAST(p // {NUM_PERM // LSH_BANDS} AS INTEGER) AS band,
+                 list(sig ORDER BY p) AS bkey
+          FROM mh GROUP BY 1, 2),
+cands AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM grams GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(count(*) AS BIGINT) AS i
+          FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+jac AS (SELECT c.d1, c.d2,
+               (1000000 * COALESCE(i.i, 0))
+                 // (sa.n + sb.n - COALESCE(i.i, 0)) AS j_ppm
+        FROM cands c
+        LEFT JOIN inter i ON i.d1 = c.d1 AND i.d2 = c.d2
+        JOIN sizes sa ON sa.doc_id = c.d1
+        JOIN sizes sb ON sb.doc_id = c.d2),
+th AS (SELECT unnest([{", ".join(str(t) for t in DEDUP_YIELD_THRESHOLDS_PPM)}])
+         AS threshold_ppm),
+docs_hit AS (
+  SELECT t.threshold_ppm, j.d1 AS doc_id FROM th t
+  JOIN jac j ON j.j_ppm >= t.threshold_ppm
+  UNION
+  SELECT t.threshold_ppm, j.d2 FROM th t
+  JOIN jac j ON j.j_ppm >= t.threshold_ppm)
+SELECT CAST(th.threshold_ppm AS BIGINT) AS threshold_ppm,
+       CAST((SELECT count(*) FROM jac j
+             WHERE j.j_ppm >= th.threshold_ppm) AS BIGINT) AS n_pairs,
+       CAST(COALESCE((SELECT count(*) FROM docs_hit d
+                      WHERE d.threshold_ppm = th.threshold_ppm), 0)
+            AS BIGINT) AS n_docs_in_pairs
+FROM th
+"""
+
+
+@query("dedup_yield_curve", oracle=_YIELD_ORACLE)
+def dedup_yield_curve(spark, sf_dir):
+    """Dedup threshold yield curve: over the exact-verified LSH
+    candidate pairs, how many pairs survive — and how many documents
+    get touched — at each Jaccard threshold in {0.2, 0.4, 0.6, 0.8}.
+    The knob the band sweep doesn't cover: bands/rows pick the
+    CANDIDATE recall, the threshold picks how much of the corpus a
+    dedup pass would actually collapse; this table shows the cost of
+    moving it before anyone reruns a corpus-wide job.  Integer ppm
+    Jaccard (floor division), so the grid comparison is exact.
+
+    Plan (100 TB): candidate generation and exact verification are
+    the proven dedup_minhash_lsh shapes (banded, never all-pairs);
+    the sweep is a 4-row threshold grid joined against the verified
+    pair list — the pair list is orders smaller than the corpus, and
+    the distinct-doc rollup runs on it, not on documents."""
+    from streamforge_spark.functions.simdedup import (
+        lsh_candidate_pairs, oracle_hash60)
+    from streamforge_spark.functions.text import word_ngrams
+    from streamforge_spark.io import spread_for_compute
+    (docs,) = prep(spark, sf_dir, "documents")
+    gram_sets = (spread_for_compute(docs, "doc_id")
+                 .select("doc_id", word_ngrams(F.col("text"), 3).alias("gs"))
+                 .localCheckpoint())
+    grams = gram_sets.select("doc_id", F.explode("gs").alias("g"))
+    mins = [F.min(oracle_hash60(F.col("g"), salt=str(p))).alias(f"h{p}")
+            for p in range(NUM_PERM)]
+    sigs = grams.groupBy("doc_id").agg(*mins).select(
+        "doc_id",
+        F.array(*[F.col(f"h{p}") for p in range(NUM_PERM)]).alias("sig"))
+    cands = lsh_candidate_pairs(sigs)
+    g1 = gram_sets.select(F.col("doc_id").alias("d1"), F.col("gs").alias("gs1"))
+    g2 = gram_sets.select(F.col("doc_id").alias("d2"), F.col("gs").alias("gs2"))
+    jac = (cands.join(g1, "d1").join(g2, "d2")
+           .select("d1", "d2", F.expr(
+               "(1000000 * size(array_intersect(gs1, gs2)))"
+               " div size(array_union(gs1, gs2))").alias("j_ppm"))
+           .localCheckpoint(eager=False))
+    th = spark.createDataFrame(
+        [(t,) for t in DEDUP_YIELD_THRESHOLDS_PPM], "threshold_ppm long")
+    hit = th.join(jac, jac["j_ppm"] >= th["threshold_ppm"])
+    pairs = hit.groupBy("threshold_ppm").agg(
+        F.count(F.lit(1)).alias("n_pairs"))
+    docs_hit = (hit.select("threshold_ppm", F.col("d1").alias("doc_id"))
+                .unionByName(hit.select("threshold_ppm",
+                                        F.col("d2").alias("doc_id")))
+                .distinct()
+                .groupBy("threshold_ppm")
+                .agg(F.count(F.lit(1)).alias("n_docs_in_pairs")))
+    return (th.join(pairs, "threshold_ppm", "left")
+            .join(docs_hit, "threshold_ppm", "left")
+            .select("threshold_ppm",
+                    F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+                    F.coalesce("n_docs_in_pairs", F.lit(0))
+                    .alias("n_docs_in_pairs")))
