@@ -106,6 +106,8 @@ HEADLINE = [
     "lsh_band_recall_sweep",
     "gopher_quality_flags",
     "dsir_incremental_refit",
+    "source_quality_summary",
+    "dedup_yield_curve",
 ]
 
 

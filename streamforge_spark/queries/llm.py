@@ -1363,7 +1363,11 @@ def dedup_yield_curve(spark, sf_dir):
            .localCheckpoint(eager=False))
     th = spark.createDataFrame(
         [(t,) for t in DEDUP_YIELD_THRESHOLDS_PPM], "threshold_ppm long")
-    hit = th.join(jac, jac["j_ppm"] >= th["threshold_ppm"])
+    # 4-row broadcast range join; two consumers (pair counts +
+    # distinct-doc counts) — pin it so the verified-pair expansion
+    # runs once
+    hit = (th.join(jac, jac["j_ppm"] >= th["threshold_ppm"])
+           .localCheckpoint(eager=False))
     pairs = hit.groupBy("threshold_ppm").agg(
         F.count(F.lit(1)).alias("n_pairs"))
     docs_hit = (hit.select("threshold_ppm", F.col("d1").alias("doc_id"))

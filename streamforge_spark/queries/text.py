@@ -1869,15 +1869,22 @@ def source_quality_summary(spark, sf_dir):
         percentiles_from_frequencies)
     (docs,) = prep(spark, sf_dir, "documents")
     g = gopher_metrics(docs, id_cols=("doc_id", "source"))
-    freq = g.groupBy("source", "n_words").agg(F.count(F.lit(1)).alias("k"))
-    med = (percentiles_from_frequencies(freq, ["source"],
+    # ONE corpus pass: the (source, n_words, gopher_pass) rollup is
+    # the only thing the scan feeds; medians and pass rates both
+    # derive from this bounded table (checkpointed — two consumers)
+    freq = (g.groupBy("source", "n_words", "gopher_pass")
+            .agg(F.count(F.lit(1)).alias("k"))
+            .localCheckpoint(eager=False))
+    lenfreq = freq.groupBy("source", "n_words").agg(F.sum("k").alias("k"))
+    med = (percentiles_from_frequencies(lenfreq, ["source"],
                                         value_col="n_words",
                                         count_col="k", percents=(50,))
            .select("source", F.col("p50_cents").alias("median_tokens")))
-    agg = g.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_words").alias("total_tokens"),
-        F.count(F.when(F.col("gopher_pass"), 1)).alias("_npass"))
+    agg = freq.groupBy("source").agg(
+        F.sum("k").alias("n_docs"),
+        F.sum(F.col("n_words") * F.col("k")).alias("total_tokens"),
+        F.sum(F.when(F.col("gopher_pass"), F.col("k"))
+              .otherwise(F.lit(0))).alias("_npass"))
     return (agg.join(med, "source")
             .select("source", "n_docs", "total_tokens", "median_tokens",
                     F.expr("(1000000 * _npass) div n_docs")
