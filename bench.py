@@ -108,6 +108,7 @@ HEADLINE = [
     "dsir_incremental_refit",
     "source_quality_summary",
     "dedup_yield_curve",
+    "ann_ivf_probe_sweep",
 ]
 
 

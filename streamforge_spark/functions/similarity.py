@@ -404,3 +404,65 @@ def query_ivf_index(spark, path: str, query_vec, k: int = 10, *,
                         .alias("cos"))
             .orderBy(F.col("cos").desc(), id_col)
             .limit(k))
+
+
+def ann_ivf_probe_scores(emb: DataFrame, query_ids, *,
+                         cells: int = 16, rounds: int = 2,
+                         max_nprobe: int = 4,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """(qid, cid, prnk, cos) for every IVF candidate within each
+    query's ``max_nprobe`` nearest cells, carrying the rank of the
+    candidate's cell in the query's probe order — so ONE index build
+    and ONE probe pass serve every nprobe <= max_nprobe downstream
+    (filter ``prnk <= n``), which is what a probe-sweep calibration
+    needs instead of retraining per configuration.
+
+    Same fixed-point trainer / assignment / exact-cosine contract as
+    :func:`ann_ivf_fixed_topk` (each corpus vector lives in exactly
+    one cell, so a (qid, cid) pair carries exactly one prnk)."""
+    from streamforge_spark.functions.clustering import (
+        KMEANS_QUANT, kmeans_centroids)
+    spark = emb.sparkSession
+    C = kmeans_centroids(emb, k=cells, rounds=rounds,
+                         id_col=id_col, vec_col=vec_col)
+    bc = spark.sparkContext.broadcast(C)
+    raw = F.col(vec_col).cast("array<double>")
+    e = emb.select(
+        F.col(id_col).alias("_id"), raw.alias("v"),
+        F.transform(raw, lambda x: F.round(x * KMEANS_QUANT).cast("long"))
+        .alias("qv"))
+
+    def _d2(pdf: pd.DataFrame) -> np.ndarray:
+        Cm = bc.value
+        c2 = (Cm * Cm).sum(axis=1)
+        X = np.stack(pdf["qv"].to_numpy()).astype(np.int64)
+        return (X * X).sum(axis=1)[:, None] - 2 * (X @ Cm.T) + c2[None, :]
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[["_id", "v"]].copy()
+            out["cell"] = _d2(pdf).argmin(axis=1).astype(np.int64)
+            yield out
+
+    assigned = e.mapInPandas(assign, "_id long, v array<double>, cell long")
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            # stable sort: equal distances keep ascending cell order
+            # (ORDER BY d2, cl in the oracle)
+            near = np.argsort(_d2(pdf), axis=1, kind="stable")[:, :max_nprobe]
+            out = (pdf[["_id", "v"]].loc[pdf.index.repeat(max_nprobe)]
+                   .reset_index(drop=True)
+                   .rename(columns={"_id": "qid", "v": "qv"}))
+            out["cell"] = near.reshape(-1).astype(np.int64)
+            out["prnk"] = np.tile(np.arange(1, max_nprobe + 1,
+                                            dtype=np.int64), len(pdf))
+            yield out
+
+    q = (e.filter(F.col("_id").isin(list(query_ids)))
+         .mapInPandas(probe, "qid long, qv array<double>, cell long, prnk long"))
+    cands = assigned.join(q, "cell").filter(F.col("_id") != F.col("qid"))
+    return cands.select(
+        "qid", F.col("_id").alias("cid"), "prnk",
+        cosine(F.col("qv"), F.col("v")).alias("cos"))

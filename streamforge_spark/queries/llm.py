@@ -1382,3 +1382,107 @@ def dedup_yield_curve(spark, sf_dir):
                     F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
                     F.coalesce("n_docs_in_pairs", F.lit(0))
                     .alias("n_docs_in_pairs")))
+
+
+# -- IVF probe-count recall sweep ----------------------------------------
+
+ANN_PROBE_SWEEP = (1, 2, 4)
+
+
+def _probe_sweep_oracle() -> str:
+    from streamforge_spark.queries.embeddings import _TOPK_ORACLE, _kmeans_oracle
+    base = _kmeans_oracle(IVF_CELLS, IVF_ROUNDS, 10000)
+    head, _ = base.rsplit("\nSELECT", 1)   # keep the unrolled-Lloyd CTE chain
+    r = IVF_ROUNDS - 1
+    max_np = max(ANN_PROBE_SWEEP)
+    nps = ", ".join(str(n) for n in ANN_PROBE_SWEEP)
+    return f"""{head},
+raw AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+qd AS (SELECT vec_id AS qid, j, x FROM ed WHERE vec_id < {ANN_NQ}),
+pd AS (
+  SELECT qid, cl,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, cl) AS prnk
+  FROM (SELECT qd.qid AS qid, cd.cl AS cl,
+               SUM((qd.x - cd.x) * (qd.x - cd.x)) AS d2
+        FROM qd JOIN cd{r} cd ON qd.j = cd.j GROUP BY 1, 2) t),
+cands AS (
+  SELECT p.qid, a.vec_id AS cid, p.prnk
+  FROM pd p JOIN a{r} a ON a.cl = p.cl
+  WHERE a.vec_id <> p.qid AND p.prnk <= {max_np}),
+scored AS (
+  SELECT c.qid, c.cid, c.prnk,
+         list_dot_product(rq.v, rc.v)
+           / (sqrt(list_dot_product(rq.v, rq.v))
+              * sqrt(list_dot_product(rc.v, rc.v))) AS cos
+  FROM cands c
+  JOIN raw rq ON rq.vec_id = c.qid
+  JOIN raw rc ON rc.vec_id = c.cid),
+np AS (SELECT unnest([{nps}]) AS nprobe),
+topk AS (
+  SELECT nprobe, qid, cid FROM (
+    SELECT n.nprobe AS nprobe, s.qid, s.cid,
+           row_number() OVER (PARTITION BY n.nprobe, s.qid
+                              ORDER BY s.cos DESC, s.cid) AS rn
+    FROM np n JOIN scored s ON s.prnk <= n.nprobe) u
+  WHERE rn <= {ANN_K})
+SELECT t.qid AS query_id, CAST(n.nprobe AS BIGINT) AS nprobe,
+       CAST({ANN_K} AS BIGINT) AS k,
+       CAST(count(tk.cid) AS BIGINT) AS ivf_hits,
+       (1000000 * CAST(count(tk.cid) AS BIGINT)) // {ANN_K} AS recall_ppm
+FROM (SELECT query_id AS qid, neighbor_id AS cid FROM ({_TOPK_ORACLE})) t
+CROSS JOIN np n
+LEFT JOIN topk tk
+  ON tk.nprobe = n.nprobe AND tk.qid = t.qid AND tk.cid = t.cid
+GROUP BY 1, 2
+"""
+
+
+@query("ann_ivf_probe_sweep", oracle=_probe_sweep_oracle())
+def ann_ivf_probe_sweep(spark, sf_dir):
+    """IVF probe-count calibration — the third knob of the
+    calibration trilogy (lsh_band_recall_sweep tunes dedup bands,
+    dedup_yield_curve tunes the dedup threshold, this tunes ANN
+    nprobe): recall@k vs the exact brute-force top-k for nprobe in
+    {1, 2, 4}, per query.  More probed cells buys recall linearly in
+    probe cost; this table shows where it saturates before anyone
+    pays 4x probes in production.
+
+    Plan (100 TB): the index trains ONCE and the probe pass emits
+    each candidate tagged with its cell's probe rank
+    (functions/similarity.py::ann_ivf_probe_scores), so every nprobe
+    config is a filter + rank window over the SAME candidate table
+    (checkpointed — three consumers), never a retrain; the recall
+    join is k x n_queries x configs rows.  The oracle replays
+    training, ranked probing, per-config ranking, and the brute-force
+    truth in one SQL statement."""
+    from streamforge_spark.functions.similarity import ann_ivf_probe_scores
+    from streamforge_spark.queries.embeddings import ann_cosine_topk
+    (emb,) = prep(spark, sf_dir, "embeddings")
+    scored = ann_ivf_probe_scores(
+        emb, range(ANN_NQ), cells=IVF_CELLS, rounds=IVF_ROUNDS,
+        max_nprobe=max(ANN_PROBE_SWEEP)).localCheckpoint(eager=False)
+    per = []
+    for n in ANN_PROBE_SWEEP:
+        w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "cid")
+        per.append(scored.filter(F.col("prnk") <= n)
+                   .withColumn("rn", F.row_number().over(w))
+                   .filter(F.col("rn") <= ANN_K)
+                   .select(F.lit(n).cast("long").alias("nprobe"),
+                           F.col("qid").alias("query_id"),
+                           F.col("cid").alias("neighbor_id"),
+                           F.lit(1).alias("_hit")))
+    ivf = per[0]
+    for p in per[1:]:
+        ivf = ivf.unionByName(p)
+    truth = ann_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    cfg = spark.createDataFrame(
+        [(n,) for n in ANN_PROBE_SWEEP], "nprobe long")
+    return (cfg.crossJoin(truth)
+            .join(F.broadcast(ivf), ["nprobe", "query_id", "neighbor_id"],
+                  "left")
+            .groupBy("query_id", "nprobe")
+            .agg(F.lit(ANN_K).cast("long").alias("k"),
+                 F.count("_hit").alias("ivf_hits"))
+            .select("query_id", "nprobe", "k", "ivf_hits",
+                    F.expr(f"(1000000 * ivf_hits) div {ANN_K}")
+                    .alias("recall_ppm")))

@@ -144,3 +144,20 @@ def test_dsir_counts_merge_and_persist_roundtrip(spark, tmp_path):
         dsir_counts(docs.filter(F.col("doc_id") >= 25), tgt))
     got = {(r.bkt): (r.cr, r.ct) for r in merged.collect()}
     assert got == full
+
+
+def test_ivf_probe_sweep_recall_monotone(spark):
+    """Probed cell sets nest (top-1 ⊆ top-2 ⊆ top-4), so each config's
+    candidate pool nests and recall@k is nondecreasing in nprobe."""
+    from streamforge_spark import registry
+    registry.load_all()
+    rows = registry.QUERIES["ann_ivf_probe_sweep"](
+        spark, "/root/testdata/sf0.001").collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append((r.nprobe, r.recall_ppm))
+    assert len(by_q) == 10
+    for q, pairs in by_q.items():
+        pairs.sort()
+        assert [p[0] for p in pairs] == [1, 2, 4]
+        assert pairs[0][1] <= pairs[1][1] <= pairs[2][1], (q, pairs)
