@@ -448,3 +448,102 @@ def streaming_gopher_gate(doc_stream: DataFrame,
     from streamforge_spark.functions.text import gopher_metrics
     return gopher_metrics(doc_stream, id_cols=(id_col,),
                           text_col=text_col)
+
+
+def minhash_corpus_index(ref_docs: DataFrame, ngram: int = 3):
+    """Build the two static artifacts the streaming fuzzy gate probes:
+    the corpus LSH band index (band, band_hash, doc_id) and the
+    shingle-set table (doc_id, gs) for exact verification.  In
+    production both persist to parquet and get appended per admitted
+    batch (the same model-store contract as substring_hash_index and
+    the DSIR counts); signatures use the identical salted-md5 minhash
+    coins as every batch dedup query, so gate decisions replay there.
+    """
+    from streamforge_spark.functions.simdedup import (
+        LSH_BANDS, NUM_PERM, oracle_hash60)
+    from streamforge_spark.functions.text import word_ngrams
+    from streamforge_spark.io import spread_for_compute
+    gram_sets = (spread_for_compute(ref_docs, "doc_id")
+                 .select("doc_id", word_ngrams(F.col("text"), ngram).alias("gs"))
+                 .localCheckpoint(eager=False))
+    grams = gram_sets.select("doc_id", F.explode("gs").alias("g"))
+    mins = [F.min(oracle_hash60(F.col("g"), salt=str(p))).alias(f"h{p}")
+            for p in range(NUM_PERM)]
+    sigs = grams.groupBy("doc_id").agg(*mins)
+    rows = NUM_PERM // LSH_BANDS
+    bands = sigs.select(
+        "doc_id",
+        F.posexplode(F.array(*[
+            F.xxhash64(*[F.col(f"h{b * rows + r}") for r in range(rows)])
+            for b in range(LSH_BANDS)])).alias("band", "band_hash"))
+    return bands, gram_sets
+
+
+def streaming_fuzzy_dedup_gate(doc_stream: DataFrame,
+                               corpus_bands: DataFrame,
+                               corpus_grams: DataFrame,
+                               threshold: float = 0.2,
+                               ngram: int = 3,
+                               id_col: str = "doc_id",
+                               text_col: str = "text") -> DataFrame:
+    """Streaming NEAR-dup admission gate — the online stream-vs-corpus
+    side of incremental_fuzzy_dedup (queries/llm.py): each arriving
+    document computes its MinHash signature ROW-WISE (array_min over
+    HOF transforms of the shingle array — identical bits to the batch
+    explode+groupBy signature, but stateless), bands it, probes the
+    static corpus band index, exact-Jaccard-verifies the surviving
+    candidates against the corpus shingle table, and is admitted only
+    when no corpus document clears the threshold.
+
+    Within-batch self-matching is deliberately NOT attempted here —
+    a stream has no stable smaller-id-wins order across micro-batches;
+    the nightly batch compactor owns that half (same split of
+    responsibilities as streaming_substring_contamination vs its
+    batch twin).  The only exchanges are the band probe join and the
+    per-doc verdict rollup; the HOF signature is O(perms x shingles)
+    per row, the right trade below ~10^4 shingles/doc — an extreme
+    doc would route through the batch explode path instead.
+    """
+    from streamforge_spark.functions.simdedup import (
+        LSH_BANDS, NUM_PERM, oracle_hash60)
+    from streamforge_spark.functions.text import word_ngrams
+    rows = NUM_PERM // LSH_BANDS
+    gs = word_ngrams(F.col(text_col), ngram)
+
+    def _perm(p):
+        # one-arg closure: a two-parameter lambda (even with a bound
+        # default) makes F.transform pass the ARRAY INDEX as the
+        # second argument, silently salting each gram by position
+        return lambda g: oracle_hash60(g, salt=str(p))
+
+    sig_cols = [
+        F.array_min(F.transform(F.col("gs"), _perm(p))).alias(f"h{p}")
+        for p in range(NUM_PERM)]
+    sigs = (doc_stream.select(F.col(id_col), gs.alias("gs"))
+            .select(id_col, "gs", *sig_cols))
+    banded = sigs.select(
+        F.col(id_col), "gs",
+        F.posexplode(F.array(*[
+            F.xxhash64(*[F.col(f"h{b * rows + r}") for r in range(rows)])
+            for b in range(LSH_BANDS)])).alias("band", "band_hash"))
+    # single left-join pipeline (no stream self-join): a doc with zero
+    # band collisions carries a NULL corpus_id through to the verdict
+    cand = (banded.join(
+        corpus_bands.select(F.col("doc_id").alias("corpus_id"),
+                            "band", "band_hash"),
+        ["band", "band_hash"], "left")
+        .select(id_col, "gs", "corpus_id")
+        .dropDuplicates([id_col, "corpus_id"]))
+    joined = cand.join(
+        corpus_grams.select(F.col("doc_id").alias("corpus_id"),
+                            F.col("gs").alias("cgs")), "corpus_id", "left")
+    near = (F.col("corpus_id").isNotNull()
+            & (F.when(F.col("cgs").isNotNull(),
+                      F.size(F.array_intersect("gs", "cgs")).cast("double")
+                      / F.size(F.array_union("gs", "cgs")))
+               .otherwise(F.lit(0.0)) >= threshold))
+    verdict = (joined.groupBy(id_col)
+               .agg(F.count(F.when(near, 1)).alias("n_near_dups")))
+    return verdict.select(
+        id_col, "n_near_dups",
+        (F.col("n_near_dups") == 0).alias("admitted"))

@@ -1455,3 +1455,50 @@ def test_streaming_gopher_gate_matches_batch(spark, workdir):
             gopher_metrics(spark.createDataFrame(rows, DOCS)).collect()}
     assert got == want
     assert got[1]["gopher_pass"] and not got[2]["gopher_pass"]
+
+
+def test_streaming_fuzzy_dedup_gate(spark, workdir):
+    # stream-vs-corpus near-dup admission: a near-copy of a corpus doc
+    # is rejected, novel text is admitted — and verdicts agree with the
+    # batch cross-side pairs from minhash_lsh_pairs on the union
+    from streamforge_spark.functions.simdedup import minhash_lsh_pairs
+    from streamforge_spark.streaming.curation import (
+        minhash_corpus_index, streaming_fuzzy_dedup_gate)
+
+    DOCS = T.StructType([T.StructField("doc_id", T.LongType()),
+                         T.StructField("text", T.StringType())])
+    base = ("the quick brown fox jumps over the lazy dog again and "
+            "again while the cat naps by the warm stove every day")
+    corpus_rows = [(1, base),
+                   (2, "completely different corpus text about spark "
+                       "plans shuffles exchanges and adaptive execution")]
+    stream_rows = [(10, base + " extra"),          # near-dup of doc 1
+                   (11, "novel text that matches nothing in the corpus "
+                        "and should sail through the admission gate ok")]
+    corpus = spark.createDataFrame(corpus_rows, DOCS)
+    bands, grams = minhash_corpus_index(corpus)
+    bands, grams = bands.localCheckpoint(), grams.localCheckpoint()
+
+    src = f"{workdir}/fuzzydocs"
+    spark.createDataFrame(stream_rows[:1], DOCS).coalesce(1) \
+        .write.mode("append").parquet(src)
+    stream = spark.readStream.schema(DOCS).parquet(src)
+    q = (streaming_fuzzy_dedup_gate(stream, bands, grams)
+         .writeStream.format("memory").queryName("fuzzy_out")
+         .outputMode("update").start())
+    q.processAllAvailable()
+    spark.createDataFrame(stream_rows[1:], DOCS).coalesce(1) \
+        .write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    got = {r.doc_id: (r.n_near_dups, r.admitted)
+           for r in spark.sql("select * from fuzzy_out").collect()}
+    assert got[10] == (1, False)
+    assert got[11] == (0, True)
+
+    # batch agreement: cross-side pairs of the union give the same
+    # rejected set
+    union = corpus.unionByName(spark.createDataFrame(stream_rows, DOCS))
+    pairs = minhash_lsh_pairs(union, threshold=0.2).collect()
+    rejected = {p.d2 for p in pairs if p.d1 in (1, 2) and p.d2 >= 10}
+    assert rejected == {d for d, (n, adm) in got.items() if not adm}
