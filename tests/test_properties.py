@@ -476,3 +476,56 @@ def test_exact_substring_span_merge_is_interval_union(positions, k):
     assert sum(e - s + 1 for s, e in spans) == len(covered)
     for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
         assert s2 > e1 + 1
+
+
+@given(st.lists(st.tuples(st.booleans(),
+                          st.lists(st.sampled_from("abcdef"), min_size=1,
+                                   max_size=8)),
+                min_size=2, max_size=20))
+@SLOW
+def test_dsir_merge_equals_full_fit_any_split(spark, corpus):
+    """Counts are sufficient statistics: for ANY corpus and ANY prefix
+    split, merging the halves' count tables equals the full-corpus
+    count table exactly (the property dsir_incremental_refit's oracle
+    checks on one fixture split — here generated)."""
+    from streamforge_spark.functions.dsir import dsir_counts, merge_dsir_counts
+    rows = [(i, "tgt" if is_t else "raw", " ".join(toks))
+            for i, (is_t, toks) in enumerate(corpus)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    tgt = F.col("source") == "tgt"
+    cut = len(rows) // 2
+    full = {r.bkt: (r.cr, r.ct) for r in dsir_counts(docs, tgt).collect()}
+    merged = merge_dsir_counts(
+        dsir_counts(docs.filter(F.col("doc_id") < cut), tgt),
+        dsir_counts(docs.filter(F.col("doc_id") >= cut), tgt))
+    got = {r.bkt: (r.cr, r.ct) for r in merged.collect()}
+    assert got == full
+
+
+@given(st.lists(st.lists(st.sampled_from(["the", "of", "ab", "xyzzy", "a1",
+                                          "..", "wordy"]),
+                         min_size=1, max_size=60),
+                min_size=1, max_size=12))
+@SLOW
+def test_gopher_metrics_match_python_reference(spark, docs_tokens):
+    """The engine's Gopher metrics equal a direct python computation
+    for arbitrary token mixes (incl. punctuation-only and non-alpha
+    tokens the fixture never produces)."""
+    from streamforge_spark.functions.text import (
+        GOPHER_MIN_ALPHA_PPM, GOPHER_MIN_MWL_MILLI, GOPHER_MIN_STOPWORDS,
+        GOPHER_MIN_WORDS, STOPWORDS, gopher_metrics)
+    import re
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs_tokens)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in gopher_metrics(docs).collect()}
+    for i, toks in enumerate(docs_tokens):
+        n = len(toks)
+        mwl = (1000 * sum(len(t) for t in toks)) // n
+        stop = sum(t in STOPWORDS for t in toks)
+        alpha = (1_000_000 * sum(bool(re.search("[a-zA-Z]", t))
+                                 for t in toks)) // n
+        r = got[i]
+        assert (r.n_words, r.mean_word_len_milli, r.stopword_cnt,
+                r.alpha_word_ppm) == (n, mwl, stop, alpha)
+        assert r.flag_stopwords == (stop >= GOPHER_MIN_STOPWORDS)
+        assert r.flag_alpha == (alpha >= GOPHER_MIN_ALPHA_PPM)
