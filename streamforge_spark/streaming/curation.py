@@ -547,3 +547,37 @@ def streaming_fuzzy_dedup_gate(doc_stream: DataFrame,
     return verdict.select(
         id_col, "n_near_dups",
         (F.col("n_near_dups") == 0).alias("admitted"))
+
+
+def save_minhash_index(bands: DataFrame, grams: DataFrame,
+                       path: str) -> None:
+    """Persist the fuzzy gate's corpus artifacts (band index + shingle
+    sets) under ``path/bands`` and ``path/grams`` — the model-store
+    contract shared with write_substring_index and save_dsir_counts.
+    Bands sort within partitions by (band, band_hash) so parquet page
+    stats prune the probe join's scan."""
+    (bands.repartition("band")
+     .sortWithinPartitions("band", "band_hash")
+     .write.mode("overwrite").parquet(f"{path}/bands"))
+    grams.write.mode("overwrite").parquet(f"{path}/grams")
+
+
+def load_minhash_index(spark, path: str):
+    bands = spark.read.parquet(f"{path}/bands") \
+        .select("doc_id", "band", "band_hash")
+    grams = spark.read.parquet(f"{path}/grams").select("doc_id", "gs")
+    return bands, grams
+
+
+def append_minhash_index(path: str, admitted_docs: DataFrame,
+                         ngram: int = 3) -> None:
+    """Fold an admitted batch into the persisted index: band rows and
+    shingle rows are per-document and independent, so APPEND equals a
+    full rebuild over the union corpus exactly (no cross-document
+    state in either artifact — unlike e.g. a df-capped posting list).
+    O(batch) work per ingest."""
+    bands, grams = minhash_corpus_index(admitted_docs, ngram)
+    (bands.repartition("band")
+     .sortWithinPartitions("band", "band_hash")
+     .write.mode("append").parquet(f"{path}/bands"))
+    grams.write.mode("append").parquet(f"{path}/grams")

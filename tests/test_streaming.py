@@ -1502,3 +1502,42 @@ def test_streaming_fuzzy_dedup_gate(spark, workdir):
     pairs = minhash_lsh_pairs(union, threshold=0.2).collect()
     rejected = {p.d2 for p in pairs if p.d1 in (1, 2) and p.d2 >= 10}
     assert rejected == {d for d, (n, adm) in got.items() if not adm}
+
+
+def test_minhash_index_append_equals_rebuild(spark, workdir):
+    # append(batch) over a persisted index == rebuild over the union:
+    # both artifacts are per-document, so the fold is exact — and the
+    # gate gives identical verdicts against either index
+    from streamforge_spark.streaming.curation import (
+        append_minhash_index, load_minhash_index, minhash_corpus_index,
+        save_minhash_index, streaming_fuzzy_dedup_gate)
+
+    DOCS = T.StructType([T.StructField("doc_id", T.LongType()),
+                         T.StructField("text", T.StringType())])
+    first = [(1, "alpha beta gamma delta epsilon zeta eta theta iota"),
+             (2, "one two three four five six seven eight nine ten")]
+    second = [(3, "red orange yellow green blue indigo violet and white")]
+    path = f"{workdir}/mhidx"
+    b0, g0 = minhash_corpus_index(spark.createDataFrame(first, DOCS))
+    save_minhash_index(b0, g0, path)
+    append_minhash_index(path, spark.createDataFrame(second, DOCS))
+
+    bands_l, grams_l = load_minhash_index(spark, path)
+    b_full, g_full = minhash_corpus_index(
+        spark.createDataFrame(first + second, DOCS))
+    assert (sorted(map(tuple, bands_l.collect()))
+            == sorted(map(tuple, b_full.collect())))
+    assert (sorted((r.doc_id, tuple(r.gs)) for r in grams_l.collect())
+            == sorted((r.doc_id, tuple(r.gs)) for r in g_full.collect()))
+
+    probe = spark.createDataFrame(
+        [(10, "red orange yellow green blue indigo violet and black"),
+         (11, "totally unrelated words nowhere near any corpus doc")], DOCS)
+    via_loaded = {r.doc_id: (r.n_near_dups, r.admitted)
+                  for r in streaming_fuzzy_dedup_gate(
+                      probe, bands_l, grams_l).collect()}
+    via_rebuilt = {r.doc_id: (r.n_near_dups, r.admitted)
+                   for r in streaming_fuzzy_dedup_gate(
+                       probe, b_full, g_full).collect()}
+    assert via_loaded == via_rebuilt
+    assert not via_loaded[10][1] and via_loaded[11][1]
