@@ -24,6 +24,16 @@ NUM_PERM = 32       # minhash permutations
 LSH_BANDS = 8       # bands of NUM_PERM / LSH_BANDS rows each
 SIMHASH_BITS = 60   # 15 hex chars of md5 -> SQL-reproducible fingerprint
 
+#: Per-(band, band_hash) bucket membership cap for the LSH candidate
+#: join (lowest-N doc_ids kept, N matching the NGRAM_MAX_DF=64 shingle
+#: posting convention).  Without it a template family of m
+#: near-identical documents collides in EVERY band and the self-join
+#: emits O(m^2) pairs from one bucket — at crawl scale m reaches 10^6
+#: (mirrors/boilerplate) and the join never finishes.  The cap bounds
+#: any bucket's contribution to C(64,2) pairs; what it hides is
+#: surfaced by the ``hot_band_report`` audit query (no silent caps).
+BAND_MAX_BUCKET = 64
+
 
 def oracle_hash60(col: Column, salt: str | None = None) -> Column:
     """60-bit content hash from the first 15 hex chars of md5.
@@ -44,6 +54,34 @@ def hash60_sql(expr: str, salt_expr: str | None = None) -> str:
     return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
 
 
+def cap_band_buckets(banded: DataFrame, id_col: str = "doc_id",
+                     bucket_cols: tuple[str, ...] = ("band", "band_hash"),
+                     cap: int = BAND_MAX_BUCKET) -> DataFrame:
+    """Keep only the ``cap`` lowest ``id_col`` members of each LSH
+    bucket — the hot-bucket bound every banded self-join must apply
+    before joining (see :data:`BAND_MAX_BUCKET`).  Deterministic
+    (doc ids are unique) and oracle-replayable
+    (:func:`kept_bands_cte`).  The rank window shuffles on the same
+    bucket key the candidate join uses, so the exchange is reused by
+    the join, not added to it."""
+    from pyspark.sql import Window
+    w = Window.partitionBy(*bucket_cols).orderBy(id_col)
+    return (banded.withColumn("_brn", F.row_number().over(w))
+            .filter(F.col("_brn") <= cap).drop("_brn"))
+
+
+def kept_bands_cte(src: str = "bands", key: str = "band, bkey",
+                   id_col: str = "doc_id",
+                   cap: int = BAND_MAX_BUCKET) -> str:
+    """DuckDB twin of :func:`cap_band_buckets`: a ``kept`` CTE body
+    selecting the ``cap`` lowest-``id_col`` rows per bucket from the
+    ``src`` CTE.  Splice as ``kept AS (<this>)`` right after the
+    bands CTE and point the candidate join at ``kept``."""
+    return (f"SELECT * EXCLUDE (_brn) FROM ("
+            f"SELECT *, row_number() OVER (PARTITION BY {key} "
+            f"ORDER BY {id_col}) AS _brn FROM {src}) WHERE _brn <= {cap}")
+
+
 def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", ngram: int = 3,
                        num_perm: int = NUM_PERM) -> DataFrame:
@@ -61,9 +99,16 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
 
 def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
                         bands: int = LSH_BANDS,
-                        num_perm: int = NUM_PERM) -> DataFrame:
+                        num_perm: int = NUM_PERM,
+                        cap: int = BAND_MAX_BUCKET) -> DataFrame:
     """Band the signature, hash each band, self-join on (band, hash):
-    candidate pairs collide in >=1 band. Returns distinct (d1, d2)."""
+    candidate pairs collide in >=1 band. Returns distinct (d1, d2).
+
+    Each bucket is bounded to its ``cap`` lowest doc_ids before the
+    join (:func:`cap_band_buckets`), so a hot template family
+    contributes at most C(cap, 2) pairs per band instead of O(m^2) —
+    candidate sets are cap-conditioned LOWER bounds, audited by
+    ``hot_band_report``."""
     rows = num_perm // bands
     banded = sigs.select(
         F.col(id_col),
@@ -72,6 +117,7 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
             for b in range(bands)
         ])).alias("band", "band_hash"),
     )
+    banded = cap_band_buckets(banded, id_col, cap=cap)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(b, (F.col("a.band") == F.col("b.band"))

@@ -16,8 +16,8 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from streamforge_spark.functions.simdedup import (
-    LSH_BANDS, NUM_PERM, SIMHASH_BITS, hash60_sql, minhash_lsh_pairs,
-    simhash, simhash_near_dup,
+    BAND_MAX_BUCKET, LSH_BANDS, NUM_PERM, SIMHASH_BITS, hash60_sql,
+    kept_bands_cte, minhash_lsh_pairs, simhash, simhash_near_dup,
 )
 from streamforge_spark.functions.similarity import (
     LSH_PLANES, LSH_TABLES, SEM_PLANES, SEM_THRESHOLD, _hyperplanes,
@@ -49,8 +49,9 @@ mh AS (SELECT doc_id, p, MIN({hash60_sql('g', 'CAST(p AS VARCHAR)')}) AS sig
 bands AS (SELECT doc_id, CAST(p // {NUM_PERM // LSH_BANDS} AS INTEGER) AS band,
                  list(sig ORDER BY p) AS bkey
           FROM mh GROUP BY 1, 2),
+kept AS ({kept_bands_cte()}),
 cands AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-          FROM bands a JOIN bands b
+          FROM kept a JOIN kept b
             ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
 sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM grams GROUP BY doc_id),
 inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(count(*) AS BIGINT) AS i
@@ -75,6 +76,74 @@ def dedup_minhash_lsh(spark, sf_dir):
     join, verification) in DuckDB — exact match, not containment."""
     (docs,) = prep(spark, sf_dir, "documents")
     return minhash_lsh_pairs(docs, threshold=MINHASH_THRESHOLD)
+
+
+HOT_BAND_K = 20   # hot-bucket report size
+
+_HOT_BAND_ORACLE = f"""
+WITH {_SHINGLE_CTES},
+mh AS (SELECT doc_id, p, MIN({hash60_sql('g', 'CAST(p AS VARCHAR)')}) AS sig
+       FROM grams CROSS JOIN range({NUM_PERM}) t(p) GROUP BY doc_id, p),
+bands AS (SELECT doc_id, CAST(p // {NUM_PERM // LSH_BANDS} AS INTEGER) AS band,
+                 list(sig ORDER BY p) AS bkey
+          FROM mh GROUP BY 1, 2),
+buckets AS (SELECT band,
+                   {hash60_sql("array_to_string(bkey, ':')")} AS bucket_key,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(MIN(doc_id) AS BIGINT) AS example_doc
+            FROM bands GROUP BY 1, 2)
+SELECT band, bucket_key, n_docs,
+       n_docs > {BAND_MAX_BUCKET} AS capped,
+       example_doc
+FROM buckets
+ORDER BY n_docs DESC, band, bucket_key
+LIMIT {HOT_BAND_K}
+"""
+
+
+@query("hot_band_report", oracle=_HOT_BAND_ORACLE)
+def hot_band_report(spark, sf_dir):
+    """Top-K hottest LSH band buckets by membership, flagged where the
+    BAND_MAX_BUCKET cap truncates the candidate join — the
+    ``hot_shingle_report`` analog for the MinHash family ("no silent
+    caps": a 100 TB dedup run should SEE the template/mirror families
+    whose pair evidence it bounded, with an example document to
+    inspect).  The bucket key is the salted-md5 hash60 of the band's
+    signature slice (':'-joined) so the report is oracle-exact; it is
+    1:1 with the xxhash64 key the production join buckets on.
+    Deterministic total order (n_docs desc, band, bucket_key).
+
+    Scale shape: the same one-explode-one-rollup signature pass as
+    dedup_minhash_lsh, then a map-side-combined rollup on
+    (band, bucket_key) — the exchange carries distinct bucket partial
+    counts, never doc pairs — and a TakeOrderedAndProject top-K.  No
+    joins, nothing quadratic, runs BEFORE you pay for the dedup."""
+    from streamforge_spark.functions.simdedup import oracle_hash60
+    from streamforge_spark.functions.text import word_ngrams
+    from streamforge_spark.io import spread_for_compute
+    (docs,) = prep(spark, sf_dir, "documents")
+    grams = (spread_for_compute(docs, "doc_id")
+             .select("doc_id",
+                     F.explode(word_ngrams(F.col("text"), 3)).alias("g")))
+    mins = [F.min(oracle_hash60(F.col("g"), salt=str(p))).alias(f"h{p}")
+            for p in range(NUM_PERM)]
+    sigs = grams.groupBy("doc_id").agg(*mins)
+    rows = NUM_PERM // LSH_BANDS
+    banded = sigs.select(
+        "doc_id",
+        F.posexplode(F.array(*[
+            F.concat_ws(":", *[F.col(f"h{b * rows + r}").cast("string")
+                               for r in range(rows)])
+            for b in range(LSH_BANDS)])).alias("band", "bstr"))
+    return (banded
+            .groupBy("band", oracle_hash60(F.col("bstr")).alias("bucket_key"))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.min("doc_id").alias("example_doc"))
+            .select("band", "bucket_key", "n_docs",
+                    (F.col("n_docs") > BAND_MAX_BUCKET).alias("capped"),
+                    "example_doc")
+            .orderBy(F.col("n_docs").desc(), "band", "bucket_key")
+            .limit(HOT_BAND_K))
 
 
 # simhash fingerprint CTEs: term-count weighted bit sums over the
@@ -970,9 +1039,10 @@ mh AS (SELECT doc_id, p, MIN({hash60_sql('g', 'CAST(p AS VARCHAR)')}) AS sig
 bands AS (SELECT doc_id, CAST(p // {NUM_PERM // LSH_BANDS} AS INTEGER) AS band,
                  list(sig ORDER BY p) AS bkey
           FROM mh GROUP BY 1, 2),
+kept AS ({kept_bands_cte()}),
 cands AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-          FROM bands a
-          JOIN (SELECT * FROM bands WHERE doc_id >= {INGEST_SPLIT_ID}) b
+          FROM kept a
+          JOIN (SELECT * FROM kept WHERE doc_id >= {INGEST_SPLIT_ID}) b
             ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
 sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM grams GROUP BY doc_id),
 inter AS (SELECT c.d1, c.d2, CAST(count(*) AS BIGINT) AS i
@@ -1006,14 +1076,18 @@ def incremental_fuzzy_dedup(spark, sf_dir):
 
     The scale property: the band join filters its RIGHT side to the
     batch BEFORE joining, so candidate generation costs
-    O(batch x collisions), never O(corpus^2); exact-Jaccard
+    O(batch x collisions), never O(corpus^2); buckets are bounded to
+    their BAND_MAX_BUCKET lowest doc_ids before either side splits
+    off (same hot-bucket discipline as lsh_candidate_pairs, audited
+    by hot_band_report — a new doc evicted from an overfull bucket is
+    admitted, the cap-conditioned recall tradeoff); exact-Jaccard
     verification runs only on surviving candidates. In production the
     corpus side's signatures are READ from the persisted signature/band
     index (built once, appended per batch) — recomputed here only
     because the fixture has no cross-run state.""".format(
         split=INGEST_SPLIT_ID)
     from streamforge_spark.functions.simdedup import (
-        NUM_PERM, oracle_hash60, word_ngrams)
+        NUM_PERM, cap_band_buckets, oracle_hash60, word_ngrams)
     from streamforge_spark.io import spread_for_compute
     (docs,) = prep(spark, sf_dir, "documents")
     gram_sets = (spread_for_compute(docs, "doc_id")
@@ -1031,6 +1105,7 @@ def incremental_fuzzy_dedup(spark, sf_dir):
         F.posexplode(F.array(*[
             F.xxhash64(*[F.col("sig")[b * rows + r] for r in range(rows)])
             for b in range(LSH_BANDS)])).alias("band", "band_hash"))
+    banded = cap_band_buckets(banded)
     new_side = banded.filter(F.col("doc_id") >= INGEST_SPLIT_ID)
     a, b = banded.alias("a"), new_side.alias("b")
     cands = (a.join(b, (F.col("a.band") == F.col("b.band"))
@@ -1196,8 +1271,9 @@ mh AS (SELECT doc_id, p, MIN({hash60_sql('g', 'CAST(p AS VARCHAR)')}) AS sig
 bands AS (SELECT doc_id, CAST(p // {NUM_PERM // LSH_BANDS} AS INTEGER) AS band,
                  list(sig ORDER BY p) AS bkey
           FROM mh GROUP BY 1, 2),
+kept AS ({kept_bands_cte()}),
 cands AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-          FROM bands a JOIN bands b
+          FROM kept a JOIN kept b
             ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
 est AS (SELECT c.d1, c.d2,
                CAST(count(*) FILTER (WHERE a.sig = b.sig) AS BIGINT) AS matches
@@ -1291,8 +1367,9 @@ mh AS (SELECT doc_id, p, MIN({hash60_sql('g', 'CAST(p AS VARCHAR)')}) AS sig
 bands AS (SELECT doc_id, CAST(p // {NUM_PERM // LSH_BANDS} AS INTEGER) AS band,
                  list(sig ORDER BY p) AS bkey
           FROM mh GROUP BY 1, 2),
+kept AS ({kept_bands_cte()}),
 cands AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-          FROM bands a JOIN bands b
+          FROM kept a JOIN kept b
             ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
 sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM grams GROUP BY doc_id),
 inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(count(*) AS BIGINT) AS i

@@ -391,7 +391,7 @@ LSH_SWEEP_BANDS = (4, 8, 16)
 
 
 def _lsh_sweep_oracle() -> str:
-    from streamforge_spark.functions.simdedup import NUM_PERM
+    from streamforge_spark.functions.simdedup import NUM_PERM, kept_bands_cte
     from streamforge_spark.queries.llm import _SHINGLE_CTES
     cfg = ", ".join(str(b) for b in LSH_SWEEP_BANDS)
     return f"""
@@ -404,8 +404,9 @@ banded AS (SELECT c.bands, doc_id,
                   CAST(p // ({NUM_PERM} // c.bands) AS INTEGER) AS band,
                   list(sig ORDER BY p) AS bkey
            FROM mh CROSS JOIN cfg c GROUP BY 1, 2, 3),
+kept AS ({kept_bands_cte(src="banded", key="bands, band, bkey")}),
 cands AS (SELECT DISTINCT a.bands, a.doc_id AS d1, b.doc_id AS d2
-          FROM banded a JOIN banded b
+          FROM kept a JOIN kept b
             ON a.bands = b.bands AND a.band = b.band
            AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
 n_t AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
@@ -444,9 +445,11 @@ def lsh_band_recall_sweep(spark, sf_dir):
     Plan (100 TB): the truth set reuses allpairs' prefix-filter
     (never quadratic); signatures are one explode+rollup; each config
     is a banded self-join on (band, 32/b-long key) — the same bounded
-    LSH-bucket shape as production dedup, three configs unioned.  The
+    LSH-bucket shape as production dedup (incl. the BAND_MAX_BUCKET
+    hot-bucket cap, so the sweep measures the recall the CAPPED
+    production join actually delivers), three configs unioned.  The
     1-row truth count broadcasts (adjudicated scalar pattern)."""
-    from streamforge_spark.functions.simdedup import NUM_PERM
+    from streamforge_spark.functions.simdedup import NUM_PERM, cap_band_buckets
     (docs,) = prep(spark, sf_dir, "documents")
     truth = (allpairs_exact_jaccard(spark, sf_dir)
              .select("d1", "d2").localCheckpoint(eager=False))
@@ -463,12 +466,12 @@ def lsh_band_recall_sweep(spark, sf_dir):
     per_cfg = []
     for bands in LSH_SWEEP_BANDS:
         rows = NUM_PERM // bands
-        banded = sigs.select(
+        banded = cap_band_buckets(sigs.select(
             "doc_id",
             F.posexplode(F.array(*[
                 F.xxhash64(*[F.col("sig")[b * rows + r] for r in range(rows)])
                 for b in range(bands)
-            ])).alias("band", "band_hash"))
+            ])).alias("band", "band_hash")))
         a, b = banded.alias("a"), banded.alias("b")
         per_cfg.append(
             a.join(b, (F.col("a.band") == F.col("b.band"))

@@ -104,6 +104,11 @@ ROTATION_PRIORITY = [
     "dsir_importance_weight", "minhash_estimate_calibration",
     "lsh_band_recall_sweep", "gopher_quality_flags",
     "dsir_incremental_refit",
+    # late-r7 adds (green r07 already — listed for convention; checked
+    # names drop out of the head automatically)
+    "source_quality_summary", "dedup_yield_curve", "ann_ivf_probe_sweep",
+    # round-8 additions
+    "hot_band_report",
 ]
 
 

@@ -400,14 +400,19 @@ def streaming_dsir_gate(doc_stream: DataFrame, llr_model: DataFrame,
     Stateless stream-static shape: the <=DSIR_BUCKETS-row model
     broadcasts, a doc's tokens arrive together in its micro-batch,
     and the per-doc rollup is the only exchange.  Tokens hashing to
-    buckets absent from the model (vocabulary drift since the model
-    was fit) score the smoothed unseen-bucket ratio — the same
-    add-one mass the batch fit would give them — so the gate degrades
-    continuously rather than dropping drifted tokens.
+    buckets absent from the model score NEUTRAL 0 (log-ratio of 1):
+    the llr table does not carry the corpus totals needed to compute
+    the smoothed unseen-bucket ratio, and dsir_llr_model emits a row
+    for EVERY bucket with corpus mass, so a missing row means
+    genuinely novel vocabulary — neither evidence for nor against the
+    target distribution.  Callers who want smoothed scoring instead
+    can append an explicit unseen-bucket row to the model they pass.
 
-    ``avg_llr_micro`` is an integer floor division (not the batch
-    query's IEEE divide): the admission comparison stays exact under
-    any micro-batch replay.
+    ``avg_llr_micro`` is an exact integer FLOOR division (DuckDB
+    ``//`` semantics, not Spark ``div``'s truncation toward zero —
+    they differ exactly when the summed score is negative, i.e. at
+    the admission boundary): the admission comparison stays exact and
+    oracle-replayable under any micro-batch replay.
     """
     from streamforge_spark.functions.dsir import (
         DSIR_BUCKETS, DSIR_MICRO, dsir_bucket)
@@ -428,8 +433,16 @@ def streaming_dsir_gate(doc_stream: DataFrame, llr_model: DataFrame,
     return (marked.groupBy(id_col)
             .agg(F.count(F.lit(1)).alias("n_tokens"),
                  F.sum("llr_micro").alias("score_micro"))
+            # exact integer floor: `div` truncates toward zero, so a
+            # doc averaging in (-1, 0) micro-units would round UP to 0
+            # and pass the default threshold; subtract the correction
+            # on inexact negative quotients (n_tokens is always > 0)
             .select(id_col, "n_tokens", "score_micro",
-                    F.expr("score_micro div n_tokens").alias("avg_llr_micro"))
+                    F.expr("score_micro div n_tokens"
+                           " - (CASE WHEN score_micro % n_tokens != 0"
+                           "         AND score_micro < 0"
+                           "         THEN 1 ELSE 0 END)")
+                    .alias("avg_llr_micro"))
             .withColumn("admitted",
                         F.col("avg_llr_micro") >= F.lit(int(threshold_micro))))
 
@@ -458,9 +471,15 @@ def minhash_corpus_index(ref_docs: DataFrame, ngram: int = 3):
     batch (the same model-store contract as substring_hash_index and
     the DSIR counts); signatures use the identical salted-md5 minhash
     coins as every batch dedup query, so gate decisions replay there.
+
+    Band buckets are bounded to their BAND_MAX_BUCKET lowest doc_ids
+    (cap_band_buckets — the same hot-bucket discipline as
+    lsh_candidate_pairs), so one template family can never make the
+    stream's probe join explode; what the cap hides is visible in the
+    batch-side ``hot_band_report`` audit.
     """
     from streamforge_spark.functions.simdedup import (
-        LSH_BANDS, NUM_PERM, oracle_hash60)
+        LSH_BANDS, NUM_PERM, cap_band_buckets, oracle_hash60)
     from streamforge_spark.functions.text import word_ngrams
     from streamforge_spark.io import spread_for_compute
     gram_sets = (spread_for_compute(ref_docs, "doc_id")
@@ -471,11 +490,11 @@ def minhash_corpus_index(ref_docs: DataFrame, ngram: int = 3):
             for p in range(NUM_PERM)]
     sigs = grams.groupBy("doc_id").agg(*mins)
     rows = NUM_PERM // LSH_BANDS
-    bands = sigs.select(
+    bands = cap_band_buckets(sigs.select(
         "doc_id",
         F.posexplode(F.array(*[
             F.xxhash64(*[F.col(f"h{b * rows + r}") for r in range(rows)])
-            for b in range(LSH_BANDS)])).alias("band", "band_hash"))
+            for b in range(LSH_BANDS)])).alias("band", "band_hash")))
     return bands, gram_sets
 
 
@@ -485,7 +504,9 @@ def streaming_fuzzy_dedup_gate(doc_stream: DataFrame,
                                threshold: float = 0.2,
                                ngram: int = 3,
                                id_col: str = "doc_id",
-                               text_col: str = "text") -> DataFrame:
+                               text_col: str = "text",
+                               ts_col: str | None = None,
+                               watermark: str | None = None) -> DataFrame:
     """Streaming NEAR-dup admission gate — the online stream-vs-corpus
     side of incremental_fuzzy_dedup (queries/llm.py): each arriving
     document computes its MinHash signature ROW-WISE (array_min over
@@ -503,10 +524,24 @@ def streaming_fuzzy_dedup_gate(doc_stream: DataFrame,
     per-doc verdict rollup; the HOF signature is O(perms x shingles)
     per row, the right trade below ~10^4 shingles/doc — an extreme
     doc would route through the batch explode path instead.
+
+    State lifetime: the candidate dedup and the verdict rollup are
+    both stateful — without a watermark every (doc, candidate) key
+    ever seen stays in the state store forever.  Pass
+    ``ts_col``/``watermark`` (the same signature convention as
+    streaming_substring_contamination) to apply ``withWatermark``
+    before the stateful stages and carry the ingest timestamp through
+    the dedup and group keys, so a doc's state is evicted once the
+    watermark passes its arrival time.
     """
     from streamforge_spark.functions.simdedup import (
         LSH_BANDS, NUM_PERM, oracle_hash60)
     from streamforge_spark.functions.text import word_ngrams
+    if (ts_col is None) != (watermark is None):
+        raise ValueError("ts_col and watermark must be given together")
+    if ts_col is not None:
+        doc_stream = doc_stream.withWatermark(ts_col, watermark)
+    ts_keys = [ts_col] if ts_col is not None else []
     rows = NUM_PERM // LSH_BANDS
     gs = word_ngrams(F.col(text_col), ngram)
 
@@ -519,10 +554,10 @@ def streaming_fuzzy_dedup_gate(doc_stream: DataFrame,
     sig_cols = [
         F.array_min(F.transform(F.col("gs"), _perm(p))).alias(f"h{p}")
         for p in range(NUM_PERM)]
-    sigs = (doc_stream.select(F.col(id_col), gs.alias("gs"))
-            .select(id_col, "gs", *sig_cols))
+    sigs = (doc_stream.select(F.col(id_col), gs.alias("gs"), *ts_keys)
+            .select(id_col, "gs", *ts_keys, *sig_cols))
     banded = sigs.select(
-        F.col(id_col), "gs",
+        F.col(id_col), "gs", *ts_keys,
         F.posexplode(F.array(*[
             F.xxhash64(*[F.col(f"h{b * rows + r}") for r in range(rows)])
             for b in range(LSH_BANDS)])).alias("band", "band_hash"))
@@ -532,8 +567,8 @@ def streaming_fuzzy_dedup_gate(doc_stream: DataFrame,
         corpus_bands.select(F.col("doc_id").alias("corpus_id"),
                             "band", "band_hash"),
         ["band", "band_hash"], "left")
-        .select(id_col, "gs", "corpus_id")
-        .dropDuplicates([id_col, "corpus_id"]))
+        .select(id_col, "gs", "corpus_id", *ts_keys)
+        .dropDuplicates([id_col, "corpus_id", *ts_keys]))
     joined = cand.join(
         corpus_grams.select(F.col("doc_id").alias("corpus_id"),
                             F.col("gs").alias("cgs")), "corpus_id", "left")
@@ -542,7 +577,10 @@ def streaming_fuzzy_dedup_gate(doc_stream: DataFrame,
                       F.size(F.array_intersect("gs", "cgs")).cast("double")
                       / F.size(F.array_union("gs", "cgs")))
                .otherwise(F.lit(0.0)) >= threshold))
-    verdict = (joined.groupBy(id_col)
+    # the ingest timestamp joins the group key (one ts per doc, so the
+    # grouping stays per-doc) — that is what lets the watermark evict
+    # the finished doc's verdict state row
+    verdict = (joined.groupBy(id_col, *ts_keys)
                .agg(F.count(F.when(near, 1)).alias("n_near_dups")))
     return verdict.select(
         id_col, "n_near_dups",
@@ -571,12 +609,36 @@ def load_minhash_index(spark, path: str):
 
 def append_minhash_index(path: str, admitted_docs: DataFrame,
                          ngram: int = 3) -> None:
-    """Fold an admitted batch into the persisted index: band rows and
-    shingle rows are per-document and independent, so APPEND equals a
-    full rebuild over the union corpus exactly (no cross-document
-    state in either artifact — unlike e.g. a df-capped posting list).
-    O(batch) work per ingest."""
+    """Fold an admitted batch into the persisted index: shingle rows
+    are per-document and independent; band rows carry ONE piece of
+    cross-document state — the BAND_MAX_BUCKET bucket cap — so the
+    batch's band rows are admitted only up to each touched bucket's
+    remaining capacity (existing members counted from the stored
+    index, restricted to the batch's buckets via a broadcast semi
+    join).  Because admission assigns monotonically increasing
+    doc_ids, "lowest-N per bucket over the union" is exactly
+    "existing members first, then the batch's lowest" — APPEND still
+    equals a full rebuild over the union corpus
+    (test_minhash_index_append_equals_rebuild).  O(batch) shuffle
+    work per ingest; the existing-index read is a scan of ≤cap rows
+    per touched bucket, pruned by the (band, band_hash) sort order."""
+    from pyspark.sql import Window
+
+    from streamforge_spark.functions.simdedup import BAND_MAX_BUCKET
+    spark = admitted_docs.sparkSession
     bands, grams = minhash_corpus_index(admitted_docs, ngram)
+    touched = bands.select("band", "band_hash").distinct()
+    existing = (spark.read.parquet(f"{path}/bands")
+                .join(F.broadcast(touched), ["band", "band_hash"],
+                      "left_semi")
+                .groupBy("band", "band_hash")
+                .agg(F.count(F.lit(1)).alias("_n")))
+    w = Window.partitionBy("band", "band_hash").orderBy("doc_id")
+    bands = (bands.withColumn("_brn", F.row_number().over(w))
+             .join(existing, ["band", "band_hash"], "left")
+             .filter(F.col("_brn") + F.coalesce("_n", F.lit(0))
+                     <= BAND_MAX_BUCKET)
+             .drop("_brn", "_n"))
     (bands.repartition("band")
      .sortWithinPartitions("band", "band_hash")
      .write.mode("append").parquet(f"{path}/bands"))

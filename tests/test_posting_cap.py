@@ -152,3 +152,42 @@ def test_exact_substring_cut_release_splices_later_copy(spark):
     assert out[2].kept_text == "S" * 20 + "T" * 20
     assert out[2].chars_cut == len(shared)
     assert out[2].kept_len == 40
+
+
+# -- LSH band-bucket cap (judge r7 item 1) ------------------------------
+
+def test_band_bucket_cap_bounds_template_family(spark):
+    """A 1000-doc identical-template family collides in EVERY band;
+    without the bucket cap the candidate join emits C(1000,2) pairs
+    from one bucket.  With BAND_MAX_BUCKET=64 the family contributes
+    exactly C(64,2) pairs — among the 64 LOWEST doc_ids — and the
+    join stays bounded no matter how large the family grows."""
+    from streamforge_spark.functions.simdedup import (
+        BAND_MAX_BUCKET, lsh_candidate_pairs, minhash_signatures)
+    text = "identical template text repeated across the whole family"
+    docs = spark.createDataFrame([(i, text) for i in range(1000)],
+                                 "doc_id long, text string")
+    sigs = minhash_signatures(docs)
+    pairs = lsh_candidate_pairs(sigs).collect()
+    n = BAND_MAX_BUCKET
+    assert len(pairs) == n * (n - 1) // 2
+    assert all(p.d1 < n and p.d2 < n for p in pairs)
+
+
+def test_band_bucket_cap_no_effect_below_cap(spark):
+    """Buckets under the cap are untouched: on a varied corpus whose
+    buckets never reach BAND_MAX_BUCKET, the capped join returns the
+    identical pair set as an effectively-uncapped one."""
+    from streamforge_spark.functions.simdedup import (
+        lsh_candidate_pairs, minhash_signatures)
+    rows = []
+    for i in range(30):
+        base = " ".join(f"w{i}t{j}" for j in range(10))
+        rows.append((2 * i, base))
+        rows.append((2 * i + 1, base + " tail"))   # near-dup partner
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = minhash_signatures(docs).localCheckpoint()
+    capped = {(p.d1, p.d2) for p in lsh_candidate_pairs(sigs).collect()}
+    uncapped = {(p.d1, p.d2)
+                for p in lsh_candidate_pairs(sigs, cap=1 << 40).collect()}
+    assert capped == uncapped and capped

@@ -1541,3 +1541,33 @@ def test_minhash_index_append_equals_rebuild(spark, workdir):
                        probe, b_full, g_full).collect()}
     assert via_loaded == via_rebuilt
     assert not via_loaded[10][1] and via_loaded[11][1]
+
+
+def test_minhash_index_append_respects_bucket_cap(spark, workdir):
+    # a bucket already full in the persisted index admits no appended
+    # members, and a partly-full one admits only up to capacity — so
+    # append still equals a rebuild over the union (monotone doc_ids)
+    from streamforge_spark.functions.simdedup import BAND_MAX_BUCKET
+    from streamforge_spark.streaming.curation import (
+        append_minhash_index, load_minhash_index, minhash_corpus_index,
+        save_minhash_index)
+
+    DOCS = T.StructType([T.StructField("doc_id", T.LongType()),
+                         T.StructField("text", T.StringType())])
+    text = "identical template text repeated across the whole family"
+    first = [(i, text) for i in range(BAND_MAX_BUCKET + 6)]
+    second = [(1000 + i, text) for i in range(3)]
+    path = f"{workdir}/mhidx_cap"
+    b0, g0 = minhash_corpus_index(spark.createDataFrame(first, DOCS))
+    save_minhash_index(b0, g0, path)
+    append_minhash_index(path, spark.createDataFrame(second, DOCS))
+
+    bands_l, _ = load_minhash_index(spark, path)
+    b_full, _ = minhash_corpus_index(
+        spark.createDataFrame(first + second, DOCS))
+    assert (sorted(map(tuple, bands_l.collect()))
+            == sorted(map(tuple, b_full.collect())))
+    # the template bucket stayed at the cap: appended ids were evicted
+    per_bucket = bands_l.groupBy("band", "band_hash").count().collect()
+    assert max(r["count"] for r in per_bucket) == BAND_MAX_BUCKET
+    assert bands_l.filter(F.col("doc_id") >= 1000).count() == 0

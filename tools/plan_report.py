@@ -39,7 +39,7 @@ CURATION = [
     "simhash_near_dup", "ann_lsh_topk", "ann_ivf_topk",
     "multimodal_features", "embedding_kmeans", "leakage_safe_split",
     "quality_classifier_score", "segment_dedup", "doc_repetition_stats",
-    "semantic_dedup",
+    "semantic_dedup", "hot_band_report",
 ]
 
 #: time-series analytics queries (queries/timeseries.py) + graph /
