@@ -366,3 +366,122 @@ def corpus_ingest(spark: SparkSession, cfg: ScopedConfig):
             _sink(low_q, cfg, "quarantine_quality"),
             _sink(contaminated, cfg, "quarantine_contaminated"),
             _sink(parse_dlq, cfg, "dlq_parse")]
+
+
+FUNNEL_VERDICTS = ("gopher", "oov", "substring", "fuzzy", "dsir")
+
+
+@stream_job("CorpusIngestV2")
+def corpus_ingest_v2(spark: SparkSession, cfg: ScopedConfig):
+    """The composed online curation funnel as the production ingest
+    job (the corpus_ingest successor the r7 verdict asked for):
+    newline-JSON documents in -> parse (poison -> DLQ) -> gopher
+    quality gate -> vocabulary OOV gate -> exact-substring
+    contamination gate -> fuzzy near-dup gate -> DSIR admission
+    weighting -> per-verdict parquet sinks, each gate probing its
+    PERSISTED artifact (the model-store contract every standalone
+    gate ships with).  The analog of the reference's composed
+    10-operator chain (MongoToKafkaJob.java:51-91) for the LLM
+    pipeline.
+
+    Config (each artifact optional — its gate is skipped when unset):
+      VOCAB_PATH          parquet with a ``term`` column
+      XS_INDEX_PATH       substring window-hash index (write_substring_index)
+      MINHASH_INDEX_PATH  fuzzy corpus index (save_minhash_index)
+      DSIR_COUNTS_PATH    DSIR sufficient statistics (save_dsir_counts)
+      DSIR_THRESHOLD_MICRO  set -> DSIR becomes an admission GATE;
+                            unset -> weight-only (admit + avg_llr_micro)
+      UPDATE_INDEXES      "1" -> admitted docs fold into the substring
+                          + minhash indexes after each batch, so LATER
+                          batches dedup against EARLIER admissions at
+                          O(batch) — the indexes ARE the cross-batch
+                          state (incremental_fuzzy_dedup's contract)
+
+    Execution shape: the five per-doc verdict aggregations can't chain
+    inside one continuous streaming query (multiple stateful operators
+    over arbitrary keys), so the job runs the SHARED verdict core
+    (streaming/curation.py::corpus_funnel_verdicts — literally the
+    five standalone gate functions, so streaming == batch by
+    construction) per micro-batch inside ONE foreachBatch, wrapped in
+    the batchId commit ledger (streaming/sinks.py::effectively_once):
+    sinks and index appends commit effectively once per batch even
+    across checkpoint-recovery replays.  The minhash/substring indexes
+    are RE-READ per batch — that is what makes the append visible to
+    the next batch.
+    """
+    from streamforge_spark.functions.dsir import (
+        dsir_llr_from_counts, load_dsir_counts)
+    from streamforge_spark.functions.substring_index import (
+        substring_index, window_hashes)
+    from streamforge_spark.pipeline import dlq_event
+    from streamforge_spark.queries.text import XS_K
+    from streamforge_spark.streaming.curation import (
+        append_minhash_index, corpus_funnel_verdicts, load_minhash_index)
+    from streamforge_spark.streaming.sinks import effectively_once
+
+    out = cfg.require("OUTPUT_PATH")
+    ckpt = cfg.require("CHECKPOINT_DIR")
+    vocab_path = cfg.get("VOCAB_PATH")
+    xs_path = cfg.get("XS_INDEX_PATH")
+    mh_path = cfg.get("MINHASH_INDEX_PATH")
+    dsir_path = cfg.get("DSIR_COUNTS_PATH")
+    dsir_thresh = cfg.get("DSIR_THRESHOLD_MICRO")
+    update_indexes = cfg.get("UPDATE_INDEXES") == "1"
+
+    raw = _maybe_from_now(
+        file_stream(spark, cfg.require("SOURCE_PATH"), _RAW_SCHEMA,
+                    fmt="text"), cfg)
+
+    # static artifacts load once; per-batch artifacts load in produce
+    vocab = (spark.read.parquet(vocab_path).select("term")
+             if vocab_path else None)
+    llr_model = (dsir_llr_from_counts(load_dsir_counts(spark, dsir_path))
+                 .localCheckpoint(eager=False) if dsir_path else None)
+
+    def produce(batch_raw: DataFrame, batch_id: int) -> None:
+        parsed = batch_raw.withColumn("doc", F.from_json("value", _DOC_SCHEMA))
+        valid = (F.col("doc").isNotNull() & F.col("doc.doc_id").isNotNull()
+                 & F.col("doc.text").isNotNull())
+        docs = parsed.filter(valid).select("doc.*")
+        dlq_event(parsed.filter(~valid), "PARSE_ERROR",
+                  "corpus document parse failure", "CorpusIngestV2",
+                  raw_event=F.col("value")) \
+            .write.mode("append").parquet(f"{out}/dlq_parse")
+
+        xs_index = (spark.read.parquet(xs_path).select("h")
+                    if xs_path else None)
+        mh_bands = mh_grams = None
+        if mh_path:
+            mh_bands, mh_grams = load_minhash_index(spark, mh_path)
+
+        verdicts = corpus_funnel_verdicts(
+            docs, vocab=vocab, xs_index=xs_index,
+            mh_bands=mh_bands, mh_grams=mh_grams, llr_model=llr_model,
+            dsir_threshold_micro=(int(dsir_thresh)
+                                  if dsir_thresh is not None else None),
+            xs_k=XS_K).localCheckpoint()
+
+        admitted = verdicts.filter(F.col("verdict") == "admit")
+        (admitted.withColumn("ingested_at", F.current_timestamp())
+         .write.mode("append").parquet(f"{out}/corpus"))
+        for v in FUNNEL_VERDICTS:
+            (verdicts.filter(F.col("verdict") == v)
+             .drop("avg_llr_micro")
+             .write.mode("append").parquet(f"{out}/quarantine_{v}"))
+
+        if update_indexes and admitted.take(1):
+            admitted_docs = admitted.select("doc_id", "text")
+            if mh_path:
+                append_minhash_index(mh_path, admitted_docs)
+            if xs_path:
+                # append per-batch index deltas; probes select h only,
+                # so duplicate h rows across deltas are harmless (the
+                # compactor re-rolls mn/mx when spans/cut need them)
+                (substring_index(window_hashes(admitted_docs, XS_K))
+                 .write.mode("append").parquet(xs_path))
+
+    q = (raw.writeStream
+         .foreachBatch(effectively_once(produce, f"{ckpt}/funnel_ledger"))
+         .option("checkpointLocation", f"{ckpt}/funnel")
+         .start())
+    return [q]

@@ -263,3 +263,207 @@ def dataset_fingerprint(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("n_tokens").alias("n_tokens"),
                  F.expr("bit_xor(h)").alias("content_xor")))
+
+
+# -- the composed online funnel, batch face ------------------------------
+
+#: same ingest-batch convention as queries.llm.INGEST_SPLIT_ID /
+#: queries.text.XS_SPLIT_ID / queries.curation.DSIR_SPLIT_ID (doc_id >=
+#: split is the newly arriving batch); local constant to keep
+#: registration import-free — test_ingest_split_constants_agree pins
+#: all four together.
+FUNNEL_SPLIT_ID = 400
+#: == queries.text.VOCAB_TOP_K (pinned by the same test): the funnel's
+#: vocabulary is built with the exact convention vocab_oov_rate verifies
+FUNNEL_VOCAB_K = 16
+
+
+def _funnel_oracle() -> str:
+    from streamforge_spark.functions.dsir import (
+        DSIR_BUCKETS, DSIR_MICRO, DSIR_SALT)
+    from streamforge_spark.functions.simdedup import (
+        LSH_BANDS, NUM_PERM, kept_bands_cte)
+    from streamforge_spark.functions.text import (
+        GOPHER_MAX_MWL_MILLI, GOPHER_MAX_WORDS, GOPHER_MIN_ALPHA_PPM,
+        GOPHER_MIN_MWL_MILLI, GOPHER_MIN_STOPWORDS, GOPHER_MIN_WORDS,
+        STOPWORDS)
+    from streamforge_spark.queries.curation import _DSIR_TGT_SQL
+    from streamforge_spark.queries.llm import _SHINGLE_CTES, MINHASH_THRESHOLD
+    from streamforge_spark.queries.text import XS_K, _sql_markers
+    from streamforge_spark.streaming.curation import (
+        FUNNEL_DSIR_THRESHOLD_MICRO, FUNNEL_OOV_MAX_PPM)
+    split, k = FUNNEL_SPLIT_ID, XS_K
+    xs_hash = hash60_sql(f"substr(text, p, {k})", "'xs'")
+    tok_hash = hash60_sql("tok", f"'{DSIR_SALT}'")
+    return f"""
+WITH {_SHINGLE_CTES},
+newdocs AS (SELECT doc_id, text FROM documents WHERE doc_id >= {split}),
+gm AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         CAST(length(text) - len(string_split(text, ' ')) + 1 AS BIGINT)
+           AS swc,
+         CAST(len(list_filter(string_split(text, ' '),
+                   x -> x IN ({_sql_markers(STOPWORDS)}))) AS BIGINT)
+           AS stopword_cnt,
+         CAST(len(list_filter(string_split(text, ' '),
+                   x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT)
+           AS n_alpha
+  FROM newdocs),
+gp AS (
+  SELECT doc_id,
+         (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
+         AND ((1000 * swc) // n_words
+              BETWEEN {GOPHER_MIN_MWL_MILLI} AND {GOPHER_MAX_MWL_MILLI})
+         AND stopword_cnt >= {GOPHER_MIN_STOPWORDS}
+         AND (1000000 * n_alpha) // n_words >= {GOPHER_MIN_ALPHA_PPM}
+           AS gopher_pass
+  FROM gm),
+etoks AS (SELECT unnest(string_split(text, ' ')) AS term
+          FROM documents WHERE doc_id < {split}),
+vocab AS (SELECT term FROM (SELECT term, CAST(count(*) AS BIGINT) AS c
+                            FROM etoks GROUP BY term)
+          ORDER BY c DESC, term LIMIT {FUNNEL_VOCAB_K}),
+ntoks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+          FROM newdocs),
+oov AS (SELECT t.doc_id,
+               (1000000 * CAST(count(*) FILTER (WHERE v.term IS NULL)
+                               AS BIGINT)) // CAST(count(*) AS BIGINT)
+                 AS oov_ppm
+        FROM ntoks t LEFT JOIN vocab v ON v.term = t.term
+        GROUP BY t.doc_id),
+eidx AS (SELECT DISTINCT {xs_hash} AS h
+         FROM (SELECT text,
+                      unnest(generate_series(1, length(text) - {k} + 1)) AS p
+               FROM documents
+               WHERE doc_id < {split} AND length(text) >= {k})),
+nhash AS (SELECT doc_id, {xs_hash} AS h
+          FROM (SELECT doc_id, text,
+                       unnest(generate_series(1, length(text) - {k} + 1)) AS p
+                FROM newdocs WHERE length(text) >= {k})),
+contam AS (SELECT DISTINCT doc_id FROM nhash
+           WHERE h IN (SELECT h FROM eidx)),
+mh AS (SELECT doc_id, p, MIN({hash60_sql('g', 'CAST(p AS VARCHAR)')}) AS sig
+       FROM grams CROSS JOIN range({NUM_PERM}) t(p) GROUP BY doc_id, p),
+bands AS (SELECT doc_id, CAST(p // {NUM_PERM // LSH_BANDS} AS INTEGER)
+                   AS band,
+                 list(sig ORDER BY p) AS bkey
+          FROM mh GROUP BY 1, 2),
+ebands AS (SELECT * FROM bands WHERE doc_id < {split}),
+kept AS ({kept_bands_cte(src="ebands")}),
+cand AS (SELECT DISTINCT a.doc_id AS cid, b.doc_id
+         FROM kept a JOIN bands b
+           ON a.band = b.band AND a.bkey = b.bkey
+         WHERE b.doc_id >= {split}),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+          FROM grams GROUP BY doc_id),
+inter AS (SELECT c.cid, c.doc_id, CAST(count(*) AS BIGINT) AS i
+          FROM cand c
+          JOIN grams a ON a.doc_id = c.cid
+          JOIN grams b ON b.doc_id = c.doc_id AND b.g = a.g
+          GROUP BY 1, 2),
+fz AS (SELECT DISTINCT i.doc_id
+       FROM inter i
+       JOIN sizes sa ON sa.doc_id = i.cid
+       JOIN sizes sb ON sb.doc_id = i.doc_id
+       WHERE CAST(i.i AS DOUBLE) / CAST(sa.n + sb.n - i.i AS DOUBLE)
+               >= {MINHASH_THRESHOLD}),
+ebt AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+        FROM documents WHERE doc_id < {split}),
+model AS (SELECT {tok_hash} % {DSIR_BUCKETS} AS bkt,
+                 CAST(count(*) AS BIGINT) AS cr,
+                 CAST(count(*) FILTER (WHERE source IN {_DSIR_TGT_SQL})
+                      AS BIGINT) AS ct
+          FROM ebt GROUP BY 1),
+tots AS (SELECT SUM(cr) AS nr, SUM(ct) AS nt FROM model),
+llr AS (SELECT bkt,
+               CAST(ROUND(ln(CAST((ct + 1) * (nr + {DSIR_BUCKETS}) AS DOUBLE)
+                             / CAST((cr + 1) * (nt + {DSIR_BUCKETS})
+                                    AS DOUBLE))
+                          * {DSIR_MICRO}) AS BIGINT) AS llr_micro
+        FROM model CROSS JOIN tots),
+nb AS (SELECT doc_id, {tok_hash} % {DSIR_BUCKETS} AS bkt
+       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+             FROM newdocs)),
+ds AS (SELECT nb.doc_id,
+              CAST(count(*) AS BIGINT) AS n_tokens,
+              CAST(COALESCE(SUM(l.llr_micro), 0) AS BIGINT) AS score
+       FROM nb LEFT JOIN llr l USING (bkt) GROUP BY nb.doc_id),
+dsa AS (SELECT doc_id,
+               score // n_tokens
+                 - CASE WHEN score % n_tokens <> 0 AND score < 0
+                        THEN 1 ELSE 0 END AS avg
+        FROM ds),
+graded AS (
+  SELECT n.doc_id,
+         CASE WHEN NOT g.gopher_pass THEN 'gopher'
+              WHEN o.oov_ppm > {FUNNEL_OOV_MAX_PPM} THEN 'oov'
+              WHEN ct.doc_id IS NOT NULL THEN 'substring'
+              WHEN f.doc_id IS NOT NULL THEN 'fuzzy'
+              WHEN d.avg < {FUNNEL_DSIR_THRESHOLD_MICRO} THEN 'dsir'
+              ELSE 'admit' END AS verdict,
+         d.avg
+  FROM newdocs n
+  JOIN gp g USING (doc_id)
+  JOIN oov o USING (doc_id)
+  LEFT JOIN contam ct USING (doc_id)
+  LEFT JOIN fz f USING (doc_id)
+  JOIN dsa d USING (doc_id))
+SELECT doc_id, verdict,
+       CASE WHEN verdict = 'admit' THEN avg END AS avg_llr_micro
+FROM graded
+"""
+
+
+@query("corpus_funnel_report", oracle=_funnel_oracle())
+def corpus_funnel_report(spark, sf_dir):
+    """The composed online curation funnel's batch face — the r7
+    verdict's item-2 composition with a full oracle: the newly
+    arriving batch (doc_id >= FUNNEL_SPLIT_ID) flows through gopher ->
+    vocab OOV -> exact-substring contamination -> fuzzy near-dup ->
+    DSIR admission, every gate probing an artifact built from the
+    ESTABLISHED corpus (doc_id < split) exactly as the production
+    CorpusIngestV2 job probes its persisted model store.  One row per
+    arriving doc: the first-failing-gate verdict and, for admits, the
+    exact integer-floor DSIR weight.
+
+    The verdict core is LITERALLY streaming/curation.py::
+    corpus_funnel_verdicts — the function CorpusIngestV2 runs per
+    micro-batch — so this oracle certifies the production job's
+    composition, not a parallel reimplementation (the reference's
+    analog: the composed 10-operator chain of MongoToKafkaJob.java:
+    51-91 as the deliverable, not the operators alone).
+
+    Scale shape: inherited stage by stage from the five standalone
+    gates — gopher is scan-side column algebra, the vocab and llr
+    model broadcast (16 rows / <=4096 rows), the substring probe is a
+    semi-join against the window-hash index keyed on the 8-byte hash,
+    the fuzzy probe is the capped band join (BAND_MAX_BUCKET) against
+    the corpus index, and every per-doc rollup exchanges O(batch),
+    never O(corpus)."""
+    from streamforge_spark.functions.dsir import dsir_llr_model
+    from streamforge_spark.functions.substring_index import (
+        substring_index, window_hashes)
+    from streamforge_spark.queries.curation import DSIR_TARGET_SOURCES
+    from streamforge_spark.queries.llm import MINHASH_THRESHOLD
+    from streamforge_spark.queries.text import XS_K
+    from streamforge_spark.streaming.curation import (
+        FUNNEL_DSIR_THRESHOLD_MICRO, corpus_funnel_verdicts,
+        minhash_corpus_index)
+    (docs,) = prep(spark, sf_dir, "documents")
+    est = docs.filter(F.col("doc_id") < FUNNEL_SPLIT_ID)
+    new = docs.filter(F.col("doc_id") >= FUNNEL_SPLIT_ID)
+    vocab = (est.select(F.explode(F.split("text", " ")).alias("term"))
+             .groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+             .orderBy(F.col("c").desc(), "term").limit(FUNNEL_VOCAB_K)
+             .select("term"))
+    xs_index = substring_index(window_hashes(est, XS_K)).select("h")
+    mh_bands, mh_grams = minhash_corpus_index(est)
+    llr = dsir_llr_model(est, F.col("source").isin(*DSIR_TARGET_SOURCES))
+    out = corpus_funnel_verdicts(
+        new, vocab=vocab, xs_index=xs_index,
+        mh_bands=mh_bands, mh_grams=mh_grams, llr_model=llr,
+        dsir_threshold_micro=FUNNEL_DSIR_THRESHOLD_MICRO,
+        fuzzy_threshold=MINHASH_THRESHOLD,
+        xs_k=XS_K)
+    return out.select("doc_id", "verdict", "avg_llr_micro")

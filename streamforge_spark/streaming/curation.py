@@ -408,11 +408,15 @@ def streaming_dsir_gate(doc_stream: DataFrame, llr_model: DataFrame,
     target distribution.  Callers who want smoothed scoring instead
     can append an explicit unseen-bucket row to the model they pass.
 
-    ``avg_llr_micro`` is an exact integer FLOOR division (DuckDB
-    ``//`` semantics, not Spark ``div``'s truncation toward zero —
-    they differ exactly when the summed score is negative, i.e. at
-    the admission boundary): the admission comparison stays exact and
-    oracle-replayable under any micro-batch replay.
+    ``avg_llr_micro`` is an exact mathematical FLOOR division (NOT
+    truncation toward zero — Spark ``div`` truncates, and so does
+    DuckDB's integer ``//`` (measured: ``-7 // 2 = -3``), so BOTH
+    engines need the explicit negative-remainder correction below;
+    see queries/release.py::_funnel_oracle's ``dsa`` CTE for the
+    oracle-side twin).  Floor vs truncation differs exactly when the
+    summed score is negative, i.e. at the admission boundary: the
+    comparison stays exact and replayable under any micro-batch
+    replay.
     """
     from streamforge_spark.functions.dsir import (
         DSIR_BUCKETS, DSIR_MICRO, dsir_bucket)
@@ -643,3 +647,120 @@ def append_minhash_index(path: str, admitted_docs: DataFrame,
      .sortWithinPartitions("band", "band_hash")
      .write.mode("append").parquet(f"{path}/bands"))
     grams.write.mode("append").parquet(f"{path}/grams")
+
+
+# -- the composed online funnel -----------------------------------------
+
+FUNNEL_OOV_MAX_PPM = 500_000   # >50% OOV tokens -> tokenizer-unfit
+#: default DSIR admission floor for the composed funnel: every token's
+#: log-ratio is negative for a corpus whose target slice is a strict
+#: subset (the raw model always fits the raw stream better), so the
+#: meaningful gate sits BELOW zero — this value splits the synthetic
+#: fixture's survivor distribution (observed avg_llr_micro spans
+#: roughly -484k..-434k at sf0.01/sf0.001) so both admit and reject
+#: are exercised; production recalibrates per corpus exactly like the
+#: MINHASH_THRESHOLD / dedup_yield_curve knob
+FUNNEL_DSIR_THRESHOLD_MICRO = -460_000
+
+
+def corpus_funnel_verdicts(docs: DataFrame,
+                           vocab: DataFrame | None = None,
+                           xs_index: DataFrame | None = None,
+                           mh_bands: DataFrame | None = None,
+                           mh_grams: DataFrame | None = None,
+                           llr_model: DataFrame | None = None,
+                           oov_max_ppm: int = FUNNEL_OOV_MAX_PPM,
+                           dsir_threshold_micro: int | None = None,
+                           xs_k: int | None = None,
+                           fuzzy_threshold: float = 0.2,
+                           id_col: str = "doc_id",
+                           text_col: str = "text") -> DataFrame:
+    """The composed online curation funnel — gopher -> vocab OOV ->
+    exact-substring contamination -> fuzzy near-dup -> DSIR admission
+    — as ONE per-document verdict table: every input doc gets exactly
+    one row with ``verdict`` in {'admit', 'gopher', 'oov',
+    'substring', 'fuzzy', 'dsir'} (first failing gate wins, fixed
+    cheapest-first precedence) plus the admitted docs'
+    ``avg_llr_micro`` DSIR weight (NULL otherwise).
+
+    Each stage is LITERALLY the standalone gate its own test/oracle
+    verifies (streaming_gopher_gate / streaming_vocab_oov /
+    streaming_substring_contamination / streaming_fuzzy_dedup_gate /
+    streaming_dsir_gate), fed only the survivors of the previous
+    stage, so the composition inherits their verified semantics and
+    their cost discipline — the zero-state column-algebra gate runs
+    first, the model-backed joins only pay for what survives.  A gate
+    whose artifact is None is skipped (its verdict never appears).
+
+    This is the verdict core of the ``CorpusIngestV2`` job: the job
+    calls it per micro-batch inside foreachBatch (chaining five
+    per-doc aggregations in one continuous streaming query is exactly
+    the multi-stateful-operator shape Structured Streaming restricts;
+    per-batch composition over the persisted artifacts is the
+    production pattern, and makes streaming == batch by construction).
+    The reference's analog is the 10-operator composed chain of
+    MongoToKafkaJob.java:51-91 — composition itself as the deliverable.
+    """
+    from streamforge_spark.functions.text import gopher_metrics
+
+    cur = docs.select(id_col, text_col).localCheckpoint(eager=False)
+    fails = []
+
+    def _fail(ids: DataFrame, verdict: str) -> None:
+        fails.append(ids.select(
+            F.col(id_col), F.lit(verdict).alias("verdict")))
+
+    g = gopher_metrics(cur, id_cols=(id_col,), text_col=text_col)
+    _fail(g.filter(~F.col("gopher_pass")), "gopher")
+    cur = (cur.join(g.filter(F.col("gopher_pass")).select(id_col), id_col)
+           .localCheckpoint(eager=False))
+
+    if vocab is not None:
+        v = streaming_vocab_oov(cur, vocab, id_col=id_col,
+                                text_col=text_col)
+        _fail(v.filter(F.col("oov_ppm") > oov_max_ppm), "oov")
+        cur = (cur.join(v.filter(F.col("oov_ppm") <= oov_max_ppm)
+                        .select(id_col), id_col)
+               .localCheckpoint(eager=False))
+
+    if xs_index is not None:
+        c = streaming_substring_contamination(
+            cur, xs_index, k=xs_k, id_col=id_col, text_col=text_col)
+        _fail(c, "substring")   # gate emits ONLY contaminated docs
+        cur = (cur.join(c.select(id_col), id_col, "left_anti")
+               .localCheckpoint(eager=False))
+
+    if mh_bands is not None:
+        fz = streaming_fuzzy_dedup_gate(
+            cur, mh_bands, mh_grams, threshold=fuzzy_threshold,
+            id_col=id_col, text_col=text_col)
+        _fail(fz.filter(~F.col("admitted")), "fuzzy")
+        cur = (cur.join(fz.filter(F.col("admitted")).select(id_col), id_col)
+               .localCheckpoint(eager=False))
+
+    admitted = cur.select(id_col)
+    weight = None
+    if llr_model is not None:
+        ds = streaming_dsir_gate(
+            cur, llr_model,
+            threshold_micro=(dsir_threshold_micro or 0),
+            id_col=id_col, text_col=text_col)
+        if dsir_threshold_micro is not None:
+            _fail(ds.filter(~F.col("admitted")), "dsir")
+            ds = ds.filter(F.col("admitted"))
+        weight = ds.select(id_col, "avg_llr_micro")
+        admitted = ds.select(id_col)
+
+    verdicts = admitted.select(
+        F.col(id_col), F.lit("admit").alias("verdict"))
+    for f in fails:
+        verdicts = verdicts.unionByName(f)
+    out = docs.join(verdicts, id_col, "left")
+    if weight is not None:
+        out = out.join(weight, id_col, "left")
+    else:
+        out = out.withColumn("avg_llr_micro", F.lit(None).cast("long"))
+    # a doc filtered before any gate could claim it (impossible today:
+    # gopher is total) would carry a NULL verdict — surface loudly
+    return out.withColumn("verdict", F.coalesce("verdict",
+                                                F.lit("unclassified")))

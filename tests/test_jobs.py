@@ -366,3 +366,193 @@ def test_recover_from_now_us_manual_cut(spark, tmp_path):
     kept = sorted(r.doc_id for r in
                   read(spark, tmp_path, "corpus").collect())
     assert kept == [2]   # pre-cut history skipped, post-cut flows
+
+
+# -- CorpusIngestV2: the composed online funnel --------------------------
+
+FUNNEL_ALPHA = "abcdefghijklmnopqrstuvwxyz"
+
+
+def _fw(prefix, n, start=0):
+    return [f"{prefix}{i:02d}" for i in range(start, start + n)]
+
+
+def _funnel_fixture():
+    """One document per funnel verdict class, crafted so each gate has
+    provable work (empirically frozen — see the seed comments):
+
+    - established corpus: E1 (m-words, the fuzzy target) and E2
+      (e-words, the substring + DSIR target source)
+    - 400 fuzzy: every-8th word of E1 replaced with 'zf?' words —
+      letter tails so no replacement extends a verbatim run to 30
+      chars (max run: 7 words = 29 chars incl boundary spaces), yet
+      exact shingle Jaccard ~0.44 and an LSH band collides (seed 5 of
+      the deterministic search)
+    - 401 gopher: 4 words (< 50-word floor)
+    - 402 oov: 58 n-words outside the vocabulary artifact
+    - 403 substring: a 10-word (39-char) verbatim run of E2
+    - 404 dsir: a stride-9 permutation of E1's m-words — every token
+      scores the anti-target log-ratio, avg ~-668k micro
+    - 405/406 admit: stride-7/11 permutations of E2's e-words — no
+      two consecutive words are consecutive in E2, so no 30-char run
+      and no shared 3-gram shingle; avg ~-5k micro clears the -100k
+      test threshold
+    """
+    e1_w = ["the", "and"] + _fw("m", 62)
+    e2_w = ["the", "and"] + _fw("e", 58)
+    d5_w = list(e1_w)
+    for j, pos in enumerate(range(7, 64, 8)):
+        d5_w[pos] = f"zf{FUNNEL_ALPHA[j]}"
+    d6_w = ["the", "and"] + [e1_w[2:][(9 * i + 4) % 62] for i in range(58)]
+    d7_w = ["the", "and"] + [e2_w[2:][(7 * i + 3) % 58] for i in range(58)]
+    d8_w = ["the", "and"] + [e2_w[2:][(11 * i + 5) % 58] for i in range(58)]
+    docs = {
+        400: " ".join(d5_w),
+        401: "tiny words only here",
+        402: " ".join(["the", "and"] + _fw("n", 58)),
+        403: " ".join(["the", "and"] + _fw("w", 38)
+                      + e2_w[12:22] + _fw("w", 10, start=38)),
+        404: " ".join(d6_w),
+        405: " ".join(d7_w),
+        406: " ".join(d8_w),
+    }
+    return " ".join(e1_w), " ".join(e2_w), docs
+
+
+def _funnel_artifacts(spark, tmp_path, est_rows):
+    """Persist the four gate artifacts from the established corpus the
+    way production builds them (the model-store contract)."""
+    from pyspark.sql import functions as F
+
+    from streamforge_spark.functions.dsir import dsir_counts, save_dsir_counts
+    from streamforge_spark.functions.substring_index import write_substring_index
+    from streamforge_spark.queries.text import XS_K
+    from streamforge_spark.streaming.curation import (
+        minhash_corpus_index, save_minhash_index)
+    est = spark.createDataFrame(
+        est_rows, "doc_id long, text string, source string")
+    vocab = {w for _, text, _ in est_rows for w in text.split()}
+    # the vocabulary artifact also covers the crafted new docs except
+    # 402's n-words (vocab is an independent artifact, not the corpus
+    # term set — production pins whatever the tokenizer build emitted)
+    _, _, docs = _funnel_fixture()
+    for i, text in docs.items():
+        if i != 402:
+            vocab |= set(text.split())
+    spark.createDataFrame([(t,) for t in sorted(vocab)], "term string") \
+        .write.mode("overwrite").parquet(str(tmp_path / "vocab"))
+    write_substring_index(est, str(tmp_path / "xs_index"), XS_K)
+    bands, grams = minhash_corpus_index(est)
+    save_minhash_index(bands, grams, str(tmp_path / "mh_index"))
+    save_dsir_counts(dsir_counts(est, F.col("source") == "tgt"),
+                     str(tmp_path / "dsir_counts"))
+    return est
+
+
+def _funnel_cfg(tmp_path, **extra):
+    return job_cfg(
+        tmp_path,
+        VOCAB_PATH=tmp_path / "vocab",
+        XS_INDEX_PATH=tmp_path / "xs_index",
+        MINHASH_INDEX_PATH=tmp_path / "mh_index",
+        DSIR_COUNTS_PATH=tmp_path / "dsir_counts",
+        DSIR_THRESHOLD_MICRO="-100000",
+        **extra)
+
+
+def test_corpus_ingest_v2_funnel_composition(spark, tmp_path):
+    """Every gate of the composed funnel fires on its crafted doc, the
+    poison line lands in the parse DLQ, and the streamed verdicts
+    equal a direct batch call of the shared verdict core on the same
+    docs + artifacts (streaming == batch by construction AND by
+    test)."""
+    from pyspark.sql import functions as F
+
+    from streamforge_spark.functions.dsir import (
+        dsir_llr_from_counts, load_dsir_counts)
+    from streamforge_spark.queries.text import XS_K
+    from streamforge_spark.streaming.curation import (
+        corpus_funnel_verdicts, load_minhash_index)
+    E1, E2, docs = _funnel_fixture()
+    _funnel_artifacts(spark, tmp_path,
+                      [(1, E1, "raw"), (2, E2, "tgt")])
+    write_lines(tmp_path / "in",
+                [doc_line(i, t) for i, t in sorted(docs.items())]
+                + ["not json at all {"])
+    run_job("CorpusIngestV2", _funnel_cfg(tmp_path), spark=spark,
+            drain=True)
+
+    assert sorted(r.doc_id for r in
+                  read(spark, tmp_path, "corpus").collect()) == [405, 406]
+    for verdict, doc_id in [("gopher", 401), ("oov", 402),
+                            ("substring", 403), ("fuzzy", 400),
+                            ("dsir", 404)]:
+        got = read(spark, tmp_path, f"quarantine_{verdict}").collect()
+        assert [r.doc_id for r in got] == [doc_id], verdict
+    dlq = read(spark, tmp_path, "dlq_parse").collect()
+    assert len(dlq) == 1 and dlq[0].error_type == "PARSE_ERROR"
+
+    # streamed verdicts == one batch call of the shared verdict core
+    batch = spark.createDataFrame(sorted(docs.items()),
+                                  "doc_id long, text string")
+    bands, grams = load_minhash_index(spark, str(tmp_path / "mh_index"))
+    expected = {
+        r.doc_id: (r.verdict, r.avg_llr_micro)
+        for r in corpus_funnel_verdicts(
+            batch,
+            vocab=spark.read.parquet(str(tmp_path / "vocab")),
+            xs_index=spark.read.parquet(
+                str(tmp_path / "xs_index")).select("h"),
+            mh_bands=bands, mh_grams=grams,
+            llr_model=dsir_llr_from_counts(
+                load_dsir_counts(spark, str(tmp_path / "dsir_counts"))),
+            dsir_threshold_micro=-100_000, xs_k=XS_K).collect()}
+    streamed = {r.doc_id: (r.verdict, r.avg_llr_micro)
+                for r in read(spark, tmp_path, "corpus")
+                .select("doc_id", F.lit("admit").alias("verdict"),
+                        "avg_llr_micro").collect()}
+    for v in ("gopher", "oov", "substring", "fuzzy", "dsir"):
+        for r in read(spark, tmp_path, f"quarantine_{v}").collect():
+            streamed[r.doc_id] = (r.verdict, None)
+    assert streamed == expected
+
+
+def test_corpus_ingest_v2_update_indexes_fold_admissions(spark, tmp_path):
+    """UPDATE_INDEXES=1: later batches dedup against EARLIER admitted
+    docs through the persisted indexes — resending an admitted doc's
+    text trips the (appended) substring index, and a near-dup variant
+    trips the (appended) MinHash index; a genuinely fresh doc still
+    admits."""
+    E1, E2, docs = _funnel_fixture()
+    _funnel_artifacts(spark, tmp_path, [(1, E1, "raw"), (2, E2, "tgt")])
+    cfg = _funnel_cfg(tmp_path, UPDATE_INDEXES="1")
+    # batch 0: one admitted doc (405)
+    write_lines(tmp_path / "in", [doc_line(405, docs[405])])
+    run_job("CorpusIngestV2", cfg, spark=spark, drain=True)
+    assert [r.doc_id for r in read(spark, tmp_path, "corpus").collect()] \
+        == [405]
+
+    # batch 1: 410 = 405's text verbatim -> substring (appended index);
+    # 411 = every-8th-word variant of 405 ('yj?' replacements, seed 9
+    # of the deterministic search: no 30-char run, one band collides)
+    # -> fuzzy; 412 = stride-13 e-word permutation (no consecutive
+    # pair shared with 405/406/E2) -> still admits
+    e2_w = E2.split()
+    d11_w = docs[405].split()
+    for j, pos in enumerate(range(7, 60, 8)):
+        d11_w[pos] = f"yj{FUNNEL_ALPHA[j]}"
+    d12_w = ["the", "and"] + [e2_w[2:][(13 * i + 9) % 58]
+                              for i in range(58)]
+    write_lines(tmp_path / "in", [
+        doc_line(410, docs[405]),
+        doc_line(411, " ".join(d11_w)),
+        doc_line(412, " ".join(d12_w)),
+    ], name="batch1.txt")
+    run_job("CorpusIngestV2", cfg, spark=spark, drain=True)
+
+    assert sorted(r.doc_id for r in
+                  read(spark, tmp_path, "corpus").collect()) == [405, 412]
+    assert [r.doc_id for r in
+            read(spark, tmp_path, "quarantine_substring").collect()] == [410]
+    fz = read(spark, tmp_path, "quarantine_fuzzy").collect()
+    assert [r.doc_id for r in fz] == [411]

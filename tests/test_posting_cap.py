@@ -127,9 +127,13 @@ def test_ingest_split_constants_agree():
     # the two ingest-batch conventions must never drift apart
     from streamforge_spark.queries.curation import DSIR_SPLIT_ID
     from streamforge_spark.queries.llm import INGEST_SPLIT_ID
-    from streamforge_spark.queries.text import XS_SPLIT_ID
+    from streamforge_spark.queries.release import (
+        FUNNEL_SPLIT_ID, FUNNEL_VOCAB_K)
+    from streamforge_spark.queries.text import VOCAB_TOP_K, XS_SPLIT_ID
     assert XS_SPLIT_ID == INGEST_SPLIT_ID
     assert DSIR_SPLIT_ID == INGEST_SPLIT_ID
+    assert FUNNEL_SPLIT_ID == INGEST_SPLIT_ID
+    assert FUNNEL_VOCAB_K == VOCAB_TOP_K
 
 
 def test_exact_substring_cut_release_splices_later_copy(spark):
