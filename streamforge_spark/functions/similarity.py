@@ -466,3 +466,69 @@ def ann_ivf_probe_scores(emb: DataFrame, query_ids, *,
     return cands.select(
         "qid", F.col("_id").alias("cid"), "prnk",
         cosine(F.col("qv"), F.col("v")).alias("cos"))
+
+
+# -- persisted fixed-point IVF index (the semantic gate's artifact) ------
+
+def ivf_probe_cells_expr(qv: Column, centroids, nprobe: int) -> Column:
+    """Column expression: the ``nprobe`` nearest centroid cells of a
+    quantized vector, ordered (d2 asc, cell asc) — the row-wise twin
+    of the oracle's ``QUALIFY ROW_NUMBER() OVER (ORDER BY d2, cl) <=
+    nprobe`` (array_sort on (d2, cell) structs is the same
+    lexicographic order).  All integer arithmetic on the fixed-point
+    units, so probe sets are bit-reproducible across engines and
+    partitionings.  Stateless — usable on a STREAM row as-is; the
+    centroid matrix inlines as plan literals (k x dim ints, the same
+    dimension-sized-literal pattern as the LSH hyperplanes)."""
+    ds = []
+    for cl, c in enumerate(centroids):
+        lit = F.array(*[F.lit(int(x)) for x in c])
+        d2 = F.aggregate(
+            F.zip_with(qv, lit, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"), lambda acc, x: acc + x)
+        ds.append(F.struct(d2.alias("d2"),
+                           F.lit(cl).cast("long").alias("cell")))
+    ranked = F.slice(F.array_sort(F.array(*ds)), 1, nprobe)
+    return F.transform(ranked, lambda s: s["cell"])
+
+
+def build_ivf_fixed_index(emb: DataFrame, path: str, *,
+                          cells: int = 16, rounds: int = 2,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding") -> None:
+    """Persist the FIXED-POINT IVF index (the oracle-checkable trainer
+    of ann_ivf_fixed_topk) under the shared model-store contract:
+    ``path/centroids`` (cell, quantized centroid ints) and
+    ``path/vectors`` (id, raw vector, cell) hive-partitioned on cell
+    so an nprobe probe reads exactly those directories.  Assignment is
+    a scan-side column projection (ivf_probe_cells_expr with
+    nprobe=1) — no shuffle, no Python in the corpus pass."""
+    from streamforge_spark.functions.clustering import (
+        KMEANS_QUANT, kmeans_centroids)
+    C = kmeans_centroids(emb, k=cells, rounds=rounds,
+                         id_col=id_col, vec_col=vec_col)
+    raw = F.col(vec_col).cast("array<double>")
+    qv = F.transform(raw, lambda x: F.round(x * KMEANS_QUANT).cast("long"))
+    assigned = emb.select(
+        F.col(id_col), raw.alias("v"), qv.alias("qv")
+    ).withColumn("cell", ivf_probe_cells_expr(F.col("qv"), C, 1)[0])
+    (assigned.select(id_col, "v", "cell")
+     .write.partitionBy("cell").mode("overwrite")
+     .parquet(f"{path.rstrip('/')}/vectors"))
+    spark = emb.sparkSession
+    spark.createDataFrame(
+        [(int(i), [int(x) for x in row]) for i, row in enumerate(C)],
+        "cell long, qcentroid array<long>"
+    ).coalesce(1).write.mode("overwrite") \
+        .parquet(f"{path.rstrip('/')}/centroids")
+
+
+def load_ivf_fixed_index(spark, path: str):
+    """(centroid int matrix as list-of-lists ordered by cell, vectors
+    DataFrame) — the centroid read is a k-row bounded collect (the
+    adjudicated small-side pattern); vectors stay distributed."""
+    cents = spark.read.parquet(f"{path.rstrip('/')}/centroids") \
+        .orderBy("cell").collect()
+    C = [list(r.qcentroid) for r in cents]
+    vecs = spark.read.parquet(f"{path.rstrip('/')}/vectors")
+    return C, vecs

@@ -154,15 +154,20 @@ KMEANS_K = 8
 KMEANS_ROUNDS = 3
 
 
-def _kmeans_oracle(k: int, rounds: int, quant: int) -> str:
+def _kmeans_oracle(k: int, rounds: int, quant: int,
+                   src: str = "embeddings") -> str:
     """Unroll the fixed-point Lloyd iterations into pure SQL: the same
     quantization, integer distances, argmin tie-break, and
     divide-then-round centroid update as functions/clustering.py —
-    every iteration is oracle-checked, not just the final shape."""
+    every iteration is oracle-checked, not just the final shape.
+    ``src`` substitutes the training relation (default byte-identical
+    to the original full-corpus form) so split-restricted trainers —
+    queries/llm.py::semantic_ingest_gate trains on the established
+    corpus only — reuse the chain verbatim."""
     ctes = [
         f"""e AS (
   SELECT vec_id, list_transform(embedding::DOUBLE[], x -> CAST(ROUND(x * {quant}) AS BIGINT)) AS v
-  FROM embeddings)""",
+  FROM {src})""",
         """ed AS (SELECT vec_id, generate_subscripts(v, 1) AS j, unnest(v) AS x FROM e)""",
         f"""init AS (
   SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cl

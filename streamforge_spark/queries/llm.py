@@ -1563,3 +1563,92 @@ def ann_ivf_probe_sweep(spark, sf_dir):
             .select("query_id", "nprobe", "k", "ivf_hits",
                     F.expr(f"(1000000 * ivf_hits) div {ANN_K}")
                     .alias("recall_ppm")))
+
+
+# -- streaming semantic admission gate, batch face -----------------------
+
+SEM_GATE_NPROBE = 4
+
+
+def _semantic_gate_oracle() -> str:
+    """Replay the ENTIRE persisted-IVF semantic gate in SQL: the
+    fixed-point Lloyd trainer restricted to the established corpus
+    (reusing embeddings.py::_kmeans_oracle's unrolled chain via its
+    src parameter), the corpus cell map, each arriving vector's
+    nprobe-nearest-cell probe (integer distances, d2-then-cell order),
+    and the exact-cosine verdict."""
+    from streamforge_spark.queries.embeddings import _kmeans_oracle
+    base = _kmeans_oracle(
+        IVF_CELLS, IVF_ROUNDS, 10000,
+        src=f"(SELECT * FROM embeddings WHERE vec_id < {INGEST_SPLIT_ID})")
+    head, _ = base.rsplit("\nSELECT", 1)
+    r = IVF_ROUNDS - 1
+    return f"""{head},
+raw AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+nq AS (SELECT vec_id, list_transform(embedding::DOUBLE[],
+                x -> CAST(ROUND(x * 10000) AS BIGINT)) AS v
+       FROM embeddings WHERE vec_id >= {INGEST_SPLIT_ID}),
+nd AS (SELECT vec_id, generate_subscripts(v, 1) AS j, unnest(v) AS x
+       FROM nq),
+probe AS (
+  SELECT qid, cl FROM (
+    SELECT nd.vec_id AS qid, cd.cl AS cl,
+           SUM((nd.x - cd.x) * (nd.x - cd.x)) AS d2
+    FROM nd JOIN cd{r} cd ON nd.j = cd.j
+    GROUP BY 1, 2) t
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, cl)
+            <= {SEM_GATE_NPROBE}),
+cands AS (SELECT p.qid, a.vec_id AS cid
+          FROM probe p JOIN a{r} a ON a.cl = p.cl),
+hits AS (SELECT c.qid, CAST(COUNT(*) AS BIGINT) AS n
+         FROM cands c
+         JOIN raw rq ON rq.vec_id = c.qid
+         JOIN raw rc ON rc.vec_id = c.cid
+         WHERE list_dot_product(rq.v, rc.v)
+                 / (sqrt(list_dot_product(rq.v, rq.v))
+                    * sqrt(list_dot_product(rc.v, rc.v)))
+               >= {SEM_THRESHOLD}
+         GROUP BY 1)
+SELECT n.vec_id, COALESCE(h.n, 0) AS n_near_dups,
+       COALESCE(h.n, 0) = 0 AS admitted
+FROM nq n LEFT JOIN hits h ON h.qid = n.vec_id
+"""
+
+
+@query("semantic_ingest_gate", oracle=_semantic_gate_oracle())
+def semantic_ingest_gate(spark, sf_dir):
+    """The streaming semantic admission gate's batch face: each newly
+    arriving vector (vec_id >= INGEST_SPLIT_ID) probes the fixed-point
+    IVF index built from the ESTABLISHED corpus (nprobe nearest cells
+    by integer distance), exact-cosine-scores the probed corpus
+    vectors, and is admitted iff none clears SEM_THRESHOLD — the
+    embedding twin of incremental_fuzzy_dedup and the verdict core of
+    streaming_semantic_dedup_gate (streaming/curation.py — LITERALLY
+    the function called here, so the oracle certifies the production
+    gate).  SemDeDup-class admission (Abbas et al. 2023) with the
+    persisted-index lifecycle of build_ivf_fixed_index.
+
+    Scale shape: training is rounds-1 corpus scans with k-row
+    aggregations (established side, amortized by the persisted
+    index); the arriving batch's probe-cell computation is a
+    scan-side integer projection against the k x dim centroid
+    literal; the probe join fans each arriving vector out to
+    nprobe/k of the corpus (hive partition pruning on the persisted
+    layout); one per-vector rollup closes the verdict.  O(batch),
+    never O(corpus), after the one-time index build."""
+    from streamforge_spark.functions.clustering import kmeans_centroids
+    from streamforge_spark.functions.similarity import ivf_probe_cells_expr
+    from streamforge_spark.streaming.curation import (
+        streaming_semantic_dedup_gate)
+    (emb,) = prep(spark, sf_dir, "embeddings")
+    est = emb.filter(F.col("vec_id") < INGEST_SPLIT_ID)
+    new = emb.filter(F.col("vec_id") >= INGEST_SPLIT_ID)
+    C = kmeans_centroids(est, k=IVF_CELLS, rounds=IVF_ROUNDS)
+    raw = F.col("embedding").cast("array<double>")
+    qv = F.transform(raw, lambda x: F.round(x * 10000).cast("long"))
+    corpus = (est.select("vec_id", raw.alias("v"), qv.alias("qv"))
+              .withColumn("cell",
+                          ivf_probe_cells_expr(F.col("qv"), C, 1)[0])
+              .drop("qv"))
+    return streaming_semantic_dedup_gate(
+        new, C, corpus, threshold=SEM_THRESHOLD, nprobe=SEM_GATE_NPROBE)

@@ -108,7 +108,7 @@ ROTATION_PRIORITY = [
     # names drop out of the head automatically)
     "source_quality_summary", "dedup_yield_curve", "ann_ivf_probe_sweep",
     # round-8 additions
-    "hot_band_report", "corpus_funnel_report",
+    "hot_band_report", "corpus_funnel_report", "semantic_ingest_gate",
 ]
 
 

@@ -1571,3 +1571,54 @@ def test_minhash_index_append_respects_bucket_cap(spark, workdir):
     per_bucket = bands_l.groupBy("band", "band_hash").count().collect()
     assert max(r["count"] for r in per_bucket) == BAND_MAX_BUCKET
     assert bands_l.filter(F.col("doc_id") >= 1000).count() == 0
+
+
+def test_streaming_semantic_dedup_gate(spark, workdir):
+    # stream-vs-corpus SEMANTIC admission through the PERSISTED
+    # fixed-point IVF index: a near-parallel vector of a corpus vec is
+    # rejected, an orthogonal one admits — and full-probe verdicts
+    # agree with the batch hyperplane-blocked semantic_dup_marks
+    # cross-side on the union
+    from streamforge_spark.functions.similarity import (
+        build_ivf_fixed_index, load_ivf_fixed_index, semantic_dup_marks)
+    from streamforge_spark.streaming.curation import (
+        streaming_semantic_dedup_gate)
+
+    EMB = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.DoubleType()))])
+    corpus_rows = [(1, [1.0, 0.0, 0.0, 0.0]),
+                   (2, [0.0, 1.0, 0.0, 0.0])]
+    stream_rows = [(10, [0.99, 0.12, 0.0, 0.0]),   # near-dup of vec 1
+                   (11, [0.0, 0.0, 1.0, 0.0])]     # orthogonal: admits
+    corpus = spark.createDataFrame(corpus_rows, EMB)
+    path = f"{workdir}/ivfidx"
+    build_ivf_fixed_index(corpus, path, cells=2, rounds=2)
+    C, vecs = load_ivf_fixed_index(spark, path)
+    assert len(C) == 2 and sorted(r.cell for r in vecs.collect()) == [0, 1]
+
+    src = f"{workdir}/semvecs"
+    spark.createDataFrame(stream_rows[:1], EMB).coalesce(1) \
+        .write.mode("append").parquet(src)
+    stream = spark.readStream.schema(EMB).parquet(src)
+    q = (streaming_semantic_dedup_gate(stream, C, vecs, threshold=0.30,
+                                       nprobe=2)
+         .writeStream.format("memory").queryName("sem_out")
+         .outputMode("update").start())
+    q.processAllAvailable()
+    spark.createDataFrame(stream_rows[1:], EMB).coalesce(1) \
+        .write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    got = {r.vec_id: (r.n_near_dups, r.admitted)
+           for r in spark.sql("select * from sem_out").collect()}
+    assert got[10] == (1, False)
+    assert got[11] == (0, True)
+
+    # batch agreement: hyperplane-blocked semantic dedup of the union,
+    # restricted cross-side, marks exactly the gate's rejected set
+    union = corpus.unionByName(spark.createDataFrame(stream_rows, EMB))
+    marks = semantic_dup_marks(union, threshold=0.30).collect()
+    rejected = {m.vec_id for m in marks if m.dup_of in (1, 2)
+                and m.vec_id >= 10}
+    assert rejected == {v for v, (n, adm) in got.items() if not adm}
