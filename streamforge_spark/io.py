@@ -134,21 +134,29 @@ def compact_files(spark: SparkSession, path: str, *,
     df = spark.read.parquet(path)
     tmp = path.rstrip("/") + "__compact_tmp"
     df.coalesce(n_files).write.mode("overwrite").parquet(tmp)
-    # swap via rename-aside so no crash point loses data: the original
-    # survives (as __compact_old) until the compacted copy is in place.
-    # Crash between the renames => data still on disk in __compact_old
-    # and/or __compact_tmp; recovery = rename either back into place.
+    swap_dir(spark, path, tmp)
+    return n_files
+
+
+def swap_dir(spark: SparkSession, path: str, tmp: str) -> None:
+    """Atomically (rename-aside) replace directory ``path`` with
+    ``tmp`` so no crash point loses data: the original survives (as
+    __compact_old) until the new copy is in place.  Crash between the
+    renames => data still on disk in __compact_old and/or ``tmp``;
+    recovery = rename either back into place.  Shared by
+    compact_files and the CorpusCompact rewrite (jobs.py)."""
     jpath = spark._jvm.org.apache.hadoop.fs.Path
+    fs_path = jpath(path)
+    fs = fs_path.getFileSystem(spark._jsc.hadoopConfiguration())
     tmp_path = jpath(tmp)
     old_path = jpath(path.rstrip("/") + "__compact_old")
     fs.delete(old_path, True)  # leftover from a previous crashed run
     if not fs.rename(fs_path, old_path):
-        raise IOError(f"compact_files: could not move {path} aside")
+        raise IOError(f"swap_dir: could not move {path} aside")
     if not fs.rename(tmp_path, fs_path):
         fs.rename(old_path, fs_path)  # restore the original
-        raise IOError(f"compact_files: could not move compacted data into {path}")
+        raise IOError(f"swap_dir: could not move new data into {path}")
     fs.delete(old_path, True)
-    return n_files
 
 
 ZORDER_BITS = 16

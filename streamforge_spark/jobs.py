@@ -485,3 +485,77 @@ def corpus_ingest_v2(spark: SparkSession, cfg: ScopedConfig):
          .option("checkpointLocation", f"{ckpt}/funnel")
          .start())
     return [q]
+
+
+@stream_job("CorpusCompact")
+def corpus_compact(spark: SparkSession, cfg: ScopedConfig):
+    """The nightly batch compactor the streaming admission gates defer
+    to (streaming/curation.py fuzzy + semantic gate docstrings: a
+    stream has no stable smaller-id-wins order, so WITHIN-batch
+    near-dup pairs deliberately pass the gate): run the full
+    within-corpus MinHash/LSH closure over the admitted corpus, keep
+    the lowest-id survivor per near-dup cluster, rewrite the corpus
+    atomically (io.swap_dir rename-aside), record every dropped doc
+    in a ledger, and REBUILD the persisted substring + MinHash indexes
+    from the survivors so the online gates' next probes reflect the
+    compacted corpus (append==rebuild resets exactly here).
+
+    A batch job under the stream-job SPI: the builder does all the
+    work and returns no streaming queries — ``run_job`` with or
+    without --drain completes when the rewrite lands.  Run it on a
+    quiesced corpus (between ingest windows), never under a live
+    writer — the same discipline as io.compact_files.
+
+    Config:
+      CORPUS_PATH         admitted-corpus parquet (doc_id, text, ...)
+      OUTPUT_PATH         ledger lands under OUTPUT_PATH/compaction_ledger
+      XS_INDEX_PATH       optional: substring index rebuilt here
+      MINHASH_INDEX_PATH  optional: MinHash corpus index rebuilt here
+      FUZZY_THRESHOLD     Jaccard threshold (default 0.2, the gates')
+
+    Scale shape: the closure is the capped band join
+    (BAND_MAX_BUCKET) + iterative CC on the pair graph only; the
+    corpus rewrite is one scan + anti-join on the (small) dropped
+    set; index rebuilds are the same one-pass builds the bootstrap
+    ran.  Reference anchor: the reference keeps streaming state
+    bounded with TTL and re-derives ground truth in batch
+    (Deduplicator.java:53's state-bounding discipline); this job is
+    that re-derivation for the LLM corpus."""
+    from streamforge_spark.functions.simdedup import minhash_lsh_pairs
+    from streamforge_spark.functions.substring_index import (
+        write_substring_index)
+    from streamforge_spark.io import swap_dir
+    from streamforge_spark.operators.graph import connected_components
+    from streamforge_spark.queries.text import XS_K
+    from streamforge_spark.streaming.curation import (
+        minhash_corpus_index, save_minhash_index)
+
+    corpus_path = cfg.require("CORPUS_PATH")
+    out = cfg.require("OUTPUT_PATH")
+    threshold = float(cfg.get("FUZZY_THRESHOLD") or "0.2")
+
+    corpus = spark.read.parquet(corpus_path)
+    docs = corpus.select("doc_id", "text")
+    comp = connected_components(
+        minhash_lsh_pairs(docs, threshold=threshold), "d1", "d2")
+    dropped = (comp.filter(F.col("node") != F.col("component"))
+               .select(F.col("node").alias("doc_id"),
+                       F.col("component").alias("dup_of"))
+               .localCheckpoint())  # pin BEFORE the source dir swaps
+
+    (dropped.withColumn("compacted_at", F.current_timestamp())
+     .write.mode("append").parquet(f"{out}/compaction_ledger"))
+
+    survivors = corpus.join(dropped.select("doc_id"), "doc_id",
+                            "left_anti")
+    tmp = corpus_path.rstrip("/") + "__compact_tmp"
+    survivors.write.mode("overwrite").parquet(tmp)
+    swap_dir(spark, corpus_path, tmp)
+
+    kept = spark.read.parquet(corpus_path).select("doc_id", "text")
+    if cfg.get("XS_INDEX_PATH"):
+        write_substring_index(kept, cfg.get("XS_INDEX_PATH"), XS_K)
+    if cfg.get("MINHASH_INDEX_PATH"):
+        bands, grams = minhash_corpus_index(kept)
+        save_minhash_index(bands, grams, cfg.get("MINHASH_INDEX_PATH"))
+    return []

@@ -556,3 +556,63 @@ def test_corpus_ingest_v2_update_indexes_fold_admissions(spark, tmp_path):
             read(spark, tmp_path, "quarantine_substring").collect()] == [410]
     fz = read(spark, tmp_path, "quarantine_fuzzy").collect()
     assert [r.doc_id for r in fz] == [411]
+
+
+def test_corpus_compact_closes_within_batch_blind_spot(spark, tmp_path):
+    """The batch compactor the streaming gates defer to: two near-dup
+    docs admitted in the SAME micro-batch (the gate's documented
+    within-batch blind spot) — the compactor's within-corpus closure
+    drops the higher-id one, rewrites the corpus atomically, ledgers
+    the drop, and REBUILDS the persisted indexes from the survivors so
+    the online gates immediately reflect the compacted corpus."""
+    from pyspark.sql import functions as F
+
+    from streamforge_spark.streaming.curation import (
+        load_minhash_index, streaming_fuzzy_dedup_gate)
+    E1, E2, docs = _funnel_fixture()
+    d7 = docs[405]
+    d7v_w = d7.split()
+    for j, pos in enumerate(range(7, 60, 8)):
+        d7v_w[pos] = f"yj{FUNNEL_ALPHA[j]}"
+    d7v = " ".join(d7v_w)   # near-dup of d7 (seed-9 variant, J ~0.44)
+
+    corpus_path = tmp_path / "corpus"
+    spark.createDataFrame(
+        [(1, E1, "raw"), (2, E2, "tgt"), (405, d7, "web"),
+         (407, d7v, "web")],
+        "doc_id long, text string, source string"
+    ).write.parquet(str(corpus_path))
+    # pre-compaction indexes deliberately cover only the established
+    # docs — proving the job REBUILDS (not appends) them
+    _funnel_artifacts(spark, tmp_path, [(1, E1, "raw"), (2, E2, "tgt")])
+
+    run_job("CorpusCompact",
+            job_cfg(tmp_path, CORPUS_PATH=corpus_path,
+                    XS_INDEX_PATH=tmp_path / "xs_index",
+                    MINHASH_INDEX_PATH=tmp_path / "mh_index"),
+            spark=spark, drain=True)
+
+    kept = sorted(r.doc_id for r in
+                  spark.read.parquet(str(corpus_path)).collect())
+    assert kept == [1, 2, 405]
+    ledger = read(spark, tmp_path, "compaction_ledger").collect()
+    assert [(r.doc_id, r.dup_of) for r in ledger] == [(407, 405)]
+
+    # rebuilt MinHash index covers exactly the survivors, and the
+    # fuzzy gate (batch-callable) now rejects a replay of the dropped
+    # variant while novel text still admits
+    bands, grams = load_minhash_index(spark, str(tmp_path / "mh_index"))
+    assert (sorted(r.doc_id for r in
+                   bands.select("doc_id").distinct().collect())
+            == [1, 2, 405])
+    probe = spark.createDataFrame(
+        [(900, d7v),
+         (901, "totally novel words about nothing seen before at all")],
+        "doc_id long, text string")
+    got = {r.doc_id: r.admitted
+           for r in streaming_fuzzy_dedup_gate(probe, bands, grams)
+           .collect()}
+    assert got == {900: False, 901: True}
+    # rebuilt substring index knows the survivors' text verbatim
+    xs = spark.read.parquet(str(tmp_path / "xs_index"))
+    assert xs.filter(F.col("mn") == 405).count() > 0
