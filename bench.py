@@ -109,6 +109,13 @@ HEADLINE = [
     "source_quality_summary",
     "dedup_yield_curve",
     "ann_ivf_probe_sweep",
+    # round-8 additions: the composed funnel's batch face (five gates,
+    # one plan) and the persisted-IVF semantic admission gate (probe
+    # join + exact-cosine verdict); hot_band_report completes the
+    # cap-audit pair in the wall-clock set
+    "corpus_funnel_report",
+    "semantic_ingest_gate",
+    "hot_band_report",
 ]
 
 

@@ -1889,3 +1889,78 @@ def source_quality_summary(spark, sf_dir):
             .select("source", "n_docs", "total_tokens", "median_tokens",
                     F.expr("(1000000 * _npass) div n_docs")
                     .alias("gopher_pass_ppm")))
+
+
+# -- quality-based cluster representatives (SemDeDup keep-best) ----------
+
+_REP_ORACLE = f"""
+WITH RECURSIVE pairs AS ({{_NGRAM_ORACLE}}),
+edges AS (
+  SELECT d1 AS a, d2 AS b FROM pairs
+  UNION
+  SELECT d2 AS a, d1 AS b FROM pairs
+),
+reach(node, label) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, r.label FROM reach r JOIN edges e ON e.b = r.node
+),
+comp AS (SELECT node, MIN(label) AS component FROM reach GROUP BY node),
+sc AS (SELECT doc_id, {{_SQL_SCORE}} AS score FROM documents),
+m AS (SELECT c.component, c.node, s.score
+      FROM comp c JOIN sc s ON s.doc_id = c.node),
+r AS (SELECT component, node, score,
+             ROW_NUMBER() OVER (PARTITION BY component
+                                ORDER BY score DESC, node) AS rn
+      FROM m),
+cnt AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS n_members
+        FROM comp GROUP BY component)
+SELECT c.component, c.n_members, r.node AS rep_doc_id,
+       r.node <> c.component AS rep_beats_min_id
+FROM cnt c JOIN r ON r.component = c.component AND r.rn = 1
+"""
+
+
+@query("dedup_cluster_representatives",
+       oracle=_REP_ORACLE.format(_NGRAM_ORACLE=_NGRAM_ORACLE,
+                                 _SQL_SCORE=_SQL_SCORE))
+def dedup_cluster_representatives(spark, sf_dir):
+    """SemDeDup-style keep-BEST representative selection: the same
+    near-dup clusters as dedup_clusters (shingle-Jaccard pair graph,
+    min-label closure), but the survivor is the member with the
+    HIGHEST quality score (tie-break lowest doc_id) instead of the
+    lowest id — the production choice when near-dup groups mix a
+    clean original with boilerplate-wrapped mirrors, reported with a
+    flag for exactly how often quality beats the id convention.  One
+    row per cluster: size, representative, and whether it differs
+    from the min-id canonical.
+
+    Scale shape: inherits dedup_clusters' closure cost (pair graph
+    only, per-round checkpointed label propagation); scoring is
+    scan-side column algebra joined once onto the (pairs-sized)
+    member table; representative choice is one window over clusters
+    (partition count = cluster count, never corpus-wide).  IEEE score
+    determinism: the ranking compares the same doubles both engines
+    compute bit-identically (quality_score's proven op order), with
+    the doc_id tie-break making the order total."""
+    from streamforge_spark.functions.text import quality_score
+    from streamforge_spark.operators.graph import connected_components
+    from pyspark.sql import Window
+    (docs,) = prep(spark, sf_dir, "documents")
+    pairs = dedup_ngram_jaccard(spark, sf_dir)
+    comp = connected_components(pairs, "d1", "d2")
+    scored = docs.select(
+        F.col("doc_id"),
+        quality_score(F.col("text"), F.col("n_chars")).alias("score"))
+    members = comp.join(scored, comp["node"] == scored["doc_id"])
+    w = Window.partitionBy("component").orderBy(F.col("score").desc(),
+                                                "node")
+    ranked = members.withColumn("rn", F.row_number().over(w))
+    cnt = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_members"))
+    reps = (ranked.filter(F.col("rn") == 1)
+            .select("component", F.col("node").alias("rep_doc_id")))
+    return (cnt.join(reps, "component")
+            .select("component", "n_members", "rep_doc_id",
+                    (F.col("rep_doc_id") != F.col("component"))
+                    .alias("rep_beats_min_id")))
