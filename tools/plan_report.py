@@ -39,7 +39,7 @@ CURATION = [
     "simhash_near_dup", "ann_lsh_topk", "ann_ivf_topk",
     "multimodal_features", "embedding_kmeans", "leakage_safe_split",
     "quality_classifier_score", "segment_dedup", "doc_repetition_stats",
-    "semantic_dedup", "hot_band_report",
+    "semantic_dedup",  # hot_band_report moved to HEADLINE (r8)
 ]
 
 #: time-series analytics queries (queries/timeseries.py) + graph /
@@ -171,6 +171,12 @@ def main() -> None:
             "lineitem⨝orders extraction runs exactly once, not per "
             "round) and each frontier round is one hash join + one "
             "anti-join on checkpointed inputs.\n"
+            "- `corpus_funnel_report`'s nested-loop joins are all the "
+            "DSIR totals pattern: a ONE-ROW (nr, nt) aggregate "
+            "broadcast-crossed onto the <=4096-row bucket table "
+            "(functions/dsir.py::dsir_llr_from_counts); the formatted "
+            "explain shows the subtree once per pre-checkpoint "
+            "consumer, the runtime materializes it once.\n"
             "- `ab_test_cuped` / `pareto_concentration` nested-loop "
             "joins are one-row scalar broadcasts (pooled moments / "
             "grand total) — the adjudicated q22 pattern.\n"
