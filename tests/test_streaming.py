@@ -1622,3 +1622,61 @@ def test_streaming_semantic_dedup_gate(spark, workdir):
     rejected = {m.vec_id for m in marks if m.dup_of in (1, 2)
                 and m.vec_id >= 10}
     assert rejected == {v for v, (n, adm) in got.items() if not adm}
+
+
+def test_streaming_fuzzy_gate_watermark_evicts_state(spark, workdir):
+    # the ts_col/watermark wiring must actually BOUND the state store:
+    # once the watermark passes a doc's ingest timestamp, its verdict
+    # state row is evicted (advisor-r7 medium: without this every key
+    # ever seen is retained forever)
+    from streamforge_spark.streaming.curation import (
+        minhash_corpus_index, streaming_fuzzy_dedup_gate)
+
+    DOCS = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("ingest_ts", T.TimestampType())])
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota")],
+        "doc_id long, text string")
+    bands, grams = minhash_corpus_index(corpus)
+    bands, grams = bands.localCheckpoint(), grams.localCheckpoint()
+
+    import datetime as dt
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    late = t0 + dt.timedelta(hours=6)   # far past the 10m watermark
+    src = f"{workdir}/fuzzywm"
+    spark.createDataFrame(
+        [(10, "totally novel text one", t0),
+         (11, "other novel words two", t0)], DOCS).coalesce(1) \
+        .write.mode("append").parquet(src)
+    stream = spark.readStream.schema(DOCS).parquet(src)
+    q = (streaming_fuzzy_dedup_gate(stream, bands, grams,
+                                    ts_col="ingest_ts",
+                                    watermark="10 minutes")
+         .writeStream.format("memory").queryName("fuzzy_wm")
+         .outputMode("update").start())
+    q.processAllAvailable()
+    spark.createDataFrame([(12, "third novel doc three", late)],
+                          DOCS).coalesce(1) \
+        .write.mode("append").parquet(src)
+    q.processAllAvailable()
+    # one more empty-progress batch so eviction metrics land
+    spark.createDataFrame([(13, "fourth novel doc four",
+                            late + dt.timedelta(minutes=1))],
+                          DOCS).coalesce(1) \
+        .write.mode("append").parquet(src)
+    q.processAllAvailable()
+    progress = q.recentProgress
+    q.stop()
+    got = {r.doc_id for r in spark.sql("select * from fuzzy_wm").collect()}
+    assert got == {10, 11, 12, 13}
+    removed = sum(op["numRowsRemoved"]
+                  for p in progress for op in p["stateOperators"])
+    assert removed >= 2, f"watermark evicted nothing: {removed}"
+
+    # the two knobs must be passed together
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        streaming_fuzzy_dedup_gate(stream, bands, grams,
+                                   ts_col="ingest_ts")
