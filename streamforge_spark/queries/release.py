@@ -467,3 +467,29 @@ def corpus_funnel_report(spark, sf_dir):
         fuzzy_threshold=MINHASH_THRESHOLD,
         xs_k=XS_K)
     return out.select("doc_id", "verdict", "avg_llr_micro")
+
+
+_FUNNEL_SUMMARY_ORACLE = f"""
+WITH ledger AS ({{inner}})
+SELECT verdict, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(COALESCE(SUM(avg_llr_micro), 0) AS BIGINT)
+         AS admitted_llr_micro_sum
+FROM ledger GROUP BY verdict
+"""
+
+
+@query("corpus_funnel_summary",
+       oracle=_FUNNEL_SUMMARY_ORACLE.format(inner=_funnel_oracle().strip()))
+def corpus_funnel_summary(spark, sf_dir):
+    """The funnel's ops dashboard: per-verdict document counts over the
+    arriving batch plus the admitted docs' total DSIR weight — what an
+    ingest operator watches per window to spot a gate suddenly eating
+    the corpus (a quality regression upstream shows up as a gopher/oov
+    spike, a crawler loop as a substring/fuzzy spike).  A |verdicts|-
+    row rollup over the corpus_funnel_report ledger; the funnel plan's
+    cost dominates."""
+    return (corpus_funnel_report(spark, sf_dir)
+            .groupBy("verdict")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.coalesce(F.sum("avg_llr_micro"), F.lit(0))
+                 .alias("admitted_llr_micro_sum")))

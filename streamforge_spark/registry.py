@@ -109,7 +109,7 @@ ROTATION_PRIORITY = [
     "source_quality_summary", "dedup_yield_curve", "ann_ivf_probe_sweep",
     # round-8 additions
     "hot_band_report", "corpus_funnel_report", "semantic_ingest_gate",
-    "dedup_cluster_representatives",
+    "dedup_cluster_representatives", "corpus_funnel_summary",
 ]
 
 

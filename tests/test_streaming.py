@@ -1680,3 +1680,54 @@ def test_streaming_fuzzy_gate_watermark_evicts_state(spark, workdir):
     with _pytest.raises(ValueError):
         streaming_fuzzy_dedup_gate(stream, bands, grams,
                                    ts_col="ingest_ts")
+
+
+def test_streaming_semantic_gate_watermark_evicts_state(spark, workdir):
+    # same eviction contract as the fuzzy gate, embedding side: the
+    # verdict rollup's state row goes away once the watermark passes
+    # the vector's arrival time
+    from streamforge_spark.functions.similarity import (
+        build_ivf_fixed_index, load_ivf_fixed_index)
+    from streamforge_spark.streaming.curation import (
+        streaming_semantic_dedup_gate)
+
+    EMB = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        T.StructField("ingest_ts", T.TimestampType())])
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>")
+    path = f"{workdir}/ivfwm"
+    build_ivf_fixed_index(corpus, path, cells=2, rounds=2)
+    C, vecs = load_ivf_fixed_index(spark, path)
+
+    import datetime as dt
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    late = t0 + dt.timedelta(hours=6)
+    src = f"{workdir}/semwm"
+    spark.createDataFrame(
+        [(10, [0.0, 0.0, 1.0, 0.0], t0)], EMB).coalesce(1) \
+        .write.mode("append").parquet(src)
+    stream = spark.readStream.schema(EMB).parquet(src)
+    q = (streaming_semantic_dedup_gate(stream, C, vecs, threshold=0.30,
+                                       nprobe=2, ts_col="ingest_ts",
+                                       watermark="10 minutes")
+         .writeStream.format("memory").queryName("sem_wm")
+         .outputMode("update").start())
+    q.processAllAvailable()
+    spark.createDataFrame([(11, [0.0, 0.0, 0.0, 1.0], late)],
+                          EMB).coalesce(1).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    spark.createDataFrame(
+        [(12, [0.5, 0.5, 0.5, 0.5], late + dt.timedelta(minutes=1))],
+        EMB).coalesce(1).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    progress = q.recentProgress
+    q.stop()
+    got = {r.vec_id: r.admitted
+           for r in spark.sql("select * from sem_wm").collect()}
+    assert got[10] and got[11] and not got[12]
+    removed = sum(op["numRowsRemoved"]
+                  for p in progress for op in p["stateOperators"])
+    assert removed >= 1, f"watermark evicted nothing: {removed}"
