@@ -283,6 +283,22 @@ _DOC_SCHEMA = T.StructType([
     T.StructField("event_time", T.TimestampType()),
 ])
 
+def _parse_corpus_docs(raw: DataFrame, job_name: str):
+    """Shared corpus-document parse contract: newline-JSON lines ->
+    (docs, parse_dlq).  One place owns the schema, the validity
+    predicate, and the DLQ shape for both ingest jobs (review-r8:
+    the two inline copies could silently diverge)."""
+    from streamforge_spark.pipeline import dlq_event
+    parsed = raw.withColumn("doc", F.from_json("value", _DOC_SCHEMA))
+    valid = (F.col("doc").isNotNull() & F.col("doc.doc_id").isNotNull()
+             & F.col("doc.text").isNotNull())
+    docs = parsed.filter(valid).select("doc.*")
+    dlq = dlq_event(parsed.filter(~valid), "PARSE_ERROR",
+                    "corpus document parse failure", job_name,
+                    raw_event=F.col("value"))
+    return docs, dlq
+
+
 CORPUS_QUALITY_MIN = 0.5
 CORPUS_DECON_NGRAM = 4
 
@@ -310,20 +326,13 @@ def corpus_ingest(spark: SparkSession, cfg: ScopedConfig):
     dedup — state is bounded by the TTL horizon, sinks are append-only
     parquet, and replays are harmless (same digest dedups again)."""
     from streamforge_spark.functions.text import quality_score, word_ngrams
-    from streamforge_spark.pipeline import dlq_event
 
     raw = _maybe_from_now(
         file_stream(spark, cfg.require("SOURCE_PATH"), _RAW_SCHEMA,
                     fmt="text"), cfg)
-    parsed = raw.withColumn("doc", F.from_json("value", _DOC_SCHEMA))
-    valid = (F.col("doc").isNotNull() & F.col("doc.doc_id").isNotNull()
-             & F.col("doc.text").isNotNull())
-    docs = (parsed.filter(valid).select("doc.*")
-            .withColumn("event_time",
-                        F.coalesce("event_time", F.current_timestamp())))
-    parse_dlq = dlq_event(parsed.filter(~valid), "PARSE_ERROR",
-                          "corpus document parse failure", "CorpusIngest",
-                          raw_event=F.col("value"))
+    docs, parse_dlq = _parse_corpus_docs(raw, "CorpusIngest")
+    docs = docs.withColumn(
+        "event_time", F.coalesce("event_time", F.current_timestamp()))
 
     docs = docs.withColumn("fp", F.md5("text"))
     docs = streaming_dedup(docs, ["fp"], "event_time", ttl="10 minutes")
@@ -395,7 +404,13 @@ def corpus_ingest_v2(spark: SparkSession, cfg: ScopedConfig):
                           + minhash indexes after each batch, so LATER
                           batches dedup against EARLIER admissions at
                           O(batch) — the indexes ARE the cross-batch
-                          state (incremental_fuzzy_dedup's contract)
+                          state (incremental_fuzzy_dedup's contract).
+                          Requires doc_ids to INCREASE across batches
+                          (the admission-order convention the bucket
+                          cap's append==rebuild algebra needs);
+                          append_minhash_index enforces it — replayed
+                          batches are skipped idempotently, genuinely
+                          non-monotone input raises
 
     Execution shape: the five per-doc verdict aggregations can't chain
     inside one continuous streaming query (multiple stateful operators
@@ -413,7 +428,6 @@ def corpus_ingest_v2(spark: SparkSession, cfg: ScopedConfig):
         dsir_llr_from_counts, load_dsir_counts)
     from streamforge_spark.functions.substring_index import (
         substring_index, window_hashes)
-    from streamforge_spark.pipeline import dlq_event
     from streamforge_spark.queries.text import XS_K
     from streamforge_spark.streaming.curation import (
         append_minhash_index, corpus_funnel_verdicts, load_minhash_index)
@@ -432,22 +446,22 @@ def corpus_ingest_v2(spark: SparkSession, cfg: ScopedConfig):
         file_stream(spark, cfg.require("SOURCE_PATH"), _RAW_SCHEMA,
                     fmt="text"), cfg)
 
-    # static artifacts load once; per-batch artifacts load in produce
-    vocab = (spark.read.parquet(vocab_path).select("term")
-             if vocab_path else None)
-    llr_model = (dsir_llr_from_counts(load_dsir_counts(spark, dsir_path))
-                 .localCheckpoint(eager=False) if dsir_path else None)
-
+    # ALL artifacts load per batch (review-r8): a localCheckpoint'd
+    # model held across the query's lifetime stores unreplicated
+    # blocks on executors — one executor loss would kill every later
+    # micro-batch with an unrecomputable lineage; re-reading a
+    # <=4096-row parquet (and the vocab) per batch is noise next to
+    # the gates themselves, and it also picks up model refits without
+    # a job restart
     def produce(batch_raw: DataFrame, batch_id: int) -> None:
-        parsed = batch_raw.withColumn("doc", F.from_json("value", _DOC_SCHEMA))
-        valid = (F.col("doc").isNotNull() & F.col("doc.doc_id").isNotNull()
-                 & F.col("doc.text").isNotNull())
-        docs = parsed.filter(valid).select("doc.*")
-        dlq_event(parsed.filter(~valid), "PARSE_ERROR",
-                  "corpus document parse failure", "CorpusIngestV2",
-                  raw_event=F.col("value")) \
-            .write.mode("append").parquet(f"{out}/dlq_parse")
+        docs, parse_dlq = _parse_corpus_docs(batch_raw, "CorpusIngestV2")
+        (parse_dlq.withColumn("batch_id", F.lit(batch_id))
+         .write.mode("append").parquet(f"{out}/dlq_parse"))
 
+        vocab = (spark.read.parquet(vocab_path).select("term")
+                 if vocab_path else None)
+        llr_model = (dsir_llr_from_counts(
+            load_dsir_counts(spark, dsir_path)) if dsir_path else None)
         xs_index = (spark.read.parquet(xs_path).select("h")
                     if xs_path else None)
         mh_bands = mh_grams = None
@@ -461,12 +475,19 @@ def corpus_ingest_v2(spark: SparkSession, cfg: ScopedConfig):
                                   if dsir_thresh is not None else None),
             xs_k=XS_K).localCheckpoint()
 
+        # batch_id rides every sink row: effectively_once's crash
+        # window (produce done, ledger marker not yet written) replays
+        # the batch, and the stamp is the key a consumer — or the
+        # compactor — dedupes on, which is exactly the idempotence
+        # contract the ledger documents (review-r8)
         admitted = verdicts.filter(F.col("verdict") == "admit")
         (admitted.withColumn("ingested_at", F.current_timestamp())
+         .withColumn("batch_id", F.lit(batch_id))
          .write.mode("append").parquet(f"{out}/corpus"))
         for v in FUNNEL_VERDICTS:
             (verdicts.filter(F.col("verdict") == v)
              .drop("avg_llr_micro")
+             .withColumn("batch_id", F.lit(batch_id))
              .write.mode("append").parquet(f"{out}/quarantine_{v}"))
 
         if update_indexes and admitted.take(1):
@@ -492,13 +513,17 @@ def corpus_compact(spark: SparkSession, cfg: ScopedConfig):
     """The nightly batch compactor the streaming admission gates defer
     to (streaming/curation.py fuzzy + semantic gate docstrings: a
     stream has no stable smaller-id-wins order, so WITHIN-batch
-    near-dup pairs deliberately pass the gate): run the full
-    within-corpus MinHash/LSH closure over the admitted corpus, keep
-    the lowest-id survivor per near-dup cluster, rewrite the corpus
-    atomically (io.swap_dir rename-aside), record every dropped doc
-    in a ledger, and REBUILD the persisted substring + MinHash indexes
-    from the survivors so the online gates' next probes reflect the
-    compacted corpus (append==rebuild resets exactly here).
+    near-dup pairs deliberately pass the gate): an EXACT md5 dedup
+    pre-pass (collapses a bit-identical family of any size in one
+    run — the family shape the BAND_MAX_BUCKET cap cannot see
+    through), then the capped within-corpus MinHash/LSH closure over
+    the exact survivors, lowest-id survivor per cluster (a NEAR-dup
+    family above the cap drains iteratively, cap-1 members per run,
+    visible in hot_band_report), atomic corpus rewrite (io.swap_dir
+    rename-aside), a ledger of every dropped doc, and a REBUILD of
+    the persisted substring + MinHash indexes from the survivors so
+    the online gates' next probes reflect the compacted corpus
+    (append==rebuild resets exactly here).
 
     A batch job under the stream-job SPI: the builder does all the
     work and returns no streaming queries — ``run_job`` with or
@@ -536,11 +561,27 @@ def corpus_compact(spark: SparkSession, cfg: ScopedConfig):
 
     corpus = spark.read.parquet(corpus_path)
     docs = corpus.select("doc_id", "text")
+    # exact-dup pre-pass: BAND_MAX_BUCKET caps the LSH join, so a
+    # bit-identical family of m > cap members would otherwise only
+    # pair among its cap lowest ids and shed cap-1 members per run —
+    # the one family shape the cap can't see through is exactly the
+    # one an md5 rollup collapses completely in one pass (a NEAR-dup
+    # family above the cap still drains iteratively, cap-1 per run,
+    # visible in hot_band_report)
+    hashed = docs.select(F.md5("text").alias("_h"), "doc_id")
+    # min rollup + equi-join (NOT collect_list: a hot family would
+    # materialize its whole id list in one aggregation buffer)
+    keepers = hashed.groupBy("_h").agg(F.min("doc_id").alias("keeper"))
+    exact = (hashed.join(keepers, "_h")
+             .filter(F.col("doc_id") != F.col("keeper"))
+             .select("doc_id", F.col("keeper").alias("dup_of")))
+    survivors0 = docs.join(exact.select("doc_id"), "doc_id", "left_anti")
     comp = connected_components(
-        minhash_lsh_pairs(docs, threshold=threshold), "d1", "d2")
-    dropped = (comp.filter(F.col("node") != F.col("component"))
-               .select(F.col("node").alias("doc_id"),
-                       F.col("component").alias("dup_of"))
+        minhash_lsh_pairs(survivors0, threshold=threshold), "d1", "d2")
+    near = (comp.filter(F.col("node") != F.col("component"))
+            .select(F.col("node").alias("doc_id"),
+                    F.col("component").alias("dup_of")))
+    dropped = (exact.unionByName(near)
                .localCheckpoint())  # pin BEFORE the source dir swaps
 
     (dropped.withColumn("compacted_at", F.current_timestamp())

@@ -275,6 +275,19 @@ def substring_hash_index(ref_docs: DataFrame, k: int | None = None,
             .select("h").distinct())
 
 
+def _watermarked(df: DataFrame, ts_col: str | None, watermark: str | None):
+    """The shared gate state-eviction convention (review-r8: one place
+    instead of three copies): apply ``withWatermark`` before a gate's
+    stateful stages and return the ts key list to thread through its
+    dedup/group keys, so a row's state evicts once the watermark
+    passes its arrival time.  Both knobs or neither."""
+    if (ts_col is None) != (watermark is None):
+        raise ValueError("ts_col and watermark must be given together")
+    if ts_col is not None:
+        df = df.withWatermark(ts_col, watermark)
+    return df, ([ts_col] if ts_col is not None else [])
+
+
 def streaming_substring_contamination(doc_stream: DataFrame,
                                       ref_index: DataFrame,
                                       k: int | None = None,
@@ -310,11 +323,7 @@ def streaming_substring_contamination(doc_stream: DataFrame,
     from streamforge_spark.functions.simdedup import oracle_hash60
     from streamforge_spark.queries.text import XS_K
     k = k or XS_K
-    if (ts_col is None) != (watermark is None):
-        raise ValueError("ts_col and watermark must be given together")
-    if ts_col is not None:
-        doc_stream = doc_stream.withWatermark(ts_col, watermark)
-    ts_keys = [ts_col] if ts_col is not None else []
+    doc_stream, ts_keys = _watermarked(doc_stream, ts_col, watermark)
     pos = (doc_stream.where(F.length(text_col) >= k)
            .select(F.col(id_col),
                    F.length(text_col).alias("n_len"),
@@ -541,11 +550,7 @@ def streaming_fuzzy_dedup_gate(doc_stream: DataFrame,
     from streamforge_spark.functions.simdedup import (
         LSH_BANDS, NUM_PERM, oracle_hash60)
     from streamforge_spark.functions.text import word_ngrams
-    if (ts_col is None) != (watermark is None):
-        raise ValueError("ts_col and watermark must be given together")
-    if ts_col is not None:
-        doc_stream = doc_stream.withWatermark(ts_col, watermark)
-    ts_keys = [ts_col] if ts_col is not None else []
+    doc_stream, ts_keys = _watermarked(doc_stream, ts_col, watermark)
     rows = NUM_PERM // LSH_BANDS
     gs = word_ngrams(F.col(text_col), ngram)
 
@@ -602,6 +607,26 @@ def save_minhash_index(bands: DataFrame, grams: DataFrame,
      .sortWithinPartitions("band", "band_hash")
      .write.mode("overwrite").parquet(f"{path}/bands"))
     grams.write.mode("overwrite").parquet(f"{path}/grams")
+    _write_max_doc_id(
+        grams.sparkSession,
+        path, grams.agg(F.max("doc_id")).first()[0])
+
+
+def _meta_path(path: str) -> str:
+    return f"{path}/_max_doc_id"
+
+
+def _write_max_doc_id(spark, path: str, max_id) -> None:
+    spark.createDataFrame([(int(max_id if max_id is not None else -1),)],
+                          "max_doc_id long") \
+        .coalesce(1).write.mode("overwrite").parquet(_meta_path(path))
+
+
+def _read_max_doc_id(spark, path: str) -> int:
+    try:
+        return spark.read.parquet(_meta_path(path)).first()[0]
+    except Exception:
+        return -1   # pre-marker index (or empty): accept any ids once
 
 
 def load_minhash_index(spark, path: str):
@@ -625,17 +650,58 @@ def append_minhash_index(path: str, admitted_docs: DataFrame,
     equals a full rebuild over the union corpus
     (test_minhash_index_append_equals_rebuild).  O(batch) shuffle
     work per ingest; the existing-index read is a scan of ≤cap rows
-    per touched bucket, pruned by the (band, band_hash) sort order."""
+    per touched bucket, pruned by the (band, band_hash) sort order.
+
+    The monotonicity the cap algebra relies on is ENFORCED, not
+    assumed (review-r8): the index carries a ``_max_doc_id`` marker —
+    a batch whose ids all sit at or below it is a replayed append
+    (the effectively-once crash window re-running produce) and is
+    SKIPPED idempotently; a batch straddling the marker means the
+    caller is feeding non-monotone ids, where append != rebuild, and
+    raises instead of silently corrupting the bucket cap."""
     from pyspark.sql import Window
 
     from streamforge_spark.functions.simdedup import BAND_MAX_BUCKET
     spark = admitted_docs.sparkSession
+    lo, hi = admitted_docs.agg(
+        F.min("doc_id"), F.max("doc_id")).first()
+    if lo is None:
+        return
+    stored = _read_max_doc_id(spark, path)
+    if lo <= stored:
+        # at-or-below the marker is EITHER the effectively-once crash
+        # window replaying an already-folded batch (every id present
+        # -> skip idempotently) OR genuinely non-monotone input
+        # (fresh low ids -> the cap algebra breaks; refuse)
+        known = spark.read.parquet(f"{path}/grams").select("doc_id")
+        fresh_low = (admitted_docs.select("doc_id")
+                     .join(known, "doc_id", "left_anti")
+                     .filter(F.col("doc_id") <= stored).take(1))
+        if fresh_low:
+            raise ValueError(
+                f"append_minhash_index: non-monotone doc_ids (batch "
+                f"[{lo}, {hi}] vs index max {stored}, e.g. new id "
+                f"{fresh_low[0][0]}) — bucket-cap append only equals "
+                f"a rebuild under increasing ids; rebuild via "
+                f"save_minhash_index/CorpusCompact instead")
+        if hi <= stored:
+            return   # fully-replayed batch: every id already folded
     bands, grams = minhash_corpus_index(admitted_docs, ngram)
     touched = bands.select("band", "band_hash").distinct()
-    existing = (spark.read.parquet(f"{path}/bands")
-                .join(F.broadcast(touched), ["band", "band_hash"],
-                      "left_semi")
-                .groupBy("band", "band_hash")
+    existing_rows = (spark.read.parquet(f"{path}/bands")
+                     .join(F.broadcast(touched), ["band", "band_hash"],
+                           "left_semi")
+                     .localCheckpoint(eager=False))
+    # row-level idempotence for the crash-mid-append replay (the
+    # marker only skips FULLY-applied batches): rows the crashed
+    # attempt already wrote are dropped from this attempt, and they
+    # count as existing members in the capacity check — so a partial
+    # replay converges to exactly the rebuild rows, never duplicates
+    bands = bands.join(existing_rows.select("doc_id", "band"),
+                       ["doc_id", "band"], "left_anti")
+    grams = grams.join(
+        existing_rows.select("doc_id").distinct(), "doc_id", "left_anti")
+    existing = (existing_rows.groupBy("band", "band_hash")
                 .agg(F.count(F.lit(1)).alias("_n")))
     w = Window.partitionBy("band", "band_hash").orderBy("doc_id")
     bands = (bands.withColumn("_brn", F.row_number().over(w))
@@ -647,6 +713,10 @@ def append_minhash_index(path: str, admitted_docs: DataFrame,
      .sortWithinPartitions("band", "band_hash")
      .write.mode("append").parquet(f"{path}/bands"))
     grams.write.mode("append").parquet(f"{path}/grams")
+    # marker moves LAST: a crash mid-append leaves the marker at the
+    # old value, so the replay re-runs this append and the row-level
+    # anti-joins above make it converge on exactly the rebuild rows
+    _write_max_doc_id(spark, path, hi)
 
 
 # -- the composed online funnel -----------------------------------------
@@ -812,11 +882,7 @@ def streaming_semantic_dedup_gate(vec_stream: DataFrame,
     from streamforge_spark.functions.clustering import KMEANS_QUANT
     from streamforge_spark.functions.similarity import (
         cosine, ivf_probe_cells_expr)
-    if (ts_col is None) != (watermark is None):
-        raise ValueError("ts_col and watermark must be given together")
-    if ts_col is not None:
-        vec_stream = vec_stream.withWatermark(ts_col, watermark)
-    ts_keys = [ts_col] if ts_col is not None else []
+    vec_stream, ts_keys = _watermarked(vec_stream, ts_col, watermark)
     raw = F.col(vec_col).cast("array<double>")
     qv = F.transform(raw, lambda x: F.round(x * KMEANS_QUANT).cast("long"))
     probed = (vec_stream

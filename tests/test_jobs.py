@@ -616,3 +616,32 @@ def test_corpus_compact_closes_within_batch_blind_spot(spark, tmp_path):
     # rebuilt substring index knows the survivors' text verbatim
     xs = spark.read.parquet(str(tmp_path / "xs_index"))
     assert xs.filter(F.col("mn") == 405).count() > 0
+
+
+def test_corpus_compact_collapses_exact_family_beyond_band_cap(spark, tmp_path):
+    """The exact-dup pre-pass must collapse a bit-identical family of
+    ANY size in one run — the family shape the BAND_MAX_BUCKET cap
+    cannot see through (review-r8 finding 1: without the pre-pass a
+    130-member family would shed only cap-1 members per run)."""
+    from streamforge_spark.functions.simdedup import BAND_MAX_BUCKET
+
+    n = BAND_MAX_BUCKET * 2 + 2   # 130 identical docs, well past cap
+    text = ("identical crawler loop template page body repeated "
+            "verbatim across the mirror family every single time")
+    corpus_path = tmp_path / "corpus"
+    spark.createDataFrame(
+        [(i, text, "web") for i in range(n)]
+        + [(999, "a genuinely different document body", "web")],
+        "doc_id long, text string, source string"
+    ).write.parquet(str(corpus_path))
+
+    run_job("CorpusCompact",
+            job_cfg(tmp_path, CORPUS_PATH=corpus_path),
+            spark=spark, drain=True)
+
+    kept = sorted(r.doc_id for r in
+                  spark.read.parquet(str(corpus_path)).collect())
+    assert kept == [0, 999]
+    ledger = read(spark, tmp_path, "compaction_ledger").collect()
+    assert len(ledger) == n - 1
+    assert all(r.dup_of == 0 for r in ledger)

@@ -1731,3 +1731,43 @@ def test_streaming_semantic_gate_watermark_evicts_state(spark, workdir):
     removed = sum(op["numRowsRemoved"]
                   for p in progress for op in p["stateOperators"])
     assert removed >= 1, f"watermark evicted nothing: {removed}"
+
+
+def test_minhash_index_append_monotonicity_enforced(spark, workdir):
+    # review-r8 finding 2: the append==rebuild algebra assumes
+    # increasing doc_ids — the index now carries a _max_doc_id marker,
+    # SKIPS a fully-replayed batch idempotently, and RAISES on
+    # genuinely non-monotone input instead of silently corrupting the
+    # bucket cap
+    import pytest as _pytest
+
+    from streamforge_spark.streaming.curation import (
+        append_minhash_index, load_minhash_index, minhash_corpus_index,
+        save_minhash_index)
+
+    DOCS = T.StructType([T.StructField("doc_id", T.LongType()),
+                         T.StructField("text", T.StringType())])
+    first = [(100, "alpha beta gamma delta epsilon zeta eta theta"),
+             (101, "one two three four five six seven eight nine")]
+    path = f"{workdir}/mhidx_mono"
+    b0, g0 = minhash_corpus_index(spark.createDataFrame(first, DOCS))
+    save_minhash_index(b0, g0, path)
+
+    batch = spark.createDataFrame(
+        [(200, "red orange yellow green blue indigo violet white")], DOCS)
+    append_minhash_index(path, batch)
+    _, grams = load_minhash_index(spark, path)
+    assert sorted(r.doc_id for r in grams.select("doc_id").collect()) \
+        == [100, 101, 200]
+
+    # replayed batch (same ids): skipped, no duplicate rows
+    append_minhash_index(path, batch)
+    _, grams = load_minhash_index(spark, path)
+    assert sorted(r.doc_id for r in grams.select("doc_id").collect()) \
+        == [100, 101, 200]
+
+    # non-monotone batch (id below the marker): hard error
+    bad = spark.createDataFrame(
+        [(150, "this id sits below the index maximum")], DOCS)
+    with _pytest.raises(ValueError, match="non-monotone"):
+        append_minhash_index(path, bad)
