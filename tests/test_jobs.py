@@ -645,3 +645,18 @@ def test_corpus_compact_collapses_exact_family_beyond_band_cap(spark, tmp_path):
     ledger = read(spark, tmp_path, "compaction_ledger").collect()
     assert len(ledger) == n - 1
     assert all(r.dup_of == 0 for r in ledger)
+
+
+def test_corpus_ingest_v2_poison_only_batch(spark, tmp_path):
+    """A micro-batch with ONLY a poison line must land it in the DLQ
+    and write no verdict rows — zero-survivor gate inputs and the
+    empty-admitted UPDATE_INDEXES guard must not crash the batch."""
+    E1, E2, docs = _funnel_fixture()
+    _funnel_artifacts(spark, tmp_path, [(1, E1, "raw"), (2, E2, "tgt")])
+    write_lines(tmp_path / "in", ["{broken json", "also not json"])
+    run_job("CorpusIngestV2", _funnel_cfg(tmp_path, UPDATE_INDEXES="1"),
+            spark=spark, drain=True)
+    dlq = read(spark, tmp_path, "dlq_parse").collect()
+    assert len(dlq) == 2
+    assert all(r.error_type == "PARSE_ERROR" for r in dlq)
+    assert read(spark, tmp_path, "corpus").count() == 0
