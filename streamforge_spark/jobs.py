@@ -489,6 +489,16 @@ def corpus_ingest_v2(spark: SparkSession, cfg: ScopedConfig):
              .drop("avg_llr_micro")
              .withColumn("batch_id", F.lit(batch_id))
              .write.mode("append").parquet(f"{out}/quarantine_{v}"))
+        # per-batch gate telemetry (the streaming face of
+        # corpus_funnel_summary): one |verdicts|-row rollup appended
+        # per batch — what an operator trends to spot a gate suddenly
+        # eating the corpus without scanning the quarantine dirs
+        (verdicts.groupBy("verdict")
+         .agg(F.count(F.lit(1)).alias("n_docs"),
+              F.coalesce(F.sum("avg_llr_micro"), F.lit(0))
+              .alias("admitted_llr_micro_sum"))
+         .withColumn("batch_id", F.lit(batch_id))
+         .write.mode("append").parquet(f"{out}/funnel_metrics"))
 
         if update_indexes and admitted.take(1):
             admitted_docs = admitted.select("doc_id", "text")

@@ -1652,3 +1652,55 @@ def semantic_ingest_gate(spark, sf_dir):
               .drop("qv"))
     return streaming_semantic_dedup_gate(
         new, C, corpus, threshold=SEM_THRESHOLD, nprobe=SEM_GATE_NPROBE)
+
+
+# -- IVF cell-skew audit (the semantic gate's probe-cost report) ---------
+
+def _ivf_cell_oracle() -> str:
+    from streamforge_spark.queries.embeddings import _kmeans_oracle
+    base = _kmeans_oracle(IVF_CELLS, IVF_ROUNDS, 10000)
+    head, _ = base.rsplit("\nSELECT", 1)
+    r = IVF_ROUNDS - 1
+    return f"""{head},
+sz AS (SELECT cl AS cell, CAST(COUNT(*) AS BIGINT) AS n_vecs
+       FROM a{r} GROUP BY cl),
+tot AS (SELECT SUM(n_vecs) AS t FROM sz)
+SELECT s.cell, s.n_vecs,
+       CAST((1000000 * s.n_vecs) // CAST(t.t AS BIGINT) AS BIGINT)
+         AS share_ppm,
+       s.n_vecs * {IVF_CELLS} > 2 * CAST(t.t AS BIGINT) AS hot
+FROM sz s CROSS JOIN tot t
+"""
+
+
+@query("ivf_cell_report", oracle=_ivf_cell_oracle())
+def ivf_cell_report(spark, sf_dir):
+    """IVF cell-population audit — the semantic gate's probe-cost
+    report and hot_band_report's embedding-space twin: per trained
+    cell the member count, corpus share (integer ppm), and a hot flag
+    (>2x the uniform share).  A hot cell means a dense embedding
+    region where every probe landing there pays an outsized
+    exact-cosine bill — the signal to raise n_centroids or split the
+    region, exactly as hot shingle/band buckets signal boilerplate.
+
+    Plan (100 TB): the trainer's rounds-1 corpus scans (amortized by
+    the persisted index in production), then ONE map-side-combined
+    cell rollup (k rows) and a broadcast totals row.  The report is
+    k rows — driver-safe at any corpus size."""
+    from streamforge_spark.functions.clustering import kmeans_centroids
+    from streamforge_spark.functions.similarity import ivf_probe_cells_expr
+    (emb,) = prep(spark, sf_dir, "embeddings")
+    C = kmeans_centroids(emb, k=IVF_CELLS, rounds=IVF_ROUNDS)
+    raw = F.col("embedding").cast("array<double>")
+    qv = F.transform(raw, lambda x: F.round(x * 10000).cast("long"))
+    assigned = emb.select(
+        ivf_probe_cells_expr(qv, C, 1)[0].alias("cell"))
+    sz = (assigned.groupBy("cell")
+          .agg(F.count(F.lit(1)).alias("n_vecs"))
+          .localCheckpoint(eager=False))
+    tot = sz.agg(F.sum("n_vecs").alias("t"))
+    return (sz.crossJoin(F.broadcast(tot))
+            .select("cell", "n_vecs",
+                    F.expr("(1000000 * n_vecs) div t").alias("share_ppm"),
+                    (F.col("n_vecs") * IVF_CELLS > 2 * F.col("t"))
+                    .alias("hot")))

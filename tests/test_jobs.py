@@ -491,6 +491,10 @@ def test_corpus_ingest_v2_funnel_composition(spark, tmp_path):
         assert [r.doc_id for r in got] == [doc_id], verdict
     dlq = read(spark, tmp_path, "dlq_parse").collect()
     assert len(dlq) == 1 and dlq[0].error_type == "PARSE_ERROR"
+    metrics = {r.verdict: r.n_docs for r in
+               read(spark, tmp_path, "funnel_metrics").collect()}
+    assert metrics == {"admit": 2, "gopher": 1, "oov": 1,
+                       "substring": 1, "fuzzy": 1, "dsir": 1}
 
     # streamed verdicts == one batch call of the shared verdict core
     batch = spark.createDataFrame(sorted(docs.items()),
