@@ -529,3 +529,33 @@ def test_gopher_metrics_match_python_reference(spark, docs_tokens):
                 r.alpha_word_ppm) == (n, mwl, stop, alpha)
         assert r.flag_stopwords == (stop >= GOPHER_MIN_STOPWORDS)
         assert r.flag_alpha == (alpha >= GOPHER_MIN_ALPHA_PPM)
+
+
+@given(st.lists(st.tuples(st.integers(-10**12, 10**12),
+                          st.integers(1, 10**6)),
+                min_size=1, max_size=20))
+@SLOW
+def test_floor_division_identity_across_engines(spark, pairs):
+    """The exact-floor correction the DSIR admission boundary relies
+    on: Spark `div` and DuckDB integer `//` BOTH truncate toward zero
+    (measured r8: -7 // 2 = -3 in DuckDB — the r7 advice claimed it
+    floors), so both engines carry the same negative-remainder
+    correction; this pins Spark's corrected expression to Python's
+    true mathematical floor AND to DuckDB's corrected expression on
+    arbitrary (score, n) pairs."""
+    import duckdb
+    df = spark.createDataFrame(pairs, "x long, n long")
+    got = {(r.x, r.n): r.f for r in df.select(
+        "x", "n",
+        F.expr("x div n - (CASE WHEN x % n != 0 AND x < 0 "
+               "THEN 1 ELSE 0 END)").alias("f")).collect()}
+    con = duckdb.connect()
+    duck = {(x, n): con.execute(
+        "SELECT CAST(? AS BIGINT) // CAST(? AS BIGINT)"
+        " - CASE WHEN CAST(? AS BIGINT) % CAST(? AS BIGINT) <> 0"
+        "        AND ? < 0 THEN 1 ELSE 0 END",
+        [x, n, x, n, x]).fetchone()[0] for x, n in pairs}
+    for x, n in pairs:
+        want = x // n   # Python: true mathematical floor
+        assert got[(x, n)] == want, (x, n, got[(x, n)], want)
+        assert duck[(x, n)] == want, (x, n, duck[(x, n)], want)
