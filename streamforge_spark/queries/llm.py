@@ -1704,3 +1704,68 @@ def ivf_cell_report(spark, sf_dir):
                     F.expr("(1000000 * n_vecs) div t").alias("share_ppm"),
                     (F.col("n_vecs") * IVF_CELLS > 2 * F.col("t"))
                     .alias("hot")))
+
+
+# -- semantic decontamination (embedding-space benchmark leakage) --------
+
+SEM_DECON_BENCH_MAX_ID = 20   # vec_id < 20 is the benchmark hold-out
+
+
+def _sem_decon_oracle() -> str:
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+bench AS (SELECT vec_id, v FROM e WHERE vec_id < {SEM_DECON_BENCH_MAX_ID}),
+corpus AS (SELECT vec_id, v FROM e WHERE vec_id >= {SEM_DECON_BENCH_MAX_ID}),
+scored AS (
+  SELECT c.vec_id, b.vec_id AS bid,
+         list_dot_product(c.v, b.v)
+           / (sqrt(list_dot_product(c.v, c.v))
+              * sqrt(list_dot_product(b.v, b.v))) AS cos
+  FROM corpus c CROSS JOIN bench b),
+best AS (
+  SELECT vec_id, bid, cos,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY cos DESC, bid) AS rn
+  FROM scored)
+SELECT vec_id, bid AS nearest_bench_id, cos AS max_cos,
+       cos >= {SEM_THRESHOLD} AS contaminated
+FROM best WHERE rn = 1
+"""
+
+
+@query("semantic_decontamination", oracle=_sem_decon_oracle())
+def semantic_decontamination(spark, sf_dir):
+    """Embedding-space benchmark decontamination: every corpus vector
+    scored by exact cosine against the (small) benchmark hold-out —
+    flagged when any benchmark vector clears SEM_THRESHOLD, with the
+    nearest benchmark id and score for audit.  The semantic complement
+    of the n-gram `contamination_check` / exact-substring gates: a
+    paraphrased eval question shares no shingles or 30-char windows
+    but sits next to its source in embedding space (the leakage class
+    n-gram decon provably misses).
+
+    Scale shape: the benchmark side is small BY NATURE (eval suites,
+    not corpora) and broadcasts; the corpus side streams through one
+    scan with a per-row fold over |bench| cosines and ONE per-vector
+    max — no corpus-side shuffle beyond the final projection, the
+    same silhouette as the job-side decontamination gate.  For very
+    large benchmark sets, route through the IVF probe path
+    (streaming_semantic_dedup_gate with bench as the corpus index)."""
+    (emb,) = prep(spark, sf_dir, "embeddings")
+    from streamforge_spark.functions.similarity import cosine
+    from pyspark.sql import Window
+    e = emb.select("vec_id",
+                   F.col("embedding").cast("array<double>").alias("v"))
+    bench = (e.filter(F.col("vec_id") < SEM_DECON_BENCH_MAX_ID)
+             .select(F.col("vec_id").alias("bid"),
+                     F.col("v").alias("bv")))
+    corpus = e.filter(F.col("vec_id") >= SEM_DECON_BENCH_MAX_ID)
+    scored = (corpus.join(F.broadcast(bench))
+              .select("vec_id", "bid", cosine(F.col("v"), F.col("bv"))
+                      .alias("cos")))
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), "bid")
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", F.col("bid").alias("nearest_bench_id"),
+                    F.col("cos").alias("max_cos"),
+                    (F.col("cos") >= SEM_THRESHOLD).alias("contaminated")))

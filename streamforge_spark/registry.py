@@ -110,7 +110,7 @@ ROTATION_PRIORITY = [
     # round-8 additions
     "hot_band_report", "corpus_funnel_report", "semantic_ingest_gate",
     "dedup_cluster_representatives", "corpus_funnel_summary",
-    "ivf_cell_report",
+    "ivf_cell_report", "semantic_decontamination",
 ]
 
 
