@@ -1745,27 +1745,42 @@ def semantic_decontamination(spark, sf_dir):
     n-gram decon provably misses).
 
     Scale shape: the benchmark side is small BY NATURE (eval suites,
-    not corpora) and broadcasts; the corpus side streams through one
-    scan with a per-row fold over |bench| cosines and ONE per-vector
-    max — no corpus-side shuffle beyond the final projection, the
-    same silhouette as the job-side decontamination gate.  For very
-    large benchmark sets, route through the IVF probe path
+    not corpora) and inlines as plan literals (the
+    ivf_probe_cells_expr pattern); the corpus side streams through
+    ONE scan with a per-row fold over |bench| cosines and a row-local
+    array_sort argmax — ZERO shuffle, zero exchange of the crossed
+    relation (the r8 row_number-over-Window shape shuffled
+    |corpus|x|bench| rows; this computes the identical (cos DESC, bid
+    ASC) winner scan-side).  Each cosine keeps the exact oracle IEEE
+    sequence dot/(sqrt(dot_vv)*sqrt(dot_bb)): the corpus norm is
+    computed once per row and reused, the bench norms constant-fold.
+    For very large benchmark sets, route through the IVF probe path
     (streaming_semantic_dedup_gate with bench as the corpus index)."""
     (emb,) = prep(spark, sf_dir, "embeddings")
-    from streamforge_spark.functions.similarity import cosine
-    from pyspark.sql import Window
+    from streamforge_spark.functions.similarity import _dot
     e = emb.select("vec_id",
                    F.col("embedding").cast("array<double>").alias("v"))
-    bench = (e.filter(F.col("vec_id") < SEM_DECON_BENCH_MAX_ID)
-             .select(F.col("vec_id").alias("bid"),
-                     F.col("v").alias("bv")))
-    corpus = e.filter(F.col("vec_id") >= SEM_DECON_BENCH_MAX_ID)
-    scored = (corpus.join(F.broadcast(bench))
-              .select("vec_id", "bid", cosine(F.col("v"), F.col("bv"))
-                      .alias("cos")))
-    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), "bid")
-    return (scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", F.col("bid").alias("nearest_bench_id"),
-                    F.col("cos").alias("max_cos"),
-                    (F.col("cos") >= SEM_THRESHOLD).alias("contaminated")))
+    # bounded collect: the benchmark hold-out (< SEM_DECON_BENCH_MAX_ID
+    # rows) — an eval suite, never a corpus.
+    bench = sorted(
+        e.filter(F.col("vec_id") < SEM_DECON_BENCH_MAX_ID).collect(),
+        key=lambda r: r.vec_id)
+    corpus = (e.filter(F.col("vec_id") >= SEM_DECON_BENCH_MAX_ID)
+              .withColumn("nv", F.sqrt(_dot(F.col("v"), F.col("v")))))
+    cands = []
+    for r in bench:
+        bv = F.array(*[F.lit(float(x)) for x in r.v])
+        denom = F.col("nv") * F.sqrt(_dot(bv, bv))
+        cos = (F.when(denom != 0.0, _dot(F.col("v"), bv) / denom)
+               .otherwise(F.lit(0.0)))
+        cands.append(F.struct(
+            (-cos).alias("neg_cos"),
+            F.lit(int(r.vec_id)).cast("long").alias("bid")))
+    best = F.array_sort(F.array(*cands))[0]
+    return (corpus
+            .withColumn("best", best)
+            .select("vec_id",
+                    F.col("best.bid").alias("nearest_bench_id"),
+                    (-F.col("best.neg_cos")).alias("max_cos"),
+                    (-F.col("best.neg_cos") >= SEM_THRESHOLD)
+                    .alias("contaminated")))
