@@ -40,6 +40,9 @@ CURATION = [
     "multimodal_features", "embedding_kmeans", "leakage_safe_split",
     "quality_classifier_score", "segment_dedup", "doc_repetition_stats",
     "semantic_dedup",  # hot_band_report moved to HEADLINE (r8)
+    # r8 late additions (verdict r8 item 3): audit rows required
+    "ivf_cell_report", "semantic_decontamination",
+    "dedup_cluster_representatives", "corpus_funnel_summary",
 ]
 
 #: time-series analytics queries (queries/timeseries.py) + graph /
@@ -192,6 +195,19 @@ def main() -> None:
             "one-row min/max-limits broadcast cross (the q22 pattern); "
             "4 embeddings scans = quantizer stats + code table + the "
             "two full-precision rerank sides.\n"
+            "- `ivf_cell_report`'s nested-loop joins are the one-row "
+            "totals broadcast (the q22 pattern: a single-row SUM "
+            "crossed onto the k-row cell rollup); the formatted "
+            "explain shows the pre-localCheckpoint subtree once per "
+            "consumer, and its scans column is empty because the "
+            "audited plan reads the checkpointed cell rollup, not "
+            "parquet (the trainer's scans run before the checkpoint "
+            "like dedup_clusters).\n"
+            "- `semantic_decontamination` is the r9 plan fix: the "
+            "benchmark side inlines as literals and the per-vector "
+            "argmax is a row-local array_sort fold — 0 exchanges "
+            "(the r8 shape shuffled the |corpus|x|bench| crossed "
+            "relation through a window).\n"
             "- `bigram_lm_score` scans documents 3x — verified: no "
             "ReusedExchange even with broadcasts disabled (column "
             "pruning makes the three bigram subplans distinct). The "
