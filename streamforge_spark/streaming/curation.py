@@ -623,10 +623,16 @@ def _write_max_doc_id(spark, path: str, max_id) -> None:
 
 
 def _read_max_doc_id(spark, path: str) -> int:
-    try:
-        return spark.read.parquet(_meta_path(path)).first()[0]
-    except Exception:
-        return -1   # pre-marker index (or empty): accept any ids once
+    # -1 ONLY for a genuinely missing marker (pre-marker index): a
+    # bare except here silently disabled both the replayed-batch skip
+    # and the non-monotone-id guard on any transient read failure
+    # (advisor-r8) — existence is checked via the Hadoop FS like
+    # effectively_once, and real read errors propagate.
+    from streamforge_spark.streaming.recovery import _hadoop_fs
+    fs, _JPath, p = _hadoop_fs(spark, _meta_path(path))
+    if not fs.exists(p):
+        return -1
+    return spark.read.parquet(_meta_path(path)).first()[0]
 
 
 def load_minhash_index(spark, path: str):
@@ -696,11 +702,21 @@ def append_minhash_index(path: str, admitted_docs: DataFrame,
     # marker only skips FULLY-applied batches): rows the crashed
     # attempt already wrote are dropped from this attempt, and they
     # count as existing members in the capacity check — so a partial
-    # replay converges to exactly the rebuild rows, never duplicates
+    # replay converges to exactly the rebuild rows, never duplicates.
+    # Grams anti-join against STORED GRAMS (advisor-r8): keying the
+    # skip on band-derived doc_ids left a crash window — bands land
+    # before grams, so a crash between the two writes made the replay
+    # skip those docs' grams forever (band rows with no shingle set ->
+    # fuzzy gate scores Jaccard 0.0 -> admits true near-dups).  The
+    # stored-grams read is restricted to the batch's id range, so
+    # append-mode row-group stats prune it to the replayed batch.
     bands = bands.join(existing_rows.select("doc_id", "band"),
                        ["doc_id", "band"], "left_anti")
-    grams = grams.join(
-        existing_rows.select("doc_id").distinct(), "doc_id", "left_anti")
+    stored_grams = (spark.read.parquet(f"{path}/grams")
+                    .select("doc_id")
+                    .filter((F.col("doc_id") >= lo) & (F.col("doc_id") <= hi))
+                    .distinct())
+    grams = grams.join(stored_grams, "doc_id", "left_anti")
     existing = (existing_rows.groupBy("band", "band_hash")
                 .agg(F.count(F.lit(1)).alias("_n")))
     w = Window.partitionBy("band", "band_hash").orderBy("doc_id")

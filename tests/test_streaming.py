@@ -1543,6 +1543,54 @@ def test_minhash_index_append_equals_rebuild(spark, workdir):
     assert not via_loaded[10][1] and via_loaded[11][1]
 
 
+def test_minhash_index_append_replay_after_bands_only_crash(spark, workdir):
+    # advisor-r8 crash window: bands land before grams, so an attempt
+    # that dies between the two writes leaves band rows with no
+    # shingle sets.  The replay must still converge to exactly the
+    # rebuild rows — in particular it must WRITE the skipped grams
+    # (the old band-derived anti-join skipped them forever, making the
+    # fuzzy gate score Jaccard 0.0 and admit true near-dups)
+    from streamforge_spark.streaming.curation import (
+        append_minhash_index, load_minhash_index, minhash_corpus_index,
+        save_minhash_index, streaming_fuzzy_dedup_gate)
+
+    DOCS = T.StructType([T.StructField("doc_id", T.LongType()),
+                         T.StructField("text", T.StringType())])
+    first = [(1, "alpha beta gamma delta epsilon zeta eta theta iota"),
+             (2, "one two three four five six seven eight nine ten")]
+    second = [(3, "red orange yellow green blue indigo violet and white")]
+    path = f"{workdir}/mhidx_crash"
+    b0, g0 = minhash_corpus_index(spark.createDataFrame(first, DOCS))
+    save_minhash_index(b0, g0, path)
+
+    # simulate the crashed attempt: batch band rows written, grams and
+    # marker untouched (exactly append_minhash_index's write order)
+    batch = spark.createDataFrame(second, DOCS)
+    b1, _g1 = minhash_corpus_index(batch)
+    (b1.repartition("band").sortWithinPartitions("band", "band_hash")
+     .write.mode("append").parquet(f"{path}/bands"))
+
+    append_minhash_index(path, batch)   # the effectively-once replay
+
+    bands_l, grams_l = load_minhash_index(spark, path)
+    b_full, g_full = minhash_corpus_index(
+        spark.createDataFrame(first + second, DOCS))
+    assert (sorted(map(tuple, bands_l.collect()))
+            == sorted(map(tuple, b_full.collect())))
+    assert (sorted((r.doc_id, tuple(r.gs)) for r in grams_l.collect())
+            == sorted((r.doc_id, tuple(r.gs)) for r in g_full.collect()))
+
+    # and the gate REJECTS a near-dup of the replayed doc (the failure
+    # mode was admitting it via a NULL shingle set)
+    probe = spark.createDataFrame(
+        [(10, "red orange yellow green blue indigo violet and black")],
+        DOCS)
+    got = {r.doc_id: r.admitted
+           for r in streaming_fuzzy_dedup_gate(
+               probe, bands_l, grams_l).collect()}
+    assert got[10] is False
+
+
 def test_minhash_index_append_respects_bucket_cap(spark, workdir):
     # a bucket already full in the persisted index admits no appended
     # members, and a partly-full one admits only up to capacity — so
