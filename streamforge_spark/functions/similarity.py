@@ -502,9 +502,29 @@ def build_ivf_fixed_index(emb: DataFrame, path: str, *,
     ``path/vectors`` (id, raw vector, cell) hive-partitioned on cell
     so an nprobe probe reads exactly those directories.  Assignment is
     a scan-side column projection (ivf_probe_cells_expr with
-    nprobe=1) — no shuffle, no Python in the corpus pass."""
+    nprobe=1) — no shuffle, no Python in the corpus pass.
+
+    Fewer than ``cells`` input vectors trains that many cells (init is
+    the k lowest ids); ZERO input vectors writes an EMPTY index —
+    load_ivf_fixed_index returns ([], empty) and consumers treat an
+    empty centroid matrix as gate-off (CorpusIngestV2 skips the
+    semantic gate and its append until a compactor retrain over an
+    embedded corpus re-establishes geometry)."""
     from streamforge_spark.functions.clustering import (
         KMEANS_QUANT, kmeans_centroids)
+    spark = emb.sparkSession
+    p = path.rstrip("/")
+    if not emb.take(1):
+        # no partitionBy here: a partitioned write of zero rows emits
+        # no schema-bearing part file and the read back fails with
+        # UNABLE_TO_INFER_SCHEMA; a coalesce(1) flat write keeps the
+        # footer so load_ivf_fixed_index round-trips
+        spark.createDataFrame(
+            [], f"{id_col} long, v array<double>, cell long"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{p}/vectors")
+        spark.createDataFrame([], "cell long, qcentroid array<long>") \
+            .coalesce(1).write.mode("overwrite").parquet(f"{p}/centroids")
+        return
     C = kmeans_centroids(emb, k=cells, rounds=rounds,
                          id_col=id_col, vec_col=vec_col)
     raw = F.col(vec_col).cast("array<double>")
@@ -514,13 +534,12 @@ def build_ivf_fixed_index(emb: DataFrame, path: str, *,
     ).withColumn("cell", ivf_probe_cells_expr(F.col("qv"), C, 1)[0])
     (assigned.select(id_col, "v", "cell")
      .write.partitionBy("cell").mode("overwrite")
-     .parquet(f"{path.rstrip('/')}/vectors"))
-    spark = emb.sparkSession
+     .parquet(f"{p}/vectors"))
     spark.createDataFrame(
         [(int(i), [int(x) for x in row]) for i, row in enumerate(C)],
         "cell long, qcentroid array<long>"
     ).coalesce(1).write.mode("overwrite") \
-        .parquet(f"{path.rstrip('/')}/centroids")
+        .parquet(f"{p}/centroids")
 
 
 def load_ivf_fixed_index(spark, path: str):
@@ -532,3 +551,55 @@ def load_ivf_fixed_index(spark, path: str):
     C = [list(r.qcentroid) for r in cents]
     vecs = spark.read.parquet(f"{path.rstrip('/')}/vectors")
     return C, vecs
+
+
+def append_ivf_fixed_index(path: str, vecs: DataFrame, *,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding") -> None:
+    """Fold newly admitted vectors into the persisted IVF index under
+    the index's FROZEN centroids — the posting-list append of real IVF
+    practice (r8-verdict item 7, the lifecycle parity ask with
+    append_minhash_index).  Assignment is the same scan-side integer
+    probe-cell projection the builder uses, so
+
+        append(batch) == re-assigning the union under the SAME
+        centroids (test_ivf_index_append_equals_frozen_rebuild)
+
+    and any id set is safe: there is no cross-vector state (no bucket
+    cap), so unlike the MinHash append no monotone-id contract is
+    needed.  What an append does NOT do is retrain: cell boundaries
+    drift as the corpus distribution shifts, degrading probe recall —
+    the periodic RETRAIN-rebuild belongs to CorpusCompact
+    (build_ivf_fixed_index over the survivors), exactly the
+    split-of-responsibilities the fuzzy gate documents.
+
+    Replay idempotence (the effectively-once crash window): rows whose
+    id is already present in the stored vectors — read restricted to
+    the batch's id range so parquet row-group stats prune it — are
+    dropped, so a replayed batch converges to exactly the same index
+    instead of duplicating posting rows (a duplicate would double
+    n_near_dups in the semantic gate's verdict rollup)."""
+    from streamforge_spark.functions.clustering import KMEANS_QUANT
+    spark = vecs.sparkSession
+    p = path.rstrip("/")
+    lo, hi = vecs.agg(F.min(id_col), F.max(id_col)).first()
+    if lo is None:
+        return
+    cents = spark.read.parquet(f"{p}/centroids").orderBy("cell").collect()
+    C = [list(r.qcentroid) for r in cents]
+    if not C:
+        raise ValueError(
+            f"IVF index at {p} is EMPTY (no centroids): appends have no "
+            f"geometry to assign against — retrain first "
+            f"(build_ivf_fixed_index over an embedded corpus)")
+    raw = F.col(vec_col).cast("array<double>")
+    qv = F.transform(raw, lambda x: F.round(x * KMEANS_QUANT).cast("long"))
+    assigned = (vecs.select(F.col(id_col).alias("vec_id"), raw.alias("v"),
+                            qv.alias("qv"))
+                .withColumn("cell", ivf_probe_cells_expr(F.col("qv"), C, 1)[0])
+                .drop("qv"))
+    stored = (spark.read.parquet(f"{p}/vectors").select("vec_id")
+              .filter((F.col("vec_id") >= lo) & (F.col("vec_id") <= hi)))
+    (assigned.join(stored, "vec_id", "left_anti")
+     .select("vec_id", "v", "cell")
+     .write.partitionBy("cell").mode("append").parquet(f"{p}/vectors"))

@@ -281,6 +281,9 @@ _DOC_SCHEMA = T.StructType([
     T.StructField("text", T.StringType()),
     T.StructField("source", T.StringType()),
     T.StructField("event_time", T.TimestampType()),
+    # optional per-doc embedding: docs without one parse as NULL and
+    # skip the funnel's semantic gate (corpus_funnel_verdicts contract)
+    T.StructField("embedding", T.ArrayType(T.DoubleType())),
 ])
 
 def _parse_corpus_docs(raw: DataFrame, job_name: str):
@@ -377,7 +380,8 @@ def corpus_ingest(spark: SparkSession, cfg: ScopedConfig):
             _sink(parse_dlq, cfg, "dlq_parse")]
 
 
-FUNNEL_VERDICTS = ("gopher", "oov", "substring", "fuzzy", "dsir")
+FUNNEL_VERDICTS = ("gopher", "oov", "substring", "fuzzy", "semantic",
+                   "dsir")
 
 
 @stream_job("CorpusIngestV2")
@@ -386,10 +390,10 @@ def corpus_ingest_v2(spark: SparkSession, cfg: ScopedConfig):
     job (the corpus_ingest successor the r7 verdict asked for):
     newline-JSON documents in -> parse (poison -> DLQ) -> gopher
     quality gate -> vocabulary OOV gate -> exact-substring
-    contamination gate -> fuzzy near-dup gate -> DSIR admission
-    weighting -> per-verdict parquet sinks, each gate probing its
-    PERSISTED artifact (the model-store contract every standalone
-    gate ships with).  The analog of the reference's composed
+    contamination gate -> fuzzy near-dup gate -> semantic (embedding)
+    near-dup gate -> DSIR admission weighting -> per-verdict parquet
+    sinks, each gate probing its PERSISTED artifact (the model-store
+    contract every standalone gate ships with).  The analog of the reference's composed
     10-operator chain (MongoToKafkaJob.java:51-91) for the LLM
     pipeline.
 
@@ -397,6 +401,12 @@ def corpus_ingest_v2(spark: SparkSession, cfg: ScopedConfig):
       VOCAB_PATH          parquet with a ``term`` column
       XS_INDEX_PATH       substring window-hash index (write_substring_index)
       MINHASH_INDEX_PATH  fuzzy corpus index (save_minhash_index)
+      IVF_INDEX_PATH      fixed-point IVF index (build_ivf_fixed_index);
+                          docs carrying an ``embedding`` array probe it
+                          semantically (verdict 'semantic'); docs
+                          without one skip the gate
+      SEMANTIC_THRESHOLD  cosine rejection threshold (default 0.30)
+      SEMANTIC_NPROBE     IVF cells probed per vector (default 4)
       DSIR_COUNTS_PATH    DSIR sufficient statistics (save_dsir_counts)
       DSIR_THRESHOLD_MICRO  set -> DSIR becomes an admission GATE;
                             unset -> weight-only (admit + avg_llr_micro)
@@ -412,20 +422,22 @@ def corpus_ingest_v2(spark: SparkSession, cfg: ScopedConfig):
                           batches are skipped idempotently, genuinely
                           non-monotone input raises
 
-    Execution shape: the five per-doc verdict aggregations can't chain
+    Execution shape: the per-doc verdict aggregations can't chain
     inside one continuous streaming query (multiple stateful operators
     over arbitrary keys), so the job runs the SHARED verdict core
     (streaming/curation.py::corpus_funnel_verdicts — literally the
-    five standalone gate functions, so streaming == batch by
+    six standalone gate functions, so streaming == batch by
     construction) per micro-batch inside ONE foreachBatch, wrapped in
     the batchId commit ledger (streaming/sinks.py::effectively_once):
     sinks and index appends commit effectively once per batch even
-    across checkpoint-recovery replays.  The minhash/substring indexes
-    are RE-READ per batch — that is what makes the append visible to
-    the next batch.
+    across checkpoint-recovery replays.  The minhash/substring/IVF
+    indexes are RE-READ per batch — that is what makes the append
+    visible to the next batch.
     """
     from streamforge_spark.functions.dsir import (
         dsir_llr_from_counts, load_dsir_counts)
+    from streamforge_spark.functions.similarity import (
+        append_ivf_fixed_index, load_ivf_fixed_index)
     from streamforge_spark.functions.substring_index import (
         substring_index, window_hashes)
     from streamforge_spark.queries.text import XS_K
@@ -438,6 +450,9 @@ def corpus_ingest_v2(spark: SparkSession, cfg: ScopedConfig):
     vocab_path = cfg.get("VOCAB_PATH")
     xs_path = cfg.get("XS_INDEX_PATH")
     mh_path = cfg.get("MINHASH_INDEX_PATH")
+    ivf_path = cfg.get("IVF_INDEX_PATH")
+    sem_threshold = float(cfg.get("SEMANTIC_THRESHOLD") or "0.30")
+    sem_nprobe = int(cfg.get("SEMANTIC_NPROBE") or "4")
     dsir_path = cfg.get("DSIR_COUNTS_PATH")
     dsir_thresh = cfg.get("DSIR_THRESHOLD_MICRO")
     update_indexes = cfg.get("UPDATE_INDEXES") == "1"
@@ -467,13 +482,26 @@ def corpus_ingest_v2(spark: SparkSession, cfg: ScopedConfig):
         mh_bands = mh_grams = None
         if mh_path:
             mh_bands, mh_grams = load_minhash_index(spark, mh_path)
+        ivf_C = ivf_vecs = None
+        if ivf_path:
+            ivf_C, ivf_vecs = load_ivf_fixed_index(spark, ivf_path)
+            if not ivf_C:
+                # an EMPTY index (compacted corpus had no embedded
+                # survivors) has no geometry: the semantic gate AND its
+                # append stay off until a compactor retrain over an
+                # embedded corpus re-establishes centroids — embedded
+                # admissions meanwhile reach the index via that rebuild
+                ivf_C = ivf_vecs = None
 
         verdicts = corpus_funnel_verdicts(
             docs, vocab=vocab, xs_index=xs_index,
             mh_bands=mh_bands, mh_grams=mh_grams, llr_model=llr_model,
             dsir_threshold_micro=(int(dsir_thresh)
                                   if dsir_thresh is not None else None),
-            xs_k=XS_K).localCheckpoint()
+            xs_k=XS_K,
+            ivf_centroids=ivf_C, ivf_vecs=ivf_vecs,
+            semantic_threshold=sem_threshold,
+            semantic_nprobe=sem_nprobe).localCheckpoint()
 
         # batch_id rides every sink row: effectively_once's crash
         # window (produce done, ledger marker not yet written) replays
@@ -510,6 +538,13 @@ def corpus_ingest_v2(spark: SparkSession, cfg: ScopedConfig):
                 # compactor re-rolls mn/mx when spans/cut need them)
                 (substring_index(window_hashes(admitted_docs, XS_K))
                  .write.mode("append").parquet(xs_path))
+            if ivf_path and ivf_C is not None:
+                # frozen-centroid posting append (replay-idempotent);
+                # the compactor owns the periodic retrain-rebuild
+                append_ivf_fixed_index(
+                    ivf_path,
+                    admitted.filter(F.col("embedding").isNotNull())
+                    .select(F.col("doc_id").alias("vec_id"), "embedding"))
 
     q = (raw.writeStream
          .foreachBatch(effectively_once(produce, f"{ckpt}/funnel_ledger"))
@@ -546,6 +581,14 @@ def corpus_compact(spark: SparkSession, cfg: ScopedConfig):
       OUTPUT_PATH         ledger lands under OUTPUT_PATH/compaction_ledger
       XS_INDEX_PATH       optional: substring index rebuilt here
       MINHASH_INDEX_PATH  optional: MinHash corpus index rebuilt here
+      IVF_INDEX_PATH      optional: fixed-point IVF index RETRAINED
+                          here over surviving docs with embeddings
+                          (the online append keeps centroids frozen);
+                          zero embedded survivors writes an EMPTY
+                          index, which CorpusIngestV2 treats as
+                          semantic-gate-off
+      IVF_CELLS           IVF cell count for the retrain (default 16)
+      IVF_ROUNDS          Lloyd rounds for the retrain (default 2)
       FUZZY_THRESHOLD     Jaccard threshold (default 0.2, the gates')
 
     Scale shape: the closure is the capped band join
@@ -557,6 +600,8 @@ def corpus_compact(spark: SparkSession, cfg: ScopedConfig):
     (Deduplicator.java:53's state-bounding discipline); this job is
     that re-derivation for the LLM corpus."""
     from streamforge_spark.functions.simdedup import minhash_lsh_pairs
+    from streamforge_spark.functions.similarity import (
+        build_ivf_fixed_index)
     from streamforge_spark.functions.substring_index import (
         write_substring_index)
     from streamforge_spark.io import swap_dir
@@ -603,10 +648,23 @@ def corpus_compact(spark: SparkSession, cfg: ScopedConfig):
     survivors.write.mode("overwrite").parquet(tmp)
     swap_dir(spark, corpus_path, tmp)
 
-    kept = spark.read.parquet(corpus_path).select("doc_id", "text")
+    kept_all = spark.read.parquet(corpus_path)
+    kept = kept_all.select("doc_id", "text")
     if cfg.get("XS_INDEX_PATH"):
         write_substring_index(kept, cfg.get("XS_INDEX_PATH"), XS_K)
     if cfg.get("MINHASH_INDEX_PATH"):
         bands, grams = minhash_corpus_index(kept)
         save_minhash_index(bands, grams, cfg.get("MINHASH_INDEX_PATH"))
+    if cfg.get("IVF_INDEX_PATH"):
+        # the RETRAIN half of the IVF lifecycle: the online gate's
+        # append_ivf_fixed_index folds admissions under frozen
+        # centroids; the compactor re-trains cell boundaries over the
+        # compacted corpus so probe recall recovers from distribution
+        # drift (append == frozen-rebuild, compact == full rebuild)
+        build_ivf_fixed_index(
+            kept_all.filter(F.col("embedding").isNotNull())
+            .select(F.col("doc_id").alias("vec_id"), "embedding"),
+            cfg.get("IVF_INDEX_PATH"),
+            cells=int(cfg.get("IVF_CELLS") or "16"),
+            rounds=int(cfg.get("IVF_ROUNDS") or "2"))
     return []

@@ -278,7 +278,7 @@ FUNNEL_SPLIT_ID = 400
 FUNNEL_VOCAB_K = 16
 
 
-def _funnel_oracle() -> str:
+def _funnel_oracle(semantic: bool = False) -> str:
     from streamforge_spark.functions.dsir import (
         DSIR_BUCKETS, DSIR_MICRO, DSIR_SALT)
     from streamforge_spark.functions.simdedup import (
@@ -295,6 +295,53 @@ def _funnel_oracle() -> str:
     split, k = FUNNEL_SPLIT_ID, XS_K
     xs_hash = hash60_sql(f"substr(text, p, {k})", "'xs'")
     tok_hash = hash60_sql("tok", f"'{DSIR_SALT}'")
+    sem_ctes = sem_case = sem_join = ""
+    if semantic:
+        # the sixth gate's SQL (semantic=True -> the six-stage oracle
+        # behind corpus_funnel_semantic_report; semantic=False emits
+        # the five-stage SQL byte-identically): the fixed-point Lloyd
+        # chain trained on the ESTABLISHED embeddings, each arriving
+        # vector's nprobe-cell probe, and the exact-cosine rejection —
+        # verbatim the CTEs the green semantic_ingest_gate oracle uses
+        from streamforge_spark.functions.similarity import SEM_THRESHOLD
+        from streamforge_spark.queries.embeddings import _kmeans_oracle
+        from streamforge_spark.queries.llm import (
+            IVF_CELLS, IVF_ROUNDS, SEM_GATE_NPROBE)
+        base = _kmeans_oracle(
+            IVF_CELLS, IVF_ROUNDS, 10000,
+            src=f"(SELECT * FROM embeddings WHERE vec_id < {split})")
+        head, _ = base.rsplit("\nSELECT", 1)
+        kchain = head[len("WITH "):]
+        r = IVF_ROUNDS - 1
+        sem_ctes = f""",
+{kchain},
+raw AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+nq AS (SELECT vec_id, list_transform(embedding::DOUBLE[],
+                x -> CAST(ROUND(x * 10000) AS BIGINT)) AS v
+       FROM embeddings WHERE vec_id >= {split}),
+nd AS (SELECT vec_id, generate_subscripts(v, 1) AS j, unnest(v) AS x
+       FROM nq),
+probe AS (
+  SELECT qid, cl FROM (
+    SELECT nd.vec_id AS qid, cd.cl AS cl,
+           SUM((nd.x - cd.x) * (nd.x - cd.x)) AS d2
+    FROM nd JOIN cd{r} cd ON nd.j = cd.j
+    GROUP BY 1, 2) t
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, cl)
+            <= {SEM_GATE_NPROBE}),
+cands AS (SELECT p.qid, a.vec_id AS cid
+          FROM probe p JOIN a{r} a ON a.cl = p.cl),
+semrej AS (SELECT DISTINCT c.qid AS doc_id
+           FROM cands c
+           JOIN raw rq ON rq.vec_id = c.qid
+           JOIN raw rc ON rc.vec_id = c.cid
+           WHERE list_dot_product(rq.v, rc.v)
+                   / (sqrt(list_dot_product(rq.v, rq.v))
+                      * sqrt(list_dot_product(rc.v, rc.v)))
+                 >= {SEM_THRESHOLD})"""
+        sem_case = ("\n              "
+                    "WHEN sm.doc_id IS NOT NULL THEN 'semantic'")
+        sem_join = "\n  LEFT JOIN semrej sm USING (doc_id)"
     return f"""
 WITH {_SHINGLE_CTES},
 newdocs AS (SELECT doc_id, text FROM documents WHERE doc_id >= {split}),
@@ -393,13 +440,13 @@ dsa AS (SELECT doc_id,
                score // n_tokens
                  - CASE WHEN score % n_tokens <> 0 AND score < 0
                         THEN 1 ELSE 0 END AS avg
-        FROM ds),
+        FROM ds){sem_ctes},
 graded AS (
   SELECT n.doc_id,
          CASE WHEN NOT g.gopher_pass THEN 'gopher'
               WHEN o.oov_ppm > {FUNNEL_OOV_MAX_PPM} THEN 'oov'
               WHEN ct.doc_id IS NOT NULL THEN 'substring'
-              WHEN f.doc_id IS NOT NULL THEN 'fuzzy'
+              WHEN f.doc_id IS NOT NULL THEN 'fuzzy'{sem_case}
               WHEN d.avg < {FUNNEL_DSIR_THRESHOLD_MICRO} THEN 'dsir'
               ELSE 'admit' END AS verdict,
          d.avg
@@ -407,7 +454,7 @@ graded AS (
   JOIN gp g USING (doc_id)
   JOIN oov o USING (doc_id)
   LEFT JOIN contam ct USING (doc_id)
-  LEFT JOIN fz f USING (doc_id)
+  LEFT JOIN fz f USING (doc_id){sem_join}
   JOIN dsa d USING (doc_id))
 SELECT doc_id, verdict,
        CASE WHEN verdict = 'admit' THEN avg END AS avg_llr_micro
@@ -493,3 +540,79 @@ def corpus_funnel_summary(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.coalesce(F.sum("avg_llr_micro"), F.lit(0))
                  .alias("admitted_llr_micro_sum")))
+
+
+@query("corpus_funnel_semantic_report", oracle=_funnel_oracle(semantic=True))
+def corpus_funnel_semantic_report(spark, sf_dir):
+    """The composed funnel with its SIXTH gate armed (r8-verdict item
+    5): documents carrying an embedding probe the fixed-point IVF index
+    built from the ESTABLISHED corpus between the fuzzy and DSIR
+    stages — paraphrase-class near-dups that share no shingle band
+    (so the fuzzy gate admits them) are caught semantically
+    (SemDeDup-class admission, Abbas et al. 2023), verdict
+    ``semantic``.  Documents WITHOUT an embedding skip the gate
+    untouched: at sf0.1 three fifths of the corpus has no embedding
+    row, so the NULL-skip path is exercised at bench scale, exactly
+    the partially-embedded corpus a production ingest sees.
+
+    The verdict core is LITERALLY streaming/curation.py::
+    corpus_funnel_verdicts with ``ivf_centroids`` armed — the same
+    call CorpusIngestV2 makes when IVF_INDEX_PATH is configured — and
+    the semantic stage inside it is LITERALLY
+    streaming_semantic_dedup_gate, the function the oracle-green
+    semantic_ingest_gate certifies standalone.  Composition anchor:
+    the reference ships composed chains, not loose operators
+    (MongoToKafkaJob.java:51-91).
+
+    Cost split (the >5s headline convention): the dominant cost here
+    is ARTIFACT BUILD — vocab + substring index + MinHash index + DSIR
+    model + the rounds-scan Lloyd trainer, all from the established
+    split, rebuilt inline so the oracle can replay them.  Production
+    (CorpusIngestV2) amortizes every one through the persisted model
+    store and pays only the steady-state funnel: scan-side gopher,
+    broadcast vocab/llr probes, two semi-joins against persisted
+    indexes, the capped band join, the nprobe/k-pruned IVF probe join,
+    and O(batch) verdict rollups — never O(corpus) per batch."""
+    from streamforge_spark.functions.clustering import kmeans_centroids
+    from streamforge_spark.functions.dsir import dsir_llr_model
+    from streamforge_spark.functions.similarity import (
+        SEM_THRESHOLD, ivf_probe_cells_expr)
+    from streamforge_spark.functions.substring_index import (
+        substring_index, window_hashes)
+    from streamforge_spark.queries.curation import DSIR_TARGET_SOURCES
+    from streamforge_spark.queries.llm import (
+        IVF_CELLS, IVF_ROUNDS, MINHASH_THRESHOLD, SEM_GATE_NPROBE)
+    from streamforge_spark.queries.text import XS_K
+    from streamforge_spark.streaming.curation import (
+        FUNNEL_DSIR_THRESHOLD_MICRO, corpus_funnel_verdicts,
+        minhash_corpus_index)
+    docs, emb = prep(spark, sf_dir, "documents", "embeddings")
+    est = docs.filter(F.col("doc_id") < FUNNEL_SPLIT_ID)
+    new = (docs.filter(F.col("doc_id") >= FUNNEL_SPLIT_ID)
+           .join(emb.select(F.col("vec_id").alias("doc_id"), "embedding"),
+                 "doc_id", "left"))
+    vocab = (est.select(F.explode(F.split("text", " ")).alias("term"))
+             .groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+             .orderBy(F.col("c").desc(), "term").limit(FUNNEL_VOCAB_K)
+             .select("term"))
+    xs_index = substring_index(window_hashes(est, XS_K)).select("h")
+    mh_bands, mh_grams = minhash_corpus_index(est)
+    llr = dsir_llr_model(est, F.col("source").isin(*DSIR_TARGET_SOURCES))
+    est_emb = emb.filter(F.col("vec_id") < FUNNEL_SPLIT_ID)
+    C = kmeans_centroids(est_emb, k=IVF_CELLS, rounds=IVF_ROUNDS)
+    raw = F.col("embedding").cast("array<double>")
+    qv = F.transform(raw, lambda x: F.round(x * 10000).cast("long"))
+    ivf_vecs = (est_emb.select("vec_id", raw.alias("v"), qv.alias("qv"))
+                .withColumn("cell",
+                            ivf_probe_cells_expr(F.col("qv"), C, 1)[0])
+                .drop("qv"))
+    out = corpus_funnel_verdicts(
+        new, vocab=vocab, xs_index=xs_index,
+        mh_bands=mh_bands, mh_grams=mh_grams, llr_model=llr,
+        dsir_threshold_micro=FUNNEL_DSIR_THRESHOLD_MICRO,
+        fuzzy_threshold=MINHASH_THRESHOLD,
+        xs_k=XS_K,
+        ivf_centroids=C, ivf_vecs=ivf_vecs,
+        semantic_threshold=SEM_THRESHOLD,
+        semantic_nprobe=SEM_GATE_NPROBE)
+    return out.select("doc_id", "verdict", "avg_llr_micro")

@@ -111,6 +111,8 @@ ROTATION_PRIORITY = [
     "hot_band_report", "corpus_funnel_report", "semantic_ingest_gate",
     "dedup_cluster_representatives", "corpus_funnel_summary",
     "ivf_cell_report", "semantic_decontamination",
+    # round-9 additions
+    "corpus_funnel_semantic_report",
 ]
 
 

@@ -760,14 +760,28 @@ def corpus_funnel_verdicts(docs: DataFrame,
                            xs_k: int | None = None,
                            fuzzy_threshold: float = 0.2,
                            id_col: str = "doc_id",
-                           text_col: str = "text") -> DataFrame:
+                           text_col: str = "text",
+                           ivf_centroids=None,
+                           ivf_vecs: DataFrame | None = None,
+                           semantic_threshold: float = 0.30,
+                           semantic_nprobe: int = 4,
+                           vec_col: str = "embedding") -> DataFrame:
     """The composed online curation funnel — gopher -> vocab OOV ->
-    exact-substring contamination -> fuzzy near-dup -> DSIR admission
-    — as ONE per-document verdict table: every input doc gets exactly
-    one row with ``verdict`` in {'admit', 'gopher', 'oov',
-    'substring', 'fuzzy', 'dsir'} (first failing gate wins, fixed
-    cheapest-first precedence) plus the admitted docs'
-    ``avg_llr_micro`` DSIR weight (NULL otherwise).
+    exact-substring contamination -> fuzzy near-dup -> semantic
+    near-dup -> DSIR admission — as ONE per-document verdict table:
+    every input doc gets exactly one row with ``verdict`` in
+    {'admit', 'gopher', 'oov', 'substring', 'fuzzy', 'semantic',
+    'dsir'} (first failing gate wins, fixed cheapest-first
+    precedence) plus the admitted docs' ``avg_llr_micro`` DSIR weight
+    (NULL otherwise).
+
+    The semantic stage (r8-verdict item 5) runs when ``ivf_centroids``
+    is set: survivors carrying a non-NULL ``vec_col`` probe the
+    persisted fixed-point IVF index exactly as
+    streaming_semantic_dedup_gate does (LITERALLY that function);
+    docs without an embedding pass the gate untouched — a corpus
+    where only some documents are embedded still gets the five text
+    gates on everything.
 
     Each stage is LITERALLY the standalone gate its own test/oracle
     verifies (streaming_gopher_gate / streaming_vocab_oov /
@@ -789,7 +803,10 @@ def corpus_funnel_verdicts(docs: DataFrame,
     """
     from streamforge_spark.functions.text import gopher_metrics
 
-    cur = docs.select(id_col, text_col).localCheckpoint(eager=False)
+    keep = [id_col, text_col]
+    if ivf_centroids is not None:
+        keep.append(vec_col)
+    cur = docs.select(*keep).localCheckpoint(eager=False)
     fails = []
 
     def _fail(ids: DataFrame, verdict: str) -> None:
@@ -822,6 +839,19 @@ def corpus_funnel_verdicts(docs: DataFrame,
             id_col=id_col, text_col=text_col)
         _fail(fz.filter(~F.col("admitted")), "fuzzy")
         cur = (cur.join(fz.filter(F.col("admitted")).select(id_col), id_col)
+               .localCheckpoint(eager=False))
+
+    if ivf_centroids is not None:
+        sem = streaming_semantic_dedup_gate(
+            cur.filter(F.col(vec_col).isNotNull())
+               .select(F.col(id_col).alias("vec_id"),
+                       F.col(vec_col).alias("embedding")),
+            ivf_centroids, ivf_vecs,
+            threshold=semantic_threshold, nprobe=semantic_nprobe)
+        rejected = (sem.filter(~F.col("admitted"))
+                    .select(F.col("vec_id").alias(id_col)))
+        _fail(rejected, "semantic")
+        cur = (cur.join(rejected, id_col, "left_anti")
                .localCheckpoint(eager=False))
 
     admitted = cur.select(id_col)

@@ -193,9 +193,13 @@ def test_launcher_rejects_unknown_job(spark, tmp_path):
         run_job("NoSuchJob", job_cfg(tmp_path), spark=spark, drain=True)
 
 
-def doc_line(doc_id, text, source="web", t="2024-01-01 10:00:00") -> str:
-    return json.dumps({"doc_id": doc_id, "text": text, "source": source,
-                       "event_time": t})
+def doc_line(doc_id, text, source="web", t="2024-01-01 10:00:00",
+             emb=None) -> str:
+    d = {"doc_id": doc_id, "text": text, "source": source,
+         "event_time": t}
+    if emb is not None:
+        d["embedding"] = emb
+    return json.dumps(d)
 
 
 def test_corpus_ingest_job(spark, tmp_path):
@@ -560,6 +564,179 @@ def test_corpus_ingest_v2_update_indexes_fold_admissions(spark, tmp_path):
             read(spark, tmp_path, "quarantine_substring").collect()] == [410]
     fz = read(spark, tmp_path, "quarantine_fuzzy").collect()
     assert [r.doc_id for r in fz] == [411]
+
+
+def test_corpus_ingest_v2_semantic_gate(spark, tmp_path):
+    """The funnel's SIXTH gate (verdict-r8 item 5): with IVF_INDEX_PATH
+    configured, a doc whose TEXT clears every text gate but whose
+    embedding is near-parallel to an established corpus vector lands in
+    quarantine_semantic; an orthogonal embedding admits; a doc WITHOUT
+    an embedding skips the gate entirely; and a doc that fails fuzzy
+    keeps verdict 'fuzzy' even though its embedding is also a near-dup
+    (first-failing-gate precedence).  The composed verdicts match
+    streaming_semantic_dedup_gate run standalone on the embedded
+    text-gate survivors — the gate inside the funnel IS the certified
+    standalone gate."""
+    from streamforge_spark.functions.similarity import (
+        build_ivf_fixed_index, load_ivf_fixed_index)
+    from streamforge_spark.streaming.curation import (
+        streaming_semantic_dedup_gate)
+    E1, E2, docs = _funnel_fixture()
+    _funnel_artifacts(spark, tmp_path, [(1, E1, "raw"), (2, E2, "tgt")])
+    est_emb = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>")
+    build_ivf_fixed_index(est_emb, str(tmp_path / "ivf_index"),
+                          cells=2, rounds=2)
+
+    near = [0.99, 0.12, 0.0, 0.0]    # cos vs vec 1 ~ 0.99: rejected
+    orth = [0.0, 0.0, 1.0, 0.0]      # orthogonal to both: admits
+    # 413: a third admit-text (stride-13 e-words, the proven-fresh
+    # permutation from the UPDATE_INDEXES test)
+    e2_w = E2.split()
+    d13 = " ".join(["the", "and"] + [e2_w[2:][(13 * i + 9) % 58]
+                                     for i in range(58)])
+    write_lines(tmp_path / "in", [
+        doc_line(400, docs[400], emb=near),   # fuzzy text + near emb
+        doc_line(405, docs[405], emb=near),   # admit text + near emb
+        doc_line(406, docs[406], emb=orth),   # admit text + orth emb
+        doc_line(413, d13),                   # admit text, NO embedding
+    ])
+    run_job("CorpusIngestV2",
+            _funnel_cfg(tmp_path, IVF_INDEX_PATH=tmp_path / "ivf_index"),
+            spark=spark, drain=True)
+
+    assert sorted(r.doc_id for r in
+                  read(spark, tmp_path, "corpus").collect()) == [406, 413]
+    assert [r.doc_id for r in
+            read(spark, tmp_path, "quarantine_semantic").collect()] == [405]
+    assert [r.doc_id for r in
+            read(spark, tmp_path, "quarantine_fuzzy").collect()] == [400]
+    metrics = {r.verdict: r.n_docs for r in
+               read(spark, tmp_path, "funnel_metrics").collect()}
+    assert metrics == {"admit": 2, "fuzzy": 1, "semantic": 1}
+
+    # composed == standalone: the embedded text-gate survivors (405,
+    # 406; 400 fell to fuzzy first, 413 has no embedding) get exactly
+    # the standalone gate's verdicts against the same persisted index
+    C, vecs = load_ivf_fixed_index(spark, str(tmp_path / "ivf_index"))
+    standalone = {r.vec_id: r.admitted
+                  for r in streaming_semantic_dedup_gate(
+                      spark.createDataFrame(
+                          [(405, near), (406, orth)],
+                          "vec_id long, embedding array<double>"),
+                      C, vecs, threshold=0.30, nprobe=4).collect()}
+    assert standalone == {405: False, 406: True}
+
+
+def test_corpus_ingest_v2_update_indexes_folds_ivf(spark, tmp_path):
+    """UPDATE_INDEXES=1 + IVF_INDEX_PATH: an admitted embedded doc's
+    vector folds into the persisted IVF index under frozen centroids,
+    so a LATER batch's semantically-near doc is rejected against the
+    earlier ADMISSION (not just the bootstrap corpus) — the embedding
+    twin of the substring/MinHash fold test."""
+    E1, E2, docs = _funnel_fixture()
+    _funnel_artifacts(spark, tmp_path, [(1, E1, "raw"), (2, E2, "tgt")])
+    from streamforge_spark.functions.similarity import (
+        build_ivf_fixed_index, load_ivf_fixed_index)
+    est_emb = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>")
+    build_ivf_fixed_index(est_emb, str(tmp_path / "ivf_index"),
+                          cells=2, rounds=2)
+    cfg = _funnel_cfg(tmp_path, IVF_INDEX_PATH=tmp_path / "ivf_index",
+                      UPDATE_INDEXES="1")
+
+    # batch 0: 405 admits (orthogonal embedding) and folds in
+    write_lines(tmp_path / "in",
+                [doc_line(405, docs[405], emb=[0.0, 0.0, 1.0, 0.0])])
+    run_job("CorpusIngestV2", cfg, spark=spark, drain=True)
+    _, vecs = load_ivf_fixed_index(spark, str(tmp_path / "ivf_index"))
+    assert sorted(r.vec_id for r in vecs.collect()) == [1, 2, 405]
+
+    # batch 1: 412's text is fresh (proven admit), but its embedding is
+    # near-parallel to 405's APPENDED vector -> semantic rejection by
+    # the fold, exactly the cross-batch dedup the flag promises
+    e2_w = E2.split()
+    d12 = " ".join(["the", "and"] + [e2_w[2:][(13 * i + 9) % 58]
+                                     for i in range(58)])
+    write_lines(tmp_path / "in",
+                [doc_line(412, d12, emb=[0.05, 0.0, 0.99, 0.0])],
+                name="batch1.txt")
+    run_job("CorpusIngestV2", cfg, spark=spark, drain=True)
+    assert sorted(r.doc_id for r in
+                  read(spark, tmp_path, "corpus").collect()) == [405]
+    assert [r.doc_id for r in
+            read(spark, tmp_path, "quarantine_semantic").collect()] == [412]
+    # rejected docs do NOT fold in
+    _, vecs = load_ivf_fixed_index(spark, str(tmp_path / "ivf_index"))
+    assert sorted(r.vec_id for r in vecs.collect()) == [1, 2, 405]
+
+
+def test_corpus_compact_retrains_ivf_index(spark, tmp_path):
+    """The RETRAIN half of the IVF lifecycle: CorpusCompact rebuilds
+    the index over surviving docs that carry embeddings (NULL-embedding
+    survivors are excluded), so the online gate's next probes reflect
+    the compacted corpus — and a replay of a dropped doc's embedding is
+    rejected against its surviving twin."""
+    from pyspark.sql import functions as F
+
+    from streamforge_spark.functions.similarity import (
+        load_ivf_fixed_index)
+    from streamforge_spark.streaming.curation import (
+        streaming_semantic_dedup_gate)
+    E1, E2, docs = _funnel_fixture()
+    d7 = docs[405]
+    d7v_w = d7.split()
+    for j, pos in enumerate(range(7, 60, 8)):
+        d7v_w[pos] = f"yj{FUNNEL_ALPHA[j]}"
+    d7v = " ".join(d7v_w)   # near-dup text of 405 -> dropped
+
+    corpus_path = tmp_path / "corpus"
+    spark.createDataFrame(
+        [(1, E1, "raw", [1.0, 0.0, 0.0, 0.0]),
+         (2, E2, "tgt", None),                      # NULL embedding
+         (405, d7, "web", [0.0, 0.0, 1.0, 0.0]),
+         (407, d7v, "web", [0.05, 0.0, 0.99, 0.0])],  # dropped near-dup
+        "doc_id long, text string, source string, embedding array<double>"
+    ).write.parquet(str(corpus_path))
+
+    run_job("CorpusCompact",
+            job_cfg(tmp_path, CORPUS_PATH=corpus_path,
+                    IVF_INDEX_PATH=tmp_path / "ivf_index",
+                    IVF_CELLS="2", IVF_ROUNDS="2"),
+            spark=spark, drain=True)
+
+    kept = sorted(r.doc_id for r in
+                  spark.read.parquet(str(corpus_path)).collect())
+    assert kept == [1, 2, 405]
+    # retrained index covers exactly the EMBEDDED survivors
+    C, vecs = load_ivf_fixed_index(spark, str(tmp_path / "ivf_index"))
+    assert sorted(r.vec_id for r in vecs.collect()) == [1, 405]
+    # the dropped doc's embedding replayed as a probe is rejected
+    # against its surviving twin; an orthogonal probe admits
+    got = {r.vec_id: r.admitted
+           for r in streaming_semantic_dedup_gate(
+               spark.createDataFrame(
+                   [(900, [0.05, 0.0, 0.99, 0.0]),
+                    (901, [0.0, 1.0, 0.0, 0.0])],
+                   "vec_id long, embedding array<double>"),
+               C, vecs, threshold=0.30, nprobe=2).collect()}
+    assert got == {900: False, 901: True}
+
+    # an all-NULL-embedding corpus retrains to the EMPTY index
+    corpus2 = tmp_path / "corpus2"
+    spark.createDataFrame(
+        [(1, E1, "raw", None)],
+        "doc_id long, text string, source string, embedding array<double>"
+    ).write.parquet(str(corpus2))
+    run_job("CorpusCompact",
+            job_cfg(tmp_path, CORPUS_PATH=corpus2,
+                    IVF_INDEX_PATH=tmp_path / "ivf_empty",
+                    CHECKPOINT_DIR=tmp_path / "ckpt2"),
+            spark=spark, drain=True)
+    C2, vecs2 = load_ivf_fixed_index(spark, str(tmp_path / "ivf_empty"))
+    assert C2 == [] and vecs2.count() == 0
 
 
 def test_corpus_compact_closes_within_batch_blind_spot(spark, tmp_path):

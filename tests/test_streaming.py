@@ -1621,6 +1621,101 @@ def test_minhash_index_append_respects_bucket_cap(spark, workdir):
     assert bands_l.filter(F.col("doc_id") >= 1000).count() == 0
 
 
+def test_ivf_index_append_equals_frozen_rebuild(spark, workdir):
+    # IVF lifecycle parity with the MinHash index (verdict-r8 item 7):
+    # append(batch) folds new vectors in under the index's FROZEN
+    # centroids, so the posting rows equal re-assigning the union
+    # under those SAME centroids (NOT a retrain — that belongs to
+    # CorpusCompact), the centroids are untouched, and the semantic
+    # gate sees appended vectors as live rejection targets
+    from streamforge_spark.functions.clustering import KMEANS_QUANT
+    from streamforge_spark.functions.similarity import (
+        append_ivf_fixed_index, build_ivf_fixed_index,
+        ivf_probe_cells_expr, load_ivf_fixed_index)
+    from streamforge_spark.streaming.curation import (
+        streaming_semantic_dedup_gate)
+
+    EMB = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.DoubleType()))])
+    first = [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0, 0.0])]
+    second = [(3, [0.0, 0.0, 1.0, 0.0]), (4, [0.6, 0.8, 0.0, 0.0])]
+    path = f"{workdir}/ivfidx_append"
+    build_ivf_fixed_index(spark.createDataFrame(first, EMB), path,
+                          cells=2, rounds=2)
+    C0, _ = load_ivf_fixed_index(spark, path)
+    append_ivf_fixed_index(path, spark.createDataFrame(second, EMB))
+    C1, vecs = load_ivf_fixed_index(spark, path)
+    assert C1 == C0   # frozen: an append never moves cell boundaries
+
+    # frozen rebuild: assign the UNION under the pre-append centroids
+    # with the exact builder projection
+    union = spark.createDataFrame(first + second, EMB)
+    raw = F.col("embedding").cast("array<double>")
+    qv = F.transform(raw, lambda x: F.round(x * KMEANS_QUANT).cast("long"))
+    expected = (union.select("vec_id", raw.alias("v"), qv.alias("qv"))
+                .withColumn("cell",
+                            ivf_probe_cells_expr(F.col("qv"), C0, 1)[0])
+                .drop("qv"))
+    assert (sorted((r.vec_id, tuple(r.v), r.cell)
+                   for r in vecs.collect())
+            == sorted((r.vec_id, tuple(r.v), r.cell)
+                      for r in expected.collect()))
+
+    # appended vectors are live gate targets: a near-dup of appended
+    # vec 3 is rejected, an orthogonal probe still admits
+    probe = spark.createDataFrame(
+        [(10, [0.05, 0.0, 0.99, 0.0]), (11, [0.0, 0.0, 0.0, 1.0])], EMB)
+    got = {r.vec_id: r.admitted
+           for r in streaming_semantic_dedup_gate(
+               probe, C1, vecs, threshold=0.30, nprobe=2).collect()}
+    assert got == {10: False, 11: True}
+
+
+def test_ivf_index_append_replay_is_idempotent(spark, workdir):
+    # the effectively-once crash window: a batch whose append committed
+    # but whose ledger marker didn't gets REPLAYED — the replay must
+    # converge to the same index (no duplicate posting rows, which
+    # would double n_near_dups in the gate's verdict rollup).  Partial
+    # overlap too: a replayed batch carrying one already-stored id and
+    # one genuinely new id appends only the new one.
+    from streamforge_spark.functions.similarity import (
+        append_ivf_fixed_index, build_ivf_fixed_index,
+        load_ivf_fixed_index)
+    from streamforge_spark.streaming.curation import (
+        streaming_semantic_dedup_gate)
+
+    EMB = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.DoubleType()))])
+    first = [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0, 0.0])]
+    batch = [(3, [0.0, 0.0, 1.0, 0.0])]
+    path = f"{workdir}/ivfidx_replay"
+    build_ivf_fixed_index(spark.createDataFrame(first, EMB), path,
+                          cells=2, rounds=2)
+    append_ivf_fixed_index(path, spark.createDataFrame(batch, EMB))
+    append_ivf_fixed_index(path, spark.createDataFrame(batch, EMB))
+    C, vecs = load_ivf_fixed_index(spark, path)
+    assert sorted(r.vec_id for r in vecs.collect()) == [1, 2, 3]
+
+    # partial replay: id 3 already stored, id 5 new
+    append_ivf_fixed_index(
+        path, spark.createDataFrame(
+            batch + [(5, [0.0, 0.0, 0.0, 1.0])], EMB))
+    C, vecs = load_ivf_fixed_index(spark, path)
+    assert sorted(r.vec_id for r in vecs.collect()) == [1, 2, 3, 5]
+
+    # verdict rollup counts each stored vector once
+    probe = spark.createDataFrame([(10, [0.0, 0.0, 0.99, 0.05])], EMB)
+    got = streaming_semantic_dedup_gate(
+        probe, C, vecs, threshold=0.30, nprobe=2).collect()
+    assert [(r.n_near_dups, r.admitted) for r in got] == [(1, False)]
+
+    # an empty batch is a no-op, not a crash
+    append_ivf_fixed_index(path, spark.createDataFrame([], EMB))
+    assert load_ivf_fixed_index(spark, path)[1].count() == 4
+
+
 def test_streaming_semantic_dedup_gate(spark, workdir):
     # stream-vs-corpus SEMANTIC admission through the PERSISTED
     # fixed-point IVF index: a near-parallel vector of a corpus vec is

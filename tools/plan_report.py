@@ -43,6 +43,8 @@ CURATION = [
     # r8 late additions (verdict r8 item 3): audit rows required
     "ivf_cell_report", "semantic_decontamination",
     "dedup_cluster_representatives", "corpus_funnel_summary",
+    # r9 additions
+    "corpus_funnel_semantic_report",
 ]
 
 #: time-series analytics queries (queries/timeseries.py) + graph /
