@@ -116,6 +116,12 @@ HEADLINE = [
     "corpus_funnel_report",
     "semantic_ingest_gate",
     "hot_band_report",
+    # round-9 addition: the composed funnel with the semantic gate
+    # armed — the flagship six-stage certification plan; its ~28s at
+    # sf0.1 is dominated by inline artifact builds (vocab + substring
+    # + MinHash + DSIR + Lloyd trainer) the production job amortizes
+    # via the persisted model store (cost split in the docstring)
+    "corpus_funnel_semantic_report",
 ]
 
 
