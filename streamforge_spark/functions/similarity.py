@@ -480,6 +480,15 @@ def ivf_probe_cells_expr(qv: Column, centroids, nprobe: int) -> Column:
     partitionings.  Stateless — usable on a STREAM row as-is; the
     centroid matrix inlines as plan literals (k x dim ints, the same
     dimension-sized-literal pattern as the LSH hyperplanes)."""
+    return F.transform(
+        F.slice(_cell_dist_structs(qv, centroids), 1, nprobe),
+        lambda s: s["cell"])
+
+
+def _cell_dist_structs(qv: Column, centroids) -> Column:
+    """Sorted array of (d2, cell) structs — one per centroid, ordered
+    (d2 asc, cell asc).  The shared core of the probe expression and
+    the distance-keeping variants below."""
     ds = []
     for cl, c in enumerate(centroids):
         lit = F.array(*[F.lit(int(x)) for x in c])
@@ -488,8 +497,77 @@ def ivf_probe_cells_expr(qv: Column, centroids, nprobe: int) -> Column:
             F.lit(0).cast("long"), lambda acc, x: acc + x)
         ds.append(F.struct(d2.alias("d2"),
                            F.lit(cl).cast("long").alias("cell")))
-    ranked = F.slice(F.array_sort(F.array(*ds)), 1, nprobe)
-    return F.transform(ranked, lambda s: s["cell"])
+    return F.array_sort(F.array(*ds))
+
+
+def ivf_nearest_cell_d2_expr(qv: Column, centroids) -> Column:
+    """(d2, cell) struct of the NEAREST centroid — the probe
+    expression's rank-1 entry with its integer fixed-point distance
+    kept, for distance-based index audits (cell-fit inflation is the
+    retrain signal ivf_index_staleness_report trends)."""
+    return _cell_dist_structs(qv, centroids)[0]
+
+
+def ivf_staleness_table(est: DataFrame, arr: DataFrame, centroids, *,
+                        stale_drift_ppm: int,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Per-cell staleness report of a frozen-centroid IVF index: the
+    TRAINING population ``est`` (the vectors that shaped ``centroids``)
+    vs the APPENDED population ``arr``, both assigned scan-side to
+    their nearest cell.  Columns: n_train, n_appended, drift_ppm
+    (appended share minus train share, integer ppm), mean_d2_train /
+    mean_d2_appended (exact integer fixed-point units, floor-divided),
+    stale (fit inflation > 2x OR |drift| > stale_drift_ppm).  The
+    verdict core of queries/llm.py::ivf_index_staleness_report — kept
+    here so the audit runs over ANY persisted index + admission stream,
+    and so crafted-geometry tests can pin each flag branch."""
+    spark = est.sparkSession
+
+    def rollup(side, n_col, s_col):
+        raw = F.col(vec_col).cast("array<double>")
+        qv = F.transform(raw,
+                         lambda x: F.round(x * 10000).cast("long"))
+        nc = ivf_nearest_cell_d2_expr(qv, centroids)
+        return (side.select(nc["cell"].alias("cell"),
+                            nc["d2"].alias("d2"))
+                .groupBy("cell")
+                .agg(F.count(F.lit(1)).alias(n_col),
+                     F.sum("d2").alias(s_col)))
+
+    tr = rollup(est, "n_tr", "s_tr")
+    ap = rollup(arr, "n_ap", "s_ap")
+    cells = spark.createDataFrame([(i,) for i in range(len(centroids))],
+                                  "cell long")
+    tot = (tr.agg(F.coalesce(F.sum("n_tr"), F.lit(0)).alias("t_tr"))
+           .crossJoin(ap.agg(F.coalesce(F.sum("n_ap"), F.lit(0))
+                             .alias("t_ap"))))
+    base = (cells.join(tr, "cell", "left").join(ap, "cell", "left")
+            .crossJoin(F.broadcast(tot))
+            .select(
+                "cell",
+                F.coalesce("n_tr", F.lit(0)).alias("n_train"),
+                F.coalesce("n_ap", F.lit(0)).alias("n_appended"),
+                # an index with NO appends is definitionally fresh:
+                # drift needs an appended population as evidence, so
+                # t_ap = 0 zeroes the drift for every cell instead of
+                # reporting -train_share across the board
+                F.when(F.col("t_ap") > 0,
+                       F.expr("(1000000 * coalesce(n_ap, 0)) div t_ap")
+                       - F.when(F.col("t_tr") > 0,
+                                F.expr("(1000000 * coalesce(n_tr, 0))"
+                                       " div t_tr")).otherwise(0))
+                .otherwise(0).alias("drift_ppm"),
+                F.when(F.coalesce("n_tr", F.lit(0)) > 0,
+                       F.expr("s_tr div n_tr")).alias("mean_d2_train"),
+                F.when(F.coalesce("n_ap", F.lit(0)) > 0,
+                       F.expr("s_ap div n_ap")).alias("mean_d2_appended")))
+    return base.select(
+        "cell", "n_train", "n_appended", "drift_ppm",
+        "mean_d2_train", "mean_d2_appended",
+        (F.coalesce(F.col("mean_d2_appended") > 2 * F.col("mean_d2_train"),
+                    F.lit(False))
+         | (F.abs("drift_ppm") > stale_drift_ppm)).alias("stale"))
 
 
 def build_ivf_fixed_index(emb: DataFrame, path: str, *,

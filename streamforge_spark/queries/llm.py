@@ -1784,3 +1784,113 @@ def semantic_decontamination(spark, sf_dir):
                     (-F.col("best.neg_cos")).alias("max_cos"),
                     (-F.col("best.neg_cos") >= SEM_THRESHOLD)
                     .alias("contaminated")))
+
+
+# -- IVF index staleness audit (the retrain trigger) ----------------------
+
+STALE_DRIFT_PPM = 50_000   # cell-occupancy drift beyond 5% flags stale
+
+
+def _ivf_staleness_oracle() -> str:
+    from streamforge_spark.queries.embeddings import _kmeans_oracle
+    base = _kmeans_oracle(
+        IVF_CELLS, IVF_ROUNDS, 10000,
+        src=f"(SELECT * FROM embeddings WHERE vec_id < {INGEST_SPLIT_ID})")
+    head, _ = base.rsplit("\nSELECT", 1)
+    r = IVF_ROUNDS - 1
+    return f"""{head},
+td AS (
+  SELECT a.vec_id, a.cl,
+         SUM((ed.x - cd.x) * (ed.x - cd.x)) AS d2
+  FROM a{r} a
+  JOIN ed ON ed.vec_id = a.vec_id
+  JOIN cd{r} cd ON cd.cl = a.cl AND cd.j = ed.j
+  GROUP BY 1, 2),
+nq AS (SELECT vec_id, list_transform(embedding::DOUBLE[],
+                x -> CAST(ROUND(x * 10000) AS BIGINT)) AS v
+       FROM embeddings WHERE vec_id >= {INGEST_SPLIT_ID}),
+nd AS (SELECT vec_id, generate_subscripts(v, 1) AS j, unnest(v) AS x
+       FROM nq),
+ad AS (
+  SELECT qid, cl, d2 FROM (
+    SELECT nd.vec_id AS qid, cd.cl AS cl,
+           SUM((nd.x - cd.x) * (nd.x - cd.x)) AS d2
+    FROM nd JOIN cd{r} cd ON nd.j = cd.j
+    GROUP BY 1, 2) t
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, cl) = 1),
+cells AS (SELECT DISTINCT cl FROM cd{r}),
+tr AS (SELECT cl, CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(d2) AS BIGINT) AS s FROM td GROUP BY cl),
+ap AS (SELECT cl, CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(d2) AS BIGINT) AS s FROM ad GROUP BY cl),
+tot AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM td) AS t_tr,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM ad) AS t_ap),
+base AS (
+  SELECT c.cl AS cell,
+         COALESCE(tr.n, 0) AS n_train,
+         COALESCE(ap.n, 0) AS n_appended,
+         CASE WHEN t.t_ap > 0
+              THEN (1000000 * COALESCE(ap.n, 0)) // t.t_ap
+                   - CASE WHEN t.t_tr > 0
+                          THEN (1000000 * COALESCE(tr.n, 0)) // t.t_tr
+                          ELSE 0 END
+              ELSE 0 END AS drift_ppm,
+         CASE WHEN COALESCE(tr.n, 0) > 0 THEN tr.s // tr.n END
+           AS mean_d2_train,
+         CASE WHEN COALESCE(ap.n, 0) > 0 THEN ap.s // ap.n END
+           AS mean_d2_appended
+  FROM cells c
+  LEFT JOIN tr ON tr.cl = c.cl
+  LEFT JOIN ap ON ap.cl = c.cl
+  CROSS JOIN tot t)
+SELECT cell, n_train, n_appended, drift_ppm,
+       mean_d2_train, mean_d2_appended,
+       COALESCE(mean_d2_appended > 2 * mean_d2_train, FALSE)
+         OR abs(drift_ppm) > {STALE_DRIFT_PPM} AS stale
+FROM base
+"""
+
+
+@query("ivf_index_staleness_report", oracle=_ivf_staleness_oracle())
+def ivf_index_staleness_report(spark, sf_dir):
+    """The IVF index's RETRAIN TRIGGER — the monitoring leg that closes
+    the build -> append -> monitor -> retrain lifecycle (r9; append
+    and compactor-retrain are append_ivf_fixed_index / CorpusCompact).
+    Appends fold vectors in under FROZEN centroids, so as the corpus
+    distribution drifts the index degrades in two measurable ways,
+    reported per cell with the TRAINING population as the baseline:
+
+    - occupancy drift (integer ppm): appended-share minus train-share.
+      A cell absorbing far more (or less) than its training share
+      means the arriving distribution moved — probe cost skews.
+    - cell-fit inflation: mean squared centroid distance (exact
+      integer fixed-point units, floor-divided) of appended vs train
+      members.  Appended members sitting 2x further from their
+      centroid than the members that SHAPED it means cell boundaries
+      no longer describe the data — probe recall is silently decaying.
+
+    ``stale`` flags a cell on either signal (fit inflation > 2x or
+    |drift| > STALE_DRIFT_PPM); any stale cell is the operator's cue
+    to schedule the CorpusCompact retrain.  The report is the
+    embedding twin of the substring/MinHash indexes' implicit
+    freshness contract (append == rebuild makes them never-stale; a
+    frozen-centroid append is cheap precisely because it SKIPS the
+    retrain, and this report prices that debt).
+
+    Plan (100 TB): the trainer's rounds-1 scans over the established
+    split (amortized by the persisted index in production — load
+    centroids instead); both populations then take ONE scan-side
+    integer nearest-cell projection each (centroid literals, no
+    Python, no shuffle) into a map-side-combined k-row rollup; the
+    join/flag algebra runs on k-row relations with one broadcast
+    totals row.  Report is k rows — driver-safe at any corpus size.
+    Verdict core: functions/similarity.py::ivf_staleness_table (each
+    flag branch pinned by crafted-geometry unit tests there)."""
+    from streamforge_spark.functions.clustering import kmeans_centroids
+    from streamforge_spark.functions.similarity import ivf_staleness_table
+    (emb,) = prep(spark, sf_dir, "embeddings")
+    est = emb.filter(F.col("vec_id") < INGEST_SPLIT_ID)
+    arr = emb.filter(F.col("vec_id") >= INGEST_SPLIT_ID)
+    C = kmeans_centroids(est, k=IVF_CELLS, rounds=IVF_ROUNDS)
+    return ivf_staleness_table(est, arr, C,
+                               stale_drift_ppm=STALE_DRIFT_PPM)

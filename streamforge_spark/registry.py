@@ -112,7 +112,7 @@ ROTATION_PRIORITY = [
     "dedup_cluster_representatives", "corpus_funnel_summary",
     "ivf_cell_report", "semantic_decontamination",
     # round-9 additions
-    "corpus_funnel_semantic_report",
+    "corpus_funnel_semantic_report", "ivf_index_staleness_report",
 ]
 
 

@@ -1716,6 +1716,67 @@ def test_ivf_index_append_replay_is_idempotent(spark, workdir):
     assert load_ivf_fixed_index(spark, path)[1].count() == 4
 
 
+def test_ivf_staleness_flags_fit_inflation(spark):
+    # crafted geometry pins the FIT-INFLATION branch (the fixture's
+    # stationary embeddings never fire it): training members hug their
+    # centroid, appended members land in the same cell but >2x as far
+    # -> stale, while a cell whose appends fit as well as training
+    # stays fresh.  drift branch silent (shares chosen equal).
+    from streamforge_spark.functions.clustering import kmeans_centroids
+    from streamforge_spark.functions.similarity import ivf_staleness_table
+
+    EMB = "vec_id long, embedding array<double>"
+    # two tight training clusters around (1, 0) and (0, 1)
+    est = spark.createDataFrame(
+        [(0, [1.00, 0.00]), (1, [1.02, 0.00]),
+         (2, [0.00, 1.00]), (3, [0.00, 1.02])], EMB)
+    C = kmeans_centroids(est, k=2, rounds=2)
+    arr = spark.createDataFrame(
+        [(10, [1.40, 0.00]),     # cell of (1,0): ~40x the training d2
+         (11, [0.00, 1.01]),     # cell of (0,1): fits like training
+         (12, [0.00, 0.99])], EMB)
+    got = {r.cell: r for r in ivf_staleness_table(
+        est, arr, C, stale_drift_ppm=500_000).collect()}
+    far = next(r for r in got.values() if r.n_appended == 1)
+    fit = next(r for r in got.values() if r.n_appended == 2)
+    assert far.mean_d2_appended > 2 * far.mean_d2_train
+    assert far.stale
+    assert fit.mean_d2_appended <= 2 * fit.mean_d2_train
+    assert not fit.stale
+
+
+def test_ivf_staleness_flags_occupancy_drift(spark):
+    # the DRIFT branch: appends pile into one cell (100% vs a 50%
+    # training share) while fitting its geometry perfectly -> stale on
+    # drift alone; the starved cell's negative drift flags it too
+    # (an abandoned region is as much a retrain signal as a hot one)
+    from streamforge_spark.functions.clustering import kmeans_centroids
+    from streamforge_spark.functions.similarity import ivf_staleness_table
+
+    EMB = "vec_id long, embedding array<double>"
+    est = spark.createDataFrame(
+        [(0, [1.00, 0.00]), (1, [1.02, 0.00]),
+         (2, [0.00, 1.00]), (3, [0.00, 1.02])], EMB)
+    C = kmeans_centroids(est, k=2, rounds=2)
+    arr = spark.createDataFrame(
+        [(10, [1.00, 0.00]), (11, [1.02, 0.00])], EMB)  # all one cell
+    rows = ivf_staleness_table(
+        est, arr, C, stale_drift_ppm=300_000).collect()
+    hot = next(r for r in rows if r.n_appended == 2)
+    cold = next(r for r in rows if r.n_appended == 0)
+    assert hot.drift_ppm == 500_000 and hot.stale
+    assert cold.drift_ppm == -500_000 and cold.stale
+    assert hot.mean_d2_appended <= 2 * hot.mean_d2_train  # drift alone
+    # zero appends anywhere: total formulation, no division crash, and
+    # an index with NO appends is definitionally fresh (zero drift,
+    # nothing stale — not -train_share across the board)
+    none = ivf_staleness_table(
+        est, spark.createDataFrame([], EMB), C,
+        stale_drift_ppm=300_000).collect()
+    assert all(not r.stale for r in none)
+    assert all(r.drift_ppm == 0 for r in none)
+
+
 def test_streaming_semantic_dedup_gate(spark, workdir):
     # stream-vs-corpus SEMANTIC admission through the PERSISTED
     # fixed-point IVF index: a near-parallel vector of a corpus vec is

@@ -44,7 +44,7 @@ CURATION = [
     "ivf_cell_report", "semantic_decontamination",
     "dedup_cluster_representatives", "corpus_funnel_summary",
     # r9 additions
-    "corpus_funnel_semantic_report",
+    "corpus_funnel_semantic_report", "ivf_index_staleness_report",
 ]
 
 #: time-series analytics queries (queries/timeseries.py) + graph /
