@@ -522,23 +522,56 @@ def ivf_staleness_table(est: DataFrame, arr: DataFrame, centroids, *,
     verdict core of queries/llm.py::ivf_index_staleness_report — kept
     here so the audit runs over ANY persisted index + admission stream,
     and so crafted-geometry tests can pin each flag branch."""
-    spark = est.sparkSession
 
-    def rollup(side, n_col, s_col):
+    def rollup(side):
         raw = F.col(vec_col).cast("array<double>")
         qv = F.transform(raw,
                          lambda x: F.round(x * 10000).cast("long"))
         nc = ivf_nearest_cell_d2_expr(qv, centroids)
-        return (side.select(nc["cell"].alias("cell"),
-                            nc["d2"].alias("d2"))
-                .groupBy("cell")
-                .agg(F.count(F.lit(1)).alias(n_col),
-                     F.sum("d2").alias(s_col)))
+        return ivf_posting_stats(
+            side.select(nc["cell"].alias("cell"), nc["d2"].alias("d2")))
 
-    tr = rollup(est, "n_tr", "s_tr")
-    ap = rollup(arr, "n_ap", "s_ap")
-    cells = spark.createDataFrame([(i,) for i in range(len(centroids))],
-                                  "cell long")
+    return staleness_from_stats(est.sparkSession, rollup(est),
+                                rollup(arr), len(centroids),
+                                stale_drift_ppm=stale_drift_ppm)
+
+
+def ivf_posting_stats(assigned: DataFrame) -> DataFrame:
+    """(cell, n, s): member count + exact integer sum of squared
+    centroid distances per cell — the mergeable sufficient statistics
+    every staleness comparison runs on.  One map-side-combined k-row
+    rollup over whatever carries (cell, d2): a scan-side assignment
+    projection or the persisted postings themselves (which store d2
+    precisely so this never recomputes distances)."""
+    return (assigned.groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("d2").alias("s")))
+
+
+def ivf_current_stats(vecs: DataFrame, centroids, *,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """(cell, n, s) of ``vecs`` assigned under ``centroids`` — the
+    CURRENT side of a staleness comparison against persisted
+    train_stats (the compactor's retrain decision)."""
+    return ivf_posting_stats(
+        _assign_with_d2(vecs, centroids, id_col, vec_col))
+
+
+def staleness_from_stats(spark, tr: DataFrame, ap: DataFrame, k: int, *,
+                         stale_drift_ppm: int) -> DataFrame:
+    """The staleness flag algebra over two (cell, n, s) sufficient-
+    statistic relations — TRAIN (the population that shaped the
+    centroids) vs CURRENT/APPENDED.  Shared by ivf_staleness_table
+    (audit query) and CorpusCompact's IVF_RETRAIN_POLICY=stale
+    decision (jobs.py), so the retrain trigger and the retrain action
+    read the exact same verdict.  All k-row relations + one broadcast
+    totals row — driver-safe at any corpus size."""
+    tr = tr.select("cell", F.col("n").alias("n_tr"),
+                   F.col("s").alias("s_tr"))
+    ap = ap.select("cell", F.col("n").alias("n_ap"),
+                   F.col("s").alias("s_ap"))
+    cells = spark.createDataFrame([(i,) for i in range(k)], "cell long")
     tot = (tr.agg(F.coalesce(F.sum("n_tr"), F.lit(0)).alias("t_tr"))
            .crossJoin(ap.agg(F.coalesce(F.sum("n_ap"), F.lit(0))
                              .alias("t_ap"))))
@@ -576,11 +609,18 @@ def build_ivf_fixed_index(emb: DataFrame, path: str, *,
                           vec_col: str = "embedding") -> None:
     """Persist the FIXED-POINT IVF index (the oracle-checkable trainer
     of ann_ivf_fixed_topk) under the shared model-store contract:
-    ``path/centroids`` (cell, quantized centroid ints) and
-    ``path/vectors`` (id, raw vector, cell) hive-partitioned on cell
-    so an nprobe probe reads exactly those directories.  Assignment is
-    a scan-side column projection (ivf_probe_cells_expr with
-    nprobe=1) — no shuffle, no Python in the corpus pass.
+    ``path/centroids`` (cell, quantized centroid ints),
+    ``path/vectors`` (id, raw vector, cell, d2) hive-partitioned on
+    cell so an nprobe probe reads exactly those directories, and
+    ``path/train_stats`` (cell, n, s) — the TRAINING population's
+    per-cell sufficient statistics, frozen at build time so any later
+    staleness check (ivf_index_staleness_report's algebra, or the
+    compactor's IVF_RETRAIN_POLICY=stale decision) compares against
+    what actually shaped the centroids without re-deriving it.
+    Postings keep each vector's integer squared centroid distance
+    (``d2``) so those checks are metadata rollups, never distance
+    recomputations over the corpus.  Assignment is a scan-side column
+    projection — no shuffle, no Python in the corpus pass.
 
     Fewer than ``cells`` input vectors trains that many cells (init is
     the k lowest ids); ZERO input vectors writes an EMPTY index —
@@ -588,36 +628,59 @@ def build_ivf_fixed_index(emb: DataFrame, path: str, *,
     empty centroid matrix as gate-off (CorpusIngestV2 skips the
     semantic gate and its append until a compactor retrain over an
     embedded corpus re-establishes geometry)."""
-    from streamforge_spark.functions.clustering import (
-        KMEANS_QUANT, kmeans_centroids)
+    from streamforge_spark.functions.clustering import kmeans_centroids
     spark = emb.sparkSession
     p = path.rstrip("/")
     if not emb.take(1):
-        # no partitionBy here: a partitioned write of zero rows emits
-        # no schema-bearing part file and the read back fails with
-        # UNABLE_TO_INFER_SCHEMA; a coalesce(1) flat write keeps the
-        # footer so load_ivf_fixed_index round-trips
-        spark.createDataFrame(
-            [], f"{id_col} long, v array<double>, cell long"
-        ).coalesce(1).write.mode("overwrite").parquet(f"{p}/vectors")
+        _write_ivf_postings(spark, None, p)
         spark.createDataFrame([], "cell long, qcentroid array<long>") \
             .coalesce(1).write.mode("overwrite").parquet(f"{p}/centroids")
+        spark.createDataFrame([], "cell long, n long, s long") \
+            .coalesce(1).write.mode("overwrite") \
+            .parquet(f"{p}/train_stats")
         return
     C = kmeans_centroids(emb, k=cells, rounds=rounds,
                          id_col=id_col, vec_col=vec_col)
-    raw = F.col(vec_col).cast("array<double>")
-    qv = F.transform(raw, lambda x: F.round(x * KMEANS_QUANT).cast("long"))
-    assigned = emb.select(
-        F.col(id_col), raw.alias("v"), qv.alias("qv")
-    ).withColumn("cell", ivf_probe_cells_expr(F.col("qv"), C, 1)[0])
-    (assigned.select(id_col, "v", "cell")
-     .write.partitionBy("cell").mode("overwrite")
-     .parquet(f"{p}/vectors"))
+    assigned = _assign_with_d2(emb, C, id_col, vec_col) \
+        .localCheckpoint(eager=False)   # postings write + stats rollup
+    _write_ivf_postings(spark, assigned, p)
+    (ivf_posting_stats(assigned)
+     .coalesce(1).write.mode("overwrite").parquet(f"{p}/train_stats"))
     spark.createDataFrame(
         [(int(i), [int(x) for x in row]) for i, row in enumerate(C)],
         "cell long, qcentroid array<long>"
     ).coalesce(1).write.mode("overwrite") \
         .parquet(f"{p}/centroids")
+
+
+def _assign_with_d2(vecs: DataFrame, C, id_col: str,
+                    vec_col: str) -> DataFrame:
+    """(vec_id, v, cell, d2): the shared scan-side assignment
+    projection of the builder, the append, and the frozen refit."""
+    from streamforge_spark.functions.clustering import KMEANS_QUANT
+    raw = F.col(vec_col).cast("array<double>")
+    qv = F.transform(raw, lambda x: F.round(x * KMEANS_QUANT).cast("long"))
+    nc = ivf_nearest_cell_d2_expr(qv, C)
+    return vecs.select(F.col(id_col).alias("vec_id"), raw.alias("v"),
+                       nc["cell"].alias("cell"), nc["d2"].alias("d2"))
+
+
+def _write_ivf_postings(spark, assigned, p: str,
+                        mode: str = "overwrite") -> None:
+    """Postings write with the empty-relation guard: a partitioned
+    write of zero rows emits no schema-bearing part file and the read
+    back fails with UNABLE_TO_INFER_SCHEMA, so an empty (or None)
+    relation lands as a coalesce(1) flat file whose footer keeps
+    load_ivf_fixed_index round-tripping."""
+    if assigned is None or not assigned.take(1):
+        if mode == "append":
+            return   # appending nothing changes nothing
+        spark.createDataFrame(
+            [], "vec_id long, v array<double>, cell long, d2 long"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{p}/vectors")
+        return
+    (assigned.select("vec_id", "v", "cell", "d2")
+     .write.partitionBy("cell").mode(mode).parquet(f"{p}/vectors"))
 
 
 def load_ivf_fixed_index(spark, path: str):
@@ -629,6 +692,34 @@ def load_ivf_fixed_index(spark, path: str):
     C = [list(r.qcentroid) for r in cents]
     vecs = spark.read.parquet(f"{path.rstrip('/')}/vectors")
     return C, vecs
+
+
+def load_ivf_train_stats(spark, path: str) -> DataFrame:
+    """(cell, n, s) as frozen at the index's last (re)train — the
+    baseline side of every staleness comparison."""
+    return spark.read.parquet(f"{path.rstrip('/')}/train_stats")
+
+
+def refit_ivf_postings_frozen(spark, path: str, vecs: DataFrame, *,
+                              id_col: str = "vec_id",
+                              vec_col: str = "embedding") -> None:
+    """REPLACE the postings with ``vecs`` re-assigned under the
+    index's EXISTING centroids — centroids and train_stats untouched.
+    The compactor's skip-retrain path (IVF_RETRAIN_POLICY=stale, index
+    judged fresh): dropped docs must leave the postings regardless,
+    but the Lloyd retrain — the expensive corpus pass — is skipped
+    because the surviving distribution still matches the one that
+    shaped the cells.  Raises on an empty index like the append (no
+    geometry to assign against)."""
+    cents = spark.read.parquet(f"{path.rstrip('/')}/centroids") \
+        .orderBy("cell").collect()
+    C = [list(r.qcentroid) for r in cents]
+    if not C:
+        raise ValueError(
+            f"IVF index at {path} is EMPTY (no centroids): a frozen "
+            f"refit has no geometry to assign against — retrain first")
+    _write_ivf_postings(spark, _assign_with_d2(vecs, C, id_col, vec_col),
+                        path.rstrip("/"))
 
 
 def append_ivf_fixed_index(path: str, vecs: DataFrame, *,
@@ -656,8 +747,11 @@ def append_ivf_fixed_index(path: str, vecs: DataFrame, *,
     the batch's id range so parquet row-group stats prune it — are
     dropped, so a replayed batch converges to exactly the same index
     instead of duplicating posting rows (a duplicate would double
-    n_near_dups in the semantic gate's verdict rollup)."""
-    from streamforge_spark.functions.clustering import KMEANS_QUANT
+    n_near_dups in the semantic gate's verdict rollup).
+
+    train_stats stay FROZEN: appended vectors enter the postings (with
+    their d2) but not the training baseline — that gap is exactly what
+    the staleness report measures."""
     spark = vecs.sparkSession
     p = path.rstrip("/")
     lo, hi = vecs.agg(F.min(id_col), F.max(id_col)).first()
@@ -670,14 +764,8 @@ def append_ivf_fixed_index(path: str, vecs: DataFrame, *,
             f"IVF index at {p} is EMPTY (no centroids): appends have no "
             f"geometry to assign against — retrain first "
             f"(build_ivf_fixed_index over an embedded corpus)")
-    raw = F.col(vec_col).cast("array<double>")
-    qv = F.transform(raw, lambda x: F.round(x * KMEANS_QUANT).cast("long"))
-    assigned = (vecs.select(F.col(id_col).alias("vec_id"), raw.alias("v"),
-                            qv.alias("qv"))
-                .withColumn("cell", ivf_probe_cells_expr(F.col("qv"), C, 1)[0])
-                .drop("qv"))
+    assigned = _assign_with_d2(vecs, C, id_col, vec_col)
     stored = (spark.read.parquet(f"{p}/vectors").select("vec_id")
               .filter((F.col("vec_id") >= lo) & (F.col("vec_id") <= hi)))
-    (assigned.join(stored, "vec_id", "left_anti")
-     .select("vec_id", "v", "cell")
-     .write.partitionBy("cell").mode("append").parquet(f"{p}/vectors"))
+    _write_ivf_postings(spark, assigned.join(stored, "vec_id", "left_anti"),
+                        p, mode="append")

@@ -566,9 +566,10 @@ def corpus_compact(spark: SparkSession, cfg: ScopedConfig):
     family above the cap drains iteratively, cap-1 members per run,
     visible in hot_band_report), atomic corpus rewrite (io.swap_dir
     rename-aside), a ledger of every dropped doc, and a REBUILD of
-    the persisted substring + MinHash indexes from the survivors so
-    the online gates' next probes reflect the compacted corpus
-    (append==rebuild resets exactly here).
+    the persisted substring + MinHash + IVF indexes from the
+    survivors so the online gates' next probes reflect the compacted
+    corpus (append==rebuild resets exactly here; the IVF rebuild is
+    policy-driven — see IVF_RETRAIN_POLICY below).
 
     A batch job under the stream-job SPI: the builder does all the
     work and returns no streaming queries — ``run_job`` with or
@@ -589,6 +590,18 @@ def corpus_compact(spark: SparkSession, cfg: ScopedConfig):
                           semantic-gate-off
       IVF_CELLS           IVF cell count for the retrain (default 16)
       IVF_ROUNDS          Lloyd rounds for the retrain (default 2)
+      IVF_RETRAIN_POLICY  'always' (default) retrains every run;
+                          'stale' consults the staleness verdict
+                          (persisted train_stats vs the survivors
+                          assigned under the EXISTING centroids —
+                          functions/similarity.py::staleness_from_stats,
+                          the audit query's exact algebra): a fresh
+                          index keeps its centroids and only refits
+                          the postings (dropped docs leave the index
+                          either way); any stale cell triggers the
+                          full Lloyd retrain.  Decision ledgered under
+                          OUTPUT_PATH/ivf_retrain_ledger
+      IVF_STALE_DRIFT_PPM staleness drift threshold (default 50000)
       FUZZY_THRESHOLD     Jaccard threshold (default 0.2, the gates')
 
     Scale shape: the closure is the capped band join
@@ -660,11 +673,50 @@ def corpus_compact(spark: SparkSession, cfg: ScopedConfig):
         # append_ivf_fixed_index folds admissions under frozen
         # centroids; the compactor re-trains cell boundaries over the
         # compacted corpus so probe recall recovers from distribution
-        # drift (append == frozen-rebuild, compact == full rebuild)
-        build_ivf_fixed_index(
-            kept_all.filter(F.col("embedding").isNotNull())
-            .select(F.col("doc_id").alias("vec_id"), "embedding"),
-            cfg.get("IVF_INDEX_PATH"),
-            cells=int(cfg.get("IVF_CELLS") or "16"),
-            rounds=int(cfg.get("IVF_ROUNDS") or "2"))
+        # drift.  Under IVF_RETRAIN_POLICY=stale the expensive Lloyd
+        # retrain runs ONLY when the staleness verdict demands it —
+        # the postings are replaced either way (dropped docs must
+        # leave the index), but a fresh index keeps its centroids and
+        # pays one scan-side re-assignment instead of rounds corpus
+        # passes.  The decision is ledgered per run.
+        from pyspark.errors import AnalysisException
+
+        from streamforge_spark.functions.similarity import (
+            ivf_current_stats, load_ivf_train_stats,
+            refit_ivf_postings_frozen, staleness_from_stats)
+        ivf_path = cfg.get("IVF_INDEX_PATH")
+        policy = cfg.get("IVF_RETRAIN_POLICY") or "always"
+        drift_max = int(cfg.get("IVF_STALE_DRIFT_PPM") or "50000")
+        emb_kept = (kept_all.filter(F.col("embedding").isNotNull())
+                    .select(F.col("doc_id").alias("vec_id"), "embedding"))
+        retrained, stale_cells = True, None
+        if policy == "stale":
+            try:
+                cents = (spark.read
+                         .parquet(f"{str(ivf_path).rstrip('/')}/centroids")
+                         .orderBy("cell").collect())
+                C = [list(r.qcentroid) for r in cents]
+            except AnalysisException:
+                C = []   # no index yet: bootstrap retrain
+            if C:
+                report = staleness_from_stats(
+                    spark, load_ivf_train_stats(spark, str(ivf_path)),
+                    ivf_current_stats(emb_kept, C), len(C),
+                    stale_drift_ppm=drift_max)
+                stale_cells = report.filter("stale").count()
+                if stale_cells == 0:
+                    refit_ivf_postings_frozen(spark, str(ivf_path),
+                                              emb_kept)
+                    retrained = False
+        if retrained:
+            build_ivf_fixed_index(
+                emb_kept, str(ivf_path),
+                cells=int(cfg.get("IVF_CELLS") or "16"),
+                rounds=int(cfg.get("IVF_ROUNDS") or "2"))
+        (spark.createDataFrame(
+            [(policy, stale_cells, retrained)],
+            "policy string, stale_cells long, retrained boolean")
+         .withColumn("compacted_at", F.current_timestamp())
+         .coalesce(1).write.mode("append")
+         .parquet(f"{out}/ivf_retrain_ledger"))
     return []

@@ -739,6 +739,105 @@ def test_corpus_compact_retrains_ivf_index(spark, tmp_path):
     assert C2 == [] and vecs2.count() == 0
 
 
+def test_corpus_compact_ivf_retrain_policy_stale(spark, tmp_path):
+    """IVF_RETRAIN_POLICY=stale ties the staleness verdict to the
+    retrain action: a compact whose survivors still match the training
+    distribution SKIPS the Lloyd retrain (centroids + train_stats
+    frozen, postings refit so the dropped doc leaves the index); a
+    compact that guts one cluster trips the drift flag and retrains.
+    Both decisions land in the ivf_retrain_ledger."""
+    from pyspark.sql import functions as F
+
+    from streamforge_spark.functions.similarity import (
+        build_ivf_fixed_index, load_ivf_fixed_index,
+        load_ivf_train_stats)
+
+    c1, c2 = [1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]
+    SCHEMA = ("doc_id long, text string, source string, "
+              "embedding array<double>")
+    t_uniq = ["first unique document body with plainly distinct words",
+              "second unique body nothing shared with any other entry",
+              "third unique body again fully novel tokens throughout"]
+    dup = "identical crawler template body repeated verbatim each time"
+
+    # FRESH: 3+2 training mixture (shares 600k/400k); one c1 doc is an
+    # exact text dup -> dropped; survivor shares 500k/500k drift only
+    # 100k per cell, under the 400k threshold
+    corpus = tmp_path / "corpus_fresh"
+    spark.createDataFrame(
+        [(1, t_uniq[0], "web", c1), (2, dup, "web", c1),
+         (3, t_uniq[1], "web", c2), (4, t_uniq[2], "web", c2),
+         (5, dup, "web", c1)],   # text dup of 2 -> dropped
+        SCHEMA).write.parquet(str(corpus))
+    idx = tmp_path / "ivf_fresh"
+    build_ivf_fixed_index(
+        spark.read.parquet(str(corpus))
+        .select(F.col("doc_id").alias("vec_id"), "embedding"),
+        str(idx), cells=2, rounds=2)
+    C_before, _ = load_ivf_fixed_index(spark, str(idx))
+    run_job("CorpusCompact",
+            job_cfg(tmp_path, CORPUS_PATH=corpus, IVF_INDEX_PATH=idx,
+                    IVF_RETRAIN_POLICY="stale",
+                    IVF_STALE_DRIFT_PPM="400000"),
+            spark=spark, drain=True)
+    C_after, vecs = load_ivf_fixed_index(spark, str(idx))
+    assert C_after == C_before                      # centroids frozen
+    assert sorted(r.vec_id for r in vecs.collect()) == [1, 2, 3, 4]
+    # train_stats frozen at the 5-vector training population
+    assert load_ivf_train_stats(spark, str(idx)) \
+        .agg(F.sum("n")).first()[0] == 5
+    ledger = read(spark, tmp_path, "ivf_retrain_ledger").collect()
+    assert [(r.policy, r.retrained) for r in ledger] == [("stale", False)]
+    assert ledger[0].stale_cells == 0
+
+    # STALE: 3+1 training mixture (shares 750k/250k); the md5 pre-pass
+    # collapses the c1 triplet -> survivor shares 500k/500k, drift
+    # 250k > the 200k threshold -> full retrain
+    corpus2 = tmp_path / "corpus_stale"
+    spark.createDataFrame(
+        [(1, dup, "web", c1), (2, dup, "web", c1), (3, dup, "web", c1),
+         (4, t_uniq[0], "web", c2)],
+        SCHEMA).write.parquet(str(corpus2))
+    idx2 = tmp_path / "ivf_stale"
+    build_ivf_fixed_index(
+        spark.read.parquet(str(corpus2))
+        .select(F.col("doc_id").alias("vec_id"), "embedding"),
+        str(idx2), cells=2, rounds=2)
+    run_job("CorpusCompact",
+            job_cfg(tmp_path, CORPUS_PATH=corpus2, IVF_INDEX_PATH=idx2,
+                    IVF_RETRAIN_POLICY="stale",
+                    IVF_STALE_DRIFT_PPM="200000",
+                    OUTPUT_PATH=tmp_path / "out2",
+                    CHECKPOINT_DIR=tmp_path / "ckpt2"),
+            spark=spark, drain=True)
+    _, vecs2 = load_ivf_fixed_index(spark, str(idx2))
+    assert sorted(r.vec_id for r in vecs2.collect()) == [1, 4]
+    # retrained: the training baseline now IS the 2 survivors
+    assert load_ivf_train_stats(spark, str(idx2)) \
+        .agg(F.sum("n")).first()[0] == 2
+    ledger2 = spark.read.parquet(
+        str(tmp_path / "out2" / "ivf_retrain_ledger")).collect()
+    assert [(r.policy, r.retrained) for r in ledger2] == [("stale", True)]
+    assert ledger2[0].stale_cells > 0
+
+    # bootstrap: policy=stale with NO index yet -> builds one
+    corpus3 = tmp_path / "corpus_boot"
+    spark.createDataFrame([(7, t_uniq[0], "web", c1)], SCHEMA) \
+        .write.parquet(str(corpus3))
+    run_job("CorpusCompact",
+            job_cfg(tmp_path, CORPUS_PATH=corpus3,
+                    IVF_INDEX_PATH=tmp_path / "ivf_boot",
+                    IVF_RETRAIN_POLICY="stale",
+                    OUTPUT_PATH=tmp_path / "out3",
+                    CHECKPOINT_DIR=tmp_path / "ckpt3"),
+            spark=spark, drain=True)
+    C3, vecs3 = load_ivf_fixed_index(spark, str(tmp_path / "ivf_boot"))
+    assert C3 and [r.vec_id for r in vecs3.collect()] == [7]
+    ledger3 = spark.read.parquet(
+        str(tmp_path / "out3" / "ivf_retrain_ledger")).collect()
+    assert [(r.retrained, r.stale_cells) for r in ledger3] == [(True, None)]
+
+
 def test_corpus_compact_closes_within_batch_blind_spot(spark, tmp_path):
     """The batch compactor the streaming gates defer to: two near-dup
     docs admitted in the SAME micro-batch (the gate's documented

@@ -1671,6 +1671,13 @@ def test_ivf_index_append_equals_frozen_rebuild(spark, workdir):
                probe, C1, vecs, threshold=0.30, nprobe=2).collect()}
     assert got == {10: False, 11: True}
 
+    # train_stats stay FROZEN at the build-time population — the
+    # append enters the postings but not the baseline (that gap IS
+    # what the staleness report measures)
+    from streamforge_spark.functions.similarity import load_ivf_train_stats
+    assert (load_ivf_train_stats(spark, path)
+            .agg(F.sum("n")).first()[0] == len(first))
+
 
 def test_ivf_index_append_replay_is_idempotent(spark, workdir):
     # the effectively-once crash window: a batch whose append committed
