@@ -407,6 +407,15 @@ def corpus_ingest_v2(spark: SparkSession, cfg: ScopedConfig):
                           without one skip the gate
       SEMANTIC_THRESHOLD  cosine rejection threshold (default 0.30)
       SEMANTIC_NPROBE     IVF cells probed per vector (default 4)
+      IVF_STALENESS_EVERY_N  > 0 -> every Nth batch appends the k-row
+                          staleness report (persisted train_stats vs
+                          the CURRENT postings — the compactor's
+                          retrain verdict, trended online) under
+                          OUTPUT_PATH/ivf_staleness, batch_id-stamped.
+                          The input scan is two pruned posting columns
+                          (cell, d2) — the operator picks the cadence
+                          that amortizes it; 0 (default) disables
+      IVF_STALE_DRIFT_PPM staleness drift threshold (default 50000)
       DSIR_COUNTS_PATH    DSIR sufficient statistics (save_dsir_counts)
       DSIR_THRESHOLD_MICRO  set -> DSIR becomes an admission GATE;
                             unset -> weight-only (admit + avg_llr_micro)
@@ -453,6 +462,8 @@ def corpus_ingest_v2(spark: SparkSession, cfg: ScopedConfig):
     ivf_path = cfg.get("IVF_INDEX_PATH")
     sem_threshold = float(cfg.get("SEMANTIC_THRESHOLD") or "0.30")
     sem_nprobe = int(cfg.get("SEMANTIC_NPROBE") or "4")
+    stale_every = int(cfg.get("IVF_STALENESS_EVERY_N") or "0")
+    stale_drift = int(cfg.get("IVF_STALE_DRIFT_PPM") or "50000")
     dsir_path = cfg.get("DSIR_COUNTS_PATH")
     dsir_thresh = cfg.get("DSIR_THRESHOLD_MICRO")
     update_indexes = cfg.get("UPDATE_INDEXES") == "1"
@@ -492,6 +503,24 @@ def corpus_ingest_v2(spark: SparkSession, cfg: ScopedConfig):
                 # embedded corpus re-establishes centroids — embedded
                 # admissions meanwhile reach the index via that rebuild
                 ivf_C = ivf_vecs = None
+        if (ivf_C is not None and stale_every > 0
+                and batch_id % stale_every == 0):
+            # online retrain-trigger trend: the k-row staleness report
+            # (persisted training fingerprint vs the postings AS OF
+            # batch start, i.e. before this batch's append), stamped
+            # and appended so an operator watches drift accrue without
+            # running the batch audit.  Input scan = two pruned
+            # posting columns on the configured cadence.
+            from streamforge_spark.functions.similarity import (
+                ivf_posting_stats, load_ivf_train_stats,
+                staleness_from_stats)
+            (staleness_from_stats(
+                spark, load_ivf_train_stats(spark, ivf_path),
+                ivf_posting_stats(ivf_vecs.select("cell", "d2")),
+                len(ivf_C), stale_drift_ppm=stale_drift)
+             .withColumn("batch_id", F.lit(batch_id))
+             .coalesce(1).write.mode("append")
+             .parquet(f"{out}/ivf_staleness"))
 
         verdicts = corpus_funnel_verdicts(
             docs, vocab=vocab, xs_index=xs_index,

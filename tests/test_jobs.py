@@ -673,6 +673,48 @@ def test_corpus_ingest_v2_update_indexes_folds_ivf(spark, tmp_path):
     assert sorted(r.vec_id for r in vecs.collect()) == [1, 2, 405]
 
 
+def test_corpus_ingest_v2_ivf_staleness_telemetry(spark, tmp_path):
+    """IVF_STALENESS_EVERY_N=1: every batch appends the k-row staleness
+    report (training fingerprint vs postings AS OF batch start) under
+    ivf_staleness.  Batch 0 sees current == train (zero drift, fresh);
+    batch 1's snapshot reflects batch 0's appended admission."""
+    from pyspark.sql import functions as F
+
+    from streamforge_spark.functions.similarity import (
+        build_ivf_fixed_index)
+    E1, E2, docs = _funnel_fixture()
+    _funnel_artifacts(spark, tmp_path, [(1, E1, "raw"), (2, E2, "tgt")])
+    est_emb = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>")
+    build_ivf_fixed_index(est_emb, str(tmp_path / "ivf_index"),
+                          cells=2, rounds=2)
+    cfg = _funnel_cfg(tmp_path, IVF_INDEX_PATH=tmp_path / "ivf_index",
+                      UPDATE_INDEXES="1", IVF_STALENESS_EVERY_N="1")
+
+    write_lines(tmp_path / "in",
+                [doc_line(405, docs[405], emb=[0.0, 0.0, 1.0, 0.0])])
+    run_job("CorpusIngestV2", cfg, spark=spark, drain=True)
+    e2_w = E2.split()
+    d12 = " ".join(["the", "and"] + [e2_w[2:][(13 * i + 9) % 58]
+                                     for i in range(58)])
+    write_lines(tmp_path / "in", [doc_line(412, d12)], name="b1.txt")
+    run_job("CorpusIngestV2", cfg, spark=spark, drain=True)
+
+    snaps = read(spark, tmp_path, "ivf_staleness").collect()
+    by_batch = {}
+    for r in snaps:
+        by_batch.setdefault(r.batch_id, []).append(r)
+    assert sorted(by_batch) == [0, 1]
+    assert all(len(rows) == 2 for rows in by_batch.values())  # k rows
+    # batch 0: postings == training population -> zero drift, fresh
+    assert all(r.drift_ppm == 0 and not r.stale for r in by_batch[0])
+    # batch 1: the snapshot sees batch 0's appended vector (405)
+    assert sum(r.n_appended for r in by_batch[0]) == 2
+    assert sum(r.n_appended for r in by_batch[1]) == 3
+    assert all(r.n_train == 1 for r in by_batch[1])
+
+
 def test_corpus_compact_retrains_ivf_index(spark, tmp_path):
     """The RETRAIN half of the IVF lifecycle: CorpusCompact rebuilds
     the index over surviving docs that carry embeddings (NULL-embedding
