@@ -542,6 +542,56 @@ def corpus_funnel_summary(spark, sf_dir):
                  .alias("admitted_llr_micro_sum")))
 
 
+_FUNNEL_BY_SOURCE_ORACLE = """
+WITH ledger AS ({inner}),
+per AS (
+  SELECT d.source, l.verdict,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(COALESCE(SUM(l.avg_llr_micro), 0) AS BIGINT)
+           AS admitted_llr_micro_sum
+  FROM ledger l JOIN documents d USING (doc_id)
+  GROUP BY 1, 2),
+tot AS (SELECT source, SUM(n_docs) AS t FROM per GROUP BY 1)
+SELECT p.source, p.verdict, p.n_docs,
+       CAST((1000000 * p.n_docs) // CAST(t.t AS BIGINT) AS BIGINT)
+         AS source_share_ppm,
+       p.admitted_llr_micro_sum
+FROM per p JOIN tot t USING (source)
+"""
+
+
+@query("corpus_funnel_by_source",
+       oracle=_FUNNEL_BY_SOURCE_ORACLE.format(inner=_funnel_oracle().strip()))
+def corpus_funnel_by_source(spark, sf_dir):
+    """The funnel dashboard CUT BY SOURCE — the diagnosis view behind
+    corpus_funnel_summary's alarm: a gopher spike isolated to one
+    crawler means that crawler broke (not the corpus); a substring or
+    fuzzy spike concentrated in one source is a mirror/loop; a source
+    whose admit share collapses is the one to pause at the intake.
+    Per (source, verdict): doc count, the verdict's share of THAT
+    source's arriving batch (integer ppm — comparable across sources
+    of different volume), and the admitted DSIR weight sum.
+
+    A |sources x verdicts|-row rollup joined onto the
+    corpus_funnel_report ledger plus one per-source totals join; the
+    funnel plan's cost dominates, the breakdown itself exchanges
+    O(sources x verdicts)."""
+    rep = corpus_funnel_report(spark, sf_dir)
+    (docs,) = prep(spark, sf_dir, "documents")
+    per = (rep.join(docs.select("doc_id", "source"), "doc_id")
+           .groupBy("source", "verdict")
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.coalesce(F.sum("avg_llr_micro"), F.lit(0))
+                .alias("admitted_llr_micro_sum"))
+           .localCheckpoint(eager=False))   # totals join reuses it
+    tot = per.groupBy("source").agg(F.sum("n_docs").alias("t"))
+    return (per.join(tot, "source")
+            .select("source", "verdict", "n_docs",
+                    F.expr("(1000000 * n_docs) div t")
+                    .alias("source_share_ppm"),
+                    "admitted_llr_micro_sum"))
+
+
 @query("corpus_funnel_semantic_report", oracle=_funnel_oracle(semantic=True))
 def corpus_funnel_semantic_report(spark, sf_dir):
     """The composed funnel with its SIXTH gate armed (r8-verdict item

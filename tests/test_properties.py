@@ -559,3 +559,56 @@ def test_floor_division_identity_across_engines(spark, pairs):
         want = x // n   # Python: true mathematical floor
         assert got[(x, n)] == want, (x, n, got[(x, n)], want)
         assert duck[(x, n)] == want, (x, n, duck[(x, n)], want)
+
+
+@st.composite
+def _staleness_stats(draw):
+    k = draw(st.integers(1, 5))
+    cell_stats = st.dictionaries(
+        st.integers(0, k - 1),
+        st.tuples(st.integers(1, 40), st.integers(0, 100_000)),
+        max_size=k)
+    return (k, draw(cell_stats), draw(cell_stats),
+            draw(st.sampled_from([0, 50_000, 250_000])))
+
+
+@given(_staleness_stats())
+@SLOW
+def test_ivf_staleness_matches_python_reference(spark, case):
+    """The staleness flag algebra (functions/similarity.py::
+    staleness_from_stats — the verdict shared by the audit query, the
+    ingest telemetry, and the compactor's retrain decision) pinned to
+    a pure-Python reference on arbitrary per-cell sufficient
+    statistics: integer shares, truncating floor division (all
+    operands non-negative, so // == div), the no-appends-is-fresh
+    rule, and NULL-propagating means for empty cells."""
+    from streamforge_spark.functions.similarity import staleness_from_stats
+    k, tr, ap, drift_max = case
+
+    def df_of(d):
+        rows = [(c, n, s) for c, (n, s) in sorted(d.items())]
+        return spark.createDataFrame(rows, "cell long, n long, s long")
+
+    got = {r.cell: r for r in staleness_from_stats(
+        spark, df_of(tr), df_of(ap), k,
+        stale_drift_ppm=drift_max).collect()}
+    assert sorted(got) == list(range(k))
+
+    t_tr = sum(n for n, _ in tr.values())
+    t_ap = sum(n for n, _ in ap.values())
+    for c in range(k):
+        n_tr, s_tr = tr.get(c, (0, 0))
+        n_ap, s_ap = ap.get(c, (0, 0))
+        drift = ((1_000_000 * n_ap) // t_ap
+                 - ((1_000_000 * n_tr) // t_tr if t_tr > 0 else 0)
+                 ) if t_ap > 0 else 0
+        m_tr = s_tr // n_tr if n_tr > 0 else None
+        m_ap = s_ap // n_ap if n_ap > 0 else None
+        infl = (m_tr is not None and m_ap is not None
+                and m_ap > 2 * m_tr)
+        stale = infl or abs(drift) > drift_max
+        r = got[c]
+        assert (r.n_train, r.n_appended) == (n_tr, n_ap), c
+        assert r.drift_ppm == drift, (c, r.drift_ppm, drift)
+        assert r.mean_d2_train == m_tr and r.mean_d2_appended == m_ap, c
+        assert r.stale == stale, (c, r.stale, stale)

@@ -43,8 +43,8 @@ CURATION = [
     # r8 late additions (verdict r8 item 3): audit rows required
     "ivf_cell_report", "semantic_decontamination",
     "dedup_cluster_representatives", "corpus_funnel_summary",
-    # r9 additions
-    "corpus_funnel_semantic_report", "ivf_index_staleness_report",
+    # r9 additions (corpus_funnel_semantic_report audits via HEADLINE)
+    "ivf_index_staleness_report", "corpus_funnel_by_source",
 ]
 
 #: time-series analytics queries (queries/timeseries.py) + graph /
