@@ -524,9 +524,10 @@ def ivf_staleness_table(est: DataFrame, arr: DataFrame, centroids, *,
     and so crafted-geometry tests can pin each flag branch."""
 
     def rollup(side):
+        from streamforge_spark.functions.clustering import KMEANS_QUANT
         raw = F.col(vec_col).cast("array<double>")
         qv = F.transform(raw,
-                         lambda x: F.round(x * 10000).cast("long"))
+                         lambda x: F.round(x * KMEANS_QUANT).cast("long"))
         nc = ivf_nearest_cell_d2_expr(qv, centroids)
         return ivf_posting_stats(
             side.select(nc["cell"].alias("cell"), nc["d2"].alias("d2")))
@@ -631,26 +632,53 @@ def build_ivf_fixed_index(emb: DataFrame, path: str, *,
     from streamforge_spark.functions.clustering import kmeans_centroids
     spark = emb.sparkSession
     p = path.rstrip("/")
+    # stage the ENTIRE index in a side directory, then rename-aside
+    # swap (io.swap_dir, the corpus rewrite's discipline): a reader or
+    # a crash can never observe postings assigned under centroids that
+    # were not persisted with them (review-r9: the in-place three-file
+    # write had exactly that torn window)
+    tmp = p + "__build_tmp"
+    _delete_dir(spark, tmp)   # leftover from a previous crashed build
     if not emb.take(1):
-        _write_ivf_postings(spark, None, p)
+        _write_ivf_postings(spark, None, tmp)
         spark.createDataFrame([], "cell long, qcentroid array<long>") \
-            .coalesce(1).write.mode("overwrite").parquet(f"{p}/centroids")
+            .coalesce(1).write.mode("overwrite").parquet(f"{tmp}/centroids")
         spark.createDataFrame([], "cell long, n long, s long") \
             .coalesce(1).write.mode("overwrite") \
-            .parquet(f"{p}/train_stats")
+            .parquet(f"{tmp}/train_stats")
+        _swap_or_move(spark, p, tmp)
         return
     C = kmeans_centroids(emb, k=cells, rounds=rounds,
                          id_col=id_col, vec_col=vec_col)
     assigned = _assign_with_d2(emb, C, id_col, vec_col) \
         .localCheckpoint(eager=False)   # postings write + stats rollup
-    _write_ivf_postings(spark, assigned, p)
+    _write_ivf_postings(spark, assigned, tmp)
     (ivf_posting_stats(assigned)
-     .coalesce(1).write.mode("overwrite").parquet(f"{p}/train_stats"))
+     .coalesce(1).write.mode("overwrite").parquet(f"{tmp}/train_stats"))
     spark.createDataFrame(
         [(int(i), [int(x) for x in row]) for i, row in enumerate(C)],
         "cell long, qcentroid array<long>"
     ).coalesce(1).write.mode("overwrite") \
-        .parquet(f"{p}/centroids")
+        .parquet(f"{tmp}/centroids")
+    _swap_or_move(spark, p, tmp)
+
+
+def _delete_dir(spark, path: str) -> None:
+    from streamforge_spark.streaming.recovery import _hadoop_fs
+    fs, _JPath, p = _hadoop_fs(spark, path)
+    fs.delete(p, True)
+
+
+def _swap_or_move(spark, path: str, tmp: str) -> None:
+    """swap_dir when ``path`` exists (rename-aside, crash-recoverable),
+    plain rename on first build."""
+    from streamforge_spark.io import swap_dir
+    from streamforge_spark.streaming.recovery import _hadoop_fs
+    fs, JPath, p = _hadoop_fs(spark, path)
+    if fs.exists(p):
+        swap_dir(spark, path, tmp)
+    elif not fs.rename(JPath(tmp), p):
+        raise IOError(f"could not move staged index {tmp} into {path}")
 
 
 def _assign_with_d2(vecs: DataFrame, C, id_col: str,
@@ -668,11 +696,14 @@ def _assign_with_d2(vecs: DataFrame, C, id_col: str,
 def _write_ivf_postings(spark, assigned, p: str,
                         mode: str = "overwrite") -> None:
     """Postings write with the empty-relation guard: a partitioned
-    write of zero rows emits no schema-bearing part file and the read
-    back fails with UNABLE_TO_INFER_SCHEMA, so an empty (or None)
+    OVERWRITE of zero rows emits no schema-bearing part file and the
+    read back fails with UNABLE_TO_INFER_SCHEMA, so an empty (or None)
     relation lands as a coalesce(1) flat file whose footer keeps
-    load_ivf_fixed_index round-tripping."""
-    if assigned is None or not assigned.take(1):
+    load_ivf_fixed_index round-tripping.  The emptiness probe runs
+    ONLY on the overwrite path — an append of zero rows already writes
+    nothing, and probing would execute the caller's assignment plan a
+    second time on the per-batch hot path (review-r9)."""
+    if assigned is None or (mode == "overwrite" and not assigned.take(1)):
         if mode == "append":
             return   # appending nothing changes nothing
         spark.createDataFrame(
@@ -711,15 +742,27 @@ def refit_ivf_postings_frozen(spark, path: str, vecs: DataFrame, *,
     because the surviving distribution still matches the one that
     shaped the cells.  Raises on an empty index like the append (no
     geometry to assign against)."""
-    cents = spark.read.parquet(f"{path.rstrip('/')}/centroids") \
-        .orderBy("cell").collect()
+    p = path.rstrip("/")
+    cents = spark.read.parquet(f"{p}/centroids").orderBy("cell").collect()
     C = [list(r.qcentroid) for r in cents]
     if not C:
         raise ValueError(
             f"IVF index at {path} is EMPTY (no centroids): a frozen "
             f"refit has no geometry to assign against — retrain first")
-    _write_ivf_postings(spark, _assign_with_d2(vecs, C, id_col, vec_col),
-                        path.rstrip("/"))
+    # stage + rename-aside swap of the postings dir only: a crashed
+    # refit must not leave a half-written postings dir next to live
+    # centroids (same torn-index discipline as the builder)
+    tmp = f"{p}/vectors__refit_tmp"
+    _delete_dir(spark, tmp)
+    staged = _assign_with_d2(vecs, C, id_col, vec_col)
+    if staged.take(1):
+        (staged.select("vec_id", "v", "cell", "d2")
+         .write.partitionBy("cell").mode("overwrite").parquet(tmp))
+    else:
+        spark.createDataFrame(
+            [], "vec_id long, v array<double>, cell long, d2 long"
+        ).coalesce(1).write.mode("overwrite").parquet(tmp)
+    _swap_or_move(spark, f"{p}/vectors", tmp)
 
 
 def append_ivf_fixed_index(path: str, vecs: DataFrame, *,

@@ -18,6 +18,7 @@ REFERENCE_PATH, REFERENCE_PATH_2, OUTPUT_PATH, CHECKPOINT_DIR.
 
 from __future__ import annotations
 
+import logging
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -41,6 +42,8 @@ from streamforge_spark.streaming.sinks import (
     foreach_batch_upsert, kafka_compacted_output, parquet_sink, split_sinks,
 )
 from streamforge_spark.streaming.sources import file_stream
+
+log = logging.getLogger(__name__)
 
 JOB_REGISTRY: dict[str, Callable] = {}
 
@@ -510,17 +513,26 @@ def corpus_ingest_v2(spark: SparkSession, cfg: ScopedConfig):
             # batch start, i.e. before this batch's append), stamped
             # and appended so an operator watches drift accrue without
             # running the batch audit.  Input scan = two pruned
-            # posting columns on the configured cadence.
+            # posting columns on the configured cadence.  A LEGACY
+            # index (built before train_stats/d2 existed) skips the
+            # snapshot with a warning instead of killing the stream —
+            # the next compactor retrain upgrades it (review-r9).
             from streamforge_spark.functions.similarity import (
                 ivf_posting_stats, load_ivf_train_stats,
                 staleness_from_stats)
-            (staleness_from_stats(
-                spark, load_ivf_train_stats(spark, ivf_path),
-                ivf_posting_stats(ivf_vecs.select("cell", "d2")),
-                len(ivf_C), stale_drift_ppm=stale_drift)
-             .withColumn("batch_id", F.lit(batch_id))
-             .coalesce(1).write.mode("append")
-             .parquet(f"{out}/ivf_staleness"))
+            if "d2" not in ivf_vecs.columns:
+                log.warning(
+                    "IVF index at %s predates train_stats/d2 — "
+                    "staleness telemetry skipped until a compactor "
+                    "retrain upgrades it", ivf_path)
+            else:
+                (staleness_from_stats(
+                    spark, load_ivf_train_stats(spark, ivf_path),
+                    ivf_posting_stats(ivf_vecs.select("cell", "d2")),
+                    len(ivf_C), stale_drift_ppm=stale_drift)
+                 .withColumn("batch_id", F.lit(batch_id))
+                 .coalesce(1).write.mode("append")
+                 .parquet(f"{out}/ivf_staleness"))
 
         verdicts = corpus_funnel_verdicts(
             docs, vocab=vocab, xs_index=xs_index,
@@ -657,6 +669,14 @@ def corpus_compact(spark: SparkSession, cfg: ScopedConfig):
     threshold = float(cfg.get("FUZZY_THRESHOLD") or "0.2")
 
     corpus = spark.read.parquet(corpus_path)
+    if cfg.get("IVF_INDEX_PATH") and "embedding" not in corpus.columns:
+        # validate BEFORE the md5 pass: failing on the IVF rebuild
+        # AFTER swap_dir would leave a corpus mutated by a job that
+        # exits non-zero (review-r9)
+        raise SystemExit(
+            f"CorpusCompact: IVF_INDEX_PATH is set but the corpus at "
+            f"{corpus_path} has no 'embedding' column — drop the "
+            f"setting or ingest embeddings first")
     docs = corpus.select("doc_id", "text")
     # exact-dup pre-pass: BAND_MAX_BUCKET caps the LSH join, so a
     # bit-identical family of m > cap members would otherwise only
@@ -727,12 +747,24 @@ def corpus_compact(spark: SparkSession, cfg: ScopedConfig):
                 C = [list(r.qcentroid) for r in cents]
             except AnalysisException:
                 C = []   # no index yet: bootstrap retrain
+            if C and not emb_kept.take(1):
+                # zero embedded survivors: the documented contract is
+                # the EMPTY index (gate-off), not stale old geometry —
+                # the no-appends-is-fresh drift rule would otherwise
+                # judge this 'fresh' and keep centroids describing a
+                # corpus that no longer exists (review-r9)
+                C = []
             if C:
-                report = staleness_from_stats(
-                    spark, load_ivf_train_stats(spark, str(ivf_path)),
-                    ivf_current_stats(emb_kept, C), len(C),
-                    stale_drift_ppm=drift_max)
-                stale_cells = report.filter("stale").count()
+                try:
+                    report = staleness_from_stats(
+                        spark, load_ivf_train_stats(spark, str(ivf_path)),
+                        ivf_current_stats(emb_kept, C), len(C),
+                        stale_drift_ppm=drift_max)
+                    stale_cells = report.filter("stale").count()
+                except AnalysisException:
+                    # legacy index without train_stats: the retrain
+                    # below writes the current format (review-r9)
+                    stale_cells = None
                 if stale_cells == 0:
                     refit_ivf_postings_frozen(spark, str(ivf_path),
                                               emb_kept)

@@ -1767,6 +1767,17 @@ def semantic_decontamination(spark, sf_dir):
         key=lambda r: r.vec_id)
     corpus = (e.filter(F.col("vec_id") >= SEM_DECON_BENCH_MAX_ID)
               .withColumn("nv", F.sqrt(_dot(F.col("v"), F.col("v")))))
+    if not bench:
+        # zero benchmark rows: contamination is undefined — return the
+        # EMPTY relation (the oracle's shape), not |corpus| rows of
+        # NULL verdicts from an argmax over an empty candidate array
+        # (review-r9)
+        return corpus.select(
+            "vec_id",
+            F.lit(None).cast("long").alias("nearest_bench_id"),
+            F.lit(None).cast("double").alias("max_cos"),
+            F.lit(None).cast("boolean").alias("contaminated"),
+        ).filter(F.lit(False))
     cands = []
     for r in bench:
         bv = F.array(*[F.lit(float(x)) for x in r.v])

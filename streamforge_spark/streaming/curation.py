@@ -627,12 +627,28 @@ def _read_max_doc_id(spark, path: str) -> int:
     # bare except here silently disabled both the replayed-batch skip
     # and the non-monotone-id guard on any transient read failure
     # (advisor-r8) — existence is checked via the Hadoop FS like
-    # effectively_once, and real read errors propagate.
+    # effectively_once, and real read errors (IO/permission)
+    # propagate.  A marker TORN by a crash inside _write_max_doc_id's
+    # non-atomic overwrite (dir exists, no readable footer / zero
+    # rows) must not brick every later append (review-r9: the bare
+    # exists-then-read did exactly that) — it recomputes the cached
+    # value from the authoritative grams table, so the guards stay
+    # armed and the next successful append rewrites the marker.
+    from pyspark.errors import AnalysisException
+
     from streamforge_spark.streaming.recovery import _hadoop_fs
     fs, _JPath, p = _hadoop_fs(spark, _meta_path(path))
     if not fs.exists(p):
         return -1
-    return spark.read.parquet(_meta_path(path)).first()[0]
+    try:
+        row = spark.read.parquet(_meta_path(path)).first()
+    except AnalysisException:
+        row = None
+    if row is not None:
+        return row[0]
+    mx = spark.read.parquet(f"{path}/grams") \
+        .agg(F.max("doc_id")).first()[0]
+    return -1 if mx is None else mx
 
 
 def load_minhash_index(spark, path: str):

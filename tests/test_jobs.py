@@ -880,6 +880,54 @@ def test_corpus_compact_ivf_retrain_policy_stale(spark, tmp_path):
     assert [(r.retrained, r.stale_cells) for r in ledger3] == [(True, None)]
 
 
+def test_corpus_compact_ivf_guards(spark, tmp_path):
+    """Two review-r9 hardening cases: (a) IVF_INDEX_PATH on a corpus
+    WITHOUT an embedding column fails loudly BEFORE the corpus is
+    mutated; (b) policy=stale with zero embedded survivors resets to
+    the documented EMPTY index (gate-off) instead of keeping centroids
+    that describe a corpus which no longer exists."""
+    import pytest
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from streamforge_spark.functions.similarity import (
+        build_ivf_fixed_index, load_ivf_fixed_index)
+
+    # (a) missing embedding column: loud, pre-mutation
+    corpus = tmp_path / "corpus_noemb"
+    dup = "identical template body repeated verbatim both times"
+    spark.createDataFrame(
+        [(1, dup, "web"), (2, dup, "web")],
+        "doc_id long, text string, source string"
+    ).write.parquet(str(corpus))
+    with pytest.raises(SystemExit, match="no 'embedding' column"):
+        run_job("CorpusCompact",
+                job_cfg(tmp_path, CORPUS_PATH=corpus,
+                        IVF_INDEX_PATH=tmp_path / "ivf_x"),
+                spark=spark, drain=True)
+    assert spark.read.parquet(str(corpus)).count() == 2  # untouched
+
+    # (b) policy=stale, the only embedded doc is dropped as a dup of a
+    # NULL-embedding doc -> zero embedded survivors -> EMPTY index
+    corpus2 = tmp_path / "corpus_lastemb"
+    spark.createDataFrame(
+        [(1, dup, "web", None), (2, dup, "web", [1.0, 0.0])],
+        "doc_id long, text string, source string, embedding array<double>"
+    ).write.parquet(str(corpus2))
+    idx = tmp_path / "ivf_lastemb"
+    build_ivf_fixed_index(
+        spark.createDataFrame([(2, [1.0, 0.0])],
+                              "vec_id long, embedding array<double>"),
+        str(idx), cells=2, rounds=2)
+    run_job("CorpusCompact",
+            job_cfg(tmp_path, CORPUS_PATH=corpus2, IVF_INDEX_PATH=idx,
+                    IVF_RETRAIN_POLICY="stale"),
+            spark=spark, drain=True)
+    C, vecs = load_ivf_fixed_index(spark, str(idx))
+    assert C == [] and vecs.count() == 0
+    ledger = read(spark, tmp_path, "ivf_retrain_ledger").collect()
+    assert [(r.policy, r.retrained) for r in ledger] == [("stale", True)]
+
+
 def test_corpus_compact_closes_within_batch_blind_spot(spark, tmp_path):
     """The batch compactor the streaming gates defer to: two near-dup
     docs admitted in the SAME micro-batch (the gate's documented

@@ -1591,6 +1591,51 @@ def test_minhash_index_append_replay_after_bands_only_crash(spark, workdir):
     assert got[10] is False
 
 
+def test_minhash_marker_torn_overwrite_self_heals(spark, workdir):
+    # a crash inside _write_max_doc_id's non-atomic mode('overwrite')
+    # leaves the marker dir existing but FOOTERLESS: the exists-then-
+    # read path must not brick every later append (review-r9) — it
+    # recomputes the cached max from the authoritative grams table, so
+    # the replay skip and the non-monotone guard stay armed, and the
+    # next successful append rewrites the marker
+    import glob
+    import os
+
+    from streamforge_spark.streaming.curation import (
+        _read_max_doc_id, append_minhash_index, load_minhash_index,
+        minhash_corpus_index, save_minhash_index)
+
+    DOCS = T.StructType([T.StructField("doc_id", T.LongType()),
+                         T.StructField("text", T.StringType())])
+    first = [(1, "alpha beta gamma delta epsilon zeta eta theta iota"),
+             (2, "one two three four five six seven eight nine ten")]
+    second = [(3, "red orange yellow green blue indigo violet and white")]
+    third = [(4, "entirely different final words closing out the test")]
+    path = f"{workdir}/mhidx_torn"
+    b0, g0 = minhash_corpus_index(spark.createDataFrame(first, DOCS))
+    save_minhash_index(b0, g0, path)
+    append_minhash_index(path, spark.createDataFrame(second, DOCS))
+
+    # simulate the torn overwrite: dir stays, parquet files gone
+    for f in glob.glob(f"{path}/_max_doc_id/*"):
+        os.remove(f)
+    assert _read_max_doc_id(spark, path) == 3   # recomputed from grams
+
+    # replay of the already-folded batch is STILL skipped (no dup rows)
+    append_minhash_index(path, spark.createDataFrame(second, DOCS))
+    # and a genuinely new batch appends and re-writes the marker
+    append_minhash_index(path, spark.createDataFrame(third, DOCS))
+    assert _read_max_doc_id(spark, path) == 4
+
+    bands_l, grams_l = load_minhash_index(spark, path)
+    b_full, g_full = minhash_corpus_index(
+        spark.createDataFrame(first + second + third, DOCS))
+    assert (sorted(map(tuple, bands_l.collect()))
+            == sorted(map(tuple, b_full.collect())))
+    assert (sorted((r.doc_id, tuple(r.gs)) for r in grams_l.collect())
+            == sorted((r.doc_id, tuple(r.gs)) for r in g_full.collect()))
+
+
 def test_minhash_index_append_respects_bucket_cap(spark, workdir):
     # a bucket already full in the persisted index admits no appended
     # members, and a partly-full one admits only up to capacity — so
