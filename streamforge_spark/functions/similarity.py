@@ -221,7 +221,8 @@ def ann_ivf_topk(emb: DataFrame, query_ids, k: int = 10,
 
 def ann_ivf_fixed_topk(emb: DataFrame, query_ids, k: int = 10, *,
                        cells: int = 16, rounds: int = 2, nprobe: int = 4,
-                       id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       train_on: DataFrame | None = None) -> DataFrame:
     """IVF ANN top-k over a FIXED-POINT coarse quantizer — the fully
     deterministic (and therefore oracle-checkable end-to-end) variant
     of :func:`ann_ivf_topk`.
@@ -241,11 +242,18 @@ def ann_ivf_fixed_topk(emb: DataFrame, query_ids, k: int = 10, *,
     trade vs the float trainer: full-corpus training passes instead of
     a bounded driver sample, bought back as exact reproducibility —
     index builds for production corpora want exactly that audit story.
+
+    ``train_on`` restricts the Lloyd trainer to a sub-population while
+    assignment/probing still cover all of ``emb`` — the FROZEN-index
+    retrieval shape (centroids from the established corpus, postings
+    folded in by appends), used by ivf_frozen_vs_retrained_recall to
+    price the staleness debt in recall points.
     """
     from streamforge_spark.functions.clustering import (
         KMEANS_QUANT, kmeans_centroids)
     spark = emb.sparkSession
-    C = kmeans_centroids(emb, k=cells, rounds=rounds,
+    C = kmeans_centroids(train_on if train_on is not None else emb,
+                         k=cells, rounds=rounds,
                          id_col=id_col, vec_col=vec_col)
     bc = spark.sparkContext.broadcast(C)
     raw = F.col(vec_col).cast("array<double>")

@@ -1262,6 +1262,137 @@ def ann_recall_eval(spark, sf_dir):
                  .alias("ivf_recall_ppm")))
 
 
+# -- frozen-vs-retrained IVF recall (the staleness debt, priced) ---------
+
+def _ann_ivf_frozen_oracle(cells: int, rounds: int, quant: int,
+                           nprobe: int, nq: int, k: int,
+                           split: int) -> str:
+    """The FROZEN-index retrieval in SQL: the Lloyd chain trains on
+    the established split only (the index's build-time population),
+    then ALL vectors — established and appended alike — are assigned
+    under those frozen centroids (exactly append_ivf_fixed_index's
+    posting fold), probed, and exact-cosine-ranked."""
+    from streamforge_spark.queries.embeddings import _kmeans_oracle
+    base = _kmeans_oracle(
+        cells, rounds, quant,
+        src=f"(SELECT * FROM embeddings WHERE vec_id < {split})")
+    head, _ = base.rsplit("\nSELECT", 1)
+    r = rounds - 1
+    return f"""{head},
+raw AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+alle AS (SELECT vec_id, list_transform(embedding::DOUBLE[],
+                 x -> CAST(ROUND(x * {quant}) AS BIGINT)) AS v
+         FROM embeddings),
+alled AS (SELECT vec_id, generate_subscripts(v, 1) AS j, unnest(v) AS x
+          FROM alle),
+fassign AS (
+  SELECT vec_id, cl FROM (
+    SELECT alled.vec_id AS vec_id, cd.cl AS cl,
+           SUM((alled.x - cd.x) * (alled.x - cd.x)) AS d2
+    FROM alled JOIN cd{r} cd ON alled.j = cd.j
+    GROUP BY 1, 2) t
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cl) = 1),
+qd AS (SELECT vec_id AS qid, j, x FROM alled WHERE vec_id < {nq}),
+probe AS (
+  SELECT qid, cl FROM (
+    SELECT qd.qid AS qid, cd.cl AS cl,
+           SUM((qd.x - cd.x) * (qd.x - cd.x)) AS d2
+    FROM qd JOIN cd{r} cd ON qd.j = cd.j
+    GROUP BY 1, 2) t
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, cl) <= {nprobe}),
+cands AS (
+  SELECT p.qid, a.vec_id AS cid FROM probe p
+  JOIN fassign a ON a.cl = p.cl
+  WHERE a.vec_id <> p.qid),
+scored AS (
+  SELECT c.qid, c.cid,
+         list_dot_product(rq.v, rc.v)
+           / (sqrt(list_dot_product(rq.v, rq.v))
+              * sqrt(list_dot_product(rc.v, rc.v))) AS cos
+  FROM cands c
+  JOIN raw rq ON rq.vec_id = c.qid
+  JOIN raw rc ON rc.vec_id = c.cid)
+SELECT qid AS query_id, cid AS neighbor_id
+FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                                   ORDER BY cos DESC, cid) AS rn
+      FROM scored)
+WHERE rn <= {k}
+"""
+
+
+def _frozen_recall_oracle() -> str:
+    from streamforge_spark.queries.embeddings import _TOPK_ORACLE
+    froz = _ann_ivf_frozen_oracle(IVF_CELLS, IVF_ROUNDS, 10000,
+                                  IVF_NPROBE, ANN_NQ, ANN_K,
+                                  INGEST_SPLIT_ID)
+    retr = _ann_ivf_oracle(IVF_CELLS, IVF_ROUNDS, 10000, IVF_NPROBE,
+                           ANN_NQ, ANN_K)
+    return f"""
+WITH truth AS (SELECT query_id, neighbor_id FROM ({_TOPK_ORACLE})),
+froz AS (SELECT query_id, neighbor_id FROM ({froz})),
+retr AS (SELECT query_id, neighbor_id FROM ({retr}))
+SELECT t.query_id,
+       CAST({ANN_K} AS BIGINT) AS k,
+       CAST(COUNT(f.neighbor_id) AS BIGINT) AS frozen_hits,
+       (1000000 * COUNT(f.neighbor_id)) // {ANN_K} AS frozen_recall_ppm,
+       CAST(COUNT(r.neighbor_id) AS BIGINT) AS retrained_hits,
+       (1000000 * COUNT(r.neighbor_id)) // {ANN_K}
+         AS retrained_recall_ppm
+FROM truth t
+LEFT JOIN froz f ON f.query_id = t.query_id
+                 AND f.neighbor_id = t.neighbor_id
+LEFT JOIN retr r ON r.query_id = t.query_id
+                 AND r.neighbor_id = t.neighbor_id
+GROUP BY t.query_id
+"""
+
+
+@query("ivf_frozen_vs_retrained_recall", oracle=_frozen_recall_oracle())
+def ivf_frozen_vs_retrained_recall(spark, sf_dir):
+    """The staleness debt PRICED IN RECALL POINTS: recall@k against
+    exact brute-force truth of (a) the FROZEN index — centroids
+    trained on the established split, every later vector folded in
+    under them, exactly what append_ivf_fixed_index accumulates — vs
+    (b) the RETRAINED index over the full corpus, exactly what
+    CorpusCompact's Lloyd rebuild produces.  The recall gap is the
+    quantity ivf_index_staleness_report's drift/fit flags PREDICT and
+    IVF_RETRAIN_POLICY=stale decides over; this query measures it
+    after the fact, closing the trigger -> action -> value loop.
+
+    Scale shape: two ann_ivf_fixed_topk retrievals (each the proven
+    single-pass integer plan; the frozen one trains on the established
+    subset only) + the exact-truth scan, joined as dimension-sized
+    (k x n_queries) broadcasts into one per-query rollup — identical
+    shape to ann_recall_eval."""
+    from streamforge_spark.functions.similarity import ann_ivf_fixed_topk
+    from streamforge_spark.queries.embeddings import ann_cosine_topk
+    (emb,) = prep(spark, sf_dir, "embeddings")
+    truth = ann_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    froz = (ann_ivf_fixed_topk(
+                emb, range(ANN_NQ), k=ANN_K, cells=IVF_CELLS,
+                rounds=IVF_ROUNDS, nprobe=IVF_NPROBE,
+                train_on=emb.filter(F.col("vec_id") < INGEST_SPLIT_ID))
+            .select("query_id", "neighbor_id").withColumn("_f", F.lit(1)))
+    retr = (ann_ivf_fixed_topk(emb, range(ANN_NQ), k=ANN_K,
+                               cells=IVF_CELLS, rounds=IVF_ROUNDS,
+                               nprobe=IVF_NPROBE)
+            .select("query_id", "neighbor_id").withColumn("_r", F.lit(1)))
+    return (truth
+            .join(F.broadcast(froz), ["query_id", "neighbor_id"], "left")
+            .join(F.broadcast(retr), ["query_id", "neighbor_id"], "left")
+            .groupBy("query_id")
+            .agg(F.lit(ANN_K).cast("long").alias("k"),
+                 F.count("_f").alias("frozen_hits"),
+                 F.count("_r").alias("retrained_hits"))
+            .select(
+                "query_id", "k", "frozen_hits",
+                F.expr(f"(1000000 * frozen_hits) div {ANN_K}")
+                 .alias("frozen_recall_ppm"),
+                "retrained_hits",
+                F.expr(f"(1000000 * retrained_hits) div {ANN_K}")
+                 .alias("retrained_recall_ppm")))
+
+
 # -- MinHash estimate calibration ---------------------------------------
 
 _MINHASH_CALIB_ORACLE = f"""

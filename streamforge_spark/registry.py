@@ -113,7 +113,7 @@ ROTATION_PRIORITY = [
     "ivf_cell_report", "semantic_decontamination",
     # round-9 additions
     "corpus_funnel_semantic_report", "ivf_index_staleness_report",
-    "corpus_funnel_by_source",
+    "corpus_funnel_by_source", "ivf_frozen_vs_retrained_recall",
 ]
 
 
