@@ -387,6 +387,54 @@ FUNNEL_VERDICTS = ("gopher", "oov", "substring", "fuzzy", "semantic",
                    "dsir")
 
 
+def _load_funnel_store(spark: SparkSession, cfg: ScopedConfig) -> dict:
+    """Load every configured funnel artifact FRESH from the persisted
+    model store, as corpus_funnel_verdicts keyword arguments — shared
+    by CorpusIngestV2 (per micro-batch: review-r8's no-cached-model
+    rule, which also picks up refits without a restart) and
+    QuarantineReplay (per run: the whole point is grading against the
+    CURRENT artifacts).  An EMPTY IVF index loads as gate-off."""
+    from streamforge_spark.functions.dsir import (
+        dsir_llr_from_counts, load_dsir_counts)
+    from streamforge_spark.functions.similarity import (
+        load_ivf_fixed_index)
+    from streamforge_spark.streaming.curation import load_minhash_index
+
+    vocab_path = cfg.get("VOCAB_PATH")
+    xs_path = cfg.get("XS_INDEX_PATH")
+    mh_path = cfg.get("MINHASH_INDEX_PATH")
+    ivf_path = cfg.get("IVF_INDEX_PATH")
+    dsir_path = cfg.get("DSIR_COUNTS_PATH")
+    dsir_thresh = cfg.get("DSIR_THRESHOLD_MICRO")
+
+    mh_bands = mh_grams = None
+    if mh_path:
+        mh_bands, mh_grams = load_minhash_index(spark, mh_path)
+    ivf_C = ivf_vecs = None
+    if ivf_path:
+        ivf_C, ivf_vecs = load_ivf_fixed_index(spark, ivf_path)
+        if not ivf_C:
+            # an EMPTY index (compacted corpus had no embedded
+            # survivors) has no geometry: the semantic gate AND its
+            # append stay off until a compactor retrain over an
+            # embedded corpus re-establishes centroids — embedded
+            # admissions meanwhile reach the index via that rebuild
+            ivf_C = ivf_vecs = None
+    return dict(
+        vocab=(spark.read.parquet(vocab_path).select("term")
+               if vocab_path else None),
+        xs_index=(spark.read.parquet(xs_path).select("h")
+                  if xs_path else None),
+        mh_bands=mh_bands, mh_grams=mh_grams,
+        llr_model=(dsir_llr_from_counts(load_dsir_counts(spark, dsir_path))
+                   if dsir_path else None),
+        dsir_threshold_micro=(int(dsir_thresh)
+                              if dsir_thresh is not None else None),
+        ivf_centroids=ivf_C, ivf_vecs=ivf_vecs,
+        semantic_threshold=float(cfg.get("SEMANTIC_THRESHOLD") or "0.30"),
+        semantic_nprobe=int(cfg.get("SEMANTIC_NPROBE") or "4"))
+
+
 @stream_job("CorpusIngestV2")
 def corpus_ingest_v2(spark: SparkSession, cfg: ScopedConfig):
     """The composed online curation funnel as the production ingest
@@ -446,29 +494,22 @@ def corpus_ingest_v2(spark: SparkSession, cfg: ScopedConfig):
     indexes are RE-READ per batch — that is what makes the append
     visible to the next batch.
     """
-    from streamforge_spark.functions.dsir import (
-        dsir_llr_from_counts, load_dsir_counts)
     from streamforge_spark.functions.similarity import (
-        append_ivf_fixed_index, load_ivf_fixed_index)
+        append_ivf_fixed_index)
     from streamforge_spark.functions.substring_index import (
         substring_index, window_hashes)
     from streamforge_spark.queries.text import XS_K
     from streamforge_spark.streaming.curation import (
-        append_minhash_index, corpus_funnel_verdicts, load_minhash_index)
+        append_minhash_index, corpus_funnel_verdicts)
     from streamforge_spark.streaming.sinks import effectively_once
 
     out = cfg.require("OUTPUT_PATH")
     ckpt = cfg.require("CHECKPOINT_DIR")
-    vocab_path = cfg.get("VOCAB_PATH")
     xs_path = cfg.get("XS_INDEX_PATH")
     mh_path = cfg.get("MINHASH_INDEX_PATH")
     ivf_path = cfg.get("IVF_INDEX_PATH")
-    sem_threshold = float(cfg.get("SEMANTIC_THRESHOLD") or "0.30")
-    sem_nprobe = int(cfg.get("SEMANTIC_NPROBE") or "4")
     stale_every = int(cfg.get("IVF_STALENESS_EVERY_N") or "0")
     stale_drift = int(cfg.get("IVF_STALE_DRIFT_PPM") or "50000")
-    dsir_path = cfg.get("DSIR_COUNTS_PATH")
-    dsir_thresh = cfg.get("DSIR_THRESHOLD_MICRO")
     update_indexes = cfg.get("UPDATE_INDEXES") == "1"
 
     raw = _maybe_from_now(
@@ -487,25 +528,8 @@ def corpus_ingest_v2(spark: SparkSession, cfg: ScopedConfig):
         (parse_dlq.withColumn("batch_id", F.lit(batch_id))
          .write.mode("append").parquet(f"{out}/dlq_parse"))
 
-        vocab = (spark.read.parquet(vocab_path).select("term")
-                 if vocab_path else None)
-        llr_model = (dsir_llr_from_counts(
-            load_dsir_counts(spark, dsir_path)) if dsir_path else None)
-        xs_index = (spark.read.parquet(xs_path).select("h")
-                    if xs_path else None)
-        mh_bands = mh_grams = None
-        if mh_path:
-            mh_bands, mh_grams = load_minhash_index(spark, mh_path)
-        ivf_C = ivf_vecs = None
-        if ivf_path:
-            ivf_C, ivf_vecs = load_ivf_fixed_index(spark, ivf_path)
-            if not ivf_C:
-                # an EMPTY index (compacted corpus had no embedded
-                # survivors) has no geometry: the semantic gate AND its
-                # append stay off until a compactor retrain over an
-                # embedded corpus re-establishes centroids — embedded
-                # admissions meanwhile reach the index via that rebuild
-                ivf_C = ivf_vecs = None
+        store = _load_funnel_store(spark, cfg)
+        ivf_C, ivf_vecs = store["ivf_centroids"], store["ivf_vecs"]
         if (ivf_C is not None and stale_every > 0
                 and batch_id % stale_every == 0):
             # online retrain-trigger trend: the k-row staleness report
@@ -535,14 +559,7 @@ def corpus_ingest_v2(spark: SparkSession, cfg: ScopedConfig):
                  .parquet(f"{out}/ivf_staleness"))
 
         verdicts = corpus_funnel_verdicts(
-            docs, vocab=vocab, xs_index=xs_index,
-            mh_bands=mh_bands, mh_grams=mh_grams, llr_model=llr_model,
-            dsir_threshold_micro=(int(dsir_thresh)
-                                  if dsir_thresh is not None else None),
-            xs_k=XS_K,
-            ivf_centroids=ivf_C, ivf_vecs=ivf_vecs,
-            semantic_threshold=sem_threshold,
-            semantic_nprobe=sem_nprobe).localCheckpoint()
+            docs, xs_k=XS_K, **store).localCheckpoint()
 
         # batch_id rides every sink row: effectively_once's crash
         # window (produce done, ledger marker not yet written) replays
@@ -780,4 +797,129 @@ def corpus_compact(spark: SparkSession, cfg: ScopedConfig):
          .withColumn("compacted_at", F.current_timestamp())
          .coalesce(1).write.mode("append")
          .parquet(f"{out}/ivf_retrain_ledger"))
+    return []
+
+
+@stream_job("QuarantineReplay")
+def quarantine_replay(spark: SparkSession, cfg: ScopedConfig):
+    """Re-file quarantined documents against the CURRENT model store —
+    the requeue-after-artifact-fix job every production intake needs:
+    a vocabulary rebuilt with the missing terms, a corrected substring
+    index, or a refit DSIR model changes verdicts, and the documents
+    the OLD artifacts rejected deserve a second grading.  Completes
+    the funnel's operational triangle: CorpusIngestV2 grades arrivals,
+    CorpusCompact re-derives ground truth inside the corpus,
+    QuarantineReplay re-derives it inside the QUARANTINE.
+
+    Config:
+      OUTPUT_PATH     the ingest job's output root (quarantine_* dirs,
+                      corpus, and the replay_ledger live under it)
+      REPLAY_CLASSES  csv subset of {gopher,oov,substring,fuzzy,
+                      semantic,dsir} to re-grade (default: all)
+      + the same artifact paths as CorpusIngestV2 (VOCAB_PATH,
+        XS_INDEX_PATH, MINHASH_INDEX_PATH, IVF_INDEX_PATH,
+        DSIR_COUNTS_PATH, DSIR_THRESHOLD_MICRO, SEMANTIC_*)
+
+    Per run: the replayed classes' quarantine rows are re-graded by
+    the SHARED verdict core (corpus_funnel_verdicts — literally the
+    ingest job's function, so a replay verdict can never disagree with
+    what ingest would say today).  Newly admitted docs append to the
+    corpus (original batch_id preserved for provenance, fresh
+    ingested_at); docs whose verdict CHANGED class move between
+    quarantine dirs; unchanged docs stay.  Every move is ledgered
+    under replay_ledger (doc_id, from_verdict, to_verdict).
+
+    Idempotence + crash window: the corpus append lands FIRST and the
+    replay pool anti-joins the corpus doc_ids, so a crash between the
+    append and the quarantine rewrites re-runs cleanly — the already-
+    admitted doc is excluded from the pool and simply vanishes from
+    its old dir on the retry, never duplicated into the corpus.
+    Replayed-class dirs are rewritten ATOMICALLY (rename-aside
+    swap_dir); classes outside REPLAY_CLASSES only ever receive
+    appends.  Run it quiesced, like the compactor.
+
+    What a replay does NOT do: fold admissions into the persisted
+    indexes — append_minhash_index's bucket-cap algebra requires
+    MONOTONE doc_ids and replayed ids are old by definition, so index
+    integration belongs to the next CorpusCompact rebuild (which
+    derives the indexes from the corpus the replay just appended to).
+
+    Scale shape: input is the quarantine, not the corpus — O(rejected)
+    rows through the same O(batch) persisted-artifact gates; the only
+    corpus-wide touch is the one-column doc_id anti-join; rewrites
+    touch quarantine dirs only."""
+    from functools import reduce
+
+    from pyspark.errors import AnalysisException
+
+    from streamforge_spark.io import swap_dir
+    from streamforge_spark.queries.text import XS_K
+    from streamforge_spark.streaming.curation import corpus_funnel_verdicts
+
+    out = cfg.require("OUTPUT_PATH")
+    classes = [c for c in
+               (cfg.get("REPLAY_CLASSES")
+                or ",".join(FUNNEL_VERDICTS)).split(",") if c]
+    unknown = sorted(set(classes) - set(FUNNEL_VERDICTS))
+    if unknown:
+        raise SystemExit(
+            f"QuarantineReplay: unknown REPLAY_CLASSES {unknown} — "
+            f"valid classes: {', '.join(FUNNEL_VERDICTS)}")
+
+    pools = {}
+    for v in classes:
+        try:
+            pools[v] = spark.read.parquet(f"{out}/quarantine_{v}")
+        except AnalysisException:
+            continue   # class never produced by ingest: nothing to do
+    if not pools:
+        return []
+
+    inp = reduce(lambda a, b: a.unionByName(b),
+                 [df.withColumnRenamed("verdict", "_from")
+                  for df in pools.values()])
+    # idempotence anti-join (see docstring): docs a crashed prior run
+    # already admitted are in the corpus — drop them from the pool
+    try:
+        in_corpus = spark.read.parquet(f"{out}/corpus").select("doc_id")
+        inp = inp.join(in_corpus, "doc_id", "left_anti")
+    except AnalysisException:
+        pass   # no corpus yet: nothing was ever admitted
+
+    store = _load_funnel_store(spark, cfg)
+    regraded = corpus_funnel_verdicts(
+        inp, xs_k=XS_K, **store).localCheckpoint()
+
+    moved = regraded.filter(F.col("verdict") != F.col("_from"))
+    (moved.select("doc_id",
+                  F.col("_from").alias("from_verdict"),
+                  F.col("verdict").alias("to_verdict"))
+     .withColumn("replayed_at", F.current_timestamp())
+     .write.mode("append").parquet(f"{out}/replay_ledger"))
+
+    # 1) corpus append FIRST (the idempotence anchor)
+    (moved.filter(F.col("verdict") == "admit")
+     .drop("_from")
+     .withColumn("ingested_at", F.current_timestamp())
+     .write.mode("append").parquet(f"{out}/corpus"))
+
+    # 2) movers INTO classes outside the replay set: append-only
+    targets = {r.verdict for r in moved.select("verdict")
+               .distinct().collect()}
+    for v in sorted(targets - set(pools) - {"admit"}):
+        (regraded.filter(F.col("verdict") == v)
+         .drop("_from", "avg_llr_micro")
+         .write.mode("append").parquet(f"{out}/quarantine_{v}"))
+
+    # 3) replayed dirs rewritten atomically with their re-graded
+    #    content (unchanged docs + movers-in from sibling classes)
+    for v in pools:
+        keep = (regraded.filter(F.col("verdict") == v)
+                .drop("_from", "avg_llr_micro"))
+        tmp = f"{out}/quarantine_{v}__replay_tmp"
+        if keep.take(1):
+            keep.write.mode("overwrite").parquet(tmp)
+        else:
+            keep.coalesce(1).write.mode("overwrite").parquet(tmp)
+        swap_dir(spark, f"{out}/quarantine_{v}", tmp)
     return []

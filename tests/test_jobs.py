@@ -715,6 +715,72 @@ def test_corpus_ingest_v2_ivf_staleness_telemetry(spark, tmp_path):
     assert all(r.n_train == 1 for r in by_batch[1])
 
 
+def test_quarantine_replay_refiles_after_artifact_fix(spark, tmp_path):
+    """The requeue-after-fix job: ingest quarantines 402 as oov under
+    a vocabulary missing its n-words; after the vocabulary artifact is
+    rebuilt with them, QuarantineReplay re-grades the quarantine with
+    the SHARED verdict core — 402 re-files (ledgered), every other
+    quarantined doc keeps its class, the corpus gains exactly the
+    newly-admitted docs with their ORIGINAL batch_id, and a second
+    replay run is a no-op."""
+    from pyspark.sql import functions as F
+
+    E1, E2, docs = _funnel_fixture()
+    _funnel_artifacts(spark, tmp_path, [(1, E1, "raw"), (2, E2, "tgt")])
+    write_lines(tmp_path / "in",
+                [doc_line(i, t) for i, t in sorted(docs.items())])
+    run_job("CorpusIngestV2", _funnel_cfg(tmp_path), spark=spark,
+            drain=True)
+    assert [r.doc_id for r in
+            read(spark, tmp_path, "quarantine_oov").collect()] == [402]
+
+    # the artifact fix: rebuild the vocabulary WITH 402's n-words
+    terms = {r.term for r in
+             spark.read.parquet(str(tmp_path / "vocab")).collect()}
+    terms |= set(_fw("n", 58))
+    spark.createDataFrame([(t,) for t in sorted(terms)], "term string") \
+        .coalesce(1).write.mode("overwrite") \
+        .parquet(str(tmp_path / "vocab"))
+
+    run_job("QuarantineReplay", _funnel_cfg(tmp_path), spark=spark,
+            drain=True)
+
+    ledger = read(spark, tmp_path, "replay_ledger").collect()
+    assert [(r.doc_id, r.from_verdict) for r in ledger] == [(402, "oov")]
+    to = ledger[0].to_verdict
+    assert read(spark, tmp_path, "quarantine_oov").count() == 0
+    if to == "admit":
+        corpus = {r.doc_id: r.batch_id for r in
+                  read(spark, tmp_path, "corpus").collect()}
+        assert sorted(corpus) == [402, 405, 406]
+        assert corpus[402] == 0   # original batch_id preserved
+    else:
+        assert [r.doc_id for r in
+                read(spark, tmp_path, f"quarantine_{to}")
+                .filter(F.col("doc_id") == 402).collect()] == [402]
+    # untouched classes keep their docs
+    for v, doc_id in [("gopher", 401), ("substring", 403),
+                      ("fuzzy", 400), ("dsir", 404)]:
+        got = [r.doc_id for r in
+               read(spark, tmp_path, f"quarantine_{v}").collect()]
+        assert doc_id in got, (v, got)
+
+    # idempotence: a second run re-grades the remaining pool, moves
+    # nothing, duplicates nothing
+    run_job("QuarantineReplay", _funnel_cfg(tmp_path), spark=spark,
+            drain=True)
+    assert read(spark, tmp_path, "replay_ledger").count() == 1
+    assert read(spark, tmp_path, "corpus") \
+        .groupBy("doc_id").count().filter("count > 1").count() == 0
+
+    # REPLAY_CLASSES validation is loud
+    import pytest
+    with pytest.raises(SystemExit, match="unknown REPLAY_CLASSES"):
+        run_job("QuarantineReplay",
+                _funnel_cfg(tmp_path, REPLAY_CLASSES="oov,bogus"),
+                spark=spark, drain=True)
+
+
 def test_corpus_compact_retrains_ivf_index(spark, tmp_path):
     """The RETRAIN half of the IVF lifecycle: CorpusCompact rebuilds
     the index over surviving docs that carry embeddings (NULL-embedding
