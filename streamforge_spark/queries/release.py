@@ -278,7 +278,8 @@ FUNNEL_SPLIT_ID = 400
 FUNNEL_VOCAB_K = 16
 
 
-def _funnel_oracle(semantic: bool = False) -> str:
+def _funnel_oracle(semantic: bool = False,
+                   vocab_k: int = FUNNEL_VOCAB_K) -> str:
     from streamforge_spark.functions.dsir import (
         DSIR_BUCKETS, DSIR_MICRO, DSIR_SALT)
     from streamforge_spark.functions.simdedup import (
@@ -370,7 +371,7 @@ etoks AS (SELECT unnest(string_split(text, ' ')) AS term
           FROM documents WHERE doc_id < {split}),
 vocab AS (SELECT term FROM (SELECT term, CAST(count(*) AS BIGINT) AS c
                             FROM etoks GROUP BY term)
-          ORDER BY c DESC, term LIMIT {FUNNEL_VOCAB_K}),
+          ORDER BY c DESC, term LIMIT {vocab_k}),
 ntoks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
           FROM newdocs),
 oov AS (SELECT t.doc_id,
@@ -590,6 +591,76 @@ def corpus_funnel_by_source(spark, sf_dir):
                     F.expr("(1000000 * n_docs) div t")
                     .alias("source_share_ppm"),
                     "admitted_llr_micro_sum"))
+
+
+_WHAT_IF_ORACLE_TMPL = """
+WITH v1 AS ({v1}),
+v2 AS ({v2})
+SELECT v1.doc_id,
+       v1.verdict AS verdict_v1,
+       v2.verdict AS verdict_v2,
+       v1.verdict <> v2.verdict AS refiled
+FROM v1 JOIN v2 USING (doc_id)
+"""
+
+
+@query("funnel_vocab_what_if",
+       oracle=_WHAT_IF_ORACLE_TMPL.format(
+           v1=_funnel_oracle().strip(),
+           v2=_funnel_oracle(vocab_k=2 * FUNNEL_VOCAB_K).strip()))
+def funnel_vocab_what_if(spark, sf_dir):
+    """The replay decision table, oracle-certified: the SAME arriving
+    batch graded under the current vocabulary artifact (v1, top
+    FUNNEL_VOCAB_K terms) and under a candidate refit (v2, top 2K) —
+    per doc both verdicts and a ``refiled`` flag.  This is the what-if
+    an operator runs BEFORE shipping an artifact fix and triggering
+    QuarantineReplay (jobs.py): the refiled set IS the set that replay
+    would move, computed without touching the quarantine.  Verdict
+    core shared with production both times (corpus_funnel_verdicts),
+    so preview == replay by construction.
+
+    Scale shape: the expensive artifacts (substring index, MinHash
+    index, DSIR model) are built ONCE and checkpointed for both
+    funnel instances — only the 16-vs-32-row vocabulary differs; the
+    two verdict tables join on doc_id at O(batch)."""
+    from streamforge_spark.functions.dsir import dsir_llr_model
+    from streamforge_spark.functions.substring_index import (
+        substring_index, window_hashes)
+    from streamforge_spark.queries.curation import DSIR_TARGET_SOURCES
+    from streamforge_spark.queries.llm import MINHASH_THRESHOLD
+    from streamforge_spark.queries.text import XS_K
+    from streamforge_spark.streaming.curation import (
+        FUNNEL_DSIR_THRESHOLD_MICRO, corpus_funnel_verdicts,
+        minhash_corpus_index)
+    (docs,) = prep(spark, sf_dir, "documents")
+    est = docs.filter(F.col("doc_id") < FUNNEL_SPLIT_ID)
+    new = docs.filter(F.col("doc_id") >= FUNNEL_SPLIT_ID)
+    xs_index = (substring_index(window_hashes(est, XS_K)).select("h")
+                .localCheckpoint(eager=False))
+    mh_bands, mh_grams = minhash_corpus_index(est)
+    mh_bands = mh_bands.localCheckpoint(eager=False)
+    mh_grams = mh_grams.localCheckpoint(eager=False)
+    llr = (dsir_llr_model(est, F.col("source").isin(*DSIR_TARGET_SOURCES))
+           .localCheckpoint(eager=False))
+    terms = est.select(F.explode(F.split("text", " ")).alias("term"))
+
+    def graded(vocab_k, out_col):
+        vocab = (terms.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+                 .orderBy(F.col("c").desc(), "term").limit(vocab_k)
+                 .select("term"))
+        return corpus_funnel_verdicts(
+            new, vocab=vocab, xs_index=xs_index,
+            mh_bands=mh_bands, mh_grams=mh_grams, llr_model=llr,
+            dsir_threshold_micro=FUNNEL_DSIR_THRESHOLD_MICRO,
+            fuzzy_threshold=MINHASH_THRESHOLD, xs_k=XS_K
+        ).select("doc_id", F.col("verdict").alias(out_col))
+
+    v1 = graded(FUNNEL_VOCAB_K, "verdict_v1")
+    v2 = graded(2 * FUNNEL_VOCAB_K, "verdict_v2")
+    return (v1.join(v2, "doc_id")
+            .select("doc_id", "verdict_v1", "verdict_v2",
+                    (F.col("verdict_v1") != F.col("verdict_v2"))
+                    .alias("refiled")))
 
 
 @query("corpus_funnel_semantic_report", oracle=_funnel_oracle(semantic=True))

@@ -45,7 +45,7 @@ CURATION = [
     "dedup_cluster_representatives", "corpus_funnel_summary",
     # r9 additions (corpus_funnel_semantic_report audits via HEADLINE)
     "ivf_index_staleness_report", "corpus_funnel_by_source",
-    "ivf_frozen_vs_retrained_recall",
+    "ivf_frozen_vs_retrained_recall", "funnel_vocab_what_if",
 ]
 
 #: time-series analytics queries (queries/timeseries.py) + graph /
