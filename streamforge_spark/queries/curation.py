@@ -968,3 +968,114 @@ def dsir_incremental_refit(spark, sf_dir):
     merged = merge_dsir_counts(est, new).localCheckpoint(eager=False)
     return merged.join(dsir_llr_from_counts(merged), "bkt").select(
         "bkt", "cr", "ct", "llr_micro")
+
+
+# -- three-modal decontamination agreement --------------------------------
+
+def _decon_agreement_oracle() -> str:
+    from streamforge_spark.functions.similarity import SEM_THRESHOLD
+    from streamforge_spark.queries.text import XS_K
+    b, k = CONTAM_BENCH_MAX_ID, XS_K
+    xs_hash = hash60_sql(f"substr(text, p, {k})", "'xs'")
+    return f"""
+WITH {_CONTAM_GRAMS},
+ng AS (SELECT DISTINCT c.doc_id FROM grams c
+       JOIN (SELECT DISTINCT g FROM grams WHERE doc_id < {b}) bg
+         ON c.g = bg.g
+       WHERE c.doc_id >= {b}),
+bidx AS (SELECT DISTINCT {xs_hash} AS h
+         FROM (SELECT text,
+                      unnest(generate_series(1, length(text) - {k} + 1)) AS p
+               FROM documents
+               WHERE doc_id < {b} AND length(text) >= {k})),
+xs AS (SELECT DISTINCT doc_id
+       FROM (SELECT doc_id, {xs_hash} AS h
+             FROM (SELECT doc_id, text,
+                          unnest(generate_series(1, length(text) - {k} + 1))
+                            AS p
+                   FROM documents
+                   WHERE doc_id >= {b} AND length(text) >= {k}))
+       WHERE h IN (SELECT h FROM bidx)),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sem AS (SELECT DISTINCT c.vec_id AS doc_id
+        FROM (SELECT * FROM e WHERE vec_id >= {b}) c
+        CROSS JOIN (SELECT * FROM e WHERE vec_id < {b}) bb
+        WHERE list_dot_product(c.v, bb.v)
+                / (sqrt(list_dot_product(c.v, c.v))
+                   * sqrt(list_dot_product(bb.v, bb.v)))
+              >= {SEM_THRESHOLD}),
+flags AS (
+  SELECT d.doc_id,
+         ng.doc_id IS NOT NULL AS ngram_hit,
+         xs.doc_id IS NOT NULL AS substring_hit,
+         sem.doc_id IS NOT NULL AS semantic_hit
+  FROM documents d
+  LEFT JOIN ng USING (doc_id)
+  LEFT JOIN xs USING (doc_id)
+  LEFT JOIN sem USING (doc_id)
+  WHERE d.doc_id >= {b})
+SELECT doc_id, ngram_hit, substring_hit, semantic_hit,
+       CAST(ngram_hit AS BIGINT) + CAST(substring_hit AS BIGINT)
+         + CAST(semantic_hit AS BIGINT) AS n_modalities
+FROM flags
+WHERE ngram_hit OR substring_hit OR semantic_hit
+"""
+
+
+@query("decontamination_agreement", oracle=_decon_agreement_oracle())
+def decontamination_agreement(spark, sf_dir):
+    """The three decontamination modalities AGREEING AND DISAGREEING on
+    one benchmark hold-out (doc_id < CONTAM_BENCH_MAX_ID): per flagged
+    corpus doc, whether word-n-gram sharing (contamination_check),
+    exact >=XS_K-char substring overlap, and embedding-space cosine
+    (semantic_decontamination) each caught it, plus the modality
+    count.  The report that justifies running all three at 100 TB:
+    n-gram misses paraphrases, semantic misses verbatim-but-rare
+    strings in dense regions, substring misses token-level rewrites —
+    a doc caught by exactly one modality is the evidence, and a
+    release pipeline drops the UNION.
+
+    Scale shape: each modality keeps its own proven plan (benchmark
+    sides broadcast or inline as literals — eval suites are tiny by
+    nature; corpus sides are single scans with per-doc rollups); the
+    agreement join is three per-doc flag relations joined on doc_id at
+    O(flagged).  Docs without an embedding (3/5 of sf0.1) simply can't
+    be semantic-flagged — the LEFT JOIN reports false, honestly."""
+    from streamforge_spark.functions.substring_index import window_hashes
+    from streamforge_spark.functions.text import word_ngrams
+    from streamforge_spark.queries.llm import semantic_decontamination
+    from streamforge_spark.queries.text import XS_K
+    b = CONTAM_BENCH_MAX_ID
+    (docs,) = prep(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        F.explode(word_ngrams(F.col("text"), CONTAM_NGRAM)).alias("g"))
+    ng = (grams.filter(F.col("doc_id") >= b)
+          .join(F.broadcast(grams.filter(F.col("doc_id") < b)
+                            .select("g").distinct()), "g")
+          .select("doc_id").distinct()
+          .withColumn("_ng", F.lit(True)))
+    wh = window_hashes(docs, XS_K)
+    xs = (wh.filter(F.col("doc_id") >= b)
+          .join(wh.filter(F.col("doc_id") < b).select("h").distinct(),
+                "h", "left_semi")
+          .select("doc_id").distinct()
+          .withColumn("_xs", F.lit(True)))
+    sem = (semantic_decontamination(spark, sf_dir)
+           .filter(F.col("contaminated"))
+           .select(F.col("vec_id").alias("doc_id"))
+           .withColumn("_sem", F.lit(True)))
+    flags = (docs.filter(F.col("doc_id") >= b).select("doc_id")
+             .join(ng, "doc_id", "left")
+             .join(xs, "doc_id", "left")
+             .join(sem, "doc_id", "left")
+             .select("doc_id",
+                     F.coalesce("_ng", F.lit(False)).alias("ngram_hit"),
+                     F.coalesce("_xs", F.lit(False)).alias("substring_hit"),
+                     F.coalesce("_sem", F.lit(False)).alias("semantic_hit")))
+    return (flags
+            .withColumn("n_modalities",
+                        F.col("ngram_hit").cast("long")
+                        + F.col("substring_hit").cast("long")
+                        + F.col("semantic_hit").cast("long"))
+            .filter(F.col("n_modalities") > 0))

@@ -114,7 +114,7 @@ ROTATION_PRIORITY = [
     # round-9 additions
     "corpus_funnel_semantic_report", "ivf_index_staleness_report",
     "corpus_funnel_by_source", "ivf_frozen_vs_retrained_recall",
-    "funnel_vocab_what_if",
+    "funnel_vocab_what_if", "decontamination_agreement",
 ]
 
 
