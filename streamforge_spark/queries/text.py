@@ -1964,3 +1964,60 @@ def dedup_cluster_representatives(spark, sf_dir):
             .select("component", "n_members", "rep_doc_id",
                     (F.col("rep_doc_id") != F.col("component"))
                     .alias("rep_beats_min_id")))
+
+
+# -- corpus quality by language (intake health + lang-id accuracy) ---------
+
+_QUALITY_BY_LANG_ORACLE = f"""
+WITH g AS ({{inner}}),
+d AS (SELECT doc_id, lang, {{lang_case}} AS lang_pred FROM documents)
+SELECT d.lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       (1000000 * CAST(count(*) FILTER (WHERE g.gopher_pass) AS BIGINT))
+         // CAST(count(*) AS BIGINT) AS gopher_pass_ppm,
+       CAST(SUM(g.n_words) AS BIGINT) // CAST(count(*) AS BIGINT)
+         AS words_per_doc,
+       (1000000 * CAST(count(*) FILTER (WHERE d.lang_pred = d.lang)
+                       AS BIGINT))
+         // CAST(count(*) AS BIGINT) AS langid_agree_ppm
+FROM d JOIN g USING (doc_id)
+GROUP BY 1
+"""
+
+
+@query("corpus_quality_by_lang",
+       oracle=_QUALITY_BY_LANG_ORACLE
+       .format(inner=_GOPHER_ORACLE.strip(), lang_case="{lang_case}")
+       .replace("{lang_case}", _lang_case_sql()))
+def corpus_quality_by_lang(spark, sf_dir):
+    """The intake health dashboard cut by LABELED language: per lang,
+    document volume, the Gopher pass rate (integer ppm), mean document
+    length (exact floor words-per-doc), and — because the fixture
+    carries ground truth — the stopword-profile language-ID's
+    agreement rate with the label.  Two reports in one: a quality
+    regression isolated to one language names the broken pipeline leg,
+    and a langid_agree_ppm drop on a language flags the classifier
+    (not the corpus) — the eval that decides whether the heuristic
+    lang gate is trustworthy enough to filter on at 100 TB.
+
+    Scale shape: gopher metrics and the language argmax are both
+    scan-side column algebra (shared batch/stream expression sets);
+    the rollup is ONE map-side-combined exchange of |langs| groups."""
+    from streamforge_spark.functions.text import gopher_metrics, lang_id
+    (docs,) = prep(spark, sf_dir, "documents")
+    g = gopher_metrics(docs)
+    d = docs.select("doc_id", "lang",
+                    lang_id(F.col("text")).alias("lang_pred"))
+    return (d.join(g.select("doc_id", "n_words", "gopher_pass"), "doc_id")
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.col("gopher_pass").cast("long")).alias("_p"),
+                 F.sum("n_words").alias("_w"),
+                 F.sum((F.col("lang_pred") == F.col("lang"))
+                       .cast("long")).alias("_a"))
+            .select("lang", "n_docs",
+                    F.expr("(1000000 * _p) div n_docs")
+                    .alias("gopher_pass_ppm"),
+                    F.expr("_w div n_docs").alias("words_per_doc"),
+                    F.expr("(1000000 * _a) div n_docs")
+                    .alias("langid_agree_ppm")))

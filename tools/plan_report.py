@@ -46,7 +46,7 @@ CURATION = [
     # r9 additions (corpus_funnel_semantic_report audits via HEADLINE)
     "ivf_index_staleness_report", "corpus_funnel_by_source",
     "ivf_frozen_vs_retrained_recall", "funnel_vocab_what_if",
-    "decontamination_agreement",
+    "decontamination_agreement", "corpus_quality_by_lang",
 ]
 
 #: time-series analytics queries (queries/timeseries.py) + graph /
