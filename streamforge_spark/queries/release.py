@@ -593,6 +593,83 @@ def corpus_funnel_by_source(spark, sf_dir):
                     "admitted_llr_micro_sum"))
 
 
+_GATE_ORDER = ("gopher", "oov", "substring", "fuzzy", "dsir")
+
+_GATE_COST_ORACLE_TMPL = """
+WITH ledger AS ({inner}),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ledger),
+rej AS (
+  SELECT g.gate, g.stage,
+         CAST(COALESCE(l.c, 0) AS BIGINT) AS n_rejected
+  FROM (VALUES {gate_rows}) g(gate, stage)
+  LEFT JOIN (SELECT verdict, count(*) AS c FROM ledger
+             GROUP BY verdict) l ON l.verdict = g.gate),
+cum AS (
+  SELECT gate, stage, n_rejected,
+         CAST(COALESCE(SUM(n_rejected) OVER (
+           ORDER BY stage
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS rejected_before
+  FROM rej)
+SELECT c.gate, CAST(c.stage AS BIGINT) AS stage,
+       t.n - c.rejected_before AS n_reached,
+       c.n_rejected,
+       CASE WHEN t.n - c.rejected_before > 0
+            THEN (1000000 * c.n_rejected) // (t.n - c.rejected_before)
+            ELSE 0 END AS rejected_share_ppm
+FROM cum c CROSS JOIN tot t
+"""
+
+
+@query("funnel_gate_cost_report",
+       oracle=_GATE_COST_ORACLE_TMPL.format(
+           inner=_funnel_oracle().strip(),
+           gate_rows=", ".join(f"('{g}', {i + 1})"
+                               for i, g in enumerate(_GATE_ORDER))))
+def funnel_gate_cost_report(spark, sf_dir):
+    """The cheapest-first ordering, MEASURED: per funnel gate (in its
+    fixed stage order), how many of the arriving batch's docs actually
+    REACHED it — everything a cheaper earlier gate rejected never pays
+    the later gate's join — how many it rejected, and the rejection
+    share of its reached population (integer ppm).  n_reached is the
+    gate's true cost driver at 100 TB: the report shows how much of
+    the expensive fuzzy band join and DSIR scoring the scan-side
+    gopher gate's rejections already paid for, and whether a
+    reordering (e.g. a cheap gate that rejects almost nothing) is
+    leaving savings on the table.
+
+    A |gates|-row fold over the corpus_funnel_report ledger (one
+    verdict rollup + a 5-row cumulative window); the funnel plan's
+    cost dominates."""
+    from pyspark.sql import Window
+    # two consumers (totals + the per-verdict rollup): checkpoint so
+    # the funnel computes once (the repo's 2-consumer discipline)
+    rep = corpus_funnel_report(spark, sf_dir).localCheckpoint(eager=False)
+    tot = rep.agg(F.count(F.lit(1)).alias("n"))
+    gates = spark.createDataFrame(
+        [(g, i + 1) for i, g in enumerate(_GATE_ORDER)],
+        "gate string, stage long")
+    rej = (gates.join(rep.groupBy("verdict")
+                      .agg(F.count(F.lit(1)).alias("c")),
+                      gates.gate == F.col("verdict"), "left")
+           .select("gate", "stage",
+                   F.coalesce("c", F.lit(0)).alias("n_rejected")))
+    w = (Window.orderBy("stage")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    cum = rej.withColumn(
+        "rejected_before",
+        F.coalesce(F.sum("n_rejected").over(w), F.lit(0)))
+    return (cum.crossJoin(F.broadcast(tot))
+            .select("gate", "stage",
+                    (F.col("n") - F.col("rejected_before"))
+                    .alias("n_reached"),
+                    "n_rejected",
+                    F.when(F.col("n") - F.col("rejected_before") > 0,
+                           F.expr("(1000000 * n_rejected) div "
+                                  "(n - rejected_before)"))
+                    .otherwise(0).alias("rejected_share_ppm")))
+
+
 _WHAT_IF_ORACLE_TMPL = """
 WITH v1 AS ({v1}),
 v2 AS ({v2})

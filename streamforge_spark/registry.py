@@ -115,7 +115,7 @@ ROTATION_PRIORITY = [
     "corpus_funnel_semantic_report", "ivf_index_staleness_report",
     "corpus_funnel_by_source", "ivf_frozen_vs_retrained_recall",
     "funnel_vocab_what_if", "decontamination_agreement",
-    "corpus_quality_by_lang",
+    "corpus_quality_by_lang", "funnel_gate_cost_report",
 ]
 
 

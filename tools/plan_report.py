@@ -47,6 +47,7 @@ CURATION = [
     "ivf_index_staleness_report", "corpus_funnel_by_source",
     "ivf_frozen_vs_retrained_recall", "funnel_vocab_what_if",
     "decontamination_agreement", "corpus_quality_by_lang",
+    "funnel_gate_cost_report",
 ]
 
 #: time-series analytics queries (queries/timeseries.py) + graph /
