@@ -116,6 +116,8 @@ ROTATION_PRIORITY = [
     "corpus_funnel_by_source", "ivf_frozen_vs_retrained_recall",
     "funnel_vocab_what_if", "decontamination_agreement",
     "corpus_quality_by_lang", "funnel_gate_cost_report",
+    # round-9 late additions: training-run planning surface
+    "epoch_repeat_plan", "curriculum_schedule", "vocab_coverage_curve",
 ]
 
 
@@ -283,7 +285,7 @@ def load_all() -> None:
         cdc, streamops, joins, sessions, tpch, text, embeddings, llm,
         surplus, envelope_io, analytics, relational, windows, curation,
         repetition, timeseries, graphs, sketches, release, simjoin,
-        stats,
+        stats, planning,
     )
     _apply_oracle_casts()
     reorder_for_driver_window()
