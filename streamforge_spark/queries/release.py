@@ -278,8 +278,56 @@ FUNNEL_SPLIT_ID = 400
 FUNNEL_VOCAB_K = 16
 
 
+#: independent-flags tail for the gate-ablation rollup: the SAME
+#: gate-signal CTEs (gp / oov / contam / fz / semrej / dsa) as the
+#: funnel oracle, but instead of first-failing-gate precedence every
+#: doc carries ALL six booleans, so each gate's marginal value (docs
+#: ONLY it would catch) is measurable.
+_ABLATION_TAIL = """flags AS (
+  SELECT n.doc_id,
+         NOT g.gopher_pass AS f_gopher,
+         o.oov_ppm > {oov_max} AS f_oov,
+         ct.doc_id IS NOT NULL AS f_substring,
+         f.doc_id IS NOT NULL AS f_fuzzy,
+         {f_semantic} AS f_semantic,
+         d.avg < {dsir_thr} AS f_dsir
+  FROM newdocs n
+  JOIN gp g USING (doc_id)
+  JOIN oov o USING (doc_id)
+  LEFT JOIN contam ct USING (doc_id)
+  LEFT JOIN fz f USING (doc_id){sem_join}
+  JOIN dsa d USING (doc_id)),
+cnt AS (
+  SELECT doc_id, f_gopher, f_oov, f_substring, f_fuzzy, f_semantic, f_dsir,
+         CAST(f_gopher AS INT) + CAST(f_oov AS INT)
+         + CAST(f_substring AS INT) + CAST(f_fuzzy AS INT)
+         + CAST(f_semantic AS INT) + CAST(f_dsir AS INT) AS n_fails
+  FROM flags),
+adm AS (SELECT CAST(count(*) FILTER (WHERE n_fails = 0) AS BIGINT)
+          AS n_admitted FROM cnt),
+un AS (
+            SELECT 'gopher' AS gate, f_gopher AS fail, n_fails FROM cnt
+  UNION ALL SELECT 'oov', f_oov, n_fails FROM cnt
+  UNION ALL SELECT 'substring', f_substring, n_fails FROM cnt
+  UNION ALL SELECT 'fuzzy', f_fuzzy, n_fails FROM cnt
+  UNION ALL SELECT 'semantic', f_semantic, n_fails FROM cnt
+  UNION ALL SELECT 'dsir', f_dsir, n_fails FROM cnt)
+SELECT gate,
+       CAST(count(*) FILTER (WHERE fail) AS BIGINT) AS n_fail,
+       CAST(count(*) FILTER (WHERE fail AND n_fails = 1) AS BIGINT)
+         AS n_unique_kill,
+       CAST(count(*) FILTER (WHERE fail)
+            - count(*) FILTER (WHERE fail AND n_fails = 1) AS BIGINT)
+         AS n_shadowed,
+       n_admitted
+FROM un CROSS JOIN adm
+GROUP BY gate, n_admitted
+"""
+
+
 def _funnel_oracle(semantic: bool = False,
-                   vocab_k: int = FUNNEL_VOCAB_K) -> str:
+                   vocab_k: int = FUNNEL_VOCAB_K,
+                   ablation: bool = False) -> str:
     from streamforge_spark.functions.dsir import (
         DSIR_BUCKETS, DSIR_MICRO, DSIR_SALT)
     from streamforge_spark.functions.simdedup import (
@@ -343,6 +391,31 @@ semrej AS (SELECT DISTINCT c.qid AS doc_id
         sem_case = ("\n              "
                     "WHEN sm.doc_id IS NOT NULL THEN 'semantic'")
         sem_join = "\n  LEFT JOIN semrej sm USING (doc_id)"
+    tail = f"""graded AS (
+  SELECT n.doc_id,
+         CASE WHEN NOT g.gopher_pass THEN 'gopher'
+              WHEN o.oov_ppm > {FUNNEL_OOV_MAX_PPM} THEN 'oov'
+              WHEN ct.doc_id IS NOT NULL THEN 'substring'
+              WHEN f.doc_id IS NOT NULL THEN 'fuzzy'{sem_case}
+              WHEN d.avg < {FUNNEL_DSIR_THRESHOLD_MICRO} THEN 'dsir'
+              ELSE 'admit' END AS verdict,
+         d.avg
+  FROM newdocs n
+  JOIN gp g USING (doc_id)
+  JOIN oov o USING (doc_id)
+  LEFT JOIN contam ct USING (doc_id)
+  LEFT JOIN fz f USING (doc_id){sem_join}
+  JOIN dsa d USING (doc_id))
+SELECT doc_id, verdict,
+       CASE WHEN verdict = 'admit' THEN avg END AS avg_llr_micro
+FROM graded
+"""
+    if ablation:
+        tail = _ABLATION_TAIL.format(
+            oov_max=FUNNEL_OOV_MAX_PPM,
+            dsir_thr=FUNNEL_DSIR_THRESHOLD_MICRO,
+            f_semantic=("sm.doc_id IS NOT NULL" if semantic else "FALSE"),
+            sem_join=sem_join)
     return f"""
 WITH {_SHINGLE_CTES},
 newdocs AS (SELECT doc_id, text FROM documents WHERE doc_id >= {split}),
@@ -442,25 +515,7 @@ dsa AS (SELECT doc_id,
                  - CASE WHEN score % n_tokens <> 0 AND score < 0
                         THEN 1 ELSE 0 END AS avg
         FROM ds){sem_ctes},
-graded AS (
-  SELECT n.doc_id,
-         CASE WHEN NOT g.gopher_pass THEN 'gopher'
-              WHEN o.oov_ppm > {FUNNEL_OOV_MAX_PPM} THEN 'oov'
-              WHEN ct.doc_id IS NOT NULL THEN 'substring'
-              WHEN f.doc_id IS NOT NULL THEN 'fuzzy'{sem_case}
-              WHEN d.avg < {FUNNEL_DSIR_THRESHOLD_MICRO} THEN 'dsir'
-              ELSE 'admit' END AS verdict,
-         d.avg
-  FROM newdocs n
-  JOIN gp g USING (doc_id)
-  JOIN oov o USING (doc_id)
-  LEFT JOIN contam ct USING (doc_id)
-  LEFT JOIN fz f USING (doc_id){sem_join}
-  JOIN dsa d USING (doc_id))
-SELECT doc_id, verdict,
-       CASE WHEN verdict = 'admit' THEN avg END AS avg_llr_micro
-FROM graded
-"""
+{tail}"""
 
 
 @query("corpus_funnel_report", oracle=_funnel_oracle())
@@ -814,3 +869,137 @@ def corpus_funnel_semantic_report(spark, sf_dir):
         semantic_threshold=SEM_THRESHOLD,
         semantic_nprobe=SEM_GATE_NPROBE)
     return out.select("doc_id", "verdict", "avg_llr_micro")
+
+
+@query("corpus_funnel_ablation",
+       oracle=_funnel_oracle(semantic=True, ablation=True))
+def corpus_funnel_ablation(spark, sf_dir):
+    """Gate-ablation report for the six-stage funnel: every gate is
+    evaluated INDEPENDENTLY on the full arriving batch (no
+    first-failing-gate precedence), and per gate the report counts
+    total failures, UNIQUE kills (docs no other gate would catch),
+    and shadowed failures (docs some other gate also rejects) plus
+    the would-be admitted count.  This is the benefit side of
+    funnel_gate_cost_report's cost-per-gate: a gate with near-zero
+    unique kills is a candidate for removal or demotion regardless of
+    how cheap it is, and a gate whose kills are all unique cannot be
+    reordered behind a cheaper one without re-checking its survivors.
+
+    The signals are LITERALLY the standalone gate functions
+    (gopher_metrics, streaming_vocab_oov,
+    streaming_substring_contamination, streaming_fuzzy_dedup_gate,
+    streaming_semantic_dedup_gate, streaming_dsir_gate) run over the
+    SAME persisted-artifact builds the funnel reports use — the only
+    difference from corpus_funnel_semantic_report is that each gate
+    sees the whole batch instead of the previous gate's survivors, so
+    the flag table is the funnel's truth table, not a new semantics.
+
+    Cost split (>5s headline convention): dominated by the inline
+    artifact builds (vocab + substring index + MinHash index + DSIR
+    model + Lloyd trainer) shared with corpus_funnel_semantic_report;
+    production amortizes them via the persisted model store, and the
+    ablation itself adds one O(batch) six-flag join tree + a 6x-batch
+    explode rollup.  Running every gate on the full batch costs more
+    than the funnel's survivors-only chain BY DESIGN — that is the
+    measurement, run per release candidate, not per micro-batch.
+
+    Scale shape: each gate keeps its audited plan (scan-side algebra,
+    broadcast probes, capped band join, nprobe-pruned IVF probe);
+    the flag assembly is six per-doc equi-joins on doc_id (narrow
+    boolean payloads), the unique-kill rollup is one map-side-combined
+    aggregation over a 6-row-per-doc explode, and the admitted scalar
+    is a one-row broadcast."""
+    from streamforge_spark.functions.clustering import kmeans_centroids
+    from streamforge_spark.functions.dsir import dsir_llr_model
+    from streamforge_spark.functions.similarity import (
+        SEM_THRESHOLD, ivf_probe_cells_expr)
+    from streamforge_spark.functions.substring_index import (
+        substring_index, window_hashes)
+    from streamforge_spark.functions.text import gopher_metrics
+    from streamforge_spark.queries.curation import DSIR_TARGET_SOURCES
+    from streamforge_spark.queries.llm import (
+        IVF_CELLS, IVF_ROUNDS, MINHASH_THRESHOLD, SEM_GATE_NPROBE)
+    from streamforge_spark.queries.text import XS_K
+    from streamforge_spark.streaming.curation import (
+        FUNNEL_DSIR_THRESHOLD_MICRO, FUNNEL_OOV_MAX_PPM,
+        minhash_corpus_index, streaming_dsir_gate,
+        streaming_fuzzy_dedup_gate, streaming_semantic_dedup_gate,
+        streaming_substring_contamination, streaming_vocab_oov)
+    docs, emb = prep(spark, sf_dir, "documents", "embeddings")
+    est = docs.filter(F.col("doc_id") < FUNNEL_SPLIT_ID)
+    new = (docs.filter(F.col("doc_id") >= FUNNEL_SPLIT_ID)
+           .select("doc_id", "text")
+           .localCheckpoint(eager=False))
+    vocab = (est.select(F.explode(F.split("text", " ")).alias("term"))
+             .groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+             .orderBy(F.col("c").desc(), "term").limit(FUNNEL_VOCAB_K)
+             .select("term"))
+    xs_index = substring_index(window_hashes(est, XS_K)).select("h")
+    mh_bands, mh_grams = minhash_corpus_index(est)
+    llr = dsir_llr_model(est, F.col("source").isin(*DSIR_TARGET_SOURCES))
+    est_emb = emb.filter(F.col("vec_id") < FUNNEL_SPLIT_ID)
+    C = kmeans_centroids(est_emb, k=IVF_CELLS, rounds=IVF_ROUNDS)
+    raw = F.col("embedding").cast("array<double>")
+    qv = F.transform(raw, lambda x: F.round(x * 10000).cast("long"))
+    ivf_vecs = (est_emb.select("vec_id", raw.alias("v"), qv.alias("qv"))
+                .withColumn("cell",
+                            ivf_probe_cells_expr(F.col("qv"), C, 1)[0])
+                .drop("qv"))
+
+    g = gopher_metrics(new)
+    oov = streaming_vocab_oov(new, vocab)
+    sub = streaming_substring_contamination(new, xs_index, k=XS_K)
+    fz = streaming_fuzzy_dedup_gate(new, mh_bands, mh_grams,
+                                    threshold=MINHASH_THRESHOLD)
+    sem = streaming_semantic_dedup_gate(
+        emb.filter(F.col("vec_id") >= FUNNEL_SPLIT_ID)
+           .select("vec_id", "embedding"),
+        C, ivf_vecs, threshold=SEM_THRESHOLD, nprobe=SEM_GATE_NPROBE)
+    ds = streaming_dsir_gate(new, llr,
+                             threshold_micro=FUNNEL_DSIR_THRESHOLD_MICRO)
+
+    flags = (new.select("doc_id")
+             .join(g.select("doc_id",
+                            (~F.col("gopher_pass")).alias("f_gopher")),
+                   "doc_id")
+             .join(oov.select("doc_id",
+                              (F.col("oov_ppm") > FUNNEL_OOV_MAX_PPM)
+                              .alias("f_oov")), "doc_id")
+             .join(sub.select("doc_id")
+                   .withColumn("f_substring", F.lit(True)),
+                   "doc_id", "left")
+             .join(fz.select("doc_id",
+                             (~F.col("admitted")).alias("f_fuzzy")),
+                   "doc_id")
+             .join(sem.select(F.col("vec_id").alias("doc_id"),
+                              (~F.col("admitted")).alias("f_semantic")),
+                   "doc_id", "left")
+             .join(ds.select("doc_id",
+                             (~F.col("admitted")).alias("f_dsir")),
+                   "doc_id")
+             .select("doc_id", "f_gopher", "f_oov",
+                     F.coalesce("f_substring", F.lit(False))
+                     .alias("f_substring"),
+                     "f_fuzzy",
+                     F.coalesce("f_semantic", F.lit(False))
+                     .alias("f_semantic"),
+                     "f_dsir"))
+    gate_names = ["gopher", "oov", "substring", "fuzzy", "semantic", "dsir"]
+    cnt = (flags.withColumn(
+        "n_fails",
+        sum(F.col(f"f_{n}").cast("int") for n in gate_names))
+        .localCheckpoint(eager=False))
+    adm = cnt.agg(F.count(F.when(F.col("n_fails") == 0, 1))
+                  .alias("n_admitted"))
+    ex = (cnt.select("n_fails", F.explode(F.array(*[
+        F.struct(F.lit(n).alias("gate"), F.col(f"f_{n}").alias("fail"))
+        for n in gate_names])).alias("g"))
+        .select(F.col("g.gate").alias("gate"),
+                F.col("g.fail").alias("fail"), "n_fails"))
+    return (ex.groupBy("gate")
+            .agg(F.count(F.when(F.col("fail"), 1)).alias("n_fail"),
+                 F.count(F.when(F.col("fail") & (F.col("n_fails") == 1), 1))
+                 .alias("n_unique_kill"))
+            .withColumn("n_shadowed",
+                        F.col("n_fail") - F.col("n_unique_kill"))
+            .crossJoin(F.broadcast(adm)))

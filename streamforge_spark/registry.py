@@ -118,6 +118,7 @@ ROTATION_PRIORITY = [
     "corpus_quality_by_lang", "funnel_gate_cost_report",
     # round-9 late additions: training-run planning surface
     "epoch_repeat_plan", "curriculum_schedule", "vocab_coverage_curve",
+    "corpus_funnel_ablation",
 ]
 
 

@@ -48,6 +48,9 @@ CURATION = [
     "ivf_frozen_vs_retrained_recall", "funnel_vocab_what_if",
     "decontamination_agreement", "corpus_quality_by_lang",
     "funnel_gate_cost_report",
+    # r9 late additions: training-run planning surface
+    "epoch_repeat_plan", "curriculum_schedule", "vocab_coverage_curve",
+    "corpus_funnel_ablation",
 ]
 
 #: time-series analytics queries (queries/timeseries.py) + graph /
