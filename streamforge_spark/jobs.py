@@ -470,6 +470,20 @@ def corpus_ingest_v2(spark: SparkSession, cfg: ScopedConfig):
       DSIR_COUNTS_PATH    DSIR sufficient statistics (save_dsir_counts)
       DSIR_THRESHOLD_MICRO  set -> DSIR becomes an admission GATE;
                             unset -> weight-only (admit + avg_llr_micro)
+      SOURCE_TOKEN_BUDGET set -> funnel admits are additionally capped
+                          per SOURCE at this many TOKENS across the
+                          job's lifetime (the online twin of the
+                          oracle-green token_budget_mix): a persisted
+                          batch_id-stamped ledger carries each
+                          source's spent tokens, within-batch order is
+                          the batch query's salted hash, and
+                          over-budget docs land in quarantine_budget.
+                          Replay-safe: the ledger read filters
+                          batch_id < current and collapses duplicate
+                          appends, so effectively_once replays decide
+                          identically and never double-count
+      BUDGET_LEDGER_PATH  ledger location (default
+                          OUTPUT_PATH/budget_ledger)
       UPDATE_INDEXES      "1" -> admitted docs fold into the substring
                           + minhash indexes after each batch, so LATER
                           batches dedup against EARLIER admissions at
@@ -500,7 +514,9 @@ def corpus_ingest_v2(spark: SparkSession, cfg: ScopedConfig):
         substring_index, window_hashes)
     from streamforge_spark.queries.text import XS_K
     from streamforge_spark.streaming.curation import (
-        append_minhash_index, corpus_funnel_verdicts)
+        append_budget_ledger, append_minhash_index,
+        corpus_funnel_verdicts, load_budget_ledger,
+        streaming_source_budget_gate)
     from streamforge_spark.streaming.sinks import effectively_once
 
     out = cfg.require("OUTPUT_PATH")
@@ -511,6 +527,9 @@ def corpus_ingest_v2(spark: SparkSession, cfg: ScopedConfig):
     stale_every = int(cfg.get("IVF_STALENESS_EVERY_N") or "0")
     stale_drift = int(cfg.get("IVF_STALE_DRIFT_PPM") or "50000")
     update_indexes = cfg.get("UPDATE_INDEXES") == "1"
+    budget_raw = cfg.get("SOURCE_TOKEN_BUDGET")
+    token_budget = int(budget_raw) if budget_raw is not None else None
+    budget_ledger = cfg.get("BUDGET_LEDGER_PATH") or f"{out}/budget_ledger"
 
     raw = _maybe_from_now(
         file_stream(spark, cfg.require("SOURCE_PATH"), _RAW_SCHEMA,
@@ -567,6 +586,32 @@ def corpus_ingest_v2(spark: SparkSession, cfg: ScopedConfig):
         # compactor — dedupes on, which is exactly the idempotence
         # contract the ledger documents (review-r8)
         admitted = verdicts.filter(F.col("verdict") == "admit")
+        if token_budget is not None:
+            # per-source token-budget admission on the funnel's
+            # admits: the gate is a pure function of (batch, ledger
+            # prior), and the ledger's batch_id filter + duplicate
+            # collapse make the decision identical under
+            # effectively_once replays (streaming_source_budget_gate
+            # docstring owns the order semantics)
+            gate = streaming_source_budget_gate(
+                admitted, load_budget_ledger(spark, budget_ledger,
+                                             batch_id),
+                token_budget).localCheckpoint()
+            over = gate.filter(~F.col("admitted"))
+            (admitted.join(over.select("doc_id"), "doc_id", "left_semi")
+             .drop("avg_llr_micro")
+             .withColumn("verdict", F.lit("budget"))
+             .withColumn("batch_id", F.lit(batch_id))
+             .write.mode("append").parquet(f"{out}/quarantine_budget"))
+            (over.groupBy(F.lit("budget").alias("verdict"))
+             .agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.lit(0).cast("long").alias("admitted_llr_micro_sum"))
+             .withColumn("batch_id", F.lit(batch_id))
+             .write.mode("append").parquet(f"{out}/funnel_metrics"))
+            append_budget_ledger(budget_ledger, gate, batch_id)
+            admitted = (admitted.join(
+                gate.filter(F.col("admitted")).select("doc_id"),
+                "doc_id", "left_semi").localCheckpoint())
         (admitted.withColumn("ingested_at", F.current_timestamp())
          .withColumn("batch_id", F.lit(batch_id))
          .write.mode("append").parquet(f"{out}/corpus"))

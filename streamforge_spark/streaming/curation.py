@@ -963,3 +963,107 @@ def streaming_semantic_dedup_gate(vec_stream: DataFrame,
             .agg(F.count(F.when(near, 1)).alias("n_near_dups"))
             .select(id_col, "n_near_dups",
                     (F.col("n_near_dups") == 0).alias("admitted")))
+
+
+# -- per-source token-budget admission (the online token_budget_mix) ----
+
+#: the SAME salted-hash coin as queries/curation.py::token_budget_mix
+#: (MIX_TB_SALT), so a single-micro-batch admission equals the batch
+#: query's prefix decision bit-for-bit.
+BUDGET_GATE_SALT = "tokmix-v1"
+
+
+def streaming_source_budget_gate(docs: DataFrame,
+                                 prior: DataFrame | None,
+                                 budget: int,
+                                 id_col: str = "doc_id",
+                                 text_col: str = "text",
+                                 source_col: str = "source") -> DataFrame:
+    """Per-source token-budget admission — the ONLINE twin of the
+    oracle-green queries/curation.py::token_budget_mix: each source's
+    contribution to the corpus is capped at ``budget`` TOKENS (how
+    mixture specs are written: "100B tokens of web, 20B of code"),
+    admitting this batch's docs in the deterministic salted-hash order
+    the batch query uses until the source's cumulative total (prior
+    batches + this batch's running prefix) would exceed the budget.
+
+    ``prior`` is the (source, cum_tokens) table of tokens ADMITTED by
+    earlier batches (load_budget_ledger) — None or missing sources
+    mean zero spent.  The decision is a pure function of (docs, prior,
+    budget), so replaying a micro-batch against the same prior yields
+    identical admissions — the property the ledger's batch_id filter
+    guarantees under effectively_once replays.
+
+    Streaming-vs-batch order caveat (documented, not hidden): the
+    batch query orders the WHOLE corpus by hash before cutting;
+    arriving batches consume budget in arrival order, hash-ordered
+    only within a batch.  The two coincide when the corpus arrives in
+    one batch (the pinned test) — across batches the gate is
+    first-come-first-served by design, because a stream cannot defer
+    admission until the corpus is complete.
+
+    Scale shape: one token-count/hash projection on the batch scan,
+    one hash exchange on source for the per-source prefix-sum window
+    (O(batch) rows), and a broadcast join of the |sources|-row prior —
+    document text never shuffles."""
+    from pyspark.sql import Window
+
+    from streamforge_spark.functions.simdedup import oracle_hash60
+    from streamforge_spark.functions.text import token_count
+    d = docs.select(
+        F.col(id_col), F.col(source_col),
+        token_count(F.col(text_col)).alias("n_tokens"),
+        oracle_hash60(F.col(id_col).cast("string"),
+                      salt=BUDGET_GATE_SALT).alias("_h"))
+    w = (Window.partitionBy(source_col).orderBy("_h", id_col)
+         .rowsBetween(Window.unboundedPreceding, 0))
+    c = d.withColumn("_batch_cum", F.sum("n_tokens").over(w))
+    if prior is not None:
+        c = c.join(F.broadcast(prior.select(
+            F.col(source_col),
+            F.col("cum_tokens").alias("_prior"))), source_col, "left")
+    else:
+        c = c.withColumn("_prior", F.lit(0))
+    total = F.coalesce("_prior", F.lit(0)) + F.col("_batch_cum")
+    return c.select(
+        id_col, source_col, "n_tokens",
+        total.alias("cum_tokens"),
+        (total <= F.lit(int(budget))).alias("admitted"))
+
+
+def load_budget_ledger(spark, path: str, before_batch_id: int) -> DataFrame:
+    """(source, cum_tokens) admitted by batches BEFORE
+    ``before_batch_id`` — the budget gate's prior.  Replay-safe twice
+    over: the filter excludes any rows a crashed attempt of the
+    CURRENT batch already appended, and the per-(source, batch_id)
+    MAX collapses duplicate rows a crash-then-replay of an EARLIER
+    batch left behind (the rollup is deterministic, so duplicates are
+    bit-identical and MAX is exact — the same
+    converge-to-the-rebuild-rows discipline as append_minhash_index).
+    A missing ledger (first batch ever) is an empty prior."""
+    from streamforge_spark.streaming.recovery import _hadoop_fs
+    fs, _JPath, p = _hadoop_fs(spark, path)
+    if not fs.exists(p):
+        return spark.createDataFrame(
+            [], "source string, cum_tokens long")
+    return (spark.read.parquet(path)
+            .filter(F.col("batch_id") < int(before_batch_id))
+            .groupBy("source", "batch_id")
+            .agg(F.max("n_tokens").alias("n_tokens"))
+            .groupBy("source")
+            .agg(F.sum("n_tokens").alias("cum_tokens")))
+
+
+def append_budget_ledger(path: str, gate_out: DataFrame,
+                         batch_id: int) -> None:
+    """Append this batch's ADMITTED per-source token rollup,
+    batch_id-stamped.  A replay appends bit-identical rows (the gate
+    is deterministic given the ledger filter), which
+    load_budget_ledger's (source, batch_id) MAX collapses — so a
+    crash between this append and the effectively_once marker cannot
+    double-count a batch."""
+    (gate_out.filter(F.col("admitted"))
+     .groupBy("source")
+     .agg(F.sum("n_tokens").alias("n_tokens"))
+     .withColumn("batch_id", F.lit(int(batch_id)))
+     .write.mode("append").parquet(path))

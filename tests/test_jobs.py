@@ -1096,3 +1096,119 @@ def test_corpus_ingest_v2_poison_only_batch(spark, tmp_path):
     assert len(dlq) == 2
     assert all(r.error_type == "PARSE_ERROR" for r in dlq)
     assert read(spark, tmp_path, "corpus").count() == 0
+
+
+# -- CorpusIngestV2: per-source token-budget admission --------------------
+
+
+def _budget_doc(doc_id, prefix, source="web"):
+    """60-token gopher-passing doc with a disjoint word set per prefix
+    (no artifacts are configured in these tests, so only the total
+    gopher gate and the budget gate run)."""
+    return doc_line(doc_id, " ".join(["the", "and"] + _fw(prefix, 58)),
+                    source=source)
+
+
+def _h60_py(s: str, salt: str = "tokmix-v1") -> int:
+    """Independent python twin of the gate's salted hash coin."""
+    import hashlib
+    return int(hashlib.md5(f"{salt}:{s}".encode()).hexdigest()[:15], 16)
+
+
+def test_corpus_ingest_v2_source_budget_gate(spark, tmp_path):
+    """SOURCE_TOKEN_BUDGET caps each source's admitted tokens across
+    batches: batch 0 admits the 130-token budget's 2-doc hash-order
+    prefix (the order verified against an independent python md5
+    implementation), batch 1's same-source doc is rejected on the
+    LEDGER'S cumulative (not its own batch), and a fresh source in
+    batch 1 spends its own budget independently."""
+    cfg = job_cfg(tmp_path, SOURCE_TOKEN_BUDGET="130")
+    write_lines(tmp_path / "in", [
+        _budget_doc(500, "b"), _budget_doc(501, "c"),
+        _budget_doc(502, "d")])
+    run_job("CorpusIngestV2", cfg, spark=spark, drain=True)
+
+    order = sorted([500, 501, 502], key=lambda i: (_h60_py(str(i)), i))
+    got_corpus = sorted(r.doc_id for r in
+                        read(spark, tmp_path, "corpus").collect())
+    assert got_corpus == sorted(order[:2])
+    got_budget = [r.doc_id for r in
+                  read(spark, tmp_path, "quarantine_budget").collect()]
+    assert got_budget == [order[2]]
+    m = read(spark, tmp_path, "funnel_metrics") \
+        .filter("verdict = 'budget'").collect()
+    assert [r.n_docs for r in m] == [1]
+
+    # batch 1: web has 120/130 spent -> 503 rejected; code is fresh
+    write_lines(tmp_path / "in", [
+        _budget_doc(503, "f"),
+        _budget_doc(504, "g", source="code")], name="batch1.txt")
+    run_job("CorpusIngestV2", cfg, spark=spark, drain=True)
+
+    got_corpus = sorted(r.doc_id for r in
+                        read(spark, tmp_path, "corpus").collect())
+    assert got_corpus == sorted(order[:2] + [504])
+    got_budget = sorted(r.doc_id for r in
+                        read(spark, tmp_path, "quarantine_budget").collect())
+    assert got_budget == sorted([order[2], 503])
+    ledger = spark.read.parquet(str(tmp_path / "out" / "budget_ledger"))
+    spent = {(r.source, r.batch_id): r.n_tokens for r in ledger.collect()}
+    assert spent == {("web", 0): 120, ("code", 1): 60}
+
+
+def test_budget_ledger_replay_never_double_counts(spark, tmp_path):
+    """The crash window between append_budget_ledger and the
+    effectively_once marker: a replay appends bit-identical rows, and
+    load_budget_ledger's (source, batch_id) collapse counts them once;
+    rows of the CURRENT batch are excluded so the replayed decision is
+    a pure function of the pre-batch prior."""
+    from pyspark.sql import functions as F
+
+    from streamforge_spark.streaming.curation import (
+        append_budget_ledger, load_budget_ledger,
+        streaming_source_budget_gate)
+    path = str(tmp_path / "ledger")
+    docs = spark.createDataFrame(
+        [(1, "one two three", "web"), (2, "four five", "web")],
+        "doc_id long, text string, source string")
+    gate = streaming_source_budget_gate(docs, None, budget=100)
+    assert all(r.admitted for r in gate.collect())
+    append_budget_ledger(path, gate, batch_id=0)
+    append_budget_ledger(path, gate, batch_id=0)   # crash-replay append
+    # duplicate rows collapse; the current batch's own rows are excluded
+    assert load_budget_ledger(spark, path, before_batch_id=0).count() == 0
+    prior = load_budget_ledger(spark, path, before_batch_id=1).collect()
+    assert [(r.source, r.cum_tokens) for r in prior] == [("web", 5)]
+    # and the NEXT batch's decision uses the collapsed prior: 5 spent,
+    # a 96-token budget leaves room for exactly one more 3-token doc
+    nxt = spark.createDataFrame(
+        [(3, "a b c", "web"), (4, "d e f", "web")],
+        "doc_id long, text string, source string")
+    out = streaming_source_budget_gate(
+        nxt, load_budget_ledger(spark, path, before_batch_id=1),
+        budget=9).collect()
+    assert sorted((r.doc_id, r.admitted) for r in out) == \
+        [(3, _h60_py("3") < _h60_py("4")),
+         (4, _h60_py("4") < _h60_py("3"))]
+
+
+def test_budget_gate_single_batch_equals_token_budget_mix(spark):
+    """With the whole corpus in ONE batch and an empty prior, the
+    streaming gate's admissions equal the batch query's
+    (token_budget_mix) prefix decisions on the driver fixture — the
+    shared-coin contract in the gate's docstring."""
+    from pyspark.sql import functions as F
+
+    from streamforge_spark.queries.curation import (
+        MIX_TOKEN_BUDGET, token_budget_mix)
+    from streamforge_spark.streaming.curation import (
+        streaming_source_budget_gate)
+    sf = "/root/testdata/sf0.001"
+    batch_admit = {r.doc_id for r in token_budget_mix(spark, sf).collect()}
+    docs = spark.read.parquet(f"{sf}/documents.parquet") \
+        .select("doc_id", "text", "source")
+    gate_admit = {r.doc_id for r in
+                  streaming_source_budget_gate(
+                      docs, None, budget=MIX_TOKEN_BUDGET)
+                  .filter(F.col("admitted")).collect()}
+    assert gate_admit == batch_admit
