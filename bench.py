@@ -122,6 +122,17 @@ HEADLINE = [
     # + MinHash + DSIR + Lloyd trainer) the production job amortizes
     # via the persisted model store (cost split in the docstring)
     "corpus_funnel_semantic_report",
+    # round-9 late additions: training-shard balance audit (one rollup),
+    # context-length packing curve (|sizes| broadcast multiply),
+    # LOO source valuation (additive-sufficient-statistics subtraction —
+    # the |sources|-retrains collapsed into one pass), noisy count
+    # release, and the canary containment probe (bounded-small-side
+    # BNLJ over the corpus scan)
+    "shard_balance_report",
+    "context_pack_efficiency",
+    "loo_source_influence",
+    "dp_noisy_release",
+    "canary_probe_report",
 ]
 
 

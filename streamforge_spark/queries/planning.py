@@ -229,6 +229,132 @@ def curriculum_schedule(spark, sf_dir):
 
 VOCAB_CURVE_SIZES = (64, 256, 1024, 4096)
 
+_SHARD_COUNT = 16
+_SHARD_SEED = "shard-v1"
+
+_SHARD_BALANCE_ORACLE = f"""
+WITH d AS (
+  SELECT CAST({hash60_sql("CAST(doc_id AS VARCHAR)", f"'{_SHARD_SEED}'")}
+              % {_SHARD_COUNT} AS INTEGER) AS shard,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents),
+tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total FROM d)
+SELECT shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+       (CAST(SUM(n_tokens) AS BIGINT) * 1000000) // total AS share_ppm,
+       (CAST(SUM(n_tokens) AS BIGINT) * {_SHARD_COUNT} * 1000000) // total
+         - 1000000 AS dev_ppm
+FROM d CROSS JOIN tot
+GROUP BY shard, total
+"""
+
+
+@query("shard_balance_report", oracle=_SHARD_BALANCE_ORACLE)
+def shard_balance_report(spark, sf_dir):
+    """Training-shard assignment audit: every document is assigned to
+    one of ``_SHARD_COUNT`` shards by seeded content hash (the
+    reproducible assignment a distributed data loader uses — no
+    coordination, any worker recomputes its shard membership from
+    doc_id alone), and the report shows each shard's document count,
+    token count, corpus share (ppm) and signed deviation from the
+    ideal 1/N share — the skew number that decides whether the
+    assignment needs salting before a training run.
+
+    All integer: hash60 % N for the shard, ppm integer division for
+    shares; ``dev_ppm`` subtracts AFTER the (non-negative) division so
+    truncating vs floor division never diverges. The
+    ``tokens * N * 1e6`` product holds in BIGINT to ~5e11 total
+    tokens; past that both engines promote to decimal(38,0) in lock
+    step (the epoch_repeat_plan note).
+
+    Scale shape: shard + token count are zero-shuffle scan-side
+    projections (text never moves); ONE map-side-combined rollup to
+    N=16 rows, then scalar algebra against the broadcast total.
+    Reference anchor: no analog (training-plan surplus; SURVEY.md
+    §2.14)."""
+    (docs,) = prep(spark, sf_dir, "documents")
+    d = docs.select(
+        (oracle_hash60(F.col("doc_id").cast("string"), salt=_SHARD_SEED)
+         % _SHARD_COUNT).cast("int").alias("shard"),
+        token_count(F.col("text")).alias("n_tokens"))
+    per = d.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("shard_tokens"))
+    tot = d.agg(F.sum("n_tokens").alias("total"))
+    return (per.crossJoin(F.broadcast(tot))
+            .select(
+                "shard", "n_docs", "shard_tokens",
+                F.expr("(shard_tokens * 1000000) div total")
+                .alias("share_ppm"),
+                F.expr(f"(shard_tokens * {_SHARD_COUNT} * 1000000)"
+                       " div total - 1000000").alias("dev_ppm")))
+
+
+CONTEXT_LENGTHS = (128, 512, 2048, 8192)
+
+_CTX_PACK_ORACLE = f"""
+WITH d AS (
+  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents),
+sizes(ctx_len) AS (VALUES {", ".join(f"({v})" for v in CONTEXT_LENGTHS)}),
+per AS (
+  SELECT ctx_len, n_tokens,
+         (n_tokens + ctx_len - 1) // ctx_len AS chunks
+  FROM d CROSS JOIN sizes)
+SELECT CAST(ctx_len AS INTEGER) AS ctx_len,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(chunks) AS BIGINT) AS total_chunks,
+       CAST(SUM(chunks * ctx_len - n_tokens) AS BIGINT) AS padding_tokens,
+       (CAST(SUM(n_tokens) AS BIGINT) * 1000000)
+         // (CAST(SUM(chunks) AS BIGINT) * ctx_len) AS util_ppm
+FROM per GROUP BY ctx_len
+"""
+
+
+@query("context_pack_efficiency", oracle=_CTX_PACK_ORACLE)
+def context_pack_efficiency(spark, sf_dir):
+    """Context-length design curve: for each candidate training
+    context length L, the padding cost of boundary-respecting packing
+    where every document is split into ceil(tokens/L) sequences and
+    the last sequence of each document pads to L — the curve that
+    decides the context length (and whether cross-document packing à
+    la token_budget_pack is worth its attention-mask complexity) for
+    a corpus with this length distribution. ``util_ppm`` is real
+    tokens over slot capacity.
+
+    All integer: ceiling division via ``(n + L - 1) div L`` on
+    non-negative BIGINTs (identical truncating/floor behavior on both
+    engines); utilization is ppm integer division.
+
+    Scale shape: the scan projects each document to ONE BIGINT token
+    count before the broadcast multiply against the |sizes|=4 literal
+    relation (4x row count of a 1-column integer relation — text
+    never replicates), then one map-side-combined rollup to 4 rows.
+    Reference anchor: no analog (training-plan surplus; SURVEY.md
+    §2.14)."""
+    (docs,) = prep(spark, sf_dir, "documents")
+    d = docs.select(token_count(F.col("text")).alias("n_tokens"))
+    sizes = F.broadcast(
+        docs.sparkSession.createDataFrame(
+            [(v,) for v in CONTEXT_LENGTHS], "ctx_len int"))
+    per = (d.crossJoin(sizes)
+           .withColumn("chunks",
+                       F.expr("(n_tokens + ctx_len - 1) div ctx_len")))
+    return (per.groupBy("ctx_len")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").alias("total_tokens"),
+                 F.sum("chunks").alias("total_chunks"),
+                 F.sum(F.col("chunks") * F.col("ctx_len")
+                       - F.col("n_tokens")).alias("padding_tokens"))
+            .select("ctx_len", "n_docs", "total_tokens", "total_chunks",
+                    "padding_tokens",
+                    F.expr("(total_tokens * 1000000)"
+                           " div (total_chunks * ctx_len)")
+                    .alias("util_ppm")))
+
+
 _VOCAB_CURVE_ORACLE = f"""
 WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token
               FROM documents),
@@ -284,3 +410,134 @@ def vocab_coverage_curve(spark, sf_dir):
                     F.col("total").alias("total_tokens"),
                     F.expr("(covered_tokens * 1000000) div total")
                     .alias("coverage_ppm")))
+
+
+# -- leave-one-out source valuation ---------------------------------------
+
+LOO_SEED = "loo-split-v1"
+LOO_HELDOUT_MOD = 10
+
+_LOO_ORACLE = f"""
+WITH base AS (
+  SELECT source, string_split(text, ' ') AS t,
+         {hash60_sql("CAST(doc_id AS VARCHAR)", f"'{LOO_SEED}'")}
+           % {LOO_HELDOUT_MOD} = 0 AS held
+  FROM documents),
+bg AS (SELECT source, held, t[i] AS w1, t[i+1] AS w2
+       FROM base, unnest(generate_series(1, len(t) - 1)) u(i)),
+hb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n
+       FROM bg WHERE held GROUP BY w1, w2),
+sbc AS (SELECT source, w1, w2, CAST(count(*) AS BIGINT) AS c2s
+        FROM bg WHERE NOT held GROUP BY source, w1, w2),
+tbc AS (SELECT w1, w2, CAST(SUM(c2s) AS BIGINT) AS c2
+        FROM sbc GROUP BY w1, w2),
+sb1 AS (SELECT source, w1, CAST(SUM(c2s) AS BIGINT) AS c1s
+        FROM sbc GROUP BY source, w1),
+tb1 AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM tbc GROUP BY w1),
+v AS (SELECT CAST(count(*) AS BIGINT) AS vocab FROM tb1),
+hn AS (SELECT CAST(SUM(n) AS BIGINT) AS n_heldout FROM hb),
+fs AS (
+  SELECT CAST(SUM(hb.n * (((coalesce(tbc.c2, 0) + 1) * 1000000)
+                          // greatest(coalesce(tb1.c1, 0) + vocab, 1)))
+              AS BIGINT) AS full_score_ppm
+  FROM hb LEFT JOIN tbc USING (w1, w2) LEFT JOIN tb1 USING (w1)
+  CROSS JOIN v),
+loo AS (
+  SELECT s.source,
+         hb.n * (((coalesce(tbc.c2, 0) - coalesce(sbc.c2s, 0) + 1) * 1000000)
+                 // greatest(coalesce(tb1.c1, 0) - coalesce(sb1.c1s, 0)
+                             + vocab, 1)) AS term
+  FROM hb
+  CROSS JOIN (SELECT DISTINCT source FROM documents) s
+  LEFT JOIN sbc ON sbc.source = s.source
+               AND sbc.w1 = hb.w1 AND sbc.w2 = hb.w2
+  LEFT JOIN tbc ON tbc.w1 = hb.w1 AND tbc.w2 = hb.w2
+  LEFT JOIN sb1 ON sb1.source = s.source AND sb1.w1 = hb.w1
+  LEFT JOIN tb1 ON tb1.w1 = hb.w1
+  CROSS JOIN v)
+SELECT source, n_heldout,
+       CAST(SUM(term) AS BIGINT) AS loo_score_ppm,
+       full_score_ppm,
+       full_score_ppm - CAST(SUM(term) AS BIGINT) AS influence_ppm
+FROM loo CROSS JOIN fs CROSS JOIN hn
+GROUP BY source, full_score_ppm, n_heldout
+"""
+
+
+@query("loo_source_influence", oracle=_LOO_ORACLE)
+def loo_source_influence(spark, sf_dir):
+    """Leave-one-out source valuation via additive sufficient
+    statistics: score a seeded held-out split under an add-one-
+    smoothed bigram model trained on the remaining corpus, then for
+    each source recompute the score with that source's documents
+    removed from training — WITHOUT retraining, because bigram counts
+    are additive (LOO counts = total counts - source counts).
+    ``influence_ppm`` = full-model score - LOO score: positive means
+    the source's data improves held-out likelihood (keep/upsample),
+    ~zero or negative flags sources whose tokens don't help (the
+    datamodels/data-Shapley question answered with a model cheap
+    enough to be exact at corpus scale).
+
+    All integer: p = ((c2 + 1) * 1e6) div (c1 + V) add-one smoothing
+    in ppm; numerator and denominator are both non-negative (a
+    source's counts are a subset of the totals), so truncating vs
+    floor division never diverges. Sums and the final subtraction are
+    BIGINT-exact.
+
+    Scale shape: one bigram explode feeds THREE map-side-combined
+    count rollups (per-source bigram, total bigram, prefix) whose
+    combined size is bounded by effective vocabulary^2, orders below
+    the corpus; the held-out bigram relation is |heldout vocab^2| and
+    crosses only the |sources| distinct-source list (broadcast).
+    The four count joins are shuffle-hash on bigram/prefix keys with
+    ONE row per key on the build side — no explosion. V, the full
+    score, and the held-out total are 1-row broadcast scalars.
+    Retraining per source would be |sources| full passes; the
+    additive-statistics subtraction makes it one. Reference anchor:
+    no analog (data-valuation surplus; SURVEY.md §2.14)."""
+    (docs,) = prep(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    held = (oracle_hash60(F.col("doc_id").cast("string"), salt=LOO_SEED)
+            % LOO_HELDOUT_MOD == 0)
+    base = docs.select("source", t.alias("t"), held.alias("held"))
+    pair = F.zip_with(
+        F.slice(F.col("t"), 1, F.greatest(F.size("t") - 1, F.lit(0))),
+        F.slice(F.col("t"), 2, F.greatest(F.size("t") - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")))
+    bg = (base.select("source", "held", F.explode(pair).alias("g"))
+          .select("source", "held", "g.w1", "g.w2"))
+    hb = (bg.filter("held").groupBy("w1", "w2")
+          .agg(F.count(F.lit(1)).alias("n")))
+    sbc = (bg.filter(~F.col("held")).groupBy("source", "w1", "w2")
+           .agg(F.count(F.lit(1)).alias("c2s")))
+    tbc = sbc.groupBy("w1", "w2").agg(F.sum("c2s").alias("c2"))
+    sb1 = sbc.groupBy("source", "w1").agg(F.sum("c2s").alias("c1s"))
+    tb1 = tbc.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    v = tb1.agg(F.count(F.lit(1)).alias("vocab"))
+    hn = hb.agg(F.sum("n").alias("n_heldout"))
+    fs = (hb.join(tbc, ["w1", "w2"], "left").join(tb1, ["w1"], "left")
+          .crossJoin(F.broadcast(v))
+          .agg(F.sum(
+              F.col("n")
+              * F.expr("((coalesce(c2, 0) + 1) * 1000000)"
+                       " div greatest(coalesce(c1, 0) + vocab, 1)"))
+              .alias("full_score_ppm")))
+    srcs = docs.select("source").distinct()
+    loo = (hb.crossJoin(F.broadcast(srcs))
+           .join(sbc, ["source", "w1", "w2"], "left")
+           .join(tbc, ["w1", "w2"], "left")
+           .join(sb1, ["source", "w1"], "left")
+           .join(tb1, ["w1"], "left")
+           .crossJoin(F.broadcast(v))
+           .select(
+               "source",
+               (F.col("n") * F.expr(
+                   "((coalesce(c2, 0) - coalesce(c2s, 0) + 1) * 1000000)"
+                   " div greatest(coalesce(c1, 0) - coalesce(c1s, 0)"
+                   " + vocab, 1)")).alias("term")))
+    return (loo.groupBy("source").agg(F.sum("term").alias("loo_score_ppm"))
+            .crossJoin(F.broadcast(fs)).crossJoin(F.broadcast(hn))
+            .select("source", "n_heldout", "loo_score_ppm",
+                    "full_score_ppm",
+                    (F.col("full_score_ppm") - F.col("loo_score_ppm"))
+                    .alias("influence_ppm")))

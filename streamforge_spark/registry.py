@@ -119,6 +119,9 @@ ROTATION_PRIORITY = [
     # round-9 late additions: training-run planning surface
     "epoch_repeat_plan", "curriculum_schedule", "vocab_coverage_curve",
     "corpus_funnel_ablation",
+    # round-9 late additions: governance + planning second wave
+    "shard_balance_report", "context_pack_efficiency",
+    "loo_source_influence", "dp_noisy_release", "canary_probe_report",
 ]
 
 
@@ -286,7 +289,7 @@ def load_all() -> None:
         cdc, streamops, joins, sessions, tpch, text, embeddings, llm,
         surplus, envelope_io, analytics, relational, windows, curation,
         repetition, timeseries, graphs, sketches, release, simjoin,
-        stats, planning,
+        stats, planning, governance,
     )
     _apply_oracle_casts()
     reorder_for_driver_window()

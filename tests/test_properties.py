@@ -612,3 +612,70 @@ def test_ivf_staleness_matches_python_reference(spark, case):
         assert r.drift_ppm == drift, (c, r.drift_ppm, drift)
         assert r.mean_d2_train == m_tr and r.mean_d2_appended == m_ap, c
         assert r.stale == stale, (c, r.stale, stale)
+
+
+@given(st.lists(
+    st.tuples(st.sampled_from(["web", "code", "chat"]),
+              st.lists(st.sampled_from("abcde"), min_size=2, max_size=8)),
+    min_size=4, max_size=16))
+@SLOW
+def test_loo_influence_equals_literal_retrain(spark, tmp_path_factory, docs):
+    """loo_source_influence's additive-statistics subtraction must
+    equal LITERALLY retraining the bigram counts without each source
+    (vocabulary held fixed at the full-train vocab, per the docstring:
+    the ablation removes a source's DATA, not its smoothing mass)."""
+    import hashlib
+
+    from streamforge_spark.queries.planning import (
+        LOO_HELDOUT_MOD, LOO_SEED, loo_source_influence)
+
+    rows = [(i, " ".join(toks), "en", src, len(" ".join(toks)))
+            for i, (src, toks) in enumerate(docs)]
+    d = tmp_path_factory.mktemp("loo")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long").coalesce(1).write.mode("overwrite").parquet(
+        str(d / "documents.parquet"))
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(f"{LOO_SEED}:{s}".encode())
+                   .hexdigest()[:15], 16)
+
+    held = {i for i, _ in enumerate(docs)
+            if h60(str(i)) % LOO_HELDOUT_MOD == 0}
+    bg = lambda toks: list(zip(toks, toks[1:]))
+    hb: dict[tuple, int] = {}
+    for i, (_, toks) in enumerate(docs):
+        if i in held:
+            for p in bg(toks):
+                hb[p] = hb.get(p, 0) + 1
+
+    def train_counts(exclude=None):
+        c2: dict[tuple, int] = {}
+        c1: dict[str, int] = {}
+        for i, (src, toks) in enumerate(docs):
+            if i in held or src == exclude:
+                continue
+            for w1, w2 in bg(toks):
+                c2[(w1, w2)] = c2.get((w1, w2), 0) + 1
+                c1[w1] = c1.get(w1, 0) + 1
+        return c2, c1
+
+    full_c2, full_c1 = train_counts()
+    vocab = len(full_c1)  # fixed across ablations
+
+    def score(c2, c1):
+        return sum(n * (((c2.get(p, 0) + 1) * 1_000_000)
+                        // max(c1.get(p[0], 0) + vocab, 1))
+                   for p, n in hb.items())
+
+    want_full = score(full_c2, full_c1)
+    got = {r.source: r for r in
+           loo_source_influence(spark, str(d)).collect()}
+    assert set(got) == {src for src, _ in docs}
+    for src in got:
+        loo_c2, loo_c1 = train_counts(exclude=src)
+        r = got[src]
+        assert r.full_score_ppm == want_full, src
+        assert r.loo_score_ppm == score(loo_c2, loo_c1), src
+        assert r.influence_ppm == want_full - r.loo_score_ppm, src
