@@ -133,6 +133,12 @@ HEADLINE = [
     "loo_source_influence",
     "dp_noisy_release",
     "canary_probe_report",
+    # gate-threshold ROC sweep (two doc-count relations meeting in one
+    # doc_id join, 11-row conditional rollup), datasheet joint
+    # histogram, and the power-of-two reshard traffic audit
+    "quality_gate_roc",
+    "quality_length_histogram",
+    "reshard_migration_plan",
 ]
 
 

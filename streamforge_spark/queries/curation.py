@@ -1079,3 +1079,200 @@ def decontamination_agreement(spark, sf_dir):
                         + F.col("substring_hit").cast("long")
                         + F.col("semantic_hit").cast("long"))
             .filter(F.col("n_modalities") > 0))
+
+
+# -- quality-gate threshold design (ROC) ----------------------------------
+
+#: shifted classifier score thresholds, milli-units in [0, 2000]
+#: (0 = logit_sum at -WSPAN per feature, 2000 = +WSPAN per feature)
+QROC_THRESHOLDS = tuple(range(0, 2001, 200))
+
+
+def _gopher_pass_sql(rel: str) -> str:
+    """DuckDB fragment: (doc_id, gopher_pass) over relation ``rel`` —
+    the same four Gopher rules text.py's _GOPHER_ORACLE pins."""
+    from streamforge_spark.functions.text import (
+        GOPHER_MAX_MWL_MILLI, GOPHER_MAX_WORDS, GOPHER_MIN_ALPHA_PPM,
+        GOPHER_MIN_MWL_MILLI, GOPHER_MIN_STOPWORDS, GOPHER_MIN_WORDS,
+        STOPWORDS)
+    from streamforge_spark.queries.text import _sql_markers
+    return f"""
+gm AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         CAST(length(text) - len(string_split(text, ' ')) + 1 AS BIGINT)
+           AS swc,
+         CAST(len(list_filter(string_split(text, ' '),
+                   x -> x IN ({_sql_markers(STOPWORDS)}))) AS BIGINT)
+           AS stopword_cnt,
+         CAST(len(list_filter(string_split(text, ' '),
+                   x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT)
+           AS n_alpha
+  FROM {rel}),
+gp AS (
+  SELECT doc_id,
+         (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
+         AND ((1000 * swc) // n_words
+              BETWEEN {GOPHER_MIN_MWL_MILLI} AND {GOPHER_MAX_MWL_MILLI})
+         AND stopword_cnt >= {GOPHER_MIN_STOPWORDS}
+         AND (1000000 * n_alpha) // n_words >= {GOPHER_MIN_ALPHA_PPM}
+           AS gopher_pass
+  FROM gm)"""
+
+
+#: shifted score: (logit_sum + WSPAN*n) * 1000 // (WSPAN*n) in [0, 2000]
+#: — the shift keeps the integer division non-negative on both engines
+#: (Spark div truncates toward zero, DuckDB // floors; they agree only
+#: for non-negative operands).
+_QSCORE_SHIFT_SQL = f"""
+sc AS (
+  SELECT doc_id,
+         ((CAST(SUM(w) AS BIGINT) + {QCLF_WSPAN} * COUNT(*)) * 1000)
+           // ({QCLF_WSPAN} * COUNT(*)) AS score_milli
+  FROM (SELECT doc_id, {{h}} % {2 * QCLF_WSPAN + 1} - {QCLF_WSPAN} AS w
+        FROM grams) wt
+  GROUP BY doc_id)"""
+
+
+def _qroc_oracle() -> str:
+    h = hash60_sql("g", f"'{QCLF_SALT}'")
+    thr = ", ".join(f"({t})" for t in QROC_THRESHOLDS)
+    return f"""
+WITH {_QCLF_GRAMS},
+{_QSCORE_SHIFT_SQL.format(h=h)},
+{_gopher_pass_sql("documents")},
+j AS (SELECT sc.doc_id, sc.score_milli, gp.gopher_pass
+      FROM sc JOIN gp USING (doc_id)),
+thr(thr_milli) AS (VALUES {thr}),
+cells AS (
+  SELECT thr_milli,
+         CAST(count(*) FILTER (WHERE score_milli >= thr_milli
+                                 AND gopher_pass) AS BIGINT) AS tp,
+         CAST(count(*) FILTER (WHERE score_milli >= thr_milli
+                                 AND NOT gopher_pass) AS BIGINT) AS fp,
+         CAST(count(*) FILTER (WHERE score_milli < thr_milli
+                                 AND gopher_pass) AS BIGINT) AS fn,
+         CAST(count(*) FILTER (WHERE score_milli < thr_milli
+                                 AND NOT gopher_pass) AS BIGINT) AS tn
+  FROM j CROSS JOIN thr GROUP BY thr_milli)
+SELECT CAST(thr_milli AS INTEGER) AS thr_milli, tp, fp, fn, tn,
+       (tp * 1000000) // greatest(tp + fn, 1) AS tpr_ppm,
+       (fp * 1000000) // greatest(fp + tn, 1) AS fpr_ppm,
+       (tp * 1000000) // greatest(tp + fp, 1) AS precision_ppm
+FROM cells
+"""
+
+
+@query("quality_gate_roc", oracle=_qroc_oracle())
+def quality_gate_roc(spark, sf_dir):
+    """Quality-gate threshold design: sweep the classifier admission
+    threshold and report the confusion matrix against the Gopher
+    rule-pass as the (weak) label — the ROC/precision curve that
+    decides WHERE to set the funnel's score cutoff before committing a
+    100 TB run to it. Uses the shifted integer score (milli-units in
+    [0, 2000]) of quality_classifier_score's logits so every rate is
+    engine-exact; ``greatest(..., 1)`` keeps the rates total when a
+    class is empty (ANSI division).
+
+    Scale shape: classifier logits are one map-side-combined per-doc
+    rollup of the bigram explode; Gopher flags are a zero-shuffle
+    projection; they meet in ONE doc_id shuffle-hash join of two
+    doc-count relations; the threshold sweep is a broadcast multiply
+    against the |thresholds|=11 literal relation folded straight into
+    an 11-row map-side-combined rollup (conditional counts — the
+    crossed relation never materializes past the partial aggregates).
+    Reference anchor: no analog (gate-design surplus; SURVEY.md
+    §2.14)."""
+    from streamforge_spark.functions.text import gopher_metrics, word_ngrams
+    (docs,) = prep(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id", F.explode(word_ngrams(F.col("text"), 2)).alias("g"))
+    w = (oracle_hash60(F.col("g"), salt=QCLF_SALT) % (2 * QCLF_WSPAN + 1)
+         - QCLF_WSPAN)
+    sc = (grams.select("doc_id", w.alias("w"))
+          .groupBy("doc_id")
+          .agg(F.expr(f"((sum(w) + {QCLF_WSPAN} * count(*)) * 1000)"
+                      f" div ({QCLF_WSPAN} * count(*))")
+               .alias("score_milli")))
+    gp = gopher_metrics(docs).select("doc_id", "gopher_pass")
+    j = sc.join(gp, "doc_id")
+    thr = F.broadcast(spark.createDataFrame(
+        [(t,) for t in QROC_THRESHOLDS], "thr_milli int"))
+    keep = F.col("score_milli") >= F.col("thr_milli")
+    cnt = lambda c: F.count(F.when(c, F.lit(1)))
+    cells = (j.crossJoin(thr).groupBy("thr_milli")
+             .agg(cnt(keep & F.col("gopher_pass")).alias("tp"),
+                  cnt(keep & ~F.col("gopher_pass")).alias("fp"),
+                  cnt(~keep & F.col("gopher_pass")).alias("fn"),
+                  cnt(~keep & ~F.col("gopher_pass")).alias("tn")))
+    return cells.select(
+        "thr_milli", "tp", "fp", "fn", "tn",
+        F.expr("(tp * 1000000) div greatest(tp + fn, 1)").alias("tpr_ppm"),
+        F.expr("(fp * 1000000) div greatest(fp + tn, 1)").alias("fpr_ppm"),
+        F.expr("(tp * 1000000) div greatest(tp + fp, 1)")
+        .alias("precision_ppm"))
+
+
+# -- corpus datasheet: quality x length joint histogram -------------------
+
+QHIST_LEN_BUCKET = 50   # tokens per length bin
+QHIST_LEN_BINS = 10     # bins 0..9 (last bin open-ended)
+QHIST_SCORE_BUCKET = 250  # milli-units per score bin over [0, 2000]
+
+
+def _qhist_oracle() -> str:
+    h = hash60_sql("g", f"'{QCLF_SALT}'")
+    return f"""
+WITH {_QCLF_GRAMS},
+{_QSCORE_SHIFT_SQL.format(h=h)},
+lens AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT)
+                  AS n_tokens
+         FROM documents)
+SELECT CAST(least(n_tokens // {QHIST_LEN_BUCKET},
+                  {QHIST_LEN_BINS - 1}) AS INTEGER) AS len_bin,
+       CAST(score_milli // {QHIST_SCORE_BUCKET} AS INTEGER) AS score_bin,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+FROM sc JOIN lens USING (doc_id)
+GROUP BY len_bin, score_bin
+"""
+
+
+@query("quality_length_histogram", oracle=_qhist_oracle())
+def quality_length_histogram(spark, sf_dir):
+    """Corpus-datasheet joint histogram: document count and token mass
+    per (length bin, classifier-score bin) cell — the 2D distribution a
+    datasheet/model card publishes and the input to choosing joint
+    length+quality admission rules (a length-only or quality-only gate
+    can silently concentrate the kept mass in one corner; the joint
+    view shows it). Bins are fixed-width on bounded integer scores
+    (curriculum_schedule's reasoning: fixed thresholds keep the bin a
+    scan-side projection — no distribution pass at 100 TB).
+
+    Scale shape: one per-doc logit rollup (map-side combined), one
+    zero-shuffle length projection, one doc_id join, one rollup to at
+    most LEN_BINS x SCORE_BINS rows. Reference anchor: no analog
+    (datasheet surplus; SURVEY.md §2.14)."""
+    from streamforge_spark.functions.text import word_ngrams
+    (docs,) = prep(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id", F.explode(word_ngrams(F.col("text"), 2)).alias("g"))
+    w = (oracle_hash60(F.col("g"), salt=QCLF_SALT) % (2 * QCLF_WSPAN + 1)
+         - QCLF_WSPAN)
+    sc = (grams.select("doc_id", w.alias("w"))
+          .groupBy("doc_id")
+          .agg(F.expr(f"((sum(w) + {QCLF_WSPAN} * count(*)) * 1000)"
+                      f" div ({QCLF_WSPAN} * count(*))")
+               .alias("score_milli")))
+    lens = docs.select(
+        "doc_id",
+        F.expr("size(split(text, ' '))").cast("long").alias("n_tokens"))
+    return (sc.join(lens, "doc_id")
+            .groupBy(
+                F.least(F.expr(f"n_tokens div {QHIST_LEN_BUCKET}"),
+                        F.lit(QHIST_LEN_BINS - 1)).cast("int")
+                .alias("len_bin"),
+                F.expr(f"score_milli div {QHIST_SCORE_BUCKET}").cast("int")
+                .alias("score_bin"))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").alias("n_tokens")))

@@ -541,3 +541,67 @@ def loo_source_influence(spark, sf_dir):
                     "full_score_ppm",
                     (F.col("full_score_ppm") - F.col("loo_score_ppm"))
                     .alias("influence_ppm")))
+
+
+# -- power-of-two reshard migration audit ---------------------------------
+
+_RESHARD_ORACLE = f"""
+WITH d AS (
+  SELECT {hash60_sql("CAST(doc_id AS VARCHAR)", f"'{_SHARD_SEED}'")} AS h,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents)
+SELECT CAST(h % {_SHARD_COUNT} AS INTEGER) AS old_shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(count(*) FILTER (WHERE h % {2 * _SHARD_COUNT}
+                             <> h % {_SHARD_COUNT}) AS BIGINT)
+         AS moved_docs,
+       CAST(coalesce(SUM(n_tokens) FILTER (WHERE h % {2 * _SHARD_COUNT}
+                                           <> h % {_SHARD_COUNT}), 0)
+            AS BIGINT) AS moved_tokens,
+       (CAST(coalesce(SUM(n_tokens) FILTER (WHERE h % {2 * _SHARD_COUNT}
+                                            <> h % {_SHARD_COUNT}), 0)
+             AS BIGINT) * 1000000)
+         // greatest(CAST(SUM(n_tokens) AS BIGINT), 1) AS moved_ppm
+FROM d GROUP BY old_shard
+"""
+
+
+@query("reshard_migration_plan", oracle=_RESHARD_ORACLE)
+def reshard_migration_plan(spark, sf_dir):
+    """Reshard migration audit for doubling the shard count (N -> 2N
+    under the same hash): per OLD shard, how many documents/tokens
+    change shard. Under ``h % 2N`` every old shard i splits into
+    {{i, i+N}} — documents either stay or move to exactly one new
+    shard, so doubling moves ~half of each shard's mass and NOTHING
+    crosses between old shards (the power-of-two property that makes
+    mod-hash resharding cheap: each old shard streams its movers to
+    one destination, embarrassingly parallel, no global shuffle). A
+    non-power-of-two reshard (say 16 -> 24) would scatter every shard
+    to many destinations; this report quantifies the traffic before
+    an operator commits to either.
+
+    All integer: hash-mod arithmetic and ppm division with a
+    ``greatest(..., 1)`` total guard for empty shards.
+
+    Scale shape: shard ids + token count are zero-shuffle scan-side
+    projections; ONE map-side-combined rollup to N rows (conditional
+    sums — the mover set never materializes). Reference anchor: no
+    analog (training-plan surplus; SURVEY.md §2.14)."""
+    (docs,) = prep(spark, sf_dir, "documents")
+    d = docs.select(
+        oracle_hash60(F.col("doc_id").cast("string"),
+                      salt=_SHARD_SEED).alias("h"),
+        token_count(F.col("text")).alias("n_tokens"))
+    moved = F.expr(f"h % {2 * _SHARD_COUNT} <> h % {_SHARD_COUNT}")
+    return (d.groupBy((F.col("h") % _SHARD_COUNT).cast("int")
+                      .alias("old_shard"))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").alias("n_tokens"),
+                 F.count(F.when(moved, F.lit(1))).alias("moved_docs"),
+                 F.coalesce(F.sum(F.when(moved, F.col("n_tokens"))),
+                            F.lit(0)).alias("moved_tokens"))
+            .select("old_shard", "n_docs", "n_tokens", "moved_docs",
+                    "moved_tokens",
+                    F.expr("(moved_tokens * 1000000)"
+                           " div greatest(n_tokens, 1)").alias("moved_ppm")))

@@ -122,6 +122,8 @@ ROTATION_PRIORITY = [
     # round-9 late additions: governance + planning second wave
     "shard_balance_report", "context_pack_efficiency",
     "loo_source_influence", "dp_noisy_release", "canary_probe_report",
+    "quality_gate_roc", "quality_length_histogram",
+    "reshard_migration_plan",
 ]
 
 
