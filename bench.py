@@ -139,6 +139,9 @@ HEADLINE = [
     "quality_gate_roc",
     "quality_length_histogram",
     "reshard_migration_plan",
+    # the composed feed plan: epoch quotas applied to curriculum order
+    # (one |sources| rollup broadcast into one per-source window)
+    "training_feed_manifest",
 ]
 
 

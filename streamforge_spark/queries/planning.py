@@ -605,3 +605,176 @@ def reshard_migration_plan(spark, sf_dir):
                     "moved_tokens",
                     F.expr("(moved_tokens * 1000000)"
                            " div greatest(n_tokens, 1)").alias("moved_ppm")))
+
+
+# -- composed training feed manifest --------------------------------------
+
+#: the manifest uses a SUB-repetition budget (3x < R*=4) so per-source
+#: quotas land mid-epoch: the cap engages only for the smallest
+#: (sqrt-upweighted) sources while the rest exercise the partial-epoch
+#: remainder path — epoch_repeat_plan keeps 8x to demonstrate the
+#: saturation regime.
+FEED_BUDGET_MULT = 3
+
+_FEED_ORACLE = f"""
+WITH src AS (
+  SELECT source,
+         CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT)
+           AS src_tokens
+  FROM documents GROUP BY source),
+tot AS (SELECT CAST(SUM(src_tokens) AS BIGINT) * {FEED_BUDGET_MULT}
+           AS budget FROM src),
+w AS (
+  SELECT source, src_tokens,
+         CAST(ROUND(sqrt(CAST(src_tokens AS DOUBLE)) * 1000000) AS BIGINT)
+           AS w_micro
+  FROM src),
+ws AS (SELECT CAST(SUM(w_micro) AS BIGINT) AS wsum FROM w),
+q AS (
+  SELECT source, src_tokens,
+         (budget * w_micro) // wsum AS quota_tokens
+  FROM w CROSS JOIN tot CROSS JOIN ws),
+e AS (
+  SELECT source, src_tokens, quota_tokens,
+         greatest(quota_tokens - {EPOCH_RSTAR} * src_tokens, 0)
+           AS excess_tokens,
+         greatest({EPOCH_RSTAR} * src_tokens - quota_tokens, 0)
+           AS headroom_tokens
+  FROM q),
+p AS (SELECT CAST(SUM(excess_tokens) AS BIGINT) AS pool,
+             CAST(SUM(headroom_tokens) AS BIGINT) AS headroom_total
+      FROM e),
+fq AS (
+  SELECT source, src_tokens,
+         quota_tokens - excess_tokens
+           + CASE WHEN headroom_total > 0
+                  THEN least(headroom_tokens,
+                             (pool * headroom_tokens) // headroom_total)
+                  ELSE 0 END AS final_quota_tokens
+  FROM e CROSS JOIN p),
+s AS (
+  SELECT doc_id, source, n_chars,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+              AS BIGINT) AS n_punct
+  FROM documents),
+sc AS (SELECT doc_id, source, n_tokens,
+              {_SCORE_PPM_SQL} AS score_ppm
+       FROM s),
+st AS (
+  SELECT doc_id, source, n_tokens,
+         CAST((score_ppm * {CURRICULUM_STAGES}) // 1000001 AS INTEGER)
+           AS stage,
+         CAST(row_number() OVER (
+           PARTITION BY (score_ppm * {CURRICULUM_STAGES}) // 1000001
+           ORDER BY {hash60_sql("CAST(doc_id AS VARCHAR)",
+                                f"'{CURRICULUM_SEED}'")}, doc_id)
+              AS BIGINT) AS pos
+  FROM sc),
+cum AS (
+  SELECT st.*,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY stage, pos
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS cum_tokens
+  FROM st)
+SELECT c.doc_id, c.source, c.stage, c.pos, c.n_tokens,
+       fq.final_quota_tokens // fq.src_tokens AS full_epochs,
+       c.cum_tokens <= fq.final_quota_tokens
+         - (fq.final_quota_tokens // fq.src_tokens) * fq.src_tokens
+         AS in_partial_epoch,
+       fq.final_quota_tokens // fq.src_tokens
+         + CASE WHEN c.cum_tokens <= fq.final_quota_tokens
+                     - (fq.final_quota_tokens // fq.src_tokens)
+                       * fq.src_tokens
+                THEN 1 ELSE 0 END AS total_feeds
+FROM cum c JOIN fq USING (source)
+"""
+
+
+@query("training_feed_manifest", oracle=_FEED_ORACLE)
+def training_feed_manifest(spark, sf_dir):
+    """The composed training feed plan — epoch_repeat_plan's final
+    per-source token quotas APPLIED to curriculum_schedule's
+    (stage, pos) order, one row per document: how many FULL epochs its
+    source repeats, and whether the document makes the final PARTIAL
+    epoch (sources' quotas are rarely whole-epoch multiples; the
+    remainder is spent on the curriculum-order prefix of the source,
+    a document included only if it fits whole). ``total_feeds`` is
+    the number of times the run feeds this document — the manifest a
+    deterministic distributed data loader can recompute shard-locally.
+
+    Composition is the deliverable (the corpus_funnel pattern): the
+    quota algebra is LITERALLY epoch_repeat_plan's, the order
+    LITERALLY curriculum_schedule's — both already driver-certified —
+    and this query certifies their join. All integer: quotas/ppm as
+    in the parents, the partial-epoch cut is an inclusive prefix-sum
+    comparison on BIGINT token counts.
+
+    Scale shape: the source-quota side collapses to |sources| rows in
+    one rollup (broadcast thereafter); the per-doc side adds ONE
+    window exchange — partitionBy(source) ordered by (stage, pos) for
+    the prefix sum — on (doc_id, ints) projections, never text. A
+    100 TB corpus pays one sort per source for a reusable manifest
+    artifact; the alternative (recompute feed membership per step) is
+    why loaders precompute exactly this. Reference anchor: no analog
+    (training-plan surplus; SURVEY.md §2.14)."""
+    (docs,) = prep(spark, sf_dir, "documents")
+    src = (docs.groupBy("source")
+           .agg(F.sum(token_count(F.col("text"))).alias("src_tokens")))
+    tot = src.agg((F.sum("src_tokens") * FEED_BUDGET_MULT).alias("budget"))
+    w = src.withColumn(
+        "w_micro",
+        F.round(F.sqrt(F.col("src_tokens").cast("double")) * 1000000)
+        .cast("long"))
+    ws = w.agg(F.sum("w_micro").alias("wsum"))
+    q = (w.crossJoin(F.broadcast(tot)).crossJoin(F.broadcast(ws))
+         .select("source", "src_tokens",
+                 F.expr("(budget * w_micro) div wsum").alias("quota_tokens")))
+    e = q.select(
+        "source", "src_tokens", "quota_tokens",
+        F.greatest(F.col("quota_tokens")
+                   - EPOCH_RSTAR * F.col("src_tokens"),
+                   F.lit(0)).alias("excess_tokens"),
+        F.greatest(EPOCH_RSTAR * F.col("src_tokens")
+                   - F.col("quota_tokens"),
+                   F.lit(0)).alias("headroom_tokens"))
+    p = e.agg(F.sum("excess_tokens").alias("pool"),
+              F.sum("headroom_tokens").alias("headroom_total"))
+    fq = (e.crossJoin(F.broadcast(p))
+          .select("source", "src_tokens",
+                  (F.col("quota_tokens") - F.col("excess_tokens")
+                   + F.when(F.col("headroom_total") > 0,
+                            F.least(F.col("headroom_tokens"),
+                                    F.expr("(pool * headroom_tokens)"
+                                           " div headroom_total")))
+                   .otherwise(F.lit(0))).alias("final_quota_tokens")))
+    t = F.col("text")
+    s = docs.select(
+        "doc_id", "source", "n_chars",
+        token_count(t).alias("n_tokens"),
+        punct_count(t).alias("n_punct"))
+    sc = s.select(
+        "doc_id", "source", "n_tokens",
+        F.expr(_SCORE_PPM_SQL.replace("//", "div")).alias("score_ppm"))
+    staged = sc.withColumn(
+        "stage",
+        F.expr(f"(score_ppm * {CURRICULUM_STAGES}) div 1000001").cast("int"))
+    h = oracle_hash60(F.col("doc_id").cast("string"), salt=CURRICULUM_SEED)
+    wp = Window.partitionBy("stage").orderBy(h, "doc_id")
+    st = staged.select(
+        "doc_id", "source", "n_tokens", "stage",
+        F.row_number().over(wp).cast("long").alias("pos"))
+    wc = (Window.partitionBy("source").orderBy("stage", "pos")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = st.withColumn("cum_tokens", F.sum("n_tokens").over(wc))
+    j = cum.join(F.broadcast(fq), "source")
+    full = F.expr("final_quota_tokens div src_tokens")
+    rem = (F.col("final_quota_tokens")
+           - full * F.col("src_tokens"))
+    in_partial = F.col("cum_tokens") <= rem
+    return j.select(
+        "doc_id", "source", "stage", "pos", "n_tokens",
+        full.alias("full_epochs"),
+        in_partial.alias("in_partial_epoch"),
+        (full + F.when(in_partial, F.lit(1)).otherwise(F.lit(0)))
+        .alias("total_feeds"))

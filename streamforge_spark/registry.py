@@ -123,7 +123,7 @@ ROTATION_PRIORITY = [
     "shard_balance_report", "context_pack_efficiency",
     "loo_source_influence", "dp_noisy_release", "canary_probe_report",
     "quality_gate_roc", "quality_length_histogram",
-    "reshard_migration_plan",
+    "reshard_migration_plan", "training_feed_manifest",
 ]
 
 
