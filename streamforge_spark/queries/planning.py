@@ -506,11 +506,19 @@ def loo_source_influence(spark, sf_dir):
         lambda a, b: F.struct(a.alias("w1"), b.alias("w2")))
     bg = (base.select("source", "held", F.explode(pair).alias("g"))
           .select("source", "held", "g.w1", "g.w2"))
+    # hb feeds 3 consumers (full score, LOO cross, held-out total) and
+    # sbc feeds 3 (total bigram, per-source prefix, LOO join): without
+    # a checkpoint Spark re-runs the corpus scan + bigram explode once
+    # PER consumer — ~10 full scans at 100 TB for a vocabulary^2-sized
+    # relation that materializes once for orders less
     hb = (bg.filter("held").groupBy("w1", "w2")
-          .agg(F.count(F.lit(1)).alias("n")))
+          .agg(F.count(F.lit(1)).alias("n"))
+          .localCheckpoint(eager=False))
     sbc = (bg.filter(~F.col("held")).groupBy("source", "w1", "w2")
-           .agg(F.count(F.lit(1)).alias("c2s")))
-    tbc = sbc.groupBy("w1", "w2").agg(F.sum("c2s").alias("c2"))
+           .agg(F.count(F.lit(1)).alias("c2s"))
+           .localCheckpoint(eager=False))
+    tbc = (sbc.groupBy("w1", "w2").agg(F.sum("c2s").alias("c2"))
+           .localCheckpoint(eager=False))
     sb1 = sbc.groupBy("source", "w1").agg(F.sum("c2s").alias("c1s"))
     tb1 = tbc.groupBy("w1").agg(F.sum("c2").alias("c1"))
     v = tb1.agg(F.count(F.lit(1)).alias("vocab"))

@@ -761,3 +761,60 @@ def test_funnel_stage_filter_pushes_to_scan(spark):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode
         .fromString("formatted"))
     assert "EqualTo(event_type,signup)" in plan
+
+
+@pytest.mark.parametrize("name", [
+    "shard_balance_report", "context_pack_efficiency",
+    "loo_source_influence", "dp_noisy_release", "canary_probe_report",
+    "quality_gate_roc", "quality_length_histogram",
+    "reshard_migration_plan", "training_feed_manifest",
+])
+def test_r9_planning_governance_no_text_exchange_no_cartesian(spark, name):
+    # the round-9 planning/governance batch projects text away before
+    # every exchange (token counts / hashes / score ints move, never
+    # documents) and uses only broadcast forms for its small sides
+    import re
+    plan = plan_of(spark, name)
+    assert "CartesianProduct" not in plan
+    for m in re.finditer(r"\(\d+\) Exchange\n(Input \[\d+\]: \[[^\]]*\])",
+                         plan):
+        assert "text" not in m.group(1), (name, m.group(1))
+
+
+def test_shard_reports_single_exchange(spark):
+    # shard assignment + token count are scan-side projections; the
+    # only hash exchange is the N-row shard rollup (plus the broadcast
+    # scalar total for the balance report)
+    assert plan_of(spark, "reshard_migration_plan").count(
+        "Arguments: hashpartitioning") == 1
+    assert plan_of(spark, "dp_noisy_release").count(
+        "Arguments: hashpartitioning") == 1
+
+
+def test_canary_probe_is_broadcast_containment(spark):
+    # the donor side must broadcast into a nested-loop containment
+    # probe over the corpus scan — never a shuffle of document text
+    plan = plan_of(spark, "canary_probe_report")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_quality_gate_roc_threshold_sweep_is_broadcast(spark):
+    # the 11-row threshold relation broadcasts; the doc-side meet is a
+    # doc_id hash join, and the confusion rollup partial-aggregates
+    # (the crossed relation never materializes past map side)
+    plan = plan_of(spark, "quality_gate_roc")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_feed_manifest_window_order(spark):
+    # the prefix-sum window runs on the integer projection: the plan
+    # sorts (stage, pos) within source AFTER the curriculum rank — and
+    # no window input carries text (covered by the batch test above)
+    import re
+    plan = plan_of(spark, "training_feed_manifest")
+    assert "SortMergeJoin" not in plan          # fq side broadcasts
+    sorts = re.findall(r"\(\d+\) Sort\b", plan)
+    assert sorts, "expected window sorts in the manifest plan"
