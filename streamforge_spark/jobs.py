@@ -968,3 +968,121 @@ def quarantine_replay(spark: SparkSession, cfg: ScopedConfig):
             keep.coalesce(1).write.mode("overwrite").parquet(tmp)
         swap_dir(spark, f"{out}/quarantine_{v}", tmp)
     return []
+
+
+@stream_job("SnapshotHandoff")
+def snapshot_handoff(spark: SparkSession, cfg: ScopedConfig):
+    """Lock-free CDC bootstrap: chunked snapshot load interleaved with
+    the live change log, then hand off to the stream — DBLog watermark
+    reconciliation (streaming/handoff.py; Andreakis & Papapanagiotou,
+    arXiv 2010.12597). The reference consumes the change stream only
+    (MongoChangeStreamSource.java); this job is the missing first day
+    of that pipeline's life: seed the materialization from the
+    collection WITHOUT a lock and WITHOUT losing or double-applying
+    writes that land mid-snapshot.
+
+    Phase 1 (runs once; skipped when the watermark manifest already
+    exists): for each hash-mod chunk, record the log head (lw), upsert
+    the chunk rows positioned AT lw, record the head again (hw). The
+    idempotent upsert sink's merge order (position, source-rank) makes
+    any event with seq > lw win later — DBLog's in-window drop rule
+    with no special machinery. Phase 2: stream the envelope log,
+    position = metadata['seq'], through the same upsert target from
+    the recorded resume point (min lw); replaying below a chunk's lw
+    is harmless by construction.
+
+    Config: SNAPSHOT_PATH (collection parquet with primary_key +
+    payload_json), SOURCE_PATH (envelope log dir), OUTPUT_PATH,
+    CHECKPOINT_DIR, N_CHUNKS (default 8), SNAPSHOT_POSITION (optional).
+
+    Consistency contract: chunk selects are LAZY — each executes at
+    its upsert action, so a SNAPSHOT_PATH backed by the live
+    collection yields true DBLog interleave (chunk c reflects at
+    least everything <= its lw). A POINT-IN-TIME dump is only
+    consistent up to the log position it was taken at: set
+    SNAPSHOT_POSITION to that position and every chunk is watermarked
+    there instead of at the (possibly newer) log head — otherwise
+    events between the dump and the head would lose to chunk rows
+    that do not contain them.
+
+    Scale: the driver loop runs N_CHUNKS times; every read inside it
+    is a distributed bounded scan, every write touches only the hash
+    buckets of that chunk's keys. Work is O(collection) once +
+    O(batch) per trigger thereafter — no global lock, no log-retention
+    requirement before the first lw.
+    """
+    from pyspark.errors import AnalysisException
+
+    from streamforge_spark.streaming.handoff import (
+        EVENT_RANK, POS_COL, RANK_COL, bootstrap_snapshot,
+    )
+
+    out, ckpt = cfg.require("OUTPUT_PATH"), cfg.require("CHECKPOINT_DIR")
+    src = cfg.require("SOURCE_PATH")
+    n_chunks = int(cfg.get("N_CHUNKS") or 8)
+    target = f"{out}/state"
+    manifest_path = f"{out}/handoff_manifest"
+
+    seq_expr = F.col("metadata")["seq"].cast("long")
+    # string keys chunk by hash-mod (MultiCdcSourceBuilder's split
+    # scheme over non-dense keys)
+    chunk_expr = (lambda col, n:
+                  F.pmod(F.xxhash64(col.cast("string")), F.lit(n)).cast("int"))
+
+    def read_log(spark_):
+        raw = spark_.read.schema(_RAW_SCHEMA).text(src)
+        ok, _ = parse_stream_envelop(raw)
+        return ok
+
+    def log_head() -> int:
+        try:
+            row = read_log(spark).select(F.max(seq_expr)).first()
+        except AnalysisException:
+            return -1
+        return row[0] if row and row[0] is not None else -1
+
+    from streamforge_spark.streaming.sinks import upsert_batch
+    upsert = upsert_batch(target, ["primary_key"], [POS_COL, RANK_COL],
+                          op_col="operation")
+
+    def apply_chunk(df: DataFrame, c: int) -> None:
+        upsert(df.select("primary_key", "payload_json",
+                         F.lit("insert").alias("operation"),
+                         POS_COL, RANK_COL), -1 - c)
+
+    manifest_exists = True
+    try:
+        spark.read.parquet(manifest_path).take(1)
+    except AnalysisException:
+        manifest_exists = False
+
+    fixed_pos = cfg.get("SNAPSHOT_POSITION")
+    head_fn = ((lambda: int(fixed_pos)) if fixed_pos is not None
+               else log_head)
+
+    if not manifest_exists:
+        snap = spark.read.parquet(cfg.require("SNAPSHOT_PATH"))
+        manifest = bootstrap_snapshot(
+            spark, snapshot=snap, key="primary_key", n_chunks=n_chunks,
+            log_head=head_fn, apply_chunk=apply_chunk,
+            chunk_expr=chunk_expr)
+        (spark.createDataFrame(manifest, "chunk_id INT, lw BIGINT, hw BIGINT")
+         .coalesce(1).write.mode("overwrite").parquet(manifest_path))
+        log.info("SnapshotHandoff bootstrap: %d chunks, resume=%d",
+                 n_chunks, min(m[1] for m in manifest))
+
+    resume = spark.read.parquet(manifest_path).agg(
+        F.min("lw")).first()[0]
+
+    env, parse_dlq = _envelopes(spark, cfg)
+    events = (env.withColumn(POS_COL, F.coalesce(
+                  F.col("metadata")["seq"].cast("long"), F.lit(-1)))
+              .filter(F.col(POS_COL) > F.lit(int(resume)))
+              .withColumn(RANK_COL, F.lit(EVENT_RANK)))
+    q = (foreach_batch_upsert(
+            events.select("primary_key", "payload_json", "operation",
+                          POS_COL, RANK_COL),
+            target, ["primary_key"], [POS_COL, RANK_COL],
+            f"{ckpt}/state", op_col="operation")
+         .start())
+    return [q, _sink(parse_dlq, cfg, "dlq_parse")]

@@ -291,7 +291,7 @@ def load_all() -> None:
         cdc, streamops, joins, sessions, tpch, text, embeddings, llm,
         surplus, envelope_io, analytics, relational, windows, curation,
         repetition, timeseries, graphs, sketches, release, simjoin,
-        stats, planning, governance,
+        stats, planning, governance, handoff,
     )
     _apply_oracle_casts()
     reorder_for_driver_window()

@@ -102,6 +102,23 @@ def upsert_batch(target_path: str, key_cols: list[str],
          .option("partitionOverwriteMode", "dynamic")
          .partitionBy(UPSERT_BUCKET_COL)
          .parquet(target_path))
+        # dynamic overwrite only replaces partitions the write PRODUCES
+        # — a delete that removes a bucket's last surviving key writes
+        # zero rows for it, leaving the stale partition dir in place.
+        # Drop touched-but-now-empty bucket dirs explicitly; a crash
+        # before the drop replays the batch (foreachBatch is at-least-
+        # once) and re-attempts it, so the repair is idempotent.
+        if op_col is not None and existing is not None:
+            survivors = {r[0] for r in
+                         latest.select(UPSERT_BUCKET_COL).distinct().collect()}
+            emptied = [b for b in touched if b not in survivors]
+            if emptied:
+                jvm = spark._jvm
+                conf = spark._jsc.hadoopConfiguration()
+                for b in emptied:
+                    p = jvm.org.apache.hadoop.fs.Path(
+                        f"{target_path}/{UPSERT_BUCKET_COL}={b}")
+                    p.getFileSystem(conf).delete(p, True)
 
     return apply
 

@@ -272,6 +272,37 @@ def test_upsert_batch_rewrites_only_touched_buckets(spark, workdir):
     assert snap["k0"] == "v0b" and snap["k1"] == "v1" and len(snap) == 40
 
 
+def test_upsert_batch_delete_empties_bucket(spark, workdir):
+    """Regression: a delete removing a bucket's LAST surviving key must
+    drop the bucket's partition dir — dynamic overwrite alone writes
+    zero rows for it and would leave the stale row resurrectable."""
+    from streamforge_spark.streaming.sinks import upsert_batch
+    target = f"{workdir}/target"
+    apply = upsert_batch(target, ["key"], ["t"], op_col="op", num_buckets=8)
+    schema = "key string, t timestamp, op string, payload string"
+    rows = [(f"k{i}", ts("2024-01-01 10:00:00"), "insert", f"v{i}")
+            for i in range(10)]
+    apply(spark.createDataFrame(rows, schema), 0)
+    assert spark.read.parquet(target).count() == 10
+
+    # delete all but one key: several touched buckets become empty
+    dels = [(f"k{i}", ts("2024-01-01 11:00:00"), "delete", None)
+            for i in range(1, 10)]
+    apply(spark.createDataFrame(dels, schema), 1)
+    left = spark.read.parquet(target)
+    assert {r.key for r in left.collect()} == {"k0"}
+
+    # replay of the delete batch (at-least-once) is a no-op
+    apply(spark.createDataFrame(dels, schema), 1)
+    assert {r.key for r in spark.read.parquet(target).collect()} == {"k0"}
+
+    # and the target accepts re-inserts into a dropped bucket
+    apply(spark.createDataFrame(
+        [("k3", ts("2024-01-01 12:00:00"), "insert", "v3c")], schema), 2)
+    snap = {r.key: r.payload for r in spark.read.parquet(target).collect()}
+    assert snap == {"k0": "v0", "k3": "v3c"}
+
+
 def test_effectively_once_skips_replayed_batch(spark, workdir):
     from streamforge_spark.streaming.sinks import effectively_once
     produced = []
