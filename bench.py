@@ -142,6 +142,10 @@ HEADLINE = [
     # the composed feed plan: epoch quotas applied to curriculum order
     # (one |sources| rollup broadcast into one per-source window)
     "training_feed_manifest",
+    # DBLog snapshot->stream handoff reconciliation: one map-side
+    # max_by collapse of the log + one co-partitioned full-outer join
+    # against the snapshot + an 8-row broadcast manifest
+    "snapshot_handoff_state",
 ]
 
 

@@ -114,6 +114,22 @@ def mongo_to_kafka(spark: SparkSession, cfg: ScopedConfig):
     attach via streaming/flow_disruption.py + observe()."""
     env, parse_dlq = _envelopes(spark, cfg)
     env = filter_interceptor(env, F.col("operation") != "unknown")
+    # optional config-driven payload upcast chain — runs BEFORE the
+    # content-hash dedup/merger so those compare NORMALIZED payloads;
+    # SCHEMA_MIGRATIONS is the JSON spec (migrations_from_json),
+    # SCHEMA_VERSION_FIELD the in-payload version path
+    mig_dlq = None
+    mig_spec = cfg.get("SCHEMA_MIGRATIONS")
+    if mig_spec:
+        from streamforge_spark.operators.quality import (
+            migrations_from_json, schema_migrator,
+        )
+        vfield = cfg.get("SCHEMA_VERSION_FIELD") or "$.schema_version"
+        env, mig_dlq = schema_migrator(
+            env, "payload_json",
+            F.get_json_object(F.col("payload_json"), vfield),
+            migrations_from_json(mig_spec), source="MongoToKafka")
+        env = env.drop("_migrated_from", "_schema_version")
     env = streaming_dedup(env, ["primary_key", "event_time"], "event_time",
                           ttl="10 minutes")
     # watermark-scoped merger here: the chain already holds dedup state,
@@ -130,9 +146,12 @@ def mongo_to_kafka(spark: SparkSession, cfg: ScopedConfig):
         source="MongoToKafka")
     ok = stamp_processor(ok, deterministic_from=F.col("primary_key"))
     out = kafka_compacted_output(ok.drop("metadata"), key_col="primary_key")
-    return [_sink(out, cfg, "out"),
-            _sink(parse_dlq, cfg, "dlq_parse"),
-            _sink(schema_dlq, cfg, "dlq_schema")]
+    sinks = [_sink(out, cfg, "out"),
+             _sink(parse_dlq, cfg, "dlq_parse"),
+             _sink(schema_dlq, cfg, "dlq_schema")]
+    if mig_dlq is not None:
+        sinks.append(_sink(mig_dlq, cfg, "dlq_migrate"))
+    return sinks
 
 
 @stream_job("KafkaToMongo")

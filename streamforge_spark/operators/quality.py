@@ -215,3 +215,129 @@ def rules_from_inference(proposals: list[dict]) -> list[tuple[str, Column]]:
             rules.append((f"{c}_range",
                           (F.col(c) >= F.lit(lo)) & (F.col(c) <= F.lit(hi))))
     return rules
+
+
+# --- schema migration: versioned payload upcasting --------------------
+
+@dataclass(frozen=True)
+class SchemaMigration:
+    """One step of a payload upcast chain (v_from -> v_to).
+
+    The reference's SchemaEnforcer tolerates multiple live payload
+    versions (SchemaVersion.java newest-first claim order) but leaves
+    them as-is; downstream consumers then carry per-version branches
+    forever. A migrator closes that gap: every admitted payload is
+    upcast to the NEWEST version through a declarative chain, so
+    consumers see exactly one shape.
+
+    Declarative on purpose: rename/drop/defaults compile to JVM-side
+    map expressions (transform_keys / map_filter / map_concat over
+    ``from_json(payload, map<string,string>)``) — whole-stage codegen,
+    no Python in the row path.
+    """
+    v_from: str
+    v_to: str
+    rename: tuple[tuple[str, str], ...] = ()
+    defaults: tuple[tuple[str, str], ...] = ()
+    drop: tuple[str, ...] = ()
+    #: unconditional overwrites (e.g. bumping an in-payload
+    #: schema_version field to v_to) — applied last
+    set: tuple[tuple[str, str], ...] = ()
+
+    def apply(self, mc: Column) -> Column:
+        if self.rename:
+            def _newk(k: Column) -> Column:
+                expr = k
+                for old, new in self.rename:
+                    expr = F.when(k == old, F.lit(new)).otherwise(expr)
+                return expr
+            mc = F.transform_keys(mc, lambda k, v: _newk(k))
+        if self.drop:
+            mc = F.map_filter(mc, lambda k, v: ~k.isin(*self.drop))
+        if self.defaults:
+            dmap = F.map_from_arrays(
+                F.array(*[F.lit(k) for k, _ in self.defaults]),
+                F.array(*[F.lit(v) for _, v in self.defaults]))
+            # only keys absent from the payload — map_concat would
+            # throw on duplicates (spark.sql.mapKeyDedupPolicy)
+            missing = F.map_filter(
+                dmap, lambda k, v: ~F.array_contains(F.map_keys(mc), k))
+            mc = F.map_concat(mc, missing)
+        if self.set:
+            keys = [k for k, _ in self.set]
+            smap = F.map_from_arrays(
+                F.array(*[F.lit(k) for k in keys]),
+                F.array(*[F.lit(v) for _, v in self.set]))
+            mc = F.map_concat(
+                F.map_filter(mc, lambda k, v: ~k.isin(*keys)), smap)
+        return mc
+
+
+def schema_migrator(df: DataFrame, payload_col: str, version: Column,
+                    migrations: list[SchemaMigration],
+                    source: str = "schema-migrator",
+                    ) -> tuple[DataFrame, DataFrame]:
+    """Upcast every payload to the newest version in one pass.
+
+    ``version`` tags each row's CURRENT payload version; rows at
+    ``migrations[i].v_from`` flow through steps i..end, rows already
+    at the final ``v_to`` pass unchanged, and rows at an unknown
+    version dual-output to the DLQ (SCHEMA_UNMIGRATABLE) — the
+    DLQPublisher protocol, same as the enforcer.
+
+    Migrated rows carry ``_schema_version`` (the target everyone now
+    shares) and ``_migrated_from``. One projection, no shuffle, no
+    UDF: the whole chain is a single CASE over composed map
+    expressions.
+    """
+    if not migrations:
+        raise ValueError("schema_migrator needs at least one migration")
+    for a, b in zip(migrations, migrations[1:]):
+        if a.v_to != b.v_from:
+            raise ValueError(f"broken chain: {a.v_to!r} -> {b.v_from!r}")
+    target = migrations[-1].v_to
+    known = [m.v_from for m in migrations] + [target]
+
+    mc0 = F.from_json(F.col(payload_col), "map<string,string>")
+    migrated = F.when(version == target, mc0)
+    for i, start in enumerate(m.v_from for m in migrations):
+        mc = mc0
+        for step in migrations[i:]:
+            mc = step.apply(mc)
+        migrated = migrated.when(version == start, mc)
+
+    tagged = df.withColumn("_v", version)
+    ok = (tagged.filter(F.col("_v").isin(known))
+          .withColumn(payload_col, F.to_json(migrated))
+          .withColumn("_migrated_from", F.col("_v"))
+          .withColumn("_schema_version", F.lit(target))
+          .drop("_v"))
+    unknown = tagged.filter(~F.col("_v").isin(known) | F.col("_v").isNull())
+    dlq = dlq_event(
+        unknown.drop("_v"), "SCHEMA_UNMIGRATABLE",
+        F.concat(F.lit("unknown payload version "),
+                 F.coalesce(version.cast("string"), F.lit("<null>")),
+                 F.lit(f" (chain {' -> '.join(known)})")),
+        source)
+    return ok, dlq
+
+
+def migrations_from_json(spec: str) -> list[SchemaMigration]:
+    """Parse a config-carried migration chain.
+
+    Spec: JSON list of steps, each ``{"from": "v1", "to": "v2",
+    "rename": {"old": "new"}, "defaults": {"key": "value"},
+    "drop": ["key"]}`` — the declarative subset is exactly what
+    :class:`SchemaMigration` compiles to JVM map expressions, so a
+    chain shipped through job config (ScopedConfig, the reference's
+    ScopedConfig.java surface) needs no code change to deploy.
+    """
+    import json
+    steps = json.loads(spec)
+    return [SchemaMigration(
+                v_from=s["from"], v_to=s["to"],
+                rename=tuple((k, v) for k, v in s.get("rename", {}).items()),
+                defaults=tuple((k, v) for k, v in s.get("defaults", {}).items()),
+                drop=tuple(s.get("drop", ())),
+                set=tuple((k, v) for k, v in s.get("set", {}).items()))
+            for s in steps]

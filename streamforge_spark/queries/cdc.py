@@ -413,3 +413,85 @@ def metadata_decorator_stamp(spark, sf_dir):
         .alias("stamp_keys"),
         F.to_timestamp(F.col("metadata")["stage.audit.processedAt"])
         .alias("stamped_at"))
+
+
+@query(
+    "schema_migration_report",
+    oracle=f"""
+WITH {ENVELOPE_CTE}
+SELECT event_id,
+       'v' || CAST(event_id % 3 + 1 AS VARCHAR) AS migrated_from,
+       CAST(json_extract_string(payload_json, '$.k') AS BIGINT) AS k_val,
+       CAST(ROUND(value * 100) AS BIGINT) AS amount_cents,
+       CASE WHEN event_id % 3 = 2
+              THEN CASE WHEN event_id % 2 = 0 THEN 'USD' ELSE 'EUR' END
+            WHEN event_id % 3 = 1 AND event_id % 5 = 0 THEN 'EUR'
+            ELSE 'USD' END AS currency,
+       CASE WHEN event_id % 3 = 2 THEN event_type
+            ELSE 'unknown' END AS channel,
+       4 AS n_keys
+FROM envelope
+""",
+)
+def schema_migration_report(spark, sf_dir):
+    """SchemaMigration chain v1 -> v2 -> v3 over a mixed-version
+    stream (operators/quality.py::schema_migrator): v1 renames its
+    legacy ``amt`` key to ``amount`` and drops ``legacy_sig``; v2
+    gains ``currency``/``channel`` defaults WITHOUT clobbering a
+    currency some v2 payloads already carry; v3 passes through
+    untouched. The oracle recomputes every migrated field from first
+    principles (no JSON machinery) — so a rename, drop, or default
+    misfire on any version branch breaks the hash.
+
+    The fixture has a single payload shape, so the three versions are
+    synthesized deterministically from the envelope (same protocol as
+    cdc_payload_precedence); the migrator under test is the real
+    operator. Plan: one projection, no shuffle, no UDF — the chain is
+    a CASE over composed JVM map expressions.
+    """
+    from streamforge_spark.operators.quality import SchemaMigration, schema_migrator
+
+    (events,) = prep(spark, sf_dir, "events")
+    env = envelope_from_events(events)
+
+    cents = F.round(F.col("value") * 100).cast("long").cast("string")
+    k = F.get_json_object(F.col("payload_json"), "$.k")
+    v = F.pmod(F.col("event_id"), F.lit(3))
+    version = F.concat(F.lit("v"), (v + 1).cast("string"))
+
+    def jmap(*pairs):
+        return F.to_json(F.map_from_arrays(
+            F.array(*[F.lit(kk) if isinstance(kk, str) else kk
+                      for kk, _ in pairs]),
+            F.array(*[vv for _, vv in pairs])))
+
+    v3_currency = F.when(F.col("event_id") % 2 == 0,
+                         F.lit("USD")).otherwise(F.lit("EUR"))
+    payload = (
+        F.when(v == 0, jmap(("k", k), ("amt", cents),
+                            ("legacy_sig", F.col("event_id").cast("string"))))
+        .when(v == 1, F.when(F.col("event_id") % 5 == 0,
+                             jmap(("k", k), ("amount", cents),
+                                  ("currency", F.lit("EUR"))))
+              .otherwise(jmap(("k", k), ("amount", cents))))
+        .otherwise(jmap(("k", k), ("amount", cents),
+                        ("currency", v3_currency),
+                        ("channel", F.col("event_type")))))
+
+    staged = env.select(F.col("event_id"), version.alias("_ver"),
+                        payload.alias("payload_json"))
+    ok, _dlq = schema_migrator(
+        staged, "payload_json", F.col("_ver"),
+        [SchemaMigration("v1", "v2", rename=(("amt", "amount"),),
+                         drop=("legacy_sig",)),
+         SchemaMigration("v2", "v3", defaults=(("currency", "USD"),
+                                               ("channel", "unknown")))])
+    mc = F.from_json(F.col("payload_json"), "map<string,string>")
+    return ok.select(
+        F.col("event_id"),
+        F.col("_migrated_from").alias("migrated_from"),
+        F.get_json_object(F.col("payload_json"), "$.k").cast("long").alias("k_val"),
+        F.get_json_object(F.col("payload_json"), "$.amount").cast("long").alias("amount_cents"),
+        F.get_json_object(F.col("payload_json"), "$.currency").alias("currency"),
+        F.get_json_object(F.col("payload_json"), "$.channel").alias("channel"),
+        F.size(F.map_keys(mc)).alias("n_keys"))

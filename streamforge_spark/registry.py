@@ -124,6 +124,10 @@ ROTATION_PRIORITY = [
     "loo_source_influence", "dp_noisy_release", "canary_probe_report",
     "quality_gate_roc", "quality_length_histogram",
     "reshard_migration_plan", "training_feed_manifest",
+    # round-9 late additions: DBLog snapshot->stream handoff + schema
+    # migration chain
+    "snapshot_handoff_state", "handoff_chunk_audit",
+    "schema_migration_report",
 ]
 
 

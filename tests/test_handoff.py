@@ -215,3 +215,52 @@ def test_snapshot_handoff_replay_is_idempotent(spark, tmp_path):
 
     assert state_of(spark, tmp_path) == before
     assert before == {f"u{k}": v for k, v in world_at(n1 - 1).items()}
+
+
+def test_bootstrap_crash_retry_converges(spark, tmp_path):
+    """A crash mid-bootstrap (manifest never written) rolls the whole
+    phase back to 'retry from scratch': the second full run re-applies
+    every chunk through the idempotent upsert and converges to the
+    same state and manifest as an uninterrupted run."""
+    s0, n1 = 14, 30
+    snap = spark.createDataFrame(
+        [(f"u{k}", json.dumps({"v": v})) for k, v in world_at(s0).items()],
+        "primary_key STRING, payload_json STRING")
+    snap.write.parquet(str(tmp_path / "snap"))
+    write_log(tmp_path / "in", range(n1), "batch0.txt")
+    cfg = handoff_cfg(tmp_path, s0)
+
+    # sabotage the second chunk apply once: the job dies mid-loop with
+    # some chunks already upserted and NO manifest on disk
+    from streamforge_spark.streaming import handoff as H
+    real = H.bootstrap_snapshot
+    calls = {"n": 0}
+
+    def flaky(spark_, **kw):
+        inner = kw["apply_chunk"]
+
+        def boom(df, c):
+            calls["n"] += 1
+            if calls["n"] == 2:
+                raise RuntimeError("simulated crash mid-bootstrap")
+            inner(df, c)
+        kw["apply_chunk"] = boom
+        return real(spark_, **kw)
+
+    # the job resolves bootstrap_snapshot from the module at call time
+    # (function-level import), so patching the module attr intercepts it
+    H.bootstrap_snapshot = flaky
+    try:
+        try:
+            run_job("SnapshotHandoff", cfg, spark=spark, drain=True)
+            raise AssertionError("expected simulated crash")
+        except RuntimeError as e:
+            assert "simulated crash" in str(e)
+        import pathlib as _p
+        assert not (_p.Path(tmp_path) / "out" / "handoff_manifest").exists()
+    finally:
+        H.bootstrap_snapshot = real
+
+    run_job("SnapshotHandoff", cfg, spark=spark, drain=True)
+    expected = {f"u{k}": v for k, v in world_at(n1 - 1).items()}
+    assert state_of(spark, tmp_path) == expected

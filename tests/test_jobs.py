@@ -1212,3 +1212,35 @@ def test_budget_gate_single_batch_equals_token_budget_mix(spark):
                       docs, None, budget=MIX_TOKEN_BUDGET)
                   .filter(F.col("admitted")).collect()}
     assert gate_admit == batch_admit
+
+
+def test_mongo_to_kafka_schema_migrations(spark, tmp_path):
+    """Config-shipped payload upcast chain runs inside the job before
+    dedup/merger: v1 payloads are normalized (rename + version bump),
+    unknown versions dual-output to dlq_migrate, v-current passes
+    untouched."""
+    import json as _json
+    chain = _json.dumps([
+        {"from": "v1", "to": "v2", "rename": {"amt": "amount"},
+         "set": {"schema_version": "v2"}},
+    ])
+    write_lines(tmp_path / "in", [
+        env_line(op="insert", pk="a", t="2024-01-01 10:00:00",
+                 payload={"_id": "a", "amt": "5", "schema_version": "v1"}),
+        env_line(op="insert", pk="b", t="2024-01-01 10:00:00",
+                 payload={"_id": "b", "amount": "7", "schema_version": "v2"}),
+        env_line(op="insert", pk="c", t="2024-01-01 10:00:00",
+                 payload={"_id": "c", "amt": "9", "schema_version": "v0"}),
+    ])
+    run_job("MongoToKafka",
+            job_cfg(tmp_path, SCHEMA_MIGRATIONS=chain),
+            spark=spark, drain=True)
+    out = {r.key: _json.loads(_json.loads(r.value)["payload_json"])
+           for r in read(spark, tmp_path, "out").collect()}
+    assert set(out) == {"a", "b"}
+    assert out["a"]["amount"] == "5" and "amt" not in out["a"]
+    assert out["a"]["schema_version"] == "v2"
+    assert out["b"] == {"_id": "b", "amount": "7", "schema_version": "v2"}
+    mig_dlq = read(spark, tmp_path, "dlq_migrate").collect()
+    assert [r.error_type for r in mig_dlq] == ["SCHEMA_UNMIGRATABLE"]
+    assert "v0" in mig_dlq[0].error_message

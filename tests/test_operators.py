@@ -998,3 +998,54 @@ def test_ivf_index_build_query_lifecycle(spark, tmp_path):
               .where(F.col("cell").isin([0, 1])))
     plan = probed._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "cell" in plan
+
+
+def test_schema_migrator_chain(spark):
+    from streamforge_spark.operators.quality import (
+        SchemaMigration, schema_migrator,
+    )
+    import json as _json
+    df = spark.createDataFrame(
+        [(1, "v1", '{"k": "7", "amt": "100", "legacy_sig": "x"}'),
+         (2, "v2", '{"k": "8", "amount": "200"}'),
+         (3, "v2", '{"k": "9", "amount": "300", "currency": "EUR"}'),
+         (4, "v3", '{"k": "10", "amount": "400", "currency": "GBP", "channel": "web"}'),
+         (5, "v9", '{"k": "11"}'),       # unknown version -> DLQ
+         (6, None, '{"k": "12"}')],      # null version -> DLQ
+        "id long, ver string, payload string")
+    chain = [
+        SchemaMigration("v1", "v2", rename=(("amt", "amount"),),
+                        drop=("legacy_sig",)),
+        SchemaMigration("v2", "v3", defaults=(("currency", "USD"),
+                                              ("channel", "unknown"))),
+    ]
+    from pyspark.sql import functions as F
+    ok, dlq = schema_migrator(df, "payload", F.col("ver"), chain)
+    got = {r.id: _json.loads(r.payload) for r in ok.collect()}
+    assert got == {
+        1: {"k": "7", "amount": "100", "currency": "USD", "channel": "unknown"},
+        2: {"k": "8", "amount": "200", "currency": "USD", "channel": "unknown"},
+        3: {"k": "9", "amount": "300", "currency": "EUR", "channel": "unknown"},
+        4: {"k": "10", "amount": "400", "currency": "GBP", "channel": "web"},
+    }
+    assert all(r._schema_version == "v3" for r in ok.collect())
+    assert {r._migrated_from for r in ok.collect()} == {"v1", "v2", "v3"}
+    d = dlq.collect()
+    assert len(d) == 2
+    assert {r.error_type for r in d} == {"SCHEMA_UNMIGRATABLE"}
+    assert any("v9" in r.error_message for r in d)
+    assert any("<null>" in r.error_message for r in d)
+
+
+def test_schema_migrator_rejects_broken_chain(spark):
+    from streamforge_spark.operators.quality import (
+        SchemaMigration, schema_migrator,
+    )
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame([(1, "v1", "{}")],
+                               "id long, ver string, payload string")
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="broken chain"):
+        schema_migrator(df, "payload", F.col("ver"),
+                        [SchemaMigration("v1", "v2"),
+                         SchemaMigration("v3", "v4")])

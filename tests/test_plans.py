@@ -818,3 +818,26 @@ def test_feed_manifest_window_order(spark):
     assert "SortMergeJoin" not in plan          # fq side broadcasts
     sorts = re.findall(r"\(\d+\) Sort\b", plan)
     assert sorts, "expected window sorts in the manifest plan"
+
+
+def test_handoff_state_minimal_merge_shape(spark):
+    """DBLog reconciliation: ONE full-outer merge join fed by exactly
+    two exchanges (snapshot side + collapsed-log side, the agg
+    exchange reused by the join), log collapsed with a partial agg
+    BEFORE its exchange, and the n_chunks-row manifest broadcast —
+    never shuffled."""
+    plan = plan_of(spark, "snapshot_handoff_state")
+    assert plan.count("SortMergeJoin FullOuter") == 1
+    assert plan.count("Arguments: hashpartitioning") == 2
+    assert "BroadcastHashJoin" in plan          # manifest attach
+    # map-side combine: a partial aggregate below the log exchange
+    assert "partial_max" in plan or "Partial" in plan
+
+
+def test_schema_migration_zero_shuffle(spark):
+    """The whole v1->v2->v3 upcast chain is one projection: no
+    exchange, no join, no UDF in the plan."""
+    plan = plan_of(spark, "schema_migration_report")
+    assert plan.count("Arguments: hashpartitioning") == 0
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

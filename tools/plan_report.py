@@ -51,6 +51,8 @@ CURATION = [
     # r9 late additions: training-run planning surface
     "epoch_repeat_plan", "curriculum_schedule", "vocab_coverage_curve",
     "corpus_funnel_ablation",
+    # r9 handoff audit face (state query audits via HEADLINE)
+    "handoff_chunk_audit",
 ]
 
 #: time-series analytics queries (queries/timeseries.py) + graph /
