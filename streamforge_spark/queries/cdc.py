@@ -495,3 +495,132 @@ def schema_migration_report(spark, sf_dir):
         F.get_json_object(F.col("payload_json"), "$.currency").alias("currency"),
         F.get_json_object(F.col("payload_json"), "$.channel").alias("channel"),
         F.size(F.map_keys(mc)).alias("n_keys"))
+
+
+@query(
+    "cdc_net_effect_squash",
+    oracle=f"""
+WITH {ENVELOPE_CTE},
+ops AS (
+  SELECT primary_key, operation, payload_json, event_id
+  FROM envelope WHERE operation <> 'unknown'
+),
+g AS (
+  SELECT primary_key,
+         arg_min(operation, event_id) AS first_op,
+         arg_max(operation, event_id) AS last_op,
+         arg_max(payload_json, event_id) AS last_payload,
+         MIN(event_id) AS first_seq,
+         MAX(event_id) AS last_seq,
+         CAST(COUNT(*) AS BIGINT) AS n_ops
+  FROM ops GROUP BY 1
+)
+SELECT primary_key,
+       CASE WHEN last_op = 'delete' AND first_op = 'insert' THEN 'none'
+            WHEN last_op = 'delete' THEN 'delete'
+            WHEN first_op = 'insert' THEN 'insert'
+            ELSE 'update' END AS net_op,
+       CASE WHEN last_op <> 'delete' THEN last_payload END AS payload,
+       first_seq, last_seq, n_ops
+FROM g
+""",
+)
+def cdc_net_effect_squash(spark, sf_dir):
+    """Net-effect compaction of a CDC log segment: collapse each key's
+    op sequence to the ONE operation a batch consumer must apply —
+    insert+...+delete cancels to 'none', insert+updates squashes to
+    'insert'(final payload), updates alone to 'update', a trailing
+    delete to 'delete'. The batch-apply cost becomes O(keys) instead
+    of O(events) — at 100 TB of hot-key CDC that is the difference
+    between a nightly MERGE and replaying the firehose (the same
+    squash Kafka log compaction performs retention-side,
+    KafkaSinkBuilder.java tombstone model).
+
+    Plan: one map-side-combined min_by/max_by aggregation — no window,
+    no self-join, the un-collapsed log never shuffles.
+    """
+    (events,) = prep(spark, sf_dir, "events")
+    env = (envelope_from_events(events)
+           .filter(F.col("operation") != "unknown"))
+    g = env.groupBy("primary_key").agg(
+        F.min_by("operation", "event_id").alias("first_op"),
+        F.max_by("operation", "event_id").alias("last_op"),
+        F.max_by("payload_json", "event_id").alias("last_payload"),
+        F.min("event_id").alias("first_seq"),
+        F.max("event_id").alias("last_seq"),
+        F.count(F.lit(1)).alias("n_ops"))
+    is_del = F.col("last_op") == "delete"
+    net = (F.when(is_del & (F.col("first_op") == "insert"), F.lit("none"))
+           .when(is_del, F.lit("delete"))
+           .when(F.col("first_op") == "insert", F.lit("insert"))
+           .otherwise(F.lit("update")))
+    return g.select(
+        "primary_key", net.alias("net_op"),
+        F.when(~is_del, F.col("last_payload")).alias("payload"),
+        "first_seq", "last_seq", "n_ops")
+
+
+#: compacted-topic tombstone retention for the GC audit (12h, the
+#: log.cleaner.delete.retention.ms knob of the compacted output)
+TOMBSTONE_RETENTION_S = 43200
+
+
+@query(
+    "kafka_tombstone_gc",
+    oracle=f"""
+WITH {ENVELOPE_CTE},
+ops AS (
+  SELECT primary_key, operation, event_time, event_id
+  FROM envelope WHERE operation <> 'unknown'
+),
+g AS (
+  SELECT primary_key,
+         arg_max(operation, event_id) AS last_op,
+         arg_max(event_time, event_id) AS last_ts,
+         MAX(event_id) AS last_seq
+  FROM ops GROUP BY 1
+),
+now_t AS (SELECT MAX(event_time) AS now_ts FROM ops)
+SELECT primary_key,
+       CASE WHEN last_op = 'delete' THEN 'tombstone' ELSE 'live' END AS state,
+       last_seq,
+       CAST(date_diff('second', last_ts, now_ts) AS BIGINT) AS age_s,
+       (last_op = 'delete'
+        AND date_diff('second', last_ts, now_ts) > {TOMBSTONE_RETENTION_S}) AS gc_eligible
+FROM g, now_t
+""",
+)
+def kafka_tombstone_gc(spark, sf_dir):
+    """Compacted-topic tombstone GC audit over the CDC egress
+    (kafka_compacted_output's DELETE->null tombstones,
+    KafkaSinkBuilder.java:146-151): per key, live-or-tombstone state
+    by latest log position, tombstone age against the log head, and
+    GC eligibility under the delete-retention window — the check that
+    a tombstone has lived long enough for every lagging consumer to
+    see it before the cleaner may drop it (Kafka
+    log.cleaner.delete.retention.ms semantics).
+
+    Plan: ONE scan — the log head rides along as a per-key max inside
+    the same map-side-combined rollup, so the one-row "now" broadcast
+    (the adjudicated scalar-crossjoin pattern) derives from the
+    localCheckpointed O(keys) relation instead of a second full pass
+    over the log. O(keys) output, no window over the raw log.
+    """
+    (events,) = prep(spark, sf_dir, "events")
+    env = (envelope_from_events(events)
+           .filter(F.col("operation") != "unknown"))
+    g = env.groupBy("primary_key").agg(
+        F.max_by("operation", "event_id").alias("last_op"),
+        F.max_by("event_time", "event_id").alias("last_ts"),
+        F.max("event_id").alias("last_seq"),
+        F.max("event_time").alias("_key_max_ts")).localCheckpoint()
+    head = g.agg(F.max("_key_max_ts").alias("now_ts"))
+    j = g.drop("_key_max_ts").crossJoin(F.broadcast(head))
+    age = (F.unix_timestamp("now_ts") - F.unix_timestamp("last_ts")).cast("long")
+    is_tomb = F.col("last_op") == "delete"
+    return j.select(
+        "primary_key",
+        F.when(is_tomb, F.lit("tombstone")).otherwise(F.lit("live")).alias("state"),
+        "last_seq",
+        age.alias("age_s"),
+        (is_tomb & (age > TOMBSTONE_RETENTION_S)).alias("gc_eligible"))

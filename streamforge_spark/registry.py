@@ -125,9 +125,10 @@ ROTATION_PRIORITY = [
     "quality_gate_roc", "quality_length_histogram",
     "reshard_migration_plan", "training_feed_manifest",
     # round-9 late additions: DBLog snapshot->stream handoff + schema
-    # migration chain
+    # migration chain + CDC log maintenance
     "snapshot_handoff_state", "handoff_chunk_audit",
-    "schema_migration_report",
+    "schema_migration_report", "cdc_net_effect_squash",
+    "kafka_tombstone_gc",
 ]
 
 

@@ -53,6 +53,8 @@ CURATION = [
     "corpus_funnel_ablation",
     # r9 handoff audit face (state query audits via HEADLINE)
     "handoff_chunk_audit",
+    # r9 CDC log-maintenance faces
+    "cdc_net_effect_squash", "kafka_tombstone_gc",
 ]
 
 #: time-series analytics queries (queries/timeseries.py) + graph /
