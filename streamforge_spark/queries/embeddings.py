@@ -1142,3 +1142,129 @@ def label_separation(spark, sf_dir):
                      F.expr("(gs2 - sum_ls2) div (bign * bign - sum_n2)")
                      .alias("intra_mean_micro")))
     return intra.unionByName(inter)
+
+
+# --- retrieval ranking-quality eval (NDCG@k / MRR / P@k) --------------
+
+NDCG_K = 10
+NDCG_NQ = 24  # query vectors: vec_id < 24; candidates: the rest
+
+#: fixed-point rank discounts: DISC[r-1] = round(1e6 / log2(r+1)).
+#: Literal integer tables on BOTH engines make DCG an exact integer
+#: sum — no float-summation-order hazard can touch the hash.
+_NDCG_DISC = (1000000, 630930, 500000, 430677, 386853,
+              356207, 333333, 315465, 301030, 289065)
+#: _NDCG_IDEAL[m] = sum of the first m discounts (ideal DCG with m
+#: relevant candidates available, m <= k)
+_NDCG_IDEAL = (0, 1000000, 1630930, 2130930, 2561607, 2948460,
+               3304667, 3638000, 3953465, 4254495, 4543560)
+
+_NDCG_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS qid, label AS qlabel, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < {NDCG_NQ}
+),
+c AS (
+  SELECT vec_id AS cid, label, embedding::DOUBLE[] AS cv
+  FROM embeddings WHERE vec_id >= {NDCG_NQ}
+),
+s AS (
+  SELECT qid, qlabel, cid, label,
+         list_dot_product(qv, cv)
+           / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos
+  FROM q, c
+),
+k AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+    FROM s
+  ) WHERE rn <= {NDCG_K}
+),
+perq AS (
+  SELECT qid, qlabel,
+         CAST(SUM(CASE WHEN label = qlabel THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+         CAST(SUM(CASE WHEN label = qlabel
+                       THEN {list(_NDCG_DISC)}[rn] ELSE 0 END) AS BIGINT) AS dcg_ppm,
+         CAST(MIN(CASE WHEN label = qlabel THEN rn END) AS BIGINT) AS first_rel_rank
+  FROM k GROUP BY 1, 2
+),
+cnt AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_rel FROM c GROUP BY 1)
+SELECT qid, qlabel,
+       COALESCE(n_rel, 0) AS n_rel, hits, first_rel_rank,
+       CASE WHEN first_rel_rank IS NOT NULL
+            THEN 1000000 // first_rel_rank ELSE 0 END AS rr_ppm,
+       hits * 100000 AS p_at_k_ppm,
+       dcg_ppm,
+       CAST({list(_NDCG_IDEAL)}[LEAST({NDCG_K}, COALESCE(n_rel, 0)) + 1] AS BIGINT) AS idcg_ppm,
+       CASE WHEN {list(_NDCG_IDEAL)}[LEAST({NDCG_K}, COALESCE(n_rel, 0)) + 1] > 0
+            THEN dcg_ppm * 1000000
+                 // {list(_NDCG_IDEAL)}[LEAST({NDCG_K}, COALESCE(n_rel, 0)) + 1]
+            ELSE 0 END AS ndcg_ppm
+FROM perq LEFT JOIN cnt ON perq.qlabel = cnt.label
+"""
+
+
+@query("retrieval_ndcg_eval", oracle=_NDCG_ORACLE)
+def retrieval_ndcg_eval(spark, sf_dir):
+    """Ranking-quality eval of the retrieval stack against the label
+    ground truth: per query, NDCG@{k}, MRR, and P@{k} — relevance =
+    same label as the query, the standard label-based proxy when no
+    graded judgments exist. All three metrics are EXACT integer ppm:
+    rank discounts are a literal fixed-point table (round(1e6 /
+    log2(r+1))) on both engines, ideal DCG a literal prefix-sum
+    lookup, so no float summation order can touch the hash — the same
+    discipline as ann_recall_eval's integer recall.
+
+    Plan (100 TB): reuses the knn_label_predict scoring shape — the
+    {nq} queries ride into the scan as plan constants (no query-side
+    shuffle), the corpus stays partitioned, one window takes top-{k},
+    and everything after is a {nq}-row aggregate joined to a
+    |labels|-row broadcast rollup. The production path swaps the
+    brute-force scorer for the IVF/LSH candidates and keeps the same
+    metric algebra; recall of that swap is priced separately by
+    ann_recall_eval / ivf_frozen_vs_retrained_recall.
+    """.format(k=NDCG_K, nq=NDCG_NQ)
+    from streamforge_spark.functions.similarity import cosine
+    (emb,) = prep(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", "label",
+                   F.col("embedding").cast("array<double>").alias("v"))
+    qrows = sorted((r.vec_id, r.label, list(r.v)) for r in
+                   e.filter(F.col("vec_id") < NDCG_NQ).collect())
+    per_q = [
+        F.struct(F.lit(qid).cast("long").alias("qid"),
+                 F.lit(ql).cast("int").alias("qlabel"),
+                 cosine(F.col("v"),
+                        F.array(*[F.lit(float(x)) for x in qv])).alias("cos"))
+        for qid, ql, qv in qrows]
+    cand = e.filter(F.col("vec_id") >= NDCG_NQ)
+    scored = (cand.select(F.col("vec_id").alias("cid"), F.col("label"),
+                          F.explode(F.array(*per_q)).alias("g"))
+              .select("cid", "label", "g.qid", "g.qlabel", "g.cos"))
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid"))
+    topk = (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= NDCG_K))
+    rel = (F.col("label") == F.col("qlabel")).cast("int")
+    disc = F.element_at(F.array(*[F.lit(d) for d in _NDCG_DISC]), F.col("rn"))
+    perq = topk.groupBy("qid", "qlabel").agg(
+        F.sum(rel).alias("hits"),
+        F.sum(rel * disc).alias("dcg_ppm"),
+        F.min(F.when(rel == 1, F.col("rn"))).cast("long").alias("first_rel_rank"))
+    cnt = cand.groupBy(F.col("label").alias("_cl")).agg(
+        F.count(F.lit(1)).alias("n_rel"))
+    j = perq.join(F.broadcast(cnt), perq.qlabel == F.col("_cl"), "left")
+    m = F.least(F.lit(NDCG_K), F.coalesce(F.col("n_rel"), F.lit(0)).cast("int"))
+    j = j.withColumn("idcg_ppm", F.element_at(
+        F.array(*[F.lit(p) for p in _NDCG_IDEAL]), m + 1).cast("long"))
+    return j.select(
+        "qid", "qlabel",
+        F.coalesce(F.col("n_rel"), F.lit(0).cast("long")).alias("n_rel"),
+        "hits", "first_rel_rank",
+        F.when(F.col("first_rel_rank").isNotNull(),
+               F.expr("1000000 div first_rel_rank"))
+        .otherwise(F.lit(0).cast("long")).alias("rr_ppm"),
+        (F.col("hits") * 100000).alias("p_at_k_ppm"),
+        "dcg_ppm",
+        "idcg_ppm",
+        F.when(F.col("idcg_ppm") > 0,
+               F.expr("(dcg_ppm * 1000000) div idcg_ppm"))
+        .otherwise(F.lit(0).cast("long")).alias("ndcg_ppm"))
