@@ -679,3 +679,66 @@ def test_loo_influence_equals_literal_retrain(spark, tmp_path_factory, docs):
         assert r.full_score_ppm == want_full, src
         assert r.loo_score_ppm == score(loo_c2, loo_c1), src
         assert r.influence_ppm == want_full - r.loo_score_ppm, src
+
+
+@st.composite
+def handoff_worlds(draw):
+    """An arbitrary op log + chunking + watermark/select schedule."""
+    n_keys = draw(st.integers(2, 8))
+    ops = draw(st.lists(
+        st.tuples(st.integers(0, 7), st.sampled_from(["insert", "update", "delete"])),
+        min_size=4, max_size=60))
+    ops = [(k % n_keys, op) for k, op in ops]
+    n_chunks = draw(st.integers(1, 4))
+    # per chunk: lw anywhere in the log, window length, select offset
+    sched = draw(st.lists(
+        st.tuples(st.integers(0, len(ops) - 1), st.integers(0, 10),
+                  st.integers(0, 10)),
+        min_size=n_chunks, max_size=n_chunks))
+    return n_keys, ops, n_chunks, sched
+
+
+@given(handoff_worlds())
+@SLOW
+def test_handoff_reconciliation_property(spark, data):
+    """DBLog invariant on ARBITRARY worlds: for any op sequence, any
+    hash-mod chunking, any per-chunk watermark placement, and any
+    unlocked select instant inside each chunk's window, the reconciled
+    state equals replaying the full log over the true collection —
+    the deterministic sweep in test_handoff.py generalized."""
+    from streamforge_spark.streaming.handoff import handoff_merged, handoff_state
+    n_keys, ops, n_chunks, sched = data
+
+    def world_at(t: int) -> dict[int, int]:
+        state: dict[int, int] = {}
+        for s, (k, op) in enumerate(ops[: t + 1]):
+            if op == "delete":
+                state.pop(k, None)
+            else:
+                state[k] = s
+        return state
+
+    manifest, snap_rows = [], []
+    for c, (lw, wlen, soff) in enumerate(sched):
+        hw = min(lw + wlen, len(ops) - 1)
+        manifest.append((c, lw, hw))
+        t_c = min(lw + soff, hw)
+        for k, v in world_at(t_c).items():
+            if k % n_chunks == c:
+                snap_rows.append((k, v))
+
+    snapshot = spark.createDataFrame(snap_rows or [(None, None)],
+                                     "pk BIGINT, v BIGINT")
+    if not snap_rows:
+        snapshot = snapshot.filter(F.col("pk").isNotNull())
+    log = spark.createDataFrame(
+        [(k, op, s, s) for s, (k, op) in enumerate(ops)],
+        "k BIGINT, operation STRING, v BIGINT, seq BIGINT")
+    wm = spark.createDataFrame(manifest, "chunk_id INT, lw BIGINT, hw BIGINT")
+
+    merged = handoff_merged(
+        snapshot, log, snap_key="pk", log_key="k", seq="seq",
+        op="operation", n_chunks=n_chunks, watermarks=wm,
+        snap_payload={"v": F.col("v")}, log_payload={"v": F.col("v")})
+    got = {r.pk: r.v for r in handoff_state(merged).collect()}
+    assert got == world_at(len(ops) - 1)
