@@ -841,3 +841,22 @@ def test_schema_migration_zero_shuffle(spark):
     assert plan.count("Arguments: hashpartitioning") == 0
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cdc_squash_single_rollup(spark):
+    """Net-effect squash is ONE map-side-combined aggregation — no
+    window, no join, the un-collapsed log never shuffles twice."""
+    plan = plan_of(spark, "cdc_net_effect_squash")
+    assert plan.count("Arguments: hashpartitioning") == 1
+    assert "Join" not in plan
+    assert "Window" not in plan
+
+
+def test_ndcg_eval_single_window_broadcast_counts(spark):
+    """Ranking eval: queries ride as plan constants (no query-side
+    shuffle), ONE window exchange for the top-k, label counts meet the
+    per-query rows via broadcast — never a sort-merge join."""
+    plan = plan_of(spark, "retrieval_ndcg_eval")
+    assert plan.count("Arguments: hashpartitioning") == 2  # window + final agg
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
