@@ -234,6 +234,12 @@ class SchemaMigration:
     map expressions (transform_keys / map_filter / map_concat over
     ``from_json(payload, map<string,string>)``) — whole-stage codegen,
     no Python in the row path.
+
+    Renames must be injective and must not target a key the payload
+    still carries: a collision produces duplicate map keys and raises
+    at runtime (spark.sql.mapKeyDedupPolicy=EXCEPTION) — loud by
+    design, since silently last-writer-winning a payload field is a
+    data-loss bug.
     """
     v_from: str
     v_to: str

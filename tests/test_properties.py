@@ -742,3 +742,69 @@ def test_handoff_reconciliation_property(spark, data):
         snap_payload={"v": F.col("v")}, log_payload={"v": F.col("v")})
     got = {r.pk: r.v for r in handoff_state(merged).collect()}
     assert got == world_at(len(ops) - 1)
+
+
+@st.composite
+def migration_worlds(draw):
+    keys = "abcdef"
+    n_steps = draw(st.integers(1, 3))
+    steps = []
+    for i in range(n_steps):
+        rename_from = draw(st.lists(st.sampled_from(keys), max_size=2,
+                                    unique=True))
+        steps.append({
+            "from": f"v{i+1}", "to": f"v{i+2}",
+            # renames must be injective and not collide with kept keys:
+            # map each renamed key to a fresh uppercase name
+            "rename": {k: k.upper() + str(i) for k in rename_from},
+            "defaults": {k: f"d{i}" for k in draw(
+                st.lists(st.sampled_from(keys), max_size=2, unique=True))},
+            "drop": draw(st.lists(st.sampled_from(keys), max_size=2,
+                                  unique=True)),
+            "set": {k: f"s{i}" for k in draw(
+                st.lists(st.sampled_from(keys), max_size=1))},
+        })
+    rows = draw(st.lists(
+        st.tuples(st.integers(1, n_steps + 1),   # start version index
+                  st.dictionaries(st.sampled_from(keys),
+                                  st.sampled_from(["x", "y", "z"]),
+                                  max_size=4)),
+        min_size=1, max_size=8))
+    return steps, rows
+
+
+def _py_migrate(payload: dict, steps: list[dict]) -> dict:
+    out = dict(payload)
+    for s in steps:
+        out = {s["rename"].get(k, k): v for k, v in out.items()}
+        for k in s["drop"]:
+            out.pop(k, None)
+        for k, v in s["defaults"].items():
+            out.setdefault(k, v)
+        for k, v in s["set"].items():
+            out[k] = v
+    return out
+
+
+@given(migration_worlds())
+@SLOW
+def test_schema_migrator_matches_python_reference(spark, data):
+    """The composed map-expression chain equals a plain dict fold for
+    ANY chain of rename/drop/defaults/set steps and ANY payload —
+    including rows already at the target version (untouched)."""
+    import json
+    from streamforge_spark.operators.quality import (
+        migrations_from_json, schema_migrator,
+    )
+    steps, rows = data
+    chain = migrations_from_json(json.dumps(steps))
+    df = spark.createDataFrame(
+        [(i, f"v{vi}", json.dumps(payload))
+         for i, (vi, payload) in enumerate(rows)],
+        "id long, ver string, payload string")
+    ok, dlq = schema_migrator(df, "payload", F.col("ver"), chain)
+    got = {r.id: json.loads(r.payload) for r in ok.collect()}
+    for i, (vi, payload) in enumerate(rows):
+        expected = _py_migrate(payload, steps[vi - 1:])
+        assert got[i] == expected, (i, vi, payload)
+    assert dlq.count() == 0
