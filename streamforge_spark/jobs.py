@@ -1105,3 +1105,90 @@ def snapshot_handoff(spark: SparkSession, cfg: ScopedConfig):
             f"{ckpt}/state", op_col="operation")
          .start())
     return [q, _sink(parse_dlq, cfg, "dlq_parse")]
+
+
+@stream_job("StateAudit")
+def state_audit(spark: SparkSession, cfg: ScopedConfig):
+    """Divergence audit of an idempotent-upsert state target against
+    its change log — the check an operator runs after an incident
+    (partial restore, manual surgery, suspected sink bug) before
+    trusting the materialization again.
+
+    Recomputes the EXPECTED latest-per-key state by replaying the
+    envelope log up to the state's own watermark (P = max stored
+    position, so events the sink has not consumed yet cannot be
+    flagged), then full-outer-joins it against the ACTUAL state and
+    verdicts every key:
+
+    - ``match``            — same payload at the same position
+    - ``stale_value``      — key present, payload or position differs
+    - ``missing_in_state`` — log says live, state lacks it (lost write,
+      or the pre-fix delete-empties-bucket class of bugs)
+    - ``orphan_in_state``  — state carries a key the log says is
+      deleted or never existed (resurrected delete)
+
+    Report written to OUTPUT_PATH/state_audit (overwrite — the audit
+    is a snapshot, not a ledger). Batch job: returns no streaming
+    queries. Config: STATE_PATH (default OUTPUT_PATH/state),
+    SOURCE_PATH (envelope log dir), AUDIT_POSITION (optional).
+
+    The audit position defaults to the LOG HEAD — correct when the
+    sink is drained, which is when an operator audits. For a
+    mid-stream audit set AUDIT_POSITION to the sink's committed
+    position (from its checkpoint); the state's own max stored
+    position is NOT a usable watermark because a delete at the head
+    removes its row and would under-report it, falsely flagging the
+    deleted key as missing.
+
+    Scale shape: the replay is ONE map-side-combined max_by rollup of
+    the log (the cdc_net_effect_squash collapse) and the diff is one
+    co-partitioned full-outer join — the same minimal keyed-merge
+    plan as the handoff reconciliation; nothing is collected.
+    """
+    from streamforge_spark.streaming.handoff import POS_COL
+
+    out = cfg.require("OUTPUT_PATH")
+    state_path = cfg.get("STATE_PATH") or f"{out}/state"
+    state = spark.read.parquet(state_path)
+
+    raw = spark.read.schema(_RAW_SCHEMA).text(cfg.require("SOURCE_PATH"))
+    env, _ = parse_stream_envelop(raw)
+    env = env.withColumn(
+        "_seq", F.coalesce(F.col("metadata")["seq"].cast("long"), F.lit(-1)))
+
+    ap = cfg.get("AUDIT_POSITION")
+    if ap is not None:
+        p = int(ap)
+    else:
+        p = env.agg(F.max("_seq")).first()[0]
+        if p is None:
+            p = -1
+    expected = (env.filter(F.col("_seq") <= int(p))
+                .groupBy("primary_key").agg(
+                    F.max_by("operation", "_seq").alias("_op"),
+                    F.max_by("payload_json", "_seq").alias("_payload"),
+                    F.max("_seq").alias("_at"))
+                .filter(F.col("_op") != "delete"))
+
+    actual = state.select(
+        F.col("primary_key"),
+        F.col("payload_json").alias("_actual_payload"),
+        F.col(POS_COL).alias("_actual_pos"))
+
+    j = expected.join(actual, "primary_key", "full_outer")
+    verdict = (
+        F.when(F.col("_payload").isNull(), F.lit("orphan_in_state"))
+        .when(F.col("_actual_payload").isNull(), F.lit("missing_in_state"))
+        .when(F.col("_payload") == F.col("_actual_payload"), F.lit("match"))
+        .otherwise(F.lit("stale_value")))
+    report = j.select(
+        "primary_key", verdict.alias("verdict"),
+        F.col("_at").alias("expected_seq"),
+        F.col("_actual_pos").alias("actual_pos"),
+        F.lit(int(p)).alias("audit_position"))
+    report.write.mode("overwrite").parquet(f"{out}/state_audit")
+    n_bad = report.filter(F.col("verdict") != "match").count()
+    if n_bad:
+        log.warning("StateAudit: %d divergent keys at position %s "
+                    "(see %s/state_audit)", n_bad, p, out)
+    return []

@@ -264,3 +264,61 @@ def test_bootstrap_crash_retry_converges(spark, tmp_path):
     run_job("SnapshotHandoff", cfg, spark=spark, drain=True)
     expected = {f"u{k}": v for k, v in world_at(n1 - 1).items()}
     assert state_of(spark, tmp_path) == expected
+
+
+def test_state_audit_clean_and_corrupted(spark, tmp_path):
+    """StateAudit on a freshly-handed-off state reports all-match;
+    after injected corruption (altered payload, deleted key,
+    resurrected key) it names each divergence class — and audits at
+    the state's own watermark, so log events the sink has not
+    consumed are not flagged."""
+    s0, n1 = 14, 30
+    snap = spark.createDataFrame(
+        [(f"u{k}", json.dumps({"v": v})) for k, v in world_at(s0).items()],
+        "primary_key STRING, payload_json STRING")
+    snap.write.parquet(str(tmp_path / "snap"))
+    write_log(tmp_path / "in", range(n1), "batch0.txt")
+    cfg = handoff_cfg(tmp_path, s0)
+    run_job("SnapshotHandoff", cfg, spark=spark, drain=True)
+
+    run_job("StateAudit", cfg, spark=spark, drain=True)
+    rep = spark.read.parquet(str(tmp_path / "out" / "state_audit"))
+    assert {r.verdict for r in rep.collect()} == {"match"}
+    n_keys = rep.count()
+
+    # --- inject corruption directly into the state target ----------
+    from pyspark.sql import functions as F
+    state_path = str(tmp_path / "out" / "state")
+    st = spark.read.parquet(state_path).localCheckpoint()
+    victims = sorted(r.primary_key for r in st.select("primary_key").collect())
+    altered, dropped = victims[0], victims[1]
+    corrupted = (st.filter(F.col("primary_key") != dropped)
+                 .withColumn("payload_json",
+                             F.when(F.col("primary_key") == altered,
+                                    F.lit('{"v": -999}'))
+                             .otherwise(F.col("payload_json"))))
+    # a key whose log says deleted, resurrected into the state at the
+    # audit position (orphan class)
+    ghost = spark.createDataFrame(
+        [("u_ghost", '{"v": 1}', "insert", 5, 1, 0)],
+        "primary_key STRING, payload_json STRING, operation STRING, "
+        "_pos LONG, _src_rank INT, _kb INT")
+    corrupted = corrupted.unionByName(ghost)
+    corrupted.write.mode("overwrite").parquet(str(tmp_path / "corrupt"))
+    spark.read.parquet(str(tmp_path / "corrupt")).write.mode(
+        "overwrite").parquet(state_path)
+
+    # future log events beyond an EXPLICIT audit position (the sink's
+    # committed position for a mid-stream audit) must NOT be flagged
+    write_log(tmp_path / "in", range(n1, n1 + 4), "future.txt")
+    cfg = handoff_cfg(tmp_path, s0)
+    cfg.set("AUDIT_POSITION", str(n1 - 1))
+
+    run_job("StateAudit", cfg, spark=spark, drain=True)
+    rep2 = {r.primary_key: r.verdict for r in
+            spark.read.parquet(str(tmp_path / "out" / "state_audit")).collect()}
+    assert rep2[altered] == "stale_value"
+    assert rep2[dropped] == "missing_in_state"
+    assert rep2["u_ghost"] == "orphan_in_state"
+    matches = [k for k, v in rep2.items() if v == "match"]
+    assert len(matches) == n_keys - 2
