@@ -1175,17 +1175,9 @@ def state_audit(spark: SparkSession, cfg: ScopedConfig):
         F.col("payload_json").alias("_actual_payload"),
         F.col(POS_COL).alias("_actual_pos"))
 
-    j = expected.join(actual, "primary_key", "full_outer")
-    verdict = (
-        F.when(F.col("_payload").isNull(), F.lit("orphan_in_state"))
-        .when(F.col("_actual_payload").isNull(), F.lit("missing_in_state"))
-        .when(F.col("_payload") == F.col("_actual_payload"), F.lit("match"))
-        .otherwise(F.lit("stale_value")))
-    report = j.select(
-        "primary_key", verdict.alias("verdict"),
-        F.col("_at").alias("expected_seq"),
-        F.col("_actual_pos").alias("actual_pos"),
-        F.lit(int(p)).alias("audit_position"))
+    from streamforge_spark.streaming.handoff import state_divergence
+    report = state_divergence(expected, actual).withColumn(
+        "audit_position", F.lit(int(p)))
     report.write.mode("overwrite").parquet(f"{out}/state_audit")
     n_bad = report.filter(F.col("verdict") != "match").count()
     if n_bad:

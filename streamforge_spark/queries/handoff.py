@@ -150,3 +150,82 @@ def handoff_chunk_audit(spark, sf_dir):
         F.sum(F.when(F.col("delete_win"), t).otherwise(z)).alias("deletes_applied"),
         F.sum(F.when((F.col("log_wins") & ~F.col("delete_win"))
                      | (~F.col("log_wins") & F.col("snap_present")), t).otherwise(z)).alias("final_rows")))
+
+
+@query(
+    "state_audit_report",
+    oracle=f"""
+WITH {ENVELOPE_CTE},
+ops AS (
+  SELECT CAST(primary_key AS BIGINT) AS pk, operation, payload_json, event_id
+  FROM envelope WHERE operation <> 'unknown'
+),
+g AS (
+  SELECT pk, arg_max(operation, event_id) AS last_op,
+         arg_max(payload_json, event_id) AS _payload,
+         MAX(event_id) AS _at
+  FROM ops GROUP BY 1
+),
+exp AS (SELECT pk, _payload, _at FROM g WHERE last_op <> 'delete'),
+act AS (
+  SELECT pk,
+         CASE WHEN pk % 7 = 2 THEN _payload || '#corrupt'
+              ELSE _payload END AS _actual_payload,
+         _at AS _actual_pos
+  FROM exp WHERE pk % 11 <> 3
+  UNION ALL
+  SELECT pk + 10000, '{{"ghost": true}}', CAST(0 AS BIGINT)
+  FROM exp WHERE pk % 13 = 1
+)
+SELECT CAST(COALESCE(e.pk, a.pk) AS VARCHAR) AS primary_key,
+       CASE WHEN e._payload IS NULL THEN 'orphan_in_state'
+            WHEN a._actual_payload IS NULL THEN 'missing_in_state'
+            WHEN e._payload = a._actual_payload THEN 'match'
+            ELSE 'stale_value' END AS verdict,
+       e._at AS expected_seq, a._actual_pos AS actual_pos
+FROM exp e FULL OUTER JOIN act a ON e.pk = a.pk
+""",
+)
+def state_audit_report(spark, sf_dir):
+    """The StateAudit diff algebra, oracle-certified — the literal
+    ``state_divergence`` function the StateAudit job runs
+    (streaming/handoff.py), driven over a deterministically perturbed
+    copy of the expected state so every verdict class is live: keys
+    ``pk % 11 == 3`` dropped from the 'state' (missing_in_state),
+    ``pk % 7 == 2`` payload-corrupted (stale_value), ghosts at
+    ``pk + 10000`` injected for ``pk % 13 == 1`` (orphan_in_state),
+    everything else match. Same synthesized-inputs protocol as
+    cdc_payload_precedence; the lifecycle test drives the job against
+    REAL corruption (tests/test_handoff.py).
+
+    Plan: one map-side squash of the log + one full-outer diff — the
+    expected side is computed once and perturbed by projection, so
+    the log is scanned once.
+    """
+    from streamforge_spark.envelope import envelope_from_events
+    from streamforge_spark.streaming.handoff import state_divergence
+
+    (events,) = prep(spark, sf_dir, "events")
+    env = (envelope_from_events(events)
+           .filter(F.col("operation") != "unknown"))
+    g = env.groupBy("primary_key").agg(
+        F.max_by("operation", "event_id").alias("last_op"),
+        F.max_by("payload_json", "event_id").alias("_payload"),
+        F.max("event_id").alias("_at"))
+    exp = (g.filter(F.col("last_op") != "delete")
+           .withColumn("pk", F.col("primary_key").cast("long"))
+           .select("pk", "primary_key", "_payload", "_at")
+           .localCheckpoint())  # expected feeds both diff sides: one scan
+
+    kept = (exp.filter(F.col("pk") % 11 != 3)
+            .select("primary_key",
+                    F.when(F.col("pk") % 7 == 2,
+                           F.concat(F.col("_payload"), F.lit("#corrupt")))
+                    .otherwise(F.col("_payload")).alias("_actual_payload"),
+                    F.col("_at").alias("_actual_pos")))
+    ghosts = (exp.filter(F.col("pk") % 13 == 1)
+              .select((F.col("pk") + 10000).cast("string").alias("primary_key"),
+                      F.lit('{"ghost": true}').alias("_actual_payload"),
+                      F.lit(0).cast("long").alias("_actual_pos")))
+    actual = kept.unionByName(ghosts)
+    return state_divergence(exp.drop("pk"), actual)

@@ -128,7 +128,7 @@ ROTATION_PRIORITY = [
     # migration chain + CDC log maintenance
     "snapshot_handoff_state", "handoff_chunk_audit",
     "schema_migration_report", "cdc_net_effect_squash",
-    "kafka_tombstone_gc", "retrieval_ndcg_eval",
+    "kafka_tombstone_gc", "retrieval_ndcg_eval", "state_audit_report",
 ]
 
 

@@ -190,3 +190,21 @@ def bootstrap_snapshot(spark: SparkSession, *, snapshot: DataFrame,
         hw = log_head()
         manifest.append((c, lw, hw))
     return manifest
+
+
+def state_divergence(expected: DataFrame, actual: DataFrame) -> DataFrame:
+    """The StateAudit diff: expected (primary_key, _payload, _at) vs
+    actual (primary_key, _actual_payload, _actual_pos), one full-outer
+    join, verdict per key — match / stale_value / missing_in_state /
+    orphan_in_state. Shared verbatim by jobs.py::state_audit and the
+    oracle-checked ``state_audit_report`` query face."""
+    j = expected.join(actual, "primary_key", "full_outer")
+    verdict = (
+        F.when(F.col("_payload").isNull(), F.lit("orphan_in_state"))
+        .when(F.col("_actual_payload").isNull(), F.lit("missing_in_state"))
+        .when(F.col("_payload") == F.col("_actual_payload"), F.lit("match"))
+        .otherwise(F.lit("stale_value")))
+    return j.select(
+        "primary_key", verdict.alias("verdict"),
+        F.col("_at").alias("expected_seq"),
+        F.col("_actual_pos").alias("actual_pos"))

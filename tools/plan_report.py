@@ -55,8 +55,8 @@ CURATION = [
     "handoff_chunk_audit",
     # r9 CDC log-maintenance faces
     "cdc_net_effect_squash", "kafka_tombstone_gc",
-    # r9 ranking-quality eval
-    "retrieval_ndcg_eval",
+    # r9 ranking-quality eval + state divergence audit
+    "retrieval_ndcg_eval", "state_audit_report",
 ]
 
 #: time-series analytics queries (queries/timeseries.py) + graph /
