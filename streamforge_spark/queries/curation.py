@@ -1276,3 +1276,124 @@ def quality_length_histogram(spark, sf_dir):
                 .alias("score_bin"))
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("n_tokens").alias("n_tokens")))
+
+
+# -- benchmark integrity (the inverse decontamination view) ----------------
+
+def _bench_integrity_oracle() -> str:
+    from streamforge_spark.functions.similarity import SEM_THRESHOLD
+    from streamforge_spark.functions.simdedup import hash60_sql
+    from streamforge_spark.queries.text import XS_K
+    b, k = CONTAM_BENCH_MAX_ID, XS_K
+    xs_hash = hash60_sql(f"substr(text, p, {k})", "'xs'")
+    return f"""
+WITH {_CONTAM_GRAMS},
+bg AS (SELECT DISTINCT doc_id AS bid, g FROM grams WHERE doc_id < {b}),
+ngp AS (SELECT DISTINCT bg.bid, c.doc_id AS cid
+        FROM grams c JOIN bg ON c.g = bg.g WHERE c.doc_id >= {b}),
+bh AS (SELECT DISTINCT doc_id AS bid, {xs_hash} AS h
+       FROM (SELECT doc_id, text,
+                    unnest(generate_series(1, length(text) - {k} + 1)) AS p
+             FROM documents WHERE doc_id < {b} AND length(text) >= {k})),
+ch AS (SELECT DISTINCT doc_id AS cid, {xs_hash} AS h
+       FROM (SELECT doc_id, text,
+                    unnest(generate_series(1, length(text) - {k} + 1)) AS p
+             FROM documents WHERE doc_id >= {b} AND length(text) >= {k})),
+xsp AS (SELECT DISTINCT bh.bid, ch.cid FROM ch JOIN bh USING (h)),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+semp AS (SELECT DISTINCT bb.vec_id AS bid, c.vec_id AS cid
+         FROM (SELECT * FROM e WHERE vec_id >= {b}) c
+         CROSS JOIN (SELECT * FROM e WHERE vec_id < {b}) bb
+         WHERE list_dot_product(c.v, bb.v)
+                 / (sqrt(list_dot_product(c.v, c.v))
+                    * sqrt(list_dot_product(bb.v, bb.v)))
+               >= {SEM_THRESHOLD}),
+u AS (SELECT bid, cid FROM ngp
+      UNION SELECT bid, cid FROM xsp
+      UNION SELECT bid, cid FROM semp),
+cnts AS (
+  SELECT bd.doc_id AS bench_doc_id,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM ngp WHERE ngp.bid = bd.doc_id) AS ngram_leaks,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM xsp WHERE xsp.bid = bd.doc_id) AS substring_leaks,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM semp WHERE semp.bid = bd.doc_id) AS semantic_leaks,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM u WHERE u.bid = bd.doc_id) AS distinct_leakers
+  FROM documents bd WHERE bd.doc_id < {b})
+SELECT bench_doc_id, ngram_leaks, substring_leaks, semantic_leaks,
+       distinct_leakers, distinct_leakers > 0 AS compromised
+FROM cnts
+"""
+
+
+@query("benchmark_integrity_report", oracle=_bench_integrity_oracle())
+def benchmark_integrity_report(spark, sf_dir):
+    """The INVERSE decontamination view: per benchmark item (doc_id <
+    CONTAM_BENCH_MAX_ID), how many corpus docs leak it through each
+    modality — word n-grams, exact >=XS_K-char substrings, embedding
+    cosine — plus the distinct leaker union and a compromised verdict.
+    decontamination_agreement tells the CORPUS side what to drop; this
+    tells the EVAL side which benchmark rows are no longer trustworthy
+    measurements (and must be excluded or re-drawn) even after the
+    corpus drop, because the leak already happened upstream.
+
+    Scale shape: benchmark sides are tiny by nature — grams/hashes
+    broadcast, embeddings ride as plan constants; each modality is one
+    corpus scan producing distinct (bench, corpus) pairs, and every
+    rollup is O(pairs) grouped on the tiny bench key. Clean items
+    report zeros (LEFT joins), so the output is the FULL eval
+    manifest, not just the failures.
+    """
+    from streamforge_spark.functions.similarity import SEM_THRESHOLD, cosine
+    from streamforge_spark.functions.substring_index import window_hashes
+    from streamforge_spark.functions.text import word_ngrams
+    from streamforge_spark.queries.text import XS_K
+    b = CONTAM_BENCH_MAX_ID
+    docs, emb = prep(spark, sf_dir, "documents", "embeddings")
+
+    grams = docs.select(
+        "doc_id", F.explode(word_ngrams(F.col("text"), CONTAM_NGRAM)).alias("g"))
+    bg = (grams.filter(F.col("doc_id") < b)
+          .select(F.col("doc_id").alias("bid"), "g").distinct())
+    ngp = (grams.filter(F.col("doc_id") >= b)
+           .join(F.broadcast(bg), "g")
+           .select("bid", F.col("doc_id").alias("cid")).distinct())
+
+    wh = window_hashes(docs, XS_K)
+    bh = (wh.filter(F.col("doc_id") < b)
+          .select(F.col("doc_id").alias("bid"), "h").distinct())
+    xsp = (wh.filter(F.col("doc_id") >= b)
+           .join(F.broadcast(bh), "h")
+           .select("bid", F.col("doc_id").alias("cid")).distinct())
+
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    bvecs = sorted((r.vec_id, list(r.v)) for r in
+                   e.filter(F.col("vec_id") < b).collect())
+    per_b = [F.struct(F.lit(bid).cast("long").alias("bid"),
+                      cosine(F.col("v"),
+                             F.array(*[F.lit(float(x)) for x in bv])).alias("cos"))
+             for bid, bv in bvecs]
+    semp = (e.filter(F.col("vec_id") >= b)
+            .select(F.col("vec_id").alias("cid"),
+                    F.explode(F.array(*per_b)).alias("s"))
+            .filter(F.col("s.cos") >= SEM_THRESHOLD)
+            .select(F.col("s.bid").alias("bid"), "cid").distinct())
+
+    union = ngp.unionByName(xsp).unionByName(semp).distinct()
+
+    def cnt(df, name):
+        return df.groupBy("bid").agg(F.count(F.lit(1)).alias(name))
+
+    bench = docs.filter(F.col("doc_id") < b).select(
+        F.col("doc_id").alias("bench_doc_id"))
+    rep = bench
+    for df, name in ((ngp, "ngram_leaks"), (xsp, "substring_leaks"),
+                     (semp, "semantic_leaks"), (union, "distinct_leakers")):
+        rep = rep.join(cnt(df, name).withColumnRenamed("bid", "bench_doc_id"),
+                       "bench_doc_id", "left")
+    z = F.lit(0).cast("long")
+    return rep.select(
+        "bench_doc_id",
+        F.coalesce("ngram_leaks", z).alias("ngram_leaks"),
+        F.coalesce("substring_leaks", z).alias("substring_leaks"),
+        F.coalesce("semantic_leaks", z).alias("semantic_leaks"),
+        F.coalesce("distinct_leakers", z).alias("distinct_leakers"),
+        (F.coalesce("distinct_leakers", z) > 0).alias("compromised"))

@@ -129,6 +129,7 @@ ROTATION_PRIORITY = [
     "snapshot_handoff_state", "handoff_chunk_audit",
     "schema_migration_report", "cdc_net_effect_squash",
     "kafka_tombstone_gc", "retrieval_ndcg_eval", "state_audit_report",
+    "benchmark_integrity_report",
 ]
 
 

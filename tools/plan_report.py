@@ -55,8 +55,9 @@ CURATION = [
     "handoff_chunk_audit",
     # r9 CDC log-maintenance faces
     "cdc_net_effect_squash", "kafka_tombstone_gc",
-    # r9 ranking-quality eval + state divergence audit
+    # r9 ranking-quality eval + state divergence audit + eval integrity
     "retrieval_ndcg_eval", "state_audit_report",
+    "benchmark_integrity_report",
 ]
 
 #: time-series analytics queries (queries/timeseries.py) + graph /
