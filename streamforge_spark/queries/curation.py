@@ -1353,16 +1353,21 @@ def benchmark_integrity_report(spark, sf_dir):
         "doc_id", F.explode(word_ngrams(F.col("text"), CONTAM_NGRAM)).alias("g"))
     bg = (grams.filter(F.col("doc_id") < b)
           .select(F.col("doc_id").alias("bid"), "g").distinct())
+    # each pair relation feeds TWO consumers (its own count + the
+    # union) — localCheckpoint the O(leaks) pairs so neither consumer
+    # re-derives the exploded gram/window lineage (docs scans: 9 -> 5)
     ngp = (grams.filter(F.col("doc_id") >= b)
            .join(F.broadcast(bg), "g")
-           .select("bid", F.col("doc_id").alias("cid")).distinct())
+           .select("bid", F.col("doc_id").alias("cid")).distinct()
+           .localCheckpoint())
 
     wh = window_hashes(docs, XS_K)
     bh = (wh.filter(F.col("doc_id") < b)
           .select(F.col("doc_id").alias("bid"), "h").distinct())
     xsp = (wh.filter(F.col("doc_id") >= b)
            .join(F.broadcast(bh), "h")
-           .select("bid", F.col("doc_id").alias("cid")).distinct())
+           .select("bid", F.col("doc_id").alias("cid")).distinct()
+           .localCheckpoint())
 
     e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     bvecs = sorted((r.vec_id, list(r.v)) for r in
@@ -1375,7 +1380,8 @@ def benchmark_integrity_report(spark, sf_dir):
             .select(F.col("vec_id").alias("cid"),
                     F.explode(F.array(*per_b)).alias("s"))
             .filter(F.col("s.cos") >= SEM_THRESHOLD)
-            .select(F.col("s.bid").alias("bid"), "cid").distinct())
+            .select(F.col("s.bid").alias("bid"), "cid").distinct()
+            .localCheckpoint())
 
     union = ngp.unionByName(xsp).unionByName(semp).distinct()
 
