@@ -4,6 +4,11 @@
 #   sh tools/ci.sh
 set -e
 cd "$(dirname "$0")/.."
+echo "== driver artifacts committed (round-start guard) =="
+if [ -n "$(git status --porcelain -- 'CORRECTNESS_r*.json' 'BENCH_r*.json')" ]; then
+    echo "ci: CORRECTNESS/BENCH artifacts uncommitted — run sh tools/round_start.sh first" >&2
+    exit 1
+fi
 echo "== unit + streaming + oracle parity (sf0.001) =="
 python -m pytest tests/ -x -q
 echo "== full oracle parity at driver scale (sf0.01) =="
