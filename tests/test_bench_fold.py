@@ -1,0 +1,100 @@
+"""Regression tests for bench.py's best-of-round fold (judge r9 item 3).
+
+The r9 driver artifact published a host-noise regression (+50.2s) that
+the round's two sibling runs disproved; the fold makes the ledger's
+vs_prev base and the published per-query timings min-per-query across
+all same-round BENCH_SELF entries, so a single contended pass can't
+manufacture a phantom regression.  No Spark session needed — the fold
+is pure artifact plumbing.
+"""
+
+import json
+
+import bench
+
+
+def _entry(rounds_seen, queries, sf=0.1, metric="headline_queries_wall",
+           **extra):
+    d = {"metric": metric, "value": round(sum(queries.values()), 3),
+         "unit": "sec", "queries": queries, "sf": sf,
+         "rounds_seen": rounds_seen, "runs_per_query": 2}
+    d.update(extra)
+    return d
+
+
+def test_prev_round_fold_takes_min_across_entries(tmp_path, monkeypatch):
+    """vs_prev base = per-query min across ALL prev-round entries, not
+    whichever single entry the driver sampled last."""
+    lines = [
+        _entry(8, {"q1": 1.0, "q2": 5.0}),          # clean run
+        _entry(8, {"q1": 3.5, "q2": 2.0}),          # contended on q1
+        _entry(7, {"q1": 0.1, "q2": 0.1}),          # older round: ignored
+        _entry(8, {"q1": 9.9, "q2": 9.9}, sf=0.001),  # other sf: ignored
+        _entry(8, {"q1": 0.01}, metric="q1_solo_remeasure"),  # solo: ignored
+    ]
+    (tmp_path / "BENCH_SELF.jsonl").write_text(
+        "".join(json.dumps(d) + "\n" for d in lines))
+    (tmp_path / "BENCH_r09.json").write_text(json.dumps({"sf": 0.1}))
+    monkeypatch.setattr(bench, "__file__", str(tmp_path / "bench.py"))
+
+    src, prev = bench._latest_bench_artifact(0.1)
+    assert prev["queries"] == {"q1": 1.0, "q2": 2.0}
+    assert prev["value"] == 3.0
+    assert prev["folded_entries"] == 2
+    assert "BENCH_SELF" in src
+
+
+def test_prev_round_fold_unions_grown_headline_set(tmp_path, monkeypatch):
+    """Mid-round headline growth: a name present in only one entry
+    still contributes its timing to the folded base."""
+    monkeypatch.setattr(bench, "__file__", str(tmp_path / "bench.py"))
+    (tmp_path / "BENCH_r09.json").write_text("{}")
+    lines = [
+        _entry(8, {"q1": 2.0}),
+        _entry(8, {"q1": 1.5, "q_new": 4.0}),
+    ]
+    (tmp_path / "BENCH_SELF.jsonl").write_text(
+        "".join(json.dumps(d) + "\n" for d in lines))
+    src, prev = bench._latest_bench_artifact(0.1)
+    assert prev["queries"] == {"q1": 1.5, "q_new": 4.0}
+    assert prev["value"] == 5.5
+
+
+def test_same_round_entries_filter(tmp_path, monkeypatch):
+    """_same_round_entries returns only this round's headline entries
+    at the same sf (the publication-side fold's input)."""
+    monkeypatch.setattr(bench, "__file__", str(tmp_path / "bench.py"))
+    (tmp_path / "BENCH_r09.json").write_text("{}")
+    lines = [
+        _entry(9, {"q1": 1.0}),                      # this round
+        _entry(8, {"q1": 0.5}),                      # previous round
+        _entry(9, {"q1": 0.2}, sf=0.001),            # other sf
+        _entry(9, {"q1": 0.1}, metric="x_solo_remeasure"),
+    ]
+    (tmp_path / "BENCH_SELF.jsonl").write_text(
+        "".join(json.dumps(d) + "\n" for d in lines))
+    got = bench._same_round_entries(0.1)
+    assert [e["queries"] for e in got] == [{"q1": 1.0}]
+
+
+def test_publication_fold_respects_source_hash():
+    """The publication-side fold only inherits a same-round timing when
+    the entry's recorded qhash matches the current source hash — a
+    mid-round plan edit must re-earn its number.  (Mirrors the inline
+    fold loop in main(); exercised here as the loop's exact logic.)"""
+    timings = {"qa": 3.0, "qb": 3.0}
+    qhash = {"qa": "aaa", "qb": "bbb"}
+    entries = [
+        {"queries": {"qa": 1.0, "qb": 1.0},
+         "qhash": {"qa": "aaa", "qb": "STALE"}},
+        {"queries": {"qa": 2.0, "qb": 0.5}, "qhash": {}},  # legacy entry
+    ]
+    folded = 0
+    for entry in entries:
+        eq, eh = entry.get("queries", {}), entry.get("qhash", {})
+        for n in timings:
+            if n in eq and eh.get(n) == qhash[n] and eq[n] < timings[n]:
+                timings[n] = eq[n]
+                folded += 1
+    assert timings == {"qa": 1.0, "qb": 3.0}
+    assert folded == 1
