@@ -295,6 +295,25 @@ def schema_migrator(df: DataFrame, payload_col: str, version: Column,
     shares) and ``_migrated_from``. One projection, no shuffle, no
     UDF: the whole chain is a single CASE over composed map
     expressions.
+
+    The map steps operate on ``map<string,string>``, so they are only
+    lossless for FLAT payloads whose JSON values are all strings (or
+    null) — ``from_json`` silently coerces numbers/booleans/nested
+    values to strings (``{"amt": 100}`` would become
+    ``{"amt":"100"}``).  Two guards keep that coercion out of real
+    data (advisor r9):
+
+    * rows already at the target version pass their payload through
+      BYTE-IDENTICAL — they never round-trip through the map type;
+    * rows that do need migrating are structurally checked first —
+      the payload re-serialized from ``map<string,string>`` must equal
+      the same payload re-serialized from the type-preserving VARIANT
+      parse (``try_parse_json``); any mismatch means a value the map
+      type would re-type, and the row dual-outputs to the DLQ as
+      ``SCHEMA_NONFLAT_PAYLOAD`` instead of being silently mangled
+      (unparseable JSON fails the same check — both sides NULL — and
+      lands in the same DLQ class rather than emitting a null
+      payload).
     """
     if not migrations:
         raise ValueError("schema_migrator needs at least one migration")
@@ -302,19 +321,32 @@ def schema_migrator(df: DataFrame, payload_col: str, version: Column,
         if a.v_to != b.v_from:
             raise ValueError(f"broken chain: {a.v_to!r} -> {b.v_from!r}")
     target = migrations[-1].v_to
-    known = [m.v_from for m in migrations] + [target]
+    starts = [m.v_from for m in migrations]
+    known = starts + [target]
 
     mc0 = F.from_json(F.col(payload_col), "map<string,string>")
-    migrated = F.when(version == target, mc0)
-    for i, start in enumerate(m.v_from for m in migrations):
+    migrated = None
+    for i, start in enumerate(starts):
         mc = mc0
         for step in migrations[i:]:
             mc = step.apply(mc)
-        migrated = migrated.when(version == start, mc)
+        migrated = (F.when if migrated is None else migrated.when)(
+            version == start, mc)
+    # flat iff the lossy map parse re-serializes to the same JSON as
+    # the type-preserving VARIANT parse; NULL (unparseable) is not
+    # flat.  The variant encoding sorts object keys, so the map side
+    # is entry-sorted before serializing to compare order-insensitively
+    flat = F.coalesce(
+        F.to_json(F.map_from_entries(F.array_sort(F.map_entries(mc0))))
+        == F.to_json(F.try_parse_json(F.col(payload_col))),
+        F.lit(False))
 
     tagged = df.withColumn("_v", version)
-    ok = (tagged.filter(F.col("_v").isin(known))
-          .withColumn(payload_col, F.to_json(migrated))
+    at_target = F.col("_v") == target
+    ok = (tagged.filter(F.col("_v").isin(known) & (at_target | flat))
+          .withColumn(payload_col,
+                      F.when(at_target, F.col(payload_col))
+                       .otherwise(F.to_json(migrated)))
           .withColumn("_migrated_from", F.col("_v"))
           .withColumn("_schema_version", F.lit(target))
           .drop("_v"))
@@ -325,7 +357,16 @@ def schema_migrator(df: DataFrame, payload_col: str, version: Column,
                  F.coalesce(version.cast("string"), F.lit("<null>")),
                  F.lit(f" (chain {' -> '.join(known)})")),
         source)
-    return ok, dlq
+    nonflat = tagged.filter(
+        F.col("_v").isin(starts) & ~at_target & ~flat)
+    dlq_nonflat = dlq_event(
+        nonflat.drop("_v"), "SCHEMA_NONFLAT_PAYLOAD",
+        F.concat(F.lit("payload at version "), version.cast("string"),
+                 F.lit(" is not a flat string map — the map<string,"
+                       "string> migration steps would re-type its "
+                       "values")),
+        source)
+    return ok, dlq.unionByName(dlq_nonflat)
 
 
 def migrations_from_json(spec: str) -> list[SchemaMigration]:

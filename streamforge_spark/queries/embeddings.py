@@ -1223,7 +1223,7 @@ def retrieval_ndcg_eval(spark, sf_dir):
     brute-force scorer for the IVF/LSH candidates and keeps the same
     metric algebra; recall of that swap is priced separately by
     ann_recall_eval / ivf_frozen_vs_retrained_recall.
-    """.format(k=NDCG_K, nq=NDCG_NQ)
+    """
     from streamforge_spark.functions.similarity import cosine
     (emb,) = prep(spark, sf_dir, "embeddings")
     e = emb.select("vec_id", "label",
@@ -1268,3 +1268,10 @@ def retrieval_ndcg_eval(spark, sf_dir):
         F.when(F.col("idcg_ppm") > 0,
                F.expr("(dcg_ppm * 1000000) div idcg_ppm"))
         .otherwise(F.lit(0).cast("long")).alias("ndcg_ppm"))
+
+
+# a bare docstring with a trailing .format() is an expression
+# statement, not a docstring (__doc__ would be None) — render the
+# {k}/{nq} placeholders after the def, like heavy_hitters_misra_gries
+retrieval_ndcg_eval.__doc__ = \
+    retrieval_ndcg_eval.__doc__.format(k=NDCG_K, nq=NDCG_NQ)

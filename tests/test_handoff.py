@@ -266,12 +266,44 @@ def test_bootstrap_crash_retry_converges(spark, tmp_path):
     assert state_of(spark, tmp_path) == expected
 
 
+def test_snapshot_handoff_noseq_events_to_dlq(spark, tmp_path):
+    """An envelope event WITHOUT metadata['seq'] cannot be ordered
+    against the snapshot watermarks — it must land in dlq_noseq for
+    triage (advisor r9: it used to coalesce to -1 and silently
+    vanish under the resume filter), not in the state, and not lost."""
+    s0, n1 = 14, 30
+    snap = spark.createDataFrame(
+        [(f"u{k}", json.dumps({"v": v})) for k, v in world_at(s0).items()],
+        "primary_key STRING, payload_json STRING")
+    snap.write.parquet(str(tmp_path / "snap"))
+    lines = [log_line(s) for s in range(n1)]
+    noseq = json.loads(log_line(0))
+    noseq["primary_key"] = "u_noseq"
+    noseq["metadata"] = {}                       # no seq position
+    lines.append(json.dumps(noseq))
+    (tmp_path / "in").mkdir(parents=True, exist_ok=True)
+    (tmp_path / "in" / "batch0.txt").write_text("\n".join(lines) + "\n")
+
+    run_job("SnapshotHandoff", handoff_cfg(tmp_path, s0),
+            spark=spark, drain=True)
+
+    assert "u_noseq" not in state_of(spark, tmp_path)
+    dlq = spark.read.parquet(str(tmp_path / "out" / "dlq_noseq")).collect()
+    assert len(dlq) == 1
+    assert dlq[0].error_type == "HANDOFF_NO_POSITION"
+    assert "u_noseq" in dlq[0].raw_event
+    # positioned events are unaffected
+    expected = {f"u{k}": v for k, v in world_at(n1 - 1).items()}
+    assert state_of(spark, tmp_path) == expected
+
+
 def test_state_audit_clean_and_corrupted(spark, tmp_path):
     """StateAudit on a freshly-handed-off state reports all-match;
     after injected corruption (altered payload, deleted key,
-    resurrected key) it names each divergence class — and audits at
-    the state's own watermark, so log events the sink has not
-    consumed are not flagged."""
+    resurrected key) it names each divergence class — and with an
+    EXPLICIT AUDIT_POSITION (the sink's committed position), log
+    events past it are not flagged (the default is the log head,
+    correct for a drained sink)."""
     s0, n1 = 14, 30
     snap = spark.createDataFrame(
         [(f"u{k}", json.dumps({"v": v})) for k, v in world_at(s0).items()],

@@ -1037,6 +1037,55 @@ def test_schema_migrator_chain(spark):
     assert any("<null>" in r.error_message for r in d)
 
 
+def test_schema_migrator_target_rows_pass_byte_identical(spark):
+    """Rows already at the target version must NOT round-trip through
+    map<string,string> (advisor r9): a nested/typed payload at the
+    target version passes through byte-identical, not re-typed."""
+    from streamforge_spark.operators.quality import (
+        SchemaMigration, schema_migrator,
+    )
+    from pyspark.sql import functions as F
+    raw = '{"amt": 100, "nested": {"x": true}, "arr": [1, 2]}'
+    df = spark.createDataFrame([(1, "v2", raw)],
+                               "id long, ver string, payload string")
+    ok, dlq = schema_migrator(
+        df, "payload", F.col("ver"), [SchemaMigration("v1", "v2")])
+    rows = ok.collect()
+    assert len(rows) == 1 and rows[0].payload == raw
+    assert dlq.count() == 0
+
+
+def test_schema_migrator_nonflat_payload_to_dlq(spark):
+    """A payload that NEEDS migrating but is not a flat string map
+    (numbers / booleans / nested values the map type would re-type)
+    dual-outputs to the DLQ as SCHEMA_NONFLAT_PAYLOAD instead of being
+    silently coerced; unparseable JSON lands in the same class instead
+    of emitting a null payload."""
+    import json as _json
+    from streamforge_spark.operators.quality import (
+        SchemaMigration, schema_migrator,
+    )
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame(
+        [(1, "v1", '{"amt": 100}'),                 # number -> DLQ
+         (2, "v1", '{"ok": true}'),                 # bool -> DLQ
+         (3, "v1", '{"nested": {"x": 1}}'),         # object -> DLQ
+         (4, "v1", 'not json'),                     # malformed -> DLQ
+         (5, "v1", '{"amt": "100", "n": null}'),    # flat -> migrates
+         (6, "v9", '{"amt": 100}')],                # unknown version
+        "id long, ver string, payload string")
+    ok, dlq = schema_migrator(
+        df, "payload", F.col("ver"),
+        [SchemaMigration("v1", "v2", rename=(("amt", "amount"),))])
+    rows = ok.collect()
+    assert [r.id for r in rows] == [5]
+    assert _json.loads(rows[0].payload) == {"amount": "100", "n": None}
+    d = {r.error_type: 0 for r in dlq.collect()}
+    for r in dlq.collect():
+        d[r.error_type] += 1
+    assert d == {"SCHEMA_NONFLAT_PAYLOAD": 4, "SCHEMA_UNMIGRATABLE": 1}
+
+
 def test_schema_migrator_rejects_broken_chain(spark):
     from streamforge_spark.operators.quality import (
         SchemaMigration, schema_migrator,
