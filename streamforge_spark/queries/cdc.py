@@ -498,6 +498,113 @@ def schema_migration_report(spark, sf_dir):
 
 
 @query(
+    "dlq_recovery_forecast",
+    oracle=f"""
+WITH {ENVELOPE_CTE},
+pay AS (
+  SELECT event_id, primary_key, event_id % 3 AS v,
+         CASE WHEN event_id % 3 = 0
+                THEN '{{"k": "' || CAST(event_id AS VARCHAR) || '"}}'
+              WHEN event_id % 3 = 1
+                THEN '{{"legacy_id": "' || primary_key || '", "k": "'
+                     || CAST(event_id AS VARCHAR) || '"}}'
+              ELSE '{{"_id": "' || primary_key || '", "k": "'
+                   || CAST(event_id AS VARCHAR) || '"}}' END AS payload
+  FROM envelope),
+graded AS (
+  SELECT v,
+         json_extract_string(payload, '$._id') IS NOT NULL AS ok_before,
+         json_extract_string(
+           CASE WHEN v = 1
+                  THEN replace(payload, '"legacy_id"', '"_id"')
+                ELSE payload END, '$._id') IS NOT NULL AS ok_after,
+         v IN (1, 2) AS chain_known
+  FROM pay)
+SELECT 'v' || CAST(v AS VARCHAR) AS version,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(SUM(CASE WHEN NOT ok_before THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_rejected_now,
+       CAST(SUM(CASE WHEN NOT ok_before AND chain_known AND ok_after
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_recovered,
+       CAST(SUM(CASE WHEN NOT ok_before
+                          AND NOT (chain_known AND ok_after)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_unrecoverable
+FROM graded GROUP BY version
+""",
+)
+def dlq_recovery_forecast(spark, sf_dir):
+    """The DlqReplay PREVIEW (the what-if pattern of
+    funnel_vocab_what_if, on the CDC edge): BEFORE shipping a
+    migration chain and triggering the replay, how many quarantined
+    records would it actually recover — per payload version: arrivals,
+    how many the CURRENT v1 enforcer rejects, how many the candidate
+    chain upcasts into passing, and how many stay dead (unknown
+    version or still no ``_id`` post-chain).  An operator compares
+    n_recovered against the quarantine backlog to decide whether the
+    chain is the right fix or the schema contract itself is wrong.
+
+    Fixture protocol (same as schema_migration_report): three payload
+    versions synthesized deterministically from the envelope — v0 has
+    no id anywhere and is UNKNOWN to the chain (unrecoverable), v1
+    carries the id under its legacy key (the chain's rename recovers
+    it), v2 is already conformant (never rejected).  The graders are
+    the REAL operators: SchemaVersion.valid is the enforcer's exact
+    predicate and the upcast is schema_migrator — the same code
+    DlqReplay runs, so preview == replay by construction.
+
+    Scale shape: verdict columns ride the scan (zero-shuffle CASE
+    chain over map expressions, the migrator's plan); the only
+    exchange is the final |versions|-row rollup with map-side
+    combine.  In production the input is the DLQ itself — O(rejected),
+    not O(stream); here it is the envelope fixture so the oracle can
+    replay the whole forecast."""
+    from streamforge_spark.operators.quality import (
+        SchemaMigration, schema_migrator,
+    )
+    (events,) = prep(spark, sf_dir, "events")
+    env = envelope_from_events(events)
+
+    k = F.col("event_id").cast("string")
+    v = F.pmod(F.col("event_id"), F.lit(3))
+
+    def jmap(*pairs):
+        return F.to_json(F.map_from_arrays(
+            F.array(*[F.lit(kk) for kk, _ in pairs]),
+            F.array(*[vv for _, vv in pairs])))
+
+    payload = (
+        F.when(v == 0, jmap(("k", k)))
+        .when(v == 1, jmap(("legacy_id", F.col("primary_key")), ("k", k)))
+        .otherwise(jmap(("_id", F.col("primary_key")), ("k", k))))
+    version = F.concat(F.lit("v"), v.cast("string"))
+
+    sv = SchemaVersion("v1", required={"_id": "any"})
+    staged = env.select(F.col("event_id"), version.alias("_ver"),
+                        payload.alias("payload_json"))
+    staged = staged.withColumn("_ok_before", sv.valid("payload_json"))
+
+    ok_m, _dlq = schema_migrator(
+        staged, "payload_json", F.col("_ver"),
+        [SchemaMigration("v1", "v2", rename=(("legacy_id", "_id"),))])
+    after = (ok_m.withColumn("_ok_after", sv.valid("payload_json"))
+             .filter(~F.col("_ok_before") & F.col("_ok_after"))
+             .groupBy(F.col("_migrated_from").alias("version"))
+             .agg(F.count(F.lit(1)).alias("n_recovered")))
+
+    base = (staged.groupBy(F.col("_ver").alias("version"))
+            .agg(F.count(F.lit(1)).alias("n_total"),
+                 F.count(F.when(~F.col("_ok_before"), 1))
+                 .alias("n_rejected_now")))
+    z = F.lit(0).cast("long")
+    return (base.join(after, "version", "left")
+            .select("version", "n_total", "n_rejected_now",
+                    F.coalesce("n_recovered", z).alias("n_recovered"),
+                    (F.col("n_rejected_now")
+                     - F.coalesce("n_recovered", z))
+                    .alias("n_unrecoverable")))
+
+
+@query(
     "cdc_net_effect_squash",
     oracle=f"""
 WITH {ENVELOPE_CTE},
