@@ -149,6 +149,12 @@ HEADLINE = [
 ]
 
 
+def _timed(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([\d.]+)", sf_dir)
@@ -177,6 +183,17 @@ def main() -> None:
     registry.QUERIES["q6_forecast_revenue"](spark, sf_dir).collect()
     spark.range(64).repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32"))) \
         .mapInPandas(lambda it: it, "id long").collect()
+
+    # host calibration: a fixed pure-JVM workload, best of 3 —
+    # data-independent, code-independent, so cross-round per-query
+    # deltas can be read against the HOST's speed that day (r10: an
+    # idle-machine floor 1.3-1.5x slower than r9's for identical
+    # plans; without this constant in the artifact such drift is
+    # indistinguishable from a plan regression)
+    calib = min(
+        _timed(lambda: spark.range(200_000_000)
+               .selectExpr("sum(id * 3 + 1)").collect())
+        for _ in range(3))
 
     # Best-of-2 via two full passes (not back-to-back reruns): a
     # transient host-contention window poisons one contiguous stretch
@@ -221,6 +238,7 @@ def main() -> None:
         "runs_per_query": len(passes),
         "qhash": qhash,
         "folded_same_round": folded,
+        "host_calib_sec": round(calib, 3),
         # contention diagnostic: per-query max/min across passes — a
         # localized spike shows up here instead of in the headline
         "pass_spread_max": round(max(
