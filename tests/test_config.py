@@ -114,13 +114,14 @@ def test_bench_vs_prev_reconstructs_truncated_wrapper_tail(tmp_path, monkeypatch
     # the self-ledger outranks wrappers: the last line tagged with the
     # previous round (rounds_seen == max_wrapper_round - 1) is that
     # round's final (driver) run, untruncated
+    m = "headline_queries_wall"   # the fold's entry filter (r10)
     (root / "BENCH_SELF.jsonl").write_text(
-        json.dumps({"sf": 0.1, "rounds_seen": 4, "value": 1.0,
-                    "queries": {"stale": 1.0}}) + "\n"
-        + json.dumps({"sf": 0.1, "rounds_seen": 5, "value": 5.5,
-                      "queries": {"fresh": 5.5}}) + "\n"
-        + json.dumps({"sf": 0.01, "rounds_seen": 5, "value": 0.5,
-                      "queries": {"wrong_sf": 0.5}}) + "\n")
+        json.dumps({"metric": m, "sf": 0.1, "rounds_seen": 4,
+                    "value": 1.0, "queries": {"stale": 1.0}}) + "\n"
+        + json.dumps({"metric": m, "sf": 0.1, "rounds_seen": 5,
+                      "value": 5.5, "queries": {"fresh": 5.5}}) + "\n"
+        + json.dumps({"metric": m, "sf": 0.01, "rounds_seen": 5,
+                      "value": 0.5, "queries": {"wrong_sf": 0.5}}) + "\n")
     name, data = bench_mod._latest_bench_artifact(0.1)
     assert name.startswith("BENCH_SELF.jsonl") and \
         data["queries"] == {"fresh": 5.5}
