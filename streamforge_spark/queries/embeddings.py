@@ -1275,3 +1275,129 @@ def retrieval_ndcg_eval(spark, sf_dir):
 # {k}/{nq} placeholders after the def, like heavy_hitters_misra_gries
 retrieval_ndcg_eval.__doc__ = \
     retrieval_ndcg_eval.__doc__.format(k=NDCG_K, nq=NDCG_NQ)
+
+
+# -- Matryoshka-style dimension-truncation recall (r10) -----------------
+
+TRUNC_DIMS = (8, 16, 32, 64)   # prefix lengths evaluated (64 = fixture full)
+TRUNC_FULL = 64
+TRUNC_NQ = 8
+TRUNC_K = 10
+
+_TRUNC_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS qid, v FROM e WHERE vec_id < {TRUNC_NQ}),
+c AS (SELECT vec_id AS cid, v FROM e WHERE vec_id >= {TRUNC_NQ}),
+dims AS (SELECT unnest({list(TRUNC_DIMS)}) AS dim),
+scored AS (
+  SELECT d.dim, q.qid, c.cid,
+         CASE WHEN sqrt(list_dot_product(q.v[1:d.dim], q.v[1:d.dim]))
+                   * sqrt(list_dot_product(c.v[1:d.dim], c.v[1:d.dim]))
+                   = 0
+              THEN 0.0
+              ELSE list_dot_product(q.v[1:d.dim], c.v[1:d.dim])
+                   / (sqrt(list_dot_product(q.v[1:d.dim], q.v[1:d.dim]))
+                      * sqrt(list_dot_product(c.v[1:d.dim],
+                                              c.v[1:d.dim])))
+         END AS cos
+  FROM c CROSS JOIN q CROSS JOIN dims d),
+sel AS (
+  SELECT dim, qid, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY dim, qid
+                                 ORDER BY cos DESC, cid) AS rn
+    FROM scored) WHERE rn <= {TRUNC_K}),
+truth AS (SELECT qid, cid FROM sel WHERE dim = {TRUNC_FULL}),
+hits AS (SELECT s.dim, s.qid, CAST(COUNT(*) AS BIGINT) AS n_hit
+         FROM sel s JOIN truth t ON s.qid = t.qid AND s.cid = t.cid
+         GROUP BY 1, 2),
+grid AS (SELECT d.dim, q.qid FROM dims d CROSS JOIN q),
+perq AS (SELECT g.dim, g.qid, COALESCE(h.n_hit, 0) AS n_hit
+         FROM grid g LEFT JOIN hits h
+           ON h.dim = g.dim AND h.qid = g.qid)
+SELECT CAST(dim AS INTEGER) AS dim,
+       CAST((1000000 * dim) // {TRUNC_FULL} AS BIGINT) AS kept_ppm,
+       CAST((1000000 * SUM(n_hit)) // ({TRUNC_K} * {TRUNC_NQ}) AS BIGINT)
+         AS mean_recall_ppm,
+       CAST(MIN((1000000 * n_hit) // {TRUNC_K}) AS BIGINT)
+         AS min_recall_ppm
+FROM perq GROUP BY dim
+"""
+
+
+@query("embedding_dim_truncation_recall", oracle=_TRUNC_ORACLE)
+def embedding_dim_truncation_recall(spark, sf_dir):
+    """The storage/recall frontier of PREFIX-truncated embeddings
+    (Matryoshka representation learning, Kusupati et al. 2022): for
+    each prefix length d in {dims}, retrieval recall@{k} of
+    cosine-over-first-d-dims against the full-dimension truth, as
+    exact integer ppm (mean and worst-case over {nq} probe queries),
+    next to the storage share kept (d/{full} in ppm).
+
+    Why it matters at 100 TB: embedding IO dominates vector-heavy
+    pipelines, and a prefix that keeps 25%% of the bytes at ~90%%
+    recall is the difference between a fleet-wide scan and a quarter
+    of one — this query is the measurement that licenses (or forbids)
+    that truncation, the same decision ann_recall_eval makes for the
+    IVF probe path.
+
+    Plan shape: the {nq} probe vectors ride into the scan as plan
+    literals sliced per dim (no query-side shuffle); ONE corpus scan
+    projects |dims| x |queries| cosine structs, ONE window exchange
+    takes top-{k} per (dim, query), and everything after is rollups
+    over a k x dims x queries relation joined broadcast to the
+    full-dim truth.  Output is integers only — overlap counts and
+    floor-divided ppm — so no float summation order can touch the
+    hash.
+    """
+    from pyspark.sql import Window
+
+    from streamforge_spark.functions.similarity import cosine
+
+    (emb,) = prep(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id",
+                   F.col("embedding").cast("array<double>").alias("v"))
+    qrows = sorted((r.vec_id, list(r.v)) for r in
+                   e.filter(F.col("vec_id") < TRUNC_NQ).collect())
+    per = []
+    for d in TRUNC_DIMS:
+        for qid, qv in qrows:
+            qlit = F.array(*[F.lit(float(x)) for x in qv[:d]])
+            per.append(F.struct(
+                F.lit(d).cast("int").alias("dim"),
+                F.lit(qid).cast("long").alias("qid"),
+                cosine(F.slice("v", 1, d), qlit).alias("cos")))
+    scored = (e.filter(F.col("vec_id") >= TRUNC_NQ)
+              .select(F.col("vec_id").alias("cid"),
+                      F.explode(F.array(*per)).alias("s"))
+              .select("cid", "s.dim", "s.qid", "s.cos"))
+    w = Window.partitionBy("dim", "qid").orderBy(F.col("cos").desc(),
+                                                 F.col("cid"))
+    sel = (scored.withColumn("rn", F.row_number().over(w))
+           .filter(F.col("rn") <= TRUNC_K)
+           .select("dim", "qid", "cid")
+           .localCheckpoint())   # 2 consumers: truth + per-dim overlap
+    truth = sel.filter(F.col("dim") == TRUNC_FULL).select("qid", "cid")
+    hits = (sel.join(F.broadcast(truth), ["qid", "cid"])
+            .groupBy("dim", "qid").agg(F.count(F.lit(1)).alias("n_hit")))
+    grid = (spark.createDataFrame(
+        [(int(d), int(qid)) for d in TRUNC_DIMS for qid, _ in qrows],
+        "dim int, qid long"))
+    perq = (grid.join(hits, ["dim", "qid"], "left")
+            .select("dim", "qid",
+                    F.coalesce("n_hit", F.lit(0).cast("long"))
+                    .alias("n_hit")))
+    return (perq.groupBy("dim")
+            .agg(F.expr(f"(1000000 * sum(n_hit)) div "
+                        f"({TRUNC_K} * {TRUNC_NQ})")
+                 .alias("mean_recall_ppm"),
+                 F.min(F.expr(f"(1000000 * n_hit) div {TRUNC_K}"))
+                 .alias("min_recall_ppm"))
+            .select("dim",
+                    F.expr(f"(1000000 * dim) div {TRUNC_FULL}")
+                    .cast("long").alias("kept_ppm"),
+                    "mean_recall_ppm", "min_recall_ppm"))
+
+
+embedding_dim_truncation_recall.__doc__ = \
+    embedding_dim_truncation_recall.__doc__.format(
+        dims=TRUNC_DIMS, k=TRUNC_K, nq=TRUNC_NQ, full=TRUNC_FULL)
