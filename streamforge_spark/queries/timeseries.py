@@ -1812,3 +1812,90 @@ def tv_drift_by_day(spark, sf_dir):
                                 / F.col("t").cast("double") * 1000000)
                         .cast("long").alias("share_ppm")))
     return drift_vs_baseline(hist, baseline)
+
+
+# -- watermark delay planner (r10, SURVEY §2.13's configuration input) ----
+
+@query(
+    "watermark_delay_planner",
+    oracle="""
+WITH seq AS (
+  SELECT event_type,
+         (max(epoch_us(ts)) OVER (PARTITION BY event_type
+                                  ORDER BY event_id
+                                  ROWS UNBOUNDED PRECEDING)
+          - epoch_us(ts)) // 1000000 AS late_s
+  FROM events),
+ranked AS (
+  SELECT event_type, late_s,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY late_s, event_type) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM seq)
+SELECT event_type,
+       CAST(MAX(n) AS BIGINT) AS n_events,
+       CAST((1000000 * SUM(CASE WHEN late_s > 0 THEN 1 ELSE 0 END))
+            // MAX(n) AS BIGINT) AS late_ppm,
+       CAST(MAX(CASE WHEN rn = CAST(CEIL(0.50 * n) AS BIGINT)
+                     THEN late_s END) AS BIGINT) AS p50_s,
+       CAST(MAX(CASE WHEN rn = CAST(CEIL(0.95 * n) AS BIGINT)
+                     THEN late_s END) AS BIGINT) AS p95_s,
+       CAST(MAX(CASE WHEN rn = CAST(CEIL(0.99 * n) AS BIGINT)
+                     THEN late_s END) AS BIGINT) AS p99_s,
+       CAST(MAX(late_s) AS BIGINT) AS max_late_s
+FROM ranked GROUP BY event_type
+""",
+)
+def watermark_delay_planner(spark, sf_dir):
+    """The number every withWatermark() call needs and nobody
+    measures: per stream key, the out-of-orderness profile of the
+    feed — how far behind the running event-time high-watermark each
+    event arrives (arrival order = event_id, the fixture's ingest
+    sequence).  Reports the late share (ppm) and exact p50/p95/p99/max
+    lateness in whole seconds: configure allowedLateness ~ p99 and the
+    watermark delay covers 99% of arrivals, with max_late_s telling
+    you what the remaining tail would cost to keep.
+
+    Too small a delay silently drops data (the reference's
+    allowedLateness surface, SessionAnalyzer); too large a delay holds
+    streaming state linearly longer at 100 TB/day — this query prices
+    that dial from the feed's own history instead of folklore.
+
+    Exact order statistics via the ranked-window trick
+    (event_value_percentiles' machinery: deterministic order,
+    rank == ceil(q*n)); integer floor seconds so no float touches the
+    hash.  Plan: two windows over the same (event_type) partitioning —
+    the running max in arrival order, the rank in lateness order —
+    AQE reuses the exchange, then one map-side-combined rollup to
+    |event_type| rows."""
+    (events,) = prep(spark, sf_dir, "events")
+    w_arr = (Window.partitionBy("event_type").orderBy("event_id")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    hw = F.max(F.unix_micros("ts")).over(w_arr)
+    seq = events.select(
+        "event_type",
+        # integer floor division (no double in the middle): the diff
+        # is a non-negative BIGINT by construction
+        (hw - F.unix_micros("ts")).alias("_d")).selectExpr(
+        "event_type", "_d div 1000000 AS late_s")
+    w_rank = Window.partitionBy("event_type").orderBy("late_s",
+                                                      "event_type")
+    w_n = Window.partitionBy("event_type")
+    ranked = seq.select(
+        "event_type", "late_s",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_n).alias("n"))
+
+    def at(q):
+        return F.max(F.when(
+            F.col("rn") == F.ceil(F.lit(q) * F.col("n")).cast("long"),
+            F.col("late_s")))
+
+    return (ranked.groupBy("event_type")
+            .agg(F.max("n").alias("n_events"),
+                 F.expr("(1000000 * sum(CASE WHEN late_s > 0 THEN 1 "
+                        "ELSE 0 END)) div max(n)").alias("late_ppm"),
+                 at(0.50).alias("p50_s"),
+                 at(0.95).alias("p95_s"),
+                 at(0.99).alias("p99_s"),
+                 F.max("late_s").alias("max_late_s")))
