@@ -786,3 +786,89 @@ def training_feed_manifest(spark, sf_dir):
         in_partial.alias("in_partial_epoch"),
         (full + F.when(in_partial, F.lit(1)).otherwise(F.lit(0)))
         .alias("total_feeds"))
+
+
+# -- source-mix rebalance plan (r10) ---------------------------------------
+
+# Target mixture policy: even-numbered sources get weight 2, odd get
+# weight 1 (the fixture stand-in for "web-heavy" mixture specs like
+# GPT-3/Pile tables); ppm shares are exact integer floor divisions of
+# the 30-unit weight total, so the plan arithmetic is hash-stable.
+MIX_EVEN_W, MIX_ODD_W = 2, 1
+MIX_TOTAL_W = 10 * MIX_EVEN_W + 10 * MIX_ODD_W
+MIX_TOL_DIV = 1000   # hold band: |delta| <= total_tokens / 1000
+
+
+@query(
+    "source_mix_rebalance_plan",
+    oracle=f"""
+WITH cur AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+         CAST(CAST(substr(source, 4) AS INTEGER) % 2 AS INTEGER) AS odd
+  FROM documents GROUP BY source),
+tot AS (SELECT SUM(n_tokens) AS total FROM cur),
+plan AS (
+  SELECT c.source, c.n_docs, c.n_tokens,
+         (1000000 * c.n_tokens) // t.total AS share_ppm,
+         ((CASE WHEN c.odd = 0 THEN {MIX_EVEN_W} ELSE {MIX_ODD_W} END)
+          * 1000000) // {MIX_TOTAL_W} AS target_ppm,
+         t.total AS total
+  FROM cur c CROSS JOIN tot t)
+SELECT source, n_docs, n_tokens,
+       CAST(share_ppm AS BIGINT) AS share_ppm,
+       CAST(target_ppm AS BIGINT) AS target_ppm,
+       CAST((total * target_ppm) // 1000000 - n_tokens AS BIGINT)
+         AS delta_tokens,
+       CASE WHEN (total * target_ppm) // 1000000 - n_tokens
+                 > total // {MIX_TOL_DIV} THEN 'acquire'
+            WHEN n_tokens - (total * target_ppm) // 1000000
+                 > total // {MIX_TOL_DIV} THEN 'sample_down'
+            ELSE 'hold' END AS action
+FROM plan
+""",
+)
+def source_mix_rebalance_plan(spark, sf_dir):
+    """Mixture rebalancing, the other half of epoch_repeat_plan's
+    question: given a TARGET mixture spec (the per-source ppm weights
+    a training recipe publishes — Pile/GPT-3-style tables), how far is
+    the corpus from it and what does each source owe — tokens to
+    acquire, tokens to down-sample, or hold within tolerance.  The
+    plan an acquisition team and the feed builder both read: one says
+    what to crawl next, the other caps what training may draw today.
+
+    All integer: current shares, targets, and deltas are exact floor
+    divisions over BIGINT token counts; the hold band is total/1000 so
+    dust-level imbalance doesn't thrash the crawler.
+
+    Scale shape: ONE map-side-combined rollup of the corpus to
+    |sources| rows, a 1-row total broadcast back onto it
+    (broadcast-scalar crossJoin, the adjudicated planning.py pattern),
+    and scan-side CASE arithmetic — nothing O(corpus) after the first
+    rollup."""
+    (docs,) = prep(spark, sf_dir, "documents")
+    cur = (docs.groupBy("source")
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.sum(F.expr("size(split(text, ' '))").cast("long"))
+                .alias("n_tokens")))
+    tot = cur.agg(F.sum("n_tokens").alias("total"))
+    odd = F.pmod(F.substring("source", 4, 10).cast("int"), F.lit(2))
+    target_ppm = F.expr(
+        f"(CASE WHEN _odd = 0 THEN {MIX_EVEN_W} ELSE {MIX_ODD_W} END "
+        f"* 1000000) div {MIX_TOTAL_W}")
+    j = (cur.withColumn("_odd", odd)
+         .crossJoin(F.broadcast(tot))
+         .withColumn("target_ppm", target_ppm)
+         .withColumn("_target_tokens",
+                     F.expr("(total * target_ppm) div 1000000")))
+    tol = F.expr(f"total div {MIX_TOL_DIV}")
+    delta = F.col("_target_tokens") - F.col("n_tokens")
+    return j.select(
+        "source", "n_docs", "n_tokens",
+        F.expr("(1000000 * n_tokens) div total").alias("share_ppm"),
+        F.col("target_ppm").cast("long").alias("target_ppm"),
+        delta.cast("long").alias("delta_tokens"),
+        F.when(delta > tol, F.lit("acquire"))
+         .when(-delta > tol, F.lit("sample_down"))
+         .otherwise(F.lit("hold")).alias("action"))
