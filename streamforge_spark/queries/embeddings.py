@@ -1279,16 +1279,16 @@ retrieval_ndcg_eval.__doc__ = \
 
 # -- Matryoshka-style dimension-truncation recall (r10) -----------------
 
-TRUNC_DIMS = (8, 16, 32, 64)   # prefix lengths evaluated (64 = fixture full)
-TRUNC_FULL = 64
-TRUNC_NQ = 8
-TRUNC_K = 10
+MRL_DIMS = (8, 16, 32, 64)   # prefix lengths evaluated (64 = fixture full)
+MRL_FULL = 64
+MRL_NQ = 8
+MRL_K = 10
 
-_TRUNC_ORACLE = f"""
+_MRL_ORACLE = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-q AS (SELECT vec_id AS qid, v FROM e WHERE vec_id < {TRUNC_NQ}),
-c AS (SELECT vec_id AS cid, v FROM e WHERE vec_id >= {TRUNC_NQ}),
-dims AS (SELECT unnest({list(TRUNC_DIMS)}) AS dim),
+q AS (SELECT vec_id AS qid, v FROM e WHERE vec_id < {MRL_NQ}),
+c AS (SELECT vec_id AS cid, v FROM e WHERE vec_id >= {MRL_NQ}),
+dims AS (SELECT unnest({list(MRL_DIMS)}) AS dim),
 scored AS (
   SELECT d.dim, q.qid, c.cid,
          CASE WHEN sqrt(list_dot_product(q.v[1:d.dim], q.v[1:d.dim]))
@@ -1305,8 +1305,8 @@ sel AS (
   SELECT dim, qid, cid FROM (
     SELECT *, row_number() OVER (PARTITION BY dim, qid
                                  ORDER BY cos DESC, cid) AS rn
-    FROM scored) WHERE rn <= {TRUNC_K}),
-truth AS (SELECT qid, cid FROM sel WHERE dim = {TRUNC_FULL}),
+    FROM scored) WHERE rn <= {MRL_K}),
+truth AS (SELECT qid, cid FROM sel WHERE dim = {MRL_FULL}),
 hits AS (SELECT s.dim, s.qid, CAST(COUNT(*) AS BIGINT) AS n_hit
          FROM sel s JOIN truth t ON s.qid = t.qid AND s.cid = t.cid
          GROUP BY 1, 2),
@@ -1315,16 +1315,16 @@ perq AS (SELECT g.dim, g.qid, COALESCE(h.n_hit, 0) AS n_hit
          FROM grid g LEFT JOIN hits h
            ON h.dim = g.dim AND h.qid = g.qid)
 SELECT CAST(dim AS INTEGER) AS dim,
-       CAST((1000000 * dim) // {TRUNC_FULL} AS BIGINT) AS kept_ppm,
-       CAST((1000000 * SUM(n_hit)) // ({TRUNC_K} * {TRUNC_NQ}) AS BIGINT)
+       CAST((1000000 * dim) // {MRL_FULL} AS BIGINT) AS kept_ppm,
+       CAST((1000000 * SUM(n_hit)) // ({MRL_K} * {MRL_NQ}) AS BIGINT)
          AS mean_recall_ppm,
-       CAST(MIN((1000000 * n_hit) // {TRUNC_K}) AS BIGINT)
+       CAST(MIN((1000000 * n_hit) // {MRL_K}) AS BIGINT)
          AS min_recall_ppm
 FROM perq GROUP BY dim
 """
 
 
-@query("embedding_dim_truncation_recall", oracle=_TRUNC_ORACLE)
+@query("embedding_dim_truncation_recall", oracle=_MRL_ORACLE)
 def embedding_dim_truncation_recall(spark, sf_dir):
     """The storage/recall frontier of PREFIX-truncated embeddings
     (Matryoshka representation learning, Kusupati et al. 2022): for
@@ -1334,7 +1334,7 @@ def embedding_dim_truncation_recall(spark, sf_dir):
     next to the storage share kept (d/{full} in ppm).
 
     Why it matters at 100 TB: embedding IO dominates vector-heavy
-    pipelines, and a prefix that keeps 25%% of the bytes at ~90%%
+    pipelines, and a prefix that keeps 25% of the bytes at ~90%
     recall is the difference between a fleet-wide scan and a quarter
     of one — this query is the measurement that licenses (or forbids)
     that truncation, the same decision ann_recall_eval makes for the
@@ -1357,30 +1357,30 @@ def embedding_dim_truncation_recall(spark, sf_dir):
     e = emb.select("vec_id",
                    F.col("embedding").cast("array<double>").alias("v"))
     qrows = sorted((r.vec_id, list(r.v)) for r in
-                   e.filter(F.col("vec_id") < TRUNC_NQ).collect())
+                   e.filter(F.col("vec_id") < MRL_NQ).collect())
     per = []
-    for d in TRUNC_DIMS:
+    for d in MRL_DIMS:
         for qid, qv in qrows:
             qlit = F.array(*[F.lit(float(x)) for x in qv[:d]])
             per.append(F.struct(
                 F.lit(d).cast("int").alias("dim"),
                 F.lit(qid).cast("long").alias("qid"),
                 cosine(F.slice("v", 1, d), qlit).alias("cos")))
-    scored = (e.filter(F.col("vec_id") >= TRUNC_NQ)
+    scored = (e.filter(F.col("vec_id") >= MRL_NQ)
               .select(F.col("vec_id").alias("cid"),
                       F.explode(F.array(*per)).alias("s"))
               .select("cid", "s.dim", "s.qid", "s.cos"))
     w = Window.partitionBy("dim", "qid").orderBy(F.col("cos").desc(),
                                                  F.col("cid"))
     sel = (scored.withColumn("rn", F.row_number().over(w))
-           .filter(F.col("rn") <= TRUNC_K)
+           .filter(F.col("rn") <= MRL_K)
            .select("dim", "qid", "cid")
            .localCheckpoint())   # 2 consumers: truth + per-dim overlap
-    truth = sel.filter(F.col("dim") == TRUNC_FULL).select("qid", "cid")
+    truth = sel.filter(F.col("dim") == MRL_FULL).select("qid", "cid")
     hits = (sel.join(F.broadcast(truth), ["qid", "cid"])
             .groupBy("dim", "qid").agg(F.count(F.lit(1)).alias("n_hit")))
     grid = (spark.createDataFrame(
-        [(int(d), int(qid)) for d in TRUNC_DIMS for qid, _ in qrows],
+        [(int(d), int(qid)) for d in MRL_DIMS for qid, _ in qrows],
         "dim int, qid long"))
     perq = (grid.join(hits, ["dim", "qid"], "left")
             .select("dim", "qid",
@@ -1388,16 +1388,16 @@ def embedding_dim_truncation_recall(spark, sf_dir):
                     .alias("n_hit")))
     return (perq.groupBy("dim")
             .agg(F.expr(f"(1000000 * sum(n_hit)) div "
-                        f"({TRUNC_K} * {TRUNC_NQ})")
+                        f"({MRL_K} * {MRL_NQ})")
                  .alias("mean_recall_ppm"),
-                 F.min(F.expr(f"(1000000 * n_hit) div {TRUNC_K}"))
+                 F.min(F.expr(f"(1000000 * n_hit) div {MRL_K}"))
                  .alias("min_recall_ppm"))
             .select("dim",
-                    F.expr(f"(1000000 * dim) div {TRUNC_FULL}")
+                    F.expr(f"(1000000 * dim) div {MRL_FULL}")
                     .cast("long").alias("kept_ppm"),
                     "mean_recall_ppm", "min_recall_ppm"))
 
 
 embedding_dim_truncation_recall.__doc__ = \
     embedding_dim_truncation_recall.__doc__.format(
-        dims=TRUNC_DIMS, k=TRUNC_K, nq=TRUNC_NQ, full=TRUNC_FULL)
+        dims=MRL_DIMS, k=MRL_K, nq=MRL_NQ, full=MRL_FULL)
