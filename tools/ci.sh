@@ -13,6 +13,13 @@ echo "== unit + streaming + oracle parity (sf0.001) =="
 python -m pytest tests/ -x -q
 echo "== full oracle parity at driver scale (sf0.01) =="
 STREAMFORGE_PARITY_SF=/root/testdata/sf0.01 python -m pytest tests/test_oracle_parity.py -q
+echo "== every registered query has an oracle (no_oracle gate) =="
+python -c "
+from streamforge_spark import registry
+registry.load_all()  # raises if any queries() name lacks oracle_sql()
+assert set(registry.QUERIES) == set(registry.ORACLES), 'queries/oracles diverge'
+print(f'{len(registry.QUERIES)} queries, all oracled')
+"
 echo "== oracle dtype-cast map current (HUGEINT drift lint) =="
 python tools/gen_oracle_casts.py --check
 echo "== source pins current (dirty-bit rotation state) =="
