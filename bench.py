@@ -166,6 +166,9 @@ def main() -> None:
     if "--solo" in sys.argv:
         _solo(sf_dir, sf)
         return
+    if "--artifacts" in sys.argv:
+        _artifacts(sf_dir, sf)
+        return
 
     spark = get_spark("streamforge-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -175,8 +178,13 @@ def main() -> None:
     # inline model-store builds materialize once per process, so the
     # measured cost is the steady-state funnel against a warm store —
     # the production (CorpusIngestV2) amortization.  Disable with
-    # SPARK_GRAFT_NO_BENCH_CACHE=1 to measure cold builds.
-    if os.environ.get("SPARK_GRAFT_NO_BENCH_CACHE") != "1":
+    # SPARK_GRAFT_NO_BENCH_CACHE=1 to measure cold builds.  The flag
+    # is stamped into the ledger entry (judge r10 item 4 / advisor):
+    # a warm-vs-cold comparison is cross-methodology, and the
+    # machine-readable record must say so, not just the prose note.
+    bench_cache = "off" if os.environ.get(
+        "SPARK_GRAFT_NO_BENCH_CACHE") == "1" else "on"
+    if bench_cache == "on":
         from streamforge_spark import benchcache
         benchcache.enable()
 
@@ -216,15 +224,28 @@ def main() -> None:
         passes.append(t_pass)
     timings = {n: round(min(p[n] for p in passes), 3) for n in HEADLINE}
 
+    total_this_run = round(sum(min(p[n] for p in passes)
+                               for n in HEADLINE), 3)
+
     # Best-of-ROUND fold (judge r9 item 3): a contended run must not
     # publish a phantom regression as the round's number.  Earlier
     # same-round ledger entries contribute their per-query minima —
     # but only for names whose recorded source hash matches the
     # current source, so a mid-round plan edit can't inherit the old
-    # plan's timing.
+    # plan's timing.  Widened per advisor r10: the qhash covers only
+    # the query fn + oracle, so the fold ALSO requires the entry's
+    # whole-source tree hash and benchcache flag to match — a
+    # mid-round helper-module edit or a cache-mode flip invalidates
+    # every earlier entry instead of inheriting its timing.
     qhash = {n: registry.source_hash(n)[:12] for n in HEADLINE}
+    tree = _tree_hash()
     folded = 0
+    fold_entries = 0
     for entry in _same_round_entries(sf):
+        if entry.get("tree_hash") != tree \
+                or entry.get("benchcache") != bench_cache:
+            continue
+        fold_entries += 1
         eq, eh = entry.get("queries", {}), entry.get("qhash", {})
         for n in HEADLINE:
             if n in eq and eh.get(n) == qhash[n] and eq[n] < timings[n]:
@@ -240,7 +261,17 @@ def main() -> None:
         "sf": sf,
         "runs_per_query": len(passes),
         "qhash": qhash,
+        "tree_hash": tree,
+        "benchcache": bench_cache,
+        # both totals published (advisor r10): `value` is the
+        # best-of-round fold (the round's number), `value_this_run`
+        # is this run alone — a reader can see how much the fold
+        # ratchet contributed.  effective_samples = passes in this
+        # run + passes in every fold-eligible same-round entry.
+        "value_this_run": total_this_run,
         "folded_same_round": folded,
+        "fold_entries": fold_entries,
+        "effective_samples": len(passes) * (1 + fold_entries),
         "host_calib_sec": round(calib, 3),
         # contention diagnostic: per-query max/min across passes — a
         # localized spike shows up here instead of in the headline
@@ -257,21 +288,41 @@ def main() -> None:
         src, prev_data = prev
         prev_q = prev_data.get("queries", {})
         prev_runs = prev_data.get("runs_per_query", 1)
+        prev_cache = prev_data.get("benchcache", "unknown")
+        prev_calib = prev_data.get("host_calib_sec")
         out["vs_prev"] = {
             "source": src,
             "total_prev": prev_data.get("value"),
             "total_delta": round(total - prev_data.get("value", 0.0), 3),
             # best-of-N vs single-run artifacts aren't apples-to-apples
-            # (min-of-passes flatters the newer number); flag it so the
-            # delta is read as cross-methodology, not as a code change
+            # (min-of-passes flatters the newer number), and a warm
+            # benchcache vs cold (or unknown) base isn't either (judge
+            # r10 item 4: r10's ~7.5s "improvement" was partly the
+            # warm-artifact methodology switch, and this flag said
+            # false); flag either so the delta is read as
+            # cross-methodology, not as a code change
             "runs_per_query_prev": prev_runs,
+            "benchcache_prev": prev_cache,
             "cross_methodology": (prev_runs != len(passes)
-                                  or bool(prev_data.get("reconstructed"))),
+                                  or bool(prev_data.get("reconstructed"))
+                                  or prev_cache != bench_cache),
             "per_query_delta": {
                 n: round(timings[n] - prev_q[n], 3)
                 for n in timings if n in prev_q
             },
         }
+        # host-normalized delta (judge r10 item 5): scale this round's
+        # total to the previous round's host speed via the pure-JVM
+        # calibration constant, so a 1.3x slower-host day reads as
+        # ~zero calibrated delta instead of needing a hand-written
+        # adjudication note.  Null when the base predates the constant.
+        if prev_calib and calib:
+            out["vs_prev"]["host_calib_prev"] = prev_calib
+            out["vs_prev"]["total_delta_calibrated"] = round(
+                total * (prev_calib / calib) - prev_data.get("value", 0.0),
+                3)
+        else:
+            out["vs_prev"]["total_delta_calibrated"] = None
     print(json.dumps(out))
     # Persist the UNtruncated artifact: the driver's BENCH_r{N}.json
     # wrapper keeps only a 2000-char stdout tail, which loses the
@@ -294,7 +345,25 @@ _NON_QUERY_KEYS = frozenset({
     "metric", "value", "sf", "n", "rc", "cpus", "runs_per_query",
     "runs_per_query_prev", "pass_spread_max", "total_prev",
     "total_delta", "rounds_seen", "folded_same_round", "folded_entries",
+    "host_calib_sec", "host_calib_prev", "total_delta_calibrated",
+    "value_this_run", "effective_samples", "fold_entries",
+    "family_cold_wall",
 })
+
+
+def _tree_hash() -> str:
+    """12-hex digest over every streamforge_spark/ source file —
+    the whole-tree complement to the per-query ``source_hash`` fold
+    guard (advisor r10: a mid-round edit to a shared helper module
+    changes plans without changing any qhash, so earlier ledger
+    entries must stop folding)."""
+    import hashlib
+    here = pathlib.Path(__file__).resolve().parent
+    h = hashlib.sha256()
+    for p in sorted((here / "streamforge_spark").rglob("*.py")):
+        h.update(str(p.relative_to(here)).encode())
+        h.update(p.read_bytes())
+    return h.hexdigest()[:12]
 
 
 def _ledger_entries(sf: float | None, rnd: int) -> list[dict]:
@@ -354,10 +423,82 @@ def _solo(sf_dir: str, sf: float | None) -> None:
         "unit": "sec",
         "passes": times,
         "sf": sf,
+        "benchcache": ("off" if os.environ.get(
+            "SPARK_GRAFT_NO_BENCH_CACHE") == "1" else "on"),
+        "tree_hash": _tree_hash(),
         "qhash": {name: registry.source_hash(name)[:12]},
         "note": ("solo best-of-%d per the standing verdict-r9-item-7 "
                  "protocol; monotone decay across passes = warm-up, "
                  "not a plan regression" % runs),
+    }
+    print(json.dumps(out))
+    here = pathlib.Path(__file__).resolve().parent
+    with open(here / "BENCH_SELF.jsonl", "a") as fh:
+        fh.write(json.dumps(out) + "\n")
+    spark.stop()
+
+
+def _artifacts(sf_dir: str, sf: float | None) -> None:
+    """Cold artifact-build bench (judge r10 item 4): with benchcache
+    ON, the headline wall measures the funnel family against a warm
+    model store, so a regression in the BUILD code itself would be
+    invisible.  ``python bench.py --artifacts`` runs the funnel family
+    once with NO cache, timing each model-store build helper
+    individually (accumulated across call sites), and appends ONE
+    ``artifact_build_wall`` line per round to BENCH_SELF.jsonl."""
+    import functools
+
+    spark = get_spark("streamforge-bench-artifacts")
+    spark.sparkContext.setLogLevel("ERROR")
+    registry.load_all()
+
+    builds: dict[str, float] = {}
+
+    def timed_build(fn):
+        @functools.wraps(fn)
+        def wrapper(*args, **kwargs):
+            t0 = time.perf_counter()
+            out = fn(*args, **kwargs)
+            # charge materialization to the build, not the enclosing
+            # query, exactly as benchcache would absorb it
+            from pyspark.sql import DataFrame
+            if isinstance(out, DataFrame):
+                out = out.localCheckpoint()
+            builds[fn.__name__] = round(
+                builds.get(fn.__name__, 0.0)
+                + time.perf_counter() - t0, 3)
+            return out
+        return wrapper
+
+    # same patch points as benchcache.enable(), but timing instead of
+    # memoizing — every call pays full build price and is measured
+    from streamforge_spark.functions import clustering, dsir
+    from streamforge_spark.functions import substring_index as xsmod
+    from streamforge_spark.streaming import curation as scur
+    clustering.kmeans_centroids = timed_build(clustering.kmeans_centroids)
+    dsir.dsir_llr_model = timed_build(dsir.dsir_llr_model)
+    xsmod.substring_index = timed_build(xsmod.substring_index)
+    scur.minhash_corpus_index = timed_build(scur.minhash_corpus_index)
+
+    family = ["corpus_funnel_report", "corpus_funnel_semantic_report",
+              "semantic_ingest_gate", "ann_ivf_probe_sweep"]
+    t0 = time.perf_counter()
+    for name in family:
+        registry.QUERIES[name](spark, sf_dir) \
+            .write.format("noop").mode("overwrite").save()
+    cold_wall = round(time.perf_counter() - t0, 3)
+
+    out = {
+        "metric": "artifact_build_wall",
+        "value": round(sum(builds.values()), 3),
+        "unit": "sec",
+        "builds": builds,
+        "family_cold_wall": cold_wall,
+        "family": family,
+        "sf": sf,
+        "benchcache": "off",
+        "tree_hash": _tree_hash(),
+        "rounds_seen": _rounds_on_disk(),
     }
     print(json.dumps(out))
     here = pathlib.Path(__file__).resolve().parent
@@ -472,6 +613,9 @@ def _latest_bench_artifact(sf: float | None):
             for n, v in d["queries"].items():
                 if isinstance(v, (int, float)):
                     folded[n] = min(folded.get(n, float("inf")), v)
+        flags = {d.get("benchcache", "unknown") for d in entries}
+        calibs = [d["host_calib_sec"] for d in entries
+                  if isinstance(d.get("host_calib_sec"), (int, float))]
         best = {
             "value": round(sum(folded.values()), 3),
             "queries": folded,
@@ -479,6 +623,11 @@ def _latest_bench_artifact(sf: float | None):
             "runs_per_query": max(d.get("runs_per_query", 1)
                                   for d in entries),
             "folded_entries": len(entries),
+            # flag/calib of the comparison base: unanimous flag or
+            # "mixed"; min calib matches the best-of-round fold (the
+            # fastest host state contributed the folded minima)
+            "benchcache": flags.pop() if len(flags) == 1 else "mixed",
+            "host_calib_sec": min(calibs) if calibs else None,
         }
         return (f"BENCH_SELF.jsonl(r{cur:02d})", best)
     wrappers = []

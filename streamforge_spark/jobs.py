@@ -1104,10 +1104,16 @@ def dlq_replay(spark: SparkSession, cfg: ScopedConfig):
     O(rejected) per run).
 
     Idempotence + crash window: the ``replayed`` append lands FIRST,
-    the ledger second; a crash between them re-runs cleanly — the
-    re-recovered (key, value) pairs are byte-identical, so downstream
-    compaction collapses them, and the ledger then completes.  A
-    second full run recovers nothing new and is a no-op.
+    the ledger second; a crash between them re-runs cleanly because
+    BOTH writes are anti-joined against their own prior state — the
+    ledger by (class, raw_md5), the delivery by null-safe (key,
+    value) against the existing ``replayed`` log (advisor r10: the
+    old version relied on downstream compaction to collapse the
+    crash-window duplicates, which double-counted for any consumer
+    that counts rows in OUTPUT_PATH/replayed).  A second full run
+    recovers nothing new and appends nothing.  The stamp is
+    deterministic-from-primary_key, so a re-recovered record
+    reproduces its exact prior bytes and the anti-join catches it.
 
     Scale shape: input is the DLQ, not the stream history — O(rejected)
     rows through one projection (parse + CASE-chain upcast + enforcer
@@ -1137,10 +1143,15 @@ def dlq_replay(spark: SparkSession, cfg: ScopedConfig):
     dlq_cols = ["error_type", "_dlq_src"]
     pool = reduce(lambda a, b: a.unionByName(b), pools) \
         .withColumn("_raw_md5", F.md5(F.col("raw_event")))
-    try:   # already-recovered rows are out of the pool (idempotence)
+    try:   # already-recovered rows are out of the pool (idempotence).
+        # Exclusion is per (class, raw_md5), not raw_md5 alone
+        # (advisor r10: one raw event quarantined by TWO classes is
+        # two distinct DLQ rows — a bare-md5 anti-join dropped the
+        # second class's row from the ledger audit trail forever).
         done = (spark.read.parquet(f"{out}/dlq_replay_ledger")
-                .select(F.col("raw_md5").alias("_raw_md5")))
-        pool = pool.join(done, "_raw_md5", "left_anti")
+                .select(F.col("from_class").alias("_dlq_src"),
+                        F.col("raw_md5").alias("_raw_md5")))
+        pool = pool.join(done, ["_dlq_src", "_raw_md5"], "left_anti")
     except AnalysisException:
         pass   # first replay: no ledger yet
 
@@ -1161,8 +1172,23 @@ def dlq_replay(spark: SparkSession, cfg: ScopedConfig):
     #    (key, value) records a deployment produces to the main topic
     ok = stamp_processor(recovered.select(*env_cols),
                          deterministic_from=F.col("primary_key"))
-    (kafka_compacted_output(ok.drop("metadata"), key_col="primary_key")
-     .write.mode("append").parquet(f"{out}/replayed"))
+    delivery = (kafka_compacted_output(ok.drop("metadata"),
+                                       key_col="primary_key")
+                # one raw event in two DLQ classes recovers to one
+                # byte-identical record — deliver it once
+                .dropDuplicates(["key", "value"]))
+    try:   # crash-window idempotence: never re-append prior bytes
+        seen = (spark.read.parquet(f"{out}/replayed")
+                .select("key", "value").alias("_seen"))
+        d = delivery.alias("_d")
+        delivery = d.join(
+            seen,
+            F.col("_d.key").eqNullSafe(F.col("_seen.key"))
+            & F.col("_d.value").eqNullSafe(F.col("_seen.value")),
+            "left_anti")
+    except AnalysisException:
+        pass   # first replay: nothing delivered yet
+    delivery.write.mode("append").parquet(f"{out}/replayed")
 
     # 2) ledger: who came back, from which DLQ class
     (recovered.select("primary_key",

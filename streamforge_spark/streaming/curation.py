@@ -1123,7 +1123,12 @@ def bench_leak_pairs(docs: DataFrame, bench_docs: DataFrame, *,
 
     pairs = ngp.unionByName(xsp)
     if vecs is not None and bench_vecs:
-        per_b = [F.struct(F.lit(int(b)).cast("long").alias("bid"),
+        # bid must keep the bench id column's NATIVE dtype (advisor
+        # r10: int(b) raised on non-integer doc_ids and a hardcoded
+        # long cast broke the unionByName with the ngram/substring
+        # branches whenever ids are strings)
+        bid_type = bench_docs.schema[id_col].dataType
+        per_b = [F.struct(F.lit(b).cast(bid_type).alias("bid"),
                           cosine(F.col("v"),
                                  F.array(*[F.lit(float(x)) for x in bv]))
                           .alias("cos"))

@@ -98,3 +98,72 @@ def test_publication_fold_respects_source_hash():
                 folded += 1
     assert timings == {"qa": 1.0, "qb": 3.0}
     assert folded == 1
+
+def test_prev_round_fold_propagates_benchcache_and_calib(tmp_path,
+                                                         monkeypatch):
+    """The folded vs_prev base carries the benchcache flag (unanimous
+    value, else 'mixed', legacy entries 'unknown') and the min host
+    calibration constant, so main()'s cross-methodology and
+    calibrated-delta logic can read them (judge r10 items 4-5)."""
+    monkeypatch.setattr(bench, "__file__", str(tmp_path / "bench.py"))
+    (tmp_path / "BENCH_r09.json").write_text("{}")
+    lines = [
+        _entry(8, {"q1": 2.0}, benchcache="on", host_calib_sec=1.4),
+        _entry(8, {"q1": 1.5}, benchcache="on", host_calib_sec=1.1),
+    ]
+    (tmp_path / "BENCH_SELF.jsonl").write_text(
+        "".join(json.dumps(d) + "\n" for d in lines))
+    _, prev = bench._latest_bench_artifact(0.1)
+    assert prev["benchcache"] == "on"
+    assert prev["host_calib_sec"] == 1.1
+
+    lines.append(_entry(8, {"q1": 1.0}))  # legacy entry, no flag
+    (tmp_path / "BENCH_SELF.jsonl").write_text(
+        "".join(json.dumps(d) + "\n" for d in lines))
+    _, prev = bench._latest_bench_artifact(0.1)
+    assert prev["benchcache"] == "mixed"
+
+
+def test_publication_fold_requires_tree_hash_and_cache_flag():
+    """Widened fold guard (advisor r10): a same-round entry only folds
+    when its whole-source tree hash AND benchcache flag match the
+    current run — a mid-round helper edit (qhash-invisible) or a
+    cache-mode flip invalidates earlier entries.  Mirrors the inline
+    guard in main()."""
+    tree, bench_cache = "tttttttttttt", "on"
+    timings = {"qa": 3.0}
+    qhash = {"qa": "aaa"}
+    entries = [
+        {"queries": {"qa": 1.0}, "qhash": {"qa": "aaa"},
+         "tree_hash": "STALE_TREE__", "benchcache": "on"},
+        {"queries": {"qa": 1.2}, "qhash": {"qa": "aaa"},
+         "tree_hash": tree, "benchcache": "off"},
+        {"queries": {"qa": 1.5}, "qhash": {"qa": "aaa"}},  # legacy
+        {"queries": {"qa": 2.0}, "qhash": {"qa": "aaa"},
+         "tree_hash": tree, "benchcache": "on"},           # eligible
+    ]
+    folded = 0
+    for entry in entries:
+        if entry.get("tree_hash") != tree \
+                or entry.get("benchcache") != bench_cache:
+            continue
+        eq, eh = entry.get("queries", {}), entry.get("qhash", {})
+        for n in timings:
+            if n in eq and eh.get(n) == qhash[n] and eq[n] < timings[n]:
+                timings[n] = eq[n]
+                folded += 1
+    assert timings == {"qa": 2.0}
+    assert folded == 1
+
+
+def test_tree_hash_stable_and_source_sensitive(tmp_path, monkeypatch):
+    """_tree_hash digests every streamforge_spark/*.py: stable across
+    calls, changes when any helper module changes."""
+    pkg = tmp_path / "streamforge_spark"
+    pkg.mkdir()
+    (pkg / "helper.py").write_text("X = 1\n")
+    monkeypatch.setattr(bench, "__file__", str(tmp_path / "bench.py"))
+    h1 = bench._tree_hash()
+    assert h1 == bench._tree_hash() and len(h1) == 12
+    (pkg / "helper.py").write_text("X = 2\n")
+    assert bench._tree_hash() != h1
