@@ -335,7 +335,14 @@ def schema_migrator(df: DataFrame, payload_col: str, version: Column,
     # flat iff the lossy map parse re-serializes to the same JSON as
     # the type-preserving VARIANT parse; NULL (unparseable) is not
     # flat.  The variant encoding sorts object keys, so the map side
-    # is entry-sorted before serializing to compare order-insensitively
+    # is entry-sorted before serializing to compare order-insensitively.
+    # PINNED ASSUMPTION (advisor r10): to_json(try_parse_json(x))
+    # emits object keys in SORTED order — this is the Spark 4 variant
+    # binary encoding (sorted dictionary), not a documented contract.
+    # tests/test_operators.py::test_schema_migrator_unsorted_flat_keys
+    # fails loudly if a Spark upgrade changes it; without that test an
+    # ordering change would silently divert every flat payload with
+    # unsorted keys to the SCHEMA_NONFLAT_PAYLOAD DLQ.
     flat = F.coalesce(
         F.to_json(F.map_from_entries(F.array_sort(F.map_entries(mc0))))
         == F.to_json(F.try_parse_json(F.col(payload_col))),

@@ -1086,6 +1086,33 @@ def test_schema_migrator_nonflat_payload_to_dlq(spark):
     assert d == {"SCHEMA_NONFLAT_PAYLOAD": 4, "SCHEMA_UNMIGRATABLE": 1}
 
 
+def test_schema_migrator_unsorted_flat_keys(spark):
+    """Pins the Spark variant key-ordering assumption (advisor r10):
+    the flat-payload check compares to_json(try_parse_json(payload))
+    — whose object keys Spark's variant encoding emits SORTED —
+    against the entry-sorted map parse.  A flat payload whose keys
+    arrive UNSORTED must still be recognized as flat and migrate; if
+    a Spark upgrade changes variant-to-JSON key ordering, this test
+    fails loudly instead of the operator silently diverting such
+    payloads to the SCHEMA_NONFLAT_PAYLOAD DLQ."""
+    import json as _json
+    from streamforge_spark.operators.quality import (
+        SchemaMigration, schema_migrator,
+    )
+    from pyspark.sql import functions as F
+    raw = '{"zeta": "1", "alpha": "2", "mid": null, "beta": "3"}'
+    df = spark.createDataFrame([(1, "v1", raw)],
+                               "id long, ver string, payload string")
+    ok, dlq = schema_migrator(
+        df, "payload", F.col("ver"),
+        [SchemaMigration("v1", "v2", rename=(("zeta", "omega"),))])
+    rows = ok.collect()
+    assert [r.id for r in rows] == [1]
+    assert _json.loads(rows[0].payload) == {
+        "omega": "1", "alpha": "2", "mid": None, "beta": "3"}
+    assert dlq.count() == 0
+
+
 def test_schema_migrator_rejects_broken_chain(spark):
     from streamforge_spark.operators.quality import (
         SchemaMigration, schema_migrator,
