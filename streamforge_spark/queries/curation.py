@@ -245,6 +245,93 @@ def token_budget_pack(spark, sf_dir):
         F.floor(prefix / PACK_BUDGET).cast("long").alias("shard_id"))
 
 
+_PACK_XATTN_ORACLE = f"""
+WITH sized AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST({hash60_sql("CAST(doc_id AS VARCHAR)", f"'{PACK_SALT}'")} % {PACK_GROUPS} AS INTEGER) AS pack_group
+  FROM documents),
+packed AS (
+  SELECT pack_group, n_tokens,
+         CAST((SUM(n_tokens) OVER (PARTITION BY pack_group ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) - n_tokens)
+              // {PACK_BUDGET} AS BIGINT) AS shard_id
+  FROM sized),
+shards AS (
+  SELECT pack_group, shard_id,
+         CAST(SUM(n_tokens) AS BIGINT) AS t,
+         CAST(SUM((n_tokens * (n_tokens + 1)) // 2) AS BIGINT)
+           AS within_pairs
+  FROM packed GROUP BY pack_group, shard_id)
+SELECT pack_group,
+       CAST(COUNT(*) AS BIGINT) AS n_shards,
+       CAST(SUM(t) AS BIGINT) AS total_tokens,
+       CAST(SUM((t * (t + 1)) // 2) AS BIGINT) AS total_pairs,
+       CAST(SUM((t * (t + 1)) // 2 - within_pairs) AS BIGINT)
+         AS cross_pairs,
+       CAST((SUM((t * (t + 1)) // 2 - within_pairs) * 1000000)
+            // SUM((t * (t + 1)) // 2) AS BIGINT) AS xattn_ppm
+FROM shards GROUP BY pack_group
+"""
+
+
+@query("pack_cross_attention_report", oracle=_PACK_XATTN_ORACLE)
+def pack_cross_attention_report(spark, sf_dir):
+    """Prices the attention-mask trade that token_budget_pack and
+    context_pack_efficiency leave open: when documents are packed
+    into shards WITHOUT a block-diagonal attention mask, every causal
+    (query, key) pair that crosses a document boundary attends to
+    unrelated context.  Per pack group: total causal pairs
+    T*(T+1)/2 per shard vs the within-document pairs
+    sum(t_i*(t_i+1)/2), and the cross-document fraction as integer
+    ppm — high xattn_ppm says the mask (or boundary-respecting
+    packing) is worth its kernel complexity; near-zero says naive
+    concat-packing is fine for this length distribution.
+
+    Exactly token_budget_pack's deterministic packing (same salt,
+    groups, budget — the oracle replays the identical prefix-sum), so
+    the report grades the packing the pipeline actually ships.  All
+    integer: t*(t+1) is even, so div 2 is exact on both engines.
+
+    Scale shape: the scan projects to one BIGINT per document; the
+    prefix-sum windows run per pack_group ({PACK_GROUPS} parallel
+    streams, no global order); per-shard and per-group rollups are
+    map-side-combined; nothing quadratic ever materializes — the
+    pair counts are closed-form per shard.  BIGINT holds: per-shard
+    pairs ~ budget², summed ≈ total_tokens x budget ≈ 2x10**17 at
+    10**14 tokens.  Reference anchor: no analog (training-plan
+    surplus; SURVEY.md §2.14)."""
+    (docs,) = prep(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        (oracle_hash60(F.col("doc_id").cast("string"), salt=PACK_SALT)
+         % PACK_GROUPS).cast("int").alias("pack_group"))
+    w = (Window.partitionBy("pack_group").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    prefix = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    packed = sized.select(
+        "pack_group", "n_tokens",
+        F.floor(prefix / PACK_BUDGET).cast("long").alias("shard_id"))
+    shards = (packed.groupBy("pack_group", "shard_id")
+              .agg(F.sum("n_tokens").alias("t"),
+                   F.sum(F.expr("(n_tokens * (n_tokens + 1)) div 2"))
+                   .alias("within_pairs")))
+    per = shards.select(
+        "pack_group", "t", "within_pairs",
+        F.expr("(t * (t + 1)) div 2").alias("pairs"))
+    return (per.groupBy("pack_group")
+            .agg(F.count(F.lit(1)).alias("n_shards"),
+                 F.sum("t").alias("total_tokens"),
+                 F.sum("pairs").alias("total_pairs"),
+                 F.sum(F.col("pairs") - F.col("within_pairs"))
+                 .alias("cross_pairs"))
+            .withColumn("xattn_ppm",
+                        F.expr("(cross_pairs * 1000000) div total_pairs"))
+            .select("pack_group", "n_shards", "total_tokens",
+                    "total_pairs", "cross_pairs", "xattn_ppm"))
+
+
 # -- leakage-safe train/validation split ---------------------------------
 
 SPLIT_SALT = "split"

@@ -2021,3 +2021,91 @@ def corpus_quality_by_lang(spark, sf_dir):
                     F.expr("_w div n_docs").alias("words_per_doc"),
                     F.expr("(1000000 * _a) div n_docs")
                     .alias("langid_agree_ppm")))
+
+
+# -- corpus novelty saturation curve -------------------------------------
+
+NOVELTY_BUCKETS = 20   # ingestion-prefix buckets (doc_id value ranges)
+
+_NOVELTY_CURVE_ORACLE = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+glist AS (SELECT doc_id,
+                 list_distinct(list_transform(
+                   generate_series(1, greatest(len(t) - 2, 1)),
+                   i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS gs
+          FROM toks),
+grams AS (SELECT doc_id, unnest(gs) AS g FROM glist),
+mx AS (SELECT MAX(doc_id) AS max_id FROM documents),
+b AS (SELECT doc_id,
+             CAST((doc_id * {NOVELTY_BUCKETS}) // (max_id + 1) AS BIGINT)
+               AS bucket
+      FROM documents CROSS JOIN mx),
+inst AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS gram_instances
+         FROM grams JOIN b USING (doc_id) GROUP BY bucket),
+fst AS (SELECT g, MIN(doc_id) AS first_doc FROM grams GROUP BY g),
+nw AS (SELECT b.bucket, CAST(COUNT(*) AS BIGINT) AS new_grams
+       FROM fst JOIN b ON fst.first_doc = b.doc_id GROUP BY b.bucket),
+nd AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs
+       FROM b GROUP BY bucket)
+SELECT nd.bucket, nd.n_docs,
+       CAST(SUM(nd.n_docs) OVER (ORDER BY nd.bucket
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cum_docs,
+       inst.gram_instances, nw.new_grams,
+       CAST(SUM(nw.new_grams) OVER (ORDER BY nd.bucket
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cum_new_grams,
+       CAST((nw.new_grams * 1000000) // inst.gram_instances AS BIGINT)
+         AS novelty_ppm
+FROM nd JOIN inst USING (bucket) JOIN nw USING (bucket)
+"""
+
+
+@query("ngram_novelty_curve", oracle=_NOVELTY_CURVE_ORACLE)
+def ngram_novelty_curve(spark, sf_dir):
+    """Corpus novelty-saturation curve (empirical Heaps' law): split
+    the ingestion order (doc_id ranges) into {NOVELTY_BUCKETS} prefix
+    buckets and report, per bucket, how many word-3-gram shingle types
+    are seen for the FIRST time and what fraction of the bucket's
+    shingle instances they are — the diminishing-returns curve that
+    answers "does the next 10% of this source still add new content,
+    or are we paying ingest+dedup cost for repeats?".  Complements
+    doc_novelty (per-document uniqueness) with the corpus-growth view.
+
+    Buckets are doc_id VALUE ranges against the broadcast max id, not
+    ntile — a global ntile window is a single-partition sort, the
+    classic scale bug; value-range bucketing is one scalar broadcast
+    and stays scan-parallel at any corpus size.
+
+    Scale shape: shuffled rows are (8-byte xxhash64, doc_id) — first
+    occurrence is one map-side-combined MIN per shingle hash; instance
+    counts are one rollup to {NOVELTY_BUCKETS} rows; the cumulative
+    sums run on the {NOVELTY_BUCKETS}-row result, never on data.
+    Reference anchor: no analog (LLM-curation surplus, SURVEY.md
+    §2.14)."""
+    (docs,) = prep(spark, sf_dir, "documents")
+    mx = docs.agg(F.max("doc_id").alias("max_id"))
+    b = (docs.crossJoin(F.broadcast(mx))
+         .select("doc_id",
+                 F.expr(f"(doc_id * {NOVELTY_BUCKETS}) div (max_id + 1)")
+                 .alias("bucket")))
+    grams = (spread_for_compute(docs, "doc_id")
+             .select("doc_id",
+                     F.explode(word_ngrams(F.col("text"), 3)).alias("g"))
+             .withColumn("h", F.xxhash64("g")).drop("g"))
+    inst = (grams.join(b, "doc_id")
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("gram_instances")))
+    fst = grams.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    nw = (fst.join(b.withColumnRenamed("doc_id", "first_doc"), "first_doc")
+          .groupBy("bucket").agg(F.count(F.lit(1)).alias("new_grams")))
+    nd = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = (Window.orderBy("bucket")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (nd.join(inst, "bucket").join(nw, "bucket")
+            .withColumn("cum_docs", F.sum("n_docs").over(w))
+            .withColumn("cum_new_grams", F.sum("new_grams").over(w))
+            .select("bucket", "n_docs", "cum_docs", "gram_instances",
+                    "new_grams", "cum_new_grams",
+                    F.expr("(new_grams * 1000000) div gram_instances")
+                    .alias("novelty_ppm")))
