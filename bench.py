@@ -149,6 +149,12 @@ HEADLINE = [
     # max_by collapse of the log + one co-partitioned full-outer join
     # against the snapshot + an 8-row broadcast manifest
     "snapshot_handoff_state",
+    # round-11 additions: the Heaps-law novelty saturation curve (one
+    # (hash, doc_id) shuffle + 20-row cumsum) and the packing
+    # attention-contamination report (per-group prefix-sum windows,
+    # closed-form pair counts)
+    "ngram_novelty_curve",
+    "pack_cross_attention_report",
 ]
 
 

@@ -2051,13 +2051,14 @@ SELECT nd.bucket, nd.n_docs,
        CAST(SUM(nd.n_docs) OVER (ORDER BY nd.bucket
                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
          AS cum_docs,
-       inst.gram_instances, nw.new_grams,
-       CAST(SUM(nw.new_grams) OVER (ORDER BY nd.bucket
-                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
-         AS cum_new_grams,
-       CAST((nw.new_grams * 1000000) // inst.gram_instances AS BIGINT)
-         AS novelty_ppm
-FROM nd JOIN inst USING (bucket) JOIN nw USING (bucket)
+       inst.gram_instances,
+       CAST(COALESCE(nw.new_grams, 0) AS BIGINT) AS new_grams,
+       CAST(SUM(COALESCE(nw.new_grams, 0))
+              OVER (ORDER BY nd.bucket ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS cum_new_grams,
+       CAST((COALESCE(nw.new_grams, 0) * 1000000)
+            // inst.gram_instances AS BIGINT) AS novelty_ppm
+FROM nd JOIN inst USING (bucket) LEFT JOIN nw USING (bucket)
 """
 
 
@@ -2075,34 +2076,41 @@ def ngram_novelty_curve(spark, sf_dir):
     Buckets are doc_id VALUE ranges against the broadcast max id, not
     ntile — a global ntile window is a single-partition sort, the
     classic scale bug; value-range bucketing is one scalar broadcast
-    and stays scan-parallel at any corpus size.
+    and stays scan-parallel at any corpus size.  The bucket function
+    is monotone in doc_id, so a shingle's first-seen bucket is
+    MIN(bucket) directly — no min-doc-then-join-back second pass.
 
-    Scale shape: shuffled rows are (8-byte xxhash64, doc_id) — first
-    occurrence is one map-side-combined MIN per shingle hash; instance
-    counts are one rollup to {NOVELTY_BUCKETS} rows; the cumulative
-    sums run on the {NOVELTY_BUCKETS}-row result, never on data.
-    Reference anchor: no analog (LLM-curation surplus, SURVEY.md
-    §2.14)."""
+    Scale shape: ONE shingle explode (the text is read and shingled
+    exactly once — a two-consumer formulation recomputed the explode
+    per branch, verified in the executed plan) feeds one map-side-
+    combined (hash, bucket) rollup; a per-hash MIN window on that
+    rollup marks each hash's first-seen bucket, and one final rollup
+    to {NOVELTY_BUCKETS} rows produces instance and first-seen counts
+    together.  The cumulative sums run on the {NOVELTY_BUCKETS}-row
+    result, never on data.  Reference anchor: no analog (LLM-curation
+    surplus, SURVEY.md §2.14)."""
     (docs,) = prep(spark, sf_dir, "documents")
     mx = docs.agg(F.max("doc_id").alias("max_id"))
-    b = (docs.crossJoin(F.broadcast(mx))
-         .select("doc_id",
-                 F.expr(f"(doc_id * {NOVELTY_BUCKETS}) div (max_id + 1)")
-                 .alias("bucket")))
-    grams = (spread_for_compute(docs, "doc_id")
-             .select("doc_id",
-                     F.explode(word_ngrams(F.col("text"), 3)).alias("g"))
-             .withColumn("h", F.xxhash64("g")).drop("g"))
-    inst = (grams.join(b, "doc_id")
-            .groupBy("bucket")
-            .agg(F.count(F.lit(1)).alias("gram_instances")))
-    fst = grams.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
-    nw = (fst.join(b.withColumnRenamed("doc_id", "first_doc"), "first_doc")
-          .groupBy("bucket").agg(F.count(F.lit(1)).alias("new_grams")))
-    nd = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_docs"))
+    bucket = F.expr(f"(doc_id * {NOVELTY_BUCKETS}) div (max_id + 1)")
+    hb = (spread_for_compute(docs, "doc_id")
+          .select("doc_id",
+                  F.explode(word_ngrams(F.col("text"), 3)).alias("g"))
+          .withColumn("h", F.xxhash64("g")).drop("g")
+          .crossJoin(F.broadcast(mx))
+          .groupBy("h", bucket.alias("bucket"))
+          .agg(F.count(F.lit(1)).alias("n")))
+    first = F.min("bucket").over(Window.partitionBy("h"))
+    per = (hb.withColumn("first_bucket", first)
+           .groupBy("bucket")
+           .agg(F.sum("n").alias("gram_instances"),
+                F.count(F.when(F.col("bucket") == F.col("first_bucket"),
+                               F.lit(1))).alias("new_grams")))
+    nd = (docs.crossJoin(F.broadcast(mx))
+          .groupBy(bucket.alias("bucket"))
+          .agg(F.count(F.lit(1)).alias("n_docs")))
     w = (Window.orderBy("bucket")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    return (nd.join(inst, "bucket").join(nw, "bucket")
+    return (nd.join(per, "bucket")
             .withColumn("cum_docs", F.sum("n_docs").over(w))
             .withColumn("cum_new_grams", F.sum("new_grams").over(w))
             .select("bucket", "n_docs", "cum_docs", "gram_instances",
