@@ -860,3 +860,42 @@ def test_ndcg_eval_single_window_broadcast_counts(spark):
     assert plan.count("Arguments: hashpartitioning") == 2  # window + final agg
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_novelty_curve_single_text_scan_no_text_exchange(spark):
+    """ngram_novelty_curve (r11): the text is read and shingled ONCE
+    (a two-consumer formulation recomputed the explode per branch),
+    and nothing text-bearing crosses an exchange except
+    spread_for_compute's doc-level small-input repartition — the
+    shuffled relation is (xxhash64, bucket) longs."""
+    import re
+    plan = plan_of(spark, "ngram_novelty_curve")
+    assert len(re.findall(r"\(\d+\) Generate\b", plan)) == 1
+    text_scans = [l for l in plan.splitlines()
+                  if "ReadSchema" in l and "text" in l]
+    assert len(text_scans) == 1, text_scans
+    text_exchanges = [
+        m.group(1)
+        for m in re.finditer(r"\(\d+\) Exchange\n(Input \[\d+\]: \[[^\]]*\])",
+                             plan)
+        if "text" in m.group(1)]
+    assert len(text_exchanges) <= 1, text_exchanges
+    for inp in text_exchanges:       # must be the raw 2-column spread
+        assert re.match(r"Input \[2\]: \[doc_id#\d+L, text#\d+\]", inp), inp
+    assert "CartesianProduct" not in plan
+
+
+def test_pack_xattn_no_text_exchange_no_global_sort(spark):
+    """pack_cross_attention_report (r11): the scan projects to one
+    BIGINT per document before any exchange; the prefix-sum windows
+    are per-pack_group (no single-partition global window); pair
+    counts are closed-form — no join, no cartesian."""
+    import re
+    plan = plan_of(spark, "pack_cross_attention_report")
+    for m in re.finditer(r"\(\d+\) Exchange\n(Input \[\d+\]: \[[^\]]*\])",
+                         plan):
+        assert "text" not in m.group(1), m.group(1)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    # the window partitions by pack_group, never a SinglePartition sort
+    assert "Exchange SinglePartition" not in plan
