@@ -167,3 +167,20 @@ def test_tree_hash_stable_and_source_sensitive(tmp_path, monkeypatch):
     assert h1 == bench._tree_hash() and len(h1) == 12
     (pkg / "helper.py").write_text("X = 2\n")
     assert bench._tree_hash() != h1
+
+
+def test_calibrated_delta_normalizes_host_speed():
+    """total_delta_calibrated scales the current total to the previous
+    round's host speed: identical plans on a 2x slower host read as
+    zero; a real 10% regression survives the normalization; missing
+    constants yield None instead of a misleading number."""
+    # same workload, host exactly 2x slower: raw +100s, calibrated 0
+    assert bench._calibrated_delta(200.0, 0.30, 100.0, 0.15) == 0.0
+    # real 10% regression on an identical host stays visible
+    assert bench._calibrated_delta(110.0, 0.15, 100.0, 0.15) == 10.0
+    # faster host can't mask a regression: raw -25s, calibrated +50s
+    assert bench._calibrated_delta(75.0, 0.075, 100.0, 0.15) == 50.0
+    # missing constants (pre-r10 artifacts) -> None
+    assert bench._calibrated_delta(100.0, None, 100.0, 0.15) is None
+    assert bench._calibrated_delta(100.0, 0.15, 100.0, None) is None
+    assert bench._calibrated_delta(100.0, 0.15, None, 0.15) is None
