@@ -1401,3 +1401,101 @@ def embedding_dim_truncation_recall(spark, sf_dir):
 embedding_dim_truncation_recall.__doc__ = \
     embedding_dim_truncation_recall.__doc__.format(
         dims=MRL_DIMS, k=MRL_K, nq=MRL_NQ, full=MRL_FULL)
+
+
+# -- attribute-filtered vector search ------------------------------------
+
+FILT_K = 10
+FILT_NQ = 10   # query vectors: vec_id < 10
+
+_FILT_TOPK_ORACLE = f"""
+WITH q AS (SELECT vec_id AS qid, label AS ql, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < {FILT_NQ}),
+c AS (SELECT vec_id AS cid, label AS cl, embedding::DOUBLE[] AS cv
+      FROM embeddings),
+s AS (SELECT qid, cid,
+             list_dot_product(qv, cv)
+               / (sqrt(list_dot_product(qv, qv))
+                  * sqrt(list_dot_product(cv, cv))) AS cos
+      FROM q JOIN c ON c.cl = q.ql AND qid <> cid)
+SELECT qid AS query_id, cid AS neighbor_id, CAST(rn AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                                   ORDER BY cos DESC, cid) AS rn
+      FROM s)
+WHERE rn <= {FILT_K}
+"""
+
+
+@query("ann_filtered_topk", oracle=_FILT_TOPK_ORACLE)
+def ann_filtered_topk(spark, sf_dir):
+    """Attribute-filtered vector search — the named hard problem of
+    production vector stores: top-k cosine neighbors restricted to
+    candidates sharing the query's metadata attribute (here ``label``;
+    in production the language, domain, or tenant).  This is the
+    PRE-filter strategy: the predicate reaches the parquet scan as an
+    ``In(label, ...)`` pushed filter BEFORE any distance math, so at
+    1% selectivity the distance work drops 100x — whereas
+    POST-filtering an unfiltered index probe (the naive composition of
+    ann_ivf_topk + a WHERE) silently returns fewer than k when the
+    filter decimates the probed cells.  Exact by construction, so it
+    is also the recall truth for any future filtered-index path.
+
+    Same execution discipline as ann_cosine_topk (embeddings.py:86):
+    queries broadcast as a numpy matrix, corpus stays partitioned,
+    cosine masked to label-matching pairs, per-partition lossless
+    top-k prune under the final (cos desc, cid) order, global window
+    rank over n_part*k rows per query.  At 100 TB nothing but the
+    pruned candidates ever shuffles."""
+    (emb,) = prep(spark, sf_dir, "embeddings")
+    q_rows = sorted(emb.filter(F.col("vec_id") < FILT_NQ)
+                    .select("vec_id", "label", "embedding").collect())
+    Q = np.array([r.embedding for r in q_rows], dtype=np.float64)
+    qids = np.array([r.vec_id for r in q_rows])
+    qlabels = np.array([r.label for r in q_rows])
+    qn = seq_norms(Q)
+    bq = spark.sparkContext.broadcast((Q, qids, qlabels, qn))
+
+    schema = T.StructType([
+        T.StructField("qid", T.LongType()),
+        T.StructField("cid", T.LongType()),
+        T.StructField("cos", T.DoubleType()),
+    ])
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        Qm, ids, labels, qnorm = bq.value
+        cos_parts, cid_parts = [], []
+        for pdf in batches:
+            C = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            cids = pdf["vec_id"].to_numpy()
+            clabels = pdf["label"].to_numpy()
+            dots = seq_dot_matrix(C, Qm)                 # (batch, nq)
+            cos = dots / np.outer(seq_norms(C), qnorm)
+            cos[cids[:, None] == ids[None, :]] = -np.inf   # mask self
+            cos[clabels[:, None] != labels[None, :]] = -np.inf  # filter
+            cos_parts.append(cos)
+            cid_parts.append(cids)
+        if not cos_parts:
+            return
+        cos_all = np.concatenate(cos_parts)
+        cid_all = np.concatenate(cid_parts)
+        out = {"qid": [], "cid": [], "cos": []}
+        for j, qid in enumerate(ids):
+            order = np.lexsort((cid_all, -cos_all[:, j]))[:FILT_K]
+            keep = order[np.isfinite(cos_all[order, j])]
+            out["qid"].append(np.full(len(keep), qid))
+            out["cid"].append(cid_all[keep])
+            out["cos"].append(cos_all[keep, j])
+        yield pd.DataFrame({k: np.concatenate(v) for k, v in out.items()})
+
+    # the pre-filter: only labels any query carries reach the scorer —
+    # pushed to the parquet scan (PushedFilters: In(label, ...)), so
+    # distance math scales with the FILTERED corpus, not the corpus
+    labels = sorted({int(x) for x in qlabels})
+    cand = emb.filter(F.col("label").isin(labels))
+    scored = cand.mapInPandas(score, schema)
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid"))
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= FILT_K)
+            .select(F.col("qid").alias("query_id"),
+                    F.col("cid").alias("neighbor_id"),
+                    F.col("rn").cast("long").alias("rank")))
