@@ -155,6 +155,9 @@ HEADLINE = [
     # closed-form pair counts)
     "ngram_novelty_curve",
     "pack_cross_attention_report",
+    # attribute-filtered exact vector search (scan-pushed label
+    # pre-filter, broadcast queries, per-partition lossless top-k)
+    "ann_filtered_topk",
 ]
 
 
