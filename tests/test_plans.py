@@ -899,3 +899,11 @@ def test_pack_xattn_no_text_exchange_no_global_sort(spark):
     assert "SortMergeJoin" not in plan
     # the window partitions by pack_group, never a SinglePartition sort
     assert "Exchange SinglePartition" not in plan
+
+
+def test_ann_filtered_pushes_label_filter_to_scan(spark):
+    """ann_filtered_topk (r11): the metadata pre-filter must reach the
+    parquet scan — distance math scales with the FILTERED corpus."""
+    plan = plan_of(spark, "ann_filtered_topk")
+    assert "PushedFilters: [In(label" in plan, \
+        [l for l in plan.splitlines() if "PushedFilters" in l]
