@@ -184,3 +184,15 @@ def test_calibrated_delta_normalizes_host_speed():
     assert bench._calibrated_delta(100.0, None, 100.0, 0.15) is None
     assert bench._calibrated_delta(100.0, 0.15, 100.0, None) is None
     assert bench._calibrated_delta(100.0, 0.15, None, 0.15) is None
+
+
+def test_headline_names_are_registered_and_oracled():
+    """A renamed/deregistered query must fail here, not crash the
+    driver's round-end bench run (KeyError mid-measurement)."""
+    from streamforge_spark import registry
+    registry.load_all()
+    missing = [n for n in bench.HEADLINE if n not in registry.QUERIES]
+    assert not missing, missing
+    unoracled = [n for n in bench.HEADLINE if n not in registry.ORACLES]
+    assert not unoracled, unoracled
+    assert len(bench.HEADLINE) == len(set(bench.HEADLINE))
