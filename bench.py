@@ -249,17 +249,24 @@ def main() -> None:
     qhash = {n: registry.source_hash(n)[:12] for n in HEADLINE}
     tree = _tree_hash()
     folded = 0
-    fold_entries = 0
-    for entry in _same_round_entries(sf):
-        if entry.get("tree_hash") != tree \
-                or entry.get("benchcache") != bench_cache:
-            continue
-        fold_entries += 1
+    eligible = [e for e in _same_round_entries(sf)
+                if e.get("tree_hash") == tree
+                and e.get("benchcache") == bench_cache]
+    for entry in eligible:
         eq, eh = entry.get("queries", {}), entry.get("qhash", {})
         for n in HEADLINE:
             if n in eq and eh.get(n) == qhash[n] and eq[n] < timings[n]:
                 timings[n] = eq[n]
                 folded += 1
+    # The calibration constant paired with the FOLD total must be the
+    # fastest host state among its contributors (judge r11 item 1: the
+    # fold's minima were recorded at calib~0.171 host states; scaling
+    # them by the final run's 0.342 constant published a phantom
+    # -73.6s "calibrated improvement" when fold-vs-fold was 0.99x
+    # flat).  Mirrors _latest_bench_artifact's min(calibs) for the
+    # comparison base, so both sides of the delta pair a fold with the
+    # min of its contributors' constants.
+    fold_calib = _fold_calib(calib, eligible)
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -279,9 +286,13 @@ def main() -> None:
         # run + passes in every fold-eligible same-round entry.
         "value_this_run": total_this_run,
         "folded_same_round": folded,
-        "fold_entries": fold_entries,
-        "effective_samples": len(passes) * (1 + fold_entries),
+        "fold_entries": len(eligible),
+        # sum each contributor's RECORDED pass count (advisor r11: a
+        # 1-pass entry folding into a 2-pass run is 3 samples, not 4)
+        "effective_samples": len(passes) + sum(
+            e.get("runs_per_query", 1) for e in eligible),
         "host_calib_sec": round(calib, 3),
+        "host_calib_fold": round(fold_calib, 3),
         # contention diagnostic: per-query max/min across passes — a
         # localized spike shows up here instead of in the headline
         "pass_spread_max": round(max(
@@ -327,8 +338,16 @@ def main() -> None:
         # adjudication note.  Null when the base predates the constant.
         if prev_calib:
             out["vs_prev"]["host_calib_prev"] = prev_calib
+        # Pair each total with ITS OWN calibration constant (judge r11
+        # item 1): the fold total with the min over fold contributors
+        # (+ this run), value_this_run with this run's constant.  When
+        # no earlier entry folded in, fold_calib == calib and the two
+        # deltas agree by construction.
         out["vs_prev"]["total_delta_calibrated"] = _calibrated_delta(
-            total, calib, prev_data.get("value"), prev_calib)
+            total, fold_calib, prev_data.get("value"), prev_calib)
+        out["vs_prev"]["total_delta_calibrated_this_run"] = \
+            _calibrated_delta(total_this_run, calib,
+                              prev_data.get("value"), prev_calib)
     print(json.dumps(out))
     # Persist the UNtruncated artifact: the driver's BENCH_r{N}.json
     # wrapper keeps only a 2000-char stdout tail, which loses the
@@ -353,8 +372,26 @@ _NON_QUERY_KEYS = frozenset({
     "total_delta", "rounds_seen", "folded_same_round", "folded_entries",
     "host_calib_sec", "host_calib_prev", "total_delta_calibrated",
     "value_this_run", "effective_samples", "fold_entries",
-    "family_cold_wall",
+    "family_cold_wall", "host_calib_fold",
+    "total_delta_calibrated_this_run",
 })
+
+
+def _fold_calib(this_calib: float, eligible: list[dict]) -> float:
+    """Calibration constant to pair with the best-of-round FOLD total:
+    the min over this run's constant and every fold-eligible same-round
+    entry's.  The folded per-query minima were recorded at the FASTEST
+    host state among contributors, so pairing them with any slower
+    constant scales already-fast numbers up and manufactures phantom
+    improvement (judge r11 item 1: -73.6s claimed vs 0.99x actual).
+    Invariant (regression-tested): never worse than any contributor's
+    recorded constant, and equal to ``this_calib`` when nothing folded.
+    """
+    calibs = [this_calib] + [
+        e["host_calib_sec"] for e in eligible
+        if isinstance(e.get("host_calib_sec"), (int, float))
+        and e["host_calib_sec"] > 0]
+    return min(calibs)
 
 
 def _calibrated_delta(total, calib, total_prev, calib_prev):
@@ -476,12 +513,13 @@ def _artifacts(sf_dir: str, sf: float | None) -> None:
         @functools.wraps(fn)
         def wrapper(*args, **kwargs):
             t0 = time.perf_counter()
-            out = fn(*args, **kwargs)
             # charge materialization to the build, not the enclosing
-            # query, exactly as benchcache would absorb it
-            from pyspark.sql import DataFrame
-            if isinstance(out, DataFrame):
-                out = out.localCheckpoint()
+            # query, exactly as benchcache would absorb it — the SAME
+            # recursion (advisor r11: minhash_corpus_index returns a
+            # (bands, grams) tuple; a bare-DataFrame check left it
+            # lazy and charged its cost to the enclosing query's wall)
+            from streamforge_spark.benchcache import _materialize
+            out = _materialize(fn(*args, **kwargs))
             builds[fn.__name__] = round(
                 builds.get(fn.__name__, 0.0)
                 + time.perf_counter() - t0, 3)
