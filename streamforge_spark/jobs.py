@@ -1159,6 +1159,9 @@ def dlq_replay(spark: SparkSession, cfg: ScopedConfig):
     recovers nothing new and appends nothing.  The stamp is
     deterministic-from-primary_key, so a re-recovered record
     reproduces its exact prior bytes and the anti-join catches it.
+    Replay is single-writer by contract (advisor r11): the anti-join
+    is checkpointed before the append, which protects a crashed
+    rerun, not two replays racing the same OUTPUT_PATH.
 
     Scale shape: input is the DLQ, not the stream history — O(rejected)
     rows through one projection (parse + CASE-chain upcast + enforcer
@@ -1233,6 +1236,15 @@ def dlq_replay(spark: SparkSession, cfg: ScopedConfig):
             "left_anti")
     except AnalysisException:
         pass   # first replay: nothing delivered yet
+    # Materialize the anti-join BEFORE appending (advisor r11): the
+    # lazy plan would list/read OUTPUT_PATH/replayed inside the same
+    # action that appends to it — ordering the read before the write
+    # only by accident of driver-side file listing.  Checkpointing
+    # pins the read's file set first, then the append runs against a
+    # closed plan.  Replay is SINGLE-WRITER by contract (like the
+    # compactor's quiesced batch window): two concurrent replay runs
+    # could both pass the anti-join and double-append.
+    delivery = delivery.localCheckpoint()
     delivery.write.mode("append").parquet(f"{out}/replayed")
 
     # 2) ledger: who came back, from which DLQ class
