@@ -907,3 +907,16 @@ def test_ann_filtered_pushes_label_filter_to_scan(spark):
     plan = plan_of(spark, "ann_filtered_topk")
     assert "PushedFilters: [In(label" in plan, \
         [l for l in plan.splitlines() if "PushedFilters" in l]
+
+
+def test_filtered_probe_pushes_label_filter_to_scan(spark):
+    """ann_filtered_probe_recall (r12): the filtered-IVF posting scan
+    must carry the label pre-filter INTO the parquet read (applied on
+    the scan projection, before the opaque Python assign stage), and
+    the probe side's bounded results must broadcast into the recall
+    rollup rather than shuffle the truth."""
+    plan = plan_of(spark, "ann_filtered_probe_recall")
+    assert "PushedFilters: [In(label" in plan, \
+        [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
