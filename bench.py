@@ -158,6 +158,15 @@ HEADLINE = [
     # attribute-filtered exact vector search (scan-pushed label
     # pre-filter, broadcast queries, per-partition lossless top-k)
     "ann_filtered_topk",
+    # round-12 additions: the DLQ replay's delivered-record relation
+    # (zero-shuffle upcast+enforcer chain, one (key,value) distinct),
+    # the filtered-IVF probe graded against exact filtered truth
+    # (label-pushed posting scan, broadcast recall rollup), and the
+    # two-level prefix-max lateness profile (partition-parallel
+    # running max, B-row carry rollup)
+    "dlq_replay_outcome",
+    "ann_filtered_probe_recall",
+    "arrival_lateness_histogram",
 ]
 
 

@@ -1899,3 +1899,66 @@ def watermark_delay_planner(spark, sf_dir):
                  at(0.95).alias("p95_s"),
                  at(0.99).alias("p99_s"),
                  F.max("late_s").alias("max_late_s")))
+
+
+@query(
+    "arrival_lateness_histogram",
+    oracle="""
+WITH arr AS (
+  SELECT ((epoch_us(ts) // 60000000) * 10 + event_id % 7) * 100000000
+         + event_id AS a, ts
+  FROM events),
+seq AS (
+  SELECT (max(epoch_us(ts)) OVER (ORDER BY a ROWS UNBOUNDED PRECEDING)
+          - epoch_us(ts)) // 1000000 AS late_s
+  FROM arr)
+SELECT CAST(LEAST(late_s // 10, 50) AS BIGINT) AS bucket_10s,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MIN(late_s) AS BIGINT) AS min_late_s,
+       CAST(MAX(late_s) AS BIGINT) AS max_late_s
+FROM seq GROUP BY 1
+""",
+)
+def arrival_lateness_histogram(spark, sf_dir):
+    """GLOBAL-arrival-order lateness distribution of a feed — the
+    calibration relation behind ``WATERMARK_DELAY_MODE=derived``
+    (streaming/planner.py, jobs.py::_watermark_delay): every event's
+    lag behind the running event-time high-watermark in arrival
+    order, rolled into 10-second buckets (capped at bucket 50).
+    watermark_delay_planner prices the per-stream-key dial; this is
+    the single global watermark the Spark engine actually advances —
+    one delay covers the whole union, exactly what derived-mode jobs
+    consume.
+
+    The fixture's ingest sequence (event_id) is perfectly event-time
+    ordered — zero lateness would pin nothing — so arrival order is
+    the standard calibration-harness REPLAY with deterministic
+    bounded disorder: events shuffle within their event-time minute
+    by a 7-way deterministic jitter (arrival key = (minute, id%7,
+    id) packed into one BIGINT), yielding a real 0-59s lateness
+    profile both engines reproduce bit-for-bit.
+
+    The oracle computes the naive single-partition running max; the
+    Spark side runs the production ``arrival_lateness`` two-level
+    prefix-max (value-range buckets over the arrival key, exact
+    running max within each bucket in parallel, a B-row rollup of
+    bucket maxima re-broadcast as the prior-bucket high-watermark) —
+    this row IS the proof that the partition-parallel formulation
+    equals the global window exactly, including cross-bucket
+    watermark carry.  At 100 TB the naive window is one partition;
+    the bucketed plan's tallest shuffle is B rows.
+    """
+    from streamforge_spark.streaming.planner import arrival_lateness
+    (events,) = prep(spark, sf_dir, "events")
+    arr = events.select(
+        ((F.expr("unix_micros(ts) div 60000000") * 10
+          + F.pmod(F.col("event_id"), F.lit(7))) * 100000000
+         + F.col("event_id")).alias("a"),
+        "ts")
+    late = arrival_lateness(arr, "ts", "a", buckets=64)
+    return (late.groupBy(
+                F.least(F.expr("late_s div 10"), F.lit(50)).cast("long")
+                .alias("bucket_10s"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.min("late_s").alias("min_late_s"),
+                 F.max("late_s").alias("max_late_s")))
