@@ -143,19 +143,28 @@ def _watermark_delay(spark: SparkSession, cfg: ScopedConfig,
     state for more than a day).  The calibration read happens ONCE at
     job build time, not per microbatch.
     """
+    static = cfg.get("WATERMARK_MAX_DRIFT", default)
     if cfg.get("WATERMARK_DELAY_MODE", "static") != "derived":
-        return cfg.get("WATERMARK_MAX_DRIFT", default)
+        return static
+    from pyspark.errors import AnalysisException
+
     from streamforge_spark.streaming.planner import (
         calibration_feed, planned_delay_seconds)
     q = float(cfg.get("WATERMARK_DELAY_QUANTILE", "0.99"))
     floor_s = int(cfg.get("WATERMARK_DELAY_FLOOR_S", "1"))
     cap_s = int(cfg.get("WATERMARK_DELAY_CAP_S", "86400"))
-    delay = max(
-        planned_delay_seconds(
-            calibration_feed(spark, cfg.require(key)),
-            "event_time", "_arrival",
-            quantile=q, floor_s=floor_s, cap_s=cap_s)
-        for key in path_keys)
+    try:
+        delay = max(
+            planned_delay_seconds(
+                calibration_feed(spark, cfg.require(key)),
+                "event_time", "_arrival",
+                quantile=q, floor_s=floor_s, cap_s=cap_s)
+            for key in path_keys)
+    except AnalysisException:
+        # first boot: the source dir doesn't exist / has no files yet
+        # — no history to calibrate on, start on the static posture
+        # (a restart after the first window re-derives)
+        return static
     return f"{delay} seconds"
 
 

@@ -123,3 +123,11 @@ def test_calibration_feed_orders_files_then_lines(spark, tmp_path):
     got = [r["primary_key"] for r in
            feed.orderBy("_arrival").select("primary_key").collect()]
     assert got == ["u0", "u1", "u2", "u0", "u1"]
+
+
+def test_derived_mode_falls_back_on_empty_source(spark, tmp_path):
+    """First boot: no calibration history yet — derived mode starts on
+    the static posture instead of failing the job build."""
+    cfg = job_cfg(tmp_path, WATERMARK_DELAY_MODE="derived")
+    # SOURCE_PATH dir never created
+    assert _watermark_delay(spark, cfg) == "5 seconds"
