@@ -52,7 +52,11 @@ def arrival_lateness(df: DataFrame, time_col: str, order_col: str,
                     F.floor((F.col(order_col).cast("double") - F.col("_lo"))
                             * buckets / span).cast("long"),
                     F.lit(buckets - 1)))
-                .drop("_lo", "_hi"))
+                .drop("_lo", "_hi")
+                # two consumers (within-bucket window + per-bucket max
+                # rollup): pin so the feed and the range scalar are
+                # scanned once, not once per branch
+                .localCheckpoint(eager=False))
     w_in = (Window.partitionBy("_b").orderBy(order_col)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     t_us = F.unix_micros(F.col(time_col))

@@ -920,3 +920,26 @@ def test_filtered_probe_pushes_label_filter_to_scan(spark):
         [l for l in plan.splitlines() if "PushedFilters" in l]
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_dlq_replay_outcome_single_exchange_no_join(spark):
+    """dlq_replay_outcome (r12): the whole replay chain — pool
+    selection, CASE-chain upcast, enforcer re-grade, deterministic
+    stamp, to_json — is one zero-join projection; the ONLY exchange is
+    the (key, value) distinct at O(recovered)."""
+    plan = plan_of(spark, "dlq_replay_outcome")
+    assert plan.count("Arguments: hashpartitioning") == 1, plan[:400]
+    for node in ("SortMergeJoin", "BroadcastHashJoin",
+                 "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert node not in plan, node
+
+
+def test_arrival_lateness_no_global_sort_no_smj(spark):
+    """arrival_lateness_histogram (r12): the two-level prefix max
+    must never fall back to a global single-partition running-max
+    window over the feed (the B-row bucket rollup's tiny global sort
+    is post-checkpoint and bounded by buckets=64); no sort-merge or
+    cartesian anywhere."""
+    plan = plan_of(spark, "arrival_lateness_histogram")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
