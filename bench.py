@@ -167,6 +167,9 @@ HEADLINE = [
     "dlq_replay_outcome",
     "ann_filtered_probe_recall",
     "arrival_lateness_histogram",
+    # the filtered-path nprobe calibration (one index build + one
+    # rank-tagged probe pass serves all four configs)
+    "ann_filtered_probe_sweep",
 ]
 
 

@@ -453,7 +453,8 @@ def ann_ivf_probe_scores(emb: DataFrame, query_ids, *,
                          cells: int = 16, rounds: int = 2,
                          max_nprobe: int = 4,
                          id_col: str = "vec_id",
-                         vec_col: str = "embedding") -> DataFrame:
+                         vec_col: str = "embedding",
+                         filter_label_col: str | None = None) -> DataFrame:
     """(qid, cid, prnk, cos) for every IVF candidate within each
     query's ``max_nprobe`` nearest cells, carrying the rank of the
     candidate's cell in the query's probe order — so ONE index build
@@ -463,7 +464,11 @@ def ann_ivf_probe_scores(emb: DataFrame, query_ids, *,
 
     Same fixed-point trainer / assignment / exact-cosine contract as
     :func:`ann_ivf_fixed_topk` (each corpus vector lives in exactly
-    one cell, so a (qid, cid) pair carries exactly one prnk)."""
+    one cell, so a (qid, cid) pair carries exactly one prnk).
+    ``filter_label_col`` composes the attribute pre-filter exactly as
+    in :func:`ann_ivf_fixed_topk`: label-agnostic index, scan-pushed
+    label restriction before cell assignment, label-matched candidate
+    join — the sweep over the FILTERED probe path."""
     from streamforge_spark.functions.clustering import (
         KMEANS_QUANT, kmeans_centroids)
     spark = emb.sparkSession
@@ -471,10 +476,12 @@ def ann_ivf_probe_scores(emb: DataFrame, query_ids, *,
                          id_col=id_col, vec_col=vec_col)
     bc = spark.sparkContext.broadcast(C)
     raw = F.col(vec_col).cast("array<double>")
+    lbl_cols = ([F.col(filter_label_col).alias("lbl")]
+                if filter_label_col else [])
     e = emb.select(
         F.col(id_col).alias("_id"), raw.alias("v"),
         F.transform(raw, lambda x: F.round(x * KMEANS_QUANT).cast("long"))
-        .alias("qv"))
+        .alias("qv"), *lbl_cols)
 
     def _d2(pdf: pd.DataFrame) -> np.ndarray:
         Cm = bc.value
@@ -482,30 +489,45 @@ def ann_ivf_probe_scores(emb: DataFrame, query_ids, *,
         X = np.stack(pdf["qv"].to_numpy()).astype(np.int64)
         return (X * X).sum(axis=1)[:, None] - 2 * (X @ Cm.T) + c2[None, :]
 
+    carry = ["_id", "v"] + (["lbl"] if filter_label_col else [])
+    lbl_sch = ", lbl int" if filter_label_col else ""
+
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = pdf[["_id", "v"]].copy()
+            out = pdf[carry].copy()
             out["cell"] = _d2(pdf).argmin(axis=1).astype(np.int64)
             yield out
 
-    assigned = e.mapInPandas(assign, "_id long, v array<double>, cell long")
+    corpus = e
+    if filter_label_col:
+        qlabels = sorted({r["lbl"] for r in
+                          e.filter(F.col("_id").isin(list(query_ids)))
+                          .select("lbl").distinct().collect()})
+        corpus = e.filter(F.col("lbl").isin(qlabels))
+    assigned = corpus.mapInPandas(
+        assign, f"_id long, v array<double>{lbl_sch}, cell long")
 
     def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             # stable sort: equal distances keep ascending cell order
             # (ORDER BY d2, cl in the oracle)
             near = np.argsort(_d2(pdf), axis=1, kind="stable")[:, :max_nprobe]
-            out = (pdf[["_id", "v"]].loc[pdf.index.repeat(max_nprobe)]
+            out = (pdf[carry].loc[pdf.index.repeat(max_nprobe)]
                    .reset_index(drop=True)
-                   .rename(columns={"_id": "qid", "v": "qv"}))
+                   .rename(columns={"_id": "qid", "v": "qv",
+                                    "lbl": "qlbl"}))
             out["cell"] = near.reshape(-1).astype(np.int64)
             out["prnk"] = np.tile(np.arange(1, max_nprobe + 1,
                                             dtype=np.int64), len(pdf))
             yield out
 
+    qlbl_sch = ", qlbl int" if filter_label_col else ""
     q = (e.filter(F.col("_id").isin(list(query_ids)))
-         .mapInPandas(probe, "qid long, qv array<double>, cell long, prnk long"))
+         .mapInPandas(probe, f"qid long, qv array<double>{qlbl_sch}, "
+                             "cell long, prnk long"))
     cands = assigned.join(q, "cell").filter(F.col("_id") != F.col("qid"))
+    if filter_label_col:
+        cands = cands.filter(F.col("lbl") == F.col("qlbl"))
     return cands.select(
         "qid", F.col("_id").alias("cid"), "prnk",
         cosine(F.col("qv"), F.col("v")).alias("cos"))

@@ -1503,6 +1503,118 @@ def ann_filtered_probe_recall(spark, sf_dir):
                  .alias("filtered_recall_ppm")))
 
 
+FILT_PROBE_SWEEP = (1, 2, 4, 8)
+
+
+def _filtered_probe_sweep_oracle() -> str:
+    from streamforge_spark.queries.embeddings import (
+        _FILT_TOPK_ORACLE, FILT_K, FILT_NQ, _kmeans_oracle)
+    base = _kmeans_oracle(IVF_CELLS, IVF_ROUNDS, 10000)
+    head, _ = base.rsplit("\nSELECT", 1)
+    r = IVF_ROUNDS - 1
+    max_np = max(FILT_PROBE_SWEEP)
+    nps = ", ".join(str(n) for n in FILT_PROBE_SWEEP)
+    return f"""{head},
+raw AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+lbl AS (SELECT vec_id, label FROM embeddings),
+qlbl AS (SELECT vec_id AS qid, label AS ql FROM embeddings
+         WHERE vec_id < {FILT_NQ}),
+qd AS (SELECT vec_id AS qid, j, x FROM ed WHERE vec_id < {FILT_NQ}),
+pd AS (
+  SELECT qid, cl,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, cl) AS prnk
+  FROM (SELECT qd.qid AS qid, cd.cl AS cl,
+               SUM((qd.x - cd.x) * (qd.x - cd.x)) AS d2
+        FROM qd JOIN cd{r} cd ON qd.j = cd.j GROUP BY 1, 2) t),
+cands AS (
+  SELECT p.qid, a.vec_id AS cid, p.prnk
+  FROM pd p JOIN a{r} a ON a.cl = p.cl
+  JOIN lbl c ON c.vec_id = a.vec_id
+  JOIN qlbl q ON q.qid = p.qid
+  WHERE a.vec_id <> p.qid AND p.prnk <= {max_np} AND c.label = q.ql),
+scored AS (
+  SELECT c.qid, c.cid, c.prnk,
+         list_dot_product(rq.v, rc.v)
+           / (sqrt(list_dot_product(rq.v, rq.v))
+              * sqrt(list_dot_product(rc.v, rc.v))) AS cos
+  FROM cands c
+  JOIN raw rq ON rq.vec_id = c.qid
+  JOIN raw rc ON rc.vec_id = c.cid),
+np AS (SELECT unnest([{nps}]) AS nprobe),
+topk AS (
+  SELECT nprobe, qid, cid FROM (
+    SELECT n.nprobe AS nprobe, s.qid, s.cid,
+           row_number() OVER (PARTITION BY n.nprobe, s.qid
+                              ORDER BY s.cos DESC, s.cid) AS rn
+    FROM np n JOIN scored s ON s.prnk <= n.nprobe) u
+  WHERE rn <= {FILT_K})
+SELECT t.qid AS query_id, CAST(n.nprobe AS BIGINT) AS nprobe,
+       CAST(COUNT(*) AS BIGINT) AS n_truth,
+       CAST(count(tk.cid) AS BIGINT) AS filtered_hits,
+       (1000000 * CAST(count(tk.cid) AS BIGINT)) // COUNT(*)
+         AS recall_ppm
+FROM (SELECT query_id AS qid, neighbor_id AS cid
+      FROM ({_FILT_TOPK_ORACLE})) t
+CROSS JOIN np n
+LEFT JOIN topk tk
+  ON tk.nprobe = n.nprobe AND tk.qid = t.qid AND tk.cid = t.cid
+GROUP BY 1, 2
+"""
+
+
+@query("ann_filtered_probe_sweep", oracle=_filtered_probe_sweep_oracle())
+def ann_filtered_probe_sweep(spark, sf_dir):
+    """nprobe calibration for the FILTERED probe path — the companion
+    of ann_ivf_probe_sweep on the attribute-filtered workload:
+    recall@k vs ann_filtered_topk's exact filtered truth for nprobe in
+    {1, 2, 4, 8}, per query.  ann_filtered_probe_recall showed the
+    default nprobe=4 probe loses 10-80 recall points when the filter
+    decimates probed cells; this curve shows what each extra probed
+    cell buys back, so an operator prices nprobe-vs-exact-scan per
+    label selectivity instead of guessing.
+
+    Plan (100 TB): the index trains ONCE and one probe pass emits
+    candidates tagged with probe rank (ann_ivf_probe_scores with the
+    scan-pushed label pre-filter + label-matched candidate join);
+    every nprobe config is a filter + rank window over the SAME
+    checkpointed candidate table, never a retrain.  The recall join
+    is k x n_queries x configs rows, broadcast."""
+    from streamforge_spark.functions.similarity import ann_ivf_probe_scores
+    from streamforge_spark.queries.embeddings import (
+        FILT_K, FILT_NQ, ann_filtered_topk)
+    (emb,) = prep(spark, sf_dir, "embeddings")
+    scored = ann_ivf_probe_scores(
+        emb, range(FILT_NQ), cells=IVF_CELLS, rounds=IVF_ROUNDS,
+        max_nprobe=max(FILT_PROBE_SWEEP),
+        filter_label_col="label").localCheckpoint(eager=False)
+    per = []
+    for n in FILT_PROBE_SWEEP:
+        w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "cid")
+        per.append(scored.filter(F.col("prnk") <= n)
+                   .withColumn("rn", F.row_number().over(w))
+                   .filter(F.col("rn") <= FILT_K)
+                   .select(F.lit(n).cast("long").alias("nprobe"),
+                           F.col("qid").alias("query_id"),
+                           F.col("cid").alias("neighbor_id"),
+                           F.lit(1).alias("_hit")))
+    fp = per[0]
+    for p in per[1:]:
+        fp = fp.unionByName(p)
+    truth = ann_filtered_topk(spark, sf_dir).select("query_id",
+                                                    "neighbor_id")
+    cfg = spark.createDataFrame(
+        [(n,) for n in FILT_PROBE_SWEEP], "nprobe long")
+    return (cfg.crossJoin(truth)
+            .join(F.broadcast(fp), ["nprobe", "query_id", "neighbor_id"],
+                  "left")
+            .groupBy("query_id", "nprobe")
+            .agg(F.count(F.lit(1)).alias("n_truth"),
+                 F.count("_hit").alias("filtered_hits"))
+            .select("query_id", "nprobe", "n_truth", "filtered_hits",
+                    F.expr("(1000000 * filtered_hits) div n_truth")
+                    .alias("recall_ppm")))
+
+
 # -- MinHash estimate calibration ---------------------------------------
 
 _MINHASH_CALIB_ORACLE = f"""
