@@ -19,6 +19,17 @@ RUNTIME_CONF: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # r12 (guide §2.2/§2.5): AQE's coalescer is bytes-based, but this
+    # engine's hot stages are compute-dense (salted-md5 hashing, HOF
+    # signature folds, exact-Jaccard array ops) — microseconds per row
+    # over kilobytes of shuffle bytes.  With the default 1 MB floor,
+    # parallelism-first coalescing collapses any sub-MB post-shuffle
+    # stage to ONE task and serializes that compute (measured: the
+    # funnel's substring+fuzzy gates ran 1-task/11.7s at sf0.1).  A
+    # 64 KB floor keeps such stages at cluster parallelism; at 100 TB
+    # post-shuffle partitions are advisory-sized (64 MB+) and this
+    # floor is unreachable — scale-neutral by construction.
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # 100 TB hygiene: cap per-task input so scans parallelize evenly.
