@@ -54,6 +54,30 @@ def hash60_sql(expr: str, salt_expr: str | None = None) -> str:
     return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
 
 
+def hash60_spark_sql(expr: str, salt: str | None = None) -> str:
+    """Spark-SQL string form of :func:`oracle_hash60` — the SAME
+    expression tree (md5 -> substr 1..15 -> conv base16 -> BIGINT),
+    built by one server-side parse instead of ~10 py4j Column calls.
+    r12: the 32-permutation signature pipelines construct 32 of these
+    per query; the Column-API form spent more driver wall on py4j
+    round-trips than the cluster spent hashing (guide §5 — the driver
+    should do almost no work).  Bit-identical output to
+    :func:`oracle_hash60` by construction."""
+    if salt is not None:
+        expr = f"concat('{salt}:', {expr})"
+    return f"CAST(conv(substr(md5({expr}), 1, 15), 16, 10) AS BIGINT)"
+
+
+def minhash_min_agg_exprs(num_perm: int = NUM_PERM,
+                          gram_col: str = "g") -> list:
+    """``min(hash60(salt_p : g)) AS h<p>`` aggregate Columns for the
+    explode+groupBy signature shape — one parsed expression per
+    permutation (r12 driver-side construction cost; same bits as the
+    F.min(oracle_hash60(...)) form they replace)."""
+    return [F.expr(f"min({hash60_spark_sql(gram_col, str(p))}) AS h{p}")
+            for p in range(num_perm)]
+
+
 def cap_band_buckets(banded: DataFrame, id_col: str = "doc_id",
                      bucket_cols: tuple[str, ...] = ("band", "band_hash"),
                      cap: int = BAND_MAX_BUCKET) -> DataFrame:
@@ -90,9 +114,7 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
     the doc id)."""
     grams = spread_for_compute(docs, id_col).select(
         F.col(id_col), F.explode(word_ngrams(F.col(text_col), ngram)).alias("g"))
-    mins = [F.min(oracle_hash60(F.col("g"), salt=str(p))).alias(f"h{p}")
-            for p in range(num_perm)]
-    sig = grams.groupBy(id_col).agg(*mins)
+    sig = grams.groupBy(id_col).agg(*minhash_min_agg_exprs(num_perm))
     return sig.select(
         F.col(id_col), F.array(*[F.col(f"h{p}") for p in range(num_perm)]).alias("sig"))
 
@@ -144,9 +166,7 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
                  .select(F.col(id_col), word_ngrams(F.col(text_col), ngram).alias("gs"))
                  .localCheckpoint())
     grams = gram_sets.select(F.col(id_col), F.explode("gs").alias("g"))
-    mins = [F.min(oracle_hash60(F.col("g"), salt=str(p))).alias(f"h{p}")
-            for p in range(NUM_PERM)]
-    sigs = grams.groupBy(id_col).agg(*mins).select(
+    sigs = grams.groupBy(id_col).agg(*minhash_min_agg_exprs(NUM_PERM)).select(
         F.col(id_col), F.array(*[F.col(f"h{p}") for p in range(NUM_PERM)]).alias("sig"))
     cands = lsh_candidate_pairs(sigs, id_col)
     g1 = gram_sets.select(F.col(id_col).alias("d1"), F.col("gs").alias("gs1"))

@@ -54,7 +54,7 @@ def pagerank(edges: DataFrame, *, src: str = "src", dst: str = "dst",
     small_ranks = n <= 2_000_000
     hint = F.broadcast if small_ranks else (lambda df: df)
     ranks = nodes.withColumn("r", F.round(base).cast("long"))
-    for _ in range(rounds):
+    for i in range(rounds):
         contrib = (ew.join(hint(ranks), ew["s"] == ranks["node"])
                    .select(F.col("d").alias("node"),
                            F.round((F.col("r").cast("double") * F.col("w").cast("double"))
@@ -65,8 +65,15 @@ def pagerank(edges: DataFrame, *, src: str = "src", dst: str = "dst",
                          F.round(F.lit(1.0 - damping) * base
                                  + F.lit(damping)
                                  * F.coalesce(F.col("c"), F.lit(0)).cast("double"))
-                         .cast("long").alias("r"))
-                 .localCheckpoint(eager=False))
+                         .cast("long").alias("r")))
+        # r12: each round's rank vector has exactly ONE consumer (the
+        # next round's contrib join), so nothing recomputes without a
+        # checkpoint — the default 3-round chain fuses into one plan
+        # (3 fewer driver round-trips; guide §5: localCheckpoint only
+        # when an intermediate is reused).  Checkpoint every 4th round
+        # purely to bound plan depth for large ``rounds``.
+        if i % 4 == 3:
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks.select("node", F.col("r").alias("rank_ppb"))
 
 
@@ -140,15 +147,19 @@ def label_propagation(edges: DataFrame, *, src: str = "src",
     labels = nodes.withColumn("lbl", F.col("node"))
     rank_w = Window.partitionBy("node").orderBy(
         F.col("wsum").desc(), F.col("lbl"))
-    for _ in range(rounds):
+    for i in range(rounds):
         cand = (ew.join(F.broadcast(labels), ew["s"] == labels["node"])
                 .groupBy(F.col("d").alias("node"), F.col("lbl"))
                 .agg(F.sum("w").alias("wsum")))
         best = (cand.withColumn("rn", F.row_number().over(rank_w))
                 .filter(F.col("rn") == 1).select("node", "lbl"))
         labels = (nodes.join(best, "node", "left")
-                  .select("node", F.coalesce("lbl", "node").alias("lbl"))
-                  .localCheckpoint(eager=False))
+                  .select("node", F.coalesce("lbl", "node").alias("lbl")))
+        # r12: one consumer per round's labels (next round's cand join)
+        # — fuse the fixed-round chain into one plan; checkpoint every
+        # 4th round only to bound plan depth (same note as pagerank).
+        if i % 4 == 3:
+            labels = labels.localCheckpoint(eager=False)
     return labels.select("node", F.col("lbl").alias("label"))
 
 

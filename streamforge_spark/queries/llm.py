@@ -17,7 +17,8 @@ from pyspark.sql import functions as F
 
 from streamforge_spark.functions.simdedup import (
     BAND_MAX_BUCKET, LSH_BANDS, NUM_PERM, SIMHASH_BITS, hash60_sql,
-    kept_bands_cte, minhash_lsh_pairs, simhash, simhash_near_dup,
+    kept_bands_cte, minhash_lsh_pairs, minhash_min_agg_exprs, simhash,
+    simhash_near_dup,
 )
 from streamforge_spark.functions.similarity import (
     LSH_PLANES, LSH_TABLES, SEM_PLANES, SEM_THRESHOLD, _hyperplanes,
@@ -125,9 +126,7 @@ def hot_band_report(spark, sf_dir):
     grams = (spread_for_compute(docs, "doc_id")
              .select("doc_id",
                      F.explode(word_ngrams(F.col("text"), 3)).alias("g")))
-    mins = [F.min(oracle_hash60(F.col("g"), salt=str(p))).alias(f"h{p}")
-            for p in range(NUM_PERM)]
-    sigs = grams.groupBy("doc_id").agg(*mins)
+    sigs = grams.groupBy("doc_id").agg(*minhash_min_agg_exprs(NUM_PERM))
     rows = NUM_PERM // LSH_BANDS
     banded = sigs.select(
         "doc_id",
@@ -1094,9 +1093,7 @@ def incremental_fuzzy_dedup(spark, sf_dir):
                  .select("doc_id", word_ngrams(F.col("text"), 3).alias("gs"))
                  .localCheckpoint())
     grams = gram_sets.select("doc_id", F.explode("gs").alias("g"))
-    mins = [F.min(oracle_hash60(F.col("g"), salt=str(p))).alias(f"h{p}")
-            for p in range(NUM_PERM)]
-    sigs = grams.groupBy("doc_id").agg(*mins).select(
+    sigs = grams.groupBy("doc_id").agg(*minhash_min_agg_exprs(NUM_PERM)).select(
         "doc_id",
         F.array(*[F.col(f"h{p}") for p in range(NUM_PERM)]).alias("sig"))
     rows = NUM_PERM // LSH_BANDS
@@ -1681,9 +1678,7 @@ def minhash_estimate_calibration(spark, sf_dir):
                  .select("doc_id", word_ngrams(F.col("text"), 3).alias("gs"))
                  .localCheckpoint())
     grams = gram_sets.select("doc_id", F.explode("gs").alias("g"))
-    mins = [F.min(oracle_hash60(F.col("g"), salt=str(p))).alias(f"h{p}")
-            for p in range(NUM_PERM)]
-    sigs = grams.groupBy("doc_id").agg(*mins).select(
+    sigs = grams.groupBy("doc_id").agg(*minhash_min_agg_exprs(NUM_PERM)).select(
         "doc_id",
         F.array(*[F.col(f"h{p}") for p in range(NUM_PERM)]).alias("sig"))
     cands = lsh_candidate_pairs(sigs)
@@ -1778,9 +1773,7 @@ def dedup_yield_curve(spark, sf_dir):
                  .select("doc_id", word_ngrams(F.col("text"), 3).alias("gs"))
                  .localCheckpoint())
     grams = gram_sets.select("doc_id", F.explode("gs").alias("g"))
-    mins = [F.min(oracle_hash60(F.col("g"), salt=str(p))).alias(f"h{p}")
-            for p in range(NUM_PERM)]
-    sigs = grams.groupBy("doc_id").agg(*mins).select(
+    sigs = grams.groupBy("doc_id").agg(*minhash_min_agg_exprs(NUM_PERM)).select(
         "doc_id",
         F.array(*[F.col(f"h{p}") for p in range(NUM_PERM)]).alias("sig"))
     cands = lsh_candidate_pairs(sigs)

@@ -449,42 +449,51 @@ def lsh_band_recall_sweep(spark, sf_dir):
     hot-bucket cap, so the sweep measures the recall the CAPPED
     production join actually delivers), three configs unioned.  The
     1-row truth count broadcasts (adjudicated scalar pattern)."""
-    from streamforge_spark.functions.simdedup import NUM_PERM, cap_band_buckets
+    from streamforge_spark.functions.simdedup import (
+        NUM_PERM, cap_band_buckets, minhash_min_agg_exprs)
     (docs,) = prep(spark, sf_dir, "documents")
     truth = (allpairs_exact_jaccard(spark, sf_dir)
              .select("d1", "d2").localCheckpoint(eager=False))
     gram_sets = (spread_for_compute(docs, "doc_id")
                  .select("doc_id", word_ngrams(F.col("text"), 3).alias("gs")))
     grams = gram_sets.select("doc_id", F.explode("gs").alias("g"))
-    mins = [F.min(oracle_hash60(F.col("g"), salt=str(p))).alias(f"h{p}")
-            for p in range(NUM_PERM)]
-    sigs = (grams.groupBy("doc_id").agg(*mins)
+    sigs = (grams.groupBy("doc_id").agg(*minhash_min_agg_exprs(NUM_PERM))
             .select("doc_id", F.array(*[F.col(f"h{p}")
                                         for p in range(NUM_PERM)]).alias("sig"))
             # three banding consumers — hash the grams once
             .localCheckpoint(eager=False))
+    # r12 (guide §2.4): band all three configs into ONE relation keyed
+    # by (bands, band, band_hash), so the hot-bucket cap window and the
+    # candidate self-join run ONCE over the union instead of once per
+    # config (3 rank windows + 3 joins + a union-distinct collapsed to
+    # 1 + 1 + 1).  Config keyspaces are disjoint on `bands`, so the
+    # capped buckets, the join's collision pairs, and the global
+    # distinct are row-identical to the per-config form.
     per_cfg = []
     for bands in LSH_SWEEP_BANDS:
         rows = NUM_PERM // bands
-        banded = cap_band_buckets(sigs.select(
+        per_cfg.append(sigs.selectExpr(
+            f"CAST({bands} AS BIGINT) AS bands",
             "doc_id",
-            F.posexplode(F.array(*[
-                F.xxhash64(*[F.col("sig")[b * rows + r] for r in range(rows)])
-                for b in range(bands)
-            ])).alias("band", "band_hash")))
-        a, b = banded.alias("a"), banded.alias("b")
-        per_cfg.append(
-            a.join(b, (F.col("a.band") == F.col("b.band"))
-                   & (F.col("a.band_hash") == F.col("b.band_hash"))
-                   & (F.col("a.doc_id") < F.col("b.doc_id")))
-            .select(F.lit(bands).cast("long").alias("bands"),
-                    F.col("a.doc_id").alias("d1"),
-                    F.col("b.doc_id").alias("d2"))
-            .distinct())
-    cands = per_cfg[0]
-    for c in per_cfg[1:]:
-        cands = cands.unionByName(c)
-    cands = cands.localCheckpoint(eager=False)
+            "posexplode(array(" + ", ".join(
+                "xxhash64(" + ", ".join(f"sig[{b * rows + r}]"
+                                        for r in range(rows)) + ")"
+                for b in range(bands)) + ")) AS (band, band_hash)"))
+    banded = per_cfg[0]
+    for p in per_cfg[1:]:
+        banded = banded.unionByName(p)
+    capped = cap_band_buckets(banded,
+                              bucket_cols=("bands", "band", "band_hash"))
+    a, b = capped.alias("a"), capped.alias("b")
+    cands = (a.join(b, (F.col("a.bands") == F.col("b.bands"))
+                    & (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.band_hash") == F.col("b.band_hash"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .select(F.col("a.bands").alias("bands"),
+                     F.col("a.doc_id").alias("d1"),
+                     F.col("b.doc_id").alias("d2"))
+             .distinct()
+             .localCheckpoint(eager=False))
     n_t = truth.agg(F.count(F.lit(1)).alias("n_truth"))
     caught = (cands.join(truth, ["d1", "d2"])
               .groupBy("bands").agg(F.count(F.lit(1)).alias("n_caught")))

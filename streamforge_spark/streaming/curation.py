@@ -510,22 +510,21 @@ def minhash_corpus_index(ref_docs: DataFrame, ngram: int = 3):
     batch-side ``hot_band_report`` audit.
     """
     from streamforge_spark.functions.simdedup import (
-        LSH_BANDS, NUM_PERM, cap_band_buckets, oracle_hash60)
+        LSH_BANDS, NUM_PERM, cap_band_buckets, minhash_min_agg_exprs)
     from streamforge_spark.functions.text import word_ngrams
     from streamforge_spark.io import spread_for_compute
     gram_sets = (spread_for_compute(ref_docs, "doc_id")
                  .select("doc_id", word_ngrams(F.col("text"), ngram).alias("gs"))
                  .localCheckpoint(eager=False))
     grams = gram_sets.select("doc_id", F.explode("gs").alias("g"))
-    mins = [F.min(oracle_hash60(F.col("g"), salt=str(p))).alias(f"h{p}")
-            for p in range(NUM_PERM)]
-    sigs = grams.groupBy("doc_id").agg(*mins)
+    sigs = grams.groupBy("doc_id").agg(*minhash_min_agg_exprs(NUM_PERM))
     rows = NUM_PERM // LSH_BANDS
-    bands = cap_band_buckets(sigs.select(
+    bands = cap_band_buckets(sigs.selectExpr(
         "doc_id",
-        F.posexplode(F.array(*[
-            F.xxhash64(*[F.col(f"h{b * rows + r}") for r in range(rows)])
-            for b in range(LSH_BANDS)])).alias("band", "band_hash")))
+        "posexplode(array(" + ", ".join(
+            "xxhash64(" + ", ".join(f"h{b * rows + r}"
+                                    for r in range(rows)) + ")"
+            for b in range(LSH_BANDS)) + ")) AS (band, band_hash)"))
     return bands, gram_sets
 
 
@@ -566,29 +565,29 @@ def streaming_fuzzy_dedup_gate(doc_stream: DataFrame,
     watermark passes its arrival time.
     """
     from streamforge_spark.functions.simdedup import (
-        LSH_BANDS, NUM_PERM, oracle_hash60)
+        LSH_BANDS, NUM_PERM, hash60_spark_sql)
     from streamforge_spark.functions.text import word_ngrams
     doc_stream = _spread_batch(doc_stream, id_col)
     doc_stream, ts_keys = _watermarked(doc_stream, ts_col, watermark)
     rows = NUM_PERM // LSH_BANDS
     gs = word_ngrams(F.col(text_col), ngram)
 
-    def _perm(p):
-        # one-arg closure: a two-parameter lambda (even with a bound
-        # default) makes F.transform pass the ARRAY INDEX as the
-        # second argument, silently salting each gram by position
-        return lambda g: oracle_hash60(g, salt=str(p))
-
-    sig_cols = [
-        F.array_min(F.transform(F.col("gs"), _perm(p))).alias(f"h{p}")
+    # per-permutation row-wise signature: min over the shingle array of
+    # the salted hash60 (the lambda binds `g`, never the array index).
+    # r12: built as parsed SQL strings — the Column/HOF form spent ~1s
+    # of driver py4j per call constructing 32 transform trees (guide §5)
+    sig_exprs = [
+        f"array_min(transform(gs, g -> {hash60_spark_sql('g', str(p))}))"
+        f" AS h{p}"
         for p in range(NUM_PERM)]
     sigs = (doc_stream.select(F.col(id_col), gs.alias("gs"), *ts_keys)
-            .select(id_col, "gs", *ts_keys, *sig_cols))
-    banded = sigs.select(
-        F.col(id_col), "gs", *ts_keys,
-        F.posexplode(F.array(*[
-            F.xxhash64(*[F.col(f"h{b * rows + r}") for r in range(rows)])
-            for b in range(LSH_BANDS)])).alias("band", "band_hash"))
+            .selectExpr(id_col, "gs", *ts_keys, *sig_exprs))
+    banded = sigs.selectExpr(
+        id_col, "gs", *ts_keys,
+        "posexplode(array(" + ", ".join(
+            "xxhash64(" + ", ".join(f"h{b * rows + r}"
+                                    for r in range(rows)) + ")"
+            for b in range(LSH_BANDS)) + ")) AS (band, band_hash)")
     # single left-join pipeline (no stream self-join): a doc with zero
     # band collisions carries a NULL corpus_id through to the verdict
     cand = (banded.join(
