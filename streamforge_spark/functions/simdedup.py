@@ -78,6 +78,19 @@ def minhash_min_agg_exprs(num_perm: int = NUM_PERM,
             for p in range(num_perm)]
 
 
+def minhash_sig_agg_expr(num_perm: int = NUM_PERM,
+                         gram_col: str = "g") -> Column:
+    """The whole signature as ONE aggregate expression:
+    ``array(min(h0), ..., min(h31)) AS sig`` — one server-side parse
+    for the agg AND the array assembly (r12, guide §5; replaces 32
+    parses + a 32-Column follow-up select).  Identical aggregation
+    semantics: 32 min buffers, map-side combined, array built from the
+    final buffers."""
+    mins = ", ".join(f"min({hash60_spark_sql(gram_col, str(p))})"
+                     for p in range(num_perm))
+    return F.expr(f"array({mins})").alias("sig")
+
+
 def cap_band_buckets(banded: DataFrame, id_col: str = "doc_id",
                      bucket_cols: tuple[str, ...] = ("band", "band_hash"),
                      cap: int = BAND_MAX_BUCKET) -> DataFrame:
@@ -114,9 +127,7 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
     the doc id)."""
     grams = spread_for_compute(docs, id_col).select(
         F.col(id_col), F.explode(word_ngrams(F.col(text_col), ngram)).alias("g"))
-    sig = grams.groupBy(id_col).agg(*minhash_min_agg_exprs(num_perm))
-    return sig.select(
-        F.col(id_col), F.array(*[F.col(f"h{p}") for p in range(num_perm)]).alias("sig"))
+    return grams.groupBy(id_col).agg(minhash_sig_agg_expr(num_perm))
 
 
 def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
@@ -132,13 +143,13 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
     candidate sets are cap-conditioned LOWER bounds, audited by
     ``hot_band_report``."""
     rows = num_perm // bands
-    banded = sigs.select(
-        F.col(id_col),
-        F.posexplode(F.array(*[
-            F.xxhash64(*[F.col("sig")[b * rows + r] for r in range(rows)])
-            for b in range(bands)
-        ])).alias("band", "band_hash"),
-    )
+    bands_sql = ", ".join(
+        "xxhash64(" + ", ".join(f"sig[{b * rows + r}]"
+                                for r in range(rows)) + ")"
+        for b in range(bands))
+    banded = sigs.selectExpr(
+        id_col,
+        f"posexplode(array({bands_sql})) AS (band, band_hash)")
     banded = cap_band_buckets(banded, id_col, cap=cap)
     a, b = banded.alias("a"), banded.alias("b")
     return (
@@ -166,8 +177,7 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
                  .select(F.col(id_col), word_ngrams(F.col(text_col), ngram).alias("gs"))
                  .localCheckpoint())
     grams = gram_sets.select(F.col(id_col), F.explode("gs").alias("g"))
-    sigs = grams.groupBy(id_col).agg(*minhash_min_agg_exprs(NUM_PERM)).select(
-        F.col(id_col), F.array(*[F.col(f"h{p}") for p in range(NUM_PERM)]).alias("sig"))
+    sigs = grams.groupBy(id_col).agg(minhash_sig_agg_expr(NUM_PERM))
     cands = lsh_candidate_pairs(sigs, id_col)
     g1 = gram_sets.select(F.col(id_col).alias("d1"), F.col("gs").alias("gs1"))
     g2 = gram_sets.select(F.col(id_col).alias("d2"), F.col("gs").alias("gs2"))

@@ -39,15 +39,49 @@ def _hyperplanes(dim: int, planes: int, tables: int, seed: int = 42) -> np.ndarr
     return rng.standard_normal((tables, planes, dim))
 
 
+def _dot_sql(col: str, vals: "np.ndarray") -> str:
+    """The SQL-string twin of :func:`_dot` against a literal vector —
+    identical expression tree (zip_with + sequential aggregate fold,
+    double literals rendered with exact round-trip bits), one
+    server-side parse instead of ~dim py4j calls (r12, guide §5)."""
+    from streamforge_spark.functions.exprs import double_sql
+    arr = "array(" + ", ".join(double_sql(x) for x in vals) + ")"
+    return (f"aggregate(zip_with({col}, {arr}, (x, y) -> x * y), "
+            f"0.0D, (acc, x) -> acc + x)")
+
+
+def lsh_signature_sql(col: str, planes: np.ndarray) -> str:
+    """SQL-string form of :func:`lsh_signature` — same bits."""
+    parts = ["CAST(0 AS BIGINT)"]
+    for p, plane in enumerate(planes):
+        parts.append(
+            f"(CASE WHEN ({_dot_sql(col, plane)} >= 0) "
+            f"THEN CAST({1 << p} AS BIGINT) "
+            f"ELSE CAST(0 AS BIGINT) END)")
+    return "(" + " | ".join(parts) + ")"
+
+
 def lsh_signature(v: Column, planes: np.ndarray) -> Column:
     """Sign-of-projection bit signature for one table: long in
     [0, 2^planes)."""
     sig = F.lit(0).cast("long")
     for p, plane in enumerate(planes):
-        arr = F.array(*[F.lit(float(x)) for x in plane])
+        from streamforge_spark.functions.exprs import lit_double_array
+        arr = lit_double_array(plane)
         bit = F.when(_dot(v, arr) >= 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
         sig = sig.bitwiseOR(bit)
     return sig
+
+
+def vec_dim(emb: DataFrame, vec_col: str = "embedding") -> int:
+    """Vector dimensionality probe, memoized on the DataFrame wrapper
+    (the fixture loads are plan-memoized per session, so the one-row
+    job runs once per session instead of once per query build)."""
+    d = getattr(emb, "_sg_vec_dim", None)
+    if d is None:
+        d = len(emb.select(vec_col).first()[0])
+        emb._sg_vec_dim = d
+    return d
 
 
 def ann_lsh_topk(emb: DataFrame, query_ids, k: int = 10,
@@ -61,14 +95,16 @@ def ann_lsh_topk(emb: DataFrame, query_ids, k: int = 10,
     projections), bucketed join replaces the full cross product, and
     per-bucket skew is bounded by the signature width.
     """
-    dim = len(emb.select(vec_col).first()[0])
+    dim = vec_dim(emb, vec_col)
     hp = _hyperplanes(dim, planes, tables)
     e = emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
-    signed = e.select(
+    # one server-side parse for the 4x12-plane signature array (r12,
+    # guide §5 — the Column-API form was ~3k py4j round-trips per call)
+    signed = e.selectExpr(
         id_col, "v",
-        F.posexplode(F.array(*[lsh_signature(F.col("v"), hp[t])
-                               for t in range(tables)])).alias("table", "sig"),
-    )
+        "posexplode(array(" + ", ".join(
+            lsh_signature_sql("v", hp[t]) for t in range(tables))
+        + ")) AS (`table`, `sig`)")
     q = (signed.filter(F.col(id_col).isin(list(query_ids)))
          .select(F.col(id_col).alias("qid"), F.col("v").alias("qv"),
                  F.col("table"), F.col("sig")))
@@ -107,10 +143,11 @@ def semantic_dup_marks(emb: DataFrame, *, id_col: str = "vec_id",
     ~corpus/2^planes); the only shuffles are the bucket equi-join and
     the per-victim min-neighbor window. Nothing touches the driver —
     the hyperplanes are fixed-seed literals, not trained state."""
-    dim = len(emb.select(vec_col).first()[0])
+    dim = vec_dim(emb, vec_col)
     hp = _hyperplanes(dim, planes, 1)
     e = emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
-    signed = e.withColumn("sig", lsh_signature(F.col("v"), hp[0]))
+    signed = e.selectExpr(
+        "*", lsh_signature_sql("v", hp[0]) + " AS sig")
     a, b = signed.alias("a"), signed.alias("b")
     pairs = (a.join(b, (F.col("a.sig") == F.col("b.sig"))
                     & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
@@ -441,7 +478,8 @@ def query_ivf_index(spark, path: str, query_vec, k: int = 10, *,
     probe_cells = [int(c) for c in ids[np.argsort(d2)[:nprobe]]]
     vecs = (spark.read.parquet(f"{path.rstrip('/')}/vectors")
             .where(F.col("cell").isin(probe_cells)))
-    qlit = F.array(*[F.lit(float(x)) for x in q])
+    from streamforge_spark.functions.exprs import lit_double_array
+    qlit = lit_double_array(q)
     return (vecs.select(id_col, "cell",
                         cosine(F.col(vec_col).cast("array<double>"), qlit)
                         .alias("cos"))
@@ -535,7 +573,22 @@ def ann_ivf_probe_scores(emb: DataFrame, query_ids, *,
 
 # -- persisted fixed-point IVF index (the semantic gate's artifact) ------
 
-def ivf_probe_cells_expr(qv: Column, centroids, nprobe: int) -> Column:
+def _cell_dist_sql(qcol: str, centroids) -> str:
+    """SQL-string twin of :func:`_cell_dist_structs` (identical
+    expression tree, one server-side parse instead of ~k x dim py4j
+    calls — r12, guide §5)."""
+    parts = []
+    for cl, c in enumerate(centroids):
+        arr = "array(" + ", ".join(str(int(x)) for x in c) + ")"
+        d2 = (f"aggregate(zip_with({qcol}, {arr}, "
+              f"(a, b) -> (a - b) * (a - b)), "
+              f"CAST(0 AS BIGINT), (acc, x) -> acc + x)")
+        parts.append(f"struct({d2} AS d2, CAST({cl} AS BIGINT) AS cell)")
+    return "array_sort(array(" + ", ".join(parts) + "))"
+
+
+def ivf_probe_cells_expr(qv: Column | str, centroids,
+                         nprobe: int) -> Column:
     """Column expression: the ``nprobe`` nearest centroid cells of a
     quantized vector, ordered (d2 asc, cell asc) — the row-wise twin
     of the oracle's ``QUALIFY ROW_NUMBER() OVER (ORDER BY d2, cl) <=
@@ -544,7 +597,15 @@ def ivf_probe_cells_expr(qv: Column, centroids, nprobe: int) -> Column:
     units, so probe sets are bit-reproducible across engines and
     partitionings.  Stateless — usable on a STREAM row as-is; the
     centroid matrix inlines as plan literals (k x dim ints, the same
-    dimension-sized-literal pattern as the LSH hyperplanes)."""
+    dimension-sized-literal pattern as the LSH hyperplanes).
+
+    Pass the quantized vector as a column NAME to build the whole
+    probe expression in one server-side parse (r12, guide §5) — same
+    expression tree, same bits, as the Column form."""
+    if isinstance(qv, str):
+        return F.expr(
+            f"transform(slice({_cell_dist_sql(qv, centroids)}, "
+            f"1, {nprobe}), s -> s.cell)")
     return F.transform(
         F.slice(_cell_dist_structs(qv, centroids), 1, nprobe),
         lambda s: s["cell"])
@@ -554,9 +615,10 @@ def _cell_dist_structs(qv: Column, centroids) -> Column:
     """Sorted array of (d2, cell) structs — one per centroid, ordered
     (d2 asc, cell asc).  The shared core of the probe expression and
     the distance-keeping variants below."""
+    from streamforge_spark.functions.exprs import lit_int_array
     ds = []
     for cl, c in enumerate(centroids):
-        lit = F.array(*[F.lit(int(x)) for x in c])
+        lit = lit_int_array(c)
         d2 = F.aggregate(
             F.zip_with(qv, lit, lambda a, b: (a - b) * (a - b)),
             F.lit(0).cast("long"), lambda acc, x: acc + x)

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 def pagerank(edges: DataFrame, *, src: str = "src", dst: str = "dst",
              weight: str = "w", rounds: int = 3, damping: float = 0.85,
-             scale: int = 10**9) -> DataFrame:
+             scale: int = 10**9, symmetric: bool = False) -> DataFrame:
     """Weighted PageRank, fixed ``rounds`` power iterations, fixed-point
     integer ranks (parts-per-``scale``) so the ITERATIVE computation is
     bit-reproducible and oracle-checkable end-to-end (same strategy as
@@ -30,8 +30,21 @@ def pagerank(edges: DataFrame, *, src: str = "src", dst: str = "dst",
     Rank update (identical IEEE sequence in the SQL oracle):
     ``contrib = ROUND((r * w) / wout)`` per edge, summed exactly as
     BIGINT; ``r' = ROUND((1-d) * (scale/N) + d * in_sum)``.
+
+    ``symmetric=True`` (r12, guide §2.4 — remove shuffles outright)
+    asserts every node occurs as BOTH a src and a dst (true for any
+    symmetrized edge list, e.g. supplier_pagerank's).  Then (a) the
+    per-round ``nodes`` left-join is the identity — every node has an
+    in-sum — so each round drops one join + exchange, and (b) round
+    one's rank vector is the CONSTANT ``ROUND(scale/N)``, so its
+    edges⨝ranks join collapses into a scan-side literal multiply.
+    Values are bit-identical to the generic path: the dropped join
+    never produced a NULL, and r0 is computed with the same HALF_UP
+    decimal rounding Spark's ROUND applies.
     """
     from pyspark.sql import Window
+    if symmetric and rounds < 1:
+        raise ValueError("symmetric pagerank needs rounds >= 1")
     # out-weight via a window over the edge partition — no separate
     # aggregate + join back, and ONE materialization of the edge list
     # (upstream edge construction can be expensive; it must not replay
@@ -40,10 +53,13 @@ def pagerank(edges: DataFrame, *, src: str = "src", dst: str = "dst",
                        F.col(weight).cast("long").alias("w"))
           .withColumn("wout", F.sum("w").over(Window.partitionBy("s")))
           .localCheckpoint(eager=True))
-    nodes = (ew.select(F.col("s").alias("node"))
-             .union(ew.select(F.col("d").alias("node")))
-             .distinct().localCheckpoint(eager=True))
-    n = float(nodes.count())
+    if symmetric:
+        n = float(ew.select("s").distinct().count())
+    else:
+        nodes = (ew.select(F.col("s").alias("node"))
+                 .union(ew.select(F.col("d").alias("node")))
+                 .distinct().localCheckpoint(eager=True))
+        n = float(nodes.count())
     base = F.lit(float(scale)) / F.lit(n)
     # the node count is already driver-known: when the rank vector is
     # small (<= ~2M rows of (long, long) ≈ 32 MB) broadcast it into
@@ -53,19 +69,41 @@ def pagerank(edges: DataFrame, *, src: str = "src", dst: str = "dst",
     # edge list is the side that must never replicate.
     small_ranks = n <= 2_000_000
     hint = F.broadcast if small_ranks else (lambda df: df)
-    ranks = nodes.withColumn("r", F.round(base).cast("long"))
+    if symmetric:
+        # r0 is one constant: ROUND(scale/N) with Spark's HALF_UP
+        # BigDecimal rounding, replicated exactly via decimal on the
+        # double's exact binary value
+        import decimal
+        r0 = int(decimal.Decimal(float(scale) / n)
+                 .quantize(decimal.Decimal(1),
+                           rounding=decimal.ROUND_HALF_UP))
+        ranks = None
+    else:
+        ranks = nodes.withColumn("r", F.round(base).cast("long"))
     for i in range(rounds):
-        contrib = (ew.join(hint(ranks), ew["s"] == ranks["node"])
-                   .select(F.col("d").alias("node"),
-                           F.round((F.col("r").cast("double") * F.col("w").cast("double"))
-                                   / F.col("wout").cast("double")).cast("long").alias("c")))
+        if symmetric and ranks is None:
+            # round 1: every src holds the same r0 — no join needed
+            contrib = ew.select(
+                F.col("d").alias("node"),
+                F.round((F.lit(r0).cast("double") * F.col("w").cast("double"))
+                        / F.col("wout").cast("double")).cast("long").alias("c"))
+        else:
+            contrib = (ew.join(hint(ranks), ew["s"] == ranks["node"])
+                       .select(F.col("d").alias("node"),
+                               F.round((F.col("r").cast("double") * F.col("w").cast("double"))
+                                       / F.col("wout").cast("double")).cast("long").alias("c")))
         in_sum = contrib.groupBy("node").agg(F.sum("c").alias("c"))
-        ranks = (nodes.join(hint(in_sum), "node", "left")
-                 .select("node",
-                         F.round(F.lit(1.0 - damping) * base
-                                 + F.lit(damping)
-                                 * F.coalesce(F.col("c"), F.lit(0)).cast("double"))
-                         .cast("long").alias("r")))
+        new_r = F.round(F.lit(1.0 - damping) * base
+                        + F.lit(damping)
+                        * F.coalesce(F.col("c"), F.lit(0)).cast("double")
+                        ).cast("long").alias("r")
+        if symmetric:
+            # every node IS a dst of >= 1 edge, so in_sum covers all
+            # nodes and the nodes left-join is the identity — drop it
+            ranks = in_sum.select("node", new_r)
+        else:
+            ranks = (nodes.join(hint(in_sum), "node", "left")
+                     .select("node", new_r))
         # r12: each round's rank vector has exactly ONE consumer (the
         # next round's contrib join), so nothing recomputes without a
         # checkpoint — the default 3-round chain fuses into one plan

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from streamforge_spark.functions.simdedup import hash60_sql, oracle_hash60
 from streamforge_spark.queries.common import prep
+from streamforge_spark.functions.exprs import lit_double_array
 from streamforge_spark.registry import query
 
 # -- stratified sampling ------------------------------------------------
@@ -1461,7 +1462,7 @@ def benchmark_integrity_report(spark, sf_dir):
                    e.filter(F.col("vec_id") < b).collect())
     per_b = [F.struct(F.lit(bid).cast("long").alias("bid"),
                       cosine(F.col("v"),
-                             F.array(*[F.lit(float(x)) for x in bv])).alias("cos"))
+                             lit_double_array(bv)).alias("cos"))
              for bid, bv in bvecs]
     semp = (e.filter(F.col("vec_id") >= b)
             .select(F.col("vec_id").alias("cid"),

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from streamforge_spark.queries.common import prep
+from streamforge_spark.functions.exprs import lit_double_array, lit_int_array
 from streamforge_spark.registry import query
 
 
@@ -496,7 +497,7 @@ def embedding_random_projection(spark, sf_dir):
     planes = _rp_planes()
     e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     comps = [
-        F.round(_dot(F.col("v"), F.array(*[F.lit(float(x)) for x in plane]))
+        F.round(_dot(F.col("v"), lit_double_array(plane))
                 * RP_SCALE).cast("long")
         for plane in planes]
     return (e.select("vec_id", F.posexplode(F.array(*comps)).alias("j", "y"))
@@ -655,7 +656,7 @@ def ann_sq8_rerank(spark, sf_dir):
             F.lit(qid).cast("long").alias("qid"),
             F.aggregate(
                 F.zip_with(F.col("qvec"),
-                           F.array(*[F.lit(int(x)) for x in qvec]),
+                           lit_int_array(qvec),
                            lambda a, b: a.cast("long") * b.cast("long")),
                 F.lit(0).cast("long"), lambda acc, x: acc + x).alias("s"))
         for qid, qvec in qrows]
@@ -746,7 +747,7 @@ def kcenter_coreset(spark, sf_dir):
         dists = [
             F.aggregate(
                 F.zip_with(F.col("v"),
-                           F.array(*[F.lit(int(c)) for c in cv]),
+                           lit_int_array(cv),
                            lambda a, b: (a - b) * (a - b)),
                 F.lit(0).cast("long"), lambda acc, x: acc + x)
             for _, _, cv in chosen]
@@ -814,7 +815,7 @@ def knn_label_predict(spark, sf_dir):
     per_q = [
         F.struct(F.lit(qid).cast("long").alias("qid"),
                  cosine(F.col("v"),
-                        F.array(*[F.lit(float(x)) for x in qv])).alias("cos"))
+                        lit_double_array(qv)).alias("cos"))
         for qid, qv in qrows]
     scored = (e.filter(F.col("vec_id") >= KNN_NQ)
               .select(F.col("vec_id").alias("cid"), "label",
@@ -1234,7 +1235,7 @@ def retrieval_ndcg_eval(spark, sf_dir):
         F.struct(F.lit(qid).cast("long").alias("qid"),
                  F.lit(ql).cast("int").alias("qlabel"),
                  cosine(F.col("v"),
-                        F.array(*[F.lit(float(x)) for x in qv])).alias("cos"))
+                        lit_double_array(qv)).alias("cos"))
         for qid, ql, qv in qrows]
     cand = e.filter(F.col("vec_id") >= NDCG_NQ)
     scored = (cand.select(F.col("vec_id").alias("cid"), F.col("label"),
@@ -1361,7 +1362,7 @@ def embedding_dim_truncation_recall(spark, sf_dir):
     per = []
     for d in MRL_DIMS:
         for qid, qv in qrows:
-            qlit = F.array(*[F.lit(float(x)) for x in qv[:d]])
+            qlit = lit_double_array(qv[:d])
             per.append(F.struct(
                 F.lit(d).cast("int").alias("dim"),
                 F.lit(qid).cast("long").alias("qid"),

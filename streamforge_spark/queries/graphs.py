@@ -84,7 +84,12 @@ def supplier_pagerank(spark, sf_dir):
     supp = pairs.select((F.col("s") * 2 + 1).alias("src"),
                         (F.col("c") * 2).alias("dst"), "w")
     edges = cust.unionByName(supp)
-    return pagerank(edges, rounds=PR_ROUNDS, scale=PR_SCALE)
+    # symmetric=True: the union above puts every node on both edge
+    # ends, so the operator's symmetric fast path (constant round-one
+    # ranks, no per-round nodes join) is value-identical (r12 — the
+    # unrolled SQL oracle keeps the generic form and stays green)
+    return pagerank(edges, rounds=PR_ROUNDS, scale=PR_SCALE,
+                    symmetric=True)
 
 
 _TRIANGLE_ORACLE = """

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from streamforge_spark.functions.simdedup import (
     BAND_MAX_BUCKET, LSH_BANDS, NUM_PERM, SIMHASH_BITS, hash60_sql,
-    kept_bands_cte, minhash_lsh_pairs, minhash_min_agg_exprs, simhash,
+    kept_bands_cte, minhash_lsh_pairs, minhash_sig_agg_expr, simhash,
     simhash_near_dup,
 )
 from streamforge_spark.functions.similarity import (
@@ -29,6 +29,7 @@ from streamforge_spark.multimodal import (
     sample_frames,
 )
 from streamforge_spark.queries.common import prep
+from streamforge_spark.functions.exprs import lit_double_array
 from streamforge_spark.registry import query
 
 MINHASH_THRESHOLD = 0.2
@@ -126,14 +127,15 @@ def hot_band_report(spark, sf_dir):
     grams = (spread_for_compute(docs, "doc_id")
              .select("doc_id",
                      F.explode(word_ngrams(F.col("text"), 3)).alias("g")))
-    sigs = grams.groupBy("doc_id").agg(*minhash_min_agg_exprs(NUM_PERM))
+    sigs = grams.groupBy("doc_id").agg(minhash_sig_agg_expr(NUM_PERM))
     rows = NUM_PERM // LSH_BANDS
-    banded = sigs.select(
+    banded = sigs.selectExpr(
         "doc_id",
-        F.posexplode(F.array(*[
-            F.concat_ws(":", *[F.col(f"h{b * rows + r}").cast("string")
-                               for r in range(rows)])
-            for b in range(LSH_BANDS)])).alias("band", "bstr"))
+        "posexplode(array(" + ", ".join(
+            "concat_ws(':', " + ", ".join(
+                f"CAST(sig[{b * rows + r}] AS STRING)"
+                for r in range(rows)) + ")"
+            for b in range(LSH_BANDS)) + ")) AS (band, bstr)")
     return (banded
             .groupBy("band", oracle_hash60(F.col("bstr")).alias("bucket_key"))
             .agg(F.count(F.lit(1)).alias("n_docs"),
@@ -1093,15 +1095,14 @@ def incremental_fuzzy_dedup(spark, sf_dir):
                  .select("doc_id", word_ngrams(F.col("text"), 3).alias("gs"))
                  .localCheckpoint())
     grams = gram_sets.select("doc_id", F.explode("gs").alias("g"))
-    sigs = grams.groupBy("doc_id").agg(*minhash_min_agg_exprs(NUM_PERM)).select(
-        "doc_id",
-        F.array(*[F.col(f"h{p}") for p in range(NUM_PERM)]).alias("sig"))
+    sigs = grams.groupBy("doc_id").agg(minhash_sig_agg_expr(NUM_PERM))
     rows = NUM_PERM // LSH_BANDS
-    banded = sigs.select(
+    banded = sigs.selectExpr(
         "doc_id",
-        F.posexplode(F.array(*[
-            F.xxhash64(*[F.col("sig")[b * rows + r] for r in range(rows)])
-            for b in range(LSH_BANDS)])).alias("band", "band_hash"))
+        "posexplode(array(" + ", ".join(
+            "xxhash64(" + ", ".join(f"sig[{b * rows + r}]"
+                                    for r in range(rows)) + ")"
+            for b in range(LSH_BANDS)) + ")) AS (band, band_hash)")
     banded = cap_band_buckets(banded)
     new_side = banded.filter(F.col("doc_id") >= INGEST_SPLIT_ID)
     a, b = banded.alias("a"), new_side.alias("b")
@@ -1678,9 +1679,11 @@ def minhash_estimate_calibration(spark, sf_dir):
                  .select("doc_id", word_ngrams(F.col("text"), 3).alias("gs"))
                  .localCheckpoint())
     grams = gram_sets.select("doc_id", F.explode("gs").alias("g"))
-    sigs = grams.groupBy("doc_id").agg(*minhash_min_agg_exprs(NUM_PERM)).select(
-        "doc_id",
-        F.array(*[F.col(f"h{p}") for p in range(NUM_PERM)]).alias("sig"))
+    # r12: THREE consumers read the signature table (banding + both
+    # sides of the estimate join) — pin it so the 32-permutation
+    # signature aggregation runs once, not three times
+    sigs = (grams.groupBy("doc_id").agg(minhash_sig_agg_expr(NUM_PERM))
+            .localCheckpoint(eager=False))
     cands = lsh_candidate_pairs(sigs)
     s1 = sigs.select(F.col("doc_id").alias("d1"), F.col("sig").alias("sig1"))
     s2 = sigs.select(F.col("doc_id").alias("d2"), F.col("sig").alias("sig2"))
@@ -1773,34 +1776,32 @@ def dedup_yield_curve(spark, sf_dir):
                  .select("doc_id", word_ngrams(F.col("text"), 3).alias("gs"))
                  .localCheckpoint())
     grams = gram_sets.select("doc_id", F.explode("gs").alias("g"))
-    sigs = grams.groupBy("doc_id").agg(*minhash_min_agg_exprs(NUM_PERM)).select(
-        "doc_id",
-        F.array(*[F.col(f"h{p}") for p in range(NUM_PERM)]).alias("sig"))
+    sigs = grams.groupBy("doc_id").agg(minhash_sig_agg_expr(NUM_PERM))
     cands = lsh_candidate_pairs(sigs)
     g1 = gram_sets.select(F.col("doc_id").alias("d1"), F.col("gs").alias("gs1"))
     g2 = gram_sets.select(F.col("doc_id").alias("d2"), F.col("gs").alias("gs2"))
     jac = (cands.join(g1, "d1").join(g2, "d2")
            .select("d1", "d2", F.expr(
                "(1000000 * size(array_intersect(gs1, gs2)))"
-               " div size(array_union(gs1, gs2))").alias("j_ppm"))
-           .localCheckpoint(eager=False))
+               " div size(array_union(gs1, gs2))").alias("j_ppm")))
     th = spark.createDataFrame(
         [(t,) for t in DEDUP_YIELD_THRESHOLDS_PPM], "threshold_ppm long")
-    # 4-row broadcast range join; two consumers (pair counts +
-    # distinct-doc counts) — pin it so the verified-pair expansion
-    # runs once
-    hit = (th.join(jac, jac["j_ppm"] >= th["threshold_ppm"])
-           .localCheckpoint(eager=False))
-    pairs = hit.groupBy("threshold_ppm").agg(
-        F.count(F.lit(1)).alias("n_pairs"))
-    docs_hit = (hit.select("threshold_ppm", F.col("d1").alias("doc_id"))
-                .unionByName(hit.select("threshold_ppm",
-                                        F.col("d2").alias("doc_id")))
-                .distinct()
-                .groupBy("threshold_ppm")
-                .agg(F.count(F.lit(1)).alias("n_docs_in_pairs")))
-    return (th.join(pairs, "threshold_ppm", "left")
-            .join(docs_hit, "threshold_ppm", "left")
+    # r12 (guide §2.4): pair counts and distinct-doc counts fold into
+    # ONE rollup — explode each surviving pair into its two doc ids
+    # (each pair contributes exactly 2 rows, so n_pairs = count div 2)
+    # and count + count-distinct in the same aggregation.  The old
+    # shape checkpointed the threshold join and read it twice (union +
+    # global distinct + two groupBys + two joins back); with single
+    # consumers both checkpoints disappear.  Values identical: the
+    # per-threshold distinct doc set IS what the union+distinct
+    # counted, and count(*) div 2 IS the pair count.
+    hit = th.join(jac, jac["j_ppm"] >= th["threshold_ppm"])
+    agg = (hit.select("threshold_ppm",
+                      F.explode(F.array("d1", "d2")).alias("doc_id"))
+           .groupBy("threshold_ppm")
+           .agg(F.expr("count(1) div 2").alias("n_pairs"),
+                F.countDistinct("doc_id").alias("n_docs_in_pairs")))
+    return (th.join(agg, "threshold_ppm", "left")
             .select("threshold_ppm",
                     F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
                     F.coalesce("n_docs_in_pairs", F.lit(0))
@@ -1994,7 +1995,7 @@ def semantic_ingest_gate(spark, sf_dir):
     qv = F.transform(raw, lambda x: F.round(x * 10000).cast("long"))
     corpus = (est.select("vec_id", raw.alias("v"), qv.alias("qv"))
               .withColumn("cell",
-                          ivf_probe_cells_expr(F.col("qv"), C, 1)[0])
+                          ivf_probe_cells_expr("qv", C, 1)[0])
               .drop("qv"))
     return streaming_semantic_dedup_gate(
         new, C, corpus, threshold=SEM_THRESHOLD, nprobe=SEM_GATE_NPROBE)
@@ -2039,8 +2040,8 @@ def ivf_cell_report(spark, sf_dir):
     C = kmeans_centroids(emb, k=IVF_CELLS, rounds=IVF_ROUNDS)
     raw = F.col("embedding").cast("array<double>")
     qv = F.transform(raw, lambda x: F.round(x * 10000).cast("long"))
-    assigned = emb.select(
-        ivf_probe_cells_expr(qv, C, 1)[0].alias("cell"))
+    assigned = emb.select(qv.alias("qv")).select(
+        ivf_probe_cells_expr("qv", C, 1)[0].alias("cell"))
     sz = (assigned.groupBy("cell")
           .agg(F.count(F.lit(1)).alias("n_vecs"))
           .localCheckpoint(eager=False))
@@ -2126,7 +2127,7 @@ def semantic_decontamination(spark, sf_dir):
         ).filter(F.lit(False))
     cands = []
     for r in bench:
-        bv = F.array(*[F.lit(float(x)) for x in r.v])
+        bv = lit_double_array(r.v)
         denom = F.col("nv") * F.sqrt(_dot(bv, bv))
         cos = (F.when(denom != 0.0, _dot(F.col("v"), bv) / denom)
                .otherwise(F.lit(0.0)))

@@ -857,7 +857,7 @@ def corpus_funnel_semantic_report(spark, sf_dir):
     qv = F.transform(raw, lambda x: F.round(x * 10000).cast("long"))
     ivf_vecs = (est_emb.select("vec_id", raw.alias("v"), qv.alias("qv"))
                 .withColumn("cell",
-                            ivf_probe_cells_expr(F.col("qv"), C, 1)[0])
+                            ivf_probe_cells_expr("qv", C, 1)[0])
                 .drop("qv"))
     out = corpus_funnel_verdicts(
         new, vocab=vocab, xs_index=xs_index,
@@ -943,7 +943,7 @@ def corpus_funnel_ablation(spark, sf_dir):
     qv = F.transform(raw, lambda x: F.round(x * 10000).cast("long"))
     ivf_vecs = (est_emb.select("vec_id", raw.alias("v"), qv.alias("qv"))
                 .withColumn("cell",
-                            ivf_probe_cells_expr(F.col("qv"), C, 1)[0])
+                            ivf_probe_cells_expr("qv", C, 1)[0])
                 .drop("qv"))
 
     g = gopher_metrics(new)

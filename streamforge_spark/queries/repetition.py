@@ -216,9 +216,15 @@ def boilerplate_strip(spark, sf_dir):
     shuffling exploded segment strings through the hash join + rebuild,
     with the gap growing in segment width."""
     (docs,) = prep(spark, sf_dir, "documents")
+    # r12 (guide §1.2/§5): three consumers read this relation (the df
+    # rollup, the narrow position explode, and the rebuild join) — pin
+    # it so the tokenize+segment+md5 subtree runs ONCE instead of
+    # three times.  Doc-sized but it is the same "persist the
+    # tokenized projection" trade training_data_release documents.
     base = _tokens_and_segments(docs).select(
         "doc_id", "segs",
-        F.transform("segs", lambda s: oracle_hash60(s)).alias("hs"))
+        F.transform("segs", lambda s: oracle_hash60(s)).alias("hs")) \
+        .localCheckpoint(eager=False)
     dfreq = (base.select(F.explode(F.array_distinct("hs")).alias("h"))
              .groupBy("h").agg(F.count(F.lit(1)).alias("n_docs")))
     narrow = base.select("doc_id", F.posexplode("hs").alias("pos", "h"))

@@ -450,16 +450,14 @@ def lsh_band_recall_sweep(spark, sf_dir):
     production join actually delivers), three configs unioned.  The
     1-row truth count broadcasts (adjudicated scalar pattern)."""
     from streamforge_spark.functions.simdedup import (
-        NUM_PERM, cap_band_buckets, minhash_min_agg_exprs)
+        NUM_PERM, cap_band_buckets, minhash_sig_agg_expr)
     (docs,) = prep(spark, sf_dir, "documents")
     truth = (allpairs_exact_jaccard(spark, sf_dir)
              .select("d1", "d2").localCheckpoint(eager=False))
     gram_sets = (spread_for_compute(docs, "doc_id")
                  .select("doc_id", word_ngrams(F.col("text"), 3).alias("gs")))
     grams = gram_sets.select("doc_id", F.explode("gs").alias("g"))
-    sigs = (grams.groupBy("doc_id").agg(*minhash_min_agg_exprs(NUM_PERM))
-            .select("doc_id", F.array(*[F.col(f"h{p}")
-                                        for p in range(NUM_PERM)]).alias("sig"))
+    sigs = (grams.groupBy("doc_id").agg(minhash_sig_agg_expr(NUM_PERM))
             # three banding consumers — hash the grams once
             .localCheckpoint(eager=False))
     # r12 (guide §2.4): band all three configs into ONE relation keyed
@@ -492,18 +490,25 @@ def lsh_band_recall_sweep(spark, sf_dir):
              .select(F.col("a.bands").alias("bands"),
                      F.col("a.doc_id").alias("d1"),
                      F.col("b.doc_id").alias("d2"))
-             .distinct()
-             .localCheckpoint(eager=False))
+             .distinct())
     n_t = truth.agg(F.count(F.lit(1)).alias("n_truth"))
-    caught = (cands.join(truth, ["d1", "d2"])
-              .groupBy("bands").agg(F.count(F.lit(1)).alias("n_caught")))
-    tot = cands.groupBy("bands").agg(F.count(F.lit(1)).alias("n_candidates"))
+    # r12 (guide §2.4): n_candidates and n_caught fold into ONE pass —
+    # a truth-marker left join (truth pairs are distinct, so no row
+    # duplication) feeding a single per-bands rollup.  The old shape
+    # read the candidate table twice (checkpoint + two aggregations);
+    # with one consumer the checkpoint disappears too.  Counts are
+    # row-identical: count(marker) over the left join == the inner
+    # join's count, count(*) == the old n_candidates.
+    caught = (cands.join(truth.withColumn("_t", F.lit(1)),
+                         ["d1", "d2"], "left")
+              .groupBy("bands")
+              .agg(F.count(F.lit(1)).alias("n_candidates"),
+                   F.count("_t").alias("n_caught")))
     cfg = spark.createDataFrame(
         [(b, NUM_PERM // b) for b in LSH_SWEEP_BANDS],
         "bands long, rows_per_band long")
     return (cfg.crossJoin(F.broadcast(n_t))
             .join(caught, "bands", "left")
-            .join(tot, "bands", "left")
             .select("bands", "rows_per_band", "n_truth",
                     F.coalesce("n_caught", F.lit(0)).alias("n_caught"),
                     F.when(F.col("n_truth") == 0, F.lit(0).cast("long"))

@@ -71,11 +71,28 @@ def get_spark(app_name: str = "streamforge-spark",
     return tune(spark)
 
 
+# sessions already tuned — identity-keyed, weak so a stopped session's
+# entry disappears with the object.  r12 (guide §5: the driver should
+# do almost no work): tune() is called by every query via prep(); the
+# ~12 conf round-trips per call cost ~20 ms x n_queries of pure py4j
+# wall.  Conf values are constants, so one application per session is
+# semantically identical.
+_TUNED: "weakref.WeakSet[SparkSession]" = None  # type: ignore[assignment]
+
+
 def tune(spark: SparkSession) -> SparkSession:
-    """Apply runtime-settable conf to an externally provided session."""
+    """Apply runtime-settable conf to an externally provided session
+    (idempotent; once per session object)."""
+    global _TUNED
+    if _TUNED is None:
+        import weakref
+        _TUNED = weakref.WeakSet()
+    if spark in _TUNED:
+        return spark
     for k, v in RUNTIME_CONF.items():
         try:
             spark.conf.set(k, v)
         except Exception:  # static conf on a running session — ignore
             pass
+    _TUNED.add(spark)
     return spark

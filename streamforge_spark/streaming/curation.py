@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from streamforge_spark.functions.exprs import lit_double_array
 from streamforge_spark.functions.text import word_ngrams
 
 
@@ -510,19 +511,19 @@ def minhash_corpus_index(ref_docs: DataFrame, ngram: int = 3):
     batch-side ``hot_band_report`` audit.
     """
     from streamforge_spark.functions.simdedup import (
-        LSH_BANDS, NUM_PERM, cap_band_buckets, minhash_min_agg_exprs)
+        LSH_BANDS, NUM_PERM, cap_band_buckets, minhash_sig_agg_expr)
     from streamforge_spark.functions.text import word_ngrams
     from streamforge_spark.io import spread_for_compute
     gram_sets = (spread_for_compute(ref_docs, "doc_id")
                  .select("doc_id", word_ngrams(F.col("text"), ngram).alias("gs"))
                  .localCheckpoint(eager=False))
     grams = gram_sets.select("doc_id", F.explode("gs").alias("g"))
-    sigs = grams.groupBy("doc_id").agg(*minhash_min_agg_exprs(NUM_PERM))
+    sigs = grams.groupBy("doc_id").agg(minhash_sig_agg_expr(NUM_PERM))
     rows = NUM_PERM // LSH_BANDS
     bands = cap_band_buckets(sigs.selectExpr(
         "doc_id",
         "posexplode(array(" + ", ".join(
-            "xxhash64(" + ", ".join(f"h{b * rows + r}"
+            "xxhash64(" + ", ".join(f"sig[{b * rows + r}]"
                                     for r in range(rows)) + ")"
             for b in range(LSH_BANDS)) + ")) AS (band, band_hash)"))
     return bands, gram_sets
@@ -849,7 +850,7 @@ def corpus_funnel_verdicts(docs: DataFrame,
     # maxPartitionBytes); measured 8.8s -> 0.7s on the fuzzy gate's
     # signature stage at sf0.1/local[32].
     from streamforge_spark.io import spread_for_compute
-    cur = (spread_for_compute(docs.select(*keep), id_col)
+    cur = (spread_for_compute(docs.select(*keep), id_col, scan_of=docs)
            .localCheckpoint(eager=False))
     fails = []
 
@@ -1003,7 +1004,7 @@ def streaming_semantic_dedup_gate(vec_stream: DataFrame,
               .select(F.col(id_col), raw.alias("v"), qv.alias("qv"),
                       *ts_keys)
               .withColumn("cell", F.explode(
-                  ivf_probe_cells_expr(F.col("qv"), centroids, nprobe)))
+                  ivf_probe_cells_expr("qv", centroids, nprobe)))
               .drop("qv"))
     cand = probed.join(
         corpus_vecs.select(F.col("vec_id").alias("corpus_id"),
@@ -1182,7 +1183,7 @@ def bench_leak_pairs(docs: DataFrame, bench_docs: DataFrame, *,
         bid_type = bench_docs.schema[id_col].dataType
         per_b = [F.struct(F.lit(b).cast(bid_type).alias("bid"),
                           cosine(F.col("v"),
-                                 F.array(*[F.lit(float(x)) for x in bv]))
+                                 lit_double_array(bv))
                           .alias("cos"))
                  for b, bv in bench_vecs]
         semp = (vecs.select(F.col(id_col).alias("cid"),
