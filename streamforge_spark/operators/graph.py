@@ -143,8 +143,13 @@ def connected_components(edges: DataFrame, src: str = "d1", dst: str = "d2",
     # labels only ever decrease (min-propagation), so the label-sum is
     # strictly decreasing until fixpoint: an unchanged sum IS
     # convergence — one scalar aggregate per round instead of a
-    # join+count against the previous labels
-    prev_sum = labels.agg(F.sum("c")).collect()[0][0]
+    # join+count against the previous labels.  r12: the pre-loop sum
+    # job is skipped — on a nonempty edge list round one ALWAYS lowers
+    # some label (every edge has two distinct endpoints), so the first
+    # comparison that can break the loop is round2-vs-round1; None
+    # compares unequal to any real sum, and an empty edge list yields
+    # None == None, breaking immediately on the empty label set.
+    prev_sum = None
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym["b"] == labels["n"])

@@ -72,10 +72,19 @@ def allpairs_exact_jaccard(spark, sf_dir):
     All exchanges carry 8-byte hashes, never shingle strings.
     """
     (docs,) = prep(spark, sf_dir, "documents")
-    d = (spread_for_compute(docs, "doc_id")
-         .select("doc_id", word_ngrams(F.col("text"), 3).alias("gs"))
-         .select("doc_id", F.array_distinct(
-             F.transform("gs", lambda g: oracle_hash60(g))).alias("hs")))
+    gram_sets = (spread_for_compute(docs, "doc_id")
+                 .select("doc_id", word_ngrams(F.col("text"), 3)
+                         .alias("gs")))
+    return _allpairs_from_gram_sets(gram_sets)
+
+
+def _allpairs_from_gram_sets(gram_sets):
+    """The allpairs pipeline from a (doc_id, gs: array<string>) shingle
+    relation — split out (r12) so lsh_band_recall_sweep can feed its
+    already-pinned shingle arrays instead of re-tokenizing the corpus
+    for the truth side.  Expression-identical to the inline form."""
+    d = gram_sets.select("doc_id", F.array_distinct(
+        F.transform("gs", lambda g: oracle_hash60(g))).alias("hs"))
     dfreq = (d.select(F.explode("hs").alias("h"))
              .groupBy("h").agg(F.count(F.lit(1)).alias("df")))
     # per-doc shingle hashes in canonical rarest-first order
@@ -452,10 +461,16 @@ def lsh_band_recall_sweep(spark, sf_dir):
     from streamforge_spark.functions.simdedup import (
         NUM_PERM, cap_band_buckets, minhash_sig_agg_expr)
     (docs,) = prep(spark, sf_dir, "documents")
-    truth = (allpairs_exact_jaccard(spark, sf_dir)
-             .select("d1", "d2").localCheckpoint(eager=False))
+    # r12 (guide §1.2): the truth side and the signature side both
+    # start from the same word-3-gram shingle arrays — pin that
+    # relation once and feed BOTH pipelines, instead of tokenizing the
+    # corpus twice (truth via _allpairs_from_gram_sets is
+    # expression-identical to the standalone allpairs query).
     gram_sets = (spread_for_compute(docs, "doc_id")
-                 .select("doc_id", word_ngrams(F.col("text"), 3).alias("gs")))
+                 .select("doc_id", word_ngrams(F.col("text"), 3).alias("gs"))
+                 .localCheckpoint(eager=False))
+    truth = (_allpairs_from_gram_sets(gram_sets)
+             .select("d1", "d2").localCheckpoint(eager=False))
     grams = gram_sets.select("doc_id", F.explode("gs").alias("g"))
     sigs = (grams.groupBy("doc_id").agg(minhash_sig_agg_expr(NUM_PERM))
             # three banding consumers — hash the grams once

@@ -870,21 +870,37 @@ def corpus_funnel_verdicts(docs: DataFrame,
     # Measured: warm funnel 8.7s -> ~5s at sf0.1 on top of the
     # spread fix; the checkpointed bytes also shrink (no text column).
 
+    # r12 (guide §1.2): gopher and vocab-OOV are the two ZERO-STATE
+    # gates — per-doc column algebra / a broadcast-vocab rollup, no
+    # corpus-sized join — so they fuse into ONE signal pass and ONE
+    # survivors join instead of two sequential barrier+join rounds.
+    # Verdict precedence is unchanged (gopher fail wins via the fail
+    # order below); oov_ppm is per-doc and identical whether computed
+    # before or after the gopher cut.  The trade at scale: OOV tokens
+    # are counted for gopher-failed docs too (work proportional to the
+    # gopher fail rate) in exchange for one fewer materialization
+    # barrier — the model-backed gates (substring/fuzzy/semantic/DSIR)
+    # still see survivors only.
     g = gopher_metrics(cur, id_cols=(id_col,), text_col=text_col)
-    gsig = (g.select(id_col, "gopher_pass")
-            .localCheckpoint(eager=False))
-    _fail(gsig.filter(~F.col("gopher_pass")), "gopher")
-    cur = (cur.join(gsig.filter(F.col("gopher_pass")).select(id_col),
-                    id_col)
-           .localCheckpoint(eager=False))
-
     if vocab is not None:
         v = streaming_vocab_oov(cur, vocab, id_col=id_col,
                                 text_col=text_col)
-        vsig = v.select(id_col, "oov_ppm").localCheckpoint(eager=False)
-        _fail(vsig.filter(F.col("oov_ppm") > oov_max_ppm), "oov")
-        cur = (cur.join(vsig.filter(F.col("oov_ppm") <= oov_max_ppm)
+        gsig = (g.select(id_col, "gopher_pass")
+                .join(v.select(id_col, "oov_ppm"), id_col)
+                .localCheckpoint(eager=False))
+        _fail(gsig.filter(~F.col("gopher_pass")), "gopher")
+        _fail(gsig.filter(F.col("gopher_pass")
+                          & (F.col("oov_ppm") > oov_max_ppm)), "oov")
+        cur = (cur.join(gsig.filter(F.col("gopher_pass")
+                                    & (F.col("oov_ppm") <= oov_max_ppm))
                         .select(id_col), id_col)
+               .localCheckpoint(eager=False))
+    else:
+        gsig = (g.select(id_col, "gopher_pass")
+                .localCheckpoint(eager=False))
+        _fail(gsig.filter(~F.col("gopher_pass")), "gopher")
+        cur = (cur.join(gsig.filter(F.col("gopher_pass")).select(id_col),
+                        id_col)
                .localCheckpoint(eager=False))
 
     if xs_index is not None:
