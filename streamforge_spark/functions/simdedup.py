@@ -107,6 +107,45 @@ def cap_band_buckets(banded: DataFrame, id_col: str = "doc_id",
             .filter(F.col("_brn") <= cap).drop("_brn"))
 
 
+def bucket_capped_pairs(banded: DataFrame, id_col: str = "doc_id",
+                        bucket_cols: tuple[str, ...] = ("band", "band_hash"),
+                        cap: int = BAND_MAX_BUCKET,
+                        carry: tuple[str, ...] = ()) -> DataFrame:
+    """Candidate (d1 < d2) pairs from capped LSH buckets via ONE
+    grouped posting array instead of a bucket self-join (r12, guide
+    §2.4/§3.3): rank-cap the bucket (:func:`cap_band_buckets` — the
+    window streams its sorted partition, so no unbounded posting
+    array ever materializes on a hot bucket), then collect the <= cap
+    member ids per bucket and emit every i<j pair with array
+    higher-order functions — the same posting-list shape
+    ``shingle_pair_candidates`` already ships.
+
+    The groupBy's clustering requirement is satisfied by the window's
+    hash partitioning on the SAME bucket key, so candidate generation
+    costs exactly one exchange of the banded table; the self-join
+    shape paid that window exchange PLUS a sort of each join side
+    (and the join itself) — at crawl scale those sorts are the
+    candidate stage's dominant term.  Pair sets are identical to
+    ``capped a JOIN capped b ON bucket-keys AND a.id < b.id``: ids
+    are unique within a bucket, the posting array is the capped
+    bucket's sorted member list, and i<j over a sorted array is
+    exactly the d1 < d2 pair enumeration.  Callers dedup across
+    buckets (`.distinct()`), as before.
+
+    ``carry``: bucket-key columns to keep on the output pairs (e.g.
+    the sweep's per-config ``bands`` column)."""
+    capped = cap_band_buckets(banded, id_col, bucket_cols, cap)
+    posting = (capped.groupBy(*bucket_cols)
+               .agg(F.sort_array(F.collect_list(id_col)).alias("_ids")))
+    pairs = posting.select(
+        *carry,
+        F.explode(F.expr(
+            "flatten(transform(_ids, (x, i) -> "
+            "transform(slice(_ids, i + 2, size(_ids) - i - 1), "
+            "y -> struct(x AS d1, y AS d2))))")).alias("_p"))
+    return pairs.select(*carry, "_p.d1", "_p.d2")
+
+
 def kept_bands_cte(src: str = "bands", key: str = "band, bkey",
                    id_col: str = "doc_id",
                    cap: int = BAND_MAX_BUCKET) -> str:
@@ -137,11 +176,14 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
     """Band the signature, hash each band, self-join on (band, hash):
     candidate pairs collide in >=1 band. Returns distinct (d1, d2).
 
-    Each bucket is bounded to its ``cap`` lowest doc_ids before the
-    join (:func:`cap_band_buckets`), so a hot template family
+    Each bucket is bounded to its ``cap`` lowest doc_ids before pair
+    generation (:func:`cap_band_buckets`), so a hot template family
     contributes at most C(cap, 2) pairs per band instead of O(m^2) —
     candidate sets are cap-conditioned LOWER bounds, audited by
-    ``hot_band_report``."""
+    ``hot_band_report``.  r12: pairs come from the grouped posting
+    array (:func:`bucket_capped_pairs`) instead of a bucket
+    self-join — identical pair set, one fewer sorted pass over the
+    banded table."""
     rows = num_perm // bands
     bands_sql = ", ".join(
         "xxhash64(" + ", ".join(f"sig[{b * rows + r}]"
@@ -150,15 +192,7 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
     banded = sigs.selectExpr(
         id_col,
         f"posexplode(array({bands_sql})) AS (band, band_hash)")
-    banded = cap_band_buckets(banded, id_col, cap=cap)
-    a, b = banded.alias("a"), banded.alias("b")
-    return (
-        a.join(b, (F.col("a.band") == F.col("b.band"))
-               & (F.col("a.band_hash") == F.col("b.band_hash"))
-               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .select(F.col(f"a.{id_col}").alias("d1"), F.col(f"b.{id_col}").alias("d2"))
-        .distinct()
-    )
+    return bucket_capped_pairs(banded, id_col, cap=cap).distinct()
 
 
 def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",

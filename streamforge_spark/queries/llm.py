@@ -1088,7 +1088,7 @@ def incremental_fuzzy_dedup(spark, sf_dir):
     because the fixture has no cross-run state.""".format(
         split=INGEST_SPLIT_ID)
     from streamforge_spark.functions.simdedup import (
-        NUM_PERM, cap_band_buckets, oracle_hash60, word_ngrams)
+        NUM_PERM, bucket_capped_pairs, oracle_hash60, word_ngrams)
     from streamforge_spark.io import spread_for_compute
     (docs,) = prep(spark, sf_dir, "documents")
     gram_sets = (spread_for_compute(docs, "doc_id")
@@ -1103,14 +1103,12 @@ def incremental_fuzzy_dedup(spark, sf_dir):
             "xxhash64(" + ", ".join(f"sig[{b * rows + r}]"
                                     for r in range(rows)) + ")"
             for b in range(LSH_BANDS)) + ")) AS (band, band_hash)")
-    banded = cap_band_buckets(banded)
-    new_side = banded.filter(F.col("doc_id") >= INGEST_SPLIT_ID)
-    a, b = banded.alias("a"), new_side.alias("b")
-    cands = (a.join(b, (F.col("a.band") == F.col("b.band"))
-                    & (F.col("a.band_hash") == F.col("b.band_hash"))
-                    & (F.col("a.doc_id") < F.col("b.doc_id")))
-             .select(F.col("a.doc_id").alias("d1"),
-                     F.col("b.doc_id").alias("d2")).distinct())
+    # r12 (guide §2.4/§3.3): i<j pairs from the grouped capped posting
+    # array (bucket_capped_pairs), then keep pairs whose HIGHER id is
+    # in the new batch — identical to the old all-capped x new-side
+    # self-join (d1 < d2 and d2 >= split), one fewer sorted pass.
+    cands = (bucket_capped_pairs(banded)
+             .filter(F.col("d2") >= INGEST_SPLIT_ID).distinct())
     g1 = gram_sets.select(F.col("doc_id").alias("d1"), F.col("gs").alias("gs1"))
     g2 = gram_sets.select(F.col("doc_id").alias("d2"), F.col("gs").alias("gs2"))
     matched = (cands.join(g1, "d1").join(g2, "d2")

@@ -383,13 +383,20 @@ def winnow_near_dup(spark, sf_dir):
     keptf = (sel.groupBy("f").agg(F.count(F.lit(1)).alias("df"))
              .filter((F.col("df") >= 2) & (F.col("df") <= _WINNOW_MAX_DF))
              .select("f"))
-    kept = sel.join(keptf, "f")
-    a = kept.alias("a")
-    b = kept.alias("b")
-    return (a.join(b, (F.col("a.f") == F.col("b.f"))
-                   & (F.col("a.doc_id") < F.col("b.doc_id")))
-            .groupBy(F.col("a.doc_id").alias("doc_a"),
-                     F.col("b.doc_id").alias("doc_b"))
+    # r12 (guide §2.4/§3.3): pair generation via the grouped posting
+    # list instead of the kept x kept self-join — the df cap still
+    # runs BEFORE any posting array exists (no unbounded array on a
+    # hot fingerprint), the posting groupBy reuses the df join's hash
+    # partitioning on f, and i<j over the sorted <= 64-long array is
+    # exactly the a.doc_id < b.doc_id enumeration (sel is distinct per
+    # (doc_id, f)).  Same pair multiset, one fewer sorted join pass.
+    posting = (sel.join(keptf, "f").groupBy("f")
+               .agg(F.sort_array(F.collect_list("doc_id")).alias("_ids")))
+    pairs = posting.select(F.explode(F.expr(
+        "flatten(transform(_ids, (x, i) -> "
+        "transform(slice(_ids, i + 2, size(_ids) - i - 1), "
+        "y -> struct(x AS doc_a, y AS doc_b))))")).alias("_p"))
+    return (pairs.groupBy("_p.doc_a", "_p.doc_b")
             .agg(F.count(F.lit(1)).alias("shared"))
             .where(F.col("shared") >= 3))
 
@@ -453,13 +460,13 @@ def lsh_band_recall_sweep(spark, sf_dir):
 
     Plan (100 TB): the truth set reuses allpairs' prefix-filter
     (never quadratic); signatures are one explode+rollup; each config
-    is a banded self-join on (band, 32/b-long key) — the same bounded
-    LSH-bucket shape as production dedup (incl. the BAND_MAX_BUCKET
-    hot-bucket cap, so the sweep measures the recall the CAPPED
-    production join actually delivers), three configs unioned.  The
+    is a banded bucket pairing on (band, 32/b-long key) — the same
+    bounded LSH-bucket shape as production dedup (incl. the
+    BAND_MAX_BUCKET hot-bucket cap, so the sweep measures the recall
+    the CAPPED production pairing delivers), three configs unioned.  The
     1-row truth count broadcasts (adjudicated scalar pattern)."""
     from streamforge_spark.functions.simdedup import (
-        NUM_PERM, cap_band_buckets, minhash_sig_agg_expr)
+        NUM_PERM, bucket_capped_pairs, minhash_sig_agg_expr)
     (docs,) = prep(spark, sf_dir, "documents")
     # r12 (guide §1.2): the truth side and the signature side both
     # start from the same word-3-gram shingle arrays — pin that
@@ -495,17 +502,12 @@ def lsh_band_recall_sweep(spark, sf_dir):
     banded = per_cfg[0]
     for p in per_cfg[1:]:
         banded = banded.unionByName(p)
-    capped = cap_band_buckets(banded,
-                              bucket_cols=("bands", "band", "band_hash"))
-    a, b = capped.alias("a"), capped.alias("b")
-    cands = (a.join(b, (F.col("a.bands") == F.col("b.bands"))
-                    & (F.col("a.band") == F.col("b.band"))
-                    & (F.col("a.band_hash") == F.col("b.band_hash"))
-                    & (F.col("a.doc_id") < F.col("b.doc_id")))
-             .select(F.col("a.bands").alias("bands"),
-                     F.col("a.doc_id").alias("d1"),
-                     F.col("b.doc_id").alias("d2"))
-             .distinct())
+    # r12 (guide §2.4/§3.3): pairs via the grouped posting array
+    # (bucket_capped_pairs) instead of the capped bucket self-join —
+    # identical pair set, one fewer sorted pass over the banded union.
+    cands = bucket_capped_pairs(
+        banded, bucket_cols=("bands", "band", "band_hash"),
+        carry=("bands",)).distinct()
     n_t = truth.agg(F.count(F.lit(1)).alias("n_truth"))
     # r12 (guide §2.4): n_candidates and n_caught fold into ONE pass —
     # a truth-marker left join (truth pairs are distinct, so no row
