@@ -128,36 +128,52 @@ def connected_components(edges: DataFrame, src: str = "d1", dst: str = "d2",
     replays all K-1 predecessors and the DAG grows quadratically (on a
     cluster, use a checkpoint dir for fault tolerance instead). The
     only driver-side data is the converged? flag (one count per
-    round), never the labels."""
-    # materialize the edge list ONCE — it is re-joined every round, and
-    # without this the (possibly expensive) upstream pipeline that
-    # produced the edges re-executes per iteration
-    sym = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-           .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+    round), never the labels.
+
+    r12 plan-shape work (guide §2.4/§3.1), all value-identical:
+
+    - The symmetrized edge list carries SELF-LOOPS, so a node's own
+      label rides the same join+aggregate as its neighbors' (new label
+      = min over {own} ∪ neighbors) — the old per-round union with the
+      previous labels and its second groupBy/exchange are gone.
+    - Round one needs no join at all: every label IS its node id, so
+      min-over-neighborhood is just ``groupBy(a).min(b)`` on the
+      self-looped edge list (the same collapse pagerank's symmetric r0
+      uses); the node-count scalar for the broadcast decision rides
+      that round's convergence collect for free.
+    - From round two on, the label vector is BROADCAST into the
+      propagation join under the same |V| <= ~2M threshold as pagerank
+      — the (checkpointed, partitioning-less) edge list is then never
+      re-exchanged per round; past the threshold both sides shuffle,
+      correct at any |V|.
+    - The raw edge list checkpoints BEFORE symmetrization, so the
+      (possibly expensive — LSH signatures, shingle joins) upstream
+      pair pipeline executes once, not once per union branch.
+    """
+    ecp = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+           .localCheckpoint(eager=True))
+    sym = (ecp.union(ecp.select(F.col("b"), F.col("a")))
+           .union(ecp.select("a", "a")).union(ecp.select("b", "b"))
            .distinct().localCheckpoint(eager=True))
-    # LAZY checkpoints: the convergence aggregate right below is the
+    # round 1 (labels == node ids): one aggregate, no join.  LAZY
+    # checkpoints throughout: the convergence aggregate below is the
     # action that materializes (and truncates) each round's labels —
-    # one pass per round instead of eager-checkpoint + aggregate
-    labels = (sym.select(F.col("a").alias("n")).distinct()
-              .withColumn("c", F.col("n")).localCheckpoint(eager=False))
+    # one pass per round instead of eager-checkpoint + aggregate.
+    labels = (sym.groupBy(F.col("a").alias("n"))
+              .agg(F.min("b").alias("c")).localCheckpoint(eager=False))
     # labels only ever decrease (min-propagation), so the label-sum is
     # strictly decreasing until fixpoint: an unchanged sum IS
     # convergence — one scalar aggregate per round instead of a
-    # join+count against the previous labels.  r12: the pre-loop sum
-    # job is skipped — on a nonempty edge list round one ALWAYS lowers
-    # some label (every edge has two distinct endpoints), so the first
-    # comparison that can break the loop is round2-vs-round1; None
-    # compares unequal to any real sum, and an empty edge list yields
-    # None == None, breaking immediately on the empty label set.
-    prev_sum = None
-    for _ in range(max_iter):
-        neighbor_min = (
-            sym.join(labels, sym["b"] == labels["n"])
-            .groupBy(F.col("a").alias("n")).agg(F.min("c").alias("c")))
-        labels = (
-            labels.union(neighbor_min)
-            .groupBy("n").agg(F.min("c").alias("c"))
-            .localCheckpoint(eager=False))
+    # join+count against the previous labels.  An empty edge list
+    # yields None == None at round two, breaking immediately.
+    prev_sum, n_nodes = labels.agg(
+        F.sum("c"), F.count(F.lit(1))).collect()[0]
+    hint = F.broadcast if n_nodes <= 2_000_000 else (lambda df: df)
+    for _ in range(max_iter - 1):
+        labels = (sym.join(hint(labels), sym["b"] == labels["n"])
+                  .groupBy(F.col("a").alias("n"))
+                  .agg(F.min("c").alias("c"))
+                  .localCheckpoint(eager=False))
         new_sum = labels.agg(F.sum("c")).collect()[0][0]
         if new_sum == prev_sum:
             break
