@@ -289,7 +289,8 @@ def _watermarked(df: DataFrame, ts_col: str | None, watermark: str | None):
     return df, ([ts_col] if ts_col is not None else [])
 
 
-def _spread_batch(df: DataFrame, id_col: str) -> DataFrame:
+def _spread_batch(df: DataFrame, id_col: str,
+                  assume_partitioned: bool = False) -> DataFrame:
     """Engage cluster parallelism for a gate's compute-dense stage
     (salted-md5 hashing, HOF signature folds) when the input is a
     BATCH DataFrame sitting in fewer partitions than the cluster has
@@ -299,8 +300,16 @@ def _spread_batch(df: DataFrame, id_col: str) -> DataFrame:
     the substring+fuzzy gates at sf0.1/local[32]).  A no-op whenever
     the input is already well-partitioned (always true at 100 TB under
     maxPartitionBytes) and on streaming inputs, whose partitioning
-    belongs to the source."""
-    if df.isStreaming:
+    belongs to the source.
+
+    ``assume_partitioned=True`` skips the probe entirely: under AQE,
+    compiling a derived plan's partitioning (``df.rdd``) materializes
+    every upstream shuffle stage synchronously on the driver — a
+    caller that has ALREADY spread its input (the funnel spreads the
+    survivor table once at entry; joins only widen partitioning past
+    that) pays a full plan-materialization wave per gate for a probe
+    whose answer it knows (r12, guide §5)."""
+    if df.isStreaming or assume_partitioned:
         return df
     from streamforge_spark.io import spread_for_compute
     return spread_for_compute(df, id_col)
@@ -312,7 +321,8 @@ def streaming_substring_contamination(doc_stream: DataFrame,
                                       id_col: str = "doc_id",
                                       text_col: str = "text",
                                       ts_col: str | None = None,
-                                      watermark: str | None = None
+                                      watermark: str | None = None,
+                                      assume_partitioned: bool = False
                                       ) -> DataFrame:
     """Streaming exact-substring admission gate: per incoming document,
     the merged-span stats of its verbatim overlap with the reference
@@ -341,7 +351,7 @@ def streaming_substring_contamination(doc_stream: DataFrame,
     from streamforge_spark.functions.simdedup import oracle_hash60
     from streamforge_spark.queries.text import XS_K
     k = k or XS_K
-    doc_stream = _spread_batch(doc_stream, id_col)
+    doc_stream = _spread_batch(doc_stream, id_col, assume_partitioned)
     doc_stream, ts_keys = _watermarked(doc_stream, ts_col, watermark)
     pos = (doc_stream.where(F.length(text_col) >= k)
            .select(F.col(id_col),
@@ -390,7 +400,8 @@ def streaming_substring_contamination(doc_stream: DataFrame,
 
 def streaming_vocab_oov(doc_stream: DataFrame, vocab: DataFrame,
                         id_col: str = "doc_id",
-                        text_col: str = "text") -> DataFrame:
+                        text_col: str = "text",
+                        assume_partitioned: bool = False) -> DataFrame:
     """Streaming tokenizer-fit gate: per incoming document, total and
     out-of-vocabulary token counts against a static vocabulary (the
     online twin of queries/text.py::vocab_oov_rate, whose corpus-global
@@ -399,7 +410,7 @@ def streaming_vocab_oov(doc_stream: DataFrame, vocab: DataFrame,
     doc's tokens arrive together, the vocab broadcasts, and the
     per-doc rollup is the only exchange.  ``vocab`` is a one-column
     (``term``) DataFrame."""
-    toks = _spread_batch(doc_stream, id_col).select(
+    toks = _spread_batch(doc_stream, id_col, assume_partitioned).select(
         F.col(id_col),
         F.explode(F.split(F.col(text_col), " ")).alias("term"))
     marked = toks.join(
@@ -416,7 +427,8 @@ def streaming_vocab_oov(doc_stream: DataFrame, vocab: DataFrame,
 def streaming_dsir_gate(doc_stream: DataFrame, llr_model: DataFrame,
                         threshold_micro: int = 0,
                         id_col: str = "doc_id",
-                        text_col: str = "text") -> DataFrame:
+                        text_col: str = "text",
+                        assume_partitioned: bool = False) -> DataFrame:
     """Streaming DSIR admission gate: score each incoming document
     against a static hashed-unigram log-ratio model
     (functions/dsir.py::dsir_llr_model — production pins the model
@@ -455,7 +467,7 @@ def streaming_dsir_gate(doc_stream: DataFrame, llr_model: DataFrame,
     # neutral 0 (ratio 1) unless the caller supplies a model row —
     # dsir_llr_model emits a row for EVERY bucket with corpus mass,
     # so this only triggers on genuinely novel vocabulary.
-    toks = _spread_batch(doc_stream, id_col).select(
+    toks = _spread_batch(doc_stream, id_col, assume_partitioned).select(
         F.col(id_col),
         F.explode(F.split(F.col(text_col), " ")).alias("tok"))
     marked = (toks.select(F.col(id_col),
@@ -537,7 +549,8 @@ def streaming_fuzzy_dedup_gate(doc_stream: DataFrame,
                                id_col: str = "doc_id",
                                text_col: str = "text",
                                ts_col: str | None = None,
-                               watermark: str | None = None) -> DataFrame:
+                               watermark: str | None = None,
+                               assume_partitioned: bool = False) -> DataFrame:
     """Streaming NEAR-dup admission gate — the online stream-vs-corpus
     side of incremental_fuzzy_dedup (queries/llm.py): each arriving
     document computes its MinHash signature ROW-WISE (array_min over
@@ -568,7 +581,7 @@ def streaming_fuzzy_dedup_gate(doc_stream: DataFrame,
     from streamforge_spark.functions.simdedup import (
         LSH_BANDS, NUM_PERM, hash60_spark_sql)
     from streamforge_spark.functions.text import word_ngrams
-    doc_stream = _spread_batch(doc_stream, id_col)
+    doc_stream = _spread_batch(doc_stream, id_col, assume_partitioned)
     doc_stream, ts_keys = _watermarked(doc_stream, ts_col, watermark)
     rows = NUM_PERM // LSH_BANDS
     gs = word_ngrams(F.col(text_col), ngram)
@@ -884,7 +897,8 @@ def corpus_funnel_verdicts(docs: DataFrame,
     g = gopher_metrics(cur, id_cols=(id_col,), text_col=text_col)
     if vocab is not None:
         v = streaming_vocab_oov(cur, vocab, id_col=id_col,
-                                text_col=text_col)
+                                text_col=text_col,
+                                assume_partitioned=True)
         gsig = (g.select(id_col, "gopher_pass")
                 .join(v.select(id_col, "oov_ppm"), id_col)
                 .localCheckpoint(eager=False))
@@ -905,7 +919,8 @@ def corpus_funnel_verdicts(docs: DataFrame,
 
     if xs_index is not None:
         c = streaming_substring_contamination(
-            cur, xs_index, k=xs_k, id_col=id_col, text_col=text_col)
+            cur, xs_index, k=xs_k, id_col=id_col, text_col=text_col,
+            assume_partitioned=True)
         csig = c.select(id_col).localCheckpoint(eager=False)
         _fail(csig, "substring")   # gate emits ONLY contaminated docs
         cur = (cur.join(csig, id_col, "left_anti")
@@ -914,7 +929,8 @@ def corpus_funnel_verdicts(docs: DataFrame,
     if mh_bands is not None:
         fz = streaming_fuzzy_dedup_gate(
             cur, mh_bands, mh_grams, threshold=fuzzy_threshold,
-            id_col=id_col, text_col=text_col)
+            id_col=id_col, text_col=text_col,
+            assume_partitioned=True)
         fsig = (fz.select(id_col, "admitted")
                 .localCheckpoint(eager=False))
         _fail(fsig.filter(~F.col("admitted")), "fuzzy")
@@ -942,7 +958,8 @@ def corpus_funnel_verdicts(docs: DataFrame,
         ds = streaming_dsir_gate(
             cur, llr_model,
             threshold_micro=(dsir_threshold_micro or 0),
-            id_col=id_col, text_col=text_col)
+            id_col=id_col, text_col=text_col,
+            assume_partitioned=True)
         ds = (ds.select(id_col, "avg_llr_micro", "admitted")
               .localCheckpoint(eager=False))
         if dsir_threshold_micro is not None:
