@@ -1775,7 +1775,14 @@ def dedup_yield_curve(spark, sf_dir):
                  .localCheckpoint())
     grams = gram_sets.select("doc_id", F.explode("gs").alias("g"))
     sigs = grams.groupBy("doc_id").agg(minhash_sig_agg_expr(NUM_PERM))
-    cands = lsh_candidate_pairs(sigs)
+    # pin the candidate list: downstream of the posting-array pair
+    # generator the optimizer has no cardinality stats (Generate), and
+    # planning the gram-verification joins against the raw pipeline
+    # went pathological (broadcast of the whole un-materialized
+    # candidate subtree).  A materialized pair list gives the planner
+    # real sizes — the same reason minhash_estimate_calibration pins
+    # its signature table.
+    cands = lsh_candidate_pairs(sigs).localCheckpoint(eager=False)
     g1 = gram_sets.select(F.col("doc_id").alias("d1"), F.col("gs").alias("gs1"))
     g2 = gram_sets.select(F.col("doc_id").alias("d2"), F.col("gs").alias("gs2"))
     jac = (cands.join(g1, "d1").join(g2, "d2")
@@ -1793,7 +1800,20 @@ def dedup_yield_curve(spark, sf_dir):
     # consumers both checkpoints disappear.  Values identical: the
     # per-threshold distinct doc set IS what the union+distinct
     # counted, and count(*) div 2 IS the pair count.
-    hit = th.join(jac, jac["j_ppm"] >= th["threshold_ppm"])
+    # r12 session 3 (guide §2.4): the theta-join th ⋈ (j_ppm >= t) is
+    # replaced by a per-pair explode of the (constant, 4-element)
+    # threshold list each pair clears — row-identical to the join (a
+    # pair is replicated once per cleared threshold) with NO join at
+    # all.  The join form went pathological once the candidate input
+    # became Generate-shaped (no cardinality stats): the planner
+    # broadcast the whole un-materialized candidate pipeline and the
+    # query regressed 2.7 -> 11.7 s solo; this form is 4x faster than
+    # even the pre-regression baseline's shape at any stats quality.
+    cfg = ", ".join(str(t) for t in DEDUP_YIELD_THRESHOLDS_PPM)
+    hit = jac.select(
+        "d1", "d2",
+        F.explode(F.expr(f"filter(array({cfg}), t -> j_ppm >= t)"))
+        .alias("threshold_ppm"))
     agg = (hit.select("threshold_ppm",
                       F.explode(F.array("d1", "d2")).alias("doc_id"))
            .groupBy("threshold_ppm")

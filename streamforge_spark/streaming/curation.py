@@ -304,11 +304,15 @@ def _spread_batch(df: DataFrame, id_col: str,
 
     ``assume_partitioned=True`` skips the probe entirely: under AQE,
     compiling a derived plan's partitioning (``df.rdd``) materializes
-    every upstream shuffle stage synchronously on the driver — a
-    caller that has ALREADY spread its input (the funnel spreads the
-    survivor table once at entry; joins only widen partitioning past
-    that) pays a full plan-materialization wave per gate for a probe
-    whose answer it knows (r12, guide §5)."""
+    every upstream shuffle stage synchronously on the driver, so a
+    caller that KNOWS its input is already well-partitioned can save
+    that wave.  Measured caution (r12): the funnel is NOT such a
+    caller — AQE coalesces its kilobyte-scale survivor joins back to a
+    handful of partitions, so skipping the per-gate re-spread
+    serialized the fuzzy gate's O(perms x shingles) HOF signatures
+    (corpus_funnel_semantic_report solo 5.5 -> 9.2 s).  The probe+
+    re-spread is load-bearing at small survivor sizes and a no-op at
+    100 TB; leave it on unless the input provably stays spread."""
     if df.isStreaming or assume_partitioned:
         return df
     from streamforge_spark.io import spread_for_compute
@@ -897,8 +901,7 @@ def corpus_funnel_verdicts(docs: DataFrame,
     g = gopher_metrics(cur, id_cols=(id_col,), text_col=text_col)
     if vocab is not None:
         v = streaming_vocab_oov(cur, vocab, id_col=id_col,
-                                text_col=text_col,
-                                assume_partitioned=True)
+                                text_col=text_col)
         gsig = (g.select(id_col, "gopher_pass")
                 .join(v.select(id_col, "oov_ppm"), id_col)
                 .localCheckpoint(eager=False))
@@ -919,8 +922,7 @@ def corpus_funnel_verdicts(docs: DataFrame,
 
     if xs_index is not None:
         c = streaming_substring_contamination(
-            cur, xs_index, k=xs_k, id_col=id_col, text_col=text_col,
-            assume_partitioned=True)
+            cur, xs_index, k=xs_k, id_col=id_col, text_col=text_col)
         csig = c.select(id_col).localCheckpoint(eager=False)
         _fail(csig, "substring")   # gate emits ONLY contaminated docs
         cur = (cur.join(csig, id_col, "left_anti")
@@ -929,8 +931,7 @@ def corpus_funnel_verdicts(docs: DataFrame,
     if mh_bands is not None:
         fz = streaming_fuzzy_dedup_gate(
             cur, mh_bands, mh_grams, threshold=fuzzy_threshold,
-            id_col=id_col, text_col=text_col,
-            assume_partitioned=True)
+            id_col=id_col, text_col=text_col)
         fsig = (fz.select(id_col, "admitted")
                 .localCheckpoint(eager=False))
         _fail(fsig.filter(~F.col("admitted")), "fuzzy")
@@ -958,8 +959,7 @@ def corpus_funnel_verdicts(docs: DataFrame,
         ds = streaming_dsir_gate(
             cur, llr_model,
             threshold_micro=(dsir_threshold_micro or 0),
-            id_col=id_col, text_col=text_col,
-            assume_partitioned=True)
+            id_col=id_col, text_col=text_col)
         ds = (ds.select(id_col, "avg_llr_micro", "admitted")
               .localCheckpoint(eager=False))
         if dsir_threshold_micro is not None:
