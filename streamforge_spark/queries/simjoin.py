@@ -505,9 +505,13 @@ def lsh_band_recall_sweep(spark, sf_dir):
     # r12 (guide §2.4/§3.3): pairs via the grouped posting array
     # (bucket_capped_pairs) instead of the capped bucket self-join —
     # identical pair set, one fewer sorted pass over the banded union.
-    cands = bucket_capped_pairs(
+    # Pinned: downstream of the Generate-shaped pair explode the
+    # optimizer has no cardinality stats, and the truth-marker join
+    # planned against the raw pipeline regressed the query ~35% solo
+    # (same pathology, same fix as dedup_yield_curve's candidate pin).
+    cands = (bucket_capped_pairs(
         banded, bucket_cols=("bands", "band", "band_hash"),
-        carry=("bands",)).distinct()
+        carry=("bands",)).distinct().localCheckpoint(eager=False))
     n_t = truth.agg(F.count(F.lit(1)).alias("n_truth"))
     # r12 (guide §2.4): n_candidates and n_caught fold into ONE pass —
     # a truth-marker left join (truth pairs are distinct, so no row
